@@ -1,0 +1,129 @@
+"""Catalog registration: parquet/csv/in-memory tables -> Spark temp views.
+
+Mirrors the reference's three registration modes (Parquet
+``tests/select.rs:73-78``, CSV ``tests/select.rs:90-95``, in-memory
+``tests/select.rs:270-273`` in /root/reference) on the Spark session
+catalog, plus the unsigned-int/Float16 widening map from SURVEY.md §1.3
+(Spark has no unsigned integers or half floats).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# SURVEY.md §1.3: DataFusion types Spark lacks, widened without overflow.
+# Keys are Arrow-style names as they'd appear in external schemas.
+WIDENING_MAP: dict[str, T.DataType] = {
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+    "float16": T.FloatType(),
+}
+
+
+def widen_type(type_name: str) -> T.DataType:
+    """Map an Arrow/DataFusion type name to a safe Spark type.
+
+    Unsigned ints widen one rank (reference surface: sqlgenerator/src/
+    expr.rs:288-339 renders UNSIGNED TINYINT..BIGINT, which Spark cannot
+    hold natively).
+    """
+    key = type_name.strip().lower()
+    if key in WIDENING_MAP:
+        return WIDENING_MAP[key]
+    return T._parse_datatype_string(key)  # noqa: SLF001 - public-enough helper
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    int64 only (spark.sql.legacy.parquet.nanosAsLong)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def register_parquet(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Parquet: self-describing schema (reference tests/select.rs:73-78).
+
+    TIMESTAMP(NANOS) columns (illegal in Spark's parquet reader) arrive as
+    int64 nanos and are converted to TimestampType at the view layer —
+    a projection Catalyst pushes into the scan, no materialization.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_csv(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV: inferred schema by default (reference tests/select.rs:90-95)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_memtable(
+    spark: SparkSession,
+    name: str,
+    rows: list,
+    schema: T.StructType | list[str],
+) -> DataFrame:
+    """In-memory table with explicit schema (reference tests/select.rs:253-273)."""
+    df = spark.createDataFrame(rows, schema=schema)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register the driver's synthetic star schema (TESTDATA.md) as views.
+
+    Missing files are skipped so smaller fixture dirs still work.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables or TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = register_parquet(spark, name, path)
+    return out

@@ -1,0 +1,752 @@
+"""Expression IR with dual rendering: pyspark Column + SQL text (2 dialects).
+
+This is the Spark-native rebuild of the reference's expression unparser
+(/root/reference/datafusion-sqlgen/src/expr.rs:15-108 converts DataFusion
+``Expr`` -> sqlparser AST; sqlgenerator/src/expr.rs:10-199 renders tokens).
+Where the reference keeps two out-of-sync layers (SURVEY.md §2.4.7), we keep
+ONE immutable tree per expression with three renderers:
+
+  * ``to_column()``          -> pyspark.sql.Column (JVM-side, codegen'd)
+  * ``to_sql("spark")``      -> Spark SQL text (run via spark.sql)
+  * ``to_sql("duckdb")``     -> DuckDB SQL text (the correctness oracle)
+
+Round-trip/dual-render equality of *results* is the test invariant — the
+executable strengthening of the reference's textual round-trip test
+(tests/select.rs:57-68).
+
+SQL output is fully parenthesized; operator-precedence bugs cannot exist.
+Semantics pinned here (SURVEY.md §7 "hard parts"):
+  * ``IsDistinctFrom``      == NOT (a <=> b)  (null-safe inequality)
+  * array indexing is 1-based (``element_at`` / duckdb ``x[i]``),
+    matching the reference (tests/select.rs:276)
+  * sort keys always render explicit ASC/DESC + NULLS FIRST/LAST (the
+    reference drops/inverts them — sqlgenerator/src/lib.rs:141-148)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datafusion_sqlgen_spark.functions.registry import (
+    AGGREGATES,
+    canonical,
+    render_func,
+    spark_agg_column,
+    spark_func_column,
+)
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+_DIALECTS = (SPARK, DUCKDB)
+
+
+def quote_ident(name: str, dialect: str) -> str:
+    """Quote an identifier only when necessary (keeps SQL readable)."""
+    if name == "*":
+        return name
+    if name.replace("_", "").isalnum() and not name[0].isdigit():
+        return name
+    if dialect == SPARK:
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'
+
+
+def escape_str(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+ExprLike = Union["Expr", int, float, str, bool, None]
+
+
+def _wrap(v: ExprLike) -> "Expr":
+    return v if isinstance(v, Expr) else Lit(v)
+
+
+@dataclass(frozen=True)
+class Expr:
+    """Base node. Subclasses implement to_sql / to_column."""
+
+    # ---- rendering ------------------------------------------------------
+    def to_sql(self, dialect: str = SPARK) -> str:
+        raise NotImplementedError
+
+    def to_column(self) -> Column:
+        raise NotImplementedError
+
+    # ---- builder sugar (mirrors pyspark Column API) ---------------------
+    def alias(self, name: str) -> "Alias":
+        return Alias(self, name)
+
+    def cast(self, dtype: str) -> "Cast":
+        return Cast(self, dtype)
+
+    def asc(self, nulls_first: bool = True) -> "SortKey":
+        return SortKey(self, ascending=True, nulls_first=nulls_first)
+
+    def desc(self, nulls_first: bool = False) -> "SortKey":
+        return SortKey(self, ascending=False, nulls_first=nulls_first)
+
+    def is_null(self) -> "IsNull":
+        return IsNull(self)
+
+    def is_not_null(self) -> "IsNotNull":
+        return IsNotNull(self)
+
+    def isin(self, *values: ExprLike) -> "InList":
+        return InList(self, tuple(_wrap(v) for v in values))
+
+    def between(self, lo: ExprLike, hi: ExprLike) -> "Between":
+        return Between(self, _wrap(lo), _wrap(hi))
+
+    def like(self, pattern: str) -> "Like":
+        return Like(self, pattern)
+
+    def rlike(self, pattern: str) -> "RLike":
+        return RLike(self, pattern)
+
+    def eq_null_safe(self, other: ExprLike) -> "IsNotDistinctFrom":
+        return IsNotDistinctFrom(self, _wrap(other))
+
+    def __getitem__(self, i: ExprLike) -> "Index":
+        return Index(self, _wrap(i))
+
+    # arithmetic / comparison / boolean operators
+    def __add__(self, o): return BinOp("+", self, _wrap(o))
+    def __radd__(self, o): return BinOp("+", _wrap(o), self)
+    def __sub__(self, o): return BinOp("-", self, _wrap(o))
+    def __rsub__(self, o): return BinOp("-", _wrap(o), self)
+    def __mul__(self, o): return BinOp("*", self, _wrap(o))
+    def __rmul__(self, o): return BinOp("*", _wrap(o), self)
+    def __truediv__(self, o): return BinOp("/", self, _wrap(o))
+    def __rtruediv__(self, o): return BinOp("/", _wrap(o), self)
+    def __mod__(self, o): return BinOp("%", self, _wrap(o))
+    def __eq__(self, o): return BinOp("=", self, _wrap(o))  # type: ignore[override]
+    def __ne__(self, o): return BinOp("<>", self, _wrap(o))  # type: ignore[override]
+    def __lt__(self, o): return BinOp("<", self, _wrap(o))
+    def __le__(self, o): return BinOp("<=", self, _wrap(o))
+    def __gt__(self, o): return BinOp(">", self, _wrap(o))
+    def __ge__(self, o): return BinOp(">=", self, _wrap(o))
+    def __and__(self, o): return BinOp("AND", self, _wrap(o))
+    def __or__(self, o): return BinOp("OR", self, _wrap(o))
+    def __invert__(self): return Not(self)
+    def __neg__(self): return Neg(self)
+
+    def __hash__(self):  # dataclass eq is overridden; keep hashable by id
+        return id(self)
+
+    # name the output column would get without an alias
+    def default_name(self) -> str:
+        return self.to_sql(SPARK)
+
+
+@dataclass(frozen=True, eq=False)
+class Col(Expr):
+    """Column reference, bare or table-qualified.
+
+    Reference: datafusion-sqlgen/src/expr.rs:17-32 (Column ->
+    Identifier/CompoundIdentifier).
+    """
+
+    name: str
+    table: Optional[str] = None
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        if self.table:
+            return f"{quote_ident(self.table, dialect)}.{quote_ident(self.name, dialect)}"
+        return quote_ident(self.name, dialect)
+
+    def to_column(self) -> Column:
+        return F.col(f"{self.table}.{self.name}" if self.table else self.name)
+
+    def default_name(self) -> str:
+        return self.name
+
+
+@dataclass(frozen=True, eq=False)
+class Star(Expr):
+    """``*`` or ``t.*`` (reference: logical_plan.rs:74-85)."""
+
+    table: Optional[str] = None
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"{quote_ident(self.table, dialect)}.*" if self.table else "*"
+
+    def to_column(self) -> Column:
+        return F.col(f"{self.table}.*" if self.table else "*")
+
+
+@dataclass(frozen=True, eq=False)
+class Lit(Expr):
+    """Literal. Reference: literal_to_sql_value, expr.rs:112-182.
+
+    Unlike the reference (None-valued typed scalars are an *error*,
+    expr.rs:116+), any Python None renders as SQL NULL.
+    """
+
+    value: Any
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        v = self.value
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, str):
+            return escape_str(v)
+        raise TypeError(f"unsupported literal type: {type(v)}")
+
+    def to_column(self) -> Column:
+        return F.lit(self.value)
+
+    def default_name(self) -> str:
+        return str(self.value)
+
+
+_BINOP_COLUMN = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "AND": lambda a, b: a & b,
+    "OR": lambda a, b: a | b,
+    "&": lambda a, b: a.bitwiseAND(b),
+    "|": lambda a, b: a.bitwiseOR(b),
+    "^": lambda a, b: a.bitwiseXOR(b),
+    "||": lambda a, b: F.concat(a, b),
+}
+
+_BINOP_SQL = {  # dialect-specific spellings where needed
+    "&": {SPARK: "&", DUCKDB: "&"},
+    "|": {SPARK: "|", DUCKDB: "|"},
+    "^": {SPARK: "^", DUCKDB: "xor"},  # DuckDB ^ is exponentiation!
+}
+
+
+@dataclass(frozen=True, eq=False)
+class BinOp(Expr):
+    """Binary op. Reference: expr.rs:183-215 (arith/cmp/bool/bitwise/||)."""
+
+    op: str
+    left: Expr
+    right: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        l, r = self.left.to_sql(dialect), self.right.to_sql(dialect)
+        if self.op == "^" and dialect == DUCKDB:
+            return f"xor({l}, {r})"
+        if self.op == "||":
+            return f"({l} || {r})"
+        return f"({l} {self.op} {r})"
+
+    def to_column(self) -> Column:
+        return _BINOP_COLUMN[self.op](self.left.to_column(), self.right.to_column())
+
+
+@dataclass(frozen=True, eq=False)
+class Not(Expr):
+    operand: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"(NOT {self.operand.to_sql(dialect)})"
+
+    def to_column(self) -> Column:
+        return ~self.operand.to_column()
+
+
+@dataclass(frozen=True, eq=False)
+class Neg(Expr):
+    operand: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"(- {self.operand.to_sql(dialect)})"
+
+    def to_column(self) -> Column:
+        return -self.operand.to_column()
+
+
+# SURVEY.md §1.3 type map; canonical (Spark-ish) name -> duckdb name.
+_DUCKDB_TYPES = {
+    "string": "VARCHAR",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+@dataclass(frozen=True, eq=False)
+class Cast(Expr):
+    """CAST(e AS t). Reference: expr.rs:56-59 + datatype_to_sql :217-237."""
+
+    operand: Expr
+    dtype: str  # Spark type string, e.g. "int", "double", "decimal(18,2)"
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        t = self.dtype
+        if dialect == DUCKDB:
+            t = _DUCKDB_TYPES.get(t.lower(), t)
+        return f"CAST({self.operand.to_sql(dialect)} AS {t.upper()})"
+
+    def to_column(self) -> Column:
+        return self.operand.to_column().cast(self.dtype)
+
+
+@dataclass(frozen=True, eq=False)
+class Between(Expr):
+    """[NOT] BETWEEN. Reference: expr.rs:60-75; sqlgenerator expr.rs:117-151."""
+
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        not_kw = "NOT " if self.negated else ""
+        return (
+            f"({self.operand.to_sql(dialect)} {not_kw}BETWEEN "
+            f"{self.low.to_sql(dialect)} AND {self.high.to_sql(dialect)})"
+        )
+
+    def to_column(self) -> Column:
+        c = self.operand.to_column().between(
+            self.low.to_column(), self.high.to_column()
+        )
+        return ~c if self.negated else c
+
+
+@dataclass(frozen=True, eq=False)
+class IsDistinctFrom(Expr):
+    """Null-safe inequality: NOT (a <=> b). Reference: expr.rs:35-39."""
+
+    left: Expr
+    right: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        l, r = self.left.to_sql(dialect), self.right.to_sql(dialect)
+        return f"({l} IS DISTINCT FROM {r})"
+
+    def to_column(self) -> Column:
+        return ~self.left.to_column().eqNullSafe(self.right.to_column())
+
+
+@dataclass(frozen=True, eq=False)
+class IsNotDistinctFrom(Expr):
+    """Null-safe equality: a <=> b. Reference: expr.rs:40-44."""
+
+    left: Expr
+    right: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        l, r = self.left.to_sql(dialect), self.right.to_sql(dialect)
+        return f"({l} IS NOT DISTINCT FROM {r})"
+
+    def to_column(self) -> Column:
+        return self.left.to_column().eqNullSafe(self.right.to_column())
+
+
+@dataclass(frozen=True, eq=False)
+class IsNull(Expr):
+    operand: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"({self.operand.to_sql(dialect)} IS NULL)"
+
+    def to_column(self) -> Column:
+        return self.operand.to_column().isNull()
+
+
+@dataclass(frozen=True, eq=False)
+class IsNotNull(Expr):
+    operand: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"({self.operand.to_sql(dialect)} IS NOT NULL)"
+
+    def to_column(self) -> Column:
+        return self.operand.to_column().isNotNull()
+
+
+@dataclass(frozen=True, eq=False)
+class Like(Expr):
+    operand: Expr
+    pattern: str
+    negated: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        kw = "NOT LIKE" if self.negated else "LIKE"
+        return f"({self.operand.to_sql(dialect)} {kw} {escape_str(self.pattern)})"
+
+    def to_column(self) -> Column:
+        c = self.operand.to_column().like(self.pattern)
+        return ~c if self.negated else c
+
+
+@dataclass(frozen=True, eq=False)
+class RLike(Expr):
+    """Regex match (PG ``~`` in the reference, expr.rs:202-205)."""
+
+    operand: Expr
+    pattern: str
+    negated: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        s = self.operand.to_sql(dialect)
+        if dialect == SPARK:
+            e = f"({s} RLIKE {escape_str(self.pattern)})"
+        else:
+            e = f"regexp_matches({s}, {escape_str(self.pattern)})"
+        return f"(NOT {e})" if self.negated else e
+
+    def to_column(self) -> Column:
+        c = self.operand.to_column().rlike(self.pattern)
+        return ~c if self.negated else c
+
+
+@dataclass(frozen=True, eq=False)
+class InList(Expr):
+    """e [NOT] IN (v1, v2, ...). Absent in reference (catch-all,
+    expr.rs:103-106) — listed aspirational in SURVEY.md §2.2."""
+
+    operand: Expr
+    values: tuple
+    negated: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        vals = ", ".join(v.to_sql(dialect) for v in self.values)
+        kw = "NOT IN" if self.negated else "IN"
+        return f"({self.operand.to_sql(dialect)} {kw} ({vals}))"
+
+    def to_column(self) -> Column:
+        c = self.operand.to_column().isin(*[v.to_column() for v in self.values])
+        return ~c if self.negated else c
+
+
+@dataclass(frozen=True, eq=False)
+class Case(Expr):
+    """CASE WHEN ... THEN ... [ELSE ...] END."""
+
+    whens: tuple  # tuple[(Expr cond, Expr value), ...]
+    else_: Optional[Expr] = None
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        parts = ["CASE"]
+        for cond, val in self.whens:
+            parts.append(f"WHEN {cond.to_sql(dialect)} THEN {val.to_sql(dialect)}")
+        if self.else_ is not None:
+            parts.append(f"ELSE {self.else_.to_sql(dialect)}")
+        parts.append("END")
+        return "(" + " ".join(parts) + ")"
+
+    def to_column(self) -> Column:
+        conds = list(self.whens)
+        c = F.when(conds[0][0].to_column(), conds[0][1].to_column())
+        for cond, val in conds[1:]:
+            c = c.when(cond.to_column(), val.to_column())
+        if self.else_ is not None:
+            c = c.otherwise(self.else_.to_column())
+        return c
+
+    def when(self, cond: Expr, value: ExprLike) -> "Case":
+        return Case(self.whens + ((cond, _wrap(value)),), self.else_)
+
+    def otherwise(self, value: ExprLike) -> "Case":
+        return Case(self.whens, _wrap(value))
+
+
+@dataclass(frozen=True, eq=False)
+class Func(Expr):
+    """Scalar or aggregate function call by canonical name.
+
+    Reference passes any DataFusion builtin through by name
+    (expr.rs:76-94, ``distinct: false, over: None`` hard-coded); we add
+    real DISTINCT and OVER support on top.
+    """
+
+    name: str
+    args: tuple = ()
+    distinct: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        args = [a.to_sql(dialect) for a in self.args]
+        if self.distinct:
+            inner = ", ".join(args)
+            return f"{canonical(self.name)}(DISTINCT {inner})"
+        if not args and canonical(self.name) == "count":
+            return "count(*)"
+        return render_func(self.name, args, dialect)
+
+    def to_column(self) -> Column:
+        cols = [a.to_column() for a in self.args]
+        name = canonical(self.name)
+        if name in AGGREGATES:
+            if name == "count" and not cols:
+                return F.count(F.lit(1))
+            return spark_agg_column(name, cols, distinct=self.distinct)
+        return spark_func_column(name, cols)
+
+    def over(
+        self,
+        partition_by: Sequence[ExprLike] = (),
+        order_by: Sequence["SortKey"] = (),
+        rows_between: Optional[tuple] = None,
+        range_between: Optional[tuple] = None,
+    ) -> "WindowExpr":
+        return WindowExpr(
+            self,
+            WindowSpec(
+                tuple(_wrap(p) for p in partition_by),
+                tuple(order_by),
+                rows_between,
+                range_between,
+            ),
+        )
+
+    def default_name(self) -> str:
+        return canonical(self.name)
+
+
+_UNBOUNDED = ("unbounded", None)
+
+
+def _frame_bound_sql(b) -> str:
+    if b is None or b == "unbounded":
+        return None  # caller decides PRECEDING/FOLLOWING
+    return b
+
+
+@dataclass(frozen=True, eq=False)
+class WindowSpec:
+    partition_by: tuple = ()
+    order_by: tuple = ()
+    rows_between: Optional[tuple] = None  # (start, end): int | "unbounded"
+    range_between: Optional[tuple] = None
+
+    def _frame_sql(self) -> str:
+        frame = self.rows_between or self.range_between
+        if frame is None:
+            return ""
+        kw = "ROWS" if self.rows_between else "RANGE"
+
+        def bound(v, side):
+            if v == "unbounded" or v is None:
+                return f"UNBOUNDED {side}"
+            if v == 0:
+                return "CURRENT ROW"
+            if v < 0:
+                return f"{-v} PRECEDING"
+            return f"{v} FOLLOWING"
+
+        s, e = frame
+        return f" {kw} BETWEEN {bound(s, 'PRECEDING')} AND {bound(e, 'FOLLOWING')}"
+
+    def to_sql(self, dialect: str) -> str:
+        parts = []
+        if self.partition_by:
+            parts.append(
+                "PARTITION BY " + ", ".join(p.to_sql(dialect) for p in self.partition_by)
+            )
+        if self.order_by:
+            parts.append(
+                "ORDER BY " + ", ".join(k.to_sql(dialect) for k in self.order_by)
+            )
+        return "(" + " ".join(parts) + self._frame_sql() + ")"
+
+    def to_window(self):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[p.to_column() for p in self.partition_by])
+        if self.order_by:
+            w = w.orderBy(*[k.to_column() for k in self.order_by])
+        frame = self.rows_between or self.range_between
+        if frame is not None:
+            lo, hi = frame
+            lo = Window.unboundedPreceding if lo in _UNBOUNDED else lo
+            hi = Window.unboundedFollowing if hi in _UNBOUNDED else hi
+            w = w.rowsBetween(lo, hi) if self.rows_between else w.rangeBetween(lo, hi)
+        return w
+
+
+@dataclass(frozen=True, eq=False)
+class WindowExpr(Expr):
+    """fn(...) OVER (spec). Entirely absent in the reference (``over:
+    None`` hard-coded, expr.rs:91; intent at tests/select.rs:651-662)."""
+
+    func: Func
+    spec: WindowSpec
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"{self.func.to_sql(dialect)} OVER {self.spec.to_sql(dialect)}"
+
+    def to_column(self) -> Column:
+        return self.func.to_column().over(self.spec.to_window())
+
+    def default_name(self) -> str:
+        return self.func.default_name()
+
+
+@dataclass(frozen=True, eq=False)
+class Index(Expr):
+    """1-based array index — reference semantics (tests/select.rs:276:
+    ``some_list[1]`` is the first element; SURVEY.md §2.2 Index row)."""
+
+    operand: Expr
+    index: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        if dialect == SPARK:
+            return f"element_at({self.operand.to_sql(dialect)}, {self.index.to_sql(dialect)})"
+        return f"({self.operand.to_sql(dialect)})[{self.index.to_sql(dialect)}]"
+
+    def to_column(self) -> Column:
+        return F.element_at(self.operand.to_column(), self.index.to_column())
+
+
+@dataclass(frozen=True, eq=False)
+class Alias(Expr):
+    """e AS name. Reference: logical_plan.rs:86-96."""
+
+    operand: Expr
+    name: str
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"{self.operand.to_sql(dialect)} AS {quote_ident(self.name, dialect)}"
+
+    def to_column(self) -> Column:
+        return self.operand.to_column().alias(self.name)
+
+    def default_name(self) -> str:
+        return self.name
+
+
+@dataclass(frozen=True, eq=False)
+class SortKey(Expr):
+    """Sort key with *explicit* direction and null ordering.
+
+    The reference captures asc/nulls_first (logical_plan.rs:50) but the
+    renderer inverts direction and drops NULLS FIRST/LAST entirely
+    (sqlgenerator/src/lib.rs:141-148; SURVEY.md §2.4.1-2) — we always emit
+    both, since Spark/DuckDB/DataFusion defaults all differ.
+    """
+
+    operand: Expr
+    ascending: bool = True
+    nulls_first: bool = True
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        d = "ASC" if self.ascending else "DESC"
+        n = "NULLS FIRST" if self.nulls_first else "NULLS LAST"
+        return f"{self.operand.to_sql(dialect)} {d} {n}"
+
+    def to_column(self) -> Column:
+        c = self.operand.to_column()
+        if self.ascending:
+            return c.asc_nulls_first() if self.nulls_first else c.asc_nulls_last()
+        return c.desc_nulls_first() if self.nulls_first else c.desc_nulls_last()
+
+
+# --- subquery expressions (need a Plan, imported lazily to avoid cycle) ---
+
+
+@dataclass(frozen=True, eq=False)
+class Exists(Expr):
+    """EXISTS (subquery). SQL-only rendering; to_df callers use semi-join
+    (plans.Join how='left_semi') instead — same semantics, same plan
+    Catalyst produces after decorrelation."""
+
+    subquery: Any  # plans.Plan
+    negated: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        kw = "NOT EXISTS" if self.negated else "EXISTS"
+        return f"{kw} ({self.subquery.to_sql(dialect)})"
+
+    def to_column(self) -> Column:
+        raise NotImplementedError(
+            "EXISTS as a Column is not constructible in PySpark; "
+            "use plans.Join(how='left_semi'/'left_anti') for the DataFrame path"
+        )
+
+
+@dataclass(frozen=True, eq=False)
+class InSubquery(Expr):
+    operand: Expr
+    subquery: Any  # plans.Plan
+    negated: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        kw = "NOT IN" if self.negated else "IN"
+        return f"({self.operand.to_sql(dialect)} {kw} ({self.subquery.to_sql(dialect)}))"
+
+    def to_column(self) -> Column:
+        raise NotImplementedError(
+            "IN (subquery) as a Column: use plans.Join(how='left_semi')"
+        )
+
+
+@dataclass(frozen=True, eq=False)
+class ScalarSubquery(Expr):
+    subquery: Any  # plans.Plan
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"({self.subquery.to_sql(dialect)})"
+
+    def to_column(self) -> Column:
+        raise NotImplementedError(
+            "scalar subquery as a Column: compute it and join/cross-join, "
+            "or use the SQL rendering path"
+        )
+
+
+# ---- public constructors -------------------------------------------------
+
+
+def col(name: str) -> Col:
+    """``col("c")`` or ``col("t.c")`` (table-qualified)."""
+    if "." in name:
+        table, _, c = name.partition(".")
+        return Col(c, table)
+    return Col(name)
+
+
+def lit(value: Any) -> Lit:
+    return Lit(value)
+
+
+def fn(name: str, *args: ExprLike) -> Func:
+    return Func(name, tuple(_wrap(a) for a in args))
+
+
+def agg(name: str, *args: ExprLike, distinct: bool = False) -> Func:
+    return Func(name, tuple(_wrap(a) for a in args), distinct=distinct)
+
+
+def when(cond: Expr, value: ExprLike) -> Case:
+    return Case(((cond, _wrap(value)),))
+
+
+def star(table: Optional[str] = None) -> Star:
+    return Star(table)

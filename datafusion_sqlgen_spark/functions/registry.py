@@ -1,0 +1,179 @@
+"""Scalar / aggregate / window function registry, dual-dialect.
+
+The reference passes any DataFusion-10 builtin scalar function through by
+name (datafusion-sqlgen/src/expr.rs:76-94 in /root/reference) and renders
+``name(args)`` (sqlgenerator/src/expr.rs:152-178). We keep the same
+name-pass-through shape but make the mapping *explicit and per-dialect*,
+because Spark and DuckDB disagree on names and semantics for a handful of
+functions (``log`` is ln in Spark but log10 in DuckDB; ``split`` is
+``string_split_regex``; ``instr`` is ``strpos``; ...).
+
+A canonical function name renders via:
+  * ``render_func(name, args_sql, dialect)``  -> SQL text
+  * ``spark_func_column(name, cols)``         -> pyspark Column (JVM-side,
+    whole-stage-codegen friendly — never a Python UDF)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Renderer = Callable[[list[str]], str]
+
+
+def _plain(name: str) -> Renderer:
+    return lambda args: f"{name}({', '.join(args)})"
+
+
+# canonical -> {dialect: renderer}. Canonical names follow Spark where the
+# two differ; "ln"/"log10"/"log2" are used instead of the ambiguous "log".
+_SPECIAL: dict[str, dict[str, Renderer]] = {
+    "ln": {"spark": _plain("ln"), "duckdb": _plain("ln")},
+    "log10": {"spark": _plain("log10"), "duckdb": _plain("log10")},
+    "log2": {"spark": _plain("log2"), "duckdb": _plain("log2")},
+    # 1-based array index on both engines (reference is also 1-based:
+    # tests/select.rs:276 — some_list[1] yields the first element).
+    "element_at": {
+        "spark": _plain("element_at"),
+        "duckdb": lambda a: f"({a[0]})[{a[1]}]",
+    },
+    "array_size": {"spark": _plain("size"), "duckdb": _plain("len")},
+    "split": {
+        "spark": _plain("split"),
+        "duckdb": _plain("string_split_regex"),
+    },
+    "strpos": {
+        "spark": lambda a: f"instr({', '.join(a)})",
+        "duckdb": _plain("strpos"),
+    },
+    "string_length": {"spark": _plain("length"), "duckdb": _plain("length")},
+    # Spark date_trunc returns TIMESTAMP; DuckDB returns DATE/TIMESTAMP
+    # depending on field — cast so oracle schemas line up.
+    "date_trunc": {
+        "spark": _plain("date_trunc"),
+        "duckdb": lambda a: f"CAST(date_trunc({', '.join(a)}) AS TIMESTAMP)",
+    },
+    "approx_count_distinct": {
+        "spark": _plain("approx_count_distinct"),
+        "duckdb": _plain("approx_count_distinct"),
+    },
+    "stddev": {"spark": _plain("stddev_samp"), "duckdb": _plain("stddev_samp")},
+    "variance": {"spark": _plain("var_samp"), "duckdb": _plain("var_samp")},
+    "first_value": {"spark": _plain("first_value"), "duckdb": _plain("first_value")},
+    "last_value": {"spark": _plain("last_value"), "duckdb": _plain("last_value")},
+}
+
+# Functions with identical name + semantics in both dialects.
+_COMMON = {
+    # math (DataFusion-10 builtin set, datafusion-sqlgen/src/expr.rs:76-94
+    # passes these through by name)
+    "abs", "ceil", "floor", "round", "sqrt", "exp", "pow", "power", "sign",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "pi", "degrees",
+    "radians",
+    # string
+    "lower", "upper", "trim", "ltrim", "rtrim", "length", "substr",
+    "substring", "concat", "concat_ws", "replace", "lpad", "rpad", "reverse",
+    "repeat", "left", "right", "md5", "regexp_replace", "regexp_extract",
+    "starts_with", "ends_with", "contains",
+    # null handling / conditionals
+    "coalesce", "nullif", "greatest", "least", "ifnull",
+    # date/time
+    "year", "month", "day", "hour", "minute", "second", "to_date",
+    "to_timestamp", "date_part", "date_add",
+    # aggregates
+    "count", "sum", "avg", "min", "max", "stddev_samp", "stddev_pop",
+    "var_samp", "var_pop", "corr", "covar_samp", "covar_pop", "median",
+    "bool_and", "bool_or", "any_value",
+    # window
+    "row_number", "rank", "dense_rank", "ntile", "percent_rank",
+    "cume_dist", "lag", "lead", "nth_value",
+}
+
+AGGREGATES = {
+    "count", "sum", "avg", "min", "max", "stddev", "stddev_samp",
+    "stddev_pop", "var_samp", "var_pop", "variance", "corr", "covar_samp",
+    "covar_pop", "approx_count_distinct", "median", "bool_and", "bool_or",
+    "any_value", "first_value", "last_value", "collect_list", "collect_set",
+}
+
+WINDOW_FUNCS = {
+    "row_number", "rank", "dense_rank", "ntile", "percent_rank",
+    "cume_dist", "lag", "lead", "nth_value", "first_value", "last_value",
+}
+
+# DataFusion-10 builtin names -> canonical names (the reference unparsers'
+# pass-through surface, so a user of the reference can keep their spelling).
+DATAFUSION_ALIASES = {
+    "log": "ln",  # DataFusion log() is natural log, like Spark, unlike DuckDB
+    "character_length": "string_length",
+    "char_length": "string_length",
+    "array_length": "array_size",
+    "position": "strpos",
+    "datetrunc": "date_trunc",
+}
+
+
+def canonical(name: str) -> str:
+    return DATAFUSION_ALIASES.get(name.lower(), name.lower())
+
+
+def render_func(name: str, args_sql: list[str], dialect: str) -> str:
+    """Render canonical function ``name`` over already-rendered args."""
+    name = canonical(name)
+    if name in _SPECIAL:
+        return _SPECIAL[name][dialect](args_sql)
+    if name in _COMMON:
+        return _plain(name)(args_sql)
+    # Pass-through, exactly like the reference's fun.to_string() fallback
+    # (datafusion-sqlgen/src/expr.rs:88) — lets dialect-valid functions
+    # through without registry churn.
+    return _plain(name)(args_sql)
+
+
+# Spark Column-side: canonical name -> pyspark.sql.functions call.
+_COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
+    "ln": lambda c: F.log(c),
+    "array_size": lambda c: F.size(c),
+    "string_length": lambda c: F.length(c),
+    "strpos": lambda s, sub: F.instr(s, sub),
+    "split": lambda s, p: F.split(s, p),
+    "stddev": F.stddev_samp,
+    "variance": F.var_samp,
+    "power": F.pow,
+    "ifnull": lambda a, b: F.coalesce(a, b),
+    # python wrapper expects str args; call the SQL function directly
+    "date_trunc": lambda *a: F.call_function("date_trunc", *a),
+    "regexp_extract": lambda *a: F.call_function("regexp_extract", *a),
+    "regexp_replace": lambda *a: F.call_function("regexp_replace", *a),
+    "lag": lambda *a: F.call_function("lag", *a),
+    "lead": lambda *a: F.call_function("lead", *a),
+    "ntile": lambda *a: F.call_function("ntile", *a),
+}
+
+
+def spark_func_column(name: str, cols: list) -> Column:
+    """Canonical function as a JVM Column expression."""
+    name = canonical(name)
+    if name in _COLUMN_OVERRIDES:
+        return _COLUMN_OVERRIDES[name](*cols)
+    fn = getattr(F, name, None)
+    if fn is not None:
+        return fn(*cols)
+    # F.expr fallback keeps us on the JVM even for functions the Python
+    # wrapper module lacks (still whole-stage codegen, never a UDF).
+    return F.call_function(name, *cols)
+
+
+def spark_agg_column(name: str, cols: list, distinct: bool = False) -> Column:
+    name = canonical(name)
+    if distinct:
+        if name == "count":
+            return F.countDistinct(*cols)
+        if name == "sum":
+            return F.sum_distinct(*cols)
+        raise ValueError(f"DISTINCT not supported for aggregate {name!r} as a "
+                         "Column; use the SQL rendering path")
+    return spark_func_column(name, cols)

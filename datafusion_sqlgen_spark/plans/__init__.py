@@ -1,0 +1,24 @@
+from datafusion_sqlgen_spark.plans.core import (
+    Aggregate,
+    Distinct,
+    EmptyRelation,
+    Filter,
+    Join,
+    Limit,
+    Offset,
+    Plan,
+    Project,
+    Scan,
+    SetOp,
+    Sort,
+    SubqueryAlias,
+    With,
+    scan,
+    values_relation,
+)
+
+__all__ = [
+    "Plan", "Scan", "Project", "Filter", "Distinct", "Sort", "Limit",
+    "Offset", "EmptyRelation", "Aggregate", "Join", "SetOp", "With",
+    "SubqueryAlias", "scan", "values_relation",
+]

@@ -1,0 +1,625 @@
+"""Logical plan IR with dual rendering: DataFrame calls + SQL (2 dialects).
+
+The Spark-native rebuild of the reference's plan unparser
+(/root/reference/datafusion-sqlgen/src/logical_plan.rs:10-206). The
+reference threads ONE flat mutable ``Select`` through the recursion, so
+stacked same-kind nodes overwrite each other's slots (SURVEY.md §2.4.6 —
+two Filters lose one predicate, logical_plan.rs:119-122). Here each node
+folds into a clause-slot accumulator (``_SelectState``) and *nests a
+derived table whenever a slot is occupied or SQL clause order would change
+semantics* — the correct version of the reference's unparse-fusion.
+
+Rendering targets:
+  * ``to_df(spark)``      — pyspark DataFrame (Catalyst optimizes; AQE at
+    runtime). This is the execution path for scale.
+  * ``to_sql("spark")``   — Spark SQL text; ``spark.sql(...)`` must give
+    the same result (dual-render invariant, tested).
+  * ``to_sql("duckdb")``  — oracle SQL for the driver's DuckDB check.
+
+Operator inventory covers SURVEY.md §2.1 end-to-end: Scan, Project,
+Filter, Distinct, Sort, Limit, Offset, EmptyRelation (the reference's live
+surface) plus Aggregate (group by / rollup / cube / grouping sets), Join
+(all Spark how= modes + broadcast hint), SetOp (union/intersect/except),
+With (CTEs), SubqueryAlias — the reference's aspirational surface
+(commented tests, tests/select.rs:601-837).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_sqlgen_spark.expressions.core import (
+    Alias,
+    Col,
+    Expr,
+    Func,
+    SortKey,
+    Star,
+    _wrap,
+    quote_ident,
+)
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+_alias_counter = itertools.count()
+
+
+def _fresh_alias() -> str:
+    return f"_sq{next(_alias_counter)}"
+
+
+@dataclass
+class _SelectState:
+    """Clause-slot accumulator for one SELECT level."""
+
+    from_sql: Optional[str] = None
+    projection: Optional[list[str]] = None
+    where: Optional[str] = None
+    group_by: Optional[str] = None  # rendered GROUP BY payload
+    having: Optional[str] = None
+    distinct: bool = False
+    order_by: Optional[list[str]] = None
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    ctes: list = field(default_factory=list)  # [(name, sql)]
+    no_from: bool = False  # EmptyRelation: SELECT <exprs> with no FROM
+
+    def render(self) -> str:
+        parts = []
+        if self.ctes:
+            ctes = ", ".join(f"{name} AS ({sql})" for name, sql in self.ctes)
+            parts.append(f"WITH {ctes}")
+        sel = "SELECT DISTINCT" if self.distinct else "SELECT"
+        proj = ", ".join(self.projection) if self.projection else "*"
+        parts.append(f"{sel} {proj}")
+        if not self.no_from:
+            parts.append(f"FROM {self.from_sql}")
+        if self.where:
+            parts.append(f"WHERE {self.where}")
+        if self.group_by:
+            parts.append(f"GROUP BY {self.group_by}")
+        if self.having:
+            parts.append(f"HAVING {self.having}")
+        if self.order_by:
+            parts.append("ORDER BY " + ", ".join(self.order_by))
+        if self.limit is not None:
+            parts.append(f"LIMIT {self.limit}")
+        if self.offset is not None:
+            parts.append(f"OFFSET {self.offset}")
+        return " ".join(parts)
+
+
+def _nest(state: _SelectState) -> _SelectState:
+    """Wrap the current state as a derived table — the fix for the
+    reference's slot-overwrite defect (SURVEY.md §2.4.6)."""
+    return _SelectState(from_sql=f"({state.render()}) AS {_fresh_alias()}")
+
+
+class Plan:
+    """Base logical-plan node."""
+
+    # ---- rendering ------------------------------------------------------
+    def _fold(self, dialect: str) -> _SelectState:
+        raise NotImplementedError
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        if dialect not in (SPARK, DUCKDB):
+            raise ValueError(f"unknown dialect {dialect!r}; use 'spark' or 'duckdb'")
+        return self._fold(dialect).render()
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+    # ---- fluent builder (mirrors the DataFrame API) ---------------------
+    def select(self, *exprs) -> "Project":
+        return Project(self, tuple(_wrap_proj(e) for e in exprs))
+
+    def filter(self, cond: Expr) -> "Filter":
+        return Filter(self, cond)
+
+    where = filter
+
+    def distinct(self) -> "Distinct":
+        return Distinct(self)
+
+    def sort(self, *keys) -> "Sort":
+        return Sort(self, tuple(_wrap_sort(k) for k in keys))
+
+    order_by = sort
+
+    def limit(self, n: int) -> "Limit":
+        return Limit(self, n)
+
+    def offset(self, k: int) -> "Offset":
+        return Offset(self, k)
+
+    def group_by(self, *keys) -> "_GroupedPlan":
+        return _GroupedPlan(self, tuple(_wrap_proj(k) for k in keys), "groupby")
+
+    def rollup(self, *keys) -> "_GroupedPlan":
+        return _GroupedPlan(self, tuple(_wrap_proj(k) for k in keys), "rollup")
+
+    def cube(self, *keys) -> "_GroupedPlan":
+        return _GroupedPlan(self, tuple(_wrap_proj(k) for k in keys), "cube")
+
+    def join(
+        self,
+        other: "Plan",
+        on: Optional[Expr] = None,
+        how: str = "inner",
+        broadcast: bool = False,
+    ) -> "Join":
+        return Join(self, other, on, how, broadcast)
+
+    def union(self, other: "Plan") -> "SetOp":
+        return SetOp(self, other, "union_all")
+
+    def union_distinct(self, other: "Plan") -> "SetOp":
+        return SetOp(self, other, "union")
+
+    def intersect(self, other: "Plan") -> "SetOp":
+        return SetOp(self, other, "intersect")
+
+    def except_(self, other: "Plan") -> "SetOp":
+        return SetOp(self, other, "except")
+
+    def alias(self, name: str) -> "SubqueryAlias":
+        return SubqueryAlias(self, name)
+
+
+def _wrap_proj(e) -> Expr:
+    if isinstance(e, Expr):
+        return e
+    if isinstance(e, str):
+        if e == "*":
+            return Star()
+        if "." in e:
+            t, _, c = e.partition(".")
+            return Star(t) if c == "*" else Col(c, t)
+        return Col(e)
+    return _wrap(e)
+
+
+def _wrap_sort(k) -> SortKey:
+    if isinstance(k, SortKey):
+        return k
+    return SortKey(_wrap_proj(k), ascending=True, nulls_first=True)
+
+
+@dataclass(frozen=True)
+class Scan(Plan):
+    """Named base relation -> FROM name. Reference: logical_plan.rs:155-181."""
+
+    table: str
+
+    def _fold(self, dialect: str) -> _SelectState:
+        return _SelectState(from_sql=quote_ident(self.table, dialect))
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        # spark.table resolves temp views and catalog tables; alias so
+        # qualified refs like customer.c_custkey resolve in join conditions.
+        return spark.table(self.table).alias(self.table)
+
+
+@dataclass(frozen=True)
+class SubqueryAlias(Plan):
+    input: Plan
+    name: str
+
+    def _fold(self, dialect: str) -> _SelectState:
+        inner = self.input._fold(dialect)
+        return _SelectState(from_sql=f"({inner.render()}) AS {quote_ident(self.name, dialect)}")
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.input.to_df(spark).alias(self.name)
+
+
+@dataclass(frozen=True)
+class EmptyRelation(Plan):
+    """SELECT <exprs> with no FROM. Reference: logical_plan.rs:199 (live
+    test: tests/select.rs:199-231). Spark executes this as OneRowRelation."""
+
+    exprs: tuple = ()
+
+    def _fold(self, dialect: str) -> _SelectState:
+        proj = [e.to_sql(dialect) for e in self.exprs] or ["1"]
+        return _SelectState(projection=proj, no_from=True)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        cols = [e.to_column() for e in self.exprs] or [F.lit(1)]
+        return spark.range(1).select(*cols)
+
+    def select(self, *exprs) -> "EmptyRelation":
+        return EmptyRelation(tuple(_wrap_proj(e) for e in exprs))
+
+
+@dataclass(frozen=True)
+class Project(Plan):
+    """Column/expr selection incl. *, t.*, aliases.
+    Reference: logical_plan.rs:67-116."""
+
+    input: Plan
+    exprs: tuple
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        if state.projection is not None or state.distinct or state.group_by:
+            state = _nest(state)
+        state.projection = [e.to_sql(dialect) for e in self.exprs]
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        df = self.input.to_df(spark)
+        cols = []
+        for e in self.exprs:
+            if isinstance(e, Star):
+                cols.append(f"{e.table}.*" if e.table else "*")
+            else:
+                cols.append(e.to_column())
+        return df.select(*cols)
+
+
+@dataclass(frozen=True)
+class Filter(Plan):
+    """WHERE predicate. Reference: logical_plan.rs:117-135. Stacked
+    filters AND-merge here (the reference overwrites: SURVEY.md §2.4.6);
+    a filter above an Aggregate renders as HAVING."""
+
+    input: Plan
+    predicate: Expr
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        pred = self.predicate.to_sql(dialect)
+        if state.group_by is not None and state.projection is not None:
+            # Filter above Aggregate -> HAVING (predicate sees agg outputs).
+            if state.having:
+                state.having = f"({state.having}) AND ({pred})"
+            else:
+                state.having = pred
+            return state
+        if (
+            state.projection is not None
+            or state.distinct
+            or state.limit is not None
+            or state.offset is not None
+            or state.order_by
+        ):
+            state = _nest(state)
+        state.where = f"({state.where}) AND ({pred})" if state.where else pred
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.input.to_df(spark).filter(self.predicate.to_column())
+
+
+@dataclass(frozen=True)
+class Distinct(Plan):
+    """Reference: logical_plan.rs:136-154."""
+
+    input: Plan
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        if state.limit is not None or state.offset is not None or state.order_by:
+            state = _nest(state)
+        state.distinct = True
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.input.to_df(spark).distinct()
+
+
+@dataclass(frozen=True)
+class Sort(Plan):
+    """ORDER BY with explicit ASC/DESC + NULLS FIRST/LAST on every key
+    (reference renderer inverts/drops these — SURVEY.md §2.4.1-2).
+    Reference: logical_plan.rs:38-66."""
+
+    input: Plan
+    keys: tuple  # tuple[SortKey, ...]
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        if state.order_by or state.limit is not None or state.offset is not None:
+            state = _nest(state)
+        state.order_by = [k.to_sql(dialect) for k in self.keys]
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.input.to_df(spark).orderBy(*[k.to_column() for k in self.keys])
+
+
+@dataclass(frozen=True)
+class Limit(Plan):
+    """LIMIT n. Reference: logical_plan.rs:182-198."""
+
+    input: Plan
+    n: int
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        if state.limit is not None:
+            state = _nest(state)
+        state.limit = self.n
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.input.to_df(spark).limit(self.n)
+
+
+@dataclass(frozen=True)
+class Offset(Plan):
+    """OFFSET k (skip). Reference: logical_plan.rs:186-189 — whose
+    renderer emits the keyword and value in the wrong order
+    (SURVEY.md §2.4.3); ours is plain ``LIMIT n OFFSET k``."""
+
+    input: Plan
+    k: int
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        # SQL applies OFFSET before LIMIT; the plan Offset-above-Limit
+        # means "take n then skip k" which LIMIT n OFFSET k does NOT mean.
+        if state.offset is not None or state.limit is not None:
+            state = _nest(state)
+        state.offset = self.k
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return self.input.to_df(spark).offset(self.k)
+
+
+class _GroupedPlan:
+    """Intermediate for group_by/rollup/cube — call .agg(...) to finish."""
+
+    def __init__(self, input: Plan, keys: tuple, kind: str,
+                 grouping_sets: Optional[tuple] = None):
+        self.input = input
+        self.keys = keys
+        self.kind = kind
+        self.grouping_sets = grouping_sets
+
+    def agg(self, *aggs) -> "Aggregate":
+        return Aggregate(
+            self.input, self.keys, tuple(_wrap_proj(a) for a in aggs),
+            self.kind, self.grouping_sets
+        )
+
+
+@dataclass(frozen=True)
+class Aggregate(Plan):
+    """GROUP BY [ROLLUP/CUBE/GROUPING SETS] + aggregate projection.
+
+    Absent in the reference (catch-all logical_plan.rs:200-203; intent in
+    commented tests tests/select.rs:601-648). Spark executes partial+final
+    hash agg with map-side combine automatically — at 100 TB the shuffle
+    carries only per-partition partial states, keyed by the group columns.
+    """
+
+    input: Plan
+    keys: tuple  # group keys (Expr)
+    aggs: tuple  # aggregate exprs, normally Alias(Func(...))
+    kind: str = "groupby"  # groupby | rollup | cube | grouping_sets
+    grouping_sets: Optional[tuple] = None  # tuple[tuple[Expr, ...], ...]
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        if (
+            state.projection is not None
+            or state.group_by is not None
+            or state.distinct
+            or state.order_by
+            or state.limit is not None
+        ):
+            state = _nest(state)
+        # aliased group keys: GROUP BY takes the bare expression, the
+        # projection keeps the alias
+        keys_sql = [
+            (k.operand.to_sql(dialect) if isinstance(k, Alias) else k.to_sql(dialect))
+            for k in self.keys
+        ]
+        if self.kind == "rollup":
+            state.group_by = f"ROLLUP({', '.join(keys_sql)})"
+        elif self.kind == "cube":
+            state.group_by = f"CUBE({', '.join(keys_sql)})"
+        elif self.kind == "grouping_sets":
+            sets = ", ".join(
+                "(" + ", ".join(e.to_sql(dialect) for e in s) + ")"
+                for s in (self.grouping_sets or ())
+            )
+            state.group_by = f"GROUPING SETS ({sets})"
+        else:
+            state.group_by = ", ".join(keys_sql) if keys_sql else None
+        # group keys project under their *output* name (alias-aware)
+        key_proj = []
+        for k in self.keys:
+            key_proj.append(k.to_sql(dialect))
+        state.projection = key_proj + [a.to_sql(dialect) for a in self.aggs]
+        if not keys_sql and state.group_by is None:
+            pass  # global aggregate: no GROUP BY clause at all
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        df = self.input.to_df(spark)
+        key_cols = [k.to_column() for k in self.keys]
+        agg_cols = [a.to_column() for a in self.aggs]
+        if self.kind == "rollup":
+            grouped = df.rollup(*key_cols)
+        elif self.kind == "cube":
+            grouped = df.cube(*key_cols)
+        elif self.kind == "grouping_sets":
+            gs = [[e.to_column() for e in s] for s in (self.grouping_sets or ())]
+            grouped = df.groupingSets(gs, *key_cols)
+        else:
+            grouped = df.groupBy(*key_cols)
+        return grouped.agg(*agg_cols)
+
+
+_JOIN_SQL = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "right": "RIGHT JOIN",
+    "full": "FULL JOIN",
+    "cross": "CROSS JOIN",
+    "left_semi": "SEMI JOIN",  # rendered specially for duckdb/spark
+    "left_anti": "ANTI JOIN",
+}
+
+
+@dataclass(frozen=True)
+class Join(Plan):
+    """All join kinds over one node (reference: catch-all,
+    logical_plan.rs:200-203; intent tests/select.rs:724,817-837).
+
+    Scale notes: equi-joins shuffle both sides on the key unless one side
+    is broadcast — pass ``broadcast=True`` (or rely on AQE's runtime
+    demotion) for dimension tables. Non-equi conditions fall to
+    broadcast-nested-loop; keep the broadcast side small. Semi/anti joins
+    shuffle only the distinct keys of the right side.
+    """
+
+    left: Plan
+    right: Plan
+    on: Optional[Expr] = None  # join condition (None + cross only)
+    how: str = "inner"
+    broadcast: bool = False  # broadcast the RIGHT side
+
+    def _fold(self, dialect: str) -> _SelectState:
+        lstate = self.left._fold(dialect)
+        # left side must be a bare FROM (no other slots) to host the join
+        if (
+            lstate.projection is not None
+            or lstate.where
+            or lstate.group_by
+            or lstate.distinct
+            or lstate.order_by
+            or lstate.limit is not None
+        ):
+            lstate = _nest(lstate)
+        rstate = self.right._fold(dialect)
+        r_sql = rstate.from_sql
+        if (
+            rstate.projection is not None
+            or rstate.where
+            or rstate.group_by
+            or rstate.distinct
+            or rstate.order_by
+            or rstate.limit is not None
+            or r_sql is None
+        ):
+            r_sql = f"({rstate.render()}) AS {_fresh_alias()}"
+
+        how = self.how
+        if how in ("left_semi", "left_anti"):
+            kw = "SEMI JOIN" if how == "left_semi" else "ANTI JOIN"
+            if dialect == SPARK:
+                kw = "LEFT " + kw
+            # DuckDB ≥0.10 supports SEMI/ANTI JOIN natively
+            join_sql = f"{lstate.from_sql} {kw} {r_sql}"
+        else:
+            join_sql = f"{lstate.from_sql} {_JOIN_SQL[how]} {r_sql}"
+        if self.on is not None:
+            join_sql += f" ON {self.on.to_sql(dialect)}"
+        state = _SelectState(from_sql=join_sql, ctes=lstate.ctes + rstate.ctes)
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        ldf = self.left.to_df(spark)
+        rdf = self.right.to_df(spark)
+        if self.broadcast:
+            rdf = F.broadcast(rdf)
+        if self.how == "cross" and self.on is None:
+            return ldf.crossJoin(rdf)
+        cond = self.on.to_column() if self.on is not None else None
+        return ldf.join(rdf, on=cond, how=self.how)
+
+
+_SETOP_SQL = {
+    "union_all": "UNION ALL",
+    "union": "UNION",
+    "intersect": "INTERSECT",
+    "except": "EXCEPT",
+    "intersect_all": "INTERSECT ALL",
+    "except_all": "EXCEPT ALL",
+}
+
+
+@dataclass(frozen=True)
+class SetOp(Plan):
+    """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL].
+    Reference: catch-all; intent tests/select.rs:708-721."""
+
+    left: Plan
+    right: Plan
+    kind: str
+
+    def _fold(self, dialect: str) -> _SelectState:
+        sql = (
+            f"{self.left.to_sql(dialect)} {_SETOP_SQL[self.kind]} "
+            f"{self.right.to_sql(dialect)}"
+        )
+        # wrap so parent clauses apply to the whole set-op result
+        return _SelectState(from_sql=f"({sql}) AS {_fresh_alias()}")
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        # top-level set-op needs no wrapping
+        return (
+            f"{self.left.to_sql(dialect)} {_SETOP_SQL[self.kind]} "
+            f"{self.right.to_sql(dialect)}"
+        )
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        l, r = self.left.to_df(spark), self.right.to_df(spark)
+        if self.kind == "union_all":
+            return l.union(r)
+        if self.kind == "union":
+            return l.union(r).distinct()
+        if self.kind == "intersect":
+            return l.intersect(r)
+        if self.kind == "intersect_all":
+            return l.intersectAll(r)
+        if self.kind == "except":
+            return l.subtract(r)
+        if self.kind == "except_all":
+            return l.exceptAll(r)
+        raise ValueError(self.kind)
+
+
+@dataclass(frozen=True)
+class With(Plan):
+    """WITH name AS (...), ... body. Reference: catch-all (Query.with
+    always None, logical_plan.rs:28; intent tests/select.rs:668-750).
+
+    DataFrame path: CTEs are plain bindings — each cte registers a temp
+    view so Scan(name) resolves; Catalyst inlines or reuses as it sees
+    fit (spark.sql does the same with real CTEs).
+    """
+
+    ctes: tuple  # tuple[(name, Plan), ...]
+    body: Plan
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.body._fold(dialect)
+        existing = state.ctes
+        state.ctes = [(n, p.to_sql(dialect)) for n, p in self.ctes] + existing
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        for name, plan in self.ctes:
+            plan.to_df(spark).createOrReplaceTempView(name)
+        return self.body.to_df(spark)
+
+
+def scan(table: str) -> Scan:
+    return Scan(table)
+
+
+def values_relation(exprs: Sequence[Expr]) -> EmptyRelation:
+    return EmptyRelation(tuple(exprs))

@@ -1,0 +1,131 @@
+"""Expression IR unit tests: SQL rendering in both dialects.
+
+No SparkSession needed — pure rendering checks, plus DuckDB execution of
+rendered scalar expressions (fast sanity oracle).
+"""
+
+import duckdb
+import pytest
+
+from datafusion_sqlgen_spark.expressions import (
+    Case,
+    col,
+    fn,
+    lit,
+    star,
+    when,
+)
+
+
+def duck_eval(sql_expr: str):
+    return duckdb.sql(f"SELECT {sql_expr} AS v").fetchall()[0][0]
+
+
+def test_col_rendering():
+    assert col("c1").to_sql("spark") == "c1"
+    assert col("t.c1").to_sql("spark") == "t.c1"
+    assert col("weird col").to_sql("spark") == "`weird col`"
+    assert col("weird col").to_sql("duckdb") == '"weird col"'
+
+
+def test_literals():
+    assert lit(1).to_sql() == "1"
+    assert lit(1.5).to_sql() == "1.5"
+    assert lit(None).to_sql() == "NULL"
+    assert lit(True).to_sql() == "TRUE"
+    assert lit("o'brien").to_sql() == "'o''brien'"
+
+
+def test_binop_parenthesized():
+    e = (col("a") + 1) * col("b")
+    assert e.to_sql("spark") == "((a + 1) * b)"
+
+
+def test_comparison_and_bool():
+    e = (col("a") > 1) & (col("b") <= 2) | (col("c") != 3)
+    sql = e.to_sql("spark")
+    assert sql == "(((a > 1) AND (b <= 2)) OR (c <> 3))"
+
+
+def test_xor_dialect_split():
+    e = fn("abs", col("a"))
+    assert e.to_sql("spark") == "abs(a)"
+    from datafusion_sqlgen_spark.expressions.core import BinOp
+
+    x = BinOp("^", col("a"), col("b"))
+    assert x.to_sql("spark") == "(a ^ b)"
+    assert x.to_sql("duckdb") == "xor(a, b)"  # duckdb ^ is exponentiation
+
+
+def test_null_safe_polarity():
+    """SURVEY.md §7 hard-part 5: IS DISTINCT FROM <-> <=> polarity."""
+    from datafusion_sqlgen_spark.expressions.core import IsDistinctFrom
+
+    e = IsDistinctFrom(lit(1), lit(None))
+    assert duck_eval(e.to_sql("duckdb")) is True
+    e2 = lit(1).eq_null_safe(lit(None))
+    assert duck_eval(e2.to_sql("duckdb")) is False
+
+
+def test_between_and_negation():
+    e = col("x").between(1, 10)
+    assert e.to_sql() == "(x BETWEEN 1 AND 10)"
+    from datafusion_sqlgen_spark.expressions.core import Between
+
+    n = Between(col("x"), lit(1), lit(10), negated=True)
+    assert n.to_sql() == "(x NOT BETWEEN 1 AND 10)"
+
+
+def test_case_when():
+    e = when(col("x") > 0, "pos").when(col("x") < 0, "neg").otherwise("zero")
+    sql = e.to_sql("duckdb")
+    assert duckdb.sql(f"SELECT {sql.replace('x', '5')}").fetchall()[0][0] == "pos"
+
+
+def test_index_is_one_based():
+    """Reference semantics: some_list[1] = first element (tests/select.rs:276)."""
+    e = col("arr")[1]
+    assert e.to_sql("spark") == "element_at(arr, 1)"
+    assert e.to_sql("duckdb") == "(arr)[1]"
+    assert duckdb.sql("SELECT ([10,20,30])[1]").fetchall()[0][0] == 10
+
+
+def test_log_is_natural_log_in_both_dialects():
+    """DataFusion/Spark log() = ln; DuckDB log() = log10. Canonical 'ln'."""
+    e = fn("log", lit(2.718281828459045))
+    assert abs(duck_eval(e.to_sql("duckdb")) - 1.0) < 1e-9
+
+
+def test_sortkey_explicit_direction_and_nulls():
+    """The reference drops NULLS FIRST/LAST and inverts ASC/DESC
+    (sqlgenerator/src/lib.rs:141-148); we always emit both explicitly."""
+    k = col("a").desc(nulls_first=False)
+    assert k.to_sql() == "a DESC NULLS LAST"
+    k2 = col("a").asc()
+    assert k2.to_sql() == "a ASC NULLS FIRST"
+
+
+def test_window_sql():
+    e = fn("row_number").over(
+        partition_by=[col("g")], order_by=[col("v").desc()]
+    )
+    assert (
+        e.to_sql("spark")
+        == "row_number() OVER (PARTITION BY g ORDER BY v DESC NULLS LAST)"
+    )
+
+
+def test_star():
+    assert star().to_sql() == "*"
+    assert star("t").to_sql() == "t.*"
+
+
+def test_in_list():
+    e = col("x").isin(1, 2, 3)
+    assert e.to_sql() == "(x IN (1, 2, 3))"
+
+
+def test_cast_dialects():
+    e = col("x").cast("string")
+    assert e.to_sql("spark") == "CAST(x AS STRING)"
+    assert e.to_sql("duckdb") == "CAST(x AS VARCHAR)"
