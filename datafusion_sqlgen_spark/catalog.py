@@ -79,7 +79,9 @@ def register_parquet(spark: SparkSession, name: str, path: str) -> DataFrame:
 
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer DIV, not `/`: nanos exceed 2^53 so double division would
+        # round the microsecond (off-by-one vs DuckDB's truncation)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     df.createOrReplaceTempView(name)
     return df
 

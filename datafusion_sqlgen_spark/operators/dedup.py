@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these operators is the 100-TB case):
+
+* **exact_dedup** groups by ``md5(text)`` — a fixed 32-byte shuffle key —
+  instead of the raw text, so the dedup shuffle moves hashes, not
+  documents. Map-side partial aggregation (Spark's default hash agg)
+  means each executor emits one row per distinct hash per partition.
+* **minhash_signatures** computes k independent min-hashes per doc in a
+  single projection (no shuffle, no UDF: higher-order array functions).
+  **minhash_buckets** then LSH-bands the signature so that near-duplicate
+  candidates land in the same bucket — the *only* shuffle is on the
+  (band, bucket-hash) key, which is how you avoid the O(n²) pair join at
+  scale. Docs sharing a bucket are candidate pairs for verification.
+* **simhash** packs a b-bit sign-summary of the token distribution into
+  a bigint — near-dups differ in few bits; grouping on the simhash (or
+  on rotations of it) is the scalable banding trick.
+* **ngram_jaccard_pairs** is the *verification* step — run it on LSH
+  candidates only, never on the full cross product.
+
+All hashes are MD5-derived: MD5 is bit-identical in Spark and DuckDB, so
+every operator here is oracle-checkable (the engines' native ``hash()``
+functions differ and would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_sqlgen_spark.operators.text import words_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text, keeping the
+    smallest id (deterministic winner). Output: (keep_id, n_copies)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("text_md5", "keep_id", "n_copies")
+    )
+
+
+def exact_dedup_oracle(table: str = "documents") -> str:
+    return f"""
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM {table} GROUP BY md5(text)
+    """
+
+
+def _shingles(text_col: Column, shingle: int) -> Column:
+    words = words_col(text_col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, shingle)))
+
+
+_DUCK_SHINGLES = (
+    "list_transform(range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - {sm1}, 1) + 1), "
+    "i -> array_to_string(list_slice(string_split_regex(lower(text), '\\s+'), i, i + {sm1}), ' '))"
+)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """k MinHash signatures per document over word ``shingle``-grams.
+
+    Hash family: ``md5(seed_i || shingle)``, min taken lexicographically —
+    a salted-permutation family that is deterministic across engines.
+    Single narrow projection; signature cost is O(k * shingles) per doc,
+    computed JVM-side via transform/array_min (no Python)."""
+    sh = _shingles(F.col(text_col), shingle)
+    cols = [F.col(id_col)]
+
+    # NB: the hash lambda must have arity 1 — pyspark treats a 2-arg
+    # lambda in F.transform as (element, index) and would bind the seed
+    # default to the index column.
+    def hasher(seed: str):
+        return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+    for i in range(k):
+        cols.append(
+            F.array_min(F.transform(sh, hasher(f"seed{i}:"))).alias(f"mh{i}")
+        )
+    return df.select(*cols)
+
+
+def minhash_signatures_oracle(table: str = "documents", k: int = 4, shingle: int = 3) -> str:
+    sh = _DUCK_SHINGLES.format(sm1=shingle - 1)
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform({sh}, s -> md5(concat('seed{i}:', s)))) AS mh{i}"
+        for i in range(k)
+    )
+    return f"SELECT doc_id,\n           {sig_cols}\n    FROM {table}"
+
+
+def minhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+) -> DataFrame:
+    """LSH banding over the MinHash signature: k hashes split into
+    ``bands`` bands of k/bands rows; docs agreeing on all hashes of any
+    band collide in that band's bucket. Output: one row per non-singleton
+    bucket with its member count — the candidate-pair workload.
+
+    The groupBy key is (band_id, md5-of-band) — fixed width, well
+    distributed, AQE handles residual skew."""
+    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle=shingle)
+    rows_per_band = k // bands
+    bucketed = []
+    for b in range(bands):
+        members = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bucketed.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *members)).alias("bucket"),
+            )
+        )
+    all_bands = bucketed[0]
+    for b in bucketed[1:]:
+        all_bands = all_bands.union(b)
+    return (
+        all_bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_buckets_oracle(table: str = "documents", k: int = 4, bands: int = 2,
+                           shingle: int = 3) -> str:
+    rows_per_band = k // bands
+    sig_sql = minhash_signatures_oracle(table, k=k, shingle=shingle)
+    band_selects = []
+    for b in range(bands):
+        members = " || '|' || ".join(
+            f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({members}) AS bucket FROM sigs"
+        )
+    union = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sigs AS ({sig_sql}),
+    banded AS ({union})
+    SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM banded GROUP BY band, bucket HAVING count(*) > 1
+    """
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """``bits``-bit SimHash over words: bit j is the sign of
+    sum_w (bit_j(md5(w)) ? +1 : -1). Near-duplicate docs agree on most
+    bits. Bits come from md5 hex nibbles via strpos (portable to DuckDB —
+    neither engine needs a native hex->int of the same flavor).
+
+    Packs into one BIGINT per doc — 8 bytes of shuffle key for the
+    subsequent band-grouping, regardless of document size."""
+    words = words_col(F.col(text_col))
+    bit_terms = []
+    for j in range(bits):
+        nibble_pos = j // 4 + 1  # 1-based hex char in md5
+        bit_in_nibble = j % 4
+        # nibble value = strpos(hex_alphabet, md5_char) - 1; extract bit
+        def bit_sign(w, nibble_pos=nibble_pos, bit_in_nibble=bit_in_nibble):
+            nib = F.instr(F.lit(_HEX), F.substring(F.md5(w), nibble_pos, 1)) - 1
+            bit = F.floor(nib / (2 ** bit_in_nibble)) % 2
+            return bit * 2 - 1  # {0,1} -> {-1,+1}
+
+        total = F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + bit_sign(w)
+        )
+        bit_terms.append((F.when(total > 0, 1).otherwise(0) * (2 ** j)).cast("bigint"))
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_oracle(table: str = "documents", bits: int = 16) -> str:
+    words = "string_split_regex(lower(text), '\\s+')"
+    terms = []
+    for j in range(bits):
+        nibble_pos = j // 4 + 1
+        bit_in_nibble = j % 4
+        bit = (
+            f"(floor((strpos('{_HEX}', substr(md5(w), {nibble_pos}, 1)) - 1) "
+            f"/ {2 ** bit_in_nibble}) % 2)"
+        )
+        total = f"list_sum(list_transform({words}, w -> {bit} * 2 - 1))"
+        terms.append(f"(CASE WHEN {total} > 0 THEN 1 ELSE 0 END)::BIGINT * {2 ** j}")
+    return f"SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM {table}"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.0,
+    max_left_id: int | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity — the *verification* stage.
+
+    At scale this runs over LSH candidate pairs only; ``max_left_id``
+    exists so tests/benchmarks can bound the left side explicitly. The
+    join itself broadcasts the (small) left side."""
+    sh = F.array_distinct(_shingles(F.col(text_col), shingle))
+    left = df.select(
+        F.col(id_col).alias("id_a"), sh.alias("sh_a")
+    )
+    if max_left_id is not None:
+        left = left.filter(F.col("id_a") < max_left_id)
+    right = df.select(F.col(id_col).alias("id_b"), sh.alias("sh_b"))
+    pairs = F.broadcast(left).join(right, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / union
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+def ngram_jaccard_pairs_oracle(
+    table: str = "documents", shingle: int = 3, threshold: float = 0.0,
+    max_left_id: int | None = None,
+) -> str:
+    sh = f"list_distinct({_DUCK_SHINGLES.format(sm1=shingle - 1)})"
+    left_filter = f"WHERE doc_id < {max_left_id}" if max_left_id is not None else ""
+    return f"""
+    WITH sh_tab AS (SELECT doc_id, {sh} AS sh FROM {table}),
+    lhs AS (SELECT doc_id AS id_a, sh AS sh_a FROM sh_tab {left_filter.replace('doc_id', 'doc_id')}),
+    rhs AS (SELECT doc_id AS id_b, sh AS sh_b FROM sh_tab)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                 / len(list_distinct(list_concat(sh_a, sh_b))), 4) AS jaccard
+    FROM lhs JOIN rhs ON id_a < id_b
+    WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                / len(list_distinct(list_concat(sh_a, sh_b))), 4) > {threshold}
+    """

@@ -1,0 +1,89 @@
+"""Join operators Spark lacks as single primitives: as-of and range joins.
+
+The reference unparses no joins at all (catch-all at
+/root/reference/datafusion-sqlgen/src/logical_plan.rs:200-203; intent in
+commented tests tests/select.rs:724,817-837); these go beyond it per the
+BASELINE.json north star.
+
+Both are *compositions of built-in DataFrame ops* (option (a) of the
+custom-operator ladder) so Catalyst keeps full visibility: the as-of
+join is a non-equi join + max_by aggregation, the range join is a plain
+non-equi condition that Spark executes as broadcast-nested-loop (keep
+the broadcast side small) — at scale you bucket the time axis first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, the most recent right row with the same key at
+    or before its timestamp (``backward``; ``forward`` = earliest at or
+    after).
+
+    Implementation: equi-join on the key with a time inequality, then
+    ``max_by``/``min_by`` per left row — two shuffles (join + group) on
+    the same key, which AQE typically co-plans. For dense right sides at
+    100 TB, pre-bucket both sides on (key, time-bucket) to make the join
+    local; the composition here stays identical.
+    """
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (
+        rt <= lt if direction == "backward" else rt >= lt
+    )
+    pick = F.max_by if direction == "backward" else F.min_by
+    joined = left.alias("l").join(right.alias("r"), cond, "left")
+    group_cols = [F.col(f"l.{c}") for c in left.columns]
+    aggs = [pick(F.col(f"r.{c}"), rt).alias(f"{c}{suffix}") for c in value_cols]
+    aggs.append(pick(rt, rt).alias(f"{right_time}{suffix}"))
+    return joined.groupBy(*group_cols).agg(*aggs)
+
+
+def asof_join_oracle(
+    left_table: str,
+    right_table: str,
+    on: str,
+    left_time: str,
+    right_time: str,
+    left_cols: list[str],
+    value_cols: list[str],
+    left_filter: str = "TRUE",
+    right_filter: str = "TRUE",
+    suffix: str = "_asof",
+) -> str:
+    lcols = ", ".join(f"l.{c}" for c in left_cols)
+    aggs = ", ".join(
+        f"max_by(r.{c}, r.{right_time}) AS {c}{suffix}" for c in value_cols
+    )
+    return f"""
+    SELECT {lcols}, {aggs}, max(r.{right_time}) AS {right_time}{suffix}
+    FROM (SELECT * FROM {left_table} WHERE {left_filter}) l
+    LEFT JOIN (SELECT * FROM {right_table} WHERE {right_filter}) r
+      ON l.{on} = r.{on} AND r.{right_time} <= l.{left_time}
+    GROUP BY {lcols}
+    """
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Non-equi (interval/range) join. Spark picks broadcast-nested-loop;
+    explicitly broadcast the small side. For two large sides, add a
+    coarse equi bucket on the range dimension to both inputs first so the
+    NLJ runs per-bucket instead of globally."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond)

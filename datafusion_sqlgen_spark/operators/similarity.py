@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN works at 100 TB:
+
+* **cosine_topk** — exact brute force: broadcast the (small) query set,
+  one pass over the corpus, per-query top-k via window. The dot product
+  is `F.aggregate(F.zip_with(...))` — JVM higher-order functions, no
+  Python, no shuffle except the final top-k partial sort. This is the
+  baseline and the verifier for the approximate tier.
+* **lsh_buckets / cosine_topk_bucketed** — sign-projection LSH: bucket =
+  sign bits of the first ``b`` dimensions (a deterministic stand-in for
+  random hyperplanes, chosen so the DuckDB oracle can reproduce it
+  bit-for-bit). At scale the corpus is bucketed once (one shuffle),
+  queries probe only their own bucket — the candidate set shrinks by
+  ~2^b — then exact cosine re-ranks.
+
+Everything here is oracle-checkable: DuckDB's ``list_cosine_similarity``
+matches the explicit zip_with dot product to double precision; results
+are rounded before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (must be driver-small — the usual ANN-search
+    shape); the corpus is streamed once. Ties broken by neighbor id for
+    determinism. Self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    )
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+def cosine_topk_oracle(
+    table: str = "embeddings", k: int = 5, max_query_id: int = 10
+) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM {table}
+               WHERE vec_id < {max_query_id}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM q JOIN {table} c ON q.query_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+def lsh_buckets(
+    df: DataFrame,
+    b: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-projection LSH bucket id: ``b`` sign bits of the first ``b``
+    dimensions packed into an int. Deterministic and oracle-reproducible.
+    (Swap in random-hyperplane projections for production: same plumbing,
+    different projection vectors.)"""
+    vec = F.col(vec_col)
+    bucket = F.lit(0)
+    for j in range(b):
+        bucket = bucket + (
+            F.when(F.element_at(vec, j + 1) >= 0, 1).otherwise(0) * (2 ** j)
+        )
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_bucket_stats(
+    df: DataFrame, b: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Bucket histogram — the candidate-set-size profile of the ANN index."""
+    return (
+        lsh_buckets(df, b, id_col, vec_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min(id_col).alias("min_vec"))
+    )
+
+
+def lsh_bucket_stats_oracle(table: str = "embeddings", b: int = 4) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN 1 ELSE 0 END) * {2 ** j}"
+        for j in range(b)
+    )
+    return f"""
+    SELECT CAST({bits} AS INTEGER) AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+    FROM {table} GROUP BY 1
+    """
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    b: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own LSH bucket, then
+    exact cosine re-rank. Recall < 1 by construction; the exact
+    ``cosine_topk`` is the verifier."""
+    cb = lsh_buckets(corpus, b, id_col, vec_col).join(corpus, id_col)
+    qb = lsh_buckets(queries, b, id_col, vec_col).join(queries, id_col)
+    q = qb.select(
+        F.col(id_col).alias("query_id"), F.col("bucket"), F.col(vec_col).alias("qvec")
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("bucket").alias("cbucket"),
+        F.col(vec_col).alias("cvec"),
+    )
+    scored = F.broadcast(q).join(
+        c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+def cosine_topk_bucketed_oracle(
+    table: str = "embeddings", k: int = 5, b: int = 4, max_query_id: int = 10
+) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN 1 ELSE 0 END) * {2 ** j}"
+        for j in range(b)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, CAST({bits} AS INTEGER) AS bucket FROM {table}
+    ),
+    q AS (SELECT vec_id AS query_id, bucket, embedding AS qvec FROM bucketed
+          WHERE vec_id < {max_query_id}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+def embedding_norm_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label L2-norm statistics — the sanity profile of an embedding
+    table (detects unnormalized / degenerate batches before indexing)."""
+    norm = _norm(F.col(vec_col))
+    return (
+        df.select(F.col(label_col), norm.alias("norm"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def embedding_norm_stats_oracle(table: str = "embeddings") -> str:
+    return f"""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))), 4) AS avg_norm,
+           round(min(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))), 4) AS min_norm,
+           round(max(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))), 4) AS max_norm
+    FROM {table} GROUP BY label
+    """

@@ -1,0 +1,215 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen, no Python UDFs — so they scan-scale
+linearly: at 100 TB each is a single pass over the documents table with
+no shuffle (per-row) or a single hash-shuffle (per-group aggregations).
+
+Every operator has a matching DuckDB oracle builder (``*_oracle``) using
+the same deterministic math, so the driver can hash-compare results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic stopword list used by quality scoring and language ID.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+_WORD_SPLIT_SPARK = r"\s+"
+_WORD_SPLIT_DUCK = r"\s+"
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (the BPE-ish regex
+    tokenizer lives in token_count_bpe below)."""
+    return F.split(F.lower(text), _WORD_SPLIT_SPARK)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, chars, avg token
+    length. One narrow projection — no shuffle."""
+    words = words_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_computed"),
+        F.round(
+            F.aggregate(words, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w))
+            / F.size(words),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def token_stats_oracle(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')) AS n_tokens,
+           length(text) AS n_chars_computed,
+           round(list_sum(list_transform(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}'),
+                                         w -> length(w)))
+                 / len(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')), 4) AS avg_token_len
+    FROM {table}
+    """
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio (standard pre-training filters, cf. C4/Gopher rules). Pure
+    column math; deterministic."""
+    text = F.col(text_col)
+    words = words_col(text)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    # punct counts non-alnum-non-space chars: total minus stripped length
+    punct_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))) / n_chars, 4
+    )
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.array_intersect(words, sw)) / F.size(words), 4
+    )
+    score = F.round(
+        F.when(n_chars < 20, 0.0).otherwise(
+            1.0 - punct_ratio - F.when(stop_ratio > 0.5, 0.5).otherwise(0.0)
+        ),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars_q"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def quality_score_oracle(table: str = "documents") -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars_q,
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                 / length(text)::DOUBLE, 4) AS punct_ratio,
+           round(len(list_intersect(string_split_regex(lower(text), '\\s+'), [{sw}]))
+                 / len(string_split_regex(lower(text), '\\s+'))::DOUBLE, 4) AS stopword_distinct_ratio,
+           round(CASE WHEN length(text) < 20 THEN 0.0 ELSE
+                 1.0 - round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                             / length(text)::DOUBLE, 4)
+                     - CASE WHEN round(len(list_intersect(string_split_regex(lower(text), '\\s+'), [{sw}]))
+                                       / len(string_split_regex(lower(text), '\\s+'))::DOUBLE, 4) > 0.5
+                            THEN 0.5 ELSE 0.0 END
+                 END, 4) AS quality
+    FROM {table}
+    """
+
+
+# n-gram language profiles: tiny deterministic trigram sets per language.
+# (Real lang-id uses larger profiles; the *operator shape* — score text
+# against per-language n-gram sets, argmax — is the same at any size.)
+LANG_PROFILES = {
+    "en": ("the", "and", "ing", "ion", "ent"),
+    "de": ("der", "die", "und", "sch", "ein"),
+    "fr": ("les", "des", "ent", "que", "ion"),
+    "es": ("los", "las", "que", "ion", "ent"),
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-heuristic language ID: count profile-trigram hits per
+    language, argmax via a CASE chain (deterministic tie-break: first
+    language in sorted order wins). Single projection; no shuffle; the
+    CASE-chain argmax is portable to the DuckDB oracle (which cannot
+    ``greatest`` structs)."""
+    text = F.lower(F.col(text_col))
+    langs = sorted(LANG_PROFILES)
+    scores = {}
+    for lang in langs:
+        s = None
+        for g in LANG_PROFILES[lang]:
+            # occurrences of g: (len - len(remove g)) / len(g)
+            occ = (F.length(text) - F.length(F.replace(text, F.lit(g), F.lit("")))) / len(g)
+            s = occ if s is None else s + occ
+        scores[lang] = s.cast("double")
+    pred = None
+    best_score = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else cond & c
+        if cond is None:  # last language: unconditional ELSE
+            pred = pred.otherwise(lang)
+            best_score = best_score.otherwise(scores[lang])
+        elif pred is None:
+            pred = F.when(cond, lang)
+            best_score = F.when(cond, scores[lang])
+        else:
+            pred = pred.when(cond, lang)
+            best_score = best_score.when(cond, scores[lang])
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.round(best_score, 2).alias("lang_score"),
+    )
+
+
+def language_id_oracle(table: str = "documents") -> str:
+    langs = sorted(LANG_PROFILES)
+    score_sql = {}
+    for lang in langs:
+        occ = " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{g}', ''))) / {len(g)}"
+            for g in LANG_PROFILES[lang]
+        )
+        score_sql[lang] = f"CAST({occ} AS DOUBLE)"
+    pred_whens, score_whens = [], []
+    for i, lang in enumerate(langs):
+        others = langs[i + 1:]
+        if others:
+            cond = " AND ".join(
+                f"{score_sql[lang]} >= {score_sql[o]}" for o in others
+            )
+            pred_whens.append(f"WHEN {cond} THEN '{lang}'")
+            score_whens.append(f"WHEN {cond} THEN {score_sql[lang]}")
+        else:
+            pred_whens.append(f"ELSE '{lang}'")
+            score_whens.append(f"ELSE {score_sql[lang]}")
+    return f"""
+    SELECT doc_id,
+           CASE {' '.join(pred_whens)} END AS lang_pred,
+           round(CASE {' '.join(score_whens)} END, 2) AS lang_score
+    FROM {table}
+    """
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                shingle: int = 5) -> DataFrame:
+    """Document fingerprint: lexicographic-min MD5 over word ``shingle``-grams
+    (a winnowing-style rolling fingerprint with window = whole doc).
+    MD5 is available and identical in Spark and DuckDB, so the fingerprint
+    is engine-independent — that is why it is used here instead of the
+    engines' native (and mutually different) ``hash()`` functions."""
+    words = words_col(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, shingle)))
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
+    )
+
+
+def fingerprint_oracle(table: str = "documents", shingle: int = 5) -> str:
+    return f"""
+    SELECT doc_id,
+           list_min(list_transform(
+               list_transform(
+                   range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - {shingle - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(string_split_regex(lower(text), '\\s+'),
+                                                   i, i + {shingle - 1}), ' ')),
+               s -> md5(s))) AS fingerprint
+    FROM {table}
+    """

@@ -1,0 +1,124 @@
+"""LLM-pipeline operators vs their DuckDB oracles on the driver tables."""
+
+import pytest
+
+from datafusion_sqlgen_spark.operators import dedup, joins, similarity, text
+from tests.conftest import normalize_rows
+
+
+def _df(spark, name):
+    return spark.table(name)
+
+
+def check(spark, duck, sdf, oracle_sql, ndigits=4):
+    a = normalize_rows([tuple(r) for r in sdf.collect()], ndigits)
+    b = normalize_rows(duck.execute(oracle_sql).fetchall(), ndigits)
+    assert len(a) == len(b), f"row count {len(a)} vs oracle {len(b)}"
+    assert a == b, f"mismatch\nspark: {a[:3]}\noracle: {b[:3]}"
+    return a
+
+
+def test_token_stats(spark, duck):
+    check(spark, duck, text.token_stats(_df(spark, "documents")),
+          text.token_stats_oracle())
+
+
+def test_quality_score(spark, duck):
+    check(spark, duck, text.quality_score(_df(spark, "documents")),
+          text.quality_score_oracle())
+
+
+def test_language_id(spark, duck):
+    check(spark, duck, text.language_id(_df(spark, "documents")),
+          text.language_id_oracle())
+
+
+def test_fingerprint(spark, duck):
+    check(spark, duck, text.fingerprint(_df(spark, "documents")),
+          text.fingerprint_oracle())
+
+
+def test_exact_dedup(spark, duck):
+    check(spark, duck, dedup.exact_dedup(_df(spark, "documents")),
+          dedup.exact_dedup_oracle())
+
+
+def test_minhash_signatures(spark, duck):
+    check(spark, duck, dedup.minhash_signatures(_df(spark, "documents")),
+          dedup.minhash_signatures_oracle())
+
+
+def test_minhash_buckets(spark, duck):
+    check(spark, duck, dedup.minhash_buckets(_df(spark, "documents")),
+          dedup.minhash_buckets_oracle())
+
+
+def test_simhash(spark, duck):
+    check(spark, duck, dedup.simhash(_df(spark, "documents")),
+          dedup.simhash_oracle())
+
+
+def test_ngram_jaccard(spark, duck):
+    check(spark, duck,
+          dedup.ngram_jaccard_pairs(_df(spark, "documents"), max_left_id=20,
+                                    threshold=0.05),
+          dedup.ngram_jaccard_pairs_oracle(max_left_id=20, threshold=0.05))
+
+
+def test_cosine_topk(spark, duck):
+    q = _df(spark, "embeddings").filter("vec_id < 10")
+    check(spark, duck, similarity.cosine_topk(_df(spark, "embeddings"), q),
+          similarity.cosine_topk_oracle(max_query_id=10), ndigits=3)
+
+
+def test_lsh_bucket_stats(spark, duck):
+    check(spark, duck, similarity.lsh_bucket_stats(_df(spark, "embeddings")),
+          similarity.lsh_bucket_stats_oracle())
+
+
+def test_cosine_topk_bucketed(spark, duck):
+    q = _df(spark, "embeddings").filter("vec_id < 10")
+    check(spark, duck,
+          similarity.cosine_topk_bucketed(_df(spark, "embeddings"), q),
+          similarity.cosine_topk_bucketed_oracle(max_query_id=10), ndigits=3)
+
+
+def test_embedding_norm_stats(spark, duck):
+    check(spark, duck, similarity.embedding_norm_stats(_df(spark, "embeddings")),
+          similarity.embedding_norm_stats_oracle())
+
+
+def test_asof_join(spark, duck):
+    """Most recent click by the same user at or before each error event."""
+    ev = _df(spark, "events")
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    out = joins.asof_join(errors, clicks, on="user_id", left_time="ts",
+                          right_time="ts", value_cols=["value"])
+    oracle = joins.asof_join_oracle(
+        "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')",
+        "(SELECT user_id, ts, value FROM events WHERE event_type = 'click')",
+        on="user_id", left_time="ts", right_time="ts",
+        left_cols=["event_id", "user_id", "ts"], value_cols=["value"],
+    )
+    check(spark, duck, out, oracle)
+
+
+def test_range_join(spark, duck):
+    """Parts joined to lineitems priced above retail (equi + residual range)."""
+    from pyspark.sql import functions as F
+
+    li = _df(spark, "lineitem")
+    pt = _df(spark, "part")
+    out = joins.range_join(
+        li.select("l_orderkey", "l_partkey", "l_extendedprice"),
+        pt.select("p_partkey", "p_retailprice"),
+        cond=(F.col("l_partkey") == F.col("p_partkey"))
+        & (F.col("l_extendedprice") > F.col("p_retailprice") * 20),
+    ).select("l_orderkey", "l_partkey", F.round("l_extendedprice", 2).alias("price"))
+    oracle = """
+    SELECT l_orderkey, l_partkey, round(l_extendedprice, 2) AS price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+      AND l_extendedprice > p_retailprice * 20
+    """
+    check(spark, duck, out, oracle)
