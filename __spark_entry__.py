@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (revenue by region/nation, broadcast
+dims) at sf0.001. ``queries()`` / ``oracle_sql()`` — the full workload
+catalog from ``datafusion_sqlgen_spark.workloads``: every SURVEY.md §2
+operator has an IR-built query whose DuckDB oracle is *generated from
+the same plan IR* (``plan.to_sql("duckdb")``), plus the LLM-pipeline
+operator workloads with hand-built oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_sqlgen_spark.catalog import register_tables
+from datafusion_sqlgen_spark.workloads import build_oracles, build_queries
+
+_QUERIES = None
+_ORACLES = None
+
+
+def _catalog():
+    global _QUERIES, _ORACLES
+    if _QUERIES is None:
+        _QUERIES = build_queries()
+        _ORACLES = build_oracles()
+    return _QUERIES, _ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    queries, _ = _catalog()
+    return queries["join_broadcast_dims"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_catalog()[0])
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (generated from the plan IR for IR
+    workloads; hand-built for operator workloads)."""
+    return dict(_catalog()[1])

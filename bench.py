@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes through ``df.write.format("noop")`` — a full
+materialization of every output column (a bare ``count()`` would let
+Catalyst prune the computed projections and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the catalog: scan/filter, the two canonical agg
+# shapes, multi-join, window, set-op, and the LLM-pipeline operators.
+HEADLINE = [
+    "ref_scan_filter",
+    "ref_project_cast_arith",
+    "agg_tpch_q1",
+    "agg_rollup",
+    "join_broadcast_dims",
+    "join_tpch_q5ish",
+    "join_semi",
+    "win_rank_topn",
+    "win_running_sum",
+    "setop_union_all",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_minhash_buckets",
+    "text_quality_score",
+    "text_language_id",
+    "sim_cosine_topk",
+    "sim_lsh_bucket_stats",
+    "join_asof_events",
+]
+
+
+def main() -> None:
+    from datafusion_sqlgen_spark import get_spark, register_tables
+    from datafusion_sqlgen_spark.workloads import build_queries
+
+    spark = get_spark(app_name="dsq-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_tables(spark, SF_DIR)
+    queries = build_queries()
+
+    # warm the JVM/codegen/file-index paths once, untimed
+    spark.table("lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        df = q(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

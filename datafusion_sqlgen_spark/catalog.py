@@ -121,8 +121,13 @@ def register_tables(
 ) -> dict[str, DataFrame]:
     """Register the driver's synthetic star schema (TESTDATA.md) as views.
 
-    Missing files are skipped so smaller fixture dirs still work.
+    Missing files are skipped so smaller fixture dirs still work. Works on
+    *any* SparkSession (e.g. one the driver created without our factory):
+    the two confs results depend on — nanos-parquet reading and UTC
+    timestamps — are runtime-settable and pinned here.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in tables or TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -64,6 +64,15 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
     "variance": {"spark": _plain("var_samp"), "duckdb": _plain("var_samp")},
     "first_value": {"spark": _plain("first_value"), "duckdb": _plain("first_value")},
     "last_value": {"spark": _plain("last_value"), "duckdb": _plain("last_value")},
+    "unix_timestamp": {
+        "spark": _plain("unix_timestamp"),
+        "duckdb": lambda a: f"epoch({', '.join(a)})",
+    },
+    "to_timestamp": {
+        "spark": _plain("to_timestamp"),
+        # DuckDB's to_timestamp takes epoch seconds; string parse is a cast
+        "duckdb": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    },
 }
 
 # Functions with identical name + semantics in both dialects.

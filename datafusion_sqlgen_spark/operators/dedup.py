@@ -77,7 +77,12 @@ def minhash_signatures(
     a salted-permutation family that is deterministic across engines.
     Single narrow projection; signature cost is O(k * shingles) per doc,
     computed JVM-side via transform/array_min (no Python)."""
-    sh = _shingles(F.col(text_col), shingle)
+    # Stage 1 materializes the shingle array once per row: Catalyst does
+    # not common-subexpression the array across the k signature columns,
+    # so inlining it would recompute the (dominant) shingling k times.
+    staged = df.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle).alias("__sh")
+    )
     cols = [F.col(id_col)]
 
     # NB: the hash lambda must have arity 1 — pyspark treats a 2-arg
@@ -88,9 +93,9 @@ def minhash_signatures(
 
     for i in range(k):
         cols.append(
-            F.array_min(F.transform(sh, hasher(f"seed{i}:"))).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("__sh"), hasher(f"seed{i}:"))).alias(f"mh{i}")
         )
-    return df.select(*cols)
+    return staged.select(*cols)
 
 
 def minhash_signatures_oracle(table: str = "documents", k: int = 4, shingle: int = 3) -> str:
@@ -119,21 +124,23 @@ def minhash_buckets(
     distributed, AQE handles residual skew."""
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle=shingle)
     rows_per_band = k // bands
-    bucketed = []
+    # one (band, bucket) struct per band, exploded — a single pass over the
+    # signatures (a per-band union would recompute the MinHash lineage
+    # once per band: bands x the dominant cost)
+    band_structs = []
     for b in range(bands):
         members = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bucketed.append(
-            sigs.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("|", *members)).alias("bucket"),
             )
         )
-    all_bands = bucketed[0]
-    for b in bucketed[1:]:
-        all_bands = all_bands.union(b)
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     return (
-        all_bands.groupBy("band", "bucket")
+        exploded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc"))
         .filter(F.col("n_docs") > 1)
     )

@@ -296,7 +296,15 @@ class Filter(Plan):
         return state
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        return self.input.to_df(spark).filter(self.predicate.to_column())
+        try:
+            pred = self.predicate.to_column()
+        except NotImplementedError:
+            # predicate embeds a subquery (EXISTS / IN / scalar) — PySpark
+            # has no Column constructor for those, so execute this plan
+            # through our generated Spark SQL instead; Catalyst plans both
+            # paths identically after decorrelation.
+            return spark.sql(self.to_sql(SPARK))
+        return self.input.to_df(spark).filter(pred)
 
 
 @dataclass(frozen=True)

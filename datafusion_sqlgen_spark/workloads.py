@@ -1,0 +1,598 @@
+"""The query catalog: every operator from SURVEY.md §2 as a named,
+oracle-checked workload.
+
+Two kinds of entries:
+
+* **IR workloads** — built with the plan/expression IR; the Spark side
+  executes ``plan.to_df(spark)`` and the oracle is *generated* from the
+  same IR via ``plan.to_sql("duckdb")``. One definition, two engines —
+  the reference's plan→SQL trick as an executable invariant.
+* **Operator workloads** — the LLM-pipeline operators (dedup/similarity/
+  text/as-of), whose Spark side is higher-order-function DataFrame code
+  and whose oracle is the hand-built DuckDB SQL shipped next to each
+  operator.
+
+Naming/aliasing rule (driver contract): every computed column is aliased
+identically on both sides so the driver's sorted-column value hash
+matches.
+
+Float determinism: aggregate/similarity outputs are rounded (2-6 digits)
+*inside* the query on both sides, so IEEE summation-order differences
+between engines cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_sqlgen_spark.catalog import register_tables
+from datafusion_sqlgen_spark.expressions import col, fn, agg, lit, when
+from datafusion_sqlgen_spark.expressions.core import (
+    Exists,
+    IsDistinctFrom,
+    ScalarSubquery,
+)
+from datafusion_sqlgen_spark.plans import EmptyRelation, Plan, SetOp, With, scan
+from datafusion_sqlgen_spark.operators import dedup, joins, similarity, text
+
+
+# --------------------------------------------------------------------------
+# IR workloads: name -> Plan. Oracle SQL is generated from the same plan.
+# --------------------------------------------------------------------------
+
+def _money(e):
+    """Exact-decimal arithmetic for monetary columns.
+
+    The driver's data stores money as 2-decimal doubles. ``round(sum(x), 2)``
+    on doubles is engine-divergent at exact .xx5 boundaries (Spark rounds
+    the shortest decimal string HALF_UP; DuckDB rounds the binary value),
+    so monetary aggregates are computed in DECIMAL — bit-exact and
+    identical in Spark and DuckDB — and cast back to double at the end.
+    """
+    return e.cast("decimal(18,4)")
+
+
+def _money_out(e, digits=2):
+    return fn("round", e, lit(digits)).cast("double")
+
+
+def _ir_workloads() -> dict[str, Plan]:
+    w: dict[str, Plan] = {}
+
+    # --- the reference's live surface (SURVEY.md §2.1 ✅ rows) ---
+
+    # it_works shape: scan+filter+projection (tests/select.rs:71-85)
+    w["ref_scan_filter"] = (
+        scan("customer")
+        .filter(col("c_mktsegment") == "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+    )
+
+    # select_distinct_simple_4 shape: DISTINCT + CAST + arith + alias
+    w["ref_project_cast_arith"] = (
+        scan("lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            _money_out(_money(col("l_extendedprice")) * (lit(1) - _money(col("l_discount"))))
+            .alias("net_price"),
+        )
+    )
+
+    w["ref_distinct"] = (
+        scan("lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    )
+
+    # explicit direction + nulls ordering (the reference drops these)
+    w["ref_sort_limit_offset"] = (
+        scan("orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .sort(col("o_totalprice").desc(nulls_first=False), col("o_orderkey").asc())
+        .offset(5)
+        .limit(20)
+    )
+
+    # BETWEEN + scalar functions (use_between_expression, tests/select.rs:234-249)
+    w["ref_between_scalar_fns"] = (
+        scan("lineitem")
+        .filter(col("l_quantity").between(10, 20))
+        .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            fn("abs", col("l_extendedprice") * lit(-1)).alias("abs_price"),
+            fn("round", fn("ln", col("l_extendedprice")), lit(6)).alias("ln_price"),
+        )
+    )
+
+    # IS [NOT] DISTINCT FROM on a no-FROM relation (tests/select.rs:199-231)
+    w["ref_null_safe_cmp"] = EmptyRelation().select(
+        IsDistinctFrom(lit(1), lit(None)).alias("a"),
+        IsDistinctFrom(lit(None), lit(None)).alias("b"),
+        lit(1).eq_null_safe(lit(1)).alias("c"),
+        lit("x").eq_null_safe(lit(None)).alias("d"),
+    )
+
+    # 1-based array indexing (query_get_indexed_field, tests/select.rs:252-281)
+    w["ref_array_index"] = (
+        scan("embeddings")
+        .filter(col("vec_id") < 100)
+        .select(
+            col("vec_id"),
+            fn("round", col("embedding")[1].cast("double"), lit(6)).alias("dim1"),
+            fn("round", col("embedding")[64].cast("double"), lit(6)).alias("dim64"),
+        )
+    )
+
+    # stacked filters AND-merge + stacked projections nest (§2.4.6 fix)
+    w["ref_nested_slots"] = (
+        scan("customer")
+        .select(col("c_custkey"), (_money(col("c_acctbal")) * 2).alias("bal2"), col("c_mktsegment"))
+        .filter(col("bal2") > 5000)
+        .filter(col("c_mktsegment") != "BUILDING")
+        .select(col("c_custkey"), _money_out(col("bal2")).alias("bal2"))
+    )
+
+    # --- aspirational surface: expressions (§2.2) ---
+
+    w["expr_like_rlike_concat"] = (
+        scan("part")
+        .filter(col("p_type").like("%BRASS%") | col("p_name").rlike("^part_1"))
+        .select(
+            col("p_partkey"),
+            fn("concat", col("p_brand"), lit("/"), col("p_type")).alias("brand_type"),
+            fn("upper", col("p_name")).alias("uname"),
+        )
+    )
+
+    w["expr_case_in_isnull"] = scan("orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") == "F", "finished")
+        .when(col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_label"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_hot"),
+        col("o_totalprice").is_not_null().alias("has_price"),
+    )
+
+    w["expr_string_funcs"] = scan("part").select(
+        col("p_partkey"),
+        fn("lower", col("p_name")).alias("lname"),
+        fn("length", col("p_name")).cast("bigint").alias("name_len"),
+        fn("substr", col("p_brand"), lit(1), lit(6)).alias("brand6"),
+        fn("replace", col("p_type"), lit(" "), lit("_")).alias("type_snake"),
+        fn("lpad", col("p_size").cast("string"), lit(3), lit("0")).alias("size_pad"),
+        fn("reverse", col("p_brand")).alias("brand_rev"),
+    )
+
+    w["expr_math_funcs"] = (
+        scan("lineitem")
+        .filter(col("l_orderkey") < 50)
+        .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            fn("round", fn("sqrt", col("l_extendedprice")), lit(6)).alias("sqrt_price"),
+            fn("round", fn("exp", col("l_discount")), lit(6)).alias("exp_disc"),
+            fn("round", fn("log10", col("l_extendedprice")), lit(6)).alias("log10_price"),
+            fn("ceil", col("l_quantity")).cast("bigint").alias("ceil_qty"),
+            fn("floor", col("l_tax") * 100).cast("bigint").alias("floor_tax_pct"),
+            fn("round", fn("pow", col("l_discount"), lit(2)), lit(8)).alias("disc_sq"),
+        )
+    )
+
+    w["expr_date_funcs"] = (
+        scan("orders")
+        .filter(col("o_orderkey") < 300)
+        .select(
+            col("o_orderkey"),
+            fn("year", col("o_orderdate")).cast("bigint").alias("y"),
+            fn("month", col("o_orderdate")).cast("bigint").alias("m"),
+            fn("day", col("o_orderdate")).cast("bigint").alias("d"),
+            fn("hour", col("o_orderdate")).cast("bigint").alias("h"),
+            fn("date_trunc", lit("month"), col("o_orderdate")).alias("month_start"),
+        )
+    )
+
+    # --- aggregates (§2.1 Aggregate + grouping sets) ---
+
+    # TPC-H Q1 (pricing summary) — the canonical agg benchmark shape
+    w["agg_tpch_q1"] = (
+        scan("lineitem")
+        .filter(col("l_shipdate") <= fn("to_timestamp", lit("2024-11-01 00:00:00")))
+        .group_by(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+            _money_out(agg("sum", _money(col("l_quantity")))).alias("sum_qty"),
+            _money_out(agg("sum", _money(col("l_extendedprice")))).alias("sum_base_price"),
+            _money_out(
+               agg("sum", _money(col("l_extendedprice")) * (lit(1) - _money(col("l_discount"))))
+               ).alias("sum_disc_price"),
+            _money_out(
+               agg("sum", _money(col("l_extendedprice")) * (lit(1) - _money(col("l_discount")))
+                   * (lit(1) + _money(col("l_tax"))))
+               ).alias("sum_charge"),
+            fn("round", agg("avg", col("l_quantity")), lit(4)).alias("avg_qty"),
+            fn("round", agg("avg", col("l_discount")), lit(4)).alias("avg_disc"),
+            agg("count").alias("count_order"),
+        )
+        .sort(col("l_returnflag").asc(), col("l_linestatus").asc())
+    )
+
+    w["agg_distinct"] = (
+        scan("orders")
+        .group_by(col("o_orderstatus"))
+        .agg(
+            agg("count", col("o_custkey"), distinct=True).alias("n_cust"),
+            agg("count").alias("n_orders"),
+        )
+    )
+
+    w["agg_rollup"] = (
+        scan("lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(agg("count").alias("cnt"),
+             _money_out(agg("sum", _money(col("l_quantity")))).alias("sum_qty"))
+    )
+
+    w["agg_cube"] = (
+        scan("orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(agg("count").alias("cnt"))
+    )
+
+    w["agg_stats"] = (
+        scan("lineitem")
+        .group_by(col("l_returnflag"))
+        .agg(
+            fn("round", agg("stddev_samp", col("l_quantity")), lit(4)).alias("sd_qty"),
+            fn("round", agg("var_samp", col("l_discount")), lit(6)).alias("var_disc"),
+            fn("round", agg("corr", col("l_quantity"), col("l_extendedprice")), lit(4)).alias("corr_qty_price"),
+            agg("min", col("l_shipdate")).alias("first_ship"),
+            agg("max", col("l_shipdate")).alias("last_ship"),
+        )
+    )
+
+    w["agg_having"] = (
+        scan("orders")
+        .group_by(col("o_custkey"))
+        .agg(agg("count").alias("n"),
+             _money_out(agg("sum", _money(col("o_totalprice")))).alias("spend"))
+        .filter(col("n") > 12)
+    )
+
+    # --- joins (§2.1 Join row, all modes) ---
+
+    w["join_broadcast_dims"] = (
+        scan("customer")
+        .join(scan("orders"), on=col("c_custkey") == col("o_custkey"))
+        .join(scan("nation"), on=col("c_nationkey") == col("n_nationkey"), broadcast=True)
+        .join(scan("region"), on=col("n_regionkey") == col("r_regionkey"), broadcast=True)
+        .group_by(col("r_name"), col("n_name"))
+        .agg(
+            _money_out(agg("sum", _money(col("o_totalprice")))).alias("revenue"),
+            agg("count").alias("n_orders"),
+        )
+    )
+
+    w["join_left"] = (
+        scan("nation")
+        .join(scan("supplier"), on=col("n_nationkey") == col("s_nationkey"), how="left")
+        .group_by(col("n_name"))
+        .agg(agg("count", col("s_suppkey")).alias("n_suppliers"))
+    )
+
+    w["join_semi"] = (
+        scan("customer")
+        .join(scan("orders"), on=col("c_custkey") == col("o_custkey"), how="left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    )
+
+    w["join_anti"] = (
+        scan("customer")
+        .join(scan("orders"), on=col("c_custkey") == col("o_custkey"), how="left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    )
+
+    w["join_full_outer"] = (
+        scan("customer").filter(col("c_custkey") < 50).alias("c")
+        .join(
+            scan("orders").filter(col("o_custkey") > 30).alias("o"),
+            on=col("c_custkey") == col("o_custkey"),
+            how="full",
+        )
+        .select(col("c_custkey"), col("o_orderkey"))
+    )
+
+    w["join_cross_small"] = (
+        scan("region")
+        .join(scan("nation").filter(col("n_nationkey") < 3), how="cross")
+        .select(col("r_name"), col("n_name"))
+    )
+
+    w["join_nonequi_range"] = (
+        scan("lineitem")
+        .join(
+            scan("part"),
+            on=(col("l_partkey") == col("p_partkey"))
+            & (col("l_extendedprice") > col("p_retailprice") * 20),
+            broadcast=True,
+        )
+        .select(col("l_orderkey"), col("l_partkey"),
+                fn("round", col("l_extendedprice"), lit(2)).alias("price"))
+    )
+
+    # TPC-H Q5-ish: local supplier volume (6-way join)
+    w["join_tpch_q5ish"] = (
+        scan("customer")
+        .join(scan("orders"), on=col("c_custkey") == col("o_custkey"))
+        .join(scan("lineitem"), on=col("o_orderkey") == col("l_orderkey"))
+        .join(scan("supplier"),
+              on=(col("l_suppkey") == col("s_suppkey"))
+              & (col("c_nationkey") == col("s_nationkey")))
+        .join(scan("nation"), on=col("s_nationkey") == col("n_nationkey"), broadcast=True)
+        .group_by(col("n_name"))
+        .agg(
+            _money_out(
+               agg("sum", _money(col("l_extendedprice")) * (lit(1) - _money(col("l_discount"))))
+               ).alias("revenue"),
+        )
+    )
+
+    # --- set ops ---
+    cust_nk = scan("customer").select(col("c_nationkey").cast("int").alias("nk"))
+    supp_nk = scan("supplier").select(col("s_nationkey").cast("int").alias("nk"))
+    w["setop_union_all"] = SetOp(cust_nk, supp_nk, "union_all")
+    w["setop_union"] = SetOp(cust_nk, supp_nk, "union")
+    w["setop_intersect"] = SetOp(cust_nk.distinct(), supp_nk.distinct(), "intersect")
+    w["setop_except"] = SetOp(cust_nk.distinct(), supp_nk.distinct(), "except")
+
+    # --- CTE + subqueries ---
+    rev = (
+        scan("orders")
+        .group_by(col("o_custkey"))
+        .agg(_money_out(agg("sum", _money(col("o_totalprice")))).alias("total"))
+    )
+    w["cte_top_customers"] = With(
+        (("cust_rev", rev),),
+        scan("cust_rev")
+        .filter(col("total") > 200000)
+        .select(col("o_custkey"), col("total")),
+    )
+
+    w["subq_scalar_avg"] = (
+        scan("orders")
+        .filter(
+            col("o_totalprice")
+            > ScalarSubquery(
+                scan("orders").group_by().agg(agg("avg", col("o_totalprice")).alias("a"))
+            )
+        )
+        .select(col("o_orderkey"), _money_out(_money(col("o_totalprice"))).alias("price"))
+    )
+
+    w["subq_exists"] = (
+        scan("customer")
+        .filter(
+            Exists(
+                scan("orders")
+                .filter((col("o_custkey") == col("c_custkey")) & (col("o_totalprice") > 300000))
+                .select(lit(1))
+            )
+        )
+        .select(col("c_custkey"), col("c_name"))
+    )
+
+    # --- windows ---
+    w["win_rank_topn"] = (
+        scan("orders")
+        .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            _money_out(_money(col("o_totalprice"))).alias("price"),
+            fn("row_number")
+            .over(
+                partition_by=[col("o_custkey")],
+                order_by=[col("o_totalprice").desc(), col("o_orderkey").asc()],
+            )
+            .alias("rn"),
+            fn("rank")
+            .over(
+                partition_by=[col("o_custkey")],
+                order_by=[col("o_orderstatus").asc()],
+            )
+            .alias("status_rank"),
+        )
+        .filter(col("rn") <= 3)
+    )
+
+    w["win_running_sum"] = scan("events").select(
+        col("event_id"),
+        col("user_id"),
+        fn("round",
+           agg("sum", col("value")).over(
+               partition_by=[col("user_id")],
+               order_by=[col("ts").asc(), col("event_id").asc()],
+               rows_between=("unbounded", 0),
+           ), lit(2)).alias("running_value"),
+    )
+
+    w["win_lag_lead"] = scan("events").select(
+        col("event_id"),
+        col("user_id"),
+        fn("round",
+           (col("value") - fn("lag", col("value"), lit(1)).over(
+               partition_by=[col("user_id")],
+               order_by=[col("ts").asc(), col("event_id").asc()],
+           )), lit(2)).alias("delta_prev"),
+        fn("lead", col("event_type"), lit(1)).over(
+            partition_by=[col("user_id")],
+            order_by=[col("ts").asc(), col("event_id").asc()],
+        ).alias("next_type"),
+    )
+
+    w["win_moving_avg"] = scan("events").select(
+        col("event_id"),
+        fn("round",
+           agg("avg", col("value")).over(
+               partition_by=[col("user_id")],
+               order_by=[col("ts").asc(), col("event_id").asc()],
+               rows_between=(-3, 0),
+           ), lit(4)).alias("avg_4"),
+    )
+
+    # --- time-series rollup on the events table (streaming-shape, batch) ---
+    w["events_hourly_rollup"] = (
+        scan("events")
+        .group_by(
+            fn("date_trunc", lit("hour"), col("ts")).alias("hour"),
+            col("event_type"),
+        )
+        .agg(
+            agg("count").alias("n"),
+            fn("round", agg("sum", col("value")), lit(2)).alias("sum_value"),
+        )
+    )
+
+    w["events_sessionize_gap"] = (
+        # session boundaries: gap > 30 min per user (classic sessionization
+        # via window lag + cumulative sum of boundary flags)
+        scan("events")
+        .select(
+            col("event_id"),
+            col("user_id"),
+            when(
+                (fn("unix_timestamp", col("ts"))
+                 - fn("unix_timestamp",
+                      fn("lag", col("ts"), lit(1)).over(
+                          partition_by=[col("user_id")],
+                          order_by=[col("ts").asc(), col("event_id").asc()],
+                      ))) > 1800,
+                1,
+            ).otherwise(0).alias("new_session"),
+        )
+    )
+
+    return w
+
+
+# --------------------------------------------------------------------------
+# Operator workloads: name -> (spark_fn, duckdb_oracle_sql | None)
+# --------------------------------------------------------------------------
+
+def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame], str | None]]:
+    return {
+        "dedup_exact": (
+            lambda s: dedup.exact_dedup(s.table("documents")),
+            dedup.exact_dedup_oracle(),
+        ),
+        "dedup_minhash_signatures": (
+            lambda s: dedup.minhash_signatures(s.table("documents")),
+            dedup.minhash_signatures_oracle(),
+        ),
+        "dedup_minhash_buckets": (
+            lambda s: dedup.minhash_buckets(s.table("documents")),
+            dedup.minhash_buckets_oracle(),
+        ),
+        "dedup_simhash": (
+            lambda s: dedup.simhash(s.table("documents")),
+            dedup.simhash_oracle(),
+        ),
+        "dedup_ngram_jaccard": (
+            lambda s: dedup.ngram_jaccard_pairs(
+                s.table("documents"), max_left_id=20, threshold=0.05
+            ),
+            dedup.ngram_jaccard_pairs_oracle(max_left_id=20, threshold=0.05),
+        ),
+        "text_token_stats": (
+            lambda s: text.token_stats(s.table("documents")),
+            text.token_stats_oracle(),
+        ),
+        "text_quality_score": (
+            lambda s: text.quality_score(s.table("documents")),
+            text.quality_score_oracle(),
+        ),
+        "text_language_id": (
+            lambda s: text.language_id(s.table("documents")),
+            text.language_id_oracle(),
+        ),
+        "text_fingerprint": (
+            lambda s: text.fingerprint(s.table("documents")),
+            text.fingerprint_oracle(),
+        ),
+        "sim_cosine_topk": (
+            lambda s: similarity.cosine_topk(
+                s.table("embeddings"), s.table("embeddings").filter("vec_id < 10")
+            ),
+            similarity.cosine_topk_oracle(max_query_id=10),
+        ),
+        "sim_lsh_bucket_stats": (
+            lambda s: similarity.lsh_bucket_stats(s.table("embeddings")),
+            similarity.lsh_bucket_stats_oracle(),
+        ),
+        "sim_cosine_topk_bucketed": (
+            lambda s: similarity.cosine_topk_bucketed(
+                s.table("embeddings"), s.table("embeddings").filter("vec_id < 10")
+            ),
+            similarity.cosine_topk_bucketed_oracle(max_query_id=10),
+        ),
+        "sim_embedding_norms": (
+            lambda s: similarity.embedding_norm_stats(s.table("embeddings")),
+            similarity.embedding_norm_stats_oracle(),
+        ),
+        "join_asof_events": (
+            lambda s: joins.asof_join(
+                s.table("events").filter("event_type = 'error'")
+                .select("event_id", "user_id", "ts"),
+                s.table("events").filter("event_type = 'click'")
+                .select("user_id", "ts", "value"),
+                on="user_id", left_time="ts", right_time="ts",
+                value_cols=["value"],
+            ),
+            joins.asof_join_oracle(
+                "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')",
+                "(SELECT user_id, ts, value FROM events WHERE event_type = 'click')",
+                on="user_id", left_time="ts", right_time="ts",
+                left_cols=["event_id", "user_id", "ts"], value_cols=["value"],
+            ),
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# Driver contract assembly
+# --------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def ir_runner(plan: Plan):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_tables(spark, sf_dir)
+            return plan.to_df(spark)
+
+        return run
+
+    for name, plan in _ir_workloads().items():
+        out[name] = ir_runner(plan)
+
+    def op_runner(fn_):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_tables(spark, sf_dir)
+            return fn_(spark)
+
+        return run
+
+    for name, (fn_, _oracle) in _operator_workloads().items():
+        out[name] = op_runner(fn_)
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, plan in _ir_workloads().items():
+        out[name] = plan.to_sql("duckdb")
+    for name, (_fn, oracle) in _operator_workloads().items():
+        if oracle is not None:
+            out[name] = oracle
+    return out
