@@ -1,0 +1,189 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Spark has no media types; the scalable representation is
+``binary`` payload + a ``struct`` of typed metadata (mime, dims,
+duration), processed by Arrow-batched ``mapInPandas`` pipelines. This
+module ships that plumbing for real — schema, batch iteration,
+partition behavior, feature vector shape — while the *codec* step is
+stubbed: the container has no image/audio libraries, so ``decode_real``
+raises ``NotImplementedError`` and the pipelines run on a clearly-marked
+deterministic fake decoder (MD5-seeded bytes), which keeps every
+downstream shape/test honest.
+
+Scale notes: payloads never pass through the driver; ``mapInPandas``
+streams Arrow batches per partition, so per-executor memory is
+O(batch_size x payload). Set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+down (e.g. 64) for multi-MB payloads. Feature extraction emits
+fixed-width vectors — the output table is columnar and joins/indexes
+like the embeddings table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+
+def as_multimodal(
+    df: DataFrame, payload_from: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Wrap a column as a multimodal (payload, metadata) pair.
+
+    Test data has no real media, so the payload is the UTF-8 bytes of
+    ``payload_from`` and the metadata dims derive deterministically from
+    the payload hash — the *schema contract* downstream operators rely
+    on is exactly what production ingestion would produce."""
+    payload = F.encode(F.col(payload_from), "UTF-8")
+    h = F.crc32(payload)
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (h % 1920 + 1).cast("int").alias("width"),
+            (F.floor(h / 1920) % 1080 + 1).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_real(payload: bytes, mime: str):
+    """Real codec hook — wire Pillow/soundfile/PyAV here in production.
+
+    STUB: media libraries are not available in this container."""
+    raise NotImplementedError(
+        "real media decoding requires Pillow/soundfile/PyAV; "
+        "this environment ships none — use decode_fake (deterministic) "
+        "or install a codec and swap it in here"
+    )
+
+
+def decode_fake(payload: bytes, n: int = 64) -> list[float]:
+    """Deterministic FAKE decode: n pseudo-pixels derived from the MD5
+    stream of the payload. Stands in for decode_real so the Spark-side
+    plumbing (batching, schema, feature shape) is fully exercised."""
+    out: list[float] = []
+    seed = payload or b""
+    block = b""
+    counter = 0
+    while len(out) < n:
+        block = hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        out.extend(b / 255.0 for b in block)
+        counter += 1
+    return out[:n]
+
+
+def _make_local_decoder():
+    """Build a decode_fake equivalent with no module references, safe to
+    ship inside pandas-UDF closures (pickled by value)."""
+    import hashlib as _hl
+
+    def decode(payload, n: int):
+        out: list[float] = []
+        seed = bytes(payload) if payload is not None else b""
+        counter = 0
+        while len(out) < n:
+            block = _hl.md5(seed + counter.to_bytes(4, "little")).digest()
+            out.extend(b / 255.0 for b in block)
+            counter += 1
+        return out[:n]
+
+    return decode
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(mm: DataFrame, dim: int = 64) -> DataFrame:
+    """Decode + featurize via ``mapInPandas``: one Arrow batch in, one
+    out, never a Python call per row for the batch transfer. The fake
+    decoder keeps it deterministic; swap ``decode_fake`` -> ``decode_real``
+    for production."""
+    import pandas as pd
+
+    # nested copy of decode_fake: a closure-local function is pickled BY
+    # VALUE by cloudpickle, so executors need no import of this package
+    # (a module-level reference would require --py-files on a cluster)
+    _decode = _make_local_decoder()
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [_decode(p, dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": feats,
+                    "mean_intensity": [round(sum(f) / len(f), 6) for f in feats],
+                }
+            )
+
+    return mm.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ]
+)
+
+
+def resize_images(mm: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pipeline: metadata updates JVM-side (cheap, exact); the
+    pixel resample is the stubbed codec step — payload passes through
+    the same mapInPandas lane decode_real would use."""
+    import pandas as pd
+
+    def do_resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = [
+                {"mime": m["mime"], "width": width, "height": height,
+                 "duration_ms": m["duration_ms"]}
+                for m in pdf["media_meta"]
+            ]
+            # real impl: payload = [resample(decode_real(p, m), w, h)...]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["payload"], "media_meta": meta}
+            )
+
+    return mm.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(mm: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame. The explode happens JVM-side from a frame-index array; frame
+    *content* extraction is the stubbed codec step (frame_payload is the
+    source payload; decode_real would slice the real frame)."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("media_meta.duration_ms") - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return (
+        mm.select(
+            F.col("doc_id"),
+            F.col("payload"),
+            F.explode(frames).alias("frame_ms"),
+        )
+        .select("doc_id", "frame_ms", F.col("payload").alias("frame_payload"))
+    )

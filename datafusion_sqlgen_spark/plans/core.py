@@ -148,6 +148,15 @@ class Plan:
     def cube(self, *keys) -> "_GroupedPlan":
         return _GroupedPlan(self, tuple(_wrap_proj(k) for k in keys), "cube")
 
+    def grouping_sets(self, sets, *keys) -> "_GroupedPlan":
+        """``sets`` is a list of key subsets, e.g. ``[[a, b], [a], []]``."""
+        return _GroupedPlan(
+            self,
+            tuple(_wrap_proj(k) for k in keys),
+            "grouping_sets",
+            tuple(tuple(_wrap_proj(e) for e in s) for s in sets),
+        )
+
     def join(
         self,
         other: "Plan",

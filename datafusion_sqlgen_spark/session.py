@@ -45,6 +45,16 @@ def get_spark(
     """
     cpus = str(cpus or DEFAULT_CPUS)
     shuffle_partitions = int(shuffle_partitions or max(int(cpus), 8))
+    # Python workers must be able to import this package for pandas-UDF
+    # closures (cloudpickle serializes module functions by reference).
+    # Local mode: workers inherit the JVM env, which inherits ours — set
+    # PYTHONPATH before the JVM spawns. Cluster mode: ship via --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

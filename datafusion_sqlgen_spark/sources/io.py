@@ -1,0 +1,94 @@
+"""Sources & sinks.
+
+The reference registers Parquet/CSV/in-memory sources only and has **no
+sinks at all** (SURVEY.md §2.1 sources/sinks row; tests/select.rs:73-95
+in /root/reference). This module covers its read surface plus the write
+surface a real engine needs, with the partitioning/bucketing options
+that matter at 100 TB:
+
+* ``write_parquet(partition_by=...)`` — directory partitioning enables
+  static + dynamic partition pruning on read (the #1 scan-cost lever);
+* ``write_bucketed`` — hash-bucketed, sorted table: two tables bucketed
+  on the same join key join with **no shuffle at all** (the pre-shuffle
+  is paid once at write time);
+* ``maxRecordsPerFile`` guards against giant output files; AQE coalesce
+  guards against tiny ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Self-describing schema (reference tests/select.rs:73-78)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = True,
+) -> DataFrame:
+    """CSV with inferred (reference default, tests/select.rs:90-95) or
+    explicit schema. Inference scans the file once — pass a schema for
+    large inputs."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        return r.schema(schema).csv(path)
+    return r.option("inferSchema", str(infer).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table (``saveAsTable`` — bucketing metadata
+    lives in the catalog). Joining two tables bucketed on the same keys
+    with the same bucket count is shuffle-free; so are groupBys on the
+    bucket keys."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

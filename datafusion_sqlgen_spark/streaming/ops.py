@@ -1,0 +1,210 @@
+"""Structured Streaming layer over the events table shape.
+
+The reference has **zero** streaming surface (SURVEY.md §2.3 — no
+watermarks, windows, state, or triggers anywhere in /root/reference);
+this module is the beyond-reference mandate from BASELINE.json, built
+on Spark's native streaming engine:
+
+* event-time **watermarks** bound state for late data;
+* **tumbling / sliding / session** windows via ``F.window`` /
+  ``F.session_window`` — the streaming analogues of the batch
+  ``events_hourly_rollup`` workload (same column math, so batch results
+  verify the streaming operators on a replayed file stream);
+* **dropDuplicatesWithinWatermark** for at-least-once source dedup;
+* **applyInPandasWithState** for operators Spark lacks natively
+  (here: per-user running totals with arbitrary state).
+
+Scale posture: streaming aggregations shuffle by (window, key) exactly
+like their batch twins; watermark delay bounds state size; the file
+source used in tests swaps for Kafka/Kinesis in production with no
+operator changes (that is the point of the declarative layer).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-based stream of events-shaped parquet (swap for Kafka in prod:
+    only this reader changes, every downstream operator is unchanged)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_window_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts/sums per event_type.
+
+    The watermark lets Spark finalize + evict window state once event
+    time passes window_end + delay — state is O(open windows), not
+    O(stream length)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    windows; shuffle volume scales by the overlap factor."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (the streaming twin of the batch ``events_sessionize_gap``
+    workload)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """At-least-once source dedup: drops duplicate keys arriving within
+    the watermark delay; state evicts with the watermark (bounded)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of the batch ``events_hourly_rollup`` workload —
+    identical column math, verifiable against the batch result on a
+    replayed stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_RUNNING_STATE_SCHEMA = "total double, n bigint"
+_RUNNING_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double"
+)
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, state carried across triggers.
+
+    This is the escape hatch tier (c) of the custom-operator ladder —
+    used only because 'running total across the whole stream' is not
+    expressible as a windowed aggregation. State is (double, long) per
+    user: O(users) memory, partitioned by user_id hash."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> "object":
+    """Run a streaming DataFrame into an in-memory sink until all
+    available input is processed; returns the (stopped) query. Test/demo
+    helper — production sinks are kafka/parquet/delta via writeStream."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -241,6 +241,15 @@ def _ir_workloads() -> dict[str, Plan]:
         .agg(agg("count").alias("cnt"))
     )
 
+    w["agg_grouping_sets"] = (
+        scan("orders")
+        .grouping_sets(
+            [[col("o_orderstatus"), col("o_orderpriority")], [col("o_orderstatus")], []],
+            col("o_orderstatus"), col("o_orderpriority"),
+        )
+        .agg(agg("count").alias("cnt"))
+    )
+
     w["agg_stats"] = (
         scan("lineitem")
         .group_by(col("l_returnflag"))
@@ -539,6 +548,33 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "sim_embedding_norms": (
             lambda s: similarity.embedding_norm_stats(s.table("embeddings")),
             similarity.embedding_norm_stats_oracle(),
+        ),
+        # multimodal pipeline: binary payload + metadata -> mapInPandas
+        # feature extraction; deterministic fake decode, no SQL equivalent
+        # (mean_intensity kept; the 64-float vector column is dropped for
+        # the rows-only check to keep the driver comparison light)
+        "mm_feature_extract": (
+            lambda s: __import__(
+                "datafusion_sqlgen_spark.operators.multimodal", fromlist=["x"]
+            ).extract_features(
+                __import__(
+                    "datafusion_sqlgen_spark.operators.multimodal", fromlist=["x"]
+                ).as_multimodal(s.table("documents"))
+            ).select("doc_id", "mean_intensity"),
+            None,  # rows-only: decode is Python-side by design
+        ),
+        # pandas-UDF tier, oracle-checked: BPE-ish regex token counts
+        # (duckdb regexp_extract_all uses the same RE2-compatible pattern)
+        "udf_bpeish_token_count": (
+            lambda s: s.table("documents").select(
+                "doc_id",
+                __import__(
+                    "datafusion_sqlgen_spark.functions.udfs", fromlist=["x"]
+                ).bpeish_token_count("text").cast("bigint").alias("n_bpeish"),
+            ),
+            r"""SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpeish
+                FROM documents""",
         ),
         "join_asof_events": (
             lambda s: joins.asof_join(

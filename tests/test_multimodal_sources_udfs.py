@@ -1,0 +1,130 @@
+"""Multimodal plumbing, sources/sinks, and the pandas-UDF tier."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_sqlgen_spark.operators import multimodal as mm
+from datafusion_sqlgen_spark.sources import (
+    read_csv,
+    read_parquet,
+    write_bucketed,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_multimodal_schema_and_features(spark):
+    docs = spark.table("documents").limit(50)
+    m = mm.as_multimodal(docs)
+    assert [f.name for f in m.schema.fields] == ["doc_id", "payload", "media_meta"]
+    assert m.schema["payload"].dataType.typeName() == "binary"
+    feats = mm.extract_features(m, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # determinism: same payload -> same features on rerun
+    again = {r["doc_id"]: r["feature"] for r in mm.extract_features(m, dim=16).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["feature"]
+    # fake decode matches the local python implementation
+    one = m.filter("doc_id = 0").collect()[0]
+    expected = mm.decode_fake(bytes(one["payload"]), 16)
+    got = [r for r in rows if r["doc_id"] == 0][0]["feature"]
+    assert [round(v, 5) for v in got] == [round(v, 5) for v in expected]
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"xx", "image/png")
+
+
+def test_resize_and_frames(spark):
+    docs = spark.table("documents").limit(10)
+    m = mm.as_multimodal(docs)
+    resized = mm.resize_images(m, 224, 224).collect()
+    assert all(r["media_meta"]["width"] == 224 for r in resized)
+    # give payloads a fake duration then sample frames
+    vid = m.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            F.lit(3500).alias("duration_ms"),
+        ),
+    )
+    frames = mm.sample_frames(vid, every_ms=1000)
+    counts = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)  # 0,1000,2000,3000
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    p = str(tmp_path / "orders_by_status")
+    orders = spark.table("orders")
+    write_parquet(orders, p, partition_by=["o_orderstatus"])
+    back = read_parquet(spark, p)
+    assert back.count() == orders.count()
+    # partition pruning: a status filter must prune directories
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "nation_csv")
+    write_csv(spark.table("nation"), p)
+    back = read_csv(spark, p)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    write_bucketed(
+        spark.table("customer"), "cust_b", ["c_custkey"], 4,
+        sort_by=["c_custkey"], path=str(tmp_path / "cust_b"),
+    )
+    write_bucketed(
+        spark.table("orders"), "ord_b", ["o_custkey"], 4,
+        sort_by=["o_custkey"], path=str(tmp_path / "ord_b"),
+    )
+    j = spark.table("cust_b").join(
+        spark.table("ord_b"), F.col("c_custkey") == F.col("o_custkey")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # bucketed-bucketed equi join: no shuffle exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    assert j.count() == spark.table("orders").count()
+
+
+def test_bpeish_token_count_udf(spark):
+    from datafusion_sqlgen_spark.functions.udfs import bpeish_token_count
+
+    docs = spark.table("documents").limit(20)
+    rows = docs.select("doc_id", "text", bpeish_token_count("text").alias("n")).collect()
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    for r in rows:
+        assert r["n"] == len(pat.findall(r["text"]))
+
+
+def test_zscore_udf_vs_window_twin(spark):
+    from datafusion_sqlgen_spark.functions.udfs import (
+        grouped_zscore,
+        grouped_zscore_window,
+    )
+
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    a = {
+        r["event_id"]: round(r["zscore"], 6)
+        for r in grouped_zscore(ev, "event_type", "value").collect()
+    }
+    b = {
+        r["event_id"]: round(r["zscore"], 6)
+        for r in grouped_zscore_window(ev, "event_type", "value").collect()
+    }
+    assert a == b

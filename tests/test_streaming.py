@@ -1,0 +1,98 @@
+"""Structured Streaming: replay the events table as a file stream and
+verify streamed results equal the batch equivalents."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_sqlgen_spark import streaming as st
+from tests.conftest import SF_DIR, normalize_rows
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    # split events into 3 files so the stream has multiple triggers
+    d = tmp_path_factory.mktemp("events_stream")
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ev AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    n = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    third = n // 3 + 1
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT * FROM ev ORDER BY event_id LIMIT {third} OFFSET {i * third}) "
+            f"TO '{d}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+def test_tumbling_window_matches_batch(spark, stream_dir):
+    ev = st.read_events_stream(spark, stream_dir)
+    st.stream_to_memory(st.tumbling_window_stream(ev), "t_tumble")
+    streamed = normalize_rows(
+        [tuple(r) for r in spark.sql("SELECT * FROM t_tumble").collect()], 2
+    )
+    batch = normalize_rows(
+        [
+            tuple(r)
+            for r in spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start"), F.col("win.end"), "event_type", "n", "sum_value")
+            .collect()
+        ],
+        2,
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_session_window_stream_runs(spark, stream_dir):
+    ev = st.read_events_stream(spark, stream_dir)
+    st.stream_to_memory(st.session_window_stream(ev, gap="30 minutes"), "t_sess")
+    rows = spark.sql("SELECT * FROM t_sess").collect()
+    assert len(rows) > 0
+    # sessions are per-user, disjoint, end > start
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+
+
+def test_stream_dedup(spark, stream_dir, tmp_path):
+    # duplicate one file to create exact duplicate events across triggers
+    dup_dir = str(tmp_path / "dup_events")
+    shutil.copytree(stream_dir, dup_dir)
+    shutil.copy(f"{stream_dir}/part0.parquet", f"{dup_dir}/part0_copy.parquet")
+    ev = st.read_events_stream(spark, dup_dir)
+    st.stream_to_memory(st.stream_dedup(ev), "t_dedup", output_mode="append")
+    n_dedup = spark.sql("SELECT count(DISTINCT event_id) FROM t_dedup").collect()[0][0]
+    n_total = spark.sql("SELECT count(*) FROM t_dedup").collect()[0][0]
+    n_batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir).count()
+    assert n_dedup == n_batch
+    assert n_total == n_batch  # duplicates within watermark dropped
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    ev = st.read_events_stream(spark, stream_dir)
+    st.stream_to_memory(
+        st.user_running_totals_stream(ev), "t_state", output_mode="update"
+    )
+    # final state per user (last update) must equal the batch totals
+    final = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n_events
+        FROM t_state GROUP BY user_id
+        """
+    ).collect()
+    batch = (
+        spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert {r["user_id"]: r["n_events"] for r in final} == {
+        r["user_id"]: r["n_events"] for r in batch
+    }
