@@ -167,6 +167,68 @@ def minhash_buckets_oracle(table: str = "documents", k: int = 4, bands: int = 2,
     """
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.2,
+    b: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    The O(n²) pair join is restricted to sign-projection LSH buckets
+    (``similarity.lsh_buckets``): the self-join key is the bucket id, so
+    the shuffle is one hash-partition on a small int key and each bucket
+    compares only its own members — the scale path for pairwise dedup.
+    Recall is bounded by the bucketing (near-dups with opposite sign bits
+    in the first ``b`` dims are missed); raise recall by probing bit-flip
+    neighbor buckets, same plumbing. Output: (id_a, id_b, cos_sim) pairs
+    with cosine ≥ threshold."""
+    from datafusion_sqlgen_spark.operators.similarity import cosine, lsh_buckets
+
+    bucketed = lsh_buckets(df, b, id_col, vec_col).join(df, id_col)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("vec_a")
+    )
+    bb = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    pairs = a.join(
+        bb, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def embedding_near_dup_oracle(
+    table: str = "embeddings", threshold: float = 0.2, b: int = 4
+) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN 1 ELSE 0 END) * {2 ** j}"
+        for j in range(b)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, CAST({bits} AS INTEGER) AS bucket FROM {table}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
+    FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -48,6 +48,8 @@ def as_multimodal(
     on is exactly what production ingestion would produce."""
     payload = F.encode(F.col(payload_from), "UTF-8")
     h = F.crc32(payload)
+    # duration derives from payload size (not crc32) so frame-sampling
+    # workloads stay DuckDB-oracle-reproducible: octet_length is portable
     return df.select(
         F.col(id_col),
         payload.alias("payload"),
@@ -55,7 +57,7 @@ def as_multimodal(
             F.lit("image/fake").alias("mime"),
             (h % 1920 + 1).cast("int").alias("width"),
             (F.floor(h / 1920) % 1080 + 1).cast("int").alias("height"),
-            F.lit(0).cast("int").alias("duration_ms"),
+            (F.octet_length(payload) * 37 % 5000).cast("int").alias("duration_ms"),
         ).alias("media_meta"),
     )
 
@@ -187,3 +189,17 @@ def sample_frames(mm: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("doc_id", "frame_ms", F.col("payload").alias("frame_payload"))
     )
+
+
+def sample_frames_oracle(
+    table: str = "documents", payload_from: str = "text", every_ms: int = 1000
+) -> str:
+    """DuckDB oracle for ``sample_frames`` over ``as_multimodal(df)``:
+    duration_ms = octet_length(payload) * 37 % 5000, frames inclusive of 0
+    (both engines' sequence/generate_series are stop-inclusive)."""
+    dur = f"(octet_length(encode({payload_from})) * 37) % 5000"
+    return f"""
+    SELECT doc_id,
+           unnest(generate_series(0, greatest({dur} - 1, 0), {every_ms})) AS frame_ms
+    FROM {table}
+    """

@@ -209,6 +209,122 @@ def cosine_topk_bucketed_oracle(
     """
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (IVF cell).
+
+    ``centroids`` is broadcast (IVF cell counts are small by design —
+    sqrt(n) cells for n vectors is the usual rule); the assignment is one
+    broadcast-join pass + a per-vector argmax window, no full shuffle of
+    the corpus. Ties break to the lowest cell id for determinism."""
+    from pyspark.sql import Window
+
+    cents = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+    scored = df.crossJoin(F.broadcast(cents))
+    sim = F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_sim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.select(id_col, vec_col, "cell_id", sim.alias("cell_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` cells by nearest centroid, probe only the query's own
+    cell, exact cosine re-rank inside it.
+
+    Centroids here are the first ``n_cells`` corpus vectors — a
+    deterministic stand-in for k-means (same plumbing; train real
+    centroids offline and register them as a table for production). The
+    cell assignment is the *index build* (one pass, done once at 100 TB
+    and persisted, e.g. written bucketed-by-cell); the probe join is then
+    cell-equi and touches 1/n_cells of the corpus per query."""
+    from pyspark.sql import Window
+
+    centroids = corpus.filter(F.col(id_col) < n_cells)
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"), F.col("cell_id"), F.col(vec_col).alias("qvec")
+    )
+    c = c_assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell_id").alias("c_cell"),
+        F.col(vec_col).alias("cvec"),
+    )
+    scored = F.broadcast(q).join(
+        c,
+        (F.col("cell_id") == F.col("c_cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+def ivf_topk_oracle(
+    table: str = "embeddings", k: int = 5, n_cells: int = 8, max_query_id: int = 10
+) -> str:
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding AS centroid FROM {table}
+        WHERE vec_id < {n_cells}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cell_id, embedding AS qvec FROM assigned
+          WHERE vec_id < {max_query_id}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM q JOIN assigned c
+          ON q.cell_id = c.cell_id AND q.query_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
 def embedding_norm_stats(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",

@@ -35,7 +35,8 @@ from datafusion_sqlgen_spark.expressions.core import (
     ScalarSubquery,
 )
 from datafusion_sqlgen_spark.plans import EmptyRelation, Plan, SetOp, With, scan
-from datafusion_sqlgen_spark.operators import dedup, joins, similarity, text
+from datafusion_sqlgen_spark.operators import dedup, joins, multimodal, similarity, text
+from datafusion_sqlgen_spark.functions import udfs
 
 
 # --------------------------------------------------------------------------
@@ -355,6 +356,9 @@ def _ir_workloads() -> dict[str, Plan]:
     w["setop_union"] = SetOp(cust_nk, supp_nk, "union")
     w["setop_intersect"] = SetOp(cust_nk.distinct(), supp_nk.distinct(), "intersect")
     w["setop_except"] = SetOp(cust_nk.distinct(), supp_nk.distinct(), "except")
+    # bag semantics: multiplicity-aware intersect/except
+    w["setop_intersect_all"] = SetOp(cust_nk, supp_nk, "intersect_all")
+    w["setop_except_all"] = SetOp(supp_nk, cust_nk, "except_all")
 
     # --- CTE + subqueries ---
     rev = (
@@ -438,6 +442,39 @@ def _ir_workloads() -> dict[str, Plan]:
             partition_by=[col("user_id")],
             order_by=[col("ts").asc(), col("event_id").asc()],
         ).alias("next_type"),
+    )
+
+    # the remaining ranking/analytic family over one partition spec
+    w["win_analytic_suite"] = (
+        scan("orders")
+        .filter(col("o_custkey") < 100)
+        .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            fn("dense_rank")
+            .over(
+                partition_by=[col("o_custkey")],
+                order_by=[col("o_totalprice").desc(), col("o_orderkey").asc()],
+            )
+            .alias("drnk"),
+            fn("ntile", lit(4))
+            .over(
+                partition_by=[col("o_custkey")],
+                order_by=[col("o_totalprice").desc(), col("o_orderkey").asc()],
+            )
+            .cast("bigint")
+            .alias("quartile"),
+            fn("round",
+               fn("percent_rank").over(
+                   partition_by=[col("o_custkey")],
+                   order_by=[col("o_totalprice").desc(), col("o_orderkey").asc()],
+               ), lit(6)).alias("pct_rank"),
+            fn("round",
+               fn("cume_dist").over(
+                   partition_by=[col("o_custkey")],
+                   order_by=[col("o_totalprice").desc(), col("o_orderkey").asc()],
+               ), lit(6)).alias("cdist"),
+        )
     )
 
     w["win_moving_avg"] = scan("events").select(
@@ -549,28 +586,40 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: similarity.embedding_norm_stats(s.table("embeddings")),
             similarity.embedding_norm_stats_oracle(),
         ),
+        "sim_ivf_topk": (
+            lambda s: similarity.ivf_topk(
+                s.table("embeddings"), s.table("embeddings").filter("vec_id < 10")
+            ),
+            similarity.ivf_topk_oracle(max_query_id=10),
+        ),
+        "dedup_embedding_cosine": (
+            lambda s: dedup.embedding_near_dup(s.table("embeddings")),
+            dedup.embedding_near_dup_oracle(),
+        ),
         # multimodal pipeline: binary payload + metadata -> mapInPandas
         # feature extraction; deterministic fake decode, no SQL equivalent
         # (mean_intensity kept; the 64-float vector column is dropped for
         # the rows-only check to keep the driver comparison light)
         "mm_feature_extract": (
-            lambda s: __import__(
-                "datafusion_sqlgen_spark.operators.multimodal", fromlist=["x"]
-            ).extract_features(
-                __import__(
-                    "datafusion_sqlgen_spark.operators.multimodal", fromlist=["x"]
-                ).as_multimodal(s.table("documents"))
+            lambda s: multimodal.extract_features(
+                multimodal.as_multimodal(s.table("documents"))
             ).select("doc_id", "mean_intensity"),
             None,  # rows-only: decode is Python-side by design
+        ),
+        # multimodal frame sampling: JVM-side explode of the frame index,
+        # duration derived from payload size -> fully oracle-checkable
+        "mm_frame_sample": (
+            lambda s: multimodal.sample_frames(
+                multimodal.as_multimodal(s.table("documents"))
+            ).select("doc_id", "frame_ms"),
+            multimodal.sample_frames_oracle(),
         ),
         # pandas-UDF tier, oracle-checked: BPE-ish regex token counts
         # (duckdb regexp_extract_all uses the same RE2-compatible pattern)
         "udf_bpeish_token_count": (
             lambda s: s.table("documents").select(
                 "doc_id",
-                __import__(
-                    "datafusion_sqlgen_spark.functions.udfs", fromlist=["x"]
-                ).bpeish_token_count("text").cast("bigint").alias("n_bpeish"),
+                udfs.bpeish_token_count("text").cast("bigint").alias("n_bpeish"),
             ),
             r"""SELECT doc_id,
                        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpeish

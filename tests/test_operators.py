@@ -88,6 +88,17 @@ def test_embedding_norm_stats(spark, duck):
           similarity.embedding_norm_stats_oracle())
 
 
+def test_embedding_near_dup(spark, duck):
+    check(spark, duck, dedup.embedding_near_dup(_df(spark, "embeddings")),
+          dedup.embedding_near_dup_oracle(), ndigits=3)
+
+
+def test_ivf_topk(spark, duck):
+    q = _df(spark, "embeddings").filter("vec_id < 10")
+    check(spark, duck, similarity.ivf_topk(_df(spark, "embeddings"), q),
+          similarity.ivf_topk_oracle(max_query_id=10), ndigits=3)
+
+
 def test_asof_join(spark, duck):
     """Most recent click by the same user at or before each error event."""
     ev = _df(spark, "events")
