@@ -51,37 +51,58 @@ def widen_type(type_name: str) -> T.DataType:
     return T._parse_datatype_string(key)  # noqa: SLF001 - public-enough helper
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
-    int64 only (spark.sql.legacy.parquet.nanosAsLong)."""
+def _parquet_footer(path: str) -> tuple[list[str], int, int]:
+    """(nanos-timestamp columns, num_rows, num_row_groups) from the footer.
+
+    Nanos columns: stored as parquet TIMESTAMP(NANOS) — Spark reads them
+    as int64 only (spark.sql.legacy.parquet.nanosAsLong)."""
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa
 
-        schema = pq.read_schema(path)
-        return [
-            f.name
-            for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        f = pq.ParquetFile(path)
+        nanos = [
+            fld.name
+            for fld in f.schema_arrow
+            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
         ]
+        return nanos, f.metadata.num_rows, f.metadata.num_row_groups
     except Exception:
-        return []
+        return [], 0, 0
 
 
-def register_parquet(spark: SparkSession, name: str, path: str) -> DataFrame:
+FAN_OUT_MIN_ROWS = 1024
+
+
+def register_parquet(
+    spark: SparkSession, name: str, path: str, fan_out: bool = True
+) -> DataFrame:
     """Parquet: self-describing schema (reference tests/select.rs:73-78).
 
     TIMESTAMP(NANOS) columns (illegal in Spark's parquet reader) arrive as
     int64 nanos and are converted to TimestampType at the view layer —
     a projection Catalyst pushes into the scan, no materialization.
+
+    **Scan fan-out**: parquet splits at row-group granularity, so a file
+    with fewer row groups than the session has cores scans (near-)serially
+    no matter what ``maxPartitionBytes`` says. When that's the case (and
+    the table isn't dim-tiny) the view gets a round-robin ``repartition``
+    to the default parallelism: a few-MB exchange that unlocks every core
+    for the compute above it. Production-scale tables have row_groups >=
+    parallelism and skip this branch entirely; Catalyst still pushes
+    filters and column pruning through the Repartition into the scan.
     """
     from pyspark.sql import functions as F
 
+    nanos_cols, n_rows, n_groups = _parquet_footer(path)
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos_cols:
         # integer DIV, not `/`: nanos exceed 2^53 so double division would
         # round the microsecond (off-by-one vs DuckDB's truncation)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    parallelism = spark.sparkContext.defaultParallelism
+    if fan_out and n_rows >= FAN_OUT_MIN_ROWS and n_groups < parallelism:
+        df = df.repartition(parallelism)
     df.createOrReplaceTempView(name)
     return df
 
@@ -125,12 +146,21 @@ def register_tables(
     *any* SparkSession (e.g. one the driver created without our factory):
     the two confs results depend on — nanos-parquet reading and UTC
     timestamps — are runtime-settable and pinned here.
+
+    Registration is memoized per (session, path): the driver and bench
+    call this once per query, and re-deriving footers/views each time
+    costs more than the queries themselves at small scale.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    memo: dict[str, DataFrame] = spark.__dict__.setdefault("_dsq_registered", {})
     out: dict[str, DataFrame] = {}
     for name in tables or TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            out[name] = register_parquet(spark, name, path)
+        if not os.path.exists(path):
+            continue
+        key = f"{name}\0{path}"
+        if key not in memo:
+            memo[key] = register_parquet(spark, name, path)
+        out[name] = memo[key]
     return out

@@ -73,27 +73,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """k MinHash signatures per document over word ``shingle``-grams.
 
-    Hash family: ``md5(seed_i || shingle)``, min taken lexicographically —
-    a salted-permutation family that is deterministic across engines.
-    Single narrow projection; signature cost is O(k * shingles) per doc,
-    computed JVM-side via transform/array_min (no Python)."""
-    # Stage 1 materializes the shingle array once per row: Catalyst does
-    # not common-subexpression the array across the k signature columns,
-    # so inlining it would recompute the (dominant) shingling k times.
+    Hash family: the i-th signature is the min over shingles of the i-th
+    disjoint 8-hex-char slice of ``md5(shingle)`` — the one-hash MinHash
+    variant (one md5 per shingle total, not one per signature; at 100 TB
+    the hashing IS the operator cost). Fixed-width lowercase hex makes
+    lexicographic min == numeric uint32 min, identically in both engines.
+    Single narrow projection, JVM-side transform/array_min, no Python.
+    Requires k <= 4 (md5 yields four 8-char slices); widen to sha256
+    slices for larger k."""
+    if k > 4:
+        raise ValueError("one-hash MinHash over md5 supports k <= 4")
+    # Stage 1 materializes the shingle+md5 array once per row: Catalyst
+    # does not common-subexpression the array across the k signature
+    # columns, so inlining would recompute the (dominant) hashing k times.
     staged = df.select(
-        F.col(id_col), _shingles(F.col(text_col), shingle).alias("__sh")
+        F.col(id_col),
+        F.transform(_shingles(F.col(text_col), shingle), F.md5).alias("__h"),
     )
+    # arity-1 lambdas only: a 2-arg function in F.transform is treated as
+    # (element, index), silently binding the offset to the index column
+    def slicer(off: int):
+        return lambda h: F.substring(h, off, 8)
+
     cols = [F.col(id_col)]
-
-    # NB: the hash lambda must have arity 1 — pyspark treats a 2-arg
-    # lambda in F.transform as (element, index) and would bind the seed
-    # default to the index column.
-    def hasher(seed: str):
-        return lambda s: F.md5(F.concat(F.lit(seed), s))
-
     for i in range(k):
         cols.append(
-            F.array_min(F.transform(F.col("__sh"), hasher(f"seed{i}:"))).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("__h"), slicer(8 * i + 1))).alias(f"mh{i}")
         )
     return staged.select(*cols)
 
@@ -101,10 +106,13 @@ def minhash_signatures(
 def minhash_signatures_oracle(table: str = "documents", k: int = 4, shingle: int = 3) -> str:
     sh = _DUCK_SHINGLES.format(sm1=shingle - 1)
     sig_cols = ",\n           ".join(
-        f"list_min(list_transform({sh}, s -> md5(concat('seed{i}:', s)))) AS mh{i}"
+        f"list_min(list_transform(hashed, h -> substr(h, {8 * i + 1}, 8))) AS mh{i}"
         for i in range(k)
     )
-    return f"SELECT doc_id,\n           {sig_cols}\n    FROM {table}"
+    return (
+        f"SELECT doc_id,\n           {sig_cols}\n    FROM ("
+        f"SELECT doc_id, list_transform({sh}, s -> md5(s)) AS hashed FROM {table})"
+    )
 
 
 def minhash_buckets(
