@@ -73,6 +73,16 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         # DuckDB's to_timestamp takes epoch seconds; string parse is a cast
         "duckdb": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     },
+    # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
+    "percentile_cont": {
+        "spark": _plain("percentile"),
+        "duckdb": _plain("quantile_cont"),
+    },
+    # nearest-rank (no interpolation): DuckDB quantile_disc
+    "percentile_disc": {
+        "spark": _plain("percentile_disc"),
+        "duckdb": _plain("quantile_disc"),
+    },
 }
 
 # Functions with identical name + semantics in both dialects.
@@ -106,6 +116,7 @@ AGGREGATES = {
     "stddev_pop", "var_samp", "var_pop", "variance", "corr", "covar_samp",
     "covar_pop", "approx_count_distinct", "median", "bool_and", "bool_or",
     "any_value", "first_value", "last_value", "collect_list", "collect_set",
+    "percentile_cont", "percentile_disc",
 }
 
 WINDOW_FUNCS = {
@@ -160,6 +171,8 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "lag": lambda *a: F.call_function("lag", *a),
     "lead": lambda *a: F.call_function("lead", *a),
     "ntile": lambda *a: F.call_function("ntile", *a),
+    "percentile_cont": lambda *a: F.call_function("percentile", *a),
+    "percentile_disc": lambda *a: F.call_function("percentile_disc", *a),
 }
 
 

@@ -61,18 +61,52 @@ def asof_join_oracle(
     left_filter: str = "TRUE",
     right_filter: str = "TRUE",
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> str:
     lcols = ", ".join(f"l.{c}" for c in left_cols)
+    pick, cmp = ("max_by", "<=") if direction == "backward" else ("min_by", ">=")
+    ext = "max" if direction == "backward" else "min"
     aggs = ", ".join(
-        f"max_by(r.{c}, r.{right_time}) AS {c}{suffix}" for c in value_cols
+        f"{pick}(r.{c}, r.{right_time}) AS {c}{suffix}" for c in value_cols
     )
     return f"""
-    SELECT {lcols}, {aggs}, max(r.{right_time}) AS {right_time}{suffix}
+    SELECT {lcols}, {aggs}, {ext}(r.{right_time}) AS {right_time}{suffix}
     FROM (SELECT * FROM {left_table} WHERE {left_filter}) l
     LEFT JOIN (SELECT * FROM {right_table} WHERE {right_filter}) r
-      ON l.{on} = r.{on} AND r.{right_time} <= l.{left_time}
+      ON l.{on} = r.{on} AND r.{right_time} {cmp} l.{left_time}
     GROUP BY {lcols}
     """
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew: hot keys (the Zipf head that
+    AQE's skew-split sometimes can't save, e.g. a null-heavy or
+    celebrity key) are spread across ``n_salts`` shuffle partitions.
+
+    Left rows get a deterministic salt from a hash of the whole row;
+    the right side is replicated once per salt value (an ``explode`` of a
+    ``sequence`` — n_salts× the right side's shuffle volume, the explicit
+    price of flattening the hot key). Result is row-identical to the
+    plain join; use when right is too big to broadcast and a handful of
+    keys dominate.
+
+    Only left-preserving modes: with right/full joins the replicated
+    right side would emit unmatched right rows once per salt."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join supports left-preserving joins, not {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    joined = l_salted.join(r_salted, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
 
 
 def range_join(

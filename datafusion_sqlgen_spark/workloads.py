@@ -31,6 +31,7 @@ from datafusion_sqlgen_spark.catalog import register_tables
 from datafusion_sqlgen_spark.expressions import col, fn, agg, lit, when
 from datafusion_sqlgen_spark.expressions.core import (
     Exists,
+    InSubquery,
     IsDistinctFrom,
     ScalarSubquery,
 )
@@ -263,6 +264,16 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    w["agg_percentiles"] = (
+        scan("lineitem")
+        .group_by(col("l_returnflag"))
+        .agg(
+            fn("round", agg("percentile_cont", col("l_quantity"), lit(0.5)), lit(4)).alias("p50_qty"),
+            fn("round", agg("percentile_cont", col("l_extendedprice"), lit(0.95)), lit(4)).alias("p95_price"),
+            fn("round", agg("median", col("l_discount")), lit(4)).alias("med_disc"),
+        )
+    )
+
     w["agg_having"] = (
         scan("orders")
         .group_by(col("o_custkey"))
@@ -382,6 +393,19 @@ def _ir_workloads() -> dict[str, Plan]:
             )
         )
         .select(col("o_orderkey"), _money_out(_money(col("o_totalprice"))).alias("price"))
+    )
+
+    w["subq_in"] = (
+        scan("customer")
+        .filter(
+            InSubquery(
+                col("c_custkey"),
+                scan("orders")
+                .filter(col("o_totalprice") > 400000)
+                .select(col("o_custkey")),
+            )
+        )
+        .select(col("c_custkey"), col("c_mktsegment"))
     )
 
     w["subq_exists"] = (
@@ -624,6 +648,39 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             r"""SELECT doc_id,
                        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpeish
                 FROM documents""",
+        ),
+        # skew-flattening salted join; result row-identical to the plain
+        # join, which is exactly what the oracle asserts
+        "join_salted_skew": (
+            lambda s: joins.salted_join(
+                s.table("orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+                s.table("customer").select("c_custkey", "c_mktsegment")
+                .withColumnRenamed("c_custkey", "o_custkey"),
+                on="o_custkey",
+            )
+            .groupBy("o_orderstatus", "c_mktsegment")
+            .count()
+            .withColumnRenamed("count", "n"),
+            """SELECT o_orderstatus, c_mktsegment, count(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY o_orderstatus, c_mktsegment""",
+        ),
+        "join_asof_forward": (
+            lambda s: joins.asof_join(
+                s.table("events").filter("event_type = 'error'")
+                .select("event_id", "user_id", "ts"),
+                s.table("events").filter("event_type = 'purchase'")
+                .select("user_id", "ts", "value"),
+                on="user_id", left_time="ts", right_time="ts",
+                value_cols=["value"], direction="forward",
+            ),
+            joins.asof_join_oracle(
+                "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')",
+                "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')",
+                on="user_id", left_time="ts", right_time="ts",
+                left_cols=["event_id", "user_id", "ts"], value_cols=["value"],
+                direction="forward",
+            ),
         ),
         "join_asof_events": (
             lambda s: joins.asof_join(

@@ -115,6 +115,25 @@ def test_asof_join(spark, duck):
     check(spark, duck, out, oracle)
 
 
+def test_salted_join_matches_plain(spark, duck):
+    """Salting must be semantically invisible (inner and left modes)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("inner", "left"):
+        salted = joins.salted_join(orders, cust, on="o_custkey", how=how)
+        plain = orders.join(cust, on="o_custkey", how=how)
+        assert salted.count() == plain.count()
+        assert salted.subtract(plain).count() == 0
+        assert plain.subtract(salted).count() == 0
+    with pytest.raises(ValueError):
+        joins.salted_join(orders, cust, on="o_custkey", how="full")
+
+
 def test_range_join(spark, duck):
     """Parts joined to lineitems priced above retail (equi + residual range)."""
     from pyspark.sql import functions as F
