@@ -28,20 +28,28 @@ HEADLINE = [
     "ref_project_cast_arith",
     "agg_tpch_q1",
     "agg_rollup",
+    "agg_percentiles",
     "join_broadcast_dims",
     "join_tpch_q5ish",
     "join_semi",
+    "join_salted_skew",
     "win_rank_topn",
     "win_running_sum",
     "setop_union_all",
     "events_hourly_rollup",
     "dedup_exact",
     "dedup_minhash_buckets",
+    "dedup_minhash_verify",
+    "dedup_embedding_cosine",
     "text_quality_score",
     "text_language_id",
+    "text_top_terms",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "sim_lsh_bucket_stats",
     "join_asof_events",
+    "udf_bpeish_token_count",
+    "mm_feature_extract",
 ]
 
 

@@ -175,6 +175,99 @@ def minhash_buckets_oracle(table: str = "documents", k: int = 4, bands: int = 2,
     """
 
 
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The complete near-dup pipeline: MinHash → LSH bands → candidate
+    pairs → exact n-gram-Jaccard verification.
+
+    This is the end-to-end shape that replaces the O(n²) pair join at
+    scale: candidates come only from bucket collisions (self-join keyed
+    on the fixed-width (band, bucket) hash), are deduped across bands,
+    and only those few pairs pay the exact Jaccard. Output:
+    (id_a, id_b, jaccard) for verified near-duplicates."""
+    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle=shingle)
+    rows_per_band = k // bands
+    band_structs = []
+    for b in range(bands):
+        members = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *members)).alias("bucket"),
+            )
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_side = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b_side, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh"),
+    )
+    pairs = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs_oracle(
+    table: str = "documents", k: int = 4, bands: int = 2, shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    rows_per_band = k // bands
+    sig_sql = minhash_signatures_oracle(table, k=k, shingle=shingle)
+    band_selects = []
+    for b in range(bands):
+        members = " || '|' || ".join(
+            f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({members}) AS bucket FROM sigs"
+        )
+    union = " UNION ALL ".join(band_selects)
+    sh = f"list_distinct({_DUCK_SHINGLES.format(sm1=shingle - 1)})"
+    return f"""
+    WITH sigs AS ({sig_sql}),
+    banded AS ({union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sh_tab AS (SELECT doc_id, {sh} AS sh FROM {table})
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand
+    JOIN sh_tab sa ON sa.doc_id = id_a
+    JOIN sh_tab sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= {threshold}
+    """
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.2,
@@ -192,21 +285,31 @@ def embedding_near_dup(
     in the first ``b`` dims are missed); raise recall by probing bit-flip
     neighbor buckets, same plumbing. Output: (id_a, id_b, cos_sim) pairs
     with cosine ≥ threshold."""
-    from datafusion_sqlgen_spark.operators.similarity import cosine, lsh_buckets
+    from datafusion_sqlgen_spark.operators.similarity import (
+        _norm,
+        cosine_pre,
+        lsh_buckets,
+    )
 
+    # norm computed once per vector, not once per pair: pair count is
+    # quadratic in bucket size, so per-pair array passes dominate
     bucketed = lsh_buckets(df, b, id_col, vec_col).join(df, id_col)
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("vec_a"),
+        _norm(F.col(vec_col)).alias("norm_a"),
     )
     bb = bucketed.select(
         F.col(id_col).alias("id_b"),
         F.col("bucket").alias("bucket_b"),
         F.col(vec_col).alias("vec_b"),
+        _norm(F.col(vec_col)).alias("norm_b"),
     )
     pairs = a.join(
         bb, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    sim = F.round(
+        cosine_pre(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")), 6
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

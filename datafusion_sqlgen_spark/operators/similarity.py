@@ -45,6 +45,14 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with both norms precomputed (one array pass per pair
+    instead of three). Norms are per-vector: compute them once in the
+    projection before a pair join — at n_pairs >> n_vectors this is the
+    dominant cost of every pairwise-similarity operator."""
+    return _dot(a, b) / (norm_a * norm_b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,13 +66,15 @@ def cosine_topk(
     shape); the corpus is streamed once. Ties broken by neighbor id for
     determinism. Self-matches excluded."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    sim = F.round(cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6)
     from pyspark.sql import Window
 
     w = (
@@ -156,12 +166,14 @@ def cosine_topk_bucketed(
     cb = lsh_buckets(corpus, b, id_col, vec_col).join(corpus, id_col)
     qb = lsh_buckets(queries, b, id_col, vec_col).join(queries, id_col)
     q = qb.select(
-        F.col(id_col).alias("query_id"), F.col("bucket"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col("bucket"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("bucket").alias("cbucket"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = F.broadcast(q).join(
         c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id"))
@@ -171,7 +183,7 @@ def cosine_topk_bucketed(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    sim = F.round(cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6)
     return (
         scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
@@ -224,10 +236,13 @@ def ivf_assign(
     from pyspark.sql import Window
 
     cents = centroids.select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
-    scored = df.crossJoin(F.broadcast(cents))
-    sim = F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    scored = df.withColumn("__vn", _norm(F.col(vec_col))).crossJoin(F.broadcast(cents))
+    sim = F.round(
+        cosine_pre(F.col(vec_col), F.col("centroid"), F.col("__vn"), F.col("__cn")), 6
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cell_sim").desc(), F.col("cell_id").asc()
     )
@@ -263,19 +278,21 @@ def ivf_topk(
     c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
     q = q_assigned.select(
-        F.col(id_col).alias("query_id"), F.col("cell_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col("cell_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = c_assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("cell_id").alias("c_cell"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = F.broadcast(q).join(
         c,
         (F.col("cell_id") == F.col("c_cell"))
         & (F.col("query_id") != F.col("neighbor_id")),
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    sim = F.round(cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -55,6 +55,39 @@ def token_stats_oracle(table: str = "documents") -> str:
     """
 
 
+def top_terms(
+    df: DataFrame, k: int = 50, text_col: str = "text", min_len: int = 3
+) -> DataFrame:
+    """Corpus-wide top-k terms: explode → count → top-k.
+
+    The classic heavy-shuffle text job, shaped for scale: the count
+    aggregates map-side before the word-keyed shuffle (one row per
+    distinct word per partition crosses the wire, not one per
+    occurrence), and the final top-k is a TakeOrdered, not a full sort.
+    Ties break lexicographically for determinism."""
+    words = words_col(F.col(text_col))
+    return (
+        df.select(F.explode(words).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def top_terms_oracle(table: str = "documents", k: int = 50, min_len: int = 3) -> str:
+    return f"""
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')) AS term
+          FROM {table})
+    WHERE length(term) >= {min_len}
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT {k}
+    """
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality scoring: length, punctuation ratio, stopword
     ratio (standard pre-training filters, cf. C4/Gopher rules). Pure

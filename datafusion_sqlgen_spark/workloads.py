@@ -564,6 +564,14 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: dedup.minhash_buckets(s.table("documents")),
             dedup.minhash_buckets_oracle(),
         ),
+        "dedup_minhash_verify": (
+            lambda s: dedup.minhash_dedup_pairs(s.table("documents"), threshold=0.2),
+            dedup.minhash_dedup_pairs_oracle(threshold=0.2),
+        ),
+        "text_top_terms": (
+            lambda s: text.top_terms(s.table("documents")),
+            text.top_terms_oracle(),
+        ),
         "dedup_simhash": (
             lambda s: dedup.simhash(s.table("documents")),
             dedup.simhash_oracle(),
