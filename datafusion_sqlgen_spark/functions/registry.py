@@ -73,6 +73,18 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         # DuckDB's to_timestamp takes epoch seconds; string parse is a cast
         "duckdb": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     },
+    # array aggregation: collect_list order is engine/partition dependent,
+    # so oracle-checked uses always wrap it in sort_array
+    "collect_list": {"spark": _plain("collect_list"), "duckdb": _plain("list")},
+    "collect_set": {
+        "spark": _plain("collect_set"),
+        "duckdb": lambda a: f"list_distinct(list({', '.join(a)}))",
+    },
+    "sort_array": {"spark": _plain("sort_array"), "duckdb": _plain("list_sort")},
+    "array_join": {
+        "spark": _plain("array_join"),
+        "duckdb": lambda a: f"array_to_string({', '.join(a)})",
+    },
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
         "spark": _plain("percentile"),
@@ -171,6 +183,8 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "lag": lambda *a: F.call_function("lag", *a),
     "lead": lambda *a: F.call_function("lead", *a),
     "ntile": lambda *a: F.call_function("ntile", *a),
+    # python wrapper wants a str delimiter; the SQL function takes a Column
+    "array_join": lambda *a: F.call_function("array_join", *a),
     "percentile_cont": lambda *a: F.call_function("percentile", *a),
     "percentile_disc": lambda *a: F.call_function("percentile_disc", *a),
 }

@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_sqlgen_spark.catalog import register_tables
-from datafusion_sqlgen_spark.expressions import col, fn, agg, lit, when
+from datafusion_sqlgen_spark.expressions import col, fn, agg, lit, star, when
 from datafusion_sqlgen_spark.expressions.core import (
     Exists,
     InSubquery,
@@ -136,6 +136,10 @@ def _ir_workloads() -> dict[str, Plan]:
         .filter(col("c_mktsegment") != "BUILDING")
         .select(col("c_custkey"), _money_out(col("bal2")).alias("bal2"))
     )
+
+    # wildcard projection (reference renders `*`/`t.*` but its AST layer
+    # silently drops them — SURVEY.md §2.4.7; ours round-trips them)
+    w["ref_wildcard"] = scan("region").select(star()).filter(col("r_regionkey") < 4)
 
     # --- aspirational surface: expressions (§2.2) ---
 
@@ -274,6 +278,20 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # deterministic array agg: collect_list wrapped in sort_array, joined
+    # to a string so the driver's value hash is structure-free
+    w["agg_collect"] = (
+        scan("orders")
+        .filter(col("o_custkey") < 30)
+        .group_by(col("o_custkey"))
+        .agg(
+            fn("array_join",
+               fn("sort_array", agg("collect_list", col("o_orderkey"))),
+               lit(",")).alias("order_keys"),
+            agg("count").alias("n"),
+        )
+    )
+
     w["agg_having"] = (
         scan("orders")
         .group_by(col("o_custkey"))
@@ -299,6 +317,13 @@ def _ir_workloads() -> dict[str, Plan]:
     w["join_left"] = (
         scan("nation")
         .join(scan("supplier"), on=col("n_nationkey") == col("s_nationkey"), how="left")
+        .group_by(col("n_name"))
+        .agg(agg("count", col("s_suppkey")).alias("n_suppliers"))
+    )
+
+    w["join_right"] = (
+        scan("supplier")
+        .join(scan("nation"), on=col("s_nationkey") == col("n_nationkey"), how="right")
         .group_by(col("n_name"))
         .agg(agg("count", col("s_suppkey")).alias("n_suppliers"))
     )
@@ -466,6 +491,25 @@ def _ir_workloads() -> dict[str, Plan]:
             partition_by=[col("user_id")],
             order_by=[col("ts").asc(), col("event_id").asc()],
         ).alias("next_type"),
+    )
+
+    w["win_first_last"] = scan("events").select(
+        col("event_id"),
+        col("user_id"),
+        fn("first_value", col("event_type"))
+        .over(
+            partition_by=[col("user_id")],
+            order_by=[col("ts").asc(), col("event_id").asc()],
+            rows_between=("unbounded", "unbounded"),
+        )
+        .alias("first_type"),
+        fn("last_value", col("event_type"))
+        .over(
+            partition_by=[col("user_id")],
+            order_by=[col("ts").asc(), col("event_id").asc()],
+            rows_between=("unbounded", "unbounded"),
+        )
+        .alias("last_type"),
     )
 
     # the remaining ranking/analytic family over one partition spec
@@ -656,6 +700,20 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             r"""SELECT doc_id,
                        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpeish
                 FROM documents""",
+        ),
+        # native DataFrame pivot (fillna(0) aligns Spark's null-for-absent
+        # with the oracle's count FILTER semantics)
+        "agg_pivot_status": (
+            lambda s: s.table("orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+            .na.fill(0, ["F", "O", "P"]),
+            """SELECT o_orderpriority,
+                      count(*) FILTER (o_orderstatus = 'F') AS "F",
+                      count(*) FILTER (o_orderstatus = 'O') AS "O",
+                      count(*) FILTER (o_orderstatus = 'P') AS "P"
+               FROM orders GROUP BY o_orderpriority""",
         ),
         # skew-flattening salted join; result row-identical to the plain
         # join, which is exactly what the oracle asserts
