@@ -133,8 +133,14 @@ class Expr:
     def __ge__(self, o): return BinOp(">=", self, _wrap(o))
     def __and__(self, o): return BinOp("AND", self, _wrap(o))
     def __or__(self, o): return BinOp("OR", self, _wrap(o))
+    def __xor__(self, o): return BinOp("^", self, _wrap(o))
     def __invert__(self): return Not(self)
     def __neg__(self): return Neg(self)
+
+    # bitwise (PySpark-style: `&`/`|` stay logical, like Column)
+    def bitwise_and(self, o: ExprLike) -> "BinOp": return BinOp("&", self, _wrap(o))
+    def bitwise_or(self, o: ExprLike) -> "BinOp": return BinOp("|", self, _wrap(o))
+    def bitwise_xor(self, o: ExprLike) -> "BinOp": return BinOp("^", self, _wrap(o))
 
     def __hash__(self):  # dataclass eq is overridden; keep hashable by id
         return id(self)

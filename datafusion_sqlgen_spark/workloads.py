@@ -163,6 +163,19 @@ def _ir_workloads() -> dict[str, Plan]:
         col("o_totalprice").is_not_null().alias("has_price"),
     )
 
+    # bitwise &, |, ^ (DuckDB renders ^ as xor()) and unary NOT / -
+    w["expr_bitwise_unary"] = (
+        scan("nation")
+        .select(
+            col("n_nationkey"),
+            col("n_nationkey").bitwise_and(3).alias("and3"),
+            col("n_nationkey").bitwise_or(8).alias("or8"),
+            col("n_nationkey").bitwise_xor(5).alias("xor5"),
+            (-col("n_nationkey")).alias("neg"),
+            (~(col("n_nationkey") > 10)).alias("not_gt10"),
+        )
+    )
+
     w["expr_string_funcs"] = scan("part").select(
         col("p_partkey"),
         fn("lower", col("p_name")).alias("lname"),
