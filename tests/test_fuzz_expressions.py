@@ -1,0 +1,126 @@
+"""Property-based dual-render fuzzing: random expression trees must
+produce identical results through all three paths —
+
+    expr.to_df(spark)  ==  spark.sql(expr.to_sql("spark"))  ==  duckdb(expr.to_sql("duckdb"))
+
+This generalizes the reference's round-trip-identity test strategy
+(SURVEY.md §5.1) from ten fixed strings to the whole expression algebra,
+including NULL propagation, which is where dialects usually diverge.
+"""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datafusion_sqlgen_spark.expressions import col, lit, when
+from datafusion_sqlgen_spark.expressions.core import IsDistinctFrom
+from datafusion_sqlgen_spark.plans import scan
+
+ROWS = [
+    (0, None, "alpha"),
+    (1, 7, None),
+    (-3, 2, "Beta"),
+    (42, -9, "gamma gamma"),
+    (None, 4, ""),
+    (5, 5, "delta"),
+    (-100, 100, "ALPHA"),
+    (17, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    pdf = pd.DataFrame(ROWS, columns=["x", "y", "s"]).astype(
+        {"x": "Int64", "y": "Int64"}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("fuzz_t")
+    con = duckdb.connect()
+    con.register("fuzz_t", pdf)
+    return spark, con
+
+
+def num_leaf():
+    return st.one_of(
+        st.just(col("x")),
+        st.just(col("y")),
+        st.integers(-5, 5).map(lit),
+        st.just(lit(None)),
+    )
+
+
+def numeric(depth: int):
+    if depth <= 0:
+        return num_leaf()
+    sub = numeric(depth - 1)
+    return st.one_of(
+        num_leaf(),
+        st.tuples(sub, sub).map(lambda t: t[0] + t[1]),
+        st.tuples(sub, sub).map(lambda t: t[0] - t[1]),
+        st.tuples(sub, sub).map(lambda t: t[0] * t[1]),
+        st.tuples(boolean(depth - 1), sub, sub).map(
+            lambda t: when(t[0], t[1]).otherwise(t[2])
+        ),
+        st.tuples(sub, sub).map(lambda t: __import__(
+            "datafusion_sqlgen_spark.expressions", fromlist=["fn"]
+        ).fn("coalesce", t[0], t[1])),
+        sub.map(lambda e: -e),
+    )
+
+
+def boolean(depth: int):
+    nums = numeric(max(depth - 1, 0))
+    base = st.one_of(
+        st.tuples(nums, nums).map(lambda t: t[0] < t[1]),
+        st.tuples(nums, nums).map(lambda t: t[0] == t[1]),
+        st.tuples(nums, nums).map(lambda t: t[0] >= t[1]),
+        nums.map(lambda e: e.is_null()),
+        st.tuples(nums, nums).map(lambda t: IsDistinctFrom(t[0], t[1])),
+        st.tuples(nums, nums, nums).map(lambda t: t[0].between(t[1], t[2])),
+    )
+    if depth <= 0:
+        return base
+    sub = boolean(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(sub, sub).map(lambda t: t[0] & t[1]),
+        st.tuples(sub, sub).map(lambda t: t[0] | t[1]),
+        sub.map(lambda e: ~e),
+    )
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        return None if math.isnan(v) else round(v, 6)
+    return int(v)
+
+
+def _key(t):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(expr=st.one_of(numeric(3), boolean(2)))
+def test_dual_render_and_oracle_agree(fuzz_env, expr):
+    spark, con = fuzz_env
+    p = scan("fuzz_t").select(col("x"), expr.alias("v"))
+    df_rows = sorted(((_norm(a), _norm(b)) for a, b in p.to_df(spark).collect()), key=_key)
+    sql_rows = sorted(
+        ((_norm(a), _norm(b)) for a, b in spark.sql(p.to_sql("spark")).collect()),
+        key=_key,
+    )
+    duck_rows = sorted(
+        ((_norm(a), _norm(b)) for a, b in con.execute(p.to_sql("duckdb")).fetchall()),
+        key=_key,
+    )
+    assert df_rows == sql_rows, f"DataFrame != SQL for {p.to_sql('spark')}"
+    assert df_rows == duck_rows, (
+        f"Spark != DuckDB\nspark sql: {p.to_sql('spark')}\n"
+        f"duck sql:  {p.to_sql('duckdb')}\n{df_rows}\nvs\n{duck_rows}"
+    )
