@@ -115,6 +115,9 @@ class Expr:
     def __getitem__(self, i: ExprLike) -> "Index":
         return Index(self, _wrap(i))
 
+    def field(self, name: str) -> "Field":
+        return Field(self, name)
+
     # arithmetic / comparison / boolean operators
     def __add__(self, o): return BinOp("+", self, _wrap(o))
     def __radd__(self, o): return BinOp("+", _wrap(o), self)
@@ -629,6 +632,23 @@ class Index(Expr):
 
     def to_column(self) -> Column:
         return F.element_at(self.operand.to_column(), self.index.to_column())
+
+
+@dataclass(frozen=True, eq=False)
+class Field(Expr):
+    """Struct field access ``(expr).name`` — the struct-key variant of
+    indexing the reference only documents in commented tests
+    (tests/select.rs:418-445; SURVEY.md §2.2 Index row). Dot syntax is
+    valid in both Spark SQL and DuckDB."""
+
+    operand: Expr
+    name: str
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"({self.operand.to_sql(dialect)}).{quote_ident(self.name, dialect)}"
+
+    def to_column(self) -> Column:
+        return self.operand.to_column().getField(self.name)
 
 
 @dataclass(frozen=True, eq=False)

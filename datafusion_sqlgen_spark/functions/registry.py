@@ -73,6 +73,14 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         # DuckDB's to_timestamp takes epoch seconds; string parse is a cast
         "duckdb": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     },
+    # struct construction: Spark named_struct('k', v, ...) <-> DuckDB
+    # struct_pack(k := v, ...) — keys arrive as rendered string literals
+    "named_struct": {
+        "spark": _plain("named_struct"),
+        "duckdb": lambda a: "struct_pack(" + ", ".join(
+            f"{k[1:-1]} := {v}" for k, v in zip(a[0::2], a[1::2])
+        ) + ")",
+    },
     # array aggregation: collect_list order is engine/partition dependent,
     # so oracle-checked uses always wrap it in sort_array
     "collect_list": {"spark": _plain("collect_list"), "duckdb": _plain("list")},

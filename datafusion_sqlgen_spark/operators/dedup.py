@@ -307,9 +307,7 @@ def embedding_near_dup(
     pairs = a.join(
         bb, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    sim = F.round(
-        cosine_pre(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")), 6
-    )
+    sim = cosine_pre(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b"))
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
@@ -330,8 +328,8 @@ def embedding_near_dup_oracle(
     ),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS cos_sim
         FROM bucketed a JOIN bucketed b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )

@@ -74,7 +74,7 @@ def cosine_topk(
         _norm(F.col(vec_col)).alias("cn"),
     )
     scored = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6)
+    sim = cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn"))
     from pyspark.sql import Window
 
     w = (
@@ -97,7 +97,7 @@ def cosine_topk_oracle(
                WHERE vec_id < {max_query_id}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               round(list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
         FROM q JOIN {table} c ON q.query_id <> c.vec_id
     ),
     ranked AS (
@@ -183,7 +183,7 @@ def cosine_topk_bucketed(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    sim = F.round(cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6)
+    sim = cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn"))
     return (
         scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
@@ -207,7 +207,7 @@ def cosine_topk_bucketed_oracle(
           WHERE vec_id < {max_query_id}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               round(list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
         FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
     ),
     ranked AS (
@@ -240,9 +240,7 @@ def ivf_assign(
         _norm(F.col(vec_col)).alias("__cn"),
     )
     scored = df.withColumn("__vn", _norm(F.col(vec_col))).crossJoin(F.broadcast(cents))
-    sim = F.round(
-        cosine_pre(F.col(vec_col), F.col("centroid"), F.col("__vn"), F.col("__cn")), 6
-    )
+    sim = cosine_pre(F.col(vec_col), F.col("centroid"), F.col("__vn"), F.col("__cn"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cell_sim").desc(), F.col("cell_id").asc()
     )
@@ -292,7 +290,7 @@ def ivf_topk(
         (F.col("cell_id") == F.col("c_cell"))
         & (F.col("query_id") != F.col("neighbor_id")),
     )
-    sim = F.round(cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 6)
+    sim = cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -317,8 +315,8 @@ def ivf_topk_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY round(list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN cents c
         ) WHERE rn = 1
@@ -327,7 +325,7 @@ def ivf_topk_oracle(
           WHERE vec_id < {max_query_id}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               round(list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
         FROM q JOIN assigned c
           ON q.cell_id = c.cell_id AND q.query_id <> c.vec_id
     ),

@@ -176,6 +176,20 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # struct build + field access (reference documents struct keys only in
+    # commented tests, tests/select.rs:418-445)
+    w["expr_struct_field"] = (
+        scan("customer")
+        .filter(col("c_custkey") < 100)
+        .select(
+            col("c_custkey"),
+            fn("named_struct", lit("seg"), col("c_mktsegment"),
+               lit("nk"), col("c_nationkey")).field("seg").alias("seg"),
+            fn("named_struct", lit("seg"), col("c_mktsegment"),
+               lit("nk"), col("c_nationkey")).field("nk").cast("int").alias("nk"),
+        )
+    )
+
     w["expr_string_funcs"] = scan("part").select(
         col("p_partkey"),
         fn("lower", col("p_name")).alias("lname"),
@@ -258,6 +272,16 @@ def _ir_workloads() -> dict[str, Plan]:
         scan("orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(agg("count").alias("cnt"))
+    )
+
+    # GROUPING() disambiguates "NULL because subtotal" from "NULL in data"
+    w["agg_rollup_grouping"] = (
+        scan("lineitem")
+        .rollup(col("l_returnflag"))
+        .agg(
+            fn("grouping", col("l_returnflag")).cast("int").alias("is_total"),
+            agg("count").alias("cnt"),
+        )
     )
 
     w["agg_grouping_sets"] = (
