@@ -48,6 +48,21 @@ def widen_type(type_name: str) -> T.DataType:
     key = type_name.strip().lower()
     if key in WIDENING_MAP:
         return WIDENING_MAP[key]
+    atomic = {
+        "boolean": T.BooleanType(), "tinyint": T.ByteType(), "int8": T.ByteType(),
+        "smallint": T.ShortType(), "int16": T.ShortType(),
+        "int": T.IntegerType(), "int32": T.IntegerType(), "integer": T.IntegerType(),
+        "bigint": T.LongType(), "int64": T.LongType(), "long": T.LongType(),
+        "float": T.FloatType(), "float32": T.FloatType(),
+        "double": T.DoubleType(), "float64": T.DoubleType(),
+        "string": T.StringType(), "utf8": T.StringType(), "largeutf8": T.StringType(),
+        "binary": T.BinaryType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }
+    if key in atomic:
+        return atomic[key]
+    # complex types (array<...>, struct<...>, decimal(p,s)) need the DDL
+    # parser, which requires an active SparkContext
     return T._parse_datatype_string(key)  # noqa: SLF001 - public-enough helper
 
 
