@@ -191,7 +191,15 @@ def minhash_dedup_pairs(
     scale: candidates come only from bucket collisions (self-join keyed
     on the fixed-width (band, bucket) hash), are deduped across bands,
     and only those few pairs pay the exact Jaccard. Output:
-    (id_a, id_b, jaccard) for verified near-duplicates."""
+    (id_a, id_b, jaccard) for verified near-duplicates.
+
+    Compute discipline (hashing is the dominant cost): the banded table
+    is persisted (narrow: id, band, bucket) so the candidate self-join
+    does NOT re-shingle the corpus per side — at production scale you
+    would write it out instead; and verification shingles only docs that
+    appear in a candidate pair (semi-join first), never the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle=shingle)
     rows_per_band = k // bands
     band_structs = []
@@ -203,9 +211,11 @@ def minhash_dedup_pairs(
                 F.md5(F.concat_ws("|", *members)).alias("bucket"),
             )
         )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = exploded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_side = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -214,7 +224,12 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = df.select(
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh"),
     )
