@@ -193,6 +193,7 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "ntile": lambda *a: F.call_function("ntile", *a),
     # python wrapper wants a str delimiter; the SQL function takes a Column
     "array_join": lambda *a: F.call_function("array_join", *a),
+    "nth_value": lambda *a: F.call_function("nth_value", *a),
     "percentile_cont": lambda *a: F.call_function("percentile", *a),
     "percentile_disc": lambda *a: F.call_function("percentile_disc", *a),
 }

@@ -549,6 +549,27 @@ def _ir_workloads() -> dict[str, Plan]:
         .alias("last_type"),
     )
 
+    # RANGE frame: value-based window over a numeric ordering key
+    w["win_range_frame"] = (
+        scan("orders")
+        .filter(col("o_custkey") < 50)
+        .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            fn("round",
+               agg("sum", _money(col("o_totalprice"))).over(
+                   partition_by=[col("o_custkey")],
+                   order_by=[col("o_orderkey").asc()],
+                   range_between=(-1000, 0),
+               ).cast("double"), lit(2)).alias("near_sum"),
+            fn("nth_value", col("o_orderstatus"), lit(2)).over(
+                partition_by=[col("o_custkey")],
+                order_by=[col("o_orderkey").asc()],
+                rows_between=("unbounded", "unbounded"),
+            ).alias("second_status"),
+        )
+    )
+
     # the remaining ranking/analytic family over one partition spec
     w["win_analytic_suite"] = (
         scan("orders")

@@ -1,0 +1,68 @@
+"""Empty-input robustness: every operator family must produce an empty
+(not crashed, not null-poisoned) result on an empty source — the
+degenerate partition case every executor hits at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_sqlgen_spark.operators import dedup, joins, similarity, text
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.table("documents").filter("doc_id < 0")
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.table("embeddings").filter("vec_id < 0")
+
+
+def test_dedup_ops_on_empty(spark, empty_docs):
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.minhash_signatures(empty_docs).count() == 0
+    assert dedup.minhash_buckets(empty_docs).count() == 0
+    assert dedup.minhash_dedup_pairs(empty_docs).count() == 0
+    assert dedup.simhash(empty_docs).count() == 0
+
+
+def test_text_ops_on_empty(spark, empty_docs):
+    assert text.token_stats(empty_docs).count() == 0
+    assert text.quality_score(empty_docs).count() == 0
+    assert text.language_id(empty_docs).count() == 0
+    assert text.top_terms(empty_docs).count() == 0
+
+
+def test_similarity_ops_on_empty(spark, empty_emb):
+    corpus = spark.table("embeddings")
+    # empty query set -> no results; empty corpus -> no neighbors
+    assert similarity.cosine_topk(corpus, empty_emb).count() == 0
+    assert similarity.cosine_topk(empty_emb, corpus.filter("vec_id < 3")).count() == 0
+    assert similarity.lsh_bucket_stats(empty_emb).count() == 0
+    assert dedup.embedding_near_dup(empty_emb).count() == 0
+
+
+def test_asof_join_empty_right_keeps_left(spark):
+    """As-of is a LEFT join: an empty right side must preserve left rows
+    with null as-of columns, not drop them."""
+    ev = spark.table("events")
+    left = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    right = ev.filter("event_type = 'nope'").select("user_id", "ts", "value")
+    out = joins.asof_join(left, right, on="user_id", left_time="ts",
+                          right_time="ts", value_cols=["value"])
+    assert out.count() == left.count()
+    assert out.filter(F.col("value_asof").isNotNull()).count() == 0
+
+
+def test_salted_join_empty_right(spark):
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    empty_cust = (
+        spark.table("customer")
+        .filter("c_custkey < 0")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    assert joins.salted_join(orders, empty_cust, on="o_custkey").count() == 0
+    assert (
+        joins.salted_join(orders, empty_cust, on="o_custkey", how="left").count()
+        == orders.count()
+    )
