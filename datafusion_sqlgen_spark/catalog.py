@@ -168,6 +168,8 @@ def register_tables(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # div-by-zero -> NULL (matches the DuckDB oracle); see session.py
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     memo: dict[str, DataFrame] = spark.__dict__.setdefault("_dsq_registered", {})
     out: dict[str, DataFrame] = {}
     for name in tables or TABLES:

@@ -64,6 +64,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # NULL-tolerant arithmetic (Spark 4 defaults ANSI on): x/0 -> NULL
+        # like DuckDB, and one malformed row cannot kill a 1000-executor
+        # job — the right default for a data pipeline engine
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -60,6 +60,9 @@ def numeric(depth: int):
         st.tuples(sub, sub).map(lambda t: t[0] + t[1]),
         st.tuples(sub, sub).map(lambda t: t[0] - t[1]),
         st.tuples(sub, sub).map(lambda t: t[0] * t[1]),
+        # non-ANSI semantics: x/0 and x%0 are NULL in both engines
+        st.tuples(sub, sub).map(lambda t: t[0] / t[1]),
+        st.tuples(sub, sub).map(lambda t: t[0] % t[1]),
         st.tuples(boolean(depth - 1), sub, sub).map(
             lambda t: when(t[0], t[1]).otherwise(t[2])
         ),
