@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_buckets",
     "dedup_minhash_verify",
+    "dedup_cluster_cc",
     "dedup_embedding_cosine",
     "text_quality_score",
     "text_language_id",

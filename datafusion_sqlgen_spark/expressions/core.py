@@ -259,6 +259,15 @@ class BinOp(Expr):
 
     def to_sql(self, dialect: str = SPARK) -> str:
         l, r = self.left.to_sql(dialect), self.right.to_sql(dialect)
+        if dialect == DUCKDB and self.op == "/":
+            # DuckDB binds an untyped NULL in `NULL / x` to the
+            # INTERVAL/BIGINT overload, so the result poisons enclosing
+            # arithmetic (`+(BIGINT, INTERVAL)` binder error). Spark
+            # types it DOUBLE; pin the same type explicitly.
+            if isinstance(self.left, Lit) and self.left.value is None:
+                l = "CAST(NULL AS DOUBLE)"
+            if isinstance(self.right, Lit) and self.right.value is None:
+                r = "CAST(NULL AS DOUBLE)"
         if self.op == "^" and dialect == DUCKDB:
             return f"xor({l}, {r})"
         if self.op == "||":

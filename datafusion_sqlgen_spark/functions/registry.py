@@ -93,6 +93,12 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("array_join"),
         "duckdb": lambda a: f"array_to_string({', '.join(a)})",
     },
+    # JSON path extraction, '$.k' path syntax on both engines; both
+    # return NULL on missing path / malformed JSON (never an error)
+    "get_json_object": {
+        "spark": _plain("get_json_object"),
+        "duckdb": _plain("json_extract_string"),
+    },
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
         "spark": _plain("percentile"),
@@ -196,6 +202,8 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "nth_value": lambda *a: F.call_function("nth_value", *a),
     "percentile_cont": lambda *a: F.call_function("percentile", *a),
     "percentile_disc": lambda *a: F.call_function("percentile_disc", *a),
+    # python wrapper wants a str path; the SQL function takes a Column
+    "get_json_object": lambda *a: F.call_function("get_json_object", *a),
 }
 
 

@@ -1,3 +1,10 @@
-from datafusion_sqlgen_spark.operators import dedup, joins, similarity, text
+from datafusion_sqlgen_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "joins"]
+__all__ = ["dedup", "similarity", "text", "joins", "multimodal", "sampling"]

@@ -433,6 +433,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    The dedup *clustering* stage: near-dup pairs form a graph; each
+    component is one duplicate cluster, labeled by its smallest member
+    id. Returns ``(node, cluster_id)`` for every node that appears in an
+    edge (singletons have no edge and keep their own id trivially).
+
+    Scale design: each iteration is one shuffle-join of the (small,
+    shrinking-information) label table against the symmetrized edge list
+    plus a min-aggregation — O(diameter) rounds, and near-dup graphs are
+    shallow (dominated by tiny cliques), so 3-5 rounds converge in
+    practice. ``localCheckpoint`` truncates the lineage each round so the
+    plan doesn't grow exponentially; on a real cluster use a reliable
+    checkpoint dir instead. There is no recursive SQL here by design —
+    iteration is driver-coordinated, exactly like GraphX/GraphFrames.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.distinct().persist()
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            ).filter(F.col("label") < F.col("old")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end dedup clustering: MinHash → LSH → verified pairs →
+    connected components. Output ``(doc_id, cluster_id)`` — keep
+    ``min(doc_id) per cluster`` (== rows where doc_id = cluster_id) to
+    materialize the deduplicated corpus."""
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, k=k, bands=bands, shingle=shingle,
+        threshold=threshold,
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters_oracle(
+    table: str = "documents", k: int = 4, bands: int = 2, shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin: transitive closure via WITH RECURSIVE (UNION dedups
+    the frontier, so the walk terminates)."""
+    pairs_sql = minhash_dedup_pairs_oracle(
+        table, k=k, bands=bands, shingle=shingle, threshold=threshold
+    )
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs_sql})),
+    ee AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT src, src FROM ee
+        UNION
+        SELECT w.node, ee.dst FROM walk w JOIN ee ON w.reach = ee.src
+    )
+    SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+    """
+
+
 def ngram_jaccard_pairs_oracle(
     table: str = "documents", shingle: int = 3, threshold: float = 0.0,
     max_left_id: int | None = None,

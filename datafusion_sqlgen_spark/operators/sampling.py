@@ -1,0 +1,89 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+A training pipeline needs *reproducible* subsets: the same 10% sample and
+the same train/holdout assignment on every run, on every cluster, in
+every engine — which rules out `TABLESAMPLE` and `rand()` (both are
+partition- and engine-dependent). These operators derive membership from
+`md5(id)` instead: a pure, per-row column expression that is identical in
+Spark and DuckDB, needs no shuffle, no state, and no seed bookkeeping.
+
+Scale shape: each operator is a single narrow projection + filter over
+the input — at 100 TB it fans out embarrassingly parallel with zero data
+movement, and the md5 evaluates JVM-side inside whole-stage codegen.
+
+The reference has no sampling surface (no trace in
+/root/reference/datafusion-sqlgen/src/expr.rs); this module is part of
+the beyond-reference LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 4 hex chars = 65536 buckets: 0.0015% rate granularity, plenty for
+# corpus work. Membership compares the *lowercase hex string* (identical
+# lexicographic order in every engine) — never parse hex to int, which
+# would drag engine-specific conv()/from_hex() semantics in.
+_BUCKETS = 65536
+
+
+def _bucket_col(id_col: str, salt: str) -> Column:
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    return F.substring(F.md5(key), 1, 4)
+
+
+def _bucket_sql(id_col: str, salt: str) -> str:
+    return f"substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 4)"
+
+
+def _threshold(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(int(_BUCKETS * rate), "04x")
+
+
+def stable_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ~`rate` sample keyed on ``md5(id:salt)``.
+
+    Re-running, re-partitioning, or re-ordering the input never changes
+    membership; changing ``salt`` draws an independent sample.
+    """
+    return df.filter(_bucket_col(id_col, salt) < F.lit(_threshold(rate)))
+
+
+def stable_sample_oracle(
+    rate: float, table: str = "documents", id_col: str = "doc_id",
+    salt: str = "sample", cols: str = "*",
+) -> str:
+    return (
+        f"SELECT {cols} FROM {table} "
+        f"WHERE {_bucket_sql(id_col, salt)} < '{_threshold(rate)}'"
+    )
+
+
+def hash_split(
+    df: DataFrame, holdout: float, id_col: str = "doc_id", salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column: 'holdout' for ~``holdout`` of rows, else
+    'train'. Same id → same split, forever — the property that keeps a
+    holdout set leak-free across pipeline re-runs and backfills."""
+    thr = _threshold(holdout)
+    return df.withColumn(
+        "split",
+        F.when(_bucket_col(id_col, salt) < F.lit(thr), F.lit("holdout"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def hash_split_oracle(
+    holdout: float, table: str = "documents", id_col: str = "doc_id",
+    salt: str = "split", cols: str = "*",
+) -> str:
+    thr = _threshold(holdout)
+    return (
+        f"SELECT {cols}, CASE WHEN {_bucket_sql(id_col, salt)} < '{thr}' "
+        f"THEN 'holdout' ELSE 'train' END AS split FROM {table}"
+    )

@@ -88,6 +88,35 @@ def top_terms_oracle(table: str = "documents", k: int = 50, min_len: int = 3) ->
     """
 
 
+def word_positions(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with 1-based positions (``posexplode``) — the substrate
+    for positional n-grams, context windows, and span labeling. One
+    generate per row, no shuffle; output is (doc_id, pos, word).
+
+    Positions are 1-based to match SQL ordinality (DuckDB
+    ``generate_subscripts``; Spark's ``posexplode`` is 0-based, shifted
+    here) and the reference's 1-based array indexing
+    (/root/reference/datafusion-sqlgen/tests/select.rs:276)."""
+    words = words_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.posexplode(words).alias("pos0", "word"))
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            "word",
+        )
+    )
+
+
+def word_positions_oracle(table: str = "documents", where: str = "") -> str:
+    return f"""
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}'), 1) AS pos,
+           unnest(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')) AS word
+    FROM {table} {where}
+    """
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality scoring: length, punctuation ratio, stopword
     ratio (standard pre-training filters, cf. C4/Gopher rules). Pure

@@ -36,7 +36,14 @@ from datafusion_sqlgen_spark.expressions.core import (
     ScalarSubquery,
 )
 from datafusion_sqlgen_spark.plans import EmptyRelation, Plan, SetOp, With, scan
-from datafusion_sqlgen_spark.operators import dedup, joins, multimodal, similarity, text
+from datafusion_sqlgen_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from datafusion_sqlgen_spark.functions import udfs
 
 
@@ -225,6 +232,22 @@ def _ir_workloads() -> dict[str, Plan]:
             fn("day", col("o_orderdate")).cast("bigint").alias("d"),
             fn("hour", col("o_orderdate")).cast("bigint").alias("h"),
             fn("date_trunc", lit("month"), col("o_orderdate")).alias("month_start"),
+        )
+    )
+
+    # JSON path extraction over the events payload column — semi-structured
+    # access is table stakes for event pipelines; NULL (not error) on
+    # missing path in both engines
+    w["expr_json_extract"] = (
+        scan("events")
+        .filter(col("event_id") < 2000)
+        .select(
+            col("event_id"),
+            col("event_type"),
+            fn("get_json_object", col("props"), lit("$.k"))
+            .cast("bigint")
+            .alias("k_val"),
+            fn("get_json_object", col("props"), lit("$.missing")).alias("absent"),
         )
     )
 
@@ -673,6 +696,29 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "text_top_terms": (
             lambda s: text.top_terms(s.table("documents")),
             text.top_terms_oracle(),
+        ),
+        # posexplode with 1-based ordinality (positional tokenization)
+        "text_word_positions": (
+            lambda s: text.word_positions(s.table("documents").filter("doc_id < 100")),
+            text.word_positions_oracle(where="WHERE doc_id < 100"),
+        ),
+        # deterministic md5-keyed sampling: same rows every run/engine
+        "sample_stable_hash": (
+            lambda s: sampling.stable_sample(s.table("documents"), rate=0.1)
+            .select("doc_id", "lang", "source"),
+            sampling.stable_sample_oracle(rate=0.1, cols="doc_id, lang, source"),
+        ),
+        # leak-free train/holdout assignment keyed on md5(id:salt)
+        "sample_hash_split": (
+            lambda s: sampling.hash_split(s.table("documents"), holdout=0.2)
+            .select("doc_id", "split"),
+            sampling.hash_split_oracle(holdout=0.2, cols="doc_id"),
+        ),
+        # near-dup clustering: LSH pairs -> connected components
+        # (iterative min-label propagation vs DuckDB WITH RECURSIVE)
+        "dedup_cluster_cc": (
+            lambda s: dedup.near_dup_clusters(s.table("documents"), threshold=0.2),
+            dedup.near_dup_clusters_oracle(threshold=0.2),
         ),
         "dedup_simhash": (
             lambda s: dedup.simhash(s.table("documents")),

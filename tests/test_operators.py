@@ -2,7 +2,7 @@
 
 import pytest
 
-from datafusion_sqlgen_spark.operators import dedup, joins, similarity, text
+from datafusion_sqlgen_spark.operators import dedup, joins, sampling, similarity, text
 from tests.conftest import normalize_rows
 
 
@@ -152,3 +152,86 @@ def test_range_join(spark, duck):
       AND l_extendedprice > p_retailprice * 20
     """
     check(spark, duck, out, oracle)
+
+
+def test_connected_components_synthetic(spark):
+    """CC on a known graph: two chains and an isolated edge."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.node, r.label)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_near_dup_clusters(spark, duck):
+    check(spark, duck,
+          dedup.near_dup_clusters(_df(spark, "documents"), threshold=0.2),
+          dedup.near_dup_clusters_oracle(threshold=0.2))
+
+
+def test_cluster_ids_are_component_minima(spark):
+    """Every cluster_id labels its own cluster's smallest member."""
+    from pyspark.sql import functions as F
+
+    cc = dedup.near_dup_clusters(_df(spark, "documents"), threshold=0.2)
+    bad = (
+        cc.groupBy("cluster_id").agg(F.min("doc_id").alias("lo"))
+        .filter(F.col("lo") != F.col("cluster_id"))
+    )
+    assert bad.count() == 0
+
+
+def test_stable_sample_deterministic(spark, duck):
+    docs = _df(spark, "documents")
+    s1 = sorted(r.doc_id for r in sampling.stable_sample(docs, 0.2).collect())
+    s2 = sorted(r.doc_id for r in sampling.stable_sample(docs, 0.2).collect())
+    assert s1 == s2 and len(s1) > 0
+    # a different salt draws a (near-certainly) different sample
+    s3 = sorted(
+        r.doc_id for r in sampling.stable_sample(docs, 0.2, salt="other").collect()
+    )
+    assert s1 != s3
+    # rate is approximate but bounded (binomial, n=total docs)
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n
+    check(spark, duck,
+          sampling.stable_sample(docs, 0.2).select("doc_id"),
+          sampling.stable_sample_oracle(0.2, cols="doc_id"))
+
+
+def test_hash_split_partition(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    split = sampling.hash_split(docs, holdout=0.25)
+    # total preserved, both sides present, assignment is a function of id
+    agg_rows = split.groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in agg_rows}
+    assert set(counts) == {"train", "holdout"}
+    assert sum(counts.values()) == docs.count()
+    assert split.select("doc_id", "split").distinct().count() == docs.count()
+    check(spark, duck,
+          split.select("doc_id", "split"),
+          sampling.hash_split_oracle(0.25, cols="doc_id"))
+
+
+def test_word_positions(spark, duck):
+    from pyspark.sql import functions as F
+
+    out = text.word_positions(_df(spark, "documents").filter("doc_id < 50"))
+    # 1-based contiguous positions per document
+    stats = out.groupBy("doc_id").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    assert stats.filter("lo <> 1 OR hi <> n").count() == 0
+    check(spark, duck, out,
+          text.word_positions_oracle(where="WHERE doc_id < 50"))
