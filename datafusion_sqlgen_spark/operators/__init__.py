@@ -5,6 +5,7 @@ from datafusion_sqlgen_spark.operators import (
     sampling,
     similarity,
     text,
+    timeseries,
 )
 
-__all__ = ["dedup", "similarity", "text", "joins", "multimodal", "sampling"]
+__all__ = ["dedup", "similarity", "text", "joins", "multimodal", "sampling", "timeseries"]

@@ -455,8 +455,16 @@ def connected_components(
     checkpoint dir instead. There is no recursive SQL here by design —
     iteration is driver-coordinated, exactly like GraphX/GraphFrames.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    from pyspark.storagelevel import StorageLevel
+
+    # Materialize the edge list BEFORE symmetrizing: the union reads it
+    # twice, and without a persisted cut the whole upstream pipeline
+    # (for near-dup edges: the full MinHash+verify pass) runs twice.
+    edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges.count()
+    sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.distinct().persist()
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -479,6 +487,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     return labels
 
 

@@ -1,0 +1,121 @@
+"""Time-series resampling operators over the events table.
+
+The reference has no temporal surface (SURVEY.md §2.3); these are the
+beyond-reference operators an event/metrics pipeline needs: regularize an
+irregular event stream onto a fixed grid (downsample + gap-fill), then
+fill the gaps (LOCF — last observation carried forward).
+
+Scale shape: one hash-shuffle to the (key, hour) grain, then a join
+against a *generated* grid (|keys| x |hours| rows — thousands, not
+billions; Spark broadcasts it), then one window pass per key for LOCF.
+The grid is built with ``sequence()`` + ``explode`` — no driver loop, no
+collect; the span aggregate is a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_counts_gap_filled(
+    df: DataFrame, ts_col: str = "ts", key_col: str = "event_type"
+) -> DataFrame:
+    """Per-key hourly event counts on a dense hour grid: hours with no
+    events appear with n=0 (the difference between a chart with holes
+    and a correct one). Grid span = global [min, max] event hour."""
+    hourly = (
+        df.groupBy(
+            F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = hourly.agg(F.min("hr").alias("a"), F.max("hr").alias("b"))
+    hours = span.select(
+        F.explode(F.sequence("a", "b", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    grid = df.select(key_col).distinct().crossJoin(hours)
+    return (
+        grid.join(hourly, [key_col, "hr"], "left")
+        .na.fill(0, ["n"])
+        .select(key_col, "hr", F.col("n").cast("bigint").alias("n"))
+    )
+
+
+def hourly_counts_gap_filled_oracle(
+    table: str = "events", ts_col: str = "ts", key_col: str = "event_type"
+) -> str:
+    return f"""
+    WITH h AS (SELECT {key_col}, CAST(date_trunc('hour', {ts_col}) AS TIMESTAMP) AS hr,
+                      count(*) AS n
+               FROM {table} GROUP BY 1, 2),
+    span AS (SELECT min(hr) AS a, max(hr) AS b FROM h),
+    grid AS (SELECT t.{key_col}, g.hr
+             FROM (SELECT DISTINCT {key_col} FROM {table}) t
+             CROSS JOIN (SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS hr
+                         FROM span) g)
+    SELECT grid.{key_col}, grid.hr, coalesce(h.n, 0) AS n
+    FROM grid LEFT JOIN h ON grid.{key_col} = h.{key_col} AND grid.hr = h.hr
+    """
+
+
+def locf_resample(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Downsample to per-key hourly means, densify onto the global hour
+    grid, and carry the last observation forward into the gaps.
+
+    LOCF is the standard fill for metrics/features ("value as of hour
+    H"): a window ``last(ignorenulls)`` from the start of each key's
+    series — one partition-local pass, no self-join. Hours before a
+    key's first observation stay NULL (nothing to carry)."""
+    hourly = (
+        df.groupBy(F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("hr"))
+        .agg(F.round(F.avg(val_col), 4).alias("v"))
+    )
+    span = hourly.agg(F.min("hr").alias("a"), F.max("hr").alias("b"))
+    hours = span.select(
+        F.explode(F.sequence("a", "b", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    grid = df.select(key_col).distinct().crossJoin(hours)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, [key_col, "hr"], "left")
+        .select(
+            key_col,
+            "hr",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
+
+
+def locf_resample_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    where: str = "",
+) -> str:
+    return f"""
+    WITH src AS (SELECT * FROM {table} {where}),
+    h AS (SELECT {key_col}, CAST(date_trunc('hour', {ts_col}) AS TIMESTAMP) AS hr,
+                 round(avg({val_col}), 4) AS v
+          FROM src GROUP BY 1, 2),
+    span AS (SELECT min(hr) AS a, max(hr) AS b FROM h),
+    grid AS (SELECT t.{key_col}, g.hr
+             FROM (SELECT DISTINCT {key_col} FROM src) t
+             CROSS JOIN (SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS hr
+                         FROM span) g)
+    SELECT grid.{key_col}, grid.hr,
+           last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY grid.{key_col} ORDER BY grid.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid LEFT JOIN h ON grid.{key_col} = h.{key_col} AND grid.hr = h.hr
+    """

@@ -43,6 +43,7 @@ from datafusion_sqlgen_spark.operators import (
     sampling,
     similarity,
     text,
+    timeseries,
 )
 from datafusion_sqlgen_spark.functions import udfs
 
@@ -713,6 +714,18 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: sampling.hash_split(s.table("documents"), holdout=0.2)
             .select("doc_id", "split"),
             sampling.hash_split_oracle(holdout=0.2, cols="doc_id"),
+        ),
+        # dense hourly grid: downsample + gap-fill (missing hours -> 0)
+        "ts_gap_fill_hourly": (
+            lambda s: timeseries.hourly_counts_gap_filled(s.table("events")),
+            timeseries.hourly_counts_gap_filled_oracle(),
+        ),
+        # resample to hourly means + last-observation-carried-forward
+        "ts_locf_resample": (
+            lambda s: timeseries.locf_resample(
+                s.table("events").filter("user_id < 50")
+            ),
+            timeseries.locf_resample_oracle(where="WHERE user_id < 50"),
         ),
         # near-dup clustering: LSH pairs -> connected components
         # (iterative min-label propagation vs DuckDB WITH RECURSIVE)

@@ -2,7 +2,7 @@
 
 import pytest
 
-from datafusion_sqlgen_spark.operators import dedup, joins, sampling, similarity, text
+from datafusion_sqlgen_spark.operators import dedup, joins, sampling, similarity, text, timeseries
 from tests.conftest import normalize_rows
 
 
@@ -235,3 +235,34 @@ def test_word_positions(spark, duck):
     assert stats.filter("lo <> 1 OR hi <> n").count() == 0
     check(spark, duck, out,
           text.word_positions_oracle(where="WHERE doc_id < 50"))
+
+
+def test_gap_fill_hourly(spark, duck):
+    from pyspark.sql import functions as F
+
+    out = timeseries.hourly_counts_gap_filled(_df(spark, "events"))
+    # the grid is dense: every key covers the same full hour span
+    per_key = out.groupBy("event_type").count()
+    assert per_key.select("count").distinct().count() == 1
+    # and gap rows exist (n=0) — otherwise this is just the plain rollup
+    assert out.filter("n = 0").count() > 0
+    check(spark, duck, out, timeseries.hourly_counts_gap_filled_oracle())
+
+
+def test_locf_resample(spark, duck):
+    from pyspark.sql import functions as F
+
+    src = _df(spark, "events").filter("user_id < 20")
+    out = timeseries.locf_resample(src)
+    # LOCF never leaves a gap after a key's first observation
+    w_ok = out.filter("v_filled IS NULL")
+    first_obs = (
+        timeseries.locf_resample(src)
+        .filter("v_filled IS NOT NULL")
+        .groupBy("user_id")
+        .agg(F.min("hr").alias("first_hr"))
+    )
+    bad = w_ok.join(first_obs, "user_id").filter("hr >= first_hr")
+    assert bad.count() == 0
+    check(spark, duck, out,
+          timeseries.locf_resample_oracle(where="WHERE user_id < 20"))
