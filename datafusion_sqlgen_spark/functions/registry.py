@@ -93,6 +93,27 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("array_join"),
         "duckdb": lambda a: f"array_to_string({', '.join(a)})",
     },
+    # array functions (Spark names canonical; the reference's only
+    # complex type is List with 1-based indexing, tests/select.rs:252-281)
+    "array": {"spark": _plain("array"), "duckdb": _plain("list_value")},
+    "array_max": {"spark": _plain("array_max"), "duckdb": _plain("list_max")},
+    "array_min": {"spark": _plain("array_min"), "duckdb": _plain("list_min")},
+    "array_contains": {
+        "spark": _plain("array_contains"),
+        "duckdb": _plain("list_contains"),
+    },
+    # 1-based position of first match; Spark returns 0 when absent,
+    # DuckDB returns NULL -> coalesce to align
+    "array_position": {
+        "spark": _plain("array_position"),
+        "duckdb": lambda a: f"coalesce(list_position({', '.join(a)}), 0)",
+    },
+    # Spark slice(arr, start, length) vs DuckDB list_slice(arr, start,
+    # stop) with inclusive stop -> stop = start + length - 1
+    "slice": {
+        "spark": _plain("slice"),
+        "duckdb": lambda a: f"list_slice({a[0]}, {a[1]}, ({a[1]}) + ({a[2]}) - 1)",
+    },
     # JSON path extraction, '$.k' path syntax on both engines; both
     # return NULL on missing path / malformed JSON (never an error)
     "get_json_object": {
@@ -204,6 +225,9 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "percentile_disc": lambda *a: F.call_function("percentile_disc", *a),
     # python wrapper wants a str path; the SQL function takes a Column
     "get_json_object": lambda *a: F.call_function("get_json_object", *a),
+    # python wrappers want int args; the SQL functions take Columns
+    "slice": lambda *a: F.call_function("slice", *a),
+    "array_position": lambda *a: F.call_function("array_position", *a),
 }
 
 

@@ -236,6 +236,31 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # array function suite over the embeddings vector column (the
+    # reference's one complex type is List, 1-based — §2.2 Array index)
+    w["expr_array_funcs"] = (
+        scan("embeddings")
+        .filter(col("vec_id") < 200)
+        .select(
+            col("vec_id"),
+            fn("array_size", col("embedding")).cast("bigint").alias("dim"),
+            fn("round", fn("array_max", col("embedding")).cast("double"), lit(5))
+            .alias("vmax"),
+            fn("round", fn("array_min", col("embedding")).cast("double"), lit(5))
+            .alias("vmin"),
+            fn("round",
+               fn("slice", col("embedding"), lit(2), lit(4))[2].cast("double"),
+               lit(5)).alias("s2"),
+            fn("round", col("embedding")[8].cast("double"), lit(5)).alias("e8"),
+            fn("array_contains",
+               fn("array", col("vec_id") % 5, lit(2), lit(7)), lit(2))
+            .alias("has2"),
+            fn("array_position",
+               fn("array", lit(7), col("vec_id") % 3, lit(7)), lit(7))
+            .cast("bigint").alias("pos7"),
+        )
+    )
+
     # JSON path extraction over the events payload column — semi-structured
     # access is table stakes for event pipelines; NULL (not error) on
     # missing path in both engines
