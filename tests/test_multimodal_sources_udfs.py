@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 from datafusion_sqlgen_spark.operators import multimodal as mm
 from datafusion_sqlgen_spark.sources import (
     read_csv,
+    read_orc,
     read_parquet,
     write_bucketed,
     write_csv,
+    write_orc,
     write_parquet,
 )
 
@@ -128,3 +130,17 @@ def test_zscore_udf_vs_window_twin(spark):
         for r in grouped_zscore_window(ev, "event_type", "value").collect()
     }
     assert a == b
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    p = str(tmp_path / "orders_orc")
+    orders = spark.table("orders")
+    write_orc(orders, p, partition_by=["o_orderstatus"])
+    back = read_orc(spark, p)
+    assert back.count() == orders.count()
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # directory partition pruning works for ORC exactly like parquet
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
