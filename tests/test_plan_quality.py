@@ -93,3 +93,20 @@ def test_no_cartesian_in_equi_joins(spark, queries):
     for name in ("join_tpch_q5ish", "join_broadcast_dims", "join_salted_skew"):
         txt = plan_text(queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in txt, f"{name} planned a cartesian product"
+
+
+def test_gap_fill_grid_broadcasts(spark, queries):
+    """The generated hour grid and hourly agg are tiny relative to the
+    fact table: the densifying outer join must broadcast, never
+    sort-merge (a sort-merge here shuffles the grid AND the counts)."""
+    txt = plan_text(queries["ts_gap_fill_hourly"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_stable_sample_is_scan_plus_filter(spark, queries):
+    """Deterministic sampling must stay a single narrow scan+filter —
+    no shuffle, no UDF — so it fans out embarrassingly at 100 TB."""
+    txt = plan_text(queries["sample_stable_hash"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
