@@ -40,6 +40,12 @@ def _bucket_sql(id_col: str, salt: str) -> str:
 def _threshold(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        # format() would yield the 5-char '10000', which sorts BELOW
+        # most 4-char hex strings ('ffff' > '10000' lexicographically)
+        # and silently turns "keep all" into "keep ~6%"; 'g' is greater
+        # than every hex character, so `prefix < 'g'` is always true.
+        return "g"
     return format(int(_BUCKETS * rate), "04x")
 
 
@@ -62,6 +68,79 @@ def stable_sample_oracle(
         f"SELECT {cols} FROM {table} "
         f"WHERE {_bucket_sql(id_col, salt)} < '{_threshold(rate)}'"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-curation staple
+    ("keep 100% of lang=de, 10% of lang=en"). One CASE over the stratum
+    column picks the md5 threshold; still a single scan+filter, no
+    shuffle, and membership is stable across runs and engines."""
+    bucket = _bucket_col(id_col, salt)
+    thr = F.lit(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(_threshold(rate))).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def stratified_sample_oracle(
+    rates: dict[str, float],
+    table: str = "documents",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+    cols: str = "*",
+) -> str:
+    # reversed: the last .when() wraps outermost in the Spark expression,
+    # so it must be the FIRST branch here for identical precedence
+    branches = " ".join(
+        f"WHEN {stratum_col} = '{value}' THEN '{_threshold(rate)}'"
+        for value, rate in sorted(rates.items(), reverse=True)
+    )
+    case = f"CASE {branches} ELSE '{_threshold(default_rate)}' END"
+    return (
+        f"SELECT {cols} FROM {table} "
+        f"WHERE {_bucket_sql(id_col, salt)} < {case}"
+    )
+
+
+def stable_topk_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = "topk"
+) -> DataFrame:
+    """Exactly-k deterministic sample: order by ``md5(id:salt)`` (a
+    uniform permutation of ids) and keep the first k. Unlike rate-based
+    sampling the output size is exact; unlike ``ORDER BY rand()`` it is
+    reproducible. Plan-wise this is a TakeOrdered (per-partition top-k +
+    single merge), not a global sort — scale-safe."""
+    return (
+        df.withColumn("_rk", _bucket_full_col(id_col, salt))
+        .orderBy("_rk", id_col)
+        .limit(k)
+        .drop("_rk")
+    )
+
+
+def stable_topk_sample_oracle(
+    k: int, table: str = "documents", id_col: str = "doc_id",
+    salt: str = "topk", cols: str = "*",
+) -> str:
+    return (
+        f"SELECT {cols} FROM {table} "
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}'), {id_col} "
+        f"LIMIT {k}"
+    )
+
+
+def _bucket_full_col(id_col: str, salt: str) -> Column:
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    return F.md5(key)
 
 
 def hash_split(

@@ -734,6 +734,22 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             .select("doc_id", "lang", "source"),
             sampling.stable_sample_oracle(rate=0.1, cols="doc_id, lang, source"),
         ),
+        # per-stratum rates (downsample dominant lang, keep rare ones)
+        "sample_stratified": (
+            lambda s: sampling.stratified_sample(
+                s.table("documents"),
+                rates={"en": 0.1, "de": 1.0, "fr": 0.5},
+            ).select("doc_id", "lang"),
+            sampling.stratified_sample_oracle(
+                rates={"en": 0.1, "de": 1.0, "fr": 0.5}, cols="doc_id, lang"
+            ),
+        ),
+        # exactly-k reproducible sample via hash-ordered TakeOrdered
+        "sample_stable_topk": (
+            lambda s: sampling.stable_topk_sample(s.table("documents"), k=100)
+            .select("doc_id", "lang"),
+            sampling.stable_topk_sample_oracle(k=100, cols="doc_id, lang"),
+        ),
         # leak-free train/holdout assignment keyed on md5(id:salt)
         "sample_hash_split": (
             lambda s: sampling.hash_split(s.table("documents"), holdout=0.2)

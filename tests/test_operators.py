@@ -266,3 +266,29 @@ def test_locf_resample(spark, duck):
     assert bad.count() == 0
     check(spark, duck, out,
           timeseries.locf_resample_oracle(where="WHERE user_id < 20"))
+
+
+def test_stratified_sample(spark, duck):
+    docs = _df(spark, "documents")
+    rates = {"en": 0.1, "de": 1.0, "fr": 0.5}
+    out = sampling.stratified_sample(docs, rates)
+    # de is kept whole; unlisted strata (es/zh) drop entirely
+    assert out.filter("lang = 'de'").count() == docs.filter("lang = 'de'").count()
+    assert out.filter("lang IN ('es','zh')").count() == 0
+    assert 0 < out.filter("lang = 'en'").count() < docs.filter("lang = 'en'").count()
+    check(spark, duck,
+          out.select("doc_id", "lang"),
+          sampling.stratified_sample_oracle(rates, cols="doc_id, lang"))
+
+
+def test_stable_topk_sample(spark, duck):
+    docs = _df(spark, "documents")
+    out = sampling.stable_topk_sample(docs, k=50)
+    assert out.count() == 50
+    # reproducible: same 50 ids on a second run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in sampling.stable_topk_sample(docs, k=50).collect())
+    assert a == b
+    check(spark, duck,
+          out.select("doc_id", "lang"),
+          sampling.stable_topk_sample_oracle(k=50, cols="doc_id, lang"))
