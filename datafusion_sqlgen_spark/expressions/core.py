@@ -45,11 +45,37 @@ DUCKDB = "duckdb"
 _DIALECTS = (SPARK, DUCKDB)
 
 
+# SQL reserved words that would be parse errors as bare identifiers in
+# either dialect (union of the common ANSI core both engines reserve).
+_RESERVED = frozenset({
+    "all", "and", "any", "as", "asc", "between", "both", "by", "case",
+    "cast", "check", "collate", "column", "constraint", "create", "cross",
+    "current", "default", "desc", "distinct", "drop", "else", "end",
+    "escape", "except", "exists", "false", "filter", "for", "foreign",
+    "from", "full", "group", "grouping", "having", "in", "inner",
+    "intersect", "into", "is", "join", "lateral", "leading", "left",
+    "like", "limit", "natural", "not", "null", "offset", "on", "or",
+    "order", "outer", "over", "partition", "primary", "qualify",
+    "references", "right", "rollup", "select", "semi", "set", "some",
+    "table", "then", "to", "trailing", "true", "union", "unique", "using",
+    "values", "when", "where", "window", "with",
+})
+
+
 def quote_ident(name: str, dialect: str) -> str:
-    """Quote an identifier only when necessary (keeps SQL readable)."""
+    """Quote an identifier only when necessary (keeps SQL readable).
+
+    Always quotes reserved words (a column literally named ``order`` or
+    ``group`` must not render bare) and anything empty/non-alnum.
+    """
     if name == "*":
         return name
-    if name.replace("_", "").isalnum() and not name[0].isdigit():
+    if (
+        name
+        and name.replace("_", "").isalnum()
+        and not name[0].isdigit()
+        and name.lower() not in _RESERVED
+    ):
         return name
     if dialect == SPARK:
         return "`" + name.replace("`", "``") + "`"

@@ -120,6 +120,17 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("get_json_object"),
         "duckdb": _plain("json_extract_string"),
     },
+    # Spark date_add(date, int_days) -> DATE; DuckDB's date_add takes an
+    # INTERVAL (incompatible signature), but DATE + INTEGER adds days and
+    # stays DATE — cast both operands to pin the overload.
+    "date_add": {
+        "spark": _plain("date_add"),
+        "duckdb": lambda a: f"(CAST({a[0]} AS DATE) + CAST({a[1]} AS INTEGER))",
+    },
+    "date_sub": {
+        "spark": _plain("date_sub"),
+        "duckdb": lambda a: f"(CAST({a[0]} AS DATE) - CAST({a[1]} AS INTEGER))",
+    },
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
         "spark": _plain("percentile"),
@@ -148,7 +159,7 @@ _COMMON = {
     "coalesce", "nullif", "greatest", "least", "ifnull",
     # date/time
     "year", "month", "day", "hour", "minute", "second", "to_date",
-    "to_timestamp", "date_part", "date_add",
+    "to_timestamp", "date_part",
     # aggregates
     "count", "sum", "avg", "min", "max", "stddev_samp", "stddev_pop",
     "var_samp", "var_pop", "corr", "covar_samp", "covar_pop", "median",

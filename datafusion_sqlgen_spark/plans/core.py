@@ -286,8 +286,16 @@ class Filter(Plan):
     def _fold(self, dialect: str) -> _SelectState:
         state = self.input._fold(dialect)
         pred = self.predicate.to_sql(dialect)
-        if state.group_by is not None and state.projection is not None:
+        if (
+            state.group_by is not None
+            and state.projection is not None
+            and state.limit is None
+            and state.offset is None
+        ):
             # Filter above Aggregate -> HAVING (predicate sees agg outputs).
+            # With LIMIT/OFFSET already set, HAVING would filter *before*
+            # the limit while the plan says filter-after-limit -> nest and
+            # use WHERE on the derived table instead.
             if state.having:
                 state.having = f"({state.having}) AND ({pred})"
             else:
@@ -434,6 +442,7 @@ class Aggregate(Plan):
             or state.distinct
             or state.order_by
             or state.limit is not None
+            or state.offset is not None
         ):
             state = _nest(state)
         # aliased group keys: GROUP BY takes the bare expression, the
@@ -518,6 +527,7 @@ class Join(Plan):
             or lstate.distinct
             or lstate.order_by
             or lstate.limit is not None
+            or lstate.offset is not None
         ):
             lstate = _nest(lstate)
         rstate = self.right._fold(dialect)
@@ -529,6 +539,7 @@ class Join(Plan):
             or rstate.distinct
             or rstate.order_by
             or rstate.limit is not None
+            or rstate.offset is not None
             or r_sql is None
         ):
             r_sql = f"({rstate.render()}) AS {_fresh_alias()}"
@@ -577,20 +588,26 @@ class SetOp(Plan):
     right: Plan
     kind: str
 
-    def _fold(self, dialect: str) -> _SelectState:
-        sql = (
-            f"{self.left.to_sql(dialect)} {_SETOP_SQL[self.kind]} "
-            f"{self.right.to_sql(dialect)}"
+    def _setop_sql(self, dialect: str) -> str:
+        # Parenthesize each operand: a child with ORDER BY/LIMIT is invalid
+        # SQL unparenthesized, and nested set-ops would regroup under
+        # INTERSECT's higher precedence ((a UNION b) INTERSECT c would
+        # otherwise parse as a UNION (b INTERSECT c)). Both dialects accept
+        # parenthesized query terms.
+        return (
+            f"({self.left.to_sql(dialect)}) {_SETOP_SQL[self.kind]} "
+            f"({self.right.to_sql(dialect)})"
         )
+
+    def _fold(self, dialect: str) -> _SelectState:
         # wrap so parent clauses apply to the whole set-op result
-        return _SelectState(from_sql=f"({sql}) AS {_fresh_alias()}")
+        return _SelectState(
+            from_sql=f"({self._setop_sql(dialect)}) AS {_fresh_alias()}"
+        )
 
     def to_sql(self, dialect: str = SPARK) -> str:
-        # top-level set-op needs no wrapping
-        return (
-            f"{self.left.to_sql(dialect)} {_SETOP_SQL[self.kind]} "
-            f"{self.right.to_sql(dialect)}"
-        )
+        # top-level set-op needs no outer derived-table wrapping
+        return self._setop_sql(dialect)
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         l, r = self.left.to_df(spark), self.right.to_df(spark)
