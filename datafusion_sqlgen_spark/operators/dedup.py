@@ -465,27 +465,30 @@ def connected_components(
     )
     edges.count()
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.distinct().persist()
+    # Partition the (static) symmetrized edge list by the join key ONCE:
+    # the persisted scan reports hashpartitioning(s), so every iteration's
+    # join shuffles only the (smaller) label table.
+    sym = sym.distinct().repartition(F.col("s")).persist()
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
+    # Convergence check: labels move strictly monotonically down (min-
+    # propagation), so the global label sum strictly decreases iff any
+    # node changed — one tiny aggregate per round instead of a join+count.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         prop = (
             sym.join(labels.withColumnRenamed("node", "s"), "s")
             .select(F.col("d").alias("node"), "label")
         )
-        new_labels = (
+        labels = (
             labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            ).filter(F.col("label") < F.col("old")).count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     edges.unpersist()
     return labels

@@ -46,6 +46,7 @@ from datafusion_sqlgen_spark.operators import (
     timeseries,
 )
 from datafusion_sqlgen_spark.functions import udfs
+from datafusion_sqlgen_spark.tpch import tpch_workloads
 
 
 # --------------------------------------------------------------------------
@@ -693,6 +694,10 @@ def _ir_workloads() -> dict[str, Plan]:
             ).otherwise(0).alias("new_session"),
         )
     )
+
+    # Adapted TPC-H suite (q3-q22): the canonical multi-join / subquery /
+    # CTE shapes the reference's commented-out corpus aspires to.
+    w.update(tpch_workloads())
 
     return w
 
