@@ -229,10 +229,12 @@ def minhash_dedup_pairs(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # persisted: the pair join reads `sh` twice (id_a and id_b sides) —
+    # without the cut, candidate docs are re-shingled per side
     sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -2,6 +2,7 @@ from datafusion_sqlgen_spark.plans.core import (
     Aggregate,
     Distinct,
     EmptyRelation,
+    Explode,
     Filter,
     Join,
     Limit,
@@ -19,6 +20,6 @@ from datafusion_sqlgen_spark.plans.core import (
 
 __all__ = [
     "Plan", "Scan", "Project", "Filter", "Distinct", "Sort", "Limit",
-    "Offset", "EmptyRelation", "Aggregate", "Join", "SetOp", "With",
+    "Offset", "EmptyRelation", "Explode", "Aggregate", "Join", "SetOp", "With",
     "SubqueryAlias", "scan", "values_relation",
 ]

@@ -181,6 +181,17 @@ class Plan:
     def alias(self, name: str) -> "SubqueryAlias":
         return SubqueryAlias(self, name)
 
+    def explode(
+        self,
+        expr,
+        alias: str,
+        pos_alias: Optional[str] = None,
+        outer: bool = False,
+    ) -> "Explode":
+        """Unnest an array column into rows (keeps all input columns).
+        ``pos_alias`` adds a 0-based position column (posexplode)."""
+        return Explode(self, _wrap_proj(expr), alias, pos_alias, outer)
+
 
 def _wrap_proj(e) -> Expr:
     if isinstance(e, Expr):
@@ -486,6 +497,81 @@ class Aggregate(Plan):
         else:
             grouped = df.groupBy(*key_cols)
         return grouped.agg(*agg_cols)
+
+
+@dataclass(frozen=True)
+class Explode(Plan):
+    """Array-to-rows expansion (the DataFusion ``Unnest`` plan node the
+    reference's version predates; absent -> catch-all
+    logical_plan.rs:200-203).
+
+    Dual rendering differs structurally by dialect: Spark hosts the
+    generator in the FROM clause (``LATERAL VIEW [pos]explode``), DuckDB
+    in the SELECT list (``unnest`` + ``generate_subscripts``, which pair
+    up positionally). Positions are 0-based (Spark's convention;
+    generate_subscripts is 1-based -> -1). ``outer=True`` keeps rows with
+    NULL/empty arrays, emitting NULL element (and NULL position).
+
+    Scale: explode is a narrow per-row transform — no shuffle; row-count
+    amplification is handled by Spark splitting output batches, and
+    filters above the explode still push partition pruning below it.
+    """
+
+    input: Plan
+    expr: Expr
+    alias_name: str
+    pos_alias: Optional[str] = None
+    outer: bool = False
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        if (
+            state.projection is not None
+            or state.distinct
+            or state.group_by is not None
+            or state.order_by
+            or state.limit is not None
+            or state.offset is not None
+            or state.where
+            or state.no_from
+        ):
+            state = _nest(state)
+        e = self.expr.to_sql(dialect)
+        a = quote_ident(self.alias_name, dialect)
+        if dialect == SPARK:
+            kw = "LATERAL VIEW OUTER" if self.outer else "LATERAL VIEW"
+            lv = _fresh_alias()
+            if self.pos_alias:
+                p = quote_ident(self.pos_alias, dialect)
+                state.from_sql += f" {kw} posexplode({e}) {lv} AS {p}, {a}"
+            else:
+                state.from_sql += f" {kw} explode({e}) {lv} AS {a}"
+            return state
+        arr = e
+        empty = f"({e} IS NULL OR len({e}) = 0)"
+        if self.outer:
+            arr = f"(CASE WHEN {empty} THEN [NULL] ELSE {e} END)"
+        proj = ["*"]
+        if self.pos_alias:
+            p = quote_ident(self.pos_alias, dialect)
+            pos_expr = f"generate_subscripts({arr}, 1) - 1"
+            if self.outer:
+                # Spark's posexplode_outer emits NULL position for the
+                # padded row; generate_subscripts would say 0
+                pos_expr = f"(CASE WHEN {empty} THEN NULL ELSE {pos_expr} END)"
+            proj.append(f"{pos_expr} AS {p}")
+        proj.append(f"unnest({arr}) AS {a}")
+        state.projection = proj
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        df = self.input.to_df(spark)
+        c = self.expr.to_column()
+        if self.pos_alias:
+            gen = F.posexplode_outer(c) if self.outer else F.posexplode(c)
+            return df.select("*", gen.alias(self.pos_alias, self.alias_name))
+        gen = F.explode_outer(c) if self.outer else F.explode(c)
+        return df.select("*", gen.alias(self.alias_name))
 
 
 _JOIN_SQL = {

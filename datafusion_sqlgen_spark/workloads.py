@@ -695,6 +695,35 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # --- lateral / unnest (DataFusion Unnest plan node; absent in the
+    # reference -> catch-all logical_plan.rs:200-203) ---
+
+    # explode a computed array (word list), aggregate over the rows
+    w["lat_explode_words"] = (
+        scan("documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), fn("split", col("text"), lit(" ")).alias("words"))
+        .explode(col("words"), "word")
+        .filter(fn("length", col("word")) > 0)
+        .group_by(col("word"))
+        .agg(agg("count").alias("n"))
+        .sort(col("n").desc(), col("word").asc())
+        .limit(50)
+    )
+
+    # posexplode with 0-based position over a stored float array
+    w["lat_posexplode_embedding"] = (
+        scan("embeddings")
+        .filter(col("vec_id") < 10)
+        .explode(col("embedding"), "val", pos_alias="pos")
+        .select(
+            col("vec_id"),
+            col("pos").cast("int").alias("pos"),
+            fn("round", col("val").cast("double"), lit(4)).alias("val"),
+        )
+        .sort(col("vec_id").asc(), col("pos").asc())
+    )
+
     # Adapted TPC-H suite (q3-q22): the canonical multi-join / subquery /
     # CTE shapes the reference's commented-out corpus aspires to.
     w.update(tpch_workloads())
