@@ -191,6 +191,62 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (batch)
+    dimension table. The static side is broadcast — no streaming state at
+    all, and dim updates are picked up per-trigger when the source
+    supports it (e.g. Delta). The 100-TB enrichment pattern: facts
+    stream, dimensions broadcast."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def click_purchase_attribution_stream(
+    events: DataFrame,
+    attribution: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to the click
+    they followed within ``attribution``. Both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark can evict
+    join state (unbounded otherwise — the canonical stream-join pitfall).
+
+    Returns (user_id, click_ts, purchase_ts, value)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {attribution}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        F.round("value", 2).alias("value"),
+    )
+
+
 def stream_to_memory(
     stream_df: DataFrame,
     name: str,

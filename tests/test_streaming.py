@@ -96,3 +96,67 @@ def test_stateful_running_totals(spark, stream_dir):
     assert {r["user_id"]: r["n_events"] for r in final} == {
         r["user_id"]: r["n_events"] for r in batch
     }
+
+
+def test_stream_static_enrich(spark, stream_dir):
+    batch_ev = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    dim = (
+        batch_ev.select("user_id").distinct()
+        .withColumn("segment", F.col("user_id") % 10)
+    )
+    ev = st.read_events_stream(spark, stream_dir)
+    st.stream_to_memory(
+        st.stream_static_enrich(ev, dim), "t_enrich", output_mode="append"
+    )
+    streamed = normalize_rows(
+        [tuple(r) for r in spark.sql(
+            "SELECT event_id, segment FROM t_enrich").collect()]
+    )
+    batch = normalize_rows(
+        [tuple(r) for r in batch_ev.join(dim, "user_id", "left")
+         .select("event_id", "segment").collect()]
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_stream_stream_attribution_matches_batch(spark, stream_dir):
+    ev = st.read_events_stream(spark, stream_dir)
+    st.stream_to_memory(
+        st.click_purchase_attribution_stream(ev, attribution="30 minutes"),
+        "t_attr",
+        output_mode="append",
+    )
+    streamed = normalize_rows(
+        [tuple(r) for r in spark.sql("SELECT * FROM t_attr").collect()], 2
+    )
+    batch_ev = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    clicks = batch_ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = batch_ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    batch = normalize_rows(
+        [
+            tuple(r)
+            for r in clicks.join(
+                purchases,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+            )
+            .select(
+                F.col("c_user").alias("user_id"),
+                "click_ts",
+                "purchase_ts",
+                F.round("value", 2).alias("value"),
+            )
+            .collect()
+        ],
+        2,
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
