@@ -91,3 +91,30 @@ def grouped_zscore_window(df, group_col: str, value_col: str):
             (v - F.avg(value_col).over(w)) / sd
         ),
     )
+
+
+def make_chunk_udtf(size: int = 32, stride: int = 24):
+    """Python UDTF (Spark >= 3.5 table function) emitting overlapping
+    word-window chunks per document — the per-row-Python tier of the
+    custom-operator ladder. Production chunking uses the built-in
+    composition in ``operators.text.chunk_documents`` (codegen'd, no
+    Python); this exists as the extension-point surface (the reference
+    has zero UDF/UDTF extension points — SURVEY.md §2.2 last row) and is
+    tested equal to the built-in path.
+
+    Register and call from SQL:
+        spark.udtf.register("chunk_document", make_chunk_udtf())
+        SELECT c.* FROM documents, LATERAL chunk_document(doc_id, text) c
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_words int")
+    class ChunkDocument:
+        def eval(self, doc_id, text):
+            words = (text or "").split(" ")
+            n = max(len(words), 1)
+            for idx, start in enumerate(range(0, n, stride)):
+                piece = words[start : start + size]
+                yield doc_id, idx, " ".join(piece), len(piece)
+
+    return ChunkDocument

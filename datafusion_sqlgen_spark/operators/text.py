@@ -275,3 +275,56 @@ def fingerprint_oracle(table: str = "documents", shingle: int = 5) -> str:
                s -> md5(s))) AS fingerprint
     FROM {table}
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the training
+    /RAG chunking step. ``size``-word chunks every ``stride`` words
+    (stride < size -> overlap; the tail chunk may be shorter).
+
+    Scale path: pure built-in composition (split -> sequence ->
+    posexplode -> slice), whole-stage-codegen'd, no Python in the loop —
+    the UDTF twin in ``functions.udfs.make_chunk_udtf`` is the
+    per-row-Python extension point tier, kept for API parity and tested
+    equal to this."""
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(stride))
+    piece = F.slice(F.col("ws"), F.col("start"), size)
+    return (
+        df.select(F.col(id_col), ws.alias("ws"),
+                  F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join(piece, " ").alias("chunk"),
+            F.size(piece).cast("int").alias("n_words"),
+        )
+    )
+
+
+def chunk_documents_oracle(
+    table: str = "documents",
+    where: str = "",
+    size: int = 32,
+    stride: int = 24,
+) -> str:
+    w = f"WHERE {where}" if where else ""
+    # unnest(range(...)) rather than a lateral generate_series: DuckDB's
+    # generate_series table function cannot take lateral column params
+    return f"""
+    SELECT doc_id,
+           CAST((start - 1) / {stride} AS INT) AS chunk_idx,
+           array_to_string(list_slice(ws, start, start + {size} - 1), ' ') AS chunk,
+           CAST(len(list_slice(ws, start, start + {size} - 1)) AS INT) AS n_words
+    FROM (
+        SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws), 1) + 1, {stride})) AS start
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {table} {w}) t0
+    ) t
+    """

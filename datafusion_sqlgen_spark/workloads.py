@@ -757,6 +757,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.top_terms(s.table("documents")),
             text.top_terms_oracle(),
         ),
+        # overlapping word-window chunking (training/RAG prep); pure
+        # built-in composition — the UDTF twin is tested equal in
+        # tests/test_multimodal_sources_udfs.py
+        "text_chunk_documents": (
+            lambda s: text.chunk_documents(s.table("documents").filter("doc_id < 200")),
+            text.chunk_documents_oracle(where="doc_id < 200"),
+        ),
         # posexplode with 1-based ordinality (positional tokenization)
         "text_word_positions": (
             lambda s: text.word_positions(s.table("documents").filter("doc_id < 100")),

@@ -144,3 +144,41 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     )
     # directory partition pruning works for ORC exactly like parquet
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_chunk_udtf_equals_builtin(spark):
+    """The per-row-Python UDTF tier must agree with the codegen'd
+    built-in composition (operators.text.chunk_documents)."""
+    from datafusion_sqlgen_spark.functions.udfs import make_chunk_udtf
+    from datafusion_sqlgen_spark.operators import text as text_ops
+    from tests.conftest import normalize_rows
+
+    spark.udtf.register("chunk_document", make_chunk_udtf())
+    via_udtf = spark.sql(
+        "SELECT c.* FROM documents, LATERAL chunk_document(documents.doc_id, text) c "
+        "WHERE documents.doc_id < 40"
+    )
+    via_builtin = text_ops.chunk_documents(
+        spark.table("documents").filter("doc_id < 40")
+    )
+    a = normalize_rows([tuple(r) for r in via_udtf.collect()])
+    b = normalize_rows([tuple(r) for r in via_builtin.collect()])
+    assert a == b
+    assert len(a) > 0
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    from datafusion_sqlgen_spark.operators import text as text_ops
+    import pyspark.sql.functions as F
+
+    one = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(40)))], ["doc_id", "text"]
+    )
+    rows = {
+        r["chunk_idx"]: r
+        for r in text_ops.chunk_documents(one, size=32, stride=24).collect()
+    }
+    assert rows[0]["n_words"] == 32 and rows[0]["chunk"].startswith("0 1 ")
+    # second chunk starts at word 24 and holds the 16-word tail
+    assert rows[1]["n_words"] == 16 and rows[1]["chunk"].startswith("24 25")
+    assert set(rows) == {0, 1}
