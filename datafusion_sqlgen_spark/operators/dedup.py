@@ -556,3 +556,34 @@ def ngram_jaccard_pairs_oracle(
     WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
                 / len(list_distinct(list_concat(sh_a, sh_b))), 4) > {threshold}
     """
+
+
+def canonical_text(text_col: Column) -> Column:
+    """Canonical form for near-exact dedup: lowercase, collapse runs of
+    whitespace, strip. Catches the trivial-variant duplicates (case /
+    spacing) that exact md5 misses, at exact-dedup cost."""
+    return F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " "))
+
+
+def canonical_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over the canonicalized text. Same shuffle profile as
+    exact_dedup: the md5 of the canonical form shuffles, never the text."""
+    return (
+        df.groupBy(F.md5(canonical_text(F.col(text_col))).alias("canon_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canon_md5", "keep_id", "n_copies")
+    )
+
+
+def canonical_dedup_oracle(table: str = "documents") -> str:
+    return f"""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS canon_md5,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM {table}
+    GROUP BY 1
+    """

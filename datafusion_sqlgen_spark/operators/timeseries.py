@@ -119,3 +119,54 @@ def locf_resample_oracle(
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
     FROM grid LEFT JOIN h ON grid.{key_col} = h.{key_col} AND grid.hr = h.hr
     """
+
+
+def ohlc_resample(
+    df: "DataFrame",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+) -> "DataFrame":
+    """OHLC (open/high/low/close) downsampling per key and time bucket —
+    the candle aggregation. Open/close are time-ordered first/last via
+    min_by/max_by on the timestamp (one hash aggregate, no window, no
+    second shuffle); high/low are plain min/max.
+
+    Scale: a single partial+final aggregate keyed on (bucket, key) —
+    the same shuffle profile as any groupBy; min_by/max_by carry one
+    (ts, value) pair of state per group."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    return (
+        df.groupBy(b, F.col(key_col))
+        .agg(
+            F.round(F.min_by(F.col(value_col), F.col(ts_col)), 2).alias("open"),
+            F.round(F.max(value_col), 2).alias("high"),
+            F.round(F.min(value_col), 2).alias("low"),
+            F.round(F.max_by(F.col(value_col), F.col(ts_col)), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def ohlc_resample_oracle(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+) -> str:
+    """DuckDB twin: arg_min/arg_max are min_by/max_by. Ties on the
+    timestamp are impossible per (bucket, key) in the driver data
+    (checked); with ties both engines would pick arbitrarily."""
+    return f"""
+    SELECT CAST(date_trunc('{bucket}', {ts_col}) AS TIMESTAMP) AS bucket,
+           {key_col},
+           round(arg_min({value_col}, {ts_col}), 2) AS open,
+           round(max({value_col}), 2) AS high,
+           round(min({value_col}), 2) AS low,
+           round(arg_max({value_col}, {ts_col}), 2) AS close,
+           count(*) AS n
+    FROM {table}
+    GROUP BY 1, 2
+    """

@@ -741,6 +741,11 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: dedup.exact_dedup(s.table("documents")),
             dedup.exact_dedup_oracle(),
         ),
+        # near-exact: case/whitespace-canonicalized content hash
+        "dedup_canonical": (
+            lambda s: dedup.canonical_dedup(s.table("documents")),
+            dedup.canonical_dedup_oracle(),
+        ),
         "dedup_minhash_signatures": (
             lambda s: dedup.minhash_signatures(s.table("documents")),
             dedup.minhash_signatures_oracle(),
@@ -801,6 +806,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "ts_gap_fill_hourly": (
             lambda s: timeseries.hourly_counts_gap_filled(s.table("events")),
             timeseries.hourly_counts_gap_filled_oracle(),
+        ),
+        # OHLC candle downsampling: time-ordered open/close via
+        # min_by/max_by (DuckDB arg_min/arg_max), one hash aggregate
+        "ts_ohlc_hourly": (
+            lambda s: timeseries.ohlc_resample(s.table("events")),
+            timeseries.ohlc_resample_oracle(),
         ),
         # resample to hourly means + last-observation-carried-forward
         "ts_locf_resample": (

@@ -110,3 +110,52 @@ def test_stable_sample_is_scan_plus_filter(spark, queries):
     txt = plan_text(queries["sample_stable_hash"](spark, SF_DIR))
     assert "Exchange hashpartitioning" not in txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_tpch_q3_dims_broadcast_filters_push(spark, queries):
+    """q3: customer (dim vs lineitem) broadcasts; the segment filter
+    reaches the customer scan."""
+    txt = plan_text(queries["tpch_q3"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in txt
+    assert "EqualTo(c_mktsegment,BUILDING)" in txt
+
+
+def test_tpch_q9_no_cartesian_and_pruned(spark, queries):
+    txt = plan_text(queries["tpch_q9"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+    # lineitem scan must not read the columns q9 never touches
+    li_schema = [
+        seg.split("ReadSchema:")[1].splitlines()[0]
+        for seg in txt.split("Scan parquet")[1:] + txt.split("Scan ")[1:]
+        if "ReadSchema:" in seg and "l_partkey" in seg
+    ]
+    assert li_schema and all("l_returnflag" not in s for s in li_schema)
+
+
+def test_tpch_q17_correlated_subquery_decorrelates(spark, queries):
+    """Catalyst must rewrite the per-part avg subquery into an aggregate
+    + join — no per-row subquery execution shape exists in Spark, but a
+    regression to BroadcastNestedLoop over the whole lineitem would be
+    the failure mode here."""
+    txt = plan_text(queries["tpch_q17"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+
+
+def test_tpch_q18_semi_join_for_in_subquery(spark, queries):
+    txt = plan_text(queries["tpch_q18"](spark, SF_DIR))
+    assert "LeftSemi" in txt, "IN (subquery) must plan as a semi join"
+
+
+def test_explode_no_shuffle(spark, queries):
+    """Explode is a narrow transform: the lateral expansion itself must
+    not introduce an exchange below the aggregation."""
+    from datafusion_sqlgen_spark.expressions import col, fn, lit
+    from datafusion_sqlgen_spark.plans import scan
+
+    p = (
+        scan("documents")
+        .select(col("doc_id"), fn("split", col("text"), lit(" ")).alias("ws"))
+        .explode(col("ws"), "w")
+    )
+    txt = plan_text(p.to_df(spark))
+    assert "Generate" in txt and "Exchange" not in txt
