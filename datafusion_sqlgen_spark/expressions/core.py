@@ -111,6 +111,9 @@ class Expr:
     def cast(self, dtype: str) -> "Cast":
         return Cast(self, dtype)
 
+    def try_cast(self, dtype: str) -> "TryCast":
+        return TryCast(self, dtype)
+
     def asc(self, nulls_first: bool = True) -> "SortKey":
         return SortKey(self, ascending=True, nulls_first=nulls_first)
 
@@ -357,6 +360,19 @@ class Cast(Expr):
 
     def to_column(self) -> Column:
         return self.operand.to_column().cast(self.dtype)
+
+
+class TryCast(Cast):
+    """TRY_CAST(e AS t): NULL on conversion failure instead of error —
+    the DataFusion ``Expr::TryCast`` analogue (the reference's unparser
+    predates it; CAST cited at expr.rs:56-59). Identical syntax in Spark
+    and DuckDB."""
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return "TRY_" + super().to_sql(dialect)
+
+    def to_column(self) -> Column:
+        return self.operand.to_column().try_cast(self.dtype)
 
 
 @dataclass(frozen=True, eq=False)

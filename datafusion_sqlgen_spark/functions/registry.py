@@ -131,6 +131,37 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("date_sub"),
         "duckdb": lambda a: f"(CAST({a[0]} AS DATE) - CAST({a[1]} AS INTEGER))",
     },
+    # Spark dayofweek: 1-7 with Sunday=1; DuckDB dayofweek: 0-6 Sunday=0
+    "dayofweek": {
+        "spark": _plain("dayofweek"),
+        "duckdb": lambda a: f"(dayofweek({', '.join(a)}) + 1)",
+    },
+    # map type: Spark map(k1, v1, k2, v2, ...) interleaves; DuckDB map()
+    # takes (keys_list, values_list)
+    "map": {
+        "spark": _plain("map"),
+        "duckdb": lambda a: (
+            "map([" + ", ".join(a[0::2]) + "], [" + ", ".join(a[1::2]) + "])"
+        ),
+    },
+    "map_from_arrays": {
+        "spark": _plain("map_from_arrays"),
+        "duckdb": _plain("map"),
+    },
+    # element_at on a map: DuckDB's m[k]/map_extract return a LIST
+    # ([] when absent) — unwrap to value-or-NULL to match Spark
+    "map_get": {
+        "spark": lambda a: f"element_at({', '.join(a)})",
+        "duckdb": lambda a: f"list_extract(map_extract({a[0]}, {a[1]}), 1)",
+    },
+    "map_size": {
+        "spark": _plain("size"),
+        "duckdb": _plain("cardinality"),
+    },
+    "map_contains_key": {
+        "spark": _plain("map_contains_key"),
+        "duckdb": lambda a: f"list_contains(map_keys({a[0]}), {a[1]})",
+    },
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
         "spark": _plain("percentile"),
@@ -160,6 +191,9 @@ _COMMON = {
     # date/time
     "year", "month", "day", "hour", "minute", "second", "to_date",
     "to_timestamp", "date_part",
+    "quarter", "weekofyear", "dayofyear", "last_day",
+    # map (identical names/semantics)
+    "map_keys", "map_values",
     # aggregates
     "count", "sum", "avg", "min", "max", "stddev_samp", "stddev_pop",
     "var_samp", "var_pop", "corr", "covar_samp", "covar_pop", "median",
@@ -236,6 +270,10 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "percentile_disc": lambda *a: F.call_function("percentile_disc", *a),
     # python wrapper wants a str path; the SQL function takes a Column
     "get_json_object": lambda *a: F.call_function("get_json_object", *a),
+    "map": lambda *a: F.create_map(*a),
+    "map_get": lambda *a: F.call_function("element_at", *a),
+    "map_size": lambda c: F.size(c),
+    "map_contains_key": lambda *a: F.call_function("map_contains_key", *a),
     # python wrappers want int args; the SQL functions take Columns
     "slice": lambda *a: F.call_function("slice", *a),
     "array_position": lambda *a: F.call_function("array_position", *a),

@@ -695,6 +695,42 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # extended date parts (engine numbering aligned: Spark dayofweek is
+    # Sunday=1, DuckDB Sunday=0) + TRY_CAST null-on-failure semantics
+    w["expr_date_parts_trycast"] = (
+        scan("orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+            col("o_orderkey"),
+            fn("dayofweek", col("o_orderdate")).cast("int").alias("dow"),
+            fn("dayofyear", col("o_orderdate")).cast("int").alias("doy"),
+            fn("weekofyear", col("o_orderdate")).cast("int").alias("woy"),
+            fn("quarter", col("o_orderdate")).cast("int").alias("q"),
+            fn("last_day", col("o_orderdate")).cast("timestamp").alias("month_end"),
+            col("o_orderstatus").try_cast("int").alias("bad_cast"),
+            fn("concat", lit("4"), lit("2")).try_cast("int").alias("good_cast"),
+        )
+    )
+
+    # map type end-to-end: build, extract (value-or-NULL), keys/size
+    _m = fn(
+        "map",
+        lit("st"), col("o_orderstatus"),
+        lit("pri"), col("o_orderpriority"),
+    )
+    w["expr_map_funcs"] = (
+        scan("orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+            col("o_orderkey"),
+            fn("map_get", _m, lit("st")).alias("st"),
+            fn("map_get", _m, lit("absent")).alias("missing"),
+            fn("map_size", _m).cast("int").alias("n_entries"),
+            fn("array_join", fn("map_keys", _m), lit(",")).alias("ks"),
+            fn("map_contains_key", _m, lit("pri")).alias("has_pri"),
+        )
+    )
+
     # --- lateral / unnest (DataFusion Unnest plan node; absent in the
     # reference -> catch-all logical_plan.rs:200-203) ---
 
