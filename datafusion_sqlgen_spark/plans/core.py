@@ -277,11 +277,17 @@ class Project(Plan):
     def to_df(self, spark: SparkSession) -> DataFrame:
         df = self.input.to_df(spark)
         cols = []
-        for e in self.exprs:
-            if isinstance(e, Star):
-                cols.append(f"{e.table}.*" if e.table else "*")
-            else:
-                cols.append(e.to_column())
+        try:
+            for e in self.exprs:
+                if isinstance(e, Star):
+                    cols.append(f"{e.table}.*" if e.table else "*")
+                else:
+                    cols.append(e.to_column())
+        except NotImplementedError:
+            # a projection expr embeds a subquery (scalar/EXISTS/IN) —
+            # PySpark has no Column constructor for those; execute via our
+            # generated SQL (same Catalyst plan after decorrelation)
+            return spark.sql(self.to_sql(SPARK))
         return df.select(*cols)
 
 

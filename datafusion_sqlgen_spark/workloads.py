@@ -695,6 +695,28 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # scalar subquery in the SELECT list (projection side; the filter
+    # side is subq_scalar_avg) — to_df falls back to generated SQL
+    w["subq_scalar_in_select"] = (
+        scan("nation")
+        .select(
+            col("n_nationkey"),
+            col("n_name"),
+            ScalarSubquery(
+                scan("customer")
+                .group_by()
+                .agg(agg("count").alias("c"))
+            ).alias("total_customers"),
+            ScalarSubquery(
+                scan("customer")
+                .filter(col("c_nationkey") == col("n_nationkey"))
+                .group_by()
+                .agg(agg("count").alias("c"))
+            ).alias("nation_customers"),
+        )
+        .sort(col("n_nationkey").asc())
+    )
+
     # extended date parts (engine numbering aligned: Spark dayofweek is
     # Sunday=1, DuckDB Sunday=0) + TRY_CAST null-on-failure semantics
     w["expr_date_parts_trycast"] = (
