@@ -362,6 +362,22 @@ class Cast(Expr):
         return self.operand.to_column().cast(self.dtype)
 
 
+@dataclass(frozen=True, eq=False)
+class Interval(Expr):
+    """INTERVAL literal (``INTERVAL n UNIT``) — identical syntax in Spark
+    and DuckDB for single-unit intervals. The reference has no interval
+    type at all (SURVEY.md §1.3: no live date/timestamp path)."""
+
+    n: int
+    unit: str  # DAY / MONTH / YEAR / HOUR / MINUTE / SECOND
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return f"INTERVAL {self.n} {self.unit.upper()}"
+
+    def to_column(self) -> Column:
+        return F.expr(f"INTERVAL {self.n} {self.unit.upper()}")
+
+
 class TryCast(Cast):
     """TRY_CAST(e AS t): NULL on conversion failure instead of error —
     the DataFusion ``Expr::TryCast`` analogue (the reference's unparser

@@ -9,6 +9,7 @@ from datafusion_sqlgen_spark.plans.core import (
     Offset,
     Plan,
     Project,
+    RecursiveWith,
     Scan,
     SetOp,
     Sort,
@@ -21,5 +22,6 @@ from datafusion_sqlgen_spark.plans.core import (
 __all__ = [
     "Plan", "Scan", "Project", "Filter", "Distinct", "Sort", "Limit",
     "Offset", "EmptyRelation", "Explode", "Aggregate", "Join", "SetOp", "With",
+    "RecursiveWith",
     "SubqueryAlias", "scan", "values_relation",
 ]

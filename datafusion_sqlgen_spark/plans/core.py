@@ -743,6 +743,47 @@ class With(Plan):
         return self.body.to_df(spark)
 
 
+@dataclass(frozen=True)
+class RecursiveWith(Plan):
+    """WITH RECURSIVE name(cols) AS (base UNION ALL step) body.
+
+    Iteration as a *plan node*: Spark >= 4.0 and DuckDB both execute
+    recursive CTEs natively (the reference's DataFusion 10 has no CTE
+    surface at all — Query.with is always None, logical_plan.rs:28).
+    ``step`` references ``scan(name)``. There is no DataFrame-API
+    construction for recursion, so ``to_df`` executes the generated SQL —
+    the one plan node where SQL text is the only rendering.
+
+    Scale: each iteration is a distributed job over the previous
+    iteration's output (same execution shape as the driver-coordinated
+    loop in ``dedup.connected_components``); prefer the explicit loop
+    when you need per-round persistence control.
+    """
+
+    name: str
+    columns: tuple
+    base: Plan
+    step: Plan
+    body: Plan
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        cols = ""
+        if self.columns:
+            cols = "(" + ", ".join(quote_ident(c, dialect) for c in self.columns) + ")"
+        return (
+            f"WITH RECURSIVE {quote_ident(self.name, dialect)}{cols} AS "
+            f"(({self.base.to_sql(dialect)}) UNION ALL ({self.step.to_sql(dialect)})) "
+            f"{self.body.to_sql(dialect)}"
+        )
+
+    def _fold(self, dialect: str) -> _SelectState:
+        # usable as an input to further operators via a derived table
+        return _SelectState(from_sql=f"({self.to_sql(dialect)}) AS {_fresh_alias()}")
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.sql(self.to_sql(SPARK))
+
+
 def scan(table: str) -> Scan:
     return Scan(table)
 

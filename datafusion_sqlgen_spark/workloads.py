@@ -32,10 +32,18 @@ from datafusion_sqlgen_spark.expressions import col, fn, agg, lit, star, when
 from datafusion_sqlgen_spark.expressions.core import (
     Exists,
     InSubquery,
+    Interval,
     IsDistinctFrom,
     ScalarSubquery,
 )
-from datafusion_sqlgen_spark.plans import EmptyRelation, Plan, SetOp, With, scan
+from datafusion_sqlgen_spark.plans import (
+    EmptyRelation,
+    Plan,
+    RecursiveWith,
+    SetOp,
+    With,
+    scan,
+)
 from datafusion_sqlgen_spark.operators import (
     dedup,
     joins,
@@ -693,6 +701,32 @@ def _ir_workloads() -> dict[str, Plan]:
                 1,
             ).otherwise(0).alias("new_session"),
         )
+    )
+
+    # recursive CTE (Spark >= 4.0 WITH RECURSIVE ≡ DuckDB): generate a
+    # dense month spine by iteration, left-join monthly order revenue —
+    # months with no orders appear with rev 0
+    _m0 = fn("to_timestamp", lit("1995-01-01 00:00:00"))
+    _monthly = (
+        scan("orders")
+        .group_by(fn("date_trunc", lit("month"), col("o_orderdate")).alias("mo"))
+        .agg(_money_out(agg("sum", _money(col("o_totalprice")))).alias("rev"))
+    )
+    w["cte_recursive_month_spine"] = RecursiveWith(
+        name="month_spine",
+        columns=("m",),
+        base=EmptyRelation().select(_m0.alias("m")),
+        step=(
+            scan("month_spine")
+            .filter(col("m") < fn("to_timestamp", lit("1996-12-01 00:00:00")))
+            .select((col("m") + Interval(1, "MONTH")).alias("m"))
+        ),
+        body=(
+            scan("month_spine")
+            .join(_monthly.alias("mrev"), on=col("mo") == col("m"), how="left")
+            .select(col("m"), fn("coalesce", col("rev"), lit(0).cast("double")).alias("rev"))
+            .sort(col("m").asc())
+        ),
     )
 
     # scalar subquery in the SELECT list (projection side; the filter

@@ -317,3 +317,34 @@ def test_date_trunc_group(spark, duck):
         .agg(agg("count").alias("n_orders"))
     )
     assert_plan_matches_oracle(spark, duck, p)
+
+
+def test_recursive_with_series(spark, duck):
+    from datafusion_sqlgen_spark.expressions import Interval
+    from datafusion_sqlgen_spark.plans import EmptyRelation, RecursiveWith
+
+    p = RecursiveWith(
+        name="series",
+        columns=("n",),
+        base=EmptyRelation().select(lit(1).alias("n")),
+        step=scan("series").filter(col("n") < 6).select((col("n") + 1).alias("n")),
+        body=scan("series").sort(col("n").asc()),
+    )
+    rows = assert_plan_matches_oracle(spark, duck, p)
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5, 6]
+
+
+def test_recursive_with_as_derived_table(spark, duck):
+    """RecursiveWith folds into a derived table for parent operators."""
+    from datafusion_sqlgen_spark.plans import EmptyRelation, RecursiveWith
+
+    series = RecursiveWith(
+        name="s2",
+        columns=("n",),
+        base=EmptyRelation().select(lit(1).alias("n")),
+        step=scan("s2").filter(col("n") < 10).select((col("n") + 1).alias("n")),
+        body=scan("s2"),
+    )
+    p = series.filter(col("n") % 2 == 0).group_by().agg(agg("sum", col("n")).alias("s"))
+    rows = assert_plan_matches_oracle(spark, duck, p)
+    assert rows == [(30,)]
