@@ -135,6 +135,9 @@ class Expr:
     def like(self, pattern: str) -> "Like":
         return Like(self, pattern)
 
+    def ilike(self, pattern: str) -> "Like":
+        return Like(self, pattern, case_insensitive=True)
+
     def rlike(self, pattern: str) -> "RLike":
         return RLike(self, pattern)
 
@@ -471,13 +474,17 @@ class Like(Expr):
     operand: Expr
     pattern: str
     negated: bool = False
+    case_insensitive: bool = False  # ILIKE (PG-style; both dialects)
 
     def to_sql(self, dialect: str = SPARK) -> str:
-        kw = "NOT LIKE" if self.negated else "LIKE"
+        kw = "ILIKE" if self.case_insensitive else "LIKE"
+        if self.negated:
+            kw = "NOT " + kw
         return f"({self.operand.to_sql(dialect)} {kw} {escape_str(self.pattern)})"
 
     def to_column(self) -> Column:
-        c = self.operand.to_column().like(self.pattern)
+        op = self.operand.to_column()
+        c = op.ilike(self.pattern) if self.case_insensitive else op.like(self.pattern)
         return ~c if self.negated else c
 
 

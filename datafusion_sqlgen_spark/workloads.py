@@ -162,7 +162,11 @@ def _ir_workloads() -> dict[str, Plan]:
 
     w["expr_like_rlike_concat"] = (
         scan("part")
-        .filter(col("p_type").like("%BRASS%") | col("p_name").rlike("^part_1"))
+        .filter(
+            col("p_type").like("%AND%")          # STANDARD
+            | col("p_name").ilike("%RED%")       # 'red widget' (case-insens.)
+            | col("p_name").rlike("^blue b")
+        )
         .select(
             col("p_partkey"),
             fn("concat", col("p_brand"), lit("/"), col("p_type")).alias("brand_type"),

@@ -129,3 +129,13 @@ def test_cast_dialects():
     e = col("x").cast("string")
     assert e.to_sql("spark") == "CAST(x AS STRING)"
     assert e.to_sql("duckdb") == "CAST(x AS VARCHAR)"
+
+
+def test_ilike_dual_render(spark, duck):
+    from datafusion_sqlgen_spark.expressions import col
+    from datafusion_sqlgen_spark.plans import scan
+    from tests.conftest import assert_plan_matches_oracle
+
+    p = scan("part").filter(col("p_name").ilike("%RED%")).select(col("p_partkey"))
+    rows = assert_plan_matches_oracle(spark, duck, p)
+    assert len(rows) > 0  # 'red widget' matches case-insensitively
