@@ -14,6 +14,7 @@ from datafusion_sqlgen_spark.plans.core import (
     SetOp,
     Sort,
     SubqueryAlias,
+    Values,
     With,
     scan,
     values_relation,
@@ -23,5 +24,5 @@ __all__ = [
     "Plan", "Scan", "Project", "Filter", "Distinct", "Sort", "Limit",
     "Offset", "EmptyRelation", "Explode", "Aggregate", "Join", "SetOp", "With",
     "RecursiveWith",
-    "SubqueryAlias", "scan", "values_relation",
+    "SubqueryAlias", "Values", "scan", "values_relation",
 ]

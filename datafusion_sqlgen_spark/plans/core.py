@@ -744,6 +744,44 @@ class With(Plan):
 
 
 @dataclass(frozen=True)
+class Values(Plan):
+    """Inline literal relation: ``VALUES (...), (...) AS t(c1, c2)`` —
+    the DataFusion ``LogicalPlan::Values`` node (absent in the
+    reference's unparser; its tests build MemTables instead,
+    tests/select.rs:253-273). Rows are tuples of Expr/literals.
+
+    Spark and DuckDB both accept the parenthesized-VALUES derived table;
+    the DataFrame rendering is ``spark.createDataFrame`` (literal rows
+    evaluate driver-side — this node is for small inline data: lookup
+    tables, test fixtures, broadcast maps)."""
+
+    rows: tuple  # tuple[tuple[Expr|value, ...], ...]
+    columns: tuple  # column names
+
+    def _values_sql(self, dialect: str) -> str:
+        rendered = ", ".join(
+            "(" + ", ".join(_wrap(v).to_sql(dialect) for v in row) + ")"
+            for row in self.rows
+        )
+        cols = ", ".join(quote_ident(c, dialect) for c in self.columns)
+        return f"(VALUES {rendered}) AS _v({cols})"
+
+    def _fold(self, dialect: str) -> _SelectState:
+        return _SelectState(from_sql=self._values_sql(dialect))
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        def plain(v):
+            if isinstance(v, Expr):
+                if hasattr(v, "value"):  # Lit
+                    return v.value
+                raise NotImplementedError("Values rows must be literals")
+            return v
+
+        data = [tuple(plain(v) for v in row) for row in self.rows]
+        return spark.createDataFrame(data, schema=list(self.columns))
+
+
+@dataclass(frozen=True)
 class RecursiveWith(Plan):
     """WITH RECURSIVE name(cols) AS (base UNION ALL step) body.
 

@@ -292,3 +292,19 @@ def test_stable_topk_sample(spark, duck):
     check(spark, duck,
           out.select("doc_id", "lang"),
           sampling.stable_topk_sample_oracle(k=50, cols="doc_id, lang"))
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL sketch sanity: approx distinct within 5% of exact (engines'
+    sketches differ, so this is a tolerance check, not an oracle hash)."""
+    import pyspark.sql.functions as F
+
+    r = (
+        spark.table("orders")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .collect()[0]
+    )
+    assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"]

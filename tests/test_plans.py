@@ -348,3 +348,31 @@ def test_recursive_with_as_derived_table(spark, duck):
     p = series.filter(col("n") % 2 == 0).group_by().agg(agg("sum", col("n")).alias("s"))
     rows = assert_plan_matches_oracle(spark, duck, p)
     assert rows == [(30,)]
+
+
+def test_values_relation_joins_as_lookup(spark, duck):
+    """Inline VALUES as a broadcast lookup table joined to a real table."""
+    from datafusion_sqlgen_spark.plans import Values
+
+    lookup = Values(
+        rows=(("BUILDING", "b2b"), ("MACHINERY", "b2b"), ("AUTOMOBILE", "b2c")),
+        columns=("seg", "channel"),
+    )
+    p = (
+        scan("customer")
+        .join(lookup, on=col("c_mktsegment") == col("seg"))
+        .group_by(col("channel"))
+        .agg(agg("count").alias("n"))
+        .sort(col("channel").asc())
+    )
+    rows = assert_plan_matches_oracle(spark, duck, p)
+    assert len(rows) == 2
+
+
+def test_values_standalone(spark, duck):
+    from datafusion_sqlgen_spark.plans import Values
+
+    p = Values(rows=((1, "a"), (2, "b"), (None, "c")), columns=("n", "s")) \
+        .filter(col("n").is_not_null()).sort(col("n").asc())
+    rows = assert_plan_matches_oracle(spark, duck, p)
+    assert rows == [(1, "a"), (2, "b")]
