@@ -73,3 +73,37 @@ def test_stacked_plans_dual_render(plan_env, chain):
     assert df_rows == duck_rows, (
         f"Spark != DuckDB\nspark: {sql}\nduck: {p.to_sql('duckdb')}"
     )
+
+
+# round-2 ops: offset without limit, set-ops (parenthesization), explode
+def _ops_r2():
+    base = scan("fuzz_p").select(col("a"), col("b"), col("s"))
+    return st.one_of(
+        _ops(),
+        st.integers(0, 8).map(
+            lambda k: lambda p: p.sort(col("a").asc()).offset(k)
+        ),
+        st.just(lambda p: p.union(base)),
+        st.just(
+            lambda p: p.select(col("a"), col("b"), col("s")).intersect(base)
+        ),
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(chain=st.lists(_ops_r2(), min_size=1, max_size=4))
+def test_stacked_plans_r2_dual_render(plan_env, chain):
+    spark, con = plan_env
+    p = scan("fuzz_p")
+    for op in chain:
+        p = op(p)
+    df_rows = sorted((tuple(r) for r in p.to_df(spark).collect()), key=_key)
+    sql = p.to_sql("spark")
+    sql_rows = sorted((tuple(r) for r in spark.sql(sql).collect()), key=_key)
+    duck_rows = sorted(
+        (tuple(r) for r in con.execute(p.to_sql("duckdb")).fetchall()), key=_key
+    )
+    assert df_rows == sql_rows, f"DataFrame != spark.sql\n{sql}"
+    assert df_rows == duck_rows, (
+        f"Spark != DuckDB\nspark: {sql}\nduck: {p.to_sql('duckdb')}"
+    )
