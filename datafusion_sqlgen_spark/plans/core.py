@@ -48,10 +48,27 @@ SPARK = "spark"
 DUCKDB = "duckdb"
 
 _alias_counter = itertools.count()
+_render_depth = 0
 
 
 def _fresh_alias() -> str:
     return f"_sq{next(_alias_counter)}"
+
+
+def _deterministic_render(render):
+    """Reset the derived-table alias counter at the OUTERMOST render so
+    ``to_sql`` is a pure function of the plan (textual round-trip
+    identity — the reference's own test invariant, tests/select.rs:57-68).
+    Nested renders (set-op operands, CTE bodies) must NOT reset: sibling
+    subqueries would collide on the same alias."""
+    global _alias_counter, _render_depth
+    _render_depth += 1
+    try:
+        if _render_depth == 1:
+            _alias_counter = itertools.count()
+        return render()
+    finally:
+        _render_depth -= 1
 
 
 @dataclass
@@ -111,7 +128,7 @@ class Plan:
     def to_sql(self, dialect: str = SPARK) -> str:
         if dialect not in (SPARK, DUCKDB):
             raise ValueError(f"unknown dialect {dialect!r}; use 'spark' or 'duckdb'")
-        return self._fold(dialect).render()
+        return _deterministic_render(lambda: self._fold(dialect).render())
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         raise NotImplementedError
@@ -699,7 +716,7 @@ class SetOp(Plan):
 
     def to_sql(self, dialect: str = SPARK) -> str:
         # top-level set-op needs no outer derived-table wrapping
-        return self._setop_sql(dialect)
+        return _deterministic_render(lambda: self._setop_sql(dialect))
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         l, r = self.left.to_df(spark), self.right.to_df(spark)
@@ -805,14 +822,19 @@ class RecursiveWith(Plan):
     body: Plan
 
     def to_sql(self, dialect: str = SPARK) -> str:
-        cols = ""
-        if self.columns:
-            cols = "(" + ", ".join(quote_ident(c, dialect) for c in self.columns) + ")"
-        return (
-            f"WITH RECURSIVE {quote_ident(self.name, dialect)}{cols} AS "
-            f"(({self.base.to_sql(dialect)}) UNION ALL ({self.step.to_sql(dialect)})) "
-            f"{self.body.to_sql(dialect)}"
-        )
+        def render():
+            cols = ""
+            if self.columns:
+                cols = "(" + ", ".join(
+                    quote_ident(c, dialect) for c in self.columns
+                ) + ")"
+            return (
+                f"WITH RECURSIVE {quote_ident(self.name, dialect)}{cols} AS "
+                f"(({self.base.to_sql(dialect)}) UNION ALL ({self.step.to_sql(dialect)})) "
+                f"{self.body.to_sql(dialect)}"
+            )
+
+        return _deterministic_render(render)
 
     def _fold(self, dialect: str) -> _SelectState:
         # usable as an input to further operators via a derived table

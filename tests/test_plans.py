@@ -376,3 +376,19 @@ def test_values_standalone(spark, duck):
         .filter(col("n").is_not_null()).sort(col("n").asc())
     rows = assert_plan_matches_oracle(spark, duck, p)
     assert rows == [(1, "a"), (2, "b")]
+
+
+def test_to_sql_deterministic():
+    """Textual round-trip identity (the reference's invariant,
+    tests/select.rs:57-68): rendering the same plan twice yields
+    byte-identical SQL, including derived-table alias numbering."""
+    p = (
+        scan("customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"))
+        .union(scan("nation").select(col("n_nationkey")))
+        .filter(col("c_custkey") < 10)
+    )
+    assert p.to_sql("spark") == p.to_sql("spark")
+    assert p.to_sql("duckdb") == p.to_sql("duckdb")
