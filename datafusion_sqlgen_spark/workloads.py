@@ -974,9 +974,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             similarity.ivf_topk_oracle(max_query_id=10),
         ),
+        # b=6 -> 64 sign-LSH buckets: total pair count scales ~1/buckets
+        # and the pair join's parallelism is bucket-count-bound, so more
+        # (smaller) buckets is the scale knob (2.5x faster than b=4 at
+        # sf0.1 with plenty of surviving candidates)
         "dedup_embedding_cosine": (
-            lambda s: dedup.embedding_near_dup(s.table("embeddings")),
-            dedup.embedding_near_dup_oracle(),
+            lambda s: dedup.embedding_near_dup(s.table("embeddings"), b=6),
+            dedup.embedding_near_dup_oracle(b=6),
         ),
         # multimodal pipeline: binary payload + metadata -> mapInPandas
         # feature extraction; deterministic fake decode, no SQL equivalent
