@@ -136,6 +136,22 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("dayofweek"),
         "duckdb": lambda a: f"(dayofweek({', '.join(a)}) + 1)",
     },
+    # DataFusion-10 builtin string set, where the engines' names differ
+    "chr": {"spark": _plain("char"), "duckdb": _plain("chr")},
+    "octet_length": {
+        "spark": _plain("octet_length"),
+        # DuckDB's octet_length only takes BLOB/BIT
+        "duckdb": lambda a: f"octet_length(encode({a[0]}))",
+    },
+    "to_hex": {"spark": _plain("hex"), "duckdb": _plain("to_hex")},
+    "sha256": {
+        "spark": lambda a: f"sha2({a[0]}, 256)",
+        "duckdb": _plain("sha256"),
+    },
+    "btrim": {
+        "spark": _plain("btrim"),
+        "duckdb": _plain("trim"),  # DuckDB 2-arg trim == btrim
+    },
     # map type: Spark map(k1, v1, k2, v2, ...) interleaves; DuckDB map()
     # takes (keys_list, values_list)
     "map": {
@@ -185,7 +201,8 @@ _COMMON = {
     "lower", "upper", "trim", "ltrim", "rtrim", "length", "substr",
     "substring", "concat", "concat_ws", "replace", "lpad", "rpad", "reverse",
     "repeat", "left", "right", "md5", "regexp_replace", "regexp_extract",
-    "starts_with", "ends_with", "contains",
+    "starts_with", "ends_with", "contains", "ascii", "bit_length",
+    "split_part", "translate",
     # null handling / conditionals
     "coalesce", "nullif", "greatest", "least", "ifnull",
     # date/time
@@ -270,6 +287,13 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "percentile_disc": lambda *a: F.call_function("percentile_disc", *a),
     # python wrapper wants a str path; the SQL function takes a Column
     "get_json_object": lambda *a: F.call_function("get_json_object", *a),
+    "chr": lambda c: F.char(c),
+    "to_hex": lambda c: F.hex(c),
+    "sha256": lambda c: F.sha2(c, 256),
+    "split_part": lambda *a: F.call_function("split_part", *a),
+    # python wrappers want str args; the SQL functions take Columns
+    "translate": lambda *a: F.call_function("translate", *a),
+    "btrim": lambda *a: F.call_function("btrim", *a),
     "map": lambda *a: F.create_map(*a),
     "map_get": lambda *a: F.call_function("element_at", *a),
     "map_size": lambda c: F.size(c),

@@ -707,6 +707,25 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # remainder of the DataFusion-10 builtin string surface (the
+    # reference passes ANY DF builtin through by name, expr.rs:76-94)
+    w["expr_string_funcs2"] = (
+        scan("part")
+        .filter(col("p_partkey") < 500)
+        .select(
+            col("p_partkey"),
+            fn("ascii", col("p_name")).cast("int").alias("first_byte"),
+            fn("chr", ((col("p_partkey") % 26) + 65).cast("int")).alias("letter"),
+            fn("bit_length", col("p_name")).cast("int").alias("bits"),
+            fn("octet_length", col("p_name")).cast("int").alias("octets"),
+            fn("split_part", col("p_name"), lit(" "), lit(2)).alias("second_word"),
+            fn("translate", col("p_brand"), lit("#"), lit("-")).alias("brand_t"),
+            fn("to_hex", col("p_partkey")).alias("hex_key"),
+            fn("sha256", col("p_name")).alias("sha"),
+            fn("btrim", col("p_type"), lit("DS")).alias("trimmed"),
+        )
+    )
+
     # recursive CTE (Spark >= 4.0 WITH RECURSIVE ≡ DuckDB): generate a
     # dense month spine by iteration, left-join monthly order revenue —
     # months with no orders appear with rev 0
