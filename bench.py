@@ -58,6 +58,10 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q17",
     "tpch_q18",
+    # round-2 surface: lateral explode + chunking (LLM prep), recursion
+    "lat_explode_words",
+    "text_chunk_documents",
+    "cte_recursive_month_spine",
 ]
 
 
