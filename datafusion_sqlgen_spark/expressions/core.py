@@ -561,6 +561,98 @@ class Case(Expr):
 
 
 @dataclass(frozen=True, eq=False)
+class Lambda(Expr):
+    """Lambda for higher-order array functions: ``x -> body`` /
+    ``(a, b) -> body``. Body references params as bare ``Col(name)``;
+    SQL lambda params shadow outer columns in both dialects, and outer
+    column references remain legal inside the body.
+
+    The reference has no higher-order functions at all (DataFusion 10
+    predates them; catch-all expr.rs:103-106)."""
+
+    params: tuple  # tuple[str, ...]
+    body: Expr
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        body = self.body.to_sql(dialect)
+        if len(self.params) == 1:
+            return f"{self.params[0]} -> {body}"
+        return "(" + ", ".join(self.params) + f") -> {body}"
+
+    def to_column(self) -> Column:
+        raise NotImplementedError(
+            "a Lambda renders only inside its host higher-order function"
+        )
+
+    def to_python(self):
+        """Python callable over Columns (for F.transform & friends).
+        PySpark introspects the signature — it must have exactly as many
+        positional params as the SQL lambda (no *args)."""
+        def bind(*cols: Column) -> Column:
+            mapping = {p: _RawColumn(c) for p, c in zip(self.params, cols)}
+            return substitute(self.body, mapping).to_column()
+
+        n = len(self.params)
+        if n == 1:
+            return lambda a: bind(a)
+        if n == 2:
+            return lambda a, b: bind(a, b)
+        return lambda a, b, c: bind(a, b, c)
+
+
+@dataclass(frozen=True, eq=False)
+class _RawColumn(Expr):
+    """Adapter: a pyspark Column as an Expr leaf (substitution target for
+    lambda params on the to_column path). Not SQL-renderable."""
+
+    column: Any
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        raise NotImplementedError("_RawColumn has no SQL rendering")
+
+    def to_column(self) -> Column:
+        return self.column
+
+
+def substitute(e: Expr, mapping: dict) -> Expr:
+    """Rebuild ``e`` with bare Col refs named in ``mapping`` replaced.
+    Used to bind lambda params; shadowing: an inner Lambda that rebinds a
+    param name keeps its own binding."""
+    import dataclasses
+
+    if isinstance(e, Col) and e.table is None and e.name in mapping:
+        return mapping[e.name]
+    if isinstance(e, Lambda):
+        inner = {k: v for k, v in mapping.items() if k not in e.params}
+        if not inner:
+            return e
+        return Lambda(e.params, substitute(e.body, inner))
+    if not dataclasses.is_dataclass(e):
+        return e
+
+    def walk(v):
+        if isinstance(v, Expr):
+            return substitute(v, mapping)
+        if isinstance(v, tuple):
+            return tuple(walk(x) for x in v)
+        return v
+
+    kwargs = {f.name: walk(getattr(e, f.name)) for f in dataclasses.fields(e)}
+    return type(e)(**kwargs)
+
+
+# higher-order functions: canonical name -> pyspark functions entry
+_HOF_COLUMN = {
+    "transform": "transform",
+    "filter": "filter",
+    "exists": "exists",
+    "forall": "forall",
+    "aggregate": "aggregate",
+    "zip_with": "zip_with",
+}
+
+
+@dataclass(frozen=True, eq=False)
 class Func(Expr):
     """Scalar or aggregate function call by canonical name.
 
@@ -574,6 +666,23 @@ class Func(Expr):
     distinct: bool = False
 
     def to_sql(self, dialect: str = SPARK) -> str:
+        name = canonical(self.name)
+        if name == "zip_with" and dialect == DUCKDB:
+            # DuckDB 1.0 has no zip_with and list_zip yields *unnamed*
+            # structs; index-join the two arrays instead:
+            #   list_transform(range(1, len(a)+1), i -> body[a[i]/b[i]])
+            arr_a, arr_b, lam = self.args
+            assert isinstance(lam, Lambda) and len(lam.params) == 2
+            i = Col("__zw_i")
+            body = substitute(
+                lam.body,
+                {lam.params[0]: Index(arr_a, i), lam.params[1]: Index(arr_b, i)},
+            )
+            a_sql = arr_a.to_sql(dialect)
+            return (
+                f"list_transform(range(1, len({a_sql}) + 1), "
+                f"__zw_i -> {body.to_sql(dialect)})"
+            )
         args = [a.to_sql(dialect) for a in self.args]
         if self.distinct:
             inner = ", ".join(args)
@@ -583,8 +692,15 @@ class Func(Expr):
         return render_func(self.name, args, dialect)
 
     def to_column(self) -> Column:
-        cols = [a.to_column() for a in self.args]
         name = canonical(self.name)
+        if name in _HOF_COLUMN and any(isinstance(a, Lambda) for a in self.args):
+            fn = getattr(F, _HOF_COLUMN[name])
+            args = [
+                a.to_python() if isinstance(a, Lambda) else a.to_column()
+                for a in self.args
+            ]
+            return fn(*args)
+        cols = [a.to_column() for a in self.args]
         if name in AGGREGATES:
             if name == "count" and not cols:
                 return F.count(F.lit(1))
@@ -846,6 +962,20 @@ def agg(name: str, *args: ExprLike, distinct: bool = False) -> Func:
 
 def when(cond: Expr, value: ExprLike) -> Case:
     return Case(((cond, _wrap(value)),))
+
+
+def lam(params, body) -> Lambda:
+    """Build a lambda for a higher-order function.
+
+    ``lam("x", lambda x: x * 2)`` or ``lam(("a", "b"), lambda a, b: a + b)``;
+    ``body`` may also be a pre-built Expr over ``col(param)`` refs.
+    """
+    if isinstance(params, str):
+        params = (params,)
+    params = tuple(params)
+    if callable(body) and not isinstance(body, Expr):
+        body = body(*[Col(p) for p in params])
+    return Lambda(params, _wrap(body))
 
 
 def star(table: Optional[str] = None) -> Star:

@@ -178,6 +178,28 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("map_contains_key"),
         "duckdb": lambda a: f"list_contains(map_keys({a[0]}), {a[1]})",
     },
+    # higher-order array functions over expressions.Lambda args (DataFusion
+    # 10 / the reference predate HOFs entirely — catch-all expr.rs:103-106).
+    # zip_with(duckdb) is rendered structurally in Func.to_sql (needs IR
+    # substitution, not string pasting).
+    "transform": {"spark": _plain("transform"), "duckdb": _plain("list_transform")},
+    "filter": {"spark": _plain("filter"), "duckdb": _plain("list_filter")},
+    "exists": {
+        "spark": _plain("exists"),
+        "duckdb": lambda a: f"(len(list_filter({a[0]}, {a[1]})) > 0)",
+    },
+    "forall": {
+        "spark": _plain("forall"),
+        "duckdb": lambda a: f"(len(list_filter({a[0]}, {a[1]})) = len({a[0]}))",
+    },
+    # aggregate(arr, init, (acc, x) -> ...): DuckDB list_reduce has no init
+    # slot — prepend it (list_reduce([init] ++ arr) folds identically,
+    # left-to-right, and returns init on the empty array like Spark)
+    "aggregate": {
+        "spark": _plain("aggregate"),
+        "duckdb": lambda a: f"list_reduce(list_prepend({a[1]}, {a[0]}), {a[2]})",
+    },
+    "zip_with": {"spark": _plain("zip_with"), "duckdb": _plain("zip_with")},
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
         "spark": _plain("percentile"),

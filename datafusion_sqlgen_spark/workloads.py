@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_sqlgen_spark.catalog import register_tables
-from datafusion_sqlgen_spark.expressions import col, fn, agg, lit, star, when
+from datafusion_sqlgen_spark.expressions import col, fn, agg, lam, lit, star, when
 from datafusion_sqlgen_spark.expressions.core import (
     Exists,
     InSubquery,
@@ -271,6 +271,42 @@ def _ir_workloads() -> dict[str, Plan]:
             fn("array_position",
                fn("array", lit(7), col("vec_id") % 3, lit(7)), lit(7))
             .cast("bigint").alias("pos7"),
+        )
+    )
+
+    # Higher-order array functions (lambda exprs): transform / filter /
+    # exists / forall / aggregate / zip_with. DataFusion 10 (the
+    # reference's pin) predates HOFs entirely; Spark-side these are
+    # codegen'd JVM expressions — the fast path for array columns at
+    # scale (never a Python UDF). Floats fold left-to-right in both
+    # engines; round exactly once at output.
+    w["expr_higher_order"] = (
+        scan("embeddings")
+        .filter(col("vec_id") < 300)
+        .select(
+            col("vec_id"),
+            fn("round",
+               fn("aggregate", col("embedding"), lit(0.0).cast("double"),
+                  lam(("acc", "x"), lambda acc, x: acc + x)),
+               lit(5)).alias("vsum"),
+            fn("array_size",
+               fn("filter", col("embedding"), lam("x", lambda x: x > lit(0))))
+            .cast("bigint").alias("n_pos"),
+            fn("exists", col("embedding"),
+               lam("x", lambda x: x > lit(0.45))).alias("has_big"),
+            fn("forall", col("embedding"),
+               lam("x", lambda x: x > lit(-1))).alias("bounded"),
+            fn("round",
+               fn("aggregate",
+                  fn("zip_with", col("embedding"), col("embedding"),
+                     lam(("a", "b"), lambda a, b: a * b)),
+                  lit(0.0).cast("double"),
+                  lam(("acc", "x"), lambda acc, x: acc + x)),
+               lit(5)).alias("dot_self"),
+            fn("round",
+               fn("transform", col("embedding"),
+                  lam("x", lambda x: x * lit(2.0)))[3].cast("double"),
+               lit(5)).alias("t3"),
         )
     )
 

@@ -139,3 +139,59 @@ def test_ilike_dual_render(spark, duck):
     p = scan("part").filter(col("p_name").ilike("%RED%")).select(col("p_partkey"))
     rows = assert_plan_matches_oracle(spark, duck, p)
     assert len(rows) > 0  # 'red widget' matches case-insensitively
+
+
+def test_lambda_sql_both_dialects():
+    from datafusion_sqlgen_spark.expressions import fn, lam
+
+    e = fn("transform", col("arr"), lam("x", lambda x: x * lit(2)))
+    assert e.to_sql("spark") == "transform(arr, x -> (x * 2))"
+    assert e.to_sql("duckdb") == "list_transform(arr, x -> (x * 2))"
+
+    agg2 = fn(
+        "aggregate", col("arr"), lit(0),
+        lam(("acc", "x"), lambda acc, x: acc + x),
+    )
+    assert agg2.to_sql("spark") == "aggregate(arr, 0, (acc, x) -> (acc + x))"
+    assert (
+        agg2.to_sql("duckdb")
+        == "list_reduce(list_prepend(0, arr), (acc, x) -> (acc + x))"
+    )
+
+
+def test_lambda_zip_with_duckdb_rewrites_to_index_join():
+    from datafusion_sqlgen_spark.expressions import fn, lam
+
+    e = fn("zip_with", col("a"), col("b"), lam(("x", "y"), lambda x, y: x * y))
+    assert e.to_sql("spark") == "zip_with(a, b, (x, y) -> (x * y))"
+    # DuckDB 1.0 has no zip_with; the body is substituted over an index join
+    assert e.to_sql("duckdb") == (
+        "list_transform(range(1, len(a) + 1), "
+        "__zw_i -> ((a)[__zw_i] * (b)[__zw_i]))"
+    )
+
+
+def test_lambda_substitution_respects_shadowing():
+    from datafusion_sqlgen_spark.expressions import fn, lam, substitute
+
+    # outer substitution must not touch the rebound inner param `x`
+    inner = lam("x", lambda x: x + col("y"))
+    out = substitute(
+        fn("transform", col("arr"), inner), {"x": lit(99), "y": lit(1)}
+    )
+    assert out.to_sql("spark") == "transform(arr, x -> (x + 1))"
+
+
+def test_lambda_column_path_executes(spark):
+    from datafusion_sqlgen_spark.expressions import fn, lam
+    import pyspark.sql.functions as F
+
+    e = fn(
+        "aggregate",
+        fn("zip_with", col("a"), col("b"), lam(("x", "y"), lambda x, y: x * y)),
+        lit(0).cast("bigint"),
+        lam(("acc", "v"), lambda acc, v: acc + v),
+    )
+    df = spark.createDataFrame([([1, 2, 3], [10, 20, 30])], "a array<int>, b array<int>")
+    got = df.select(e.to_column().alias("dot")).collect()[0][0]
+    assert got == 10 + 40 + 90
