@@ -200,6 +200,59 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "duckdb": lambda a: f"list_reduce(list_prepend({a[1]}, {a[0]}), {a[2]})",
     },
     "zip_with": {"spark": _plain("zip_with"), "duckdb": _plain("zip_with")},
+    # hyperbolics: DuckDB 1.0 lacks them — exp-based identities (exact to
+    # double ulps for the value ranges the workloads use)
+    "sinh": {
+        "spark": _plain("sinh"),
+        "duckdb": lambda a: f"((exp({a[0]}) - exp(-({a[0]}))) / 2)",
+    },
+    "cosh": {
+        "spark": _plain("cosh"),
+        "duckdb": lambda a: f"((exp({a[0]}) + exp(-({a[0]}))) / 2)",
+    },
+    "tanh": {
+        "spark": _plain("tanh"),
+        "duckdb": lambda a: (
+            f"((exp(2 * ({a[0]})) - 1) / (exp(2 * ({a[0]})) + 1))"
+        ),
+    },
+    # day difference: Spark datediff(end, start); DuckDB date_diff(unit, start, end)
+    "datediff": {
+        "spark": _plain("datediff"),
+        "duckdb": lambda a: f"date_diff('day', {a[1]}, {a[0]})",
+    },
+    "regexp_like": {
+        "spark": _plain("regexp_like"),
+        "duckdb": _plain("regexp_matches"),
+    },
+    # SQL-standard width_bucket; DuckDB 1.0 lacks it — CASE formula
+    "width_bucket": {
+        "spark": _plain("width_bucket"),
+        "duckdb": lambda a: (
+            f"(CASE WHEN ({a[0]}) < ({a[1]}) THEN 0 "
+            f"WHEN ({a[0]}) >= ({a[2]}) THEN ({a[3]}) + 1 "
+            f"ELSE CAST(floor((({a[0]}) - ({a[1]})) * ({a[3]}) "
+            f"/ (({a[2]}) - ({a[1]}))) AS BIGINT) + 1 END)"
+        ),
+    },
+    # element order differs between engines (Spark keeps first-occurrence
+    # order; DuckDB's is unspecified) — oracle-checked uses wrap in sort_array
+    "array_distinct": {
+        "spark": _plain("array_distinct"),
+        "duckdb": _plain("list_distinct"),
+    },
+    "array_intersect": {
+        "spark": _plain("array_intersect"),
+        "duckdb": _plain("list_intersect"),
+    },
+    # ordered string aggregation: string_agg(value, sep, order_key) —
+    # Spark 4 listagg ... WITHIN GROUP; DuckDB inline ORDER BY
+    "string_agg": {
+        "spark": lambda a: (
+            f"listagg({a[0]}, {a[1]}) WITHIN GROUP (ORDER BY {a[2]})"
+        ),
+        "duckdb": lambda a: f"string_agg({a[0]}, {a[1]} ORDER BY {a[2]})",
+    },
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
         "spark": _plain("percentile"),
@@ -224,19 +277,27 @@ _COMMON = {
     "substring", "concat", "concat_ws", "replace", "lpad", "rpad", "reverse",
     "repeat", "left", "right", "md5", "regexp_replace", "regexp_extract",
     "starts_with", "ends_with", "contains", "ascii", "bit_length",
-    "split_part", "translate",
+    "split_part", "translate", "levenshtein", "printf",
     # null handling / conditionals
     "coalesce", "nullif", "greatest", "least", "ifnull",
+    # math (batch 2)
+    "cbrt", "factorial",
     # date/time
     "year", "month", "day", "hour", "minute", "second", "to_date",
     "to_timestamp", "date_part",
     "quarter", "weekofyear", "dayofyear", "last_day",
+    "make_date", "make_timestamp",
+    # array
+    "flatten",
     # map (identical names/semantics)
     "map_keys", "map_values",
     # aggregates
     "count", "sum", "avg", "min", "max", "stddev_samp", "stddev_pop",
     "var_samp", "var_pop", "corr", "covar_samp", "covar_pop", "median",
     "bool_and", "bool_or", "any_value",
+    "count_if", "mode", "bit_and", "bit_or", "bit_xor",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+    "regr_avgx", "regr_avgy",
     # window
     "row_number", "rank", "dense_rank", "ntile", "percent_rank",
     "cume_dist", "lag", "lead", "nth_value",
@@ -248,6 +309,9 @@ AGGREGATES = {
     "covar_pop", "approx_count_distinct", "median", "bool_and", "bool_or",
     "any_value", "first_value", "last_value", "collect_list", "collect_set",
     "percentile_cont", "percentile_disc",
+    "count_if", "mode", "bit_and", "bit_or", "bit_xor",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+    "regr_avgx", "regr_avgy", "string_agg",
 }
 
 WINDOW_FUNCS = {
@@ -323,6 +387,21 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     # python wrappers want int args; the SQL functions take Columns
     "slice": lambda *a: F.call_function("slice", *a),
     "array_position": lambda *a: F.call_function("array_position", *a),
+    # python wrappers want str args; the SQL functions take Columns
+    "printf": lambda *a: F.call_function("printf", *a),
+    "regexp_like": lambda *a: F.call_function("regexp_like", *a),
+    "width_bucket": lambda *a: F.call_function("width_bucket", *a),
+    # ordered string_agg(value, sep, order_key): no single F.* equivalent —
+    # compose sort_array(collect_list(struct(order, value))) -> join;
+    # collect_list is partition-order-nondeterministic, the sort fixes it
+    "string_agg": lambda v, sep, o: F.call_function(
+        "array_join",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(o.alias("o"), v.alias("v")))),
+            lambda s: s.getField("v"),
+        ),
+        sep,
+    ),
 }
 
 

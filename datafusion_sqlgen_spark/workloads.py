@@ -310,6 +310,117 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # Scalar function batch 3: levenshtein / printf / regexp_like /
+    # width_bucket / hyperbolics / cbrt / factorial / datediff / make_date /
+    # make_timestamp. DuckDB 1.0 lacks sinh/cosh/tanh and width_bucket —
+    # the registry renders exp-identities and a CASE formula for the oracle.
+    w["expr_scalar_funcs3"] = (
+        scan("lineitem")
+        .filter(col("l_orderkey") < 400)
+        .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("bigint").alias("line_no"),
+            fn("levenshtein", col("l_returnflag"), col("l_linestatus"))
+            .cast("bigint").alias("lev"),
+            fn("printf", lit("%s-%03d"), col("l_returnflag"),
+               (col("l_orderkey") % lit(1000)).cast("int")).alias("tag"),
+            fn("regexp_like", col("l_returnflag"), lit("^(A|R)$")).alias("is_ret"),
+            fn("width_bucket", col("l_extendedprice"), lit(0), lit(100000),
+               lit(20)).cast("bigint").alias("price_bkt"),
+            fn("round", fn("sinh", col("l_discount")), lit(9)).alias("sh"),
+            fn("round", fn("cosh", col("l_discount")), lit(9)).alias("ch"),
+            fn("round", fn("tanh", col("l_discount")), lit(9)).alias("th"),
+            fn("round", fn("cbrt", col("l_quantity")), lit(9)).alias("cb"),
+            fn("factorial", col("l_linenumber").cast("int"))
+            .cast("bigint").alias("fact"),
+            fn("datediff", col("l_shipdate"),
+               fn("make_date", lit(1995), lit(1), lit(1)))
+            .cast("bigint").alias("days_since"),
+            fn("make_timestamp", lit(2020),
+               ((col("l_orderkey") % lit(12)) + lit(1)).cast("int"),
+               lit(3), lit(4), lit(5), lit(6.5)).alias("mts"),
+        )
+    )
+
+    # Array function batch 2: array_distinct / flatten / array_intersect.
+    # Element order of distinct/intersect differs between engines —
+    # sort_array before joining to a hashable string.
+    w["expr_array_funcs2"] = (
+        scan("orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+            col("o_orderkey"),
+            fn("array_join",
+               fn("sort_array",
+                  fn("array_distinct",
+                     fn("array", col("o_orderkey") % lit(3),
+                        col("o_orderkey") % lit(5),
+                        col("o_orderkey") % lit(3), lit(2)))),
+               lit(",")).alias("dedup"),
+            fn("array_join",
+               fn("flatten",
+                  fn("array", fn("array", col("o_orderkey") % lit(2)),
+                     fn("array", col("o_orderkey") % lit(3), lit(7)))),
+               lit(",")).alias("flat"),
+            fn("array_join",
+               fn("sort_array",
+                  fn("array_intersect",
+                     fn("array", lit(1), lit(2), lit(3),
+                        col("o_orderkey") % lit(4)),
+                     fn("array", lit(2), lit(3), lit(9)))),
+               lit(",")).alias("ixn"),
+        )
+    )
+
+    # Linear-regression aggregates + bitwise aggregates + count_if —
+    # single hash aggregate, partial+final (map-side combine carries six
+    # regr moments per group, not rows).
+    _rx, _ry = col("l_quantity"), col("l_extendedprice")
+    _bits = (col("l_orderkey") % lit(256)).cast("int")
+    w["agg_regr_bitwise"] = (
+        scan("lineitem")
+        .group_by(col("l_returnflag"))
+        .agg(
+            agg("count_if", col("l_discount") > lit(0.05))
+            .cast("bigint").alias("n_disc"),
+            fn("round", agg("regr_slope", _ry, _rx), lit(4)).alias("slope"),
+            fn("round", agg("regr_intercept", _ry, _rx), lit(4)).alias("icept"),
+            fn("round", agg("regr_r2", _ry, _rx), lit(6)).alias("r2"),
+            agg("regr_count", _ry, _rx).cast("bigint").alias("n"),
+            fn("round", agg("regr_avgx", _ry, _rx), lit(4)).alias("avg_x"),
+            fn("round", agg("regr_avgy", _ry, _rx), lit(4)).alias("avg_y"),
+            agg("bit_and", _bits).cast("bigint").alias("k_and"),
+            agg("bit_or", _bits).cast("bigint").alias("k_or"),
+            agg("bit_xor", _bits).cast("bigint").alias("k_xor"),
+        )
+        .sort(col("l_returnflag"))
+    )
+
+    # mode() (global — the corpus-dominant language is unambiguous at
+    # every SF; per-group mode risks engine-divergent tie-breaks) and
+    # ordered string_agg (listagg WITHIN GROUP <-> string_agg ORDER BY);
+    # the unique order key makes the concatenation deterministic.
+    w["agg_mode_global"] = (
+        scan("documents")
+        .group_by()
+        .agg(
+            agg("mode", col("lang")).alias("top_lang"),
+            agg("count_if", col("n_chars") > lit(1000))
+            .cast("bigint").alias("n_long"),
+            agg("count").alias("n_docs"),
+        )
+    )
+    w["agg_string_agg"] = (
+        scan("customer")
+        .filter(col("c_custkey") < 150)
+        .group_by(col("c_nationkey"))
+        .agg(
+            agg("string_agg", col("c_name"), lit(","), col("c_custkey"))
+            .alias("names"),
+            agg("count").alias("n"),
+        )
+    )
+
     # JSON path extraction over the events payload column — semi-structured
     # access is table stakes for event pipelines; NULL (not error) on
     # missing path in both engines
