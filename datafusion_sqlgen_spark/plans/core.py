@@ -209,6 +209,20 @@ class Plan:
         ``pos_alias`` adds a 0-based position column (posexplode)."""
         return Explode(self, _wrap_proj(expr), alias, pos_alias, outer)
 
+    def unpivot(
+        self,
+        ids: Sequence[str],
+        value_cols: Sequence[str],
+        var_col: str = "key",
+        value_col: str = "val",
+    ) -> "Unpivot":
+        """Wide -> long reshape over the named measure columns."""
+        return Unpivot(self, tuple(ids), tuple(value_cols), var_col, value_col)
+
+    def lateral(self, subquery: "Plan", alias: str) -> "Lateral":
+        """Correlated per-row subquery: FROM self, LATERAL (sub) AS alias."""
+        return Lateral(self, subquery, alias)
+
 
 def _wrap_proj(e) -> Expr:
     if isinstance(e, Expr):
@@ -595,6 +609,95 @@ class Explode(Plan):
             return df.select("*", gen.alias(self.pos_alias, self.alias_name))
         gen = F.explode_outer(c) if self.outer else F.explode(c)
         return df.select("*", gen.alias(self.alias_name))
+
+
+@dataclass(frozen=True)
+class Unpivot(Plan):
+    """Wide -> long reshape: ``UNPIVOT (val FOR key IN (c1, c2, ...))``.
+
+    Absent in the reference (DataFusion 10 has no unpivot plan node;
+    catch-all logical_plan.rs:200-203). Spark and DuckDB share the
+    SQL-standard FROM-clause UNPIVOT syntax, and both exclude NULL
+    measure values by default — the DataFrame path (``DataFrame.unpivot``
+    keeps NULLs) adds an explicit IS NOT NULL filter to pin the SQL
+    semantics.
+
+    Scale: unpivot is a narrow per-row flatMap (k output rows per input
+    row) — no shuffle, no state; columns outside ids+values are pruned
+    at the scan.
+    """
+
+    input: Plan
+    ids: tuple  # id column names (str), kept per output row
+    value_cols: tuple  # measure column names (str) to melt; common type
+    var_col: str = "key"
+    value_col: str = "val"
+
+    def _fold(self, dialect: str) -> _SelectState:
+        # project ids+values in a derived table so undeclared columns do
+        # not leak in as extra ids (SQL UNPIVOT treats every non-measure
+        # column as an id; the explicit projection makes SQL match the
+        # DataFrame API's declared-ids semantics)
+        inner = Project(
+            self.input, tuple(Col(c) for c in self.ids + self.value_cols)
+        )._fold(dialect)
+        cols = ", ".join(quote_ident(c, dialect) for c in self.value_cols)
+        from_sql = (
+            f"({inner.render()}) AS {_fresh_alias()} UNPIVOT "
+            f"({quote_ident(self.value_col, dialect)} FOR "
+            f"{quote_ident(self.var_col, dialect)} IN ({cols}))"
+        )
+        return _SelectState(from_sql=from_sql)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        df = self.input.to_df(spark).select(*(self.ids + self.value_cols))
+        out = df.unpivot(
+            list(self.ids), list(self.value_cols), self.var_col, self.value_col
+        )
+        # DataFrame.unpivot keeps NULL measures; SQL UNPIVOT drops them
+        return out.filter(F.col(self.value_col).isNotNull())
+
+
+@dataclass(frozen=True)
+class Lateral(Plan):
+    """Correlated lateral derived table:
+    ``FROM left, LATERAL (subquery) AS alias``.
+
+    The subquery references the left side's columns (qualified, e.g.
+    ``col("nation.n_nationkey")``) — per-row parameterized subplans, the
+    SQL analogue of flatMap. Absent in the reference (no join surface at
+    all: catch-all logical_plan.rs:200-203). Spark >= 3.2 and DuckDB both
+    execute it; Catalyst decorrelates the lateral into a join (rank-over
+    window for LIMIT-1 patterns), so at scale this is a shuffle join, not
+    N driver round-trips. PySpark has no DataFrame lateral API, so
+    ``to_df`` executes the generated SQL (same Catalyst plan either way).
+    """
+
+    left: Plan
+    subquery: Plan
+    alias_name: str
+
+    def _fold(self, dialect: str) -> _SelectState:
+        lstate = self.left._fold(dialect)
+        if (
+            lstate.projection is not None
+            or lstate.where
+            or lstate.group_by
+            or lstate.distinct
+            or lstate.order_by
+            or lstate.limit is not None
+            or lstate.offset is not None
+        ):
+            lstate = _nest(lstate)
+        sub_sql = self.subquery.to_sql(dialect)
+        a = quote_ident(self.alias_name, dialect)
+        return _SelectState(
+            from_sql=f"{lstate.from_sql}, LATERAL ({sub_sql}) AS {a}",
+            ctes=lstate.ctes,
+        )
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.sql(self.to_sql(SPARK))
 
 
 _JOIN_SQL = {

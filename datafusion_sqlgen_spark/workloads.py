@@ -986,6 +986,45 @@ def _ir_workloads() -> dict[str, Plan]:
         .sort(col("vec_id").asc(), col("pos").asc())
     )
 
+    # UNPIVOT: wide per-nation measure columns -> long (measure, val)
+    # rows. Narrow flatMap, no shuffle beyond the feeding aggregate;
+    # measures share DOUBLE type (UNPIVOT requires a common type).
+    w["unpivot_measures"] = (
+        scan("customer")
+        .group_by(col("c_nationkey"))
+        .agg(
+            _money_out(agg("sum", _money(col("c_acctbal")))).alias("m_bal"),
+            agg("count").cast("double").alias("m_cnt"),
+            fn("round", agg("avg", col("c_acctbal")), lit(2)).alias("m_avg"),
+        )
+        .unpivot(["c_nationkey"], ["m_bal", "m_cnt", "m_avg"],
+                 var_col="measure", value_col="val")
+        .sort(col("c_nationkey").asc(), col("measure").asc())
+    )
+
+    # LATERAL: per-nation top-1 customer by balance — a correlated,
+    # ordered, limited subquery per outer row. Catalyst decorrelates this
+    # into a rank-over-window join (no N round-trips); the unique
+    # c_custkey tiebreak makes the pick deterministic in both engines.
+    _best = (
+        scan("customer")
+        .filter(col("c_nationkey") == col("nation.n_nationkey"))
+        .select(col("c_name"), col("c_acctbal"), col("c_custkey"))
+        .sort(col("c_acctbal").desc(), col("c_custkey").asc())
+        .limit(1)
+    )
+    w["lat_topn_per_group"] = (
+        scan("nation")
+        .lateral(_best, "best")
+        .select(
+            col("n_name"),
+            col("best.c_name").alias("top_customer"),
+            fn("round", col("best.c_acctbal").cast("double"), lit(2))
+            .alias("top_balance"),
+        )
+        .sort(col("n_name").asc())
+    )
+
     # Adapted TPC-H suite (q3-q22): the canonical multi-join / subquery /
     # CTE shapes the reference's commented-out corpus aspires to.
     w.update(tpch_workloads())

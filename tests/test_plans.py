@@ -392,3 +392,52 @@ def test_to_sql_deterministic():
     )
     assert p.to_sql("spark") == p.to_sql("spark")
     assert p.to_sql("duckdb") == p.to_sql("duckdb")
+
+
+def test_unpivot_drops_null_measures_on_both_paths(spark):
+    from datafusion_sqlgen_spark.plans import Values
+
+    v = Values(
+        rows=((1, 10.0, None), (2, None, 5.0)),
+        columns=("id", "a", "b"),
+    )
+    p = v.unpivot(["id"], ["a", "b"], var_col="k", value_col="v") \
+         .sort(col("id").asc(), col("k").asc())
+    # SQL UNPIVOT excludes NULL measures; the DataFrame path must agree
+    got_df = [tuple(r) for r in p.to_df(spark).collect()]
+    got_sql = [tuple(r) for r in spark.sql(p.to_sql("spark")).collect()]
+    assert got_df == got_sql == [(1, "a", 10.0), (2, "b", 5.0)]
+
+
+def test_unpivot_does_not_leak_undeclared_ids(spark):
+    from datafusion_sqlgen_spark.plans import Values
+
+    v = Values(
+        rows=((1, "x", 1.0, 2.0),),
+        columns=("id", "extra", "a", "b"),
+    )
+    p = v.unpivot(["id"], ["a", "b"])
+    assert set(p.to_df(spark).columns) == {"id", "key", "val"}
+    assert set(spark.sql(p.to_sql("spark")).columns) == {"id", "key", "val"}
+
+
+def test_lateral_correlated_topn(spark, duck):
+    from tests.conftest import assert_plan_matches_oracle
+
+    sub = (
+        scan("orders")
+        .filter(col("o_custkey") == col("customer.c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .sort(col("o_totalprice").desc(), col("o_orderkey").asc())
+        .limit(1)
+    )
+    p = (
+        scan("customer")
+        .filter(col("c_custkey") < 40)
+        .alias("customer")
+        .lateral(sub, "top_o")
+        .select(col("c_custkey"), col("top_o.o_orderkey"))
+        .sort(col("c_custkey").asc())
+    )
+    rows = assert_plan_matches_oracle(spark, duck, p)
+    assert len(rows) > 10
