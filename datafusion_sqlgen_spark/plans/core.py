@@ -86,6 +86,7 @@ class _SelectState:
     offset: Optional[int] = None
     ctes: list = field(default_factory=list)  # [(name, sql)]
     no_from: bool = False  # EmptyRelation: SELECT <exprs> with no FROM
+    hints: list = field(default_factory=list)  # join-strategy hints
 
     def render(self) -> str:
         parts = []
@@ -93,6 +94,10 @@ class _SelectState:
             ctes = ", ".join(f"{name} AS ({sql})" for name, sql in self.ctes)
             parts.append(f"WITH {ctes}")
         sel = "SELECT DISTINCT" if self.distinct else "SELECT"
+        if self.hints:
+            # Spark reads /*+ ... */ right after SELECT; DuckDB parses it
+            # as a plain comment — the same text is valid oracle SQL
+            sel += " /*+ " + ", ".join(self.hints) + " */"
         proj = ", ".join(self.projection) if self.projection else "*"
         parts.append(f"{sel} {proj}")
         if not self.no_from:
@@ -180,8 +185,9 @@ class Plan:
         on: Optional[Expr] = None,
         how: str = "inner",
         broadcast: bool = False,
+        hint: Optional[str] = None,
     ) -> "Join":
-        return Join(self, other, on, how, broadcast)
+        return Join(self, other, on, how, broadcast, hint)
 
     def union(self, other: "Plan") -> "SetOp":
         return SetOp(self, other, "union_all")
@@ -728,10 +734,34 @@ class Join(Plan):
     on: Optional[Expr] = None  # join condition (None + cross only)
     how: str = "inner"
     broadcast: bool = False  # broadcast the RIGHT side
+    # physical-strategy hint for the RIGHT side: None | "broadcast" |
+    # "merge" (sort-merge) | "shuffle_hash" | "shuffle_replicate_nl".
+    # The 100-TB lever: e.g. force shuffle_hash when one side is 10x
+    # smaller but above the broadcast threshold (skips both sorts), or
+    # merge when both sides are pre-sorted bucketed tables.
+    hint: Optional[str] = None
+
+    _HINT_SQL = {
+        "broadcast": "BROADCAST",
+        "merge": "MERGE",
+        "shuffle_hash": "SHUFFLE_HASH",
+        "shuffle_replicate_nl": "SHUFFLE_REPLICATE_NL",
+    }
+
+    def _right_name(self) -> Optional[str]:
+        """Relation name a SQL hint can target (scan/alias right sides)."""
+        if isinstance(self.right, Scan):
+            return self.right.table
+        if isinstance(self.right, SubqueryAlias):
+            return self.right.name
+        return None
 
     def _fold(self, dialect: str) -> _SelectState:
         lstate = self.left._fold(dialect)
-        # left side must be a bare FROM (no other slots) to host the join
+        # left side must be a bare FROM (no other slots) to host the join;
+        # comma-style FROM fragments (Lateral) and generator clauses
+        # (Explode) must also nest — `a, LATERAL(...) JOIN b` would
+        # regroup under JOIN's tighter binding
         if (
             lstate.projection is not None
             or lstate.where
@@ -740,10 +770,15 @@ class Join(Plan):
             or lstate.order_by
             or lstate.limit is not None
             or lstate.offset is not None
+            or isinstance(self.left, (Explode, Lateral))
         ):
             lstate = _nest(lstate)
         rstate = self.right._fold(dialect)
         r_sql = rstate.from_sql
+        # the right operand must be a single named relation: anything that
+        # folds to a composite FROM (another Join's `a JOIN b ON ...`,
+        # Lateral's comma fragment, Explode's LATERAL VIEW) would splice
+        # into this join's FROM and re-associate — nest it
         if (
             rstate.projection is not None
             or rstate.where
@@ -753,6 +788,7 @@ class Join(Plan):
             or rstate.limit is not None
             or rstate.offset is not None
             or r_sql is None
+            or not isinstance(self.right, (Scan, SubqueryAlias, SetOp, Values))
         ):
             r_sql = f"({rstate.render()}) AS {_fresh_alias()}"
 
@@ -767,14 +803,27 @@ class Join(Plan):
             join_sql = f"{lstate.from_sql} {_JOIN_SQL[how]} {r_sql}"
         if self.on is not None:
             join_sql += f" ON {self.on.to_sql(dialect)}"
-        state = _SelectState(from_sql=join_sql, ctes=lstate.ctes + rstate.ctes)
+        # a left-deep join chain accumulates its hints at this level
+        state = _SelectState(
+            from_sql=join_sql,
+            ctes=lstate.ctes + rstate.ctes,
+            hints=list(lstate.hints),
+        )
+        hint = self.hint or ("broadcast" if self.broadcast else None)
+        target = self._right_name()
+        if hint is not None and target is not None:
+            # rendered after SELECT; Spark's planner picks it up, DuckDB
+            # reads a comment. Nested renders keep it inside this block.
+            state.hints.append(f"{self._HINT_SQL[hint]}({target})")
         return state
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         ldf = self.left.to_df(spark)
         rdf = self.right.to_df(spark)
-        if self.broadcast:
+        if self.broadcast or self.hint == "broadcast":
             rdf = F.broadcast(rdf)
+        elif self.hint is not None:
+            rdf = rdf.hint(self.hint)
         if self.how == "cross" and self.on is None:
             return ldf.crossJoin(rdf)
         cond = self.on.to_column() if self.on is not None else None

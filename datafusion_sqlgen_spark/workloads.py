@@ -1036,8 +1036,34 @@ def _ir_workloads() -> dict[str, Plan]:
 # Operator workloads: name -> (spark_fn, duckdb_oracle_sql | None)
 # --------------------------------------------------------------------------
 
+def _union_by_name(s: SparkSession) -> DataFrame:
+    """Schema-aligned union: the right side's columns arrive in a
+    different order (the classic heterogeneous-source append);
+    ``unionByName`` aligns by name where positional UNION would silently
+    mis-pair columns. Narrow op — no shuffle."""
+    left = s.table("customer").selectExpr(
+        "c_custkey AS id", "c_name AS name", "c_acctbal AS bal"
+    ).filter("c_custkey < 100")
+    right = s.table("supplier").selectExpr(
+        "s_acctbal AS bal", "s_suppkey AS id", "s_name AS name"  # reordered
+    ).filter("s_suppkey < 50")
+    return left.unionByName(right)
+
+
+_UNION_BY_NAME_ORACLE = """
+SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+FROM customer WHERE c_custkey < 100
+UNION ALL
+SELECT s_suppkey AS id, s_name AS name, s_acctbal AS bal
+FROM supplier WHERE s_suppkey < 50
+"""
+
+
 def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame], str | None]]:
     return {
+        # by-name set union (SQL UNION is positional in both engines; the
+        # oracle re-aligns explicitly — the operator does it by schema)
+        "setop_union_by_name": (_union_by_name, _UNION_BY_NAME_ORACLE),
         "dedup_exact": (
             lambda s: dedup.exact_dedup(s.table("documents")),
             dedup.exact_dedup_oracle(),

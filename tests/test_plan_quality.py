@@ -159,3 +159,48 @@ def test_explode_no_shuffle(spark, queries):
     )
     txt = plan_text(p.to_df(spark))
     assert "Generate" in txt and "Exchange" not in txt
+
+
+def test_join_hints_steer_physical_strategy(spark):
+    """The hint is the 100-TB join-strategy lever: it must reach the
+    physical planner on BOTH render paths (Column API and generated SQL)."""
+    from datafusion_sqlgen_spark.expressions import col
+    from datafusion_sqlgen_spark.plans import scan
+
+    cases = [
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]
+    for hint, marker in cases:
+        p = (
+            scan("orders")
+            .join(scan("customer"),
+                  on=col("o_custkey") == col("c_custkey"), hint=hint)
+            .select(col("o_orderkey"), col("c_name"))
+        )
+        for df in (p.to_df(spark), spark.sql(p.to_sql("spark"))):
+            phys = df._jdf.queryExecution().executedPlan().toString()
+            assert marker in phys, f"{hint}: {marker} missing\n{phys[:400]}"
+
+
+def test_right_nested_join_operand_is_parenthesized(spark, duck):
+    """A Join whose right operand is itself a Join must nest it as a
+    derived table — splicing `a JOIN b ON ...` into the outer FROM would
+    re-associate the tree."""
+    from datafusion_sqlgen_spark.expressions import col
+    from datafusion_sqlgen_spark.plans import scan
+    from tests.conftest import assert_plan_matches_oracle
+
+    inner = scan("nation").join(
+        scan("region"), on=col("n_regionkey") == col("r_regionkey")
+    )
+    p = (
+        scan("customer")
+        .join(inner, on=col("c_nationkey") == col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .sort(col("c_custkey").asc())
+        .limit(50)
+    )
+    rows = assert_plan_matches_oracle(spark, duck, p)
+    assert len(rows) == 50
