@@ -62,6 +62,11 @@ HEADLINE = [
     "lat_explode_words",
     "text_chunk_documents",
     "cte_recursive_month_spine",
+    # round-2 additions: codegen'd lambda HOFs over arrays, decorrelated
+    # LATERAL top-1, single-pass regression/bitwise aggregate
+    "expr_higher_order",
+    "lat_topn_per_group",
+    "agg_regr_bitwise",
 ]
 
 
