@@ -328,3 +328,102 @@ def chunk_documents_oracle(
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {table} {w}) t0
     ) t
     """
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "lang",
+) -> DataFrame:
+    """Greedy sequence packing for training-batch prep: assign documents
+    to fixed token-budget packs by their running token offset.
+
+    Within each ``part_col`` shard (language/domain — packing normally
+    groups alike data anyway), documents are laid out in ``id_col`` order
+    and ``pack_id = floor(start_offset / budget)`` — documents that start
+    inside the same budget window share a pack.
+
+    Scale: the running sum is a window per shard — parallelism equals the
+    shard count, and no shard's token count needs to fit in memory (the
+    window is an incremental scan, not a collect). A single global pack
+    ordering would serialize into one partition; sharding is the design.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(words_col(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(F.col(id_col), F.col(part_col), n.alias("n_tokens"))
+    return (
+        base.withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_offset") / F.lit(budget)).cast("bigint"),
+        )
+    )
+
+
+def pack_sequences_oracle(
+    table: str = "documents", budget: int = 2048
+) -> str:
+    return f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {budget}) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, lang,
+               len(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}'))
+                   AS n_tokens
+        FROM {table}
+    ) t
+    """
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+def redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII-style masking: replace emails and long digit runs with typed
+    placeholder tokens. Pure JVM regexp_replace — a narrow codegen'd
+    projection, no shuffle, the shape of any at-scale scrubbing pass.
+    (The driver corpus has no PII; the workload synthesizes some per row
+    so the masking path is actually exercised.)"""
+    red = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(red).cast("bigint").alias("n_chars_redacted"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def redact_oracle(table: str = "documents") -> str:
+    # DuckDB regexp_replace is first-match unless the 'g' flag is passed
+    return f"""
+    SELECT doc_id,
+           length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_LONGNUM_RE}', '<NUM>', 'g')) AS n_chars_redacted,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_md5
+    FROM {table}
+    """

@@ -1089,6 +1089,28 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.top_terms(s.table("documents")),
             text.top_terms_oracle(),
         ),
+        # training-batch prep: fixed token-budget packing within language
+        # shards (window-per-shard running offset — parallel by design)
+        "text_pack_sequences": (
+            lambda s: text.pack_sequences(s.table("documents")),
+            text.pack_sequences_oracle(),
+        ),
+        # PII-style scrubbing; the corpus has no PII, so synthesize an
+        # email + long number per row, then mask (same synth in oracle)
+        "text_redact": (
+            lambda s: text.redact(
+                s.table("documents").selectExpr(
+                    "doc_id",
+                    "concat(text, ' contact user', doc_id,"
+                    " '@example.com ref ', doc_id * 1000003) AS text",
+                )
+            ),
+            text.redact_oracle(
+                "(SELECT doc_id, concat(text, ' contact user', doc_id,"
+                " '@example.com ref ', doc_id * 1000003) AS text"
+                " FROM documents) t"
+            ),
+        ),
         # overlapping word-window chunking (training/RAG prep); pure
         # built-in composition — the UDTF twin is tested equal in
         # tests/test_multimodal_sources_udfs.py

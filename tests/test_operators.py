@@ -308,3 +308,40 @@ def test_approx_count_distinct_within_tolerance(spark):
         .collect()[0]
     )
     assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"]
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from datafusion_sqlgen_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a", ("w " * 10).strip()),
+         (2, "a", ("w " * 10).strip()),
+         (3, "a", ("w " * 10).strip()),
+         (9, "b", ("w " * 5).strip())],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pack_sequences(df, budget=16).collect()}
+    # lang 'a': starts 0, 10, 20 -> packs 0, 0, 1; lang 'b' restarts at 0
+    assert (out[1]["start_offset"], out[1]["pack_id"]) == (0, 0)
+    assert (out[2]["start_offset"], out[2]["pack_id"]) == (10, 0)
+    assert (out[3]["start_offset"], out[3]["pack_id"]) == (20, 1)
+    assert (out[9]["start_offset"], out[9]["pack_id"]) == (0, 0)
+
+
+def test_redact_masks_both_patterns(spark):
+    from datafusion_sqlgen_spark.operators import text
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io and card 1234567890 ok 123")],
+        "doc_id bigint, text string",
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), text._EMAIL_RE, "<EMAIL>"),
+        text._LONGNUM_RE, "<NUM>",
+    )
+    got = df.select(red.alias("t")).collect()[0]["t"]
+    # email and >=6-digit run masked; the short 123 survives
+    assert got == "mail <EMAIL> and card <NUM> ok 123"
+    out = text.redact(df).collect()[0]
+    assert out["n_chars_redacted"] == len(got)
