@@ -264,3 +264,40 @@ def stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def foreach_batch_idempotent_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str],
+) -> "object":
+    """Exactly-once-shaped parquet sink via ``foreachBatch`` + dynamic
+    partition overwrite.
+
+    Each micro-batch rewrites only the partitions it touches
+    (``partitionOverwriteMode=dynamic``), so a batch replayed after a
+    failure overwrites the same partitions with the same content —
+    idempotent without a transactional table format. This is the standard
+    upsert pattern when the sink is plain parquet; swap the body for a
+    MERGE on Delta/Iceberg without touching the stream graph.
+
+    Use with update-mode aggregations keyed by the partition columns;
+    the checkpoint pins source offsets so every batch is replayable.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

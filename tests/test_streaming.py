@@ -185,3 +185,32 @@ def test_stream_parquet_sink_with_checkpoint(spark, stream_dir, tmp_path):
     # partition pruning works on the sink layout
     one_type = written.filter(F.col("event_type") == "click")
     assert 0 < one_type.count() < n_in
+
+
+def test_foreach_batch_idempotent_sink(spark, stream_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: the sink lands the
+    same rollup the batch twin computes, and re-applying the final batch
+    (simulating a post-failure replay) leaves the content unchanged."""
+    from datafusion_sqlgen_spark.streaming import ops as st
+
+    out = str(tmp_path / "rollup_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    events = st.read_events_stream(spark, stream_dir)
+    rolled = st.hourly_rollup_stream(events).withColumn(
+        "hour", F.date_format(F.col("hour"), "yyyy-MM-dd-HH")
+    )
+    q = st.foreach_batch_idempotent_sink(rolled, out, ckpt, ["hour"])
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out)
+    first = {tuple(r) for r in got.select("hour", "event_type", "n").collect()}
+    assert len(first) > 0
+
+    # replay: rewrite the same aggregate state again -> identical content
+    (got.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("hour").parquet(out))
+    again = {tuple(r) for r in
+             spark.read.parquet(out).select("hour", "event_type", "n").collect()}
+    assert again == first
