@@ -1,0 +1,68 @@
+"""Column profiling: data-quality stats for pipeline inputs.
+
+No analogue in the reference (its only introspection is schema capture at
+registration, tests/select.rs:73-95); this is the beyond-reference
+data-pipeline mandate — before a 100-TB training run you profile the
+inputs: null rates, cardinalities, value ranges.
+
+Scale design: ONE pass over the table computes every column's stats in a
+single partial+final aggregate (Catalyst plans the multi-DISTINCT via
+expand; the shuffle carries one row of partial states per column set,
+not data rows). The long-form reshape is a k-row ``stack`` over that one
+aggregated row — driver-side cost is nil. The per-column UNION ALL
+alternative (the oracle's formulation, which DuckDB optimizes fine at
+test scale) would scan k times — that is the formulation to avoid at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-form profile: one row per column with row count, non-null
+    count, null count, exact distinct count, and min/max rendered as
+    strings (cast AFTER the aggregate — ``min(cast(c))`` would compare
+    lexicographically).
+
+    Avoid float columns: engines format doubles differently; cast to
+    decimal first if a float column must be profiled against an oracle.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nnull"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args.append(
+            f"'{c}', __rows, `{c}__n`, `{c}__nnull`, `{c}__nd`, "
+            f"`{c}__min`, `{c}__max`"
+        )
+    stacked = (
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        "(col_name, n_rows, n_non_null, n_null, n_distinct, min_s, max_s)"
+    )
+    return one.selectExpr(stacked)
+
+
+def profile_columns_oracle(table: str, cols: list[str]) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               count({c}) AS n_non_null,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s
+        FROM {table}""")
+    return " UNION ALL ".join(parts)

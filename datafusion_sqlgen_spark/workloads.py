@@ -48,6 +48,7 @@ from datafusion_sqlgen_spark.operators import (
     dedup,
     joins,
     multimodal,
+    profiling,
     sampling,
     similarity,
     text,
@@ -1088,6 +1089,19 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "text_top_terms": (
             lambda s: text.top_terms(s.table("documents")),
             text.top_terms_oracle(),
+        ),
+        # single-pass column profiling (data-quality gate before a training
+        # run); oracle is the k-scan UNION ALL formulation — same numbers,
+        # the shape our one-pass stack avoids at scale
+        "profile_orders": (
+            lambda s: profiling.profile_columns(
+                s.table("orders"),
+                ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+            ),
+            profiling.profile_columns_oracle(
+                "orders",
+                ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+            ),
         ),
         # training-batch prep: fixed token-budget packing within language
         # shards (window-per-shard running offset — parallel by design)

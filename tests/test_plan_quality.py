@@ -204,3 +204,17 @@ def test_right_nested_join_operand_is_parenthesized(spark, duck):
     )
     rows = assert_plan_matches_oracle(spark, duck, p)
     assert len(rows) == 50
+
+
+def test_profile_columns_is_single_pass(spark):
+    """The profiler must compute all column stats in ONE scan (expand +
+    partial/final agg) — the per-column UNION ALL shape would scan k
+    times, which is the formulation to avoid at 100 TB."""
+    from datafusion_sqlgen_spark.operators import profiling
+
+    df = profiling.profile_columns(
+        spark.table("orders"), ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Scan parquet") == 1, phys[:600]
+    assert df.count() == 3
