@@ -121,3 +121,47 @@ def range_join(
     NLJ runs per-bucket instead of globally."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, cond)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join as an EQUI join — the two-large-sides scale
+    path for range joins (OSS Spark would otherwise run a nested-loop
+    over the full cross space).
+
+    The range dimension is bucketized: each left point maps to bucket
+    ``floor(p/w)``; each right interval [lo, hi] explodes to every bucket
+    it overlaps. The join becomes equi on the bucket id (hash shuffle,
+    AQE-skew-splittable) followed by the exact range filter. A matching
+    (point, interval) pair coincides in exactly ONE bucket — the point's
+    own — so no post-join dedup is needed. Interval expansion is
+    ``(hi-lo)/w + 1`` rows; pick ``w`` near the typical interval length
+    so expansion stays ~2x.
+    """
+    w = F.lit(bucket_width)
+    lb = left.withColumn(
+        "__bkt", F.floor(F.col(point_col) / w).cast("bigint")
+    )
+    rb = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("bigint"),
+                F.floor(F.col(hi_col) / w).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, on="__bkt")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__bkt")
+    )

@@ -1308,6 +1308,26 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY o_orderstatus, c_mktsegment""",
         ),
+        # two-large-sides range join via bucketization: equi on bucket id
+        # + exact filter (vs the nested-loop a raw theta join costs);
+        # oracle is the plain theta join — identical pairs
+        "join_range_bucketed": (
+            lambda s: joins.range_join_bucketed(
+                s.table("lineitem").filter("l_orderkey < 2000")
+                .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+                s.table("part").filter("p_partkey < 100")
+                .selectExpr("p_partkey", "p_retailprice * 10 AS lo",
+                            "p_retailprice * 10 + 500 AS hi"),
+                "l_extendedprice", "lo", "hi", 500.0,
+            ).select("l_orderkey", "l_linenumber", "p_partkey"),
+            """SELECT l_orderkey, l_linenumber, p_partkey
+               FROM (SELECT l_orderkey, l_linenumber, l_extendedprice
+                     FROM lineitem WHERE l_orderkey < 2000) l
+               JOIN (SELECT p_partkey, p_retailprice * 10 AS lo,
+                            p_retailprice * 10 + 500 AS hi
+                     FROM part WHERE p_partkey < 100) p
+               ON l.l_extendedprice >= p.lo AND l.l_extendedprice <= p.hi""",
+        ),
         "join_asof_forward": (
             lambda s: joins.asof_join(
                 s.table("events").filter("event_type = 'error'")

@@ -218,3 +218,30 @@ def test_profile_columns_is_single_pass(spark):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Scan parquet") == 1, phys[:600]
     assert df.count() == 3
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark):
+    """The bucketized range join must plan as an EQUI join (hash/merge on
+    the bucket id) — never a nested loop over the cross space — and must
+    produce exactly the theta-join pairs (one bucket per matching pair)."""
+    from datafusion_sqlgen_spark.operators import joins
+
+    left = spark.table("lineitem").filter("l_orderkey < 500").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    right = spark.table("part").filter("p_partkey < 50").selectExpr(
+        "p_partkey", "p_retailprice * 10 AS lo", "p_retailprice * 10 + 500 AS hi"
+    )
+    out = joins.range_join_bucketed(
+        left, right, "l_extendedprice", "lo", "hi", 500.0
+    ).select("l_orderkey", "l_linenumber", "p_partkey")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in phys, phys[:600]
+
+    import pyspark.sql.functions as F
+    naive = left.join(
+        right,
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") <= F.col("hi")),
+    ).select("l_orderkey", "l_linenumber", "p_partkey")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
