@@ -996,9 +996,13 @@ def _ir_workloads() -> dict[str, Plan]:
         .agg(
             _money_out(agg("sum", _money(col("c_acctbal")))).alias("m_bal"),
             agg("count").cast("double").alias("m_cnt"),
-            fn("round", agg("avg", col("c_acctbal")), lit(2)).alias("m_avg"),
+            # max, not avg: avg needs a division and DuckDB 1.0 divides
+            # DECIMALs to DOUBLE (typeof(d/d) = DOUBLE), which half-even
+            # rounds at .xx5 while Spark's decimal avg rounds HALF_UP —
+            # no exact cross-engine formulation exists for avg-of-money
+            _money_out(agg("max", _money(col("c_acctbal")))).alias("m_max"),
         )
-        .unpivot(["c_nationkey"], ["m_bal", "m_cnt", "m_avg"],
+        .unpivot(["c_nationkey"], ["m_bal", "m_cnt", "m_max"],
                  var_col="measure", value_col="val")
         .sort(col("c_nationkey").asc(), col("measure").asc())
     )
