@@ -107,3 +107,45 @@ def test_stacked_plans_r2_dual_render(plan_env, chain):
     assert df_rows == duck_rows, (
         f"Spark != DuckDB\nspark: {sql}\nduck: {p.to_sql('duckdb')}"
     )
+
+
+# round-3 ops: unpivot (schema-restoring), uncorrelated lateral, hinted
+# self-join — the nodes whose folds splice the FROM clause
+def _ops_r3():
+    from datafusion_sqlgen_spark.plans import EmptyRelation
+
+    one = EmptyRelation().select(lit(1).alias("one"))
+    return st.one_of(
+        _ops(),
+        # wide->long->restore: exercises Unpivot under arbitrary stacking
+        st.just(
+            lambda p: p.select(col("a"), col("b"), col("s"))
+            .unpivot(["s"], ["a", "b"], var_col="k", value_col="v")
+            .select(col("v").alias("a"), col("v").alias("b"),
+                    col("k").alias("s"))
+        ),
+        # FROM p, LATERAL (SELECT 1) — comma fragment under stacking
+        st.just(
+            lambda p: p.lateral(one, "lx")
+            .select(col("a"), col("b"), col("s"))
+        ),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(chain=st.lists(_ops_r3(), min_size=1, max_size=4))
+def test_stacked_plans_r3_dual_render(plan_env, chain):
+    spark, con = plan_env
+    p = scan("fuzz_p")
+    for op in chain:
+        p = op(p)
+    df_rows = sorted((tuple(r) for r in p.to_df(spark).collect()), key=_key)
+    sql = p.to_sql("spark")
+    sql_rows = sorted((tuple(r) for r in spark.sql(sql).collect()), key=_key)
+    duck_rows = sorted(
+        (tuple(r) for r in con.execute(p.to_sql("duckdb")).fetchall()), key=_key
+    )
+    assert df_rows == sql_rows, f"DataFrame != spark.sql\n{sql}"
+    assert df_rows == duck_rows, (
+        f"Spark != DuckDB\nspark: {sql}\nduck: {p.to_sql('duckdb')}"
+    )
