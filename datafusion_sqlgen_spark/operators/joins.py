@@ -27,21 +27,28 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row, the most recent right row with the same key at
     or before its timestamp (``backward``; ``forward`` = earliest at or
-    after).
+    after). ``tolerance_s`` bounds the match window (pandas
+    ``merge_asof``-style): a backward match must also lie within
+    ``left_time - tolerance``, forward within ``left_time + tolerance``.
 
     Implementation: equi-join on the key with a time inequality, then
     ``max_by``/``min_by`` per left row — two shuffles (join + group) on
     the same key, which AQE typically co-plans. For dense right sides at
     100 TB, pre-bucket both sides on (key, time-bucket) to make the join
-    local; the composition here stays identical.
+    local (the tolerance IS the natural bucket width); the composition
+    here stays identical.
     """
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
     cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (
         rt <= lt if direction == "backward" else rt >= lt
     )
+    if tolerance_s is not None:
+        tol = F.expr(f"INTERVAL {int(tolerance_s)} SECOND")
+        cond = cond & (rt >= lt - tol if direction == "backward" else rt <= lt + tol)
     pick = F.max_by if direction == "backward" else F.min_by
     joined = left.alias("l").join(right.alias("r"), cond, "left")
     group_cols = [F.col(f"l.{c}") for c in left.columns]
@@ -62,6 +69,7 @@ def asof_join_oracle(
     right_filter: str = "TRUE",
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> str:
     lcols = ", ".join(f"l.{c}" for c in left_cols)
     pick, cmp = ("max_by", "<=") if direction == "backward" else ("min_by", ">=")
@@ -69,11 +77,19 @@ def asof_join_oracle(
     aggs = ", ".join(
         f"{pick}(r.{c}, r.{right_time}) AS {c}{suffix}" for c in value_cols
     )
+    tol = ""
+    if tolerance_s is not None:
+        sign = "-" if direction == "backward" else "+"
+        bound = ">=" if direction == "backward" else "<="
+        tol = (
+            f" AND r.{right_time} {bound} "
+            f"l.{left_time} {sign} INTERVAL {int(tolerance_s)} SECOND"
+        )
     return f"""
     SELECT {lcols}, {aggs}, {ext}(r.{right_time}) AS {right_time}{suffix}
     FROM (SELECT * FROM {left_table} WHERE {left_filter}) l
     LEFT JOIN (SELECT * FROM {right_table} WHERE {right_filter}) r
-      ON l.{on} = r.{on} AND r.{right_time} {cmp} l.{left_time}
+      ON l.{on} = r.{on} AND r.{right_time} {cmp} l.{left_time}{tol}
     GROUP BY {lcols}
     """
 

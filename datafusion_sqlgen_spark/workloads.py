@@ -1349,6 +1349,26 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 direction="forward",
             ),
         ),
+        # tolerance-bounded as-of (pandas merge_asof-style): only matches
+        # within the last hour count — the window bound that makes the
+        # join bucketable at scale
+        "join_asof_tolerance": (
+            lambda s: joins.asof_join(
+                s.table("events").filter("event_type = 'error'")
+                .select("event_id", "user_id", "ts"),
+                s.table("events").filter("event_type = 'click'")
+                .select("user_id", "ts", "value"),
+                on="user_id", left_time="ts", right_time="ts",
+                value_cols=["value"], tolerance_s=3600,
+            ),
+            joins.asof_join_oracle(
+                "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')",
+                "(SELECT user_id, ts, value FROM events WHERE event_type = 'click')",
+                on="user_id", left_time="ts", right_time="ts",
+                left_cols=["event_id", "user_id", "ts"], value_cols=["value"],
+                tolerance_s=3600,
+            ),
+        ),
         "join_asof_events": (
             lambda s: joins.asof_join(
                 s.table("events").filter("event_type = 'error'")
