@@ -63,10 +63,14 @@ HEADLINE = [
     "text_chunk_documents",
     "cte_recursive_month_spine",
     # round-2 additions: codegen'd lambda HOFs over arrays, decorrelated
-    # LATERAL top-1, single-pass regression/bitwise aggregate
+    # LATERAL top-1, single-pass regression/bitwise aggregate, bucketized
+    # range join (the no-nested-loop scale path), one-scan profiling
     "expr_higher_order",
     "lat_topn_per_group",
     "agg_regr_bitwise",
+    "join_range_bucketed",
+    "profile_orders",
+    "text_pack_sequences",
 ]
 
 

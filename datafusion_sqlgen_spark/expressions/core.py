@@ -664,9 +664,18 @@ class Func(Expr):
     name: str
     args: tuple = ()
     distinct: bool = False
+    # IGNORE NULLS for window/navigation functions. Placement differs:
+    # Spark `fn(args) IGNORE NULLS OVER ...`, DuckDB `fn(args IGNORE
+    # NULLS) OVER ...` — same semantics (first/last/nth/lag/lead).
+    ignore_nulls: bool = False
 
     def to_sql(self, dialect: str = SPARK) -> str:
         name = canonical(self.name)
+        if self.ignore_nulls:
+            args = ", ".join(a.to_sql(dialect) for a in self.args)
+            if dialect == DUCKDB:
+                return f"{name}({args} IGNORE NULLS)"
+            return f"{name}({args}) IGNORE NULLS"
         if name == "zip_with" and dialect == DUCKDB:
             # DuckDB 1.0 has no zip_with and list_zip yields *unnamed*
             # structs; index-join the two arrays instead:
@@ -693,6 +702,19 @@ class Func(Expr):
 
     def to_column(self) -> Column:
         name = canonical(self.name)
+        if self.ignore_nulls:
+            cols = [a.to_column() for a in self.args]
+            if name == "last_value":
+                return F.last(cols[0], ignorenulls=True)
+            if name == "first_value":
+                return F.first(cols[0], ignorenulls=True)
+            if name == "nth_value":
+                return F.nth_value(cols[0], self.args[1].value, ignoreNulls=True)
+            # lag/lead have no PySpark ignore-nulls Column form; the plan
+            # layer falls back to the generated-SQL path on this error
+            raise NotImplementedError(
+                f"{name} IGNORE NULLS as a Column; use the SQL rendering path"
+            )
         if name in _HOF_COLUMN and any(isinstance(a, Lambda) for a in self.args):
             fn = getattr(F, _HOF_COLUMN[name])
             args = [

@@ -31,6 +31,7 @@ from datafusion_sqlgen_spark.catalog import register_tables
 from datafusion_sqlgen_spark.expressions import col, fn, agg, lam, lit, star, when
 from datafusion_sqlgen_spark.expressions.core import (
     Exists,
+    Func,
     InSubquery,
     Interval,
     IsDistinctFrom,
@@ -757,6 +758,29 @@ def _ir_workloads() -> dict[str, Plan]:
             rows_between=("unbounded", "unbounded"),
         )
         .alias("last_type"),
+    )
+
+    # IGNORE NULLS navigation: LOCF of the last click value per user —
+    # Spark renders `last_value(x) IGNORE NULLS OVER`, DuckDB
+    # `last_value(x IGNORE NULLS) OVER`; the Column path maps to
+    # F.last(ignorenulls=True)
+    w["win_ignore_nulls_locf"] = (
+        scan("events")
+        .filter(col("event_id") < 5000)
+        .select(
+            col("event_id"),
+            col("user_id"),
+            fn("round",
+               Func("last_value",
+                    (when(col("event_type") == "click", col("value")),),
+                    ignore_nulls=True)
+               .over(
+                   partition_by=[col("user_id")],
+                   order_by=[col("ts").asc(), col("event_id").asc()],
+                   rows_between=("unbounded", 0),
+               ),
+               lit(4)).alias("last_click_value"),
+        )
     )
 
     # RANGE frame: value-based window over a numeric ordering key

@@ -195,3 +195,30 @@ def test_lambda_column_path_executes(spark):
     df = spark.createDataFrame([([1, 2, 3], [10, 20, 30])], "a array<int>, b array<int>")
     got = df.select(e.to_column().alias("dot")).collect()[0][0]
     assert got == 10 + 40 + 90
+
+
+def test_ignore_nulls_renders_per_dialect():
+    from datafusion_sqlgen_spark.expressions import Func
+
+    e = Func("last_value", (col("v"),), ignore_nulls=True).over(
+        partition_by=[col("g")], order_by=[col("i").asc()]
+    )
+    assert "last_value(v) IGNORE NULLS OVER" in e.to_sql("spark")
+    assert "last_value(v IGNORE NULLS) OVER" in e.to_sql("duckdb")
+
+
+def test_lag_ignore_nulls_falls_back_to_sql_path(spark):
+    """lag IGNORE NULLS has no PySpark Column form — the plan layer must
+    transparently execute via generated SQL and still be right."""
+    from datafusion_sqlgen_spark.expressions import Func
+    from datafusion_sqlgen_spark.plans import Values
+
+    v = Values(rows=((1, 10), (2, None), (3, 30)), columns=("i", "v"))
+    p = v.select(
+        col("i"),
+        Func("lag", (col("v"),), ignore_nulls=True)
+        .over(order_by=[col("i").asc()])
+        .alias("prev_non_null"),
+    ).sort(col("i").asc())
+    got = [tuple(r) for r in p.to_df(spark).collect()]
+    assert got == [(1, None), (2, 10), (3, 10)]
