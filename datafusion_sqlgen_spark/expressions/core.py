@@ -688,8 +688,12 @@ class Func(Expr):
                 {lam.params[0]: Index(arr_a, i), lam.params[1]: Index(arr_b, i)},
             )
             a_sql = arr_a.to_sql(dialect)
+            b_sql = arr_b.to_sql(dialect)
+            # Spark zip_with extends to the LONGER array, padding the
+            # shorter with NULL; out-of-range list subscripts yield NULL
+            # in DuckDB, so iterating to greatest(len(a), len(b)) matches
             return (
-                f"list_transform(range(1, len({a_sql}) + 1), "
+                f"list_transform(range(1, greatest(len({a_sql}), len({b_sql})) + 1), "
                 f"__zw_i -> {body.to_sql(dialect)})"
             )
         args = [a.to_sql(dialect) for a in self.args]

@@ -184,13 +184,23 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
     # substitution, not string pasting).
     "transform": {"spark": _plain("transform"), "duckdb": _plain("list_transform")},
     "filter": {"spark": _plain("filter"), "duckdb": _plain("list_filter")},
+    # exists/forall: fold OR/AND over the predicate list so SQL
+    # three-valued logic survives (list_filter would drop NULL predicate
+    # results and collapse Spark's NULL answer to true/false). The
+    # prepended identity also covers the empty array (false / true).
     "exists": {
         "spark": _plain("exists"),
-        "duckdb": lambda a: f"(len(list_filter({a[0]}, {a[1]})) > 0)",
+        "duckdb": lambda a: (
+            f"list_reduce(list_prepend(false, list_transform({a[0]}, {a[1]})), "
+            f"(__ex_acc, __ex_x) -> __ex_acc OR __ex_x)"
+        ),
     },
     "forall": {
         "spark": _plain("forall"),
-        "duckdb": lambda a: f"(len(list_filter({a[0]}, {a[1]})) = len({a[0]}))",
+        "duckdb": lambda a: (
+            f"list_reduce(list_prepend(true, list_transform({a[0]}, {a[1]})), "
+            f"(__fa_acc, __fa_x) -> __fa_acc AND __fa_x)"
+        ),
     },
     # aggregate(arr, init, (acc, x) -> ...): DuckDB list_reduce has no init
     # slot — prepend it (list_reduce([init] ++ arr) folds identically,
@@ -245,13 +255,17 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("array_intersect"),
         "duckdb": _plain("list_intersect"),
     },
-    # ordered string aggregation: string_agg(value, sep, order_key) —
-    # Spark 4 listagg ... WITHIN GROUP; DuckDB inline ORDER BY
+    # ordered string aggregation: string_agg(value, sep[, order_key]) —
+    # Spark 4 listagg ... WITHIN GROUP; DuckDB inline ORDER BY. The 2-arg
+    # form orders by the value itself (both engines would otherwise be
+    # nondeterministic, which breaks dual-render equality).
     "string_agg": {
         "spark": lambda a: (
-            f"listagg({a[0]}, {a[1]}) WITHIN GROUP (ORDER BY {a[2]})"
+            f"listagg({a[0]}, {a[1]}) WITHIN GROUP (ORDER BY {a[2] if len(a) > 2 else a[0]})"
         ),
-        "duckdb": lambda a: f"string_agg({a[0]}, {a[1]} ORDER BY {a[2]})",
+        "duckdb": lambda a: (
+            f"string_agg({a[0]}, {a[1]} ORDER BY {a[2] if len(a) > 2 else a[0]})"
+        ),
     },
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
@@ -391,13 +405,16 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "printf": lambda *a: F.call_function("printf", *a),
     "regexp_like": lambda *a: F.call_function("regexp_like", *a),
     "width_bucket": lambda *a: F.call_function("width_bucket", *a),
-    # ordered string_agg(value, sep, order_key): no single F.* equivalent —
+    # ordered string_agg(value, sep[, order_key]): no single F.* equivalent —
     # compose sort_array(collect_list(struct(order, value))) -> join;
-    # collect_list is partition-order-nondeterministic, the sort fixes it
-    "string_agg": lambda v, sep, o: F.call_function(
+    # collect_list is partition-order-nondeterministic, the sort fixes it.
+    # 2-arg form orders by the value itself (matches the SQL renderers).
+    "string_agg": lambda v, sep, o=None: F.call_function(
         "array_join",
         F.transform(
-            F.sort_array(F.collect_list(F.struct(o.alias("o"), v.alias("v")))),
+            F.sort_array(
+                F.collect_list(F.struct((v if o is None else o).alias("o"), v.alias("v")))
+            ),
             lambda s: s.getField("v"),
         ),
         sep,

@@ -366,41 +366,54 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     neither engine needs a native hex->int of the same flavor).
 
     Packs into one BIGINT per doc — 8 bytes of shuffle key for the
-    subsequent band-grouping, regardless of document size."""
-    words = words_col(F.col(text_col))
+    subsequent band-grouping, regardless of document size.
+
+    Hashing is staged: ``transform(words, md5)`` is materialized ONCE per
+    row before the per-bit folds (Catalyst does not common-subexpression
+    md5 across the 16 lambda bodies, so inlining it would hash every word
+    16x — at 100 TB the hashing IS the operator cost; same staging as
+    ``minhash_signatures``)."""
+    staged = df.select(
+        F.col(id_col),
+        F.transform(words_col(F.col(text_col)), F.md5).alias("__h"),
+    )
     bit_terms = []
     for j in range(bits):
         nibble_pos = j // 4 + 1  # 1-based hex char in md5
         bit_in_nibble = j % 4
         # nibble value = strpos(hex_alphabet, md5_char) - 1; extract bit
-        def bit_sign(w, nibble_pos=nibble_pos, bit_in_nibble=bit_in_nibble):
-            nib = F.instr(F.lit(_HEX), F.substring(F.md5(w), nibble_pos, 1)) - 1
+        def bit_sign(h, nibble_pos=nibble_pos, bit_in_nibble=bit_in_nibble):
+            nib = F.instr(F.lit(_HEX), F.substring(h, nibble_pos, 1)) - 1
             bit = F.floor(nib / (2 ** bit_in_nibble)) % 2
             return bit * 2 - 1  # {0,1} -> {-1,+1}
 
         total = F.aggregate(
-            words, F.lit(0).cast("bigint"), lambda acc, w: acc + bit_sign(w)
+            F.col("__h"), F.lit(0).cast("bigint"), lambda acc, h: acc + bit_sign(h)
         )
         bit_terms.append((F.when(total > 0, 1).otherwise(0) * (2 ** j)).cast("bigint"))
     sim = bit_terms[0]
     for t in bit_terms[1:]:
         sim = sim + t
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_oracle(table: str = "documents", bits: int = 16) -> str:
+    # mirrors the Spark side: hash staged once in a derived table
     words = "string_split_regex(lower(text), '\\s+')"
     terms = []
     for j in range(bits):
         nibble_pos = j // 4 + 1
         bit_in_nibble = j % 4
         bit = (
-            f"(floor((strpos('{_HEX}', substr(md5(w), {nibble_pos}, 1)) - 1) "
+            f"(floor((strpos('{_HEX}', substr(h, {nibble_pos}, 1)) - 1) "
             f"/ {2 ** bit_in_nibble}) % 2)"
         )
-        total = f"list_sum(list_transform({words}, w -> {bit} * 2 - 1))"
+        total = f"list_sum(list_transform(hashed, h -> {bit} * 2 - 1))"
         terms.append(f"(CASE WHEN {total} > 0 THEN 1 ELSE 0 END)::BIGINT * {2 ** j}")
-    return f"SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM {table}"
+    return (
+        f"SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM "
+        f"(SELECT doc_id, list_transform({words}, w -> md5(w)) AS hashed FROM {table})"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -93,11 +93,14 @@ class _SelectState:
         if self.ctes:
             ctes = ", ".join(f"{name} AS ({sql})" for name, sql in self.ctes)
             parts.append(f"WITH {ctes}")
-        sel = "SELECT DISTINCT" if self.distinct else "SELECT"
+        sel = "SELECT"
         if self.hints:
-            # Spark reads /*+ ... */ right after SELECT; DuckDB parses it
+            # Spark reads /*+ ... */ IMMEDIATELY after SELECT (before
+            # DISTINCT, or the hint is silently ignored); DuckDB parses it
             # as a plain comment — the same text is valid oracle SQL
             sel += " /*+ " + ", ".join(self.hints) + " */"
+        if self.distinct:
+            sel += " DISTINCT"
         proj = ", ".join(self.projection) if self.projection else "*"
         parts.append(f"{sel} {proj}")
         if not self.no_from:
@@ -700,6 +703,7 @@ class Lateral(Plan):
         return _SelectState(
             from_sql=f"{lstate.from_sql}, LATERAL ({sub_sql}) AS {a}",
             ctes=lstate.ctes,
+            hints=lstate.hints,
         )
 
     def to_df(self, spark: SparkSession) -> DataFrame:
@@ -933,20 +937,27 @@ class Values(Plan):
             for row in self.rows
         )
         cols = ", ".join(quote_ident(c, dialect) for c in self.columns)
-        return f"(VALUES {rendered}) AS _v({cols})"
+        # fresh alias: two Values nodes in one FROM (e.g. a join of two
+        # inline relations) must not collide on a shared name
+        return f"(VALUES {rendered}) AS {_fresh_alias()}({cols})"
 
     def _fold(self, dialect: str) -> _SelectState:
         return _SelectState(from_sql=self._values_sql(dialect))
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        def plain(v):
-            if isinstance(v, Expr):
-                if hasattr(v, "value"):  # Lit
-                    return v.value
-                raise NotImplementedError("Values rows must be literals")
-            return v
-
-        data = [tuple(plain(v) for v in row) for row in self.rows]
+        if any(
+            isinstance(v, Expr) and not hasattr(v, "value")  # non-Lit Expr
+            for row in self.rows
+            for v in row
+        ):
+            # computed row expressions: to_sql renders them, so route the
+            # DataFrame path through the generated SQL (same Catalyst plan),
+            # like the Project/Filter subquery fallbacks
+            return spark.sql(self.to_sql(SPARK))
+        data = [
+            tuple(v.value if isinstance(v, Expr) else v for v in row)
+            for row in self.rows
+        ]
         return spark.createDataFrame(data, schema=list(self.columns))
 
 

@@ -164,9 +164,10 @@ def test_lambda_zip_with_duckdb_rewrites_to_index_join():
 
     e = fn("zip_with", col("a"), col("b"), lam(("x", "y"), lambda x, y: x * y))
     assert e.to_sql("spark") == "zip_with(a, b, (x, y) -> (x * y))"
-    # DuckDB 1.0 has no zip_with; the body is substituted over an index join
+    # DuckDB 1.0 has no zip_with; the body is substituted over an index
+    # join that runs to the LONGER array (Spark pads the shorter with NULL)
     assert e.to_sql("duckdb") == (
-        "list_transform(range(1, len(a) + 1), "
+        "list_transform(range(1, greatest(len(a), len(b)) + 1), "
         "__zw_i -> ((a)[__zw_i] * (b)[__zw_i]))"
     )
 

@@ -245,3 +245,17 @@ def test_bucketed_range_join_avoids_nested_loop(spark):
         & (F.col("l_extendedprice") <= F.col("hi")),
     ).select("l_orderkey", "l_linenumber", "p_partkey")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_simhash_hashes_each_word_once(spark):
+    """SimHash must stage transform(words, md5) ONCE and fold the 16 bit
+    extractions over the hashed array — Catalyst does not CSE md5 across
+    lambda bodies, so an inlined md5 hashes every word 16x (at 100 TB the
+    hashing IS the operator cost)."""
+    from datafusion_sqlgen_spark.operators import dedup
+
+    df = dedup.simhash(spark.table("documents"))
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") == 1, (
+        f"md5 appears {optimized.count('md5')}x in the optimized plan"
+    )
