@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def asof_join(
@@ -35,26 +36,61 @@ def asof_join(
     ``merge_asof``-style): a backward match must also lie within
     ``left_time - tolerance``, forward within ``left_time + tolerance``.
 
-    Implementation: equi-join on the key with a time inequality, then
-    ``max_by``/``min_by`` per left row — two shuffles (join + group) on
-    the same key, which AQE typically co-plans. For dense right sides at
-    100 TB, pre-bucket both sides on (key, time-bucket) to make the join
-    local (the tolerance IS the natural bucket width); the composition
-    here stays identical.
+    Implementation: union both sides and take
+    ``last(right_payload, ignoreNulls) OVER (PARTITION BY key ORDER BY
+    ts)`` — ONE shuffle on the key and a per-partition sort, with no join
+    intermediate at all. The join+``max_by`` formulation this replaces
+    pairs every left row with ALL earlier same-key right rows first
+    (per-key quadratic — fatal on a skewed 100-TB event stream); here a
+    partition's cost is its own size, and AQE's skew split still applies
+    to the one exchange. The right row travels as a struct so genuinely
+    NULL values in a matched row are returned as-is, exactly like
+    ``max_by``. Within equal timestamps right rows order before (backward)
+    / after (forward) left rows, so an exactly-equal timestamp matches.
+
+    ``tolerance_s`` post-nulls matches outside the window: the nearest
+    match overall is also the nearest within tolerance if any exists, so
+    nulling the out-of-window nearest is exact, not an approximation.
     """
-    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
-    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (
-        rt <= lt if direction == "backward" else rt >= lt
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, not {direction!r}")
+    payload = F.struct(
+        F.col(right_time).alias("__t"),
+        *[F.col(c).alias(c) for c in value_cols],
     )
+    r2 = (
+        right
+        # null keys / null times never match in join semantics; drop them
+        # so the null-key window partition can't pair them with left rows
+        .filter(F.col(on).isNotNull() & F.col(right_time).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_time).alias("__ts"),
+            payload.alias("__p"),
+            F.lit(1).alias("__is_r"),
+        )
+    )
+    l2 = left.withColumn("__ts", F.col(left_time)).withColumn("__is_r", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    tie = F.col("__is_r").desc() if direction == "backward" else F.col("__is_r").asc()
+    w = Window.partitionBy(on).orderBy(F.col("__ts").asc(), tie)
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last("__p", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        match = F.first("__p", ignorenulls=True).over(w)
+    out = u.withColumn("__m", match).filter(F.col("__is_r") == 0)
+    lt, mt = F.col(left_time), F.col("__m.__t")
+    keep = lt.isNotNull()  # a null left time matches nothing
     if tolerance_s is not None:
         tol = F.expr(f"INTERVAL {int(tolerance_s)} SECOND")
-        cond = cond & (rt >= lt - tol if direction == "backward" else rt <= lt + tol)
-    pick = F.max_by if direction == "backward" else F.min_by
-    joined = left.alias("l").join(right.alias("r"), cond, "left")
-    group_cols = [F.col(f"l.{c}") for c in left.columns]
-    aggs = [pick(F.col(f"r.{c}"), rt).alias(f"{c}{suffix}") for c in value_cols]
-    aggs.append(pick(rt, rt).alias(f"{right_time}{suffix}"))
-    return joined.groupBy(*group_cols).agg(*aggs)
+        keep = keep & (mt >= lt - tol if direction == "backward" else mt <= lt + tol)
+    out = out.withColumn("__m", F.when(keep, F.col("__m")))
+    cols = [F.col(c) for c in left.columns]
+    cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols]
+    cols.append(F.col("__m.__t").alias(f"{right_time}{suffix}"))
+    return out.select(*cols)
 
 
 def asof_join_oracle(

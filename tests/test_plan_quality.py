@@ -259,3 +259,23 @@ def test_simhash_hashes_each_word_once(spark):
     assert optimized.count("md5") == 1, (
         f"md5 appears {optimized.count('md5')}x in the optimized plan"
     )
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The as-of join must plan as union + ONE hash exchange + window —
+    never as a relational join: the join+max_by shape pairs each left row
+    with ALL earlier same-key right rows (per-key quadratic intermediate,
+    fatal on a skewed 100-TB event stream)."""
+    from datafusion_sqlgen_spark.operators import joins
+
+    ev = spark.table("events")
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    out = joins.asof_join(
+        errors, clicks, on="user_id", left_time="ts",
+        right_time="ts", value_cols=["value"],
+    )
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in phys, phys[:800]
+    n_exchanges = phys.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} hash exchanges:\n{phys[:800]}"
