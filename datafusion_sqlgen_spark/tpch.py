@@ -49,6 +49,61 @@ def _revenue():
 def tpch_workloads() -> dict[str, Plan]:
     w: dict[str, Plan] = {}
 
+    # q2 — minimum-cost supplier: the *correlated scalar-min* subquery
+    # (reference intent: commented tests at
+    # /root/reference/datafusion-sqlgen/tests/select.rs:753-814 exercise
+    # nested-subquery SELECT shapes). The driver data has no partsupp, so
+    # lineitem stands in as the part-supplier offer table with
+    # l_extendedprice as the supply cost; supplier has no address/phone, so
+    # the output keeps (s_acctbal, s_name, n_name, p_partkey, p_brand).
+    # Catalyst decorrelates the per-part min into an aggregate + join —
+    # same plan family as q17.
+    europe_offers_min = (
+        scan("lineitem")
+        .alias("l2")
+        .join(scan("supplier").alias("s2"),
+              on=col("l2.l_suppkey") == col("s2.s_suppkey"))
+        .join(scan("nation").alias("n2"),
+              on=col("s2.s_nationkey") == col("n2.n_nationkey"))
+        .join(scan("region").alias("r2"),
+              on=col("n2.n_regionkey") == col("r2.r_regionkey"))
+        .filter(
+            (col("r2.r_name") == "EUROPE")
+            & (col("l2.l_partkey") == col("p_partkey"))
+        )
+        .group_by()
+        .agg(agg("min", col("l2.l_extendedprice")).alias("min_cost"))
+    )
+    w["tpch_q2"] = (
+        scan("part")
+        .join(scan("lineitem"), on=col("p_partkey") == col("l_partkey"))
+        .join(scan("supplier"), on=col("l_suppkey") == col("s_suppkey"))
+        .join(scan("nation"), on=col("s_nationkey") == col("n_nationkey"))
+        .join(scan("region"), on=col("n_regionkey") == col("r_regionkey"))
+        .filter(
+            col("p_size").between(10, 20)
+            & (col("p_type") == "STANDARD")
+            & (col("r_name") == "EUROPE")
+            & (col("l_extendedprice") == ScalarSubquery(europe_offers_min))
+        )
+        .select(
+            col("s_acctbal"),
+            col("s_name"),
+            col("n_name"),
+            col("p_partkey"),
+            col("p_brand"),
+            col("l_extendedprice").alias("supplycost"),
+        )
+        .distinct()
+        .sort(
+            col("s_acctbal").desc(),
+            col("n_name").asc(),
+            col("s_name").asc(),
+            col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
     # q3 — shipping priority. customer->orders is a broadcastable dim join
     # at any scale (customer << lineitem); orders->lineitem shuffles on
     # orderkey. o_orderpriority stands in for o_shippriority.
