@@ -20,6 +20,7 @@ Arrow-vectorized pandas UDFs where built-ins cannot express the semantics.
 
 from datafusion_sqlgen_spark.session import get_spark
 from datafusion_sqlgen_spark.catalog import TABLES, register_tables
+from datafusion_sqlgen_spark.parser import parse_sql
 
-__all__ = ["get_spark", "register_tables", "TABLES"]
+__all__ = ["get_spark", "register_tables", "TABLES", "parse_sql"]
 __version__ = "0.1.0"

@@ -1058,6 +1058,32 @@ def _ir_workloads() -> dict[str, Plan]:
     # CTE shapes the reference's commented-out corpus aspires to.
     w.update(tpch_workloads())
 
+    # SQL text -> IR front end (parser.py): the reference's own entry
+    # direction (DFParser -> SqlToRel, tests/select.rs:57-68). These plans
+    # are built by PARSING SQL text, then dual-rendered like every other
+    # IR workload — so the parser itself sits inside the correctness gate.
+    from datafusion_sqlgen_spark.parser import parse_sql
+
+    w["parsed_scan_filter_sort"] = parse_sql(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal BETWEEN 100 AND 5000 "
+        "ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST LIMIT 50"
+    )
+    w["parsed_join_agg_having"] = parse_sql(
+        "SELECT c_mktsegment, count(*) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_mktsegment HAVING count(*) > 10 "
+        "ORDER BY c_mktsegment ASC NULLS FIRST"
+    )
+    w["parsed_case_in_distinct"] = parse_sql(
+        "SELECT DISTINCT o_orderstatus, "
+        "CASE WHEN o_totalprice > 200000 THEN 'big' "
+        "WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket "
+        "FROM orders WHERE o_orderstatus IN ('F', 'O') "
+        "ORDER BY o_orderstatus ASC NULLS FIRST, bucket ASC NULLS FIRST"
+    )
+
     return w
 
 
@@ -1432,6 +1458,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "ref_null_safe_cmp",
     "ref_nested_slots",
     "ref_wildcard",
+    # round-3 new code first: SQL->IR parser output (parser.py) — these
+    # plans are BUILT BY PARSING SQL text, so a green row verifies the
+    # parser end-to-end
+    "parsed_scan_filter_sort",
+    "parsed_join_agg_having",
+    "parsed_case_in_distinct",
     # windows never sampled by the driver
     "win_first_last",
     "win_ignore_nulls_locf",
@@ -1457,8 +1489,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q9",
     "tpch_q17",
     "tpch_q18",
-    # set-op straggler
-    "setop_union_by_name",
     # dedup tier (the LLM-pipeline core)
     "dedup_exact",
     "dedup_canonical",
@@ -1484,18 +1514,20 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_cosine_topk",
     "sim_cosine_topk_bucketed",
     "sim_ivf_topk",
+    # as-of joins (rewritten round 3: union+window shape — verify all
+    # three direction/tolerance variants of the new code)
+    "join_asof_events",
+    "join_asof_tolerance",
+    "join_asof_forward",
     # profiling / UDF tier / pivot
     "profile_orders",
     "udf_bpeish_token_count",
     "agg_pivot_status",
-    # scale joins + as-of
+    # ---- 50-entry driver sample boundary (everything below rotates in) ----
+    "setop_union_by_name",
     "join_salted_skew",
     "join_range_bucketed",
-    "join_asof_events",
-    # ---- 50-entry driver sample boundary (everything below rotates in) ----
     "expr_scalar_funcs4",
-    "join_asof_tolerance",
-    "join_asof_forward",
     "lat_posexplode_embedding",
     "expr_string_funcs2",
     "text_fingerprint",

@@ -1,0 +1,163 @@
+"""SQL->IR parser round-trip: the reference's own invariant, closed.
+
+The reference pipeline is SQL -> plan -> SQL asserted as text identity
+(/root/reference/datafusion-sqlgen/tests/select.rs:57-68). Here the
+equivalent invariant is *fixpoint after one render*: parsing a query and
+rendering it yields a string that re-parses and re-renders to the
+IDENTICAL string, in both dialects — plus execution equality of the two
+rendered dialects on fixture data mirroring the reference's tables.
+
+The 10 queries below are the reference's live tests, verbatim
+(tests/select.rs:71-281): select / distinct / order-by / limit / between
+/ IS [NOT] DISTINCT FROM / CAST arithmetic / function calls / array
+index / no-FROM literal selects.
+"""
+
+import duckdb
+import pytest
+
+from datafusion_sqlgen_spark.parser import ParseError, parse_sql
+
+# tests/select.rs:80 (it_works), :97 (select), :134 (select_distinct),
+# :155/:171 (select_distinct_simple_1/2), :188 (select_distinct_simple_4),
+# :206 (select_distinct_from), :225 (select_distinct_from_utf8),
+# :240 (use_between_expression_in_select_query),
+# :276 (query_get_indexed_field)
+REF_QUERIES = {
+    "it_works": "SELECT table1.id, table1.bool_col FROM table1\nWHERE table1.bool_col = TRUE;",
+    "select": "SELECT aggregate_simple.c1 FROM aggregate_simple\nORDER BY aggregate_simple.c1;",
+    "select_distinct": "SELECT DISTINCT aggregate_simple.c1, aggregate_simple.c2, aggregate_simple.c3, aggregate_simple.c4, aggregate_simple.c5, aggregate_simple.c6, aggregate_simple.c7, aggregate_simple.c8, aggregate_simple.c9, aggregate_simple.c10, aggregate_simple.c11, aggregate_simple.c12, aggregate_simple.c13 FROM aggregate_simple;",
+    "select_distinct_simple_1": "SELECT DISTINCT aggregate_simple.c1 FROM aggregate_simple\nORDER BY aggregate_simple.c1;",
+    "select_distinct_simple_2": "SELECT DISTINCT aggregate_simple.c1, aggregate_simple.c2 FROM aggregate_simple\nORDER BY aggregate_simple.c1;",
+    "select_distinct_simple_4": "SELECT DISTINCT CAST(aggregate_simple.c1 AS INT) + aggregate_simple.c2 AS a FROM aggregate_simple;",
+    "select_distinct_from": "SELECT 1 IS DISTINCT FROM CAST(NULL AS INT) AS a, 1 IS DISTINCT FROM 1 AS b, 1 IS NOT DISTINCT FROM CAST(NULL AS INT) AS c, 1 IS NOT DISTINCT FROM 1 AS d, NULL IS DISTINCT FROM NULL AS e, NULL IS NOT DISTINCT FROM NULL AS f, NULL IS DISTINCT FROM 1 AS g, NULL IS NOT DISTINCT FROM 1 AS h ;",
+    "select_distinct_from_utf8": "SELECT 'x' IS DISTINCT FROM NULL AS a, 'x' IS DISTINCT FROM 'x' AS b, 'x' IS NOT DISTINCT FROM NULL AS c, 'x' IS NOT DISTINCT FROM 'x' AS d ;",
+    "use_between": "SELECT abs(aggregate_simple.c1) BETWEEN 0 AND log(aggregate_simple.c1 * 100) FROM aggregate_simple;",
+    "get_indexed_field": "SELECT ints.some_list[1] AS i0 FROM ints\nLIMIT 3;",
+}
+
+# fixture rows mirror the reference tables' shapes; c1 holds
+# integral-valued doubles so CAST(... AS INT) agrees across engines
+# (Spark truncates, DuckDB rounds — integral values make both exact)
+_AGG_ROWS = [
+    (1.0, 4, 11, 21, 31, 41, 51, 61, 71, 81, 1.5, 2.5, "a"),
+    (2.0, 5, 12, 22, 32, 42, 52, 62, 72, 82, 1.6, 2.6, "b"),
+    (3.0, 4, 11, 21, 31, 41, 51, 61, 71, 81, 1.5, 2.5, "a"),
+    (1.0, 4, 11, 21, 31, 41, 51, 61, 71, 81, 1.5, 2.5, "a"),  # dup row
+]
+_AGG_COLS = [f"c{i}" for i in range(1, 14)]
+_TABLE1_ROWS = [(1, True), (2, False), (3, True)]
+_INTS_ROWS = [([0, 1, 2],), ([4, 5, 6],), ([7, 8, 9],)]
+
+
+@pytest.fixture(scope="module")
+def pduck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE table1 (id INT, bool_col BOOLEAN)")
+    con.executemany("INSERT INTO table1 VALUES (?, ?)", _TABLE1_ROWS)
+    cols = ", ".join(
+        f"c1 DOUBLE, c2 INT, c3 INT, c4 INT, c5 INT, c6 BIGINT, c7 INT, "
+        f"c8 INT, c9 INT, c10 INT, c11 DOUBLE, c12 DOUBLE, c13 VARCHAR".split(", ")
+    )
+    con.execute(f"CREATE TABLE aggregate_simple ({cols})")
+    con.executemany(
+        "INSERT INTO aggregate_simple VALUES (" + ", ".join("?" * 13) + ")",
+        _AGG_ROWS,
+    )
+    con.execute("CREATE TABLE ints (some_list BIGINT[])")
+    con.executemany("INSERT INTO ints VALUES (?)", _INTS_ROWS)
+    return con
+
+
+@pytest.fixture(scope="module")
+def pspark(spark):
+    spark.createDataFrame(_TABLE1_ROWS, "id int, bool_col boolean") \
+        .createOrReplaceTempView("table1")
+    schema = ("c1 double, c2 int, c3 int, c4 int, c5 int, c6 bigint, c7 int, "
+              "c8 int, c9 int, c10 int, c11 double, c12 double, c13 string")
+    spark.createDataFrame(_AGG_ROWS, schema) \
+        .createOrReplaceTempView("aggregate_simple")
+    spark.createDataFrame(_INTS_ROWS, "some_list array<bigint>") \
+        .createOrReplaceTempView("ints")
+    return spark
+
+
+@pytest.mark.parametrize("name", sorted(REF_QUERIES))
+def test_roundtrip_fixpoint(name):
+    """text -> IR -> text reaches a fixpoint after ONE render, per dialect."""
+    q = REF_QUERIES[name]
+    p = parse_sql(q)
+    for dialect in ("spark", "duckdb"):
+        s1 = p.to_sql(dialect)
+        s2 = parse_sql(s1).to_sql(dialect)
+        assert s1 == s2, f"{dialect} render is not a parse fixpoint:\n{s1}\n{s2}"
+
+
+@pytest.mark.parametrize("name", sorted(REF_QUERIES))
+def test_parsed_plan_executes_identically(name, pspark, pduck):
+    """The parsed IR's two renders return the same values, and the
+    DataFrame path agrees with the generated-SQL path."""
+    q = REF_QUERIES[name]
+    p = parse_sql(q)
+    via_sql = pspark.sql(p.to_sql("spark"))
+    via_df = p.to_df(pspark)
+    sp = sorted(tuple(r) for r in via_sql.collect())
+    df = sorted(tuple(r) for r in via_df.collect())
+    du = sorted(tuple(r) for r in pduck.execute(p.to_sql("duckdb")).fetchall())
+    assert sp == df, f"DataFrame path diverges from generated SQL:\n{sp}\n{df}"
+    assert sp == du, f"Spark vs DuckDB divergence:\n{sp}\n{du}"
+    assert len(sp) > 0
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REF_QUERIES if n != "use_between")
+)
+def test_original_text_matches_on_duckdb(name, pduck):
+    """The ORIGINAL reference text, run on DuckDB (same 1-based indexing
+    and IS DISTINCT FROM semantics as DataFusion), returns exactly what
+    the parsed IR's DuckDB render returns — i.e. parsing lost nothing.
+
+    `use_between` is excluded: DuckDB's bare log() is log10 while
+    DataFusion's (and Spark's, and this IR's) is natural log, so the
+    original text means something different to DuckDB by design."""
+    q = REF_QUERIES[name]
+    p = parse_sql(q)
+    orig = sorted(tuple(r) for r in pduck.execute(q).fetchall())
+    rendered = sorted(
+        tuple(r) for r in pduck.execute(p.to_sql("duckdb")).fetchall()
+    )
+    assert orig == rendered
+
+
+def test_parse_rejects_garbage():
+    for bad in ("SELEKT 1", "SELECT FROM", "SELECT 1 FROM t WHERE", "",
+                "SELECT 1; SELECT 2"):
+        with pytest.raises((ParseError, ValueError, IndexError)):
+            parse_sql(bad)
+
+
+def test_parser_covers_renderer_surface(pspark, pduck):
+    """Queries using the wider clause surface the renderer emits must
+    also round-trip (joins, GROUP BY/HAVING, set ops, subqueries, CASE,
+    IN, LIKE, OFFSET) — so any IR the repo renders re-parses."""
+    qs = [
+        "SELECT t.id FROM table1 AS t LEFT JOIN table1 AS u ON t.id = u.id "
+        "WHERE t.id IN (1, 2) ORDER BY t.id ASC NULLS FIRST LIMIT 2",
+        "SELECT c2, count(*) AS n FROM aggregate_simple GROUP BY c2 "
+        "HAVING count(*) > 1 ORDER BY n DESC NULLS LAST",
+        "SELECT c13 FROM aggregate_simple WHERE c13 LIKE 'a%' "
+        "UNION SELECT 'z' AS c13",
+        "SELECT CASE WHEN c1 > 1 THEN 'big' ELSE 'small' END AS size_tag "
+        "FROM aggregate_simple WHERE EXISTS "
+        "(SELECT 1 FROM table1 WHERE table1.id = CAST(aggregate_simple.c2 AS INT) - 3)",
+        "SELECT c1 FROM aggregate_simple ORDER BY c1 ASC NULLS FIRST "
+        "LIMIT 2 OFFSET 1",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        for dialect in ("spark", "duckdb"):
+            s1 = p.to_sql(dialect)
+            assert parse_sql(s1).to_sql(dialect) == s1, s1
+        sp = sorted(tuple(r) for r in pspark.sql(p.to_sql("spark")).collect())
+        du = sorted(tuple(r) for r in pduck.execute(p.to_sql("duckdb")).fetchall())
+        assert sp == du, f"{q}\n{sp}\n{du}"
