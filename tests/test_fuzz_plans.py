@@ -37,13 +37,19 @@ def _ops():
         st.just(lambda p: p.select(col("a"), col("b"), col("s"))),
         st.just(lambda p: p.select(col("a"), (col("b") * 2).alias("b"), col("s"))),
         st.just(lambda p: p.distinct()),
+        # sorts before LIMIT/OFFSET must be a TOTAL order over the output
+        # columns (a, b, s): ops like unpivot can make `a` non-unique, and
+        # ties at the LIMIT boundary would legitimately differ across
+        # engines (under-determined query, not a bug).
         st.integers(1, 30).map(
             lambda n: lambda p: p.sort(
-                col("a").asc(), col("b").desc(nulls_first=False)
+                col("a").asc(), col("b").desc(nulls_first=False), col("s").asc()
             ).limit(n)
         ),
         st.integers(0, 5).map(
-            lambda k: lambda p: p.sort(col("a").desc()).offset(k).limit(10)
+            lambda k: lambda p: p.sort(
+                col("a").desc(), col("b").asc(), col("s").asc()
+            ).offset(k).limit(10)
         ),
     )
 
@@ -81,7 +87,9 @@ def _ops_r2():
     return st.one_of(
         _ops(),
         st.integers(0, 8).map(
-            lambda k: lambda p: p.sort(col("a").asc()).offset(k)
+            lambda k: lambda p: p.sort(
+                col("a").asc(), col("b").asc(), col("s").asc()
+            ).offset(k)
         ),
         st.just(lambda p: p.union(base)),
         st.just(
