@@ -8,12 +8,23 @@ Prints ONE JSON line:
 Each query executes through ``df.write.format("noop")`` — a full
 materialization of every output column (a bare ``count()`` would let
 Catalyst prune the computed projections and under-report).
+
+Round-4 hardening (VERDICT r3 "What's wrong" §2: best-of-2 had ±2-4x
+per-query noise at sf0.1, swamping every regression signal): each query
+now gets one UNTIMED warm run (whole-stage-codegen compilation — a
+per-shape constant that vanishes at real scale) followed by
+$SPARK_GRAFT_BENCH_RUNS (default 5) timed runs. ``queries`` reports the
+per-query MEDIAN; ``queries_min`` / ``queries_spread`` report the
+per-query minimum and (max-min)/median dispersion so a regression can
+be distinguished from noise; ``spread_median`` summarizes measurement
+quality for the round-over-round comparison.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -101,19 +112,24 @@ def main() -> None:
             tables[name].persist()
             tables[name].count()
 
-    # best of 2: the first execution of a query pays whole-stage-codegen
-    # compilation (janino) — a per-query-shape constant that vanishes at
-    # real scale; the second run measures actual execution
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
-        best = float("inf")
-        for _ in range(2):
+
+        def run_once() -> float:
             t0 = time.perf_counter()
-            df = q(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        run_once()  # untimed warm run: codegen compilation
+        samples = sorted(run_once() for _ in range(n_runs))
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        mins[name] = round(samples[0], 3)
+        spreads[name] = round((samples[-1] - samples[0]) / med, 3) if med else 0.0
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -122,6 +138,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
+        "queries_spread": spreads,
+        "spread_median": round(statistics.median(spreads.values()), 3),
+        "runs_per_query": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

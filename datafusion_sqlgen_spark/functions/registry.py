@@ -28,6 +28,25 @@ def _plain(name: str) -> Renderer:
     return lambda args: f"{name}({', '.join(args)})"
 
 
+def _raise_sql_fallback(name: str):
+    raise NotImplementedError(
+        f"{name} as a Column; use the SQL rendering path"
+    )
+
+
+def _digest_render(a: list[str], dialect: str) -> str:
+    """digest(x, 'algo') — DF-10 builtin. The algorithm arrives as a
+    rendered string literal; resolve the supported ones at render time."""
+    algo = a[1].strip().strip("'").lower()
+    if algo == "md5":
+        return f"md5({a[0]})"
+    if algo in ("sha224", "sha256", "sha384", "sha512"):
+        if dialect == "spark":
+            return f"sha2({a[0]}, {algo[3:]})"
+        return f"{algo}({a[0]})"  # DuckDB: only sha256 exists
+    raise ValueError(f"digest: unsupported algorithm literal {a[1]!r}")
+
+
 # canonical -> {dialect: renderer}. Canonical names follow Spark where the
 # two differ; "ln"/"log10"/"log2" are used instead of the ambiguous "log".
 _SPECIAL: dict[str, dict[str, Renderer]] = {
@@ -255,6 +274,68 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("array_intersect"),
         "duckdb": _plain("list_intersect"),
     },
+    # ---- DataFusion-10 builtin stragglers (round-4 registry audit: the
+    # reference forwards every BuiltinScalarFunction by name,
+    # datafusion-sqlgen/src/expr.rs:76-94 — these closed the last gaps
+    # vs the DF 10.0 enum) ----
+    "signum": {"spark": _plain("signum"), "duckdb": _plain("sign")},
+    # numeric truncation toward zero (DF trunc(x) -> f64); Spark's trunc
+    # is date-only, so go through BIGINT; DuckDB trunc returns the
+    # argument type -> cast to DOUBLE to align
+    "trunc": {
+        "spark": lambda a: f"CAST(CAST({a[0]} AS BIGINT) AS DOUBLE)",
+        "duckdb": lambda a: f"CAST(trunc({a[0]}) AS DOUBLE)",
+    },
+    # whitespace-word title case; DuckDB 1.x has no initcap — compose it
+    "initcap": {
+        "spark": _plain("initcap"),
+        "duckdb": lambda a: (
+            f"array_to_string(list_transform(string_split({a[0]}, ' '), "
+            f"__ic_w -> upper(substr(__ic_w, 1, 1)) || "
+            f"lower(substr(__ic_w, 2))), ' ')"
+        ),
+    },
+    "now": {"spark": _plain("now"), "duckdb": _plain("now")},
+    "random": {"spark": _plain("rand"), "duckdb": _plain("random")},
+    # digest(x, 'algo') with a literal algorithm name (the only form the
+    # reference's tests could produce): resolve at render time
+    "digest": {
+        "spark": lambda a: _digest_render(a, "spark"),
+        "duckdb": lambda a: _digest_render(a, "duckdb"),
+    },
+    # PG-style regexp_match returns the matched fragments as a list; both
+    # engines express it as extract-all of the whole match
+    "regexp_match": {
+        "spark": lambda a: (
+            f"regexp_extract_all({a[0]}, {a[1]}, 0)"
+        ),
+        "duckdb": lambda a: f"regexp_extract_all({a[0]}, {a[1]})",
+    },
+    "sha224": {
+        "spark": lambda a: f"sha2({a[0]}, 224)",
+        "duckdb": _plain("sha224"),  # engine gap: errors at execution
+    },
+    "sha384": {
+        "spark": lambda a: f"sha2({a[0]}, 384)",
+        "duckdb": _plain("sha384"),  # engine gap: errors at execution
+    },
+    "sha512": {
+        "spark": lambda a: f"sha2({a[0]}, 512)",
+        "duckdb": _plain("sha512"),  # engine gap: errors at execution
+    },
+    # epoch-integer -> timestamp at three precisions
+    "to_timestamp_seconds": {
+        "spark": lambda a: f"timestamp_seconds({a[0]})",
+        "duckdb": lambda a: f"CAST(to_timestamp({a[0]}) AS TIMESTAMP)",
+    },
+    "to_timestamp_millis": {
+        "spark": lambda a: f"timestamp_millis({a[0]})",
+        "duckdb": lambda a: f"epoch_ms(CAST({a[0]} AS BIGINT))",
+    },
+    "to_timestamp_micros": {
+        "spark": lambda a: f"timestamp_micros({a[0]})",
+        "duckdb": lambda a: f"make_timestamp(CAST({a[0]} AS BIGINT))",
+    },
     # ordered string aggregation: string_agg(value, sep[, order_key]) —
     # Spark 4 listagg ... WITHIN GROUP; DuckDB inline ORDER BY. The 2-arg
     # form orders by the value itself (both engines would otherwise be
@@ -349,6 +430,38 @@ def canonical(name: str) -> str:
     return DATAFUSION_ALIASES.get(name.lower(), name.lower())
 
 
+def _spark_reverse() -> dict[str, str]:
+    """Spark-rendered name -> canonical IR name, for the SQL parser's
+    reverse direction (parse a Spark-dialect render back to the IR that
+    produced it). Derived from _SPECIAL's pure-rename renderers; a Spark
+    name that is itself canonical (element_at, length, ...) is never
+    remapped, and an ambiguous name (``size`` covers both array_size and
+    map_size) resolves to its first — array — reading."""
+    import re as _re
+
+    rev: dict[str, str] = {}
+    probe = ["\x00a", "\x00b", "\x00c"]
+    pat = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\(\x00a, \x00b, \x00c\)$")
+    for canon, dialects in _SPECIAL.items():
+        try:
+            rendered = dialects["spark"](probe)
+        except Exception:
+            continue
+        m = pat.match(rendered)
+        if not m:
+            continue
+        name = m.group(1)
+        if name == canon or name in _SPECIAL or name in _COMMON:
+            continue
+        rev.setdefault(name, canon)
+    return rev
+
+
+# e.g. size->array_size, percentile->percentile_cont, char->chr,
+# hex->to_hex, instr->strpos, listagg handled by the parser directly
+SPARK_NAME_TO_CANONICAL: dict[str, str] = _spark_reverse()
+
+
 def render_func(name: str, args_sql: list[str], dialect: str) -> str:
     """Render canonical function ``name`` over already-rendered args."""
     name = canonical(name)
@@ -405,6 +518,21 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "printf": lambda *a: F.call_function("printf", *a),
     "regexp_like": lambda *a: F.call_function("regexp_like", *a),
     "width_bucket": lambda *a: F.call_function("width_bucket", *a),
+    # DF-10 straggler audit (round 4): Column-side forms of the new names
+    "trunc": lambda c: c.cast("bigint").cast("double"),
+    "random": lambda: F.rand(),
+    "regexp_match": lambda s, p: F.call_function(
+        "regexp_extract_all", s, p, F.lit(0)
+    ),
+    "sha224": lambda c: F.sha2(c, 224),
+    "sha384": lambda c: F.sha2(c, 384),
+    "sha512": lambda c: F.sha2(c, 512),
+    "to_timestamp_seconds": lambda c: F.timestamp_seconds(c),
+    "to_timestamp_millis": lambda c: F.timestamp_millis(c),
+    "to_timestamp_micros": lambda c: F.timestamp_micros(c),
+    # digest needs its algorithm LITERAL, which a Column can't expose —
+    # the plan layer catches this and falls back to the SQL rendering
+    "digest": lambda c, algo: _raise_sql_fallback("digest"),
     # ordered string_agg(value, sep[, order_key]): no single F.* equivalent —
     # compose sort_array(collect_list(struct(order, value))) -> join;
     # collect_list is partition-order-nondeterministic, the sort fixes it.

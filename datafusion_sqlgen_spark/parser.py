@@ -12,10 +12,22 @@ paths.
 Grammar: the reference's live surface (tests/select.rs:71-281 —
 SELECT [DISTINCT] projections / WHERE / ORDER BY / LIMIT / CAST /
 function calls / BETWEEN / IS [NOT] DISTINCT FROM / array index /
-aliases / no-FROM literal selects) plus the clauses this repo's own
-renderer emits (joins, GROUP BY/HAVING, OFFSET, IN / LIKE / CASE /
-IS NULL, set ops), so the fixpoint property holds for rendered output
-too. Hand-rolled tokenizer + Pratt expression parser; no dependencies.
+aliases / no-FROM literal selects) plus everything this repo's own
+renderer emits: joins (all kinds + /*+ hint */ blocks), GROUP BY with
+ROLLUP / CUBE / GROUPING SETS, HAVING, OFFSET, IN / LIKE / CASE /
+IS NULL, set ops incl. ALL variants, window functions — OVER with
+PARTITION BY / ORDER BY / ROWS|RANGE frames and IGNORE NULLS — WITH
+and WITH RECURSIVE CTEs, lambdas for higher-order functions, bitwise
+ops, LATERAL VIEW [pos]explode, comma-LATERAL subqueries, UNPIVOT and
+listagg/string_agg ordered aggregation. tests/test_parser.py asserts
+the render-parse fixpoint over the ENTIRE workload catalog, plus
+DuckDB execution equality of original vs reparsed plans. Hand-rolled
+tokenizer + Pratt expression parser; no dependencies.
+
+Known limitation: Spark's type-polymorphic `size`/`element_at` parse
+to their array reading (array_size / element_at); on a MAP column the
+parsed plan's Spark render stays exact but its DuckDB translation
+would need schema info the parser does not have.
 
 Array indexing follows the REFERENCE's semantics: ``a[1]`` is the first
 element (tests/select.rs:276), parsed to ``Index`` (1-based element_at on
@@ -46,6 +58,7 @@ from datafusion_sqlgen_spark.expressions.core import (
     IsNotDistinctFrom,
     IsNotNull,
     IsNull,
+    Lambda,
     Like,
     Lit,
     Neg,
@@ -55,8 +68,22 @@ from datafusion_sqlgen_spark.expressions.core import (
     SortKey,
     Star,
     TryCast,
+    WindowExpr,
+    WindowSpec,
 )
-from datafusion_sqlgen_spark.plans.core import EmptyRelation, Plan, scan
+from datafusion_sqlgen_spark.functions.registry import SPARK_NAME_TO_CANONICAL
+from datafusion_sqlgen_spark.plans.core import (
+    EmptyRelation,
+    Hint,
+    Plan,
+    Project,
+    RecursiveWith,
+    SetOp,
+    SubqueryAlias,
+    Unpivot,
+    With,
+    scan,
+)
 
 # --------------------------------------------------------------------------
 # Tokenizer
@@ -65,10 +92,11 @@ from datafusion_sqlgen_spark.plans.core import EmptyRelation, Plan, scan
 _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+)
+    | (?P<hint>/\*\+(?:[^*]|\*(?!/))*\*/)
     | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<string>'(?:[^']|'')*')
     | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
-    | (?P<op><=|>=|<>|!=|\|\||<=>|[=<>+\-*/%(),.;\[\]])
+    | (?P<op><=>|<=|>=|<>|!=|\|\||->|[=<>+\-*/%(),.;\[\]&|^])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -181,11 +209,59 @@ class _Parser:
 
     # ---- statement -------------------------------------------------------
     def parse_statement(self) -> Plan:
-        plan = self.parse_select()
+        plan = self.parse_query()
         self.eat_op(";")
         if self.peek().kind != "eof":
             raise ParseError(f"trailing input at {self.peek().text!r}")
         return plan
+
+    def parse_query(self) -> Plan:
+        """[WITH [RECURSIVE] ...] select — the full query entry point."""
+        if self.at_kw("WITH"):
+            return self.parse_with()
+        return self.parse_select()
+
+    def parse_with(self) -> Plan:
+        self.expect_kw("WITH")
+        recursive = self.eat_kw("RECURSIVE")
+        ctes: list[tuple] = []  # (name, columns, Plan)
+        while True:
+            name = self.ident()
+            columns: tuple = ()
+            if self.eat_op("("):
+                cols = [self.ident()]
+                while self.eat_op(","):
+                    cols.append(self.ident())
+                self.expect_op(")")
+                columns = tuple(cols)
+            self.expect_kw("AS")
+            self.expect_op("(")
+            sub = self.parse_query()
+            self.expect_op(")")
+            ctes.append((name, columns, sub))
+            if not self.eat_op(","):
+                break
+        body = self.parse_query()
+        if recursive:
+            # renderer shape (plans/core.py RecursiveWith.to_sql):
+            # WITH RECURSIVE n(cols) AS ((base) UNION ALL (step)) body
+            if len(ctes) != 1:
+                raise ParseError("WITH RECURSIVE supports exactly one CTE")
+            name, columns, sub = ctes[0]
+            if not (isinstance(sub, SetOp) and sub.kind == "union_all"):
+                raise ParseError(
+                    "recursive CTE body must be <base> UNION ALL <step>"
+                )
+            return RecursiveWith(
+                name=name, columns=columns, base=sub.left, step=sub.right,
+                body=body,
+            )
+        for _name, columns, _sub in ctes:
+            if columns:
+                raise ParseError(
+                    "CTE column lists are only supported with RECURSIVE"
+                )
+        return With(tuple((n, p) for n, _c, p in ctes), body)
 
     def parse_select(self) -> Plan:
         left = self.parse_select_core()
@@ -194,38 +270,80 @@ class _Parser:
             op = self.next().upper
             all_ = self.eat_kw("ALL")
             right = self.parse_select_core()
-            if op == "UNION":
-                left = left.union(right) if all_ else left.union_distinct(right)
-            elif op == "INTERSECT":
-                left = left.intersect(right)
-            else:
-                left = left.except_(right)
+            kind = {"UNION": "union", "INTERSECT": "intersect",
+                    "EXCEPT": "except"}[op]
+            if all_:
+                kind = "union_all" if kind == "union" else kind + "_all"
+            left = SetOp(left, right, kind)
         return left
 
     def parse_select_core(self) -> Plan:
         # parenthesized query operand: (SELECT ...) UNION ALL (SELECT ...)
         if self.at_op("("):
             self.next()
-            sub = self.parse_select()
+            sub = self.parse_query()
             self.expect_op(")")
             return sub
         self.expect_kw("SELECT")
+        hints: tuple = ()
+        if self.peek().kind == "hint":
+            # /*+ BROADCAST(t), MERGE(u) */ — comma-separated hint list
+            body = self.next().text[3:-2].strip()
+            hints = tuple(h.strip() for h in body.split(",") if h.strip())
         distinct = self.eat_kw("DISTINCT")
         projs = self.parse_projection_list()
 
         base: Optional[Plan] = None
         if self.eat_kw("FROM"):
             base = self.parse_relation()
-            base = self.parse_joins(base)
+            base = self.parse_from_clause(base)
 
         where = self.parse_expr() if self.eat_kw("WHERE") else None
 
+        group_kind = "groupby"
+        grouping_sets: Optional[tuple] = None
         group_keys: Optional[list[Expr]] = None
         if self.eat_kw("GROUP"):
             self.expect_kw("BY")
-            group_keys = [self.parse_expr()]
-            while self.eat_op(","):
-                group_keys.append(self.parse_expr())
+            if self.at_kw("ROLLUP", "CUBE") and self.peek(1).text == "(":
+                group_kind = self.next().upper.lower()
+                self.expect_op("(")
+                group_keys = [self.parse_expr()]
+                while self.eat_op(","):
+                    group_keys.append(self.parse_expr())
+                self.expect_op(")")
+            elif self.at_kw("GROUPING") and self.peek(1).upper == "SETS":
+                group_kind = "grouping_sets"
+                self.next()
+                self.next()
+                self.expect_op("(")
+                sets: list[tuple] = []
+                while True:
+                    self.expect_op("(")
+                    members: list[Expr] = []
+                    if not self.at_op(")"):
+                        members.append(self.parse_expr())
+                        while self.eat_op(","):
+                            members.append(self.parse_expr())
+                    self.expect_op(")")
+                    sets.append(tuple(members))
+                    if not self.eat_op(","):
+                        break
+                self.expect_op(")")
+                grouping_sets = tuple(sets)
+                # keys = distinct set members in first-appearance order
+                group_keys = []
+                seen: set[str] = set()
+                for s in sets:
+                    for e in s:
+                        k = e.to_sql()
+                        if k not in seen:
+                            seen.add(k)
+                            group_keys.append(e)
+            else:
+                group_keys = [self.parse_expr()]
+                while self.eat_op(","):
+                    group_keys.append(self.parse_expr())
 
         having = self.parse_expr() if self.eat_kw("HAVING") else None
 
@@ -252,7 +370,9 @@ class _Parser:
             if where is not None:
                 plan = plan.filter(where)
             if group_keys is not None:
-                plan = self._assemble_aggregate(plan, group_keys, projs)
+                plan = self._assemble_aggregate(
+                    plan, group_keys, projs, group_kind, grouping_sets
+                )
             elif not (len(projs) == 1 and isinstance(projs[0], Star)
                       and projs[0].table is None):
                 plan = plan.select(*projs)
@@ -260,6 +380,8 @@ class _Parser:
             if group_keys is None:
                 raise ParseError("HAVING requires GROUP BY")
             plan = plan.filter(having)
+        if hints:
+            plan = Hint(plan, hints)
         if distinct:
             plan = plan.distinct()
         if sort_keys is not None:
@@ -270,23 +392,46 @@ class _Parser:
             plan = plan.limit(limit)
         return plan
 
-    def _assemble_aggregate(self, plan: Plan, keys: list[Expr],
-                            projs: list[Expr]) -> Plan:
-        """GROUP BY: split the select list into group keys and aggregates.
+    def _assemble_aggregate(
+        self,
+        plan: Plan,
+        keys: list[Expr],
+        projs: list[Expr],
+        kind: str = "groupby",
+        grouping_sets: Optional[tuple] = None,
+    ) -> Plan:
+        """GROUP BY [ROLLUP/CUBE/GROUPING SETS]: split the select list
+        into group keys and aggregates.
 
         The IR's Aggregate projects keys-then-aggs; when the SQL listed
         them in exactly that order the assembly is loss-free (and the
         render reproduces the input order). Other orders still parse —
         the output column ORDER follows keys-then-aggs, which is the
-        fixpoint form."""
-        key_sql = {k.to_sql() for k in keys}
+        fixpoint form. A projection that aliases a group key (``expr AS
+        name`` with ``expr`` in GROUP BY) becomes the Aggregate's key, so
+        the alias survives the round trip (Aggregate renders GROUP BY
+        with the bare expression, the select list with the alias)."""
+        key_sql = [k.to_sql() for k in keys]
+        keyset = set(key_sql)
 
-        def is_key(e: Expr) -> bool:
-            inner = e.operand if isinstance(e, Alias) else e
-            return inner.to_sql() in key_sql
+        def inner_sql(e: Expr) -> str:
+            return (e.operand if isinstance(e, Alias) else e).to_sql()
 
-        aggs = [p for p in projs if not is_key(p)]
-        return plan.group_by(*keys).agg(*aggs)
+        # prefer the projection's (possibly aliased) form of each key
+        proj_by_sql = {}
+        for p in projs:
+            proj_by_sql.setdefault(inner_sql(p), p)
+        agg_keys = [proj_by_sql.get(s, k) for k, s in zip(keys, key_sql)]
+        aggs = [p for p in projs if inner_sql(p) not in keyset]
+        if kind == "rollup":
+            grouped = plan.rollup(*agg_keys)
+        elif kind == "cube":
+            grouped = plan.cube(*agg_keys)
+        elif kind == "grouping_sets":
+            grouped = plan.grouping_sets(list(grouping_sets or ()), *agg_keys)
+        else:
+            grouped = plan.group_by(*agg_keys)
+        return grouped.agg(*aggs)
 
     # ---- projections / relations ----------------------------------------
     def parse_projection_list(self) -> list[Expr]:
@@ -319,7 +464,7 @@ class _Parser:
 
     def parse_relation(self) -> Plan:
         if self.eat_op("("):
-            sub = self.parse_select()
+            sub = self.parse_query()
             self.expect_op(")")
             self.eat_kw("AS")
             return sub.alias(self.ident())
@@ -331,40 +476,122 @@ class _Parser:
             return scan(table).alias(self.ident())
         return scan(table)
 
-    def parse_joins(self, left: Plan) -> Plan:
+    def parse_from_clause(self, left: Plan) -> Plan:
+        """Joins, LATERAL VIEW generators, comma-LATERAL subqueries and
+        UNPIVOT, in any interleaving — everything this repo's renderer
+        can splice into a FROM clause."""
         while True:
-            how = None
-            if self.at_kw("JOIN"):
-                how = "inner"
+            if self.at_kw("LATERAL") and self.peek(1).upper == "VIEW":
+                left = self.parse_lateral_view(left)
+                continue
+            if self.at_op(",") and self.peek(1).upper == "LATERAL":
                 self.next()
-            elif self.at_kw("INNER") and self.peek(1).upper == "JOIN":
-                how = "inner"
-                self.next(); self.next()
-            elif self.at_kw("CROSS") and self.peek(1).upper == "JOIN":
-                how = "cross"
-                self.next(); self.next()
-            elif self.at_kw("SEMI", "ANTI") and self.peek(1).upper == "JOIN":
-                # DuckDB-dialect spelling (no LEFT prefix)
-                how = "left_semi" if self.peek().upper == "SEMI" else "left_anti"
-                self.next(); self.next()
-            elif (self.at_kw("LEFT", "RIGHT", "FULL")
-                  and self.peek(1).upper in ("OUTER", "SEMI", "ANTI", "JOIN")):
-                d = self.next().upper
-                base_how = {"LEFT": "left", "RIGHT": "right", "FULL": "full"}[d]
-                if self.eat_kw("SEMI"):
-                    how = "left_semi"
-                elif self.eat_kw("ANTI"):
-                    how = "left_anti"
-                else:
-                    self.eat_kw("OUTER")
-                    how = base_how
-                self.expect_kw("JOIN")
+                self.next()
+                self.expect_op("(")
+                sub = self.parse_query()
+                self.expect_op(")")
+                self.eat_kw("AS")
+                left = left.lateral(sub, self.ident())
+                continue
+            if self.at_kw("UNPIVOT"):
+                left = self.parse_unpivot(left)
+                continue
+            nxt = self.parse_one_join(left)
+            if nxt is None:
+                return left
+            left = nxt
+
+    def parse_lateral_view(self, left: Plan) -> Plan:
+        """LATERAL VIEW [OUTER] explode|posexplode(e) <gen_alias> AS cols
+        — the Spark-dialect render of the Explode node (plans/core.py).
+        The generated ``_sqN`` view alias is positional noise; the plan
+        regenerates its own on render."""
+        self.next()  # LATERAL
+        self.next()  # VIEW
+        outer = self.eat_kw("OUTER")
+        fn = self.ident().lower()
+        if fn not in ("explode", "posexplode"):
+            raise ParseError(f"unsupported LATERAL VIEW generator {fn!r}")
+        self.expect_op("(")
+        arr = self.parse_expr()
+        self.expect_op(")")
+        self.ident()  # generator view alias (regenerated on render)
+        self.expect_kw("AS")
+        c1 = self.ident()
+        c2 = None
+        if self.eat_op(","):
+            c2 = self.ident()
+        if fn == "posexplode":
+            if c2 is None:
+                raise ParseError("posexplode needs pos and value aliases")
+            return left.explode(arr, c2, pos_alias=c1, outer=outer)
+        if c2 is not None:
+            raise ParseError("explode yields exactly one column")
+        return left.explode(arr, c1, outer=outer)
+
+    def parse_unpivot(self, left: Plan) -> Plan:
+        """(...) AS a UNPIVOT (val FOR key IN (c1, c2, ...)).
+
+        The Unpivot node re-projects ids+measures itself, so the parsed
+        input must expose a plain-column projection to recover the id
+        set (the renderer always emits one — plans/core.py Unpivot)."""
+        self.next()  # UNPIVOT
+        self.expect_op("(")
+        value_col = self.ident()
+        self.expect_kw("FOR")
+        var_col = self.ident()
+        self.expect_kw("IN")
+        self.expect_op("(")
+        cols = [self.ident()]
+        while self.eat_op(","):
+            cols.append(self.ident())
+        self.expect_op(")")
+        self.expect_op(")")
+        inner = left.input if isinstance(left, SubqueryAlias) else left
+        if not (
+            isinstance(inner, Project)
+            and all(isinstance(p, Col) for p in inner.exprs)
+        ):
+            raise ParseError(
+                "UNPIVOT requires a derived table with a plain column "
+                "projection (to recover the id columns)"
+            )
+        proj_names = [p.name for p in inner.exprs]
+        ids = tuple(n for n in proj_names if n not in set(cols))
+        return Unpivot(inner.input, ids, tuple(cols), var_col, value_col)
+
+    def parse_one_join(self, left: Plan) -> Optional[Plan]:
+        how = None
+        if self.at_kw("JOIN"):
+            how = "inner"
+            self.next()
+        elif self.at_kw("INNER") and self.peek(1).upper == "JOIN":
+            how = "inner"
+            self.next(); self.next()
+        elif self.at_kw("CROSS") and self.peek(1).upper == "JOIN":
+            how = "cross"
+            self.next(); self.next()
+        elif self.at_kw("SEMI", "ANTI") and self.peek(1).upper == "JOIN":
+            # DuckDB-dialect spelling (no LEFT prefix)
+            how = "left_semi" if self.peek().upper == "SEMI" else "left_anti"
+            self.next(); self.next()
+        elif (self.at_kw("LEFT", "RIGHT", "FULL")
+              and self.peek(1).upper in ("OUTER", "SEMI", "ANTI", "JOIN")):
+            d = self.next().upper
+            base_how = {"LEFT": "left", "RIGHT": "right", "FULL": "full"}[d]
+            if self.eat_kw("SEMI"):
+                how = "left_semi"
+            elif self.eat_kw("ANTI"):
+                how = "left_anti"
             else:
-                break
-            right = self.parse_relation()
-            on = self.parse_expr() if self.eat_kw("ON") else None
-            left = left.join(right, on=on, how=how)
-        return left
+                self.eat_kw("OUTER")
+                how = base_how
+            self.expect_kw("JOIN")
+        else:
+            return None
+        right = self.parse_relation()
+        on = self.parse_expr() if self.eat_kw("ON") else None
+        return left.join(right, on=on, how=how)
 
     def parse_sort_key(self) -> SortKey:
         e = self.parse_expr()
@@ -434,6 +661,10 @@ class _Parser:
                     self.next()
                     lhs = BinOp("||", lhs, self.parse_expr(7))
                     continue
+                if op in ("&", "|", "^") and min_bp <= 6:
+                    self.next()
+                    lhs = BinOp(op, lhs, self.parse_expr(7))
+                    continue
                 if op in ("+", "-") and min_bp <= 7:
                     self.next()
                     lhs = BinOp(op, lhs, self.parse_expr(8))
@@ -460,8 +691,8 @@ class _Parser:
             return Between(lhs, lo, hi, negated=negated)
         if self.eat_kw("IN"):
             self.expect_op("(")
-            if self.at_kw("SELECT"):
-                sub = self.parse_select()
+            if self.at_kw("SELECT", "WITH"):
+                sub = self.parse_query()
                 self.expect_op(")")
                 return InSubquery(lhs, sub, negated=negated)
             vals = [self.parse_expr()]
@@ -498,9 +729,12 @@ class _Parser:
             return Lit(_unquote(t.text))
         if t.kind == "op":
             if t.text == "(":
+                lam = self.try_parse_lambda()
+                if lam is not None:
+                    return lam
                 self.next()
-                if self.at_kw("SELECT"):
-                    sub = self.parse_select()
+                if self.at_kw("SELECT", "WITH"):
+                    sub = self.parse_query()
                     self.expect_op(")")
                     return ScalarSubquery(sub)
                 e = self.parse_expr()
@@ -508,6 +742,12 @@ class _Parser:
                 return self.parse_trailing_field(e)
             if t.text == "-":
                 self.next()
+                # fold a negated numeric literal: Lit(-1) renders "-1",
+                # so parsing it back as Neg(Lit(1)) -> "(- 1)" would
+                # break the render fixpoint
+                if self.peek().kind == "number":
+                    v = self.parse_prefix()
+                    return Lit(-v.value)
                 return Neg(self.parse_expr(9))
             if t.text == "+":
                 self.next()
@@ -539,10 +779,14 @@ class _Parser:
                 return TryCast(e, dtype) if kw == "TRY_CAST" else Cast(e, dtype)
             if kw == "CASE":
                 return self.parse_case()
-            if kw == "EXISTS" and self.peek(1).text == "(":
+            # EXISTS (SELECT ...) is the subquery predicate; exists(arr,
+            # lambda) is Spark's higher-order function — disambiguate on
+            # the token after the paren
+            if (kw == "EXISTS" and self.peek(1).text == "("
+                    and self.peek(2).upper in ("SELECT", "WITH")):
                 self.next()
                 self.expect_op("(")
-                sub = self.parse_select()
+                sub = self.parse_query()
                 self.expect_op(")")
                 return Exists(sub)
             if kw == "INTERVAL":
@@ -556,6 +800,11 @@ class _Parser:
                 if kw == "DATE":
                     return Lit(_dt.date.fromisoformat(s))
                 return Lit(_dt.datetime.fromisoformat(s))
+            # single-param lambda: x -> body
+            if self.peek(1).kind == "op" and self.peek(1).text == "->":
+                param = self.ident()
+                self.next()  # ->
+                return Lambda((param,), self.parse_expr())
             name = self.ident()
             if self.at_op("("):
                 return self.parse_call(name)
@@ -563,6 +812,33 @@ class _Parser:
                 return Col(self.ident(), table=name)
             return Col(name)
         raise ParseError(f"unexpected token {t.text!r}")
+
+    def try_parse_lambda(self) -> Optional[Expr]:
+        """Multi-param lambda lookahead: (a, b) -> body (at '(')."""
+        j = self.i + 1
+        saw_ident = False
+        while True:
+            t = self.toks[min(j, len(self.toks) - 1)]
+            if t.kind == "ident" and t.upper not in _CLAUSE_KW:
+                saw_ident = True
+                j += 1
+            elif t.kind == "op" and t.text == ",":
+                j += 1
+            elif t.kind == "op" and t.text == ")":
+                j += 1
+                break
+            else:
+                return None
+        nxt = self.toks[min(j, len(self.toks) - 1)]
+        if not (saw_ident and nxt.kind == "op" and nxt.text == "->"):
+            return None
+        self.next()  # (
+        params = [self.ident()]
+        while self.eat_op(","):
+            params.append(self.ident())
+        self.expect_op(")")
+        self.expect_op("->")
+        return Lambda(tuple(params), self.parse_expr())
 
     def parse_trailing_field(self, e: Expr) -> Expr:
         from datafusion_sqlgen_spark.expressions.core import Field
@@ -574,6 +850,7 @@ class _Parser:
     def parse_call(self, name: str) -> Expr:
         self.expect_op("(")
         distinct = self.eat_kw("DISTINCT")
+        ignore_nulls = False
         args: list[Expr] = []
         if not self.at_op(")"):
             if self.at_op("*"):
@@ -582,8 +859,113 @@ class _Parser:
                 args.append(self.parse_expr())
                 while self.eat_op(","):
                     args.append(self.parse_expr())
+        ordered_by: Optional[Expr] = None
+        # DuckDB ordered-agg placement: string_agg(v, sep ORDER BY k)
+        if self.at_kw("ORDER"):
+            self.next()
+            self.expect_kw("BY")
+            ordered_by = self.parse_expr()
+        # DuckDB placement: fn(args IGNORE NULLS)
+        if self.at_kw("IGNORE") and self.peek(1).upper == "NULLS":
+            self.next()
+            self.next()
+            ignore_nulls = True
         self.expect_op(")")
-        return Func(name.lower(), tuple(args), distinct=distinct)
+        # Spark placement: fn(args) IGNORE NULLS [OVER ...]
+        if self.at_kw("IGNORE") and self.peek(1).upper == "NULLS":
+            self.next()
+            self.next()
+            ignore_nulls = True
+        # Spark ordered-agg placement: listagg(v, sep) WITHIN GROUP
+        # (ORDER BY k) — the registry's render of string_agg
+        if self.at_kw("WITHIN") and self.peek(1).upper == "GROUP":
+            self.next()
+            self.next()
+            self.expect_op("(")
+            self.expect_kw("ORDER")
+            self.expect_kw("BY")
+            ordered_by = self.parse_expr()
+            self.expect_op(")")
+        lname = name.lower()
+        # reverse the Spark-dialect renames so a parsed render reaches the
+        # same canonical IR function the original plan used (size ->
+        # array_size, char -> chr, hex -> to_hex, ...)
+        lname = SPARK_NAME_TO_CANONICAL.get(lname, lname)
+        if (lname == "sha2" and len(args) == 2
+                and isinstance(args[1], Lit) and args[1].value == 256):
+            lname, args = "sha256", args[:1]
+        if ordered_by is not None:
+            if lname not in ("listagg", "string_agg"):
+                raise ParseError(
+                    f"ordered aggregation is only supported for "
+                    f"string_agg/listagg, got {lname!r}"
+                )
+            # canonical IR form: string_agg(value, sep, order_key); the
+            # 2-arg render orders by the value itself (registry.py)
+            args = args[:2]
+            if ordered_by.to_sql() != args[0].to_sql():
+                args = args + [ordered_by]
+            lname = "string_agg"
+        fn = Func(
+            lname, tuple(args), distinct=distinct,
+            ignore_nulls=ignore_nulls,
+        )
+        if self.eat_kw("OVER"):
+            return WindowExpr(fn, self.parse_window_spec())
+        return fn
+
+    def parse_window_spec(self) -> WindowSpec:
+        """(PARTITION BY ... ORDER BY ... [ROWS|RANGE BETWEEN b AND b])
+        — exactly the shape WindowSpec.to_sql emits, so parse(render(x))
+        reproduces x."""
+        self.expect_op("(")
+        partition_by: list[Expr] = []
+        if self.eat_kw("PARTITION"):
+            self.expect_kw("BY")
+            partition_by.append(self.parse_expr())
+            while self.eat_op(","):
+                partition_by.append(self.parse_expr())
+        order_by: list[SortKey] = []
+        if self.eat_kw("ORDER"):
+            self.expect_kw("BY")
+            order_by.append(self.parse_sort_key())
+            while self.eat_op(","):
+                order_by.append(self.parse_sort_key())
+        rows_between = range_between = None
+        if self.at_kw("ROWS", "RANGE"):
+            kind = self.next().upper
+            self.expect_kw("BETWEEN")
+            lo = self.parse_frame_bound()
+            self.expect_kw("AND")
+            hi = self.parse_frame_bound()
+            if kind == "ROWS":
+                rows_between = (lo, hi)
+            else:
+                range_between = (lo, hi)
+        self.expect_op(")")
+        return WindowSpec(
+            tuple(partition_by), tuple(order_by), rows_between, range_between
+        )
+
+    def parse_frame_bound(self):
+        """UNBOUNDED PRECEDING/FOLLOWING | CURRENT ROW | n PRECEDING |
+        n FOLLOWING — IR convention: "unbounded" / 0 / -n / +n
+        (expressions/core.py WindowSpec._frame_sql)."""
+        if self.eat_kw("UNBOUNDED"):
+            if not (self.eat_kw("PRECEDING") or self.eat_kw("FOLLOWING")):
+                raise ParseError("expected PRECEDING or FOLLOWING")
+            return "unbounded"
+        if self.eat_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return 0
+        t = self.next()
+        if t.kind != "number":
+            raise ParseError(f"expected frame bound, got {t.text!r}")
+        n = int(t.text)
+        if self.eat_kw("PRECEDING"):
+            return -n
+        self.expect_kw("FOLLOWING")
+        return n
 
     def parse_case(self) -> Expr:
         self.expect_kw("CASE")

@@ -834,6 +834,30 @@ class Join(Plan):
         return ldf.join(rdf, on=cond, how=self.how)
 
 
+@dataclass(frozen=True)
+class Hint(Plan):
+    """SELECT-level join-strategy hint block: ``SELECT /*+ ... */``.
+
+    Produced by the SQL parser when it reads a hint comment; hand-built
+    plans carry hints on their Join nodes instead (same rendered text).
+    Hints are advisory — they steer the physical strategy (broadcast /
+    merge / shuffle-hash), never the result — so ``to_df`` executes the
+    generated SQL to let Catalyst apply them by relation name.
+    """
+
+    input: Plan
+    hints: tuple  # hint strings, e.g. ("BROADCAST(nation)",)
+
+    def _fold(self, dialect: str) -> _SelectState:
+        state = self.input._fold(dialect)
+        state.hints = state.hints + [h for h in self.hints
+                                     if h not in state.hints]
+        return state
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.sql(self.to_sql(SPARK))
+
+
 _SETOP_SQL = {
     "union_all": "UNION ALL",
     "union": "UNION",

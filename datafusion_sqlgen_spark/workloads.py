@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_sqlgen_spark.catalog import register_tables
 from datafusion_sqlgen_spark.expressions import col, fn, agg, lam, lit, star, when
@@ -898,6 +899,35 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # round-4 registry audit: the DataFusion-10 builtin stragglers
+    # (signum/trunc/initcap/digest/regexp_match/to_timestamp_* — the
+    # reference forwards every BuiltinScalarFunction by name,
+    # datafusion-sqlgen/src/expr.rs:76-94). Deterministic subset only;
+    # now()/random() exist in the registry but have no stable oracle.
+    w["expr_scalar_funcs5"] = (
+        scan("orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+            col("o_orderkey"),
+            fn("signum", col("o_totalprice") - lit(150000))
+            .cast("double").alias("sgn"),
+            fn("trunc", col("o_totalprice") / lit(1000)).alias("price_k"),
+            fn("initcap", fn("lower", col("o_orderpriority"))).alias("prio_t"),
+            fn("digest", col("o_orderpriority"), lit("sha256")).alias("prio_sha"),
+            fn("digest", col("o_orderpriority"), lit("md5")).alias("prio_md5"),
+            fn("array_join",
+               fn("regexp_match", col("o_orderpriority"), lit("[A-Z]+")),
+               lit(",")).alias("prio_words"),
+            fn("to_timestamp_seconds", col("o_orderkey") * lit(86400))
+            .alias("ts_s"),
+            fn("to_timestamp_millis", col("o_orderkey") * lit(86400000))
+            .alias("ts_ms"),
+            fn("to_timestamp_micros",
+               col("o_orderkey").cast("bigint") * lit(86400000000))
+            .alias("ts_us"),
+        )
+    )
+
     # recursive CTE (Spark >= 4.0 WITH RECURSIVE ≡ DuckDB): generate a
     # dense month spine by iteration, left-join monthly order revenue —
     # months with no orders appear with rev 0
@@ -1083,6 +1113,29 @@ def _ir_workloads() -> dict[str, Plan]:
         "FROM orders WHERE o_orderstatus IN ('F', 'O') "
         "ORDER BY o_orderstatus ASC NULLS FIRST, bucket ASC NULLS FIRST"
     )
+    # round 4: window + CTE SQL through the parser (the two clause
+    # families round 3's parser rejected — VERDICT r3 "What's missing" §2)
+    w["parsed_win_topn"] = parse_sql(
+        "WITH ranked AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER "
+        "(PARTITION BY o_custkey), 2) AS DOUBLE) AS cust_total "
+        "FROM orders) "
+        "SELECT o_custkey, o_orderkey, o_totalprice, cust_total FROM ranked "
+        "WHERE rn = 1 AND o_custkey < 300 "
+        "ORDER BY o_custkey ASC NULLS FIRST"
+    )
+    w["parsed_cte_agg"] = parse_sql(
+        "WITH region_nations AS (SELECT n_nationkey, n_name, r_name "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey), "
+        "cust_per_nation AS (SELECT c_nationkey, count(*) AS n_cust, "
+        "CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal "
+        "FROM customer GROUP BY c_nationkey) "
+        "SELECT r_name, n_name, n_cust, bal FROM region_nations "
+        "JOIN cust_per_nation ON n_nationkey = c_nationkey "
+        "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"
+    )
 
     return w
 
@@ -1114,11 +1167,60 @@ FROM supplier WHERE s_suppkey < 50
 """
 
 
+def _sink_partitioned_roundtrip(s: SparkSession) -> DataFrame:
+    """Write orders partitioned by o_orderstatus to parquet via
+    sources/io.write_parquet, read it back, and aggregate per partition.
+
+    First driver-sampled workload exercising the WRITE surface (the
+    reference has no sinks at all — SURVEY.md §2.1 sources/sinks row).
+    Directory partitioning is the 100-TB scan lever: the read-back agg
+    prunes to partition directories, and the partition column survives
+    the roundtrip as a (string-typed) directory key. Values must be
+    bit-identical to aggregating the source directly — which is exactly
+    what the oracle computes."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="sink_rt_") + "/orders_by_status"
+    src = s.table("orders").filter(F.col("o_orderkey") < 5000)
+    sio.write_parquet(src, out, partition_by=["o_orderstatus"],
+                      max_records_per_file=100_000)
+    back = sio.read_parquet(s, out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("total"),
+        )
+        .select(
+            F.col("o_orderstatus").cast("string").alias("status"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("total"),
+        )
+    )
+
+
+_SINK_ROUNDTRIP_ORACLE = """
+SELECT CAST(o_orderstatus AS VARCHAR) AS status,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+"""
+
+
 def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame], str | None]]:
     return {
         # by-name set union (SQL UNION is positional in both engines; the
         # oracle re-aligns explicitly — the operator does it by schema)
         "setop_union_by_name": (_union_by_name, _UNION_BY_NAME_ORACLE),
+        # partitioned-parquet write -> read-back -> aggregate (sink path)
+        "sink_partitioned_roundtrip": (
+            _sink_partitioned_roundtrip, _SINK_ROUNDTRIP_ORACLE,
+        ),
         "dedup_exact": (
             lambda s: dedup.exact_dedup(s.table("documents")),
             dedup.exact_dedup_oracle(),
@@ -1451,96 +1553,48 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
 # dedup/similarity/text/sampling/timeseries/as-of operators), then
 # everything else in catalog order.  Rounds 4+ should rotate this list so
 # every workload is externally sampled over time.
+# Round-4 rotation: positions 1-50 are exactly the driver sample.  The 35
+# workloads below that have never appeared in any CORRECTNESS_r* file (the
+# list was generated programmatically: catalog keys minus the union of
+# CORRECTNESS_r01..r03 keys — do not hand-edit it) fill the sample, behind
+# 5 reference-behavior canaries.  tests/test_advice_fixes_r3.py pins both
+# the 50-entry boundary and that every name here exists in the catalog.
 _SAMPLE_PRIORITY: list[str] = [
-    # reference-behavior canaries (green in r01+r02; keep a regression watch)
+    # reference-behavior canaries (green r01-r03; keep a regression watch)
     "ref_scan_filter",
     "ref_sort_limit_offset",
     "ref_null_safe_cmp",
     "ref_nested_slots",
     "ref_wildcard",
-    # round-3 new code first: SQL->IR parser output (parser.py) — these
-    # plans are BUILT BY PARSING SQL text, so a green row verifies the
-    # parser end-to-end
-    "parsed_scan_filter_sort",
-    "parsed_join_agg_having",
-    "parsed_case_in_distinct",
-    # windows never sampled by the driver
-    "win_first_last",
-    "win_ignore_nulls_locf",
-    "win_range_frame",
-    "win_analytic_suite",
-    "win_moving_avg",
-    # events / sessionization
-    "events_sessionize_gap",
-    "events_hourly_rollup",
-    # expression families not yet sampled
-    "expr_date_parts_trycast",
-    "expr_map_funcs",
-    # subquery / recursive CTE
-    "cte_recursive_month_spine",
-    "subq_scalar_in_select",
-    # lateral / unpivot
-    "lat_explode_words",
-    "lat_topn_per_group",
-    "unpivot_measures",
-    # TPC-H rotation (q3/q9/q17/q18 this round; rest next)
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q9",
-    "tpch_q17",
-    "tpch_q18",
-    # dedup tier (the LLM-pipeline core)
-    "dedup_exact",
-    "dedup_canonical",
-    "dedup_minhash_signatures",
-    "dedup_minhash_buckets",
-    "dedup_minhash_verify",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    # text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_chunk_documents",
-    # sampling
-    "sample_stable_hash",
-    "sample_stratified",
-    # timeseries
-    "ts_gap_fill_hourly",
-    "ts_ohlc_hourly",
-    # similarity search
-    "sim_cosine_topk",
-    "sim_cosine_topk_bucketed",
-    "sim_ivf_topk",
-    # as-of joins (rewritten round 3: union+window shape — verify all
-    # three direction/tolerance variants of the new code)
-    "join_asof_events",
-    "join_asof_tolerance",
-    "join_asof_forward",
-    # profiling / UDF tier / pivot
+    # --- the 35 never-driver-verified workloads (r4 rotation focus) ---
+    # missed r3's sample by the off-by-three boundary:
     "profile_orders",
     "udf_bpeish_token_count",
     "agg_pivot_status",
-    # ---- 50-entry driver sample boundary (everything below rotates in) ----
+    # set-op / join variants
     "setop_union_by_name",
     "join_salted_skew",
     "join_range_bucketed",
-    "expr_scalar_funcs4",
+    # lateral / expression families
     "lat_posexplode_embedding",
     "expr_string_funcs2",
+    # text tier
     "text_fingerprint",
     "text_pack_sequences",
     "text_redact",
     "text_word_positions",
+    "text_top_terms",
+    # sampling / timeseries
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",
+    # similarity
     "sim_lsh_bucket_stats",
     "sim_embedding_norms",
+    # multimodal (never sampled in any round)
     "mm_feature_extract",
     "mm_frame_sample",
+    # remaining TPC-H (15 queries)
     "tpch_q4",
     "tpch_q6",
     "tpch_q7",
@@ -1556,13 +1610,20 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # r01-verified, evicted from r02 sample — next in line
+    # --- round-4 new workloads (new code needs first-sample coverage) ---
+    "parsed_win_topn",
+    "parsed_cte_agg",
+    "sink_partitioned_roundtrip",
+    "expr_scalar_funcs5",
+    # --- r01-verified canaries refill the sample to exactly 50 ---
     "subq_scalar_avg",
     "subq_in",
     "subq_exists",
     "win_rank_topn",
     "win_running_sum",
     "win_lag_lead",
+    # ---- 50-entry driver sample boundary (everything below already has a
+    # green row in some round; catalog order follows) ----
 ]
 
 
