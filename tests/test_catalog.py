@@ -45,6 +45,63 @@ def test_fan_out_only_for_large_tables(spark):
         assert li.rdd.getNumPartitions() == 1
 
 
+def test_uint_widening_end_to_end(spark, tmp_path):
+    """SURVEY §1.3's top type-mapping hazard, pinned end-to-end: a real
+    UInt8/16/32/64 parquet file (written with pyarrow, including
+    UInt64.max > Int64.max) flows through register_parquet to
+    value-checked results that match DuckDB reading the same file.
+
+    Spark's parquet reader performs exactly the widening WIDENING_MAP
+    documents (uint8->short, uint16->int, uint32->long,
+    uint64->decimal(20,0)) — the schema assertion keeps us honest if a
+    Spark upgrade ever changes that."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "uints.parquet")
+    table = pa.table(
+        {
+            "u8": pa.array([0, 1, 255], type=pa.uint8()),
+            "u16": pa.array([0, 1, 65535], type=pa.uint16()),
+            "u32": pa.array([0, 1, 4294967295], type=pa.uint32()),
+            # 2^64-1 and 2^63 both exceed Int64.max — the overflow zone
+            "u64": pa.array(
+                [0, 9223372036854775808, 18446744073709551615],
+                type=pa.uint64(),
+            ),
+        }
+    )
+    pq.write_table(table, path)
+
+    df = register_parquet(spark, "t_uints", path)
+    got = {f.name: f.dataType for f in df.schema.fields}
+    assert got["u8"] == widen_type("uint8")
+    assert got["u16"] == widen_type("uint16")
+    assert got["u32"] == widen_type("uint32")
+    assert got["u64"] == widen_type("uint64")
+
+    spark_rows = sorted(
+        tuple(str(v) for v in r)
+        for r in spark.sql(
+            "SELECT u8, u16, u32, CAST(u64 AS STRING) AS u64 FROM t_uints"
+        ).collect()
+    )
+    duck_rows = sorted(
+        tuple(str(v) for v in r)
+        for r in duckdb.sql(
+            "SELECT u8, u16, u32, CAST(u64 AS VARCHAR) AS u64 "
+            f"FROM read_parquet('{path}')"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert ("255", "65535", "4294967295", "18446744073709551615") in spark_rows
+
+    # arithmetic above Int64.max stays exact through the decimal widening
+    total = spark.sql("SELECT CAST(sum(u64) AS STRING) FROM t_uints").collect()
+    assert total[0][0] == "27670116110564327423"  # 2^63 + (2^64 - 1)
+
+
 def test_fan_out_keeps_pushdown(spark):
     """Predicate pushdown and column pruning must reach the scan through
     the Repartition node."""

@@ -162,6 +162,112 @@ def test_stream_stream_attribution_matches_batch(spark, stream_dir):
     assert len(streamed) > 0
 
 
+@pytest.fixture(scope="module")
+def disordered_stream_dir(tmp_path_factory):
+    """Replay with event-time DISORDER, bounded by the watermark: one in
+    five events is delivered TWO DAYS late (< the 3-day watermark the
+    test passes), rows are shuffled within each trigger file, and the
+    files overlap in event time — so every trigger contains data older
+    than the max timestamp already seen. Watermark correctness, not
+    happy-path replay. (Events span ~30 days at sf0.001, so day-scale
+    lateness is what actually crosses the ~10-day trigger boundaries.)"""
+    d = tmp_path_factory.mktemp("events_disordered")
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ev AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW dv AS SELECT *, ts + CASE WHEN event_id % 5 = 0 "
+        "THEN INTERVAL 2 DAY ELSE INTERVAL 0 DAY END AS __delivery FROM ev"
+    )
+    lo, hi = con.execute(
+        "SELECT min(__delivery), max(__delivery) FROM dv"
+    ).fetchone()
+    span = (hi - lo) / 3
+    for i in range(3):
+        t0 = lo + i * span
+        t1 = hi if i == 2 else lo + (i + 1) * span
+        cmp_hi = "<=" if i == 2 else "<"
+        con.execute(
+            f"COPY (SELECT event_id, ts, user_id, event_type, value, props "
+            f"FROM dv WHERE __delivery >= TIMESTAMP '{t0}' "
+            f"AND __delivery {cmp_hi} TIMESTAMP '{t1}' "
+            f"ORDER BY hash(event_id)) "
+            f"TO '{d}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+def test_stream_attribution_under_event_time_disorder(
+    spark, stream_dir, disordered_stream_dir
+):
+    """The stream-stream attribution join must produce EXACTLY the batch
+    result under late, shuffled delivery — late rows are within the
+    watermark, so none may be dropped and none may be duplicated."""
+    # the disorder is real: later trigger files carry event times older
+    # than earlier files' maxima
+    per_file = []
+    for i in range(3):
+        f = spark.read.parquet(f"{disordered_stream_dir}/part{i}.parquet")
+        mn, mx = f.agg(F.min("ts"), F.max("ts")).collect()[0]
+        per_file.append((mn, mx))
+    assert per_file[1][0] < per_file[0][1], "file1 must overlap file0"
+    assert per_file[2][0] < per_file[1][1], "file2 must overlap file1"
+    # same multiset of events, different delivery order
+    a = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    b = spark.read.schema(st.EVENTS_SCHEMA).parquet(disordered_stream_dir)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+    ev = st.read_events_stream(spark, disordered_stream_dir)
+    st.stream_to_memory(
+        st.click_purchase_attribution_stream(
+            ev, attribution="30 minutes", watermark="3 days"
+        ),
+        "t_attr_disorder",
+        output_mode="append",
+    )
+    streamed = normalize_rows(
+        [tuple(r) for r in spark.sql("SELECT * FROM t_attr_disorder").collect()],
+        2,
+    )
+    batch_ev = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    clicks = batch_ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = batch_ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    batch = normalize_rows(
+        [
+            tuple(r)
+            for r in clicks.join(
+                purchases,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+                ),
+            )
+            .select(
+                F.col("c_user").alias("user_id"),
+                "click_ts",
+                "purchase_ts",
+                F.round("value", 2).alias("value"),
+            )
+            .collect()
+        ],
+        2,
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_stream_parquet_sink_with_checkpoint(spark, stream_dir, tmp_path):
     """writeStream -> partitioned parquet files with a checkpoint dir —
     the production sink path (memory sink is test-only). Exactly-once:
