@@ -482,11 +482,18 @@ def connected_components(
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     # Partition the (static) symmetrized edge list by the join key ONCE:
     # the persisted scan reports hashpartitioning(s), so every iteration's
-    # join shuffles only the (smaller) label table.
-    sym = sym.distinct().repartition(F.col("s")).persist()
-    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint(eager=True)
+    # join shuffles only the (smaller) label table. No distinct() first —
+    # duplicate edges cannot change a min-propagation result, and deduping
+    # the edge table would cost a second full shuffle of it (r2 shave).
+    sym = sym.repartition(F.col("s")).persist()
+    # Fused round 0: label(node) = min(node, min(neighbors)) directly from
+    # the grouped edge list — one aggregation replaces the identity-label
+    # table AND the first join round.
+    labels = (
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.first("s"), F.min("d")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
     # Convergence check: labels move strictly monotonically down (min-
     # propagation), so the global label sum strictly decreases iff any
     # node changed — one tiny aggregate per round instead of a join+count.
@@ -496,9 +503,11 @@ def connected_components(
             sym.join(labels.withColumnRenamed("node", "s"), "s")
             .select(F.col("d").alias("node"), "label")
         )
+        # lazy checkpoint: the convergence aggregate below is what
+        # materializes it, so each round is ONE job, not two
         labels = (
             labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
