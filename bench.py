@@ -82,6 +82,11 @@ HEADLINE = [
     "join_range_bucketed",
     "profile_orders",
     "text_pack_sequences",
+    # round-4 additions: the write path (partitioned parquet sink +
+    # read-back aggregate — sink throughput is a first-class cost at
+    # 100 TB) and the audited-builtins expression batch
+    "sink_partitioned_roundtrip",
+    "expr_scalar_funcs5",
 ]
 
 

@@ -440,20 +440,28 @@ def _spark_reverse() -> dict[str, str]:
     import re as _re
 
     rev: dict[str, str] = {}
-    probe = ["\x00a", "\x00b", "\x00c"]
-    pat = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\(\x00a, \x00b, \x00c\)$")
+    marks = ["\x00a", "\x00b", "\x00c"]
+    pats = [
+        _re.compile(
+            r"^([A-Za-z_][A-Za-z0-9_]*)\(" + ", ".join(marks[: n + 1]) + r"\)$"
+        )
+        for n in range(3)
+    ]
     for canon, dialects in _SPECIAL.items():
-        try:
-            rendered = dialects["spark"](probe)
-        except Exception:
-            continue
-        m = pat.match(rendered)
-        if not m:
-            continue
-        name = m.group(1)
-        if name == canon or name in _SPECIAL or name in _COMMON:
-            continue
-        rev.setdefault(name, canon)
+        # probe at arities 1-3: a pure rename interpolates exactly its
+        # probe args in order, whatever the renderer's internal shape
+        for n in (3, 2, 1):
+            try:
+                rendered = dialects["spark"](marks[:n])
+            except Exception:
+                continue
+            m = pats[n - 1].match(rendered)
+            if not m:
+                continue
+            name = m.group(1)
+            if name == canon or name in _SPECIAL or name in _COMMON:
+                continue
+            rev.setdefault(name, canon)
     return rev
 
 

@@ -776,7 +776,16 @@ class _Parser:
                 self.expect_kw("AS")
                 dtype = self.parse_type()
                 self.expect_op(")")
-                return TryCast(e, dtype) if kw == "TRY_CAST" else Cast(e, dtype)
+                if kw == "TRY_CAST":
+                    return TryCast(e, dtype)
+                # CAST(CAST(x AS BIGINT) AS DOUBLE) is the registry's
+                # Spark render of numeric trunc — fold it back so the
+                # DuckDB re-render keeps TRUNCATION semantics (DuckDB's
+                # own float->int CAST rounds, Spark's truncates)
+                if (dtype == "double" and isinstance(e, Cast)
+                        and e.dtype == "bigint"):
+                    return Func("trunc", (e.operand,))
+                return Cast(e, dtype)
             if kw == "CASE":
                 return self.parse_case()
             # EXISTS (SELECT ...) is the subquery predicate; exists(arr,

@@ -279,3 +279,55 @@ def test_asof_join_single_shuffle_no_join(spark):
     assert "Join" not in phys, phys[:800]
     n_exchanges = phys.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"{n_exchanges} hash exchanges:\n{phys[:800]}"
+
+
+def test_sink_roundtrip_readback_prunes_partitions(spark, queries):
+    """Round-4 sink path: the partitioned-parquet layout written by
+    sources.io.write_parquet must enable partition pruning on read —
+    a filter on the partition column reads only that directory."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="sink_prune_") + "/orders_by_status"
+    src = spark.table("orders").limit(2000)
+    sio.write_parquet(src, out, partition_by=["o_orderstatus"])
+    back = sio.read_parquet(spark, out).filter(F.col("o_orderstatus") == "F")
+    txt = plan_text(back)
+    assert "PartitionFilters" in txt
+    # the partition predicate must be IN the partition filters, not a
+    # post-scan filter
+    pf = txt.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_orderstatus" in pf
+
+
+def test_parsed_window_topk_uses_group_limit(spark):
+    """SQL text through the parser must reach the same physical
+    optimizations as the hand-built IR: a parsed rank-filter window plans
+    the WindowGroupLimit pushdown."""
+    from datafusion_sqlgen_spark.parser import parse_sql
+
+    p = parse_sql(
+        "SELECT o_orderkey, o_custkey FROM "
+        "(SELECT o_orderkey, o_custkey, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST) AS rn "
+        "FROM orders) AS t WHERE rn <= 3"
+    )
+    txt = plan_text(p.to_df(spark))
+    assert "WindowGroupLimit" in txt
+
+
+def test_parsed_hint_reaches_physical_plan(spark):
+    """A /*+ BROADCAST(t) */ hint parsed from SQL text (plans.Hint) must
+    steer the physical join strategy exactly like Join(broadcast=True)."""
+    from datafusion_sqlgen_spark.parser import parse_sql
+
+    p = parse_sql(
+        "SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    )
+    txt = plan_text(p.to_df(spark))
+    assert "BroadcastHashJoin" in txt
