@@ -464,6 +464,8 @@ class _Parser:
 
     def parse_relation(self) -> Plan:
         if self.eat_op("("):
+            if self.at_kw("VALUES"):
+                return self.parse_values()
             sub = self.parse_query()
             self.expect_op(")")
             self.eat_kw("AS")
@@ -500,6 +502,32 @@ class _Parser:
             if nxt is None:
                 return left
             left = nxt
+
+    def parse_values(self) -> Plan:
+        """(VALUES (...), (...)) AS name(c1, c2) — the plans.Values
+        inline relation (the generated alias is regenerated on render)."""
+        from datafusion_sqlgen_spark.plans.core import Values
+
+        self.expect_kw("VALUES")
+        rows: list[tuple] = []
+        while True:
+            self.expect_op("(")
+            vals = [self.parse_expr()]
+            while self.eat_op(","):
+                vals.append(self.parse_expr())
+            self.expect_op(")")
+            rows.append(tuple(vals))
+            if not self.eat_op(","):
+                break
+        self.expect_op(")")
+        self.eat_kw("AS")
+        self.ident()  # generated relation alias (regenerated on render)
+        self.expect_op("(")
+        cols = [self.ident()]
+        while self.eat_op(","):
+            cols.append(self.ident())
+        self.expect_op(")")
+        return Values(tuple(rows), tuple(cols))
 
     def parse_lateral_view(self, left: Plan) -> Plan:
         """LATERAL VIEW [OUTER] explode|posexplode(e) <gen_alias> AS cols

@@ -233,6 +233,27 @@ def test_catalog_reparse_preserves_semantics():
         assert orig == back, f"{name}: reparse changed DuckDB results"
 
 
+def test_values_relation_roundtrip(pspark, pduck):
+    """The plans.Values inline relation parses back from its own render
+    (round-4: the last plan node the front end couldn't read)."""
+    from datafusion_sqlgen_spark.expressions import col
+    from datafusion_sqlgen_spark.plans.core import Values
+
+    p = (
+        Values(((1, "a"), (2, "b"), (3, "a")), ("k", "tag"))
+        .filter(col("k") > 1)
+        .select(col("k"), col("tag"))
+    )
+    for dialect in ("spark", "duckdb"):
+        s1 = p.to_sql(dialect)
+        r1 = parse_sql(s1).to_sql(dialect)
+        assert r1 == s1, f"{dialect}:\n{s1}\n{r1}"
+    rp = parse_sql(p.to_sql("spark"))
+    sp = sorted(tuple(r) for r in rp.to_df(pspark).collect())
+    du = sorted(tuple(r) for r in pduck.execute(rp.to_sql("duckdb")).fetchall())
+    assert sp == du == [(2, "b"), (3, "a")]
+
+
 def test_parse_rejects_garbage():
     for bad in ("SELEKT 1", "SELECT FROM", "SELECT 1 FROM t WHERE", "",
                 "SELECT 1; SELECT 2"):
