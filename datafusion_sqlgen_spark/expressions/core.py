@@ -757,6 +757,22 @@ class Func(Expr):
 _UNBOUNDED = ("unbounded", None)
 
 
+@dataclass(frozen=True, eq=False)
+class FrameBound:
+    """Interval-valued RANGE frame bound: ``INTERVAL n UNIT
+    PRECEDING|FOLLOWING`` — the time-based sliding window (identical
+    SQL in Spark and DuckDB). The DataFrame API's ``rangeBetween`` only
+    takes longs, so plans carrying one render through generated SQL
+    (the same documented fallback as IGNORE-NULLS lag/lead)."""
+
+    interval: "Interval"
+    preceding: bool = True
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        side = "PRECEDING" if self.preceding else "FOLLOWING"
+        return f"{self.interval.to_sql(dialect)} {side}"
+
+
 def _frame_bound_sql(b) -> str:
     if b is None or b == "unbounded":
         return None  # caller decides PRECEDING/FOLLOWING
@@ -777,6 +793,8 @@ class WindowSpec:
         kw = "ROWS" if self.rows_between else "RANGE"
 
         def bound(v, side):
+            if isinstance(v, FrameBound):
+                return v.to_sql()
             if v == "unbounded" or v is None:
                 return f"UNBOUNDED {side}"
             if v == 0:
@@ -809,6 +827,13 @@ class WindowSpec:
         frame = self.rows_between or self.range_between
         if frame is not None:
             lo, hi = frame
+            if isinstance(lo, FrameBound) or isinstance(hi, FrameBound):
+                # interval bounds have no Column-API form; the plan layer
+                # catches this and renders through generated SQL
+                raise NotImplementedError(
+                    "interval RANGE frame as a Column; use the SQL "
+                    "rendering path"
+                )
             lo = Window.unboundedPreceding if lo in _UNBOUNDED else lo
             hi = Window.unboundedFollowing if hi in _UNBOUNDED else hi
             w = w.rowsBetween(lo, hi) if self.rows_between else w.rangeBetween(lo, hi)

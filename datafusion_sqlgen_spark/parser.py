@@ -995,6 +995,15 @@ class _Parser:
         if self.eat_kw("CURRENT"):
             self.expect_kw("ROW")
             return 0
+        if self.eat_kw("INTERVAL"):
+            from datafusion_sqlgen_spark.expressions.core import FrameBound
+
+            n = int(self.next().text)
+            iv = Interval(n, self.ident().upper())
+            if self.eat_kw("PRECEDING"):
+                return FrameBound(iv, preceding=True)
+            self.expect_kw("FOLLOWING")
+            return FrameBound(iv, preceding=False)
         t = self.next()
         if t.kind != "number":
             raise ParseError(f"expected frame bound, got {t.text!r}")

@@ -848,6 +848,30 @@ def _ir_workloads() -> dict[str, Plan]:
            ), lit(4)).alias("avg_4"),
     )
 
+    # time-based sliding window: RANGE over an INTERVAL — the value-based
+    # frame is tie-safe (all rows in the trailing hour, however many),
+    # where a ROWS frame would be under-determined on equal timestamps.
+    # Round 4: interval FrameBound in the IR + parser; no Column-API form
+    # exists (rangeBetween takes longs), so to_df goes through the
+    # generated SQL — same Catalyst plan either way.
+    from datafusion_sqlgen_spark.expressions.core import FrameBound
+
+    w["ts_sliding_1h_stats"] = scan("events").select(
+        col("event_id"),
+        col("event_type"),
+        fn("round",
+           agg("avg", col("value")).over(
+               partition_by=[col("event_type")],
+               order_by=[col("ts").asc()],
+               range_between=(FrameBound(Interval(1, "HOUR")), 0),
+           ), lit(4)).alias("avg_1h"),
+        agg("count").over(
+            partition_by=[col("event_type")],
+            order_by=[col("ts").asc()],
+            range_between=(FrameBound(Interval(1, "HOUR")), 0),
+        ).alias("n_1h"),
+    )
+
     # --- time-series rollup on the events table (streaming-shape, batch) ---
     w["events_hourly_rollup"] = (
         scan("events")

@@ -233,6 +233,34 @@ def test_catalog_reparse_preserves_semantics():
         assert orig == back, f"{name}: reparse changed DuckDB results"
 
 
+def test_interval_range_frame_roundtrip(pspark, pduck):
+    """Time-based sliding windows: RANGE BETWEEN INTERVAL n UNIT
+    PRECEDING AND CURRENT ROW parses, re-renders to a fixpoint, and the
+    value-based frame is tie-safe across engines (round 4)."""
+    q = ("SELECT id, sum(id) OVER (ORDER BY ts ASC NULLS FIRST "
+         "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS s "
+         "FROM tstab")
+    pspark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:30:00"),
+         (3, "2024-01-01 12:00:00")],
+        "id int, ts_s string",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts") \
+        .createOrReplaceTempView("tstab")
+    pduck.execute(
+        "CREATE OR REPLACE TABLE tstab AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 10:00:00'), "
+        "(2, TIMESTAMP '2024-01-01 10:30:00'), "
+        "(3, TIMESTAMP '2024-01-01 12:00:00')) t(id, ts)"
+    )
+    p = parse_sql(q)
+    for dialect in ("spark", "duckdb"):
+        s1 = p.to_sql(dialect)
+        assert parse_sql(s1).to_sql(dialect) == s1
+    sp = sorted(tuple(r) for r in p.to_df(pspark).collect())
+    du = sorted(tuple(r) for r in pduck.execute(p.to_sql("duckdb")).fetchall())
+    assert sp == du == [(1, 1), (2, 3), (3, 3)]
+
+
 def test_values_relation_roundtrip(pspark, pduck):
     """The plans.Values inline relation parses back from its own render
     (round-4: the last plan node the front end couldn't read)."""
