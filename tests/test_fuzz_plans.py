@@ -140,6 +140,34 @@ def _ops_r3():
     )
 
 
+@settings(max_examples=60, deadline=None)
+@given(chain=st.lists(_ops_r3(), min_size=1, max_size=4))
+def test_stacked_plans_parse_roundtrip(plan_env, chain):
+    """Round 4: the SQL front end must survive ARBITRARY operator
+    stackings, not just the curated catalog — every fuzzed plan's Spark
+    render re-parses to a plan that (a) renders to a parse fixpoint and
+    (b) returns identical DuckDB results to the original. DuckDB-only
+    execution keeps the property cheap enough to fuzz."""
+    from datafusion_sqlgen_spark.parser import parse_sql
+
+    spark, con = plan_env
+    p = scan("fuzz_p")
+    for op in chain:
+        p = op(p)
+    sql = p.to_sql("spark")
+    rp = parse_sql(sql)
+    s2 = rp.to_sql("spark")
+    assert parse_sql(s2).to_sql("spark") == s2, f"not a fixpoint:\n{s2}"
+    orig = sorted((tuple(r) for r in con.execute(p.to_sql("duckdb")).fetchall()),
+                  key=_key)
+    back = sorted((tuple(r) for r in con.execute(rp.to_sql("duckdb")).fetchall()),
+                  key=_key)
+    assert orig == back, (
+        f"reparse changed results\nspark: {sql}\nduck orig: {p.to_sql('duckdb')}"
+        f"\nduck back: {rp.to_sql('duckdb')}"
+    )
+
+
 @settings(max_examples=30, deadline=None)
 @given(chain=st.lists(_ops_r3(), min_size=1, max_size=4))
 def test_stacked_plans_r3_dual_render(plan_env, chain):
