@@ -856,20 +856,21 @@ def _ir_workloads() -> dict[str, Plan]:
     # generated SQL — same Catalyst plan either way.
     from datafusion_sqlgen_spark.expressions.core import FrameBound
 
+    # exact arithmetic inside the frame: double avg is summation-order-
+    # sensitive and round(sum/n) can land on a cross-engine half-way case
+    # (observed at sf0.01) — round the exact DECIMAL sum instead, the
+    # catalog's established deterministic-aggregate pattern
+    _w1h = dict(
+        partition_by=[col("event_type")],
+        order_by=[col("ts").asc()],
+        range_between=(FrameBound(Interval(1, "HOUR")), 0),
+    )
     w["ts_sliding_1h_stats"] = scan("events").select(
         col("event_id"),
         col("event_type"),
-        fn("round",
-           agg("avg", col("value")).over(
-               partition_by=[col("event_type")],
-               order_by=[col("ts").asc()],
-               range_between=(FrameBound(Interval(1, "HOUR")), 0),
-           ), lit(4)).alias("avg_1h"),
-        agg("count").over(
-            partition_by=[col("event_type")],
-            order_by=[col("ts").asc()],
-            range_between=(FrameBound(Interval(1, "HOUR")), 0),
-        ).alias("n_1h"),
+        fn("round", agg("sum", col("value").cast("decimal(18,6)")).over(**_w1h),
+           lit(2)).cast("double").alias("sum_1h"),
+        agg("count").over(**_w1h).alias("n_1h"),
     )
 
     # --- time-series rollup on the events table (streaming-shape, batch) ---
