@@ -331,3 +331,14 @@ def test_parsed_hint_reaches_physical_plan(spark):
     )
     txt = plan_text(p.to_df(spark))
     assert "BroadcastHashJoin" in txt
+
+
+def test_shared_window_spec_plans_one_window_one_exchange(spark, queries):
+    """Two window functions over the SAME spec (ts_sliding_1h_stats:
+    interval-frame sum + count) must share one Window node above one
+    hash exchange — a second exchange would double the shuffle for no
+    semantic reason."""
+    df = queries["ts_sliding_1h_stats"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1, phys[:600]
+    assert phys.count("Window") == 1, phys[:600]
