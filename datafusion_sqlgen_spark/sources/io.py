@@ -21,8 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Self-describing schema (reference tests/select.rs:73-78)."""
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Self-describing schema (reference tests/select.rs:73-78).
+
+    Pass ``schema`` for datasets a pipeline stage may legitimately leave
+    EMPTY (a partitioned write of zero rows has no parquet footers, so
+    schema inference fails) — schema-on-read keeps the downstream stage
+    running on the degenerate case."""
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
     return spark.read.parquet(path)
 
 

@@ -66,3 +66,50 @@ def test_salted_join_empty_right(spark):
         joins.salted_join(orders, empty_cust, on="o_custkey", how="left").count()
         == orders.count()
     )
+
+
+def test_connected_components_on_empty_edges(spark):
+    """Round-4 cc rewrite (fused round 0, lazy checkpoints) must not
+    assume a non-empty edge list."""
+    edges = (
+        spark.table("documents").filter("doc_id < 0")
+        .selectExpr("doc_id AS src", "doc_id AS dst")
+    )
+    assert dedup.connected_components(edges).count() == 0
+
+
+def test_interval_range_window_on_empty(spark):
+    """Interval RANGE frames go through the generated-SQL fallback —
+    that path must also degrade to empty, not error."""
+    from datafusion_sqlgen_spark.expressions import agg, col, fn, lit
+    from datafusion_sqlgen_spark.expressions.core import FrameBound, Interval
+    from datafusion_sqlgen_spark.plans import scan
+
+    p = (
+        scan("events")
+        .filter(col("event_id") < lit(0))
+        .select(
+            col("event_id"),
+            agg("count").over(
+                partition_by=[col("event_type")],
+                order_by=[col("ts").asc()],
+                range_between=(FrameBound(Interval(1, "HOUR")), 0),
+            ).alias("n_1h"),
+        )
+    )
+    assert p.to_df(spark).count() == 0
+
+
+def test_sink_roundtrip_on_empty(spark, tmp_path):
+    """Writing an empty partitioned dataset and reading it back must
+    yield an empty frame with the projected schema, not a read error."""
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = str(tmp_path / "empty_sink")
+    src = spark.table("orders").filter("o_orderkey < 0") \
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    sio.write_parquet(src, out, partition_by=["o_orderstatus"])
+    # no footers to infer from -> schema-on-read is the production pattern
+    back = sio.read_parquet(spark, out, schema=src.schema)
+    assert back.count() == 0
+    assert back.columns == src.columns
