@@ -924,6 +924,31 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # inline VALUES lookup joined (broadcast) to a fact table — the
+    # classic tiny-dim pattern (plans.Values; DataFusion's
+    # LogicalPlan::Values, which the reference's tests replace with
+    # MemTables, tests/select.rs:253-273)
+    from datafusion_sqlgen_spark.plans.core import Values
+
+    _prio_rank = Values(
+        (
+            ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+            ("4-NOT SPECIFIED", 4), ("5-LOW", 5),
+        ),
+        ("prio", "rank"),
+    )
+    w["values_lookup_join"] = (
+        scan("orders")
+        .join(_prio_rank, on=col("o_orderpriority") == col("prio"),
+              how="left", broadcast=False)
+        .group_by(col("rank"))
+        .agg(
+            agg("count").alias("n_orders"),
+            fn("round", agg("sum", col("o_totalprice").cast("decimal(18,4)")),
+               lit(2)).cast("double").alias("total"),
+        )
+    )
+
     # round-4 registry audit: the DataFusion-10 builtin stragglers
     # (signum/trunc/initcap/digest/regexp_match/to_timestamp_* — the
     # reference forwards every BuiltinScalarFunction by name,
