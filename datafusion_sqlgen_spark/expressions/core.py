@@ -668,8 +668,25 @@ class Func(Expr):
     # Spark `fn(args) IGNORE NULLS OVER ...`, DuckDB `fn(args IGNORE
     # NULLS) OVER ...` — same semantics (first/last/nth/lag/lead).
     ignore_nulls: bool = False
+    # SQL-standard conditional aggregation: fn(args) FILTER (WHERE cond)
+    # — identical syntax in Spark (>=3.0) and DuckDB. The Column path
+    # rewrites to fn(CASE WHEN cond THEN arg END): aggregates skip NULLs,
+    # so the rewrite is exact for every single/multi-arg aggregate.
+    filter_where: Optional["Expr"] = None
 
     def to_sql(self, dialect: str = SPARK) -> str:
+        base = self._call_sql(dialect)
+        if self.filter_where is not None:
+            base += f" FILTER (WHERE {self.filter_where.to_sql(dialect)})"
+        return base
+
+    def filtered(self, cond: "Expr") -> "Func":
+        """fn(args) FILTER (WHERE cond) — conditional aggregation."""
+        import dataclasses
+
+        return dataclasses.replace(self, filter_where=cond)
+
+    def _call_sql(self, dialect: str = SPARK) -> str:
         name = canonical(self.name)
         if self.ignore_nulls:
             args = ", ".join(a.to_sql(dialect) for a in self.args)
@@ -706,6 +723,16 @@ class Func(Expr):
 
     def to_column(self) -> Column:
         name = canonical(self.name)
+        if self.filter_where is not None:
+            if name not in AGGREGATES:
+                raise ValueError(
+                    f"FILTER (WHERE ...) requires an aggregate, got {name!r}"
+                )
+            cond = self.filter_where.to_column()
+            if not self.args:  # count(*) FILTER (WHERE c)
+                return F.count(F.when(cond, F.lit(1)))
+            cols = [F.when(cond, a.to_column()) for a in self.args]
+            return spark_agg_column(name, cols, distinct=self.distinct)
         if self.ignore_nulls:
             cols = [a.to_column() for a in self.args]
             if name == "last_value":

@@ -943,9 +943,17 @@ class _Parser:
             if ordered_by.to_sql() != args[0].to_sql():
                 args = args + [ordered_by]
             lname = "string_agg"
+        filter_where = None
+        # SQL-standard conditional aggregation: fn(args) FILTER (WHERE c)
+        if self.at_kw("FILTER") and self.peek(1).text == "(":
+            self.next()
+            self.expect_op("(")
+            self.expect_kw("WHERE")
+            filter_where = self.parse_expr()
+            self.expect_op(")")
         fn = Func(
             lname, tuple(args), distinct=distinct,
-            ignore_nulls=ignore_nulls,
+            ignore_nulls=ignore_nulls, filter_where=filter_where,
         )
         if self.eat_kw("OVER"):
             return WindowExpr(fn, self.parse_window_spec())

@@ -949,6 +949,27 @@ def _ir_workloads() -> dict[str, Plan]:
         )
     )
 
+    # SQL-standard FILTER (WHERE ...) conditional aggregation — one pass
+    # computes disjoint conditional aggregates (the k-scan UNION ALL or
+    # self-join would be the anti-pattern at scale). Column path rewrites
+    # to fn(CASE WHEN cond THEN arg END), SQL path renders the clause.
+    w["agg_filter_where"] = (
+        scan("orders")
+        .group_by(col("o_orderstatus"))
+        .agg(
+            agg("count").alias("n"),
+            agg("count").filtered(col("o_totalprice") > lit(200000))
+            .alias("n_big"),
+            fn("round",
+               agg("sum", col("o_totalprice").cast("decimal(18,4)"))
+               .filtered(col("o_orderpriority") == lit("1-URGENT")),
+               lit(2)).cast("double").alias("urgent_total"),
+            agg("max", col("o_totalprice"))
+            .filtered(col("o_orderpriority") == lit("5-LOW"))
+            .alias("low_max"),
+        )
+    )
+
     # round-4 registry audit: the DataFusion-10 builtin stragglers
     # (signum/trunc/initcap/digest/regexp_match/to_timestamp_* — the
     # reference forwards every BuiltinScalarFunction by name,

@@ -78,7 +78,8 @@ def test_never_verified_list_matches_correctness_files():
         # workloads added in round 4 have no r1-r3 row by construction
         and n not in ("parsed_win_topn", "parsed_cte_agg",
                       "sink_partitioned_roundtrip", "expr_scalar_funcs5",
-                      "ts_sliding_1h_stats", "values_lookup_join")
+                      "ts_sliding_1h_stats", "values_lookup_join",
+                      "agg_filter_where")
     ]
     assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
 
