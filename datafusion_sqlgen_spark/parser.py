@@ -182,7 +182,8 @@ class _Parser:
 
     def expect_kw(self, kw: str) -> None:
         if not self.eat_kw(kw):
-            raise ParseError(f"expected {kw}, got {self.peek().text!r}")
+            t = self.peek()
+            raise ParseError(f"expected {kw}, got {t.text!r} at offset {t.pos}")
 
     def at_op(self, *ops: str) -> bool:
         t = self.peek()
@@ -196,7 +197,8 @@ class _Parser:
 
     def expect_op(self, op: str) -> None:
         if not self.eat_op(op):
-            raise ParseError(f"expected {op!r}, got {self.peek().text!r}")
+            t = self.peek()
+            raise ParseError(f"expected {op!r}, got {t.text!r} at offset {t.pos}")
 
     def ident(self) -> str:
         t = self.next()
@@ -205,14 +207,17 @@ class _Parser:
         if t.kind == "qident":
             q = t.text[0]
             return t.text[1:-1].replace(q + q, q)
-        raise ParseError(f"expected identifier, got {t.text!r}")
+        raise ParseError(f"expected identifier, got {t.text!r} at offset {t.pos}")
 
     # ---- statement -------------------------------------------------------
     def parse_statement(self) -> Plan:
         plan = self.parse_query()
         self.eat_op(";")
         if self.peek().kind != "eof":
-            raise ParseError(f"trailing input at {self.peek().text!r}")
+            t = self.peek()
+            raise ParseError(
+                f"trailing input at {t.text!r} (offset {t.pos})"
+            )
         return plan
 
     def parse_query(self) -> Plan:
@@ -780,14 +785,16 @@ class _Parser:
             if t.text == "+":
                 self.next()
                 return self.parse_expr(9)
-            raise ParseError(f"unexpected {t.text!r}")
+            raise ParseError(f"unexpected {t.text!r} at offset {t.pos}")
         if t.kind in ("ident", "qident"):
             kw = t.upper if t.kind == "ident" else ""
             if (kw in _CLAUSE_KW and kw != "NOT"
                     and self.peek(1).text != "("):
                 # reserved clause word where an expression was expected
                 # (keyword followed by "(" is a function call: left(s, 2))
-                raise ParseError(f"unexpected keyword {t.text!r}")
+                raise ParseError(
+                    f"unexpected keyword {t.text!r} at offset {t.pos}"
+                )
             if kw == "NOT":
                 self.next()
                 return Not(self.parse_expr(3))
@@ -848,7 +855,7 @@ class _Parser:
             if self.eat_op("."):
                 return Col(self.ident(), table=name)
             return Col(name)
-        raise ParseError(f"unexpected token {t.text!r}")
+        raise ParseError(f"unexpected token {t.text!r} at offset {t.pos}")
 
     def try_parse_lambda(self) -> Optional[Expr]:
         """Multi-param lambda lookahead: (a, b) -> body (at '(')."""
