@@ -21,8 +21,13 @@ ROWS += [(100, None, None), (101, None, "s0")]
 
 @pytest.fixture(scope="module")
 def plan_env(spark):
+    # explicit schema: createDataFrame(pandas Int64) turns None into a
+    # DOUBLE NaN on the Spark side while DuckDB keeps a BIGINT NULL —
+    # the engines would then legitimately disagree (SQL UNPIVOT drops
+    # NULLs but keeps NaN) and NaN != NaN breaks the sorted() compare.
     pdf = pd.DataFrame(ROWS, columns=["a", "b", "s"]).astype({"b": "Int64"})
-    spark.createDataFrame(pdf).createOrReplaceTempView("fuzz_p")
+    spark.createDataFrame(ROWS, "a bigint, b bigint, s string") \
+        .createOrReplaceTempView("fuzz_p")
     con = duckdb.connect()
     con.register("fuzz_p", pdf)
     return spark, con
