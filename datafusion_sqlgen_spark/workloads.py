@@ -1686,10 +1686,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_cte_agg",
     "sink_partitioned_roundtrip",
     "expr_scalar_funcs5",
-    # --- r01-verified canaries refill the sample to exactly 50 ---
-    "subq_scalar_avg",
-    "subq_in",
-    "subq_exists",
+    "ts_sliding_1h_stats",
+    "values_lookup_join",
+    "agg_filter_where",
+    # --- r01-verified canaries refill the sample to exactly 50 (window
+    # canaries kept: the Window renderer changed this round) ---
     "win_rank_topn",
     "win_running_sum",
     "win_lag_lead",
