@@ -170,3 +170,89 @@ def ohlc_resample_oracle(
     FROM {table}
     GROUP BY 1, 2
     """
+
+
+def sessionize(
+    df: "DataFrame",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_s: int = 1800,
+) -> "DataFrame":
+    """Gap-based batch sessionization: a new session starts when a key's
+    inter-event gap exceeds ``gap_s`` seconds; returns one row per
+    session with start/end/count/total. The batch twin of Structured
+    Streaming's ``session_window`` (streaming/ops.py), so backfill and
+    live paths agree on session boundaries.
+
+    Boundary assignment is the lag-then-cumulative-sum idiom: flag rows
+    whose gap from the previous event exceeds the timeout, then a
+    running sum of flags numbers the sessions per key. Ties on ts are
+    harmless — a 0 gap never opens a session, so session ids do not
+    depend on the order among equal timestamps.
+
+    Scale: ONE hash exchange on the key; both window passes and the
+    final (key, session) aggregate reuse that partitioning (a
+    partitioning by key alone already clusters (key, session_no)), so
+    Catalyst plans no second shuffle. Per-key state is a sort — AQE
+    skew-split applies to hot keys.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # interval comparison, not epoch-seconds arithmetic: both engines
+    # compare timestamps microsecond-exact, so boundary decisions can't
+    # diverge on sub-second truncation/rounding differences
+    gap = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.expr(f"INTERVAL {gap_s} SECOND")), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.sum(new_sess).over(wsum).alias("session_no"),
+    )
+    return (
+        sess.groupBy(key_col, "session_no")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+    )
+
+
+def sessionize_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_s: int = 1800,
+) -> str:
+    return f"""
+    WITH flagged AS (
+        SELECT {key_col}, {ts_col}, {value_col},
+               CASE WHEN {ts_col} - lag({ts_col}) OVER w
+                         > INTERVAL {gap_s} SECOND
+                         OR lag({ts_col}) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})
+    ),
+    numbered AS (
+        SELECT {key_col}, {ts_col}, {value_col},
+               sum(new_sess) OVER (
+                   PARTITION BY {key_col} ORDER BY {ts_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT {key_col}, session_no,
+           min({ts_col}) AS session_start,
+           max({ts_col}) AS session_end,
+           count(*) AS n_events,
+           round(sum({value_col}), 4) AS total_value
+    FROM numbered
+    GROUP BY {key_col}, session_no
+    """

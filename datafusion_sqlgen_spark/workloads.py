@@ -1410,6 +1410,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             timeseries.locf_resample_oracle(where="WHERE user_id < 50"),
         ),
+        # gap-based sessionization: lag-flag + running-sum session ids,
+        # then per-session aggregates — batch twin of the streaming
+        # session_window; one hash exchange total (window + agg share it)
+        "ts_sessionize": (
+            lambda s: timeseries.sessionize(s.table("events")),
+            timeseries.sessionize_oracle(),
+        ),
         # near-dup clustering: LSH pairs -> connected components
         # (iterative min-label propagation vs DuckDB WITH RECURSIVE)
         "dedup_cluster_cc": (
@@ -1689,11 +1696,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "ts_sliding_1h_stats",
     "values_lookup_join",
     "agg_filter_where",
+    "ts_sessionize",
     # --- r01-verified canaries refill the sample to exactly 50 (window
     # canaries kept: the Window renderer changed this round) ---
     "win_rank_topn",
     "win_running_sum",
-    "win_lag_lead",
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

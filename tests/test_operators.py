@@ -345,3 +345,30 @@ def test_redact_masks_both_patterns(spark):
     assert got == "mail <EMAIL> and card <NUM> ok 123"
     out = text.redact(df).collect()[0]
     assert out["n_chars_redacted"] == len(got)
+
+
+def test_sessionize(spark, duck):
+    from pyspark.sql import functions as F
+
+    out = timeseries.sessionize(_df(spark, "events"), gap_s=1800)
+    # session invariants: ids start at 1 and are contiguous per key;
+    # start <= end; consecutive sessions of a key are separated by more
+    # than the gap (otherwise they'd be one session)
+    ids = out.groupBy("user_id").agg(
+        F.min("session_no").alias("lo"),
+        F.max("session_no").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    assert ids.filter("lo <> 1 OR hi <> n").count() == 0
+    assert out.filter("session_start > session_end").count() == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_no")
+    gaps = out.select(
+        "user_id",
+        (F.col("session_start") - F.lag(F.col("session_end")).over(w)).alias(
+            "gap"
+        ),
+    ).filter("gap IS NOT NULL")
+    assert gaps.filter(F.col("gap") <= F.expr("INTERVAL 1800 SECOND")).count() == 0
+    check(spark, duck, out, timeseries.sessionize_oracle())
