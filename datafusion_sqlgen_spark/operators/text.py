@@ -427,3 +427,109 @@ def redact_oracle(table: str = "documents") -> str:
                               '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_md5
     FROM {table}
     """
+
+
+def _shingle_md5s(text: Column, shingle: int) -> Column:
+    """Distinct MD5s of word ``shingle``-grams (same construction as
+    fingerprint(); MD5 because it is engine-identical)."""
+    words = words_col(text)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, shingle)))
+    return F.array_distinct(F.transform(grams, F.md5))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of
+    its distinct word ``shingle``-grams that appear anywhere in the
+    benchmark set — the standard train/test-contamination check run
+    before training on scraped data.
+
+    Scale shape: the benchmark side collapses to a DISTINCT shingle-hash
+    set (benchmarks are millions of shingles at most — broadcast), so
+    the corpus makes ONE pass: shingle, explode, map-side broadcast
+    join, then a single (doc) aggregate. The corpus' total shingle count
+    rides along the exploded rows (``n_shingles`` before explode), so no
+    second join or shuffle reconciles totals with matches. At 100 TB the
+    only shuffle is the final count-per-doc aggregate keyed on doc id.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(_shingle_md5s(F.col(text_col), shingle)).alias("sh")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    shingled = corpus.select(
+        F.col(id_col), _shingle_md5s(F.col(text_col), shingle).alias("shs")
+    )
+    long = shingled.select(
+        F.col(id_col),
+        F.size("shs").alias("n_shingles"),
+        F.explode("shs").alias("sh"),
+    )
+    joined = long.join(F.broadcast(bench_sh), "sh", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_matched"),
+        )
+        .select(
+            id_col,
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.round(F.col("n_matched") / F.col("n_shingles"), 4).alias("overlap"),
+            (F.col("n_matched") >= F.lit(threshold) * F.col("n_shingles")).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate_oracle(
+    corpus_rel: str = "(SELECT * FROM documents WHERE doc_id >= 20)",
+    benchmark_rel: str = "(SELECT * FROM documents WHERE doc_id < 20)",
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len(string_split_regex(lower(text), "
+        f"'{_WORD_SPLIT_DUCK}')) - {shingle - 1}, 1) + 1), "
+        f"i -> md5(array_to_string(list_slice(string_split_regex(lower(text), "
+        f"'{_WORD_SPLIT_DUCK}'), i, i + {shingle - 1}), ' ')))"
+    )
+    return f"""
+    WITH corpus_sh AS (
+        SELECT doc_id, list_distinct({grams}) AS shs
+        FROM {corpus_rel} c
+    ),
+    bench_sh AS (
+        SELECT DISTINCT unnest(list_distinct({grams})) AS sh
+        FROM {benchmark_rel} b
+    ),
+    long AS (
+        SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS sh
+        FROM corpus_sh
+    ),
+    counted AS (
+        SELECT long.doc_id,
+               any_value(long.n_shingles) AS n_shingles,
+               count(bench_sh.sh) AS n_matched
+        FROM long LEFT JOIN bench_sh ON long.sh = bench_sh.sh
+        GROUP BY long.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(n_matched / n_shingles, 4) AS overlap,
+           n_matched >= {threshold} * n_shingles AS contaminated
+    FROM counted
+    """

@@ -1449,6 +1449,16 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.fingerprint(s.table("documents")),
             text.fingerprint_oracle(),
         ),
+        # benchmark decontamination: distinct-shingle overlap of corpus
+        # docs vs a (broadcast) benchmark shingle set — one corpus pass,
+        # one doc-keyed aggregate shuffle
+        "text_decontaminate": (
+            lambda s: text.decontaminate(
+                s.table("documents").filter("doc_id >= 20"),
+                s.table("documents").filter("doc_id < 20"),
+            ),
+            text.decontaminate_oracle(),
+        ),
         "sim_cosine_topk": (
             lambda s: similarity.cosine_topk(
                 s.table("embeddings"), s.table("embeddings").filter("vec_id < 10")
@@ -1697,10 +1707,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "values_lookup_join",
     "agg_filter_where",
     "ts_sessionize",
-    # --- r01-verified canaries refill the sample to exactly 50 (window
-    # canaries kept: the Window renderer changed this round) ---
+    "text_decontaminate",
+    # --- r01-verified canary refills the sample to exactly 50 (window
+    # canary kept: the Window renderer changed this round) ---
     "win_rank_topn",
-    "win_running_sum",
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

@@ -79,7 +79,8 @@ def test_never_verified_list_matches_correctness_files():
         and n not in ("parsed_win_topn", "parsed_cte_agg",
                       "sink_partitioned_roundtrip", "expr_scalar_funcs5",
                       "ts_sliding_1h_stats", "values_lookup_join",
-                      "agg_filter_where", "ts_sessionize")
+                      "agg_filter_where", "ts_sessionize",
+                      "text_decontaminate")
     ]
     assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
 

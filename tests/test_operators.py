@@ -372,3 +372,20 @@ def test_sessionize(spark, duck):
     ).filter("gap IS NOT NULL")
     assert gaps.filter(F.col("gap") <= F.expr("INTERVAL 1800 SECOND")).count() == 0
     check(spark, duck, out, timeseries.sessionize_oracle())
+
+
+def test_decontaminate(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    out = text.decontaminate(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20")
+    )
+    # a benchmark doc checked against itself is 100% contaminated
+    self_check = text.decontaminate(
+        docs.filter("doc_id < 20"), docs.filter("doc_id < 20")
+    )
+    assert self_check.filter("overlap <> 1.0 OR NOT contaminated").count() == 0
+    # matches never exceed totals
+    assert out.filter("n_matched > n_shingles").count() == 0
+    check(spark, duck, out, text.decontaminate_oracle())
