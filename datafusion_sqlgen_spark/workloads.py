@@ -1479,6 +1479,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: similarity.embedding_norm_stats(s.table("embeddings")),
             similarity.embedding_norm_stats_oracle(),
         ),
+        # symmetric int8 quantization + reconstruction-error audit: all
+        # JVM higher-order fns, narrow map, no shuffle; codes are
+        # bit-identical cross-engine (double promotion + half-away round)
+        "sim_quantize_int8": (
+            lambda s: similarity.quantize_int8(s.table("embeddings")),
+            similarity.quantize_int8_oracle(),
+        ),
         "sim_ivf_topk": (
             lambda s: similarity.ivf_topk(
                 s.table("embeddings"), s.table("embeddings").filter("vec_id < 10")
@@ -1708,9 +1715,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "agg_filter_where",
     "ts_sessionize",
     "text_decontaminate",
-    # --- r01-verified canary refills the sample to exactly 50 (window
-    # canary kept: the Window renderer changed this round) ---
-    "win_rank_topn",
+    "sim_quantize_int8",
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

@@ -389,3 +389,15 @@ def test_decontaminate(spark, duck):
     # matches never exceed totals
     assert out.filter("n_matched > n_shingles").count() == 0
     check(spark, duck, out, text.decontaminate_oracle())
+
+
+def test_quantize_int8(spark, duck):
+    from pyspark.sql import functions as F
+
+    out = similarity.quantize_int8(_df(spark, "embeddings"))
+    # reconstruction error is bounded by half a quantization step
+    # (err <= 0.5/scale); the reported scale is rounded to 4 digits, so
+    # allow the bound the matching slack
+    assert out.filter("max_abs_err > 0.5 / scale + 1e-4").count() == 0
+    assert out.filter("scale IS NULL").count() == 0
+    check(spark, duck, out, similarity.quantize_int8_oracle())
