@@ -533,3 +533,69 @@ def decontaminate_oracle(
            n_matched >= {threshold} * n_shingles AS contaminated
     FROM counted
     """
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 2,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style quality
+    filters): per document, the fraction of word ``gram``-grams covered
+    by the single most frequent gram (``top_gram_frac``) and by all
+    grams occurring more than once (``rep_frac``). High values mark
+    boilerplate / degenerate generations that a training pipeline drops.
+
+    Scale shape: explode grams, then ONE shuffle — an explicit
+    repartition on the doc id that BOTH aggregations reuse (hash(doc)
+    clusters (doc, gram) too, so Catalyst adds no further exchange; the
+    naive groupBy(doc, gram) -> groupBy(doc) chain would shuffle twice).
+    A per-row lambda (count occurrences inside the array) would avoid
+    the shuffle entirely but is O(words^2) per document — wrong for the
+    long tail of 100k-word documents.
+    """
+    words = words_col(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (gram - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, gram))
+    )
+    long = df.select(F.col(id_col), F.explode(grams).alias("g")).repartition(
+        F.col(id_col)
+    )
+    per_gram = long.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    rep = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.max("c").cast("bigint").alias("top_gram_count"),
+        rep.cast("bigint").alias("n_rep_grams"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_gram_frac"),
+        F.round(rep / F.sum("c"), 4).alias("rep_frac"),
+    )
+
+
+def repetition_stats_oracle(table: str = "documents", gram: int = 2) -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}') AS ws
+        FROM {table}
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(ws) - {gram - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + {gram - 1}), ' ')
+               )) AS g
+        FROM w
+    ),
+    c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(max(c) AS BIGINT) AS top_gram_count,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_rep_grams,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_gram_frac,
+           round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 4) AS rep_frac
+    FROM c GROUP BY doc_id
+    """

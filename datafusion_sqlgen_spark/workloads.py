@@ -1449,6 +1449,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.fingerprint(s.table("documents")),
             text.fingerprint_oracle(),
         ),
+        # intra-doc repetition (Gopher-style quality filters): top-gram
+        # and repeated-gram fractions; one doc-keyed shuffle reused by
+        # both aggregation levels
+        "text_repetition": (
+            lambda s: text.repetition_stats(s.table("documents")),
+            text.repetition_stats_oracle(),
+        ),
         # benchmark decontamination: distinct-shingle overlap of corpus
         # docs vs a (broadcast) benchmark shingle set — one corpus pass,
         # one doc-keyed aggregate shuffle
@@ -1660,7 +1667,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "ref_sort_limit_offset",
     "ref_null_safe_cmp",
     "ref_nested_slots",
-    "ref_wildcard",
     # --- the 35 never-driver-verified workloads (r4 rotation focus) ---
     # missed r3's sample by the off-by-three boundary:
     "profile_orders",
@@ -1716,6 +1722,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "ts_sessionize",
     "text_decontaminate",
     "sim_quantize_int8",
+    "text_repetition",
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

@@ -80,7 +80,8 @@ def test_never_verified_list_matches_correctness_files():
                       "sink_partitioned_roundtrip", "expr_scalar_funcs5",
                       "ts_sliding_1h_stats", "values_lookup_join",
                       "agg_filter_where", "ts_sessionize",
-                      "text_decontaminate", "sim_quantize_int8")
+                      "text_decontaminate", "sim_quantize_int8",
+                      "text_repetition")
     ]
     assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
 

@@ -401,3 +401,22 @@ def test_quantize_int8(spark, duck):
     assert out.filter("max_abs_err > 0.5 / scale + 1e-4").count() == 0
     assert out.filter("scale IS NULL").count() == 0
     check(spark, duck, out, similarity.quantize_int8_oracle())
+
+
+def test_repetition_stats(spark, duck):
+    from pyspark.sql import functions as F
+
+    out = text.repetition_stats(_df(spark, "documents"))
+    # fractions are well-formed and consistent: the top gram's share
+    # never exceeds rep_frac unless it is unique (count 1)
+    assert out.filter("top_gram_frac > 1 OR rep_frac > 1").count() == 0
+    assert out.filter(
+        "top_gram_count > 1 AND top_gram_frac > rep_frac"
+    ).count() == 0
+    # a degenerate all-same-word doc is pure repetition
+    deg = spark.createDataFrame(
+        [(1, "spam spam spam spam spam")], ["doc_id", "text"]
+    )
+    row = text.repetition_stats(deg).collect()[0]
+    assert row.rep_frac == 1.0 and row.top_gram_frac == 1.0
+    check(spark, duck, out, text.repetition_stats_oracle())
