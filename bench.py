@@ -87,6 +87,14 @@ HEADLINE = [
     # 100 TB) and the audited-builtins expression batch
     "sink_partitioned_roundtrip",
     "expr_scalar_funcs5",
+    # round-4 operators: sessionization (one shared key shuffle),
+    # benchmark decontamination (broadcast shingle set), int8
+    # quantization (pure narrow map), repetition filters (one reused
+    # doc-keyed shuffle)
+    "ts_sessionize",
+    "text_decontaminate",
+    "sim_quantize_int8",
+    "text_repetition",
 ]
 
 
