@@ -96,7 +96,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<string>'(?:[^']|'')*')
     | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
-    | (?P<op><=>|<=|>=|<>|!=|\|\||->|[=<>+\-*/%(),.;\[\]&|^])
+    | (?P<op><=>|<=|>=|<>|!=|\|\||->|::|[=<>+\-*/%(),.;\[\]&|^])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -141,6 +141,7 @@ _CLAUSE_KW = {
     "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "IS", "IN",
     "BETWEEN", "LIKE", "ILIKE", "RLIKE", "ASC", "DESC", "NULLS", "THEN",
     "WHEN", "ELSE", "END", "BY", "DISTINCT", "ALL", "SEMI", "ANTI",
+    "USING", "WINDOW", "QUALIFY",
 }
 
 _TYPE_MAP = {
@@ -159,6 +160,9 @@ class _Parser:
     def __init__(self, sql: str):
         self.toks = _tokenize(sql)
         self.i = 0
+        # named WINDOW clause specs of the SELECT core currently being
+        # parsed (a stack entry per nested core; see parse_select_core)
+        self._named_windows: dict[str, WindowSpec] = {}
 
     # ---- token helpers ---------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -221,10 +225,32 @@ class _Parser:
         return plan
 
     def parse_query(self) -> Plan:
-        """[WITH [RECURSIVE] ...] select — the full query entry point."""
+        """[WITH [RECURSIVE] ...] select | VALUES — the query entry."""
         if self.at_kw("WITH"):
             return self.parse_with()
+        if self.at_kw("VALUES"):
+            return self.parse_bare_values()
         return self.parse_select()
+
+    def parse_bare_values(self) -> Plan:
+        """Top-level ``VALUES (...), (...)`` — Spark names the columns
+        col1..colN; the IR re-renders with an explicit column alias list
+        so both dialects agree."""
+        from datafusion_sqlgen_spark.plans.core import Values
+
+        self.expect_kw("VALUES")
+        rows: list[tuple] = []
+        while True:
+            self.expect_op("(")
+            vals = [self.parse_expr()]
+            while self.eat_op(","):
+                vals.append(self.parse_expr())
+            self.expect_op(")")
+            rows.append(tuple(vals))
+            if not self.eat_op(","):
+                break
+        cols = tuple(f"col{j + 1}" for j in range(len(rows[0])))
+        return Values(tuple(rows), cols)
 
     def parse_with(self) -> Plan:
         self.expect_kw("WITH")
@@ -296,6 +322,11 @@ class _Parser:
             body = self.next().text[3:-2].strip()
             hints = tuple(h.strip() for h in body.split(",") if h.strip())
         distinct = self.eat_kw("DISTINCT")
+        # pre-scan this core's WINDOW clause (it appears AFTER the
+        # projection list, but ``OVER w`` references inside projections
+        # need the named specs resolved while parsing them)
+        outer_windows = self._named_windows
+        self._named_windows = self._prescan_window_clause()
         projs = self.parse_projection_list()
 
         base: Optional[Plan] = None
@@ -352,6 +383,22 @@ class _Parser:
 
         having = self.parse_expr() if self.eat_kw("HAVING") else None
 
+        # consume the WINDOW clause in place (specs were pre-scanned)
+        if self.at_kw("WINDOW"):
+            self.next()
+            while True:
+                self.ident()
+                self.expect_kw("AS")
+                self.parse_window_spec()
+                if not self.eat_op(","):
+                    break
+
+        # QUALIFY: post-window filter (DuckDB/Snowflake; Spark lacks the
+        # keyword, so the IR expresses it as Filter-above-Project, which
+        # the renderer nests — correct post-window semantics in both
+        # dialects)
+        qualify = self.parse_expr() if self.eat_kw("QUALIFY") else None
+
         sort_keys: Optional[list[SortKey]] = None
         if self.eat_kw("ORDER"):
             self.expect_kw("BY")
@@ -385,10 +432,13 @@ class _Parser:
             if group_keys is None:
                 raise ParseError("HAVING requires GROUP BY")
             plan = plan.filter(having)
+        if qualify is not None:
+            plan = plan.filter(qualify)
         if hints:
             plan = Hint(plan, hints)
         if distinct:
             plan = plan.distinct()
+        self._named_windows = outer_windows
         if sort_keys is not None:
             plan = plan.sort(*sort_keys)
         if offset is not None:
@@ -623,6 +673,13 @@ class _Parser:
         else:
             return None
         right = self.parse_relation()
+        if self.eat_kw("USING"):
+            self.expect_op("(")
+            cols = [self.ident()]
+            while self.eat_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+            return left.join(right, how=how, using=tuple(cols))
         on = self.parse_expr() if self.eat_kw("ON") else None
         return left.join(right, on=on, how=how)
 
@@ -711,6 +768,11 @@ class _Parser:
                     idx = self.parse_expr()
                     self.expect_op("]")
                     lhs = Index(lhs, idx)
+                    continue
+                if op == "::":
+                    # postgres/DuckDB cast shorthand, tightest binding
+                    self.next()
+                    lhs = self._mk_cast(lhs, self.parse_type())
                     continue
                 break
             break
@@ -813,14 +875,7 @@ class _Parser:
                 self.expect_op(")")
                 if kw == "TRY_CAST":
                     return TryCast(e, dtype)
-                # CAST(CAST(x AS BIGINT) AS DOUBLE) is the registry's
-                # Spark render of numeric trunc — fold it back so the
-                # DuckDB re-render keeps TRUNCATION semantics (DuckDB's
-                # own float->int CAST rounds, Spark's truncates)
-                if (dtype == "double" and isinstance(e, Cast)
-                        and e.dtype == "bigint"):
-                    return Func("trunc", (e.operand,))
-                return Cast(e, dtype)
+                return self._mk_cast(e, dtype)
             if kw == "CASE":
                 return self.parse_case()
             # EXISTS (SELECT ...) is the subquery predicate; exists(arr,
@@ -856,6 +911,16 @@ class _Parser:
                 return Col(self.ident(), table=name)
             return Col(name)
         raise ParseError(f"unexpected token {t.text!r} at offset {t.pos}")
+
+    @staticmethod
+    def _mk_cast(e: Expr, dtype: str) -> Expr:
+        # CAST(CAST(x AS BIGINT) AS DOUBLE) is the registry's Spark
+        # render of numeric trunc — fold it back so the DuckDB re-render
+        # keeps TRUNCATION semantics (DuckDB's own float->int CAST
+        # rounds, Spark's truncates)
+        if dtype == "double" and isinstance(e, Cast) and e.dtype == "bigint":
+            return Func("trunc", (e.operand,))
+        return Cast(e, dtype)
 
     def try_parse_lambda(self) -> Optional[Expr]:
         """Multi-param lambda lookahead: (a, b) -> body (at '(')."""
@@ -963,8 +1028,65 @@ class _Parser:
             ignore_nulls=ignore_nulls, filter_where=filter_where,
         )
         if self.eat_kw("OVER"):
+            if not self.at_op("("):
+                # OVER w — named window from this core's WINDOW clause
+                t = self.peek()
+                spec = self._named_windows.get(t.text)
+                if spec is None:
+                    raise ParseError(
+                        f"unknown named window {t.text!r} at offset {t.pos}"
+                    )
+                self.next()
+                return WindowExpr(fn, spec)
             return WindowExpr(fn, self.parse_window_spec())
         return fn
+
+    def _prescan_window_clause(self) -> dict:
+        """Token-level lookahead for this core's ``WINDOW name AS (...)``
+        clause. It syntactically FOLLOWS the projection list, but the
+        projections' ``OVER name`` references need the specs first — so
+        scan ahead at depth 0 (subqueries live inside parens; depth-0
+        set-op/ORDER/')' ends this core), parse the specs, restore
+        position."""
+        depth = 0
+        j = self.i
+        found = None
+        while True:
+            t = self.toks[j]
+            if t.kind == "eof":
+                break
+            if t.kind == "op":
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif t.text == ";":
+                    if depth == 0:
+                        break
+            elif t.kind == "ident" and depth == 0:
+                u = t.upper
+                if u in ("UNION", "INTERSECT", "EXCEPT", "ORDER", "LIMIT",
+                         "OFFSET"):
+                    break
+                if u == "WINDOW":
+                    found = j
+                    break
+            j += 1
+        if found is None:
+            return {}
+        save = self.i
+        self.i = found + 1
+        specs: dict[str, WindowSpec] = {}
+        while True:
+            name = self.ident()
+            self.expect_kw("AS")
+            specs[name] = self.parse_window_spec()
+            if not self.eat_op(","):
+                break
+        self.i = save
+        return specs
 
     def parse_window_spec(self) -> WindowSpec:
         """(PARTITION BY ... ORDER BY ... [ROWS|RANGE BETWEEN b AND b])

@@ -189,8 +189,9 @@ class Plan:
         how: str = "inner",
         broadcast: bool = False,
         hint: Optional[str] = None,
+        using: Optional[tuple] = None,
     ) -> "Join":
-        return Join(self, other, on, how, broadcast, hint)
+        return Join(self, other, on, how, broadcast, hint, using)
 
     def union(self, other: "Plan") -> "SetOp":
         return SetOp(self, other, "union_all")
@@ -205,6 +206,12 @@ class Plan:
         return SetOp(self, other, "except")
 
     def alias(self, name: str) -> "SubqueryAlias":
+        # re-aliasing replaces the name: the outer alias fully shadows
+        # the inner one, and nesting SubqueryAlias(SubqueryAlias(x))
+        # would add a render wrapper per parse->render cycle (breaking
+        # the parser's fixpoint invariant)
+        if isinstance(self, SubqueryAlias):
+            return SubqueryAlias(self.input, name)
         return SubqueryAlias(self, name)
 
     def explode(
@@ -744,6 +751,10 @@ class Join(Plan):
     # smaller but above the broadcast threshold (skips both sorts), or
     # merge when both sides are pre-sorted bucketed tables.
     hint: Optional[str] = None
+    # SQL-standard USING (col, ...): equi-join that MERGES the join
+    # columns (one output column per name, exactly
+    # ``DataFrame.join(on=[names])``); mutually exclusive with ``on``
+    using: Optional[tuple] = None
 
     _HINT_SQL = {
         "broadcast": "BROADCAST",
@@ -807,6 +818,9 @@ class Join(Plan):
             join_sql = f"{lstate.from_sql} {_JOIN_SQL[how]} {r_sql}"
         if self.on is not None:
             join_sql += f" ON {self.on.to_sql(dialect)}"
+        elif self.using:
+            cols = ", ".join(quote_ident(c, dialect) for c in self.using)
+            join_sql += f" USING ({cols})"
         # a left-deep join chain accumulates its hints at this level
         state = _SelectState(
             from_sql=join_sql,
@@ -828,8 +842,10 @@ class Join(Plan):
             rdf = F.broadcast(rdf)
         elif self.hint is not None:
             rdf = rdf.hint(self.hint)
-        if self.how == "cross" and self.on is None:
+        if self.how == "cross" and self.on is None and self.using is None:
             return ldf.crossJoin(rdf)
+        if self.using:
+            return ldf.join(rdf, on=list(self.using), how=self.how)
         cond = self.on.to_column() if self.on is not None else None
         return ldf.join(rdf, on=cond, how=self.how)
 

@@ -1197,6 +1197,21 @@ def _ir_workloads() -> dict[str, Plan]:
         "WHERE rn = 1 AND o_custkey < 300 "
         "ORDER BY o_custkey ASC NULLS FIRST"
     )
+    # round-4b parser surface in one query: named WINDOW clause shared
+    # by two functions, QUALIFY (renders as a nested post-window
+    # filter), a USING join (merged join column), and `::` casts
+    w["parsed_qualify_using"] = parse_sql(
+        "SELECT c_mktsegment, c_custkey, "
+        "c_acctbal::DOUBLE AS bal, "
+        "row_number() OVER w AS rn, "
+        "count(*) OVER w AS seg_n "
+        "FROM customer JOIN (SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 3 = 0) AS picked USING (c_custkey) "
+        "WINDOW w AS (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST) "
+        "QUALIFY rn <= 5 "
+        "ORDER BY c_mktsegment ASC NULLS FIRST, rn ASC NULLS FIRST"
+    )
     w["parsed_cte_agg"] = parse_sql(
         "WITH region_nations AS (SELECT n_nationkey, n_name, r_name "
         "FROM nation JOIN region ON n_regionkey = r_regionkey), "

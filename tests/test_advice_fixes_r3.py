@@ -81,7 +81,7 @@ def test_never_verified_list_matches_correctness_files():
                       "ts_sliding_1h_stats", "values_lookup_join",
                       "agg_filter_where", "ts_sessionize",
                       "text_decontaminate", "sim_quantize_int8",
-                      "text_repetition")
+                      "text_repetition", "parsed_qualify_using")
     ]
     assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
 

@@ -314,3 +314,43 @@ def test_parser_covers_renderer_surface(pspark, pduck):
         sp = sorted(tuple(r) for r in pspark.sql(p.to_sql("spark")).collect())
         du = sorted(tuple(r) for r in pduck.execute(p.to_sql("duckdb")).fetchall())
         assert sp == du, f"{q}\n{sp}\n{du}"
+
+
+def test_round4b_surface_roundtrip(pspark, pduck):
+    """Named WINDOW clause, QUALIFY, USING joins, `::` casts, top-level
+    VALUES: parse, reach a per-dialect fixpoint, and execute identically
+    on both engines. (The renderer inlines named windows and rewrites
+    QUALIFY as a nested post-window filter — fixpoint is on the
+    normalized form, so assert re-parse of the render, not equality with
+    the original text.)"""
+    qs = [
+        # named windows, shared and separate
+        "SELECT c2, sum(c1) OVER w AS s, count(*) OVER w AS n "
+        "FROM aggregate_simple WINDOW w AS (PARTITION BY c2) "
+        "ORDER BY c2 ASC NULLS FIRST, s ASC NULLS FIRST",
+        # QUALIFY referencing a windowed projection alias
+        "SELECT c13, row_number() OVER (PARTITION BY c2 "
+        "ORDER BY c1 ASC NULLS FIRST, c13 ASC NULLS FIRST) AS rn "
+        "FROM aggregate_simple QUALIFY rn <= 1 "
+        "ORDER BY c13 ASC NULLS FIRST",
+        # USING join merges the join column (single c2 output column)
+        "SELECT c2, count(*) AS n FROM aggregate_simple "
+        "JOIN (SELECT 4 AS c2 UNION SELECT 5 AS c2) AS d USING (c2) "
+        "GROUP BY c2 ORDER BY c2 ASC NULLS FIRST",
+        # :: cast shorthand normalizes to CAST
+        "SELECT DISTINCT c1::BIGINT + c2 AS a FROM aggregate_simple "
+        "ORDER BY a ASC NULLS FIRST",
+        # top-level VALUES gets Spark's col1..colN names
+        "VALUES (1, 'a'), (2, 'b')",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        for dialect in ("spark", "duckdb"):
+            s1 = p.to_sql(dialect)
+            assert parse_sql(s1).to_sql(dialect) == s1, s1
+        sp = sorted(tuple(r) for r in pspark.sql(p.to_sql("spark")).collect())
+        du = sorted(tuple(r) for r in pduck.execute(p.to_sql("duckdb")).fetchall())
+        assert sp == du, f"{q}\nspark: {sp}\nduck: {du}"
+        # dual render: the DataFrame path agrees with the SQL path
+        df = sorted(tuple(r) for r in p.to_df(pspark).collect())
+        assert df == sp, f"{q}\ndf: {df}\nsql: {sp}"
