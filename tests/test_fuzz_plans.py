@@ -122,12 +122,15 @@ def test_stacked_plans_r2_dual_render(plan_env, chain):
     )
 
 
-# round-3 ops: unpivot (schema-restoring), uncorrelated lateral, hinted
-# self-join — the nodes whose folds splice the FROM clause
+# round-3/4 ops: unpivot (schema-restoring), uncorrelated lateral, and
+# USING self-join — the nodes whose folds splice the FROM clause
 def _ops_r3():
     from datafusion_sqlgen_spark.plans import EmptyRelation
 
     one = EmptyRelation().select(lit(1).alias("one"))
+    # distinct key relation: USING (a) merges the join column, so the
+    # (a, b, s) schema survives and left-row multiplicity is preserved
+    akeys = scan("fuzz_p").select(col("a")).distinct()
     return st.one_of(
         _ops(),
         # wide->long->restore: exercises Unpivot under arbitrary stacking
@@ -141,6 +144,12 @@ def _ops_r3():
         st.just(
             lambda p: p.lateral(one, "lx")
             .select(col("a"), col("b"), col("s"))
+        ),
+        # round-4 USING join: renders `USING (a)`, which the parse-
+        # roundtrip test below must re-parse to the same merged-column IR
+        st.just(
+            lambda p: p.select(col("a"), col("b"), col("s"))
+            .join(akeys, using=("a",))
         ),
     )
 
