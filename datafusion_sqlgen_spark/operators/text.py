@@ -11,7 +11,7 @@ the same deterministic math, so the driver can hash-compare results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic stopword list used by quality scoring and language ID.
@@ -598,4 +598,97 @@ def repetition_stats_oracle(table: str = "documents", gram: int = 2) -> str:
            round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
                  / sum(c), 4) AS rep_frac
     FROM c GROUP BY doc_id
+    """
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic relevance/keyword
+    extraction over a corpus: tf(d,t) * (ln((N+1)/(df(t)+1)) + 1),
+    smoothed so unseen-term idf stays finite.
+
+    Scale shape: ONE corpus explode pass in a single lineage — tf
+    aggregate keyed (doc, term), then document frequency as a COUNT
+    window over the term partition (tf already holds one row per
+    (doc, term), so the window count IS df), then the per-doc rank
+    window. Three shuffles of the compact tf table, but the expensive
+    text explode runs once; a join-back design would recompute the
+    whole explode subtree for the docfreq branch (Spark shares no
+    uncached subplans). N comes from a 1-row broadcast (count-only
+    scan: parquet footers, not data). Ranking happens on
+    round(score, 6) with a lexicographic tiebreak: exact-tied (tf, df)
+    pairs rank identically in both engines, and rounding first keeps
+    sub-ulp libm ln() differences from ever reordering the top-k.
+    """
+    words = words_col(F.col(text_col))
+    long = df.select(F.col(id_col), F.explode(words).alias("term")).filter(
+        F.length("term") >= min_len
+    )
+    tf = long.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    wt = Window.partitionBy("term")
+    scored = tf.crossJoin(F.broadcast(n_docs)).select(
+        F.col(id_col),
+        F.col("term"),
+        F.round(
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + 1.0)
+                    / (F.count(F.lit(1)).over(wt).cast("double") + 1.0)
+                )
+                + 1.0
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            id_col, "term", "score", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", F.round("score", 4).alias("score"))
+    )
+
+
+def tfidf_top_terms_oracle(
+    table: str = "documents", k: int = 5, min_len: int = 3
+) -> str:
+    return f"""
+    WITH long AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')) AS term
+        FROM {table}
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM long WHERE length(term) >= {min_len}
+        GROUP BY doc_id, term
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM {table}),
+    docfreq AS (
+        SELECT term,
+               ln((n.n_docs + 1.0) / (count(*)::DOUBLE + 1.0)) + 1.0 AS idf
+        FROM tf, n GROUP BY term, n.n_docs
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, round(tf.tf * docfreq.idf, 6) AS score
+        FROM tf JOIN docfreq ON tf.term = docfreq.term
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, term, round(score, 4) AS score
+    FROM ranked WHERE rank <= {k}
     """

@@ -1464,6 +1464,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.fingerprint(s.table("documents")),
             text.fingerprint_oracle(),
         ),
+        # per-doc top-k TF-IDF terms: doc-keyed repartition reused by tf
+        # agg + rank window; vocabulary-sized idf table broadcast back
+        "text_tfidf_topk": (
+            lambda s: text.tfidf_top_terms(s.table("documents")),
+            text.tfidf_top_terms_oracle(),
+        ),
         # intra-doc repetition (Gopher-style quality filters): top-gram
         # and repeated-gram fractions; one doc-keyed shuffle reused by
         # both aggregation levels

@@ -81,7 +81,8 @@ def test_never_verified_list_matches_correctness_files():
                       "ts_sliding_1h_stats", "values_lookup_join",
                       "agg_filter_where", "ts_sessionize",
                       "text_decontaminate", "sim_quantize_int8",
-                      "text_repetition", "parsed_qualify_using")
+                      "text_repetition", "parsed_qualify_using",
+                      "text_tfidf_topk")
     ]
     assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
 

@@ -420,3 +420,23 @@ def test_repetition_stats(spark, duck):
     row = text.repetition_stats(deg).collect()[0]
     assert row.rep_frac == 1.0 and row.top_gram_frac == 1.0
     check(spark, duck, out, text.repetition_stats_oracle())
+
+
+def test_tfidf_top_terms(spark, duck):
+    from pyspark.sql import functions as F
+
+    out = text.tfidf_top_terms(_df(spark, "documents"), k=5)
+    # exactly k (or fewer, for tiny docs) ranked terms per doc, ranks
+    # contiguous from 1, scores non-increasing within a doc
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("hi")
+    )
+    assert per_doc.filter("n > 5 OR hi <> n").count() == 0
+    w_bad = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.rank") + 1 == F.col("b.rank"))
+        & (F.col("a.score") < F.col("b.score")),
+    )
+    assert w_bad.count() == 0
+    check(spark, duck, out, text.tfidf_top_terms_oracle(k=5))
