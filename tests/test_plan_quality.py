@@ -342,3 +342,54 @@ def test_shared_window_spec_plans_one_window_one_exchange(spark, queries):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Exchange hashpartitioning") == 1, phys[:600]
     assert phys.count("Window") == 1, phys[:600]
+
+
+def _tree(txt: str) -> str:
+    """The numbered-node tree section only (details repeat node names)."""
+    return txt.split("\n\n")[0]
+
+
+def test_sessionize_single_key_exchange(spark, queries):
+    """Window pass + per-session aggregate must share ONE hash exchange
+    on the key (hash(user_id) clusters (user_id, session_no) too), and
+    no Join node appears anywhere."""
+    txt = plan_text(queries["ts_sessionize"](spark, SF_DIR))
+    tree = _tree(txt)
+    assert "Join" not in tree
+    hashes = [l for l in txt.splitlines()
+              if "Arguments: hashpartitioning" in l]
+    assert len({h.strip() for h in hashes}) == 1, hashes
+
+
+def test_decontaminate_broadcasts_benchmark(spark, queries):
+    """The benchmark shingle set must broadcast — a sort-merge join here
+    would shuffle the full corpus shingle stream."""
+    txt = plan_text(queries["text_decontaminate"](spark, SF_DIR))
+    tree = _tree(txt)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_quantize_int8_is_narrow(spark, queries):
+    """Pure per-row map: no exchange, no aggregate, no join."""
+    txt = plan_text(queries["sim_quantize_int8"](spark, SF_DIR))
+    tree = _tree(txt)
+    assert "hashpartitioning" not in tree
+    assert "Join" not in tree and "HashAggregate" not in tree
+
+
+def test_repetition_single_doc_exchange(spark, queries):
+    """Both aggregation levels must reuse the one explicit doc-id
+    repartition (the naive groupBy chain would add a second shuffle)."""
+    txt = plan_text(queries["text_repetition"](spark, SF_DIR))
+    hashes = {l.strip() for l in txt.splitlines()
+              if "Arguments: hashpartitioning" in l}
+    assert len(hashes) == 1, hashes
+
+
+def test_tfidf_single_explode_pass(spark, queries):
+    """The corpus explode must appear ONCE in the physical tree — the
+    join-back docfreq design recomputed the whole explode subtree."""
+    txt = plan_text(queries["text_tfidf_topk"](spark, SF_DIR))
+    tree = _tree(txt)
+    assert tree.count("Generate") == 1, "explode subtree duplicated"
