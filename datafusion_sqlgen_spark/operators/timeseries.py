@@ -178,6 +178,7 @@ def sessionize(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_s: int = 1800,
+    strict_gap: bool = False,
 ) -> "DataFrame":
     """Gap-based batch sessionization: a new session starts when a key's
     inter-event gap exceeds ``gap_s`` seconds; returns one row per
@@ -200,11 +201,15 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(ts_col)
     # interval comparison, not epoch-seconds arithmetic: both engines
     # compare timestamps microsecond-exact, so boundary decisions can't
-    # diverge on sub-second truncation/rounding differences
+    # diverge on sub-second truncation/rounding differences.
+    # strict_gap=True opens a new session at diff == gap exactly —
+    # Structured Streaming's session_window semantics (its [start,
+    # last + gap) window is end-exclusive); the default keeps the
+    # merge-on-equal convention of pandas/SQL sessionization.
     gap = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
-    new_sess = F.when(
-        gap.isNull() | (gap > F.expr(f"INTERVAL {gap_s} SECOND")), F.lit(1)
-    ).otherwise(F.lit(0))
+    bound = F.expr(f"INTERVAL {gap_s} SECOND")
+    exceeded = (gap >= bound) if strict_gap else (gap > bound)
+    new_sess = F.when(gap.isNull() | exceeded, F.lit(1)).otherwise(F.lit(0))
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = df.select(
         F.col(key_col),

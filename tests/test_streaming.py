@@ -320,3 +320,36 @@ def test_foreach_batch_idempotent_sink(spark, stream_dir, tmp_path):
     again = {tuple(r) for r in
              spark.read.parquet(out).select("hour", "event_type", "n").collect()}
     assert again == first
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, stream_dir):
+    """Cross-layer invariant: streaming session_window totals equal the
+    batch operator's (timeseries.sessionize) on the same data — backfill
+    and live paths must agree on session boundaries. session_window's
+    end is last_event + gap (end-exclusive), so compare starts, counts,
+    and values; strict_gap=True aligns the diff==gap boundary."""
+    from datafusion_sqlgen_spark.operators import timeseries
+
+    ev = st.read_events_stream(spark, stream_dir)
+    st.stream_to_memory(
+        st.session_window_stream(ev, gap="30 minutes", watermark="365 days"),
+        "t_sess_twin",
+    )
+    streamed = sorted(
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in spark.sql("SELECT * FROM t_sess_twin").collect()
+    )
+    batch_df = timeseries.sessionize(
+        spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir),
+        gap_s=1800,
+        strict_gap=True,
+    )
+    batch = sorted(
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in batch_df.collect()
+    )
+    assert len(streamed) == len(batch) > 0
+    for (su, ss, sn, sv), (bu, bs, bn, bv) in zip(streamed, batch):
+        assert (su, ss, sn) == (bu, bs, bn)
+        # stream rounds to 2, batch to 4 — compare within rounding slack
+        assert abs(sv - round(bv, 2)) < 0.011, (su, ss, sv, bv)
