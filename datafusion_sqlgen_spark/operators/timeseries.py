@@ -261,3 +261,97 @@ def sessionize_oracle(
     FROM numbered
     GROUP BY {key_col}, session_no
     """
+
+
+def rolling_anomaly(
+    df: "DataFrame",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_hours: int = 24,
+    z_threshold: float = 3.0,
+) -> "DataFrame":
+    """Rolling z-score anomaly detection over hourly event counts: each
+    (key, hour)'s count is scored against the mean/stddev of the
+    trailing ``window_hours`` window — the standard ops-metrics anomaly
+    gate, built batch-side so the threshold can be tuned on history.
+
+    Determinism across engines is by construction: the scored metric is
+    an integer count, so the window's sum and sum-of-squares are exact
+    in doubles regardless of accumulation order — avg/stddev_samp come
+    out bit-identical in Spark and DuckDB (float inputs would not).
+    The RANGE frame runs over an integer hour index (hours since epoch
+    via timestampdiff) rather than epoch-second casts, which TIMESTAMP
+    _NTZ forbids.
+
+    Scale: one (key, hour) hash aggregate, then one window pass that
+    reuses the same key partitioning — two exchanges total, the second
+    carrying only the hourly rollup (|keys| x |hours| rows).
+    """
+    hourly = (
+        df.groupBy(
+            F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "hr_idx",
+            F.expr("timestampdiff(HOUR, timestamp'1970-01-01 00:00:00', hr)"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("hr_idx")
+        .rangeBetween(-(window_hours - 1), 0)
+    )
+    scored = hourly.select(
+        key_col,
+        "hr",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        key_col,
+        "hr",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mu", 4).alias("mu"),
+        F.round("sigma", 4).alias("sigma"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(z_threshold), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+def rolling_anomaly_oracle(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_hours: int = 24,
+    z_threshold: float = 3.0,
+) -> str:
+    return f"""
+    WITH hourly AS (
+        SELECT {key_col},
+               CAST(date_trunc('hour', {ts_col}) AS TIMESTAMP) AS hr,
+               count(*) AS n,
+               datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(date_trunc('hour', {ts_col}) AS TIMESTAMP)) AS hr_idx
+        FROM {table} GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT {key_col}, hr, n,
+               avg(n) OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma
+        FROM hourly
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY hr_idx
+                     RANGE BETWEEN {window_hours - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT {key_col}, hr,
+           CAST(n AS BIGINT) AS n,
+           round(mu, 4) AS mu,
+           round(sigma, 4) AS sigma,
+           round((n - mu) / sigma, 4) AS z,
+           coalesce(abs((n - mu) / sigma) > {z_threshold}, FALSE) AS is_anomaly
+    FROM scored
+    """

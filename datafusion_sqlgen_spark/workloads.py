@@ -1425,6 +1425,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             timeseries.locf_resample_oracle(where="WHERE user_id < 50"),
         ),
+        # rolling z-score anomaly gate over hourly counts: integer
+        # metric makes window avg/stddev bit-identical cross-engine
+        "ts_rolling_anomaly": (
+            lambda s: timeseries.rolling_anomaly(s.table("events")),
+            timeseries.rolling_anomaly_oracle(),
+        ),
         # gap-based sessionization: lag-flag + running-sum session ids,
         # then per-session aggregates — batch twin of the streaming
         # session_window; one hash exchange total (window + agg share it)

@@ -440,3 +440,14 @@ def test_tfidf_top_terms(spark, duck):
     )
     assert w_bad.count() == 0
     check(spark, duck, out, text.tfidf_top_terms_oracle(k=5))
+
+
+def test_rolling_anomaly(spark, duck):
+    from pyspark.sql import functions as F
+
+    out = timeseries.rolling_anomaly(_df(spark, "events"))
+    # a window of one observation has no sample stddev -> never anomalous
+    assert out.filter("sigma IS NULL AND is_anomaly").count() == 0
+    # z is sign-consistent with the deviation from the window mean
+    assert out.filter("z > 0 AND n < mu OR z < 0 AND n > mu").count() == 0
+    check(spark, duck, out, timeseries.rolling_anomaly_oracle())
