@@ -113,3 +113,21 @@ def test_sink_roundtrip_on_empty(spark, tmp_path):
     back = sio.read_parquet(spark, out, schema=src.schema)
     assert back.count() == 0
     assert back.columns == src.columns
+
+
+def test_round4_ops_on_empty(spark, empty_docs, empty_emb):
+    from datafusion_sqlgen_spark.operators import timeseries
+
+    empty_ev = spark.table("events").filter("event_id < 0")
+    docs = spark.table("documents")
+    assert timeseries.sessionize(empty_ev).count() == 0
+    assert timeseries.rolling_anomaly(empty_ev).count() == 0
+    # empty corpus -> no rows; empty benchmark -> zero matches, NOT an
+    # empty result (every corpus doc must still report n_matched = 0)
+    assert text.decontaminate(empty_docs, docs).count() == 0
+    d = text.decontaminate(docs, empty_docs)
+    assert d.count() == docs.count()
+    assert d.filter("n_matched <> 0 OR contaminated").count() == 0
+    assert text.repetition_stats(empty_docs).count() == 0
+    assert text.tfidf_top_terms(empty_docs).count() == 0
+    assert similarity.quantize_int8(empty_emb).count() == 0
