@@ -609,3 +609,50 @@ def canonical_dedup_oracle(table: str = "documents") -> str:
     FROM {table}
     GROUP BY 1
     """
+
+
+def materialize_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The end of the dedup pipeline: the corpus with near-duplicates
+    REMOVED. Keeps every unclustered document plus each cluster's
+    canonical representative (its smallest id), dropping the rest —
+    what actually ships to training after MinHash -> LSH -> verify ->
+    connected components.
+
+    Scale: the drop list (clustered non-representatives) is duplicate
+    documents only — a tiny fraction of the corpus — so the final pass
+    is one LEFT ANTI join of the corpus against a small (broadcastable)
+    id list; documents themselves never shuffle.
+    """
+    clusters = near_dup_clusters(
+        df, text_col, id_col, k=k, bands=bands, shingle=shingle,
+        threshold=threshold,
+    )
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(F.broadcast(drop), id_col, "left_anti").select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    )
+
+
+def materialize_dedup_oracle(
+    table: str = "documents", k: int = 4, bands: int = 2, shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    clusters_sql = near_dup_clusters_oracle(
+        table, k=k, bands=bands, shingle=shingle, threshold=threshold
+    )
+    return f"""
+    SELECT doc_id, md5(text) AS text_md5
+    FROM {table}
+    WHERE doc_id NOT IN (
+        SELECT doc_id FROM ({clusters_sql})
+        WHERE doc_id <> cluster_id
+    )
+    """

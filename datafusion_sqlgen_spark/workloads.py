@@ -1444,6 +1444,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: dedup.near_dup_clusters(s.table("documents"), threshold=0.2),
             dedup.near_dup_clusters_oracle(threshold=0.2),
         ),
+        # pipeline terminus: corpus minus clustered non-representatives
+        # (documents never shuffle; the drop list broadcasts)
+        "dedup_materialize": (
+            lambda s: dedup.materialize_dedup(s.table("documents"), threshold=0.2),
+            dedup.materialize_dedup_oracle(threshold=0.2),
+        ),
         "dedup_simhash": (
             lambda s: dedup.simhash(s.table("documents")),
             dedup.simhash_oracle(),

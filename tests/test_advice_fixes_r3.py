@@ -82,7 +82,8 @@ def test_never_verified_list_matches_correctness_files():
                       "agg_filter_where", "ts_sessionize",
                       "text_decontaminate", "sim_quantize_int8",
                       "text_repetition", "parsed_qualify_using",
-                      "text_tfidf_topk", "ts_rolling_anomaly")
+                      "text_tfidf_topk", "ts_rolling_anomaly",
+                      "dedup_materialize")
     ]
     assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
 

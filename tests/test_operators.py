@@ -451,3 +451,19 @@ def test_rolling_anomaly(spark, duck):
     # z is sign-consistent with the deviation from the window mean
     assert out.filter("z > 0 AND n < mu OR z < 0 AND n > mu").count() == 0
     check(spark, duck, out, timeseries.rolling_anomaly_oracle())
+
+
+def test_materialize_dedup(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    out = dedup.materialize_dedup(docs, threshold=0.2)
+    clusters = dedup.near_dup_clusters(docs, threshold=0.2)
+    # exactly one representative per cluster survives
+    kept = out.select("doc_id")
+    reps = clusters.filter("doc_id = cluster_id").select("doc_id")
+    dropped = clusters.filter("doc_id <> cluster_id").select("doc_id")
+    assert kept.intersect(dropped).count() == 0
+    assert reps.subtract(kept).count() == 0
+    assert out.count() == docs.count() - dropped.count()
+    check(spark, duck, out, dedup.materialize_dedup_oracle(threshold=0.2))
