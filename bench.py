@@ -95,6 +95,9 @@ HEADLINE = [
     "text_decontaminate",
     "sim_quantize_int8",
     "text_repetition",
+    # round-4b: single-pass TF-IDF, rolling anomaly gate
+    "text_tfidf_topk",
+    "ts_rolling_anomaly",
 ]
 
 

@@ -1756,6 +1756,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_decontaminate",
     "sim_quantize_int8",
     "text_repetition",
+    # ---- round-5 rotation queue (added late in r4, locally oracle-green
+    # but not yet driver-sampled — put these first next round):
+    # parsed_qualify_using, text_tfidf_topk, ts_rolling_anomaly,
+    # dedup_materialize ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]
