@@ -1,0 +1,155 @@
+"""Property-based tests for the round-4 operators: random inputs vs
+brute-force Python twins. The DuckDB oracles pin cross-engine agreement
+on the driver tables; these pin the SEMANTICS on adversarial inputs the
+fixed corpus never produces (exact-gap boundaries, all-identical docs,
+empty shingle sets, negative/zero vectors).
+"""
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datafusion_sqlgen_spark.operators import similarity, text, timeseries
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _py_sessions(events, gap_s, strict):
+    """Brute-force sessionizer: events = [(key, seconds, value)]."""
+    out = {}
+    by_key = {}
+    for k, s, v in sorted(events, key=lambda e: (e[0], e[1])):
+        by_key.setdefault(k, []).append((s, v))
+    for k, evs in by_key.items():
+        sess = 0
+        prev = None
+        for s, v in evs:
+            diff = None if prev is None else s - prev
+            new = prev is None or (diff >= gap_s if strict else diff > gap_s)
+            if new:
+                sess += 1
+                out[(k, sess)] = [s, s, 0, 0.0]
+            rec = out[(k, sess)]
+            rec[1] = s
+            rec[2] += 1
+            rec[3] += v
+            prev = s
+    return {
+        (k, n): (BASE + dt.timedelta(seconds=a), BASE + dt.timedelta(seconds=b),
+                 c, round(total, 4))
+        for (k, n), (a, b, c, total) in out.items()
+    }
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.integers(0, 7200),                   # seconds offset
+            st.integers(-5, 5),                     # value (int: exact sums)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    strict=st.booleans(),
+)
+def test_sessionize_matches_bruteforce(spark, events, strict):
+    """Includes exact-gap boundaries (multiples of the 600s gap are in
+    range) and duplicate timestamps — the two cases the driver corpus
+    can't produce."""
+    rows = [
+        (k, BASE + dt.timedelta(seconds=s), float(v)) for k, s, v in events
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {
+        (r.user_id, r.session_no): (
+            r.session_start, r.session_end, r.n_events, r.total_value
+        )
+        for r in timeseries.sessionize(
+            df, gap_s=600, strict_gap=strict
+        ).collect()
+    }
+    want = _py_sessions(events, 600, strict)
+    assert got == want
+
+
+def _py_shingles(txt, n=3):
+    words = txt.lower().split()
+    if not words:
+        words = [""]
+    k = max(len(words) - (n - 1), 1)
+    return {" ".join(words[i:i + n]) for i in range(k)}
+
+
+WORD = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+DOC = st.lists(WORD, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    corpus=st.lists(DOC, min_size=1, max_size=6),
+    bench=st.lists(DOC, min_size=1, max_size=4),
+)
+def test_decontaminate_matches_bruteforce(spark, corpus, bench):
+    cdf = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id bigint, text string"
+    )
+    bdf = spark.createDataFrame(
+        list(enumerate(bench)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_matched, r.contaminated)
+        for r in text.decontaminate(cdf, bdf, threshold=0.5).collect()
+    }
+    bset = set().union(*(_py_shingles(b) for b in bench))
+    for i, doc in enumerate(corpus):
+        shs = _py_shingles(doc)
+        matched = len(shs & bset)
+        assert got[i] == (
+            len(shs), matched, matched >= 0.5 * len(shs)
+        ), (doc, shs, bset)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32),
+            min_size=2,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantize_int8_matches_bruteforce(spark, vecs):
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id bigint, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.scale, r.q_sum, r.max_abs_err)
+        for r in similarity.quantize_int8(df).collect()
+    }
+    for i, v in enumerate(vecs):
+        # replicate float32 storage then the double math
+        v32 = [float(__import__("numpy").float32(x)) for x in v]
+        maxabs = max(abs(x) for x in v32)
+        if maxabs == 0:
+            assert got[i][0] is None
+            continue
+        scale = 127.0 / maxabs
+        q = [_round_half_away(x * scale) for x in v32]
+        err = max(abs(qi / scale - xi) for qi, xi in zip(q, v32))
+        assert got[i] == (round(scale, 4), int(sum(q)), round(err, 6)), (
+            v32, scale, q
+        )
+
+
+def _round_half_away(x: float) -> float:
+    f = math.floor(abs(x))
+    frac = abs(x) - f
+    r = f + 1 if frac >= 0.5 else f
+    return math.copysign(r, x)
