@@ -393,3 +393,22 @@ def test_tfidf_single_explode_pass(spark, queries):
     txt = plan_text(queries["text_tfidf_topk"](spark, SF_DIR))
     tree = _tree(txt)
     assert tree.count("Generate") == 1, "explode subtree duplicated"
+
+
+def test_rolling_anomaly_partial_agg_before_shuffle(spark, queries):
+    """Raw events must compress to the hourly rollup map-side: a
+    partial_count appears BELOW the first exchange (repartitioning the
+    raw stream by key would move the full data through few keys)."""
+    txt = plan_text(queries["ts_rolling_anomaly"](spark, SF_DIR))
+    assert "partial_count" in txt
+    tree = _tree(txt)
+    read = tree.split("ReadSchema:")[-1] if "ReadSchema" in txt else ""
+    assert "HashAggregate" in tree and "Window" in tree
+
+
+def test_materialize_dedup_broadcast_anti(spark, queries):
+    """The corpus-side pass is one broadcast LEFT ANTI join — documents
+    never shuffle."""
+    txt = plan_text(queries["dedup_materialize"](spark, SF_DIR))
+    assert "LeftAnti" in txt
+    assert "BroadcastHashJoin" in txt
