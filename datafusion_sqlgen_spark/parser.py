@@ -341,7 +341,24 @@ class _Parser:
         group_keys: Optional[list[Expr]] = None
         if self.eat_kw("GROUP"):
             self.expect_kw("BY")
-            if self.at_kw("ROLLUP", "CUBE") and self.peek(1).text == "(":
+            if self.at_kw("ALL"):
+                # GROUP BY ALL (Spark >= 3.4 and DuckDB): desugar at
+                # parse time — keys are the projections containing no
+                # aggregate call, so the IR stays canonical explicit-key
+                # form and the render round-trips
+                self.next()
+                group_keys = [
+                    (p.operand if isinstance(p, Alias) else p)
+                    for p in projs
+                    if not _contains_aggregate(p)
+                ]
+                if not group_keys:
+                    raise ParseError("GROUP BY ALL found no grouping keys")
+                if len(group_keys) == len(projs):
+                    raise ParseError(
+                        "GROUP BY ALL found no aggregate expressions"
+                    )
+            elif self.at_kw("ROLLUP", "CUBE") and self.peek(1).text == "(":
                 group_kind = self.next().upper.lower()
                 self.expect_op("(")
                 group_keys = [self.parse_expr()]
@@ -1179,6 +1196,45 @@ class _Parser:
             self.next()
             self.expect_op(")")
         return mapped
+
+
+# aggregate function names for GROUP BY ALL key inference (windowed
+# calls are WindowExpr nodes, handled separately in the walk)
+_AGG_FN_NAMES = {
+    "count", "sum", "avg", "min", "max", "stddev", "stddev_samp",
+    "stddev_pop", "var_samp", "var_pop", "variance", "corr",
+    "covar_samp", "covar_pop", "median", "mode", "bool_and", "bool_or",
+    "any_value", "count_if", "bit_and", "bit_or", "bit_xor",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+    "regr_avgx", "regr_avgy", "string_agg", "listagg", "array_agg",
+    "collect_list", "collect_set", "first", "last", "percentile",
+    "percentile_cont", "percentile_disc", "approx_count_distinct",
+    "grouping",
+}
+
+
+def _contains_aggregate(e) -> bool:
+    """Tree walk over dataclass fields: does the expression contain a
+    (non-windowed) aggregate call? WindowExpr stops the descent — its
+    function runs over a frame, not the GROUP BY. Subquery nodes hold
+    Plans, which the walk never enters."""
+    import dataclasses
+
+    from datafusion_sqlgen_spark.expressions.core import WindowExpr
+
+    if isinstance(e, WindowExpr):
+        return False
+    if isinstance(e, Func) and e.name in _AGG_FN_NAMES:
+        return True
+    if not dataclasses.is_dataclass(e):
+        return False
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        vals = v if isinstance(v, (tuple, list)) else (v,)
+        for item in vals:
+            if isinstance(item, Expr) and _contains_aggregate(item):
+                return True
+    return False
 
 
 def _unquote(s: str) -> str:

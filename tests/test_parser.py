@@ -354,3 +354,22 @@ def test_round4b_surface_roundtrip(pspark, pduck):
         # dual render: the DataFrame path agrees with the SQL path
         df = sorted(tuple(r) for r in p.to_df(pspark).collect())
         assert df == sp, f"{q}\ndf: {df}\nsql: {sp}"
+
+
+def test_group_by_all(pspark, pduck):
+    """GROUP BY ALL desugars to the explicit non-aggregate keys at parse
+    time; execution matches DuckDB running the ORIGINAL text (both
+    engines support the sugar natively, pinning the desugar rules)."""
+    q = ("SELECT c2, c13, count(*) AS n, round(sum(c1), 2) AS s "
+         "FROM aggregate_simple GROUP BY ALL "
+         "ORDER BY c2 ASC NULLS FIRST, c13 ASC NULLS FIRST")
+    p = parse_sql(q)
+    assert "GROUP BY c2, c13" in p.to_sql("spark")
+    sp = [tuple(r) for r in pspark.sql(p.to_sql("spark")).collect()]
+    du_desugar = [tuple(r) for r in pduck.execute(p.to_sql("duckdb")).fetchall()]
+    du_native = [tuple(r) for r in pduck.execute(q).fetchall()]
+    assert sp == du_desugar == du_native
+    with pytest.raises(ParseError):
+        parse_sql("SELECT count(*) AS n FROM t GROUP BY ALL")
+    with pytest.raises(ParseError):
+        parse_sql("SELECT c1, c2 FROM t GROUP BY ALL")
