@@ -429,10 +429,16 @@ def redact_oracle(table: str = "documents") -> str:
     """
 
 
-def _shingle_md5s(text: Column, shingle: int) -> Column:
-    """Distinct MD5s of word ``shingle``-grams (same construction as
-    fingerprint(); MD5 because it is engine-identical)."""
-    words = words_col(text)
+def _shingle_md5s(words: Column, shingle: int) -> Column:
+    """Distinct MD5s of word ``shingle``-grams over a STAGED words
+    array (MD5 because it is engine-identical).
+
+    The argument must be a materialized column, not an inline
+    ``split(...)`` expression: Catalyst does not hoist common
+    subexpressions out of lambda bodies, so an inline split would
+    re-tokenize the document once per shingle index — the same
+    pathology round 3 fixed for simhash. Callers ``select`` the words
+    array first."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, shingle)))
@@ -461,19 +467,27 @@ def decontaminate(
     only shuffle is the final count-per-doc aggregate keyed on doc id.
     """
     bench_sh = (
-        benchmark.select(
-            F.explode(_shingle_md5s(F.col(text_col), shingle)).alias("sh")
-        )
+        benchmark.select(words_col(F.col(text_col)).alias("w"))
+        .select(F.explode(_shingle_md5s(F.col("w"), shingle)).alias("sh"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     shingled = corpus.select(
-        F.col(id_col), _shingle_md5s(F.col(text_col), shingle).alias("shs")
+        F.col(id_col), words_col(F.col(text_col)).alias("w")
+    ).select(
+        F.col(id_col), _shingle_md5s(F.col("w"), shingle).alias("shs")
     )
+    # explode_OUTER, deliberately: for a plain explode of a staged
+    # attribute, Catalyst's InferFiltersFromGenerate adds size(shs) > 0
+    # and pushdown substitutes the WHOLE shingle+md5 expression into a
+    # Filter at the scan — the entire hashing pass would run twice (and
+    # serially on under-split local files). outer generators are exempt,
+    # and the array is never empty (>= 1 shingle by construction), so
+    # the semantics are identical. Measured 10x on the corpus pass.
     long = shingled.select(
         F.col(id_col),
         F.size("shs").alias("n_shingles"),
-        F.explode("shs").alias("sh"),
+        F.explode_outer("shs").alias("sh"),
     )
     joined = long.join(F.broadcast(bench_sh), "sh", "left")
     return (

@@ -370,6 +370,18 @@ def test_decontaminate_broadcasts_benchmark(spark, queries):
     assert "SortMergeJoin" not in tree
 
 
+def test_decontaminate_no_inferred_generate_filter(spark, queries):
+    """explode (non-outer) of a staged attribute makes
+    InferFiltersFromGenerate substitute the WHOLE shingle+md5 expression
+    into a scan-level Filter — the hashing pass runs twice (measured 3x
+    wall on the corpus side). The operator uses explode_outer, which the
+    rule exempts; no Filter may mention md5."""
+    txt = plan_text(queries["text_decontaminate"](spark, SF_DIR))
+    for line in txt.splitlines():
+        if "Condition" in line or ("Filter" in line and "md5" in line):
+            assert "md5" not in line, line
+
+
 def test_quantize_int8_is_narrow(spark, queries):
     """Pure per-row map: no exchange, no aggregate, no join."""
     txt = plan_text(queries["sim_quantize_int8"](spark, SF_DIR))
