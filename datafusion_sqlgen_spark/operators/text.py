@@ -254,11 +254,20 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     MD5 is available and identical in Spark and DuckDB, so the fingerprint
     is engine-independent — that is why it is used here instead of the
     engines' native (and mutually different) ``hash()`` functions."""
-    words = words_col(F.col(text_col))
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, shingle)))
-    return df.select(
+    # words staged as a column: Catalyst does no CSE inside lambda
+    # bodies, so an inline split() would re-tokenize once per shingle
+    # index (the simhash staging lesson)
+    staged = df.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("__w")
+    )
+    w = F.col("__w")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - (shingle - 1), F.lit(1))
+    )
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i, shingle))
+    )
+    return staged.select(
         F.col(id_col),
         F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
     )
@@ -569,15 +578,19 @@ def repetition_stats(
     the shuffle entirely but is O(words^2) per document — wrong for the
     long tail of 100k-word documents.
     """
-    words = words_col(F.col(text_col))
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (gram - 1), F.lit(1)))
+    # words staged (no CSE inside lambda bodies — see _shingle_md5s);
+    # grams stay INLINE in the explode: a staged-attribute explode would
+    # trip InferFiltersFromGenerate into duplicating the gram build at
+    # the scan (the decontaminate defect)
+    staged = df.select(F.col(id_col), words_col(F.col(text_col)).alias("__w"))
+    w = F.col("__w")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (gram - 1), F.lit(1)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, gram))
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i, gram))
     )
-    long = df.select(F.col(id_col), F.explode(grams).alias("g")).repartition(
-        F.col(id_col)
-    )
+    long = staged.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).repartition(F.col(id_col))
     per_gram = long.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     rep = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
     return per_gram.groupBy(id_col).agg(
