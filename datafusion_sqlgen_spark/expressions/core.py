@@ -210,14 +210,28 @@ class Col(Expr):
 
 @dataclass(frozen=True, eq=False)
 class Star(Expr):
-    """``*`` or ``t.*`` (reference: logical_plan.rs:74-85)."""
+    """``*`` or ``t.*`` (reference: logical_plan.rs:74-85), optionally
+    with an exclusion list: Spark ``* EXCEPT (a, b)`` (3.4+) / DuckDB
+    ``* EXCLUDE (a, b)`` — same semantics, different keyword."""
 
     table: Optional[str] = None
+    except_cols: tuple = ()
 
     def to_sql(self, dialect: str = SPARK) -> str:
-        return f"{quote_ident(self.table, dialect)}.*" if self.table else "*"
+        base = f"{quote_ident(self.table, dialect)}.*" if self.table else "*"
+        if self.except_cols:
+            kw = "EXCLUDE" if dialect == DUCKDB else "EXCEPT"
+            cols = ", ".join(
+                quote_ident(c, dialect) for c in self.except_cols
+            )
+            return f"{base} {kw} ({cols})"
+        return base
 
     def to_column(self) -> Column:
+        if self.except_cols:
+            # no Column constructor for star-except; Project.to_df expands
+            # it against the input schema instead
+            raise NotImplementedError("star-except expands in Project.to_df")
         return F.col(f"{self.table}.*" if self.table else "*")
 
 

@@ -171,6 +171,20 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("btrim"),
         "duckdb": _plain("trim"),  # DuckDB 2-arg trim == btrim
     },
+    # TRIM(LEADING/TRAILING chars FROM x) — canonical args (x, chars).
+    # Rendered in the SQL-standard keyword form in BOTH dialects: the
+    # bare 2-arg ltrim/rtrim spellings disagree on argument order
+    # (Spark: (trimStr, src); DuckDB: (src, chars)), so the keyword form
+    # is the only spelling that re-parses unambiguously (parser.py maps
+    # it back to these canonical names).
+    "ltrim_chars": {
+        "spark": lambda a: f"TRIM(LEADING {a[1]} FROM {a[0]})",
+        "duckdb": lambda a: f"TRIM(LEADING {a[1]} FROM {a[0]})",
+    },
+    "rtrim_chars": {
+        "spark": lambda a: f"TRIM(TRAILING {a[1]} FROM {a[0]})",
+        "duckdb": lambda a: f"TRIM(TRAILING {a[1]} FROM {a[0]})",
+    },
     # map type: Spark map(k1, v1, k2, v2, ...) interleaves; DuckDB map()
     # takes (keys_list, values_list)
     "map": {
@@ -515,6 +529,11 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     # python wrappers want str args; the SQL functions take Columns
     "translate": lambda *a: F.call_function("translate", *a),
     "btrim": lambda *a: F.call_function("btrim", *a),
+    "ltrim_chars": lambda s, c: F.ltrim(s, c),
+    "rtrim_chars": lambda s, c: F.rtrim(s, c),
+    # python wrapper requires len; the SQL function is 2-or-3 arg
+    "substring": lambda *a: F.call_function("substring", *a),
+    "substr": lambda *a: F.call_function("substr", *a),
     "map": lambda *a: F.create_map(*a),
     "map_get": lambda *a: F.call_function("element_at", *a),
     "map_size": lambda c: F.size(c),

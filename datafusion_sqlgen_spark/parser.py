@@ -322,6 +322,18 @@ class _Parser:
             body = self.next().text[3:-2].strip()
             hints = tuple(h.strip() for h in body.split(",") if h.strip())
         distinct = self.eat_kw("DISTINCT")
+        distinct_on: Optional[list[Expr]] = None
+        if distinct and self.at_kw("ON") and self.peek(1).text == "(":
+            # DISTINCT ON (keys): keep the first row per key group in
+            # ORDER BY order — no Spark equivalent, desugared below to
+            # row_number() OVER (PARTITION BY keys ORDER BY ...) = 1
+            self.next()
+            self.expect_op("(")
+            distinct_on = [self.parse_expr()]
+            while self.eat_op(","):
+                distinct_on.append(self.parse_expr())
+            self.expect_op(")")
+            distinct = False
         # pre-scan this core's WINDOW clause (it appears AFTER the
         # projection list, but ``OVER w`` references inside projections
         # need the named specs resolved while parsing them)
@@ -419,9 +431,35 @@ class _Parser:
         sort_keys: Optional[list[SortKey]] = None
         if self.eat_kw("ORDER"):
             self.expect_kw("BY")
-            sort_keys = [self.parse_sort_key()]
-            while self.eat_op(","):
-                sort_keys.append(self.parse_sort_key())
+            nxt = self.peek(1)
+            if (self.at_kw("ALL")
+                    and (nxt.kind == "eof"
+                         or (nxt.kind == "op" and nxt.text in (")", ";"))
+                         or nxt.upper in ("LIMIT", "OFFSET", "ASC", "DESC",
+                                          "UNION", "INTERSECT", "EXCEPT"))):
+                # ORDER BY ALL [ASC|DESC]: every output column
+                # left-to-right (DuckDB/Spark 4 shorthand) — desugared to
+                # explicit keys so the IR stays canonical
+                self.next()
+                ascending = True
+                if self.eat_kw("DESC"):
+                    ascending = False
+                else:
+                    self.eat_kw("ASC")
+                sort_keys = []
+                for p in projs:
+                    if isinstance(p, Star):
+                        raise ParseError(
+                            "ORDER BY ALL cannot resolve a * projection"
+                        )
+                    key = Col(p.name) if isinstance(p, Alias) else p
+                    sort_keys.append(SortKey(
+                        key, ascending=ascending, nulls_first=ascending
+                    ))
+            else:
+                sort_keys = [self.parse_sort_key()]
+                while self.eat_op(","):
+                    sort_keys.append(self.parse_sort_key())
 
         limit = offset = None
         if self.eat_kw("LIMIT"):
@@ -442,8 +480,11 @@ class _Parser:
                 plan = self._assemble_aggregate(
                     plan, group_keys, projs, group_kind, grouping_sets
                 )
+            elif distinct_on is not None:
+                pass  # projection applied inside the desugar below
             elif not (len(projs) == 1 and isinstance(projs[0], Star)
-                      and projs[0].table is None):
+                      and projs[0].table is None
+                      and not projs[0].except_cols):
                 plan = plan.select(*projs)
         if having is not None:
             if group_keys is None:
@@ -451,6 +492,12 @@ class _Parser:
             plan = plan.filter(having)
         if qualify is not None:
             plan = plan.filter(qualify)
+        if distinct_on is not None:
+            if group_keys is not None:
+                raise ParseError("DISTINCT ON with GROUP BY is unsupported")
+            plan, sort_keys = self._assemble_distinct_on(
+                plan, distinct_on, projs, sort_keys
+            )
         if hints:
             plan = Hint(plan, hints)
         if distinct:
@@ -463,6 +510,55 @@ class _Parser:
         if limit is not None:
             plan = plan.limit(limit)
         return plan
+
+    def _assemble_distinct_on(
+        self,
+        plan: Plan,
+        keys: list[Expr],
+        projs: list[Expr],
+        sort_keys: Optional[list[SortKey]],
+    ) -> tuple[Plan, Optional[list[SortKey]]]:
+        """DISTINCT ON (keys) desugar: the first row of each key group in
+        ORDER BY order (keys themselves when no ORDER BY) —
+        ``row_number() OVER (PARTITION BY keys ORDER BY ...) = 1``.
+
+        The intermediate projection materializes the sort keys as
+        ``__don_sN`` so the final presentation ORDER BY can reference
+        them even when they are not output columns (DISTINCT ON's ORDER
+        BY is evaluated pre-projection); a final narrow Project drops the
+        helpers. One key-partitioned window — one hash exchange at scale,
+        same shape as the as-of join."""
+        out_cols: list[str] = []
+        for p in projs:
+            if isinstance(p, (Alias, Col)):
+                out_cols.append(p.name)
+            else:
+                raise ParseError(
+                    "DISTINCT ON projections must be columns or aliased "
+                    "expressions"
+                )
+        window_order = (tuple(sort_keys) if sort_keys
+                        else tuple(SortKey(k) for k in keys))
+        spec = WindowSpec(tuple(keys), window_order, None, None)
+        rn = Alias(WindowExpr(Func("row_number", ()), spec), "__don_rn")
+        helpers = []
+        final_sort = None
+        if sort_keys:
+            helpers = [
+                Alias(sk.operand, f"__don_s{i}")
+                for i, sk in enumerate(sort_keys)
+            ]
+            final_sort = [
+                SortKey(Col(f"__don_s{i}"), ascending=sk.ascending,
+                        nulls_first=sk.nulls_first)
+                for i, sk in enumerate(sort_keys)
+            ]
+        plan = plan.select(*projs, rn, *helpers)
+        plan = plan.filter(BinOp("=", Col("__don_rn"), Lit(1)))
+        if final_sort:
+            plan = plan.sort(*final_sort)
+        plan = plan.select(*[Col(n) for n in out_cols])
+        return plan, None
 
     def _assemble_aggregate(
         self,
@@ -515,7 +611,7 @@ class _Parser:
     def parse_projection(self) -> Expr:
         if self.at_op("*"):
             self.next()
-            return Star()
+            return self._maybe_star_except(None)
         # t.* (lookahead: ident . *)
         if (self.peek().kind in ("ident", "qident")
                 and self.peek(1).kind == "op" and self.peek(1).text == "."
@@ -524,7 +620,7 @@ class _Parser:
             t = self.ident()
             self.next()  # .
             self.next()  # *
-            return Star(t)
+            return self._maybe_star_except(t)
         e = self.parse_expr()
         if self.eat_kw("AS"):
             return Alias(e, self.ident())
@@ -533,6 +629,23 @@ class _Parser:
         if t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW:
             return Alias(e, self.ident())
         return e
+
+    def _maybe_star_except(self, table: Optional[str]) -> Star:
+        """``* EXCEPT (cols)`` (Spark) / ``* EXCLUDE (cols)`` (DuckDB).
+        EXCEPT is also the set operator — only engage when the paren
+        holds a bare column list, not a sub-select."""
+        if (self.at_kw("EXCEPT", "EXCLUDE")
+                and self.peek(1).text == "("
+                and self.peek(2).kind in ("ident", "qident")
+                and self.peek(2).upper not in ("SELECT", "WITH")):
+            self.next()
+            self.expect_op("(")
+            cols = [self.ident()]
+            while self.eat_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+            return Star(table, tuple(cols))
+        return Star(table)
 
     def parse_relation(self) -> Plan:
         if self.eat_op("("):
@@ -736,6 +849,17 @@ class _Parser:
                     negated = self.eat_kw("NOT")
                     if self.eat_kw("NULL"):
                         lhs = IsNotNull(lhs) if negated else IsNull(lhs)
+                    elif self.at_kw("TRUE", "FALSE"):
+                        # IS [NOT] TRUE/FALSE: three-valued boolean test,
+                        # desugared to the null-safe comparison the IR
+                        # already has (x IS TRUE ≡ x IS NOT DISTINCT FROM
+                        # TRUE) — renders on both engines
+                        b = Lit(self.next().upper == "TRUE")
+                        lhs = (IsDistinctFrom(lhs, b) if negated
+                               else IsNotDistinctFrom(lhs, b))
+                    elif self.eat_kw("UNKNOWN"):
+                        # boolean UNKNOWN is NULL
+                        lhs = IsNotNull(lhs) if negated else IsNull(lhs)
                     else:
                         self.expect_kw("DISTINCT")
                         self.expect_kw("FROM")
@@ -758,6 +882,26 @@ class _Parser:
                 if op in _CMP_OPS and min_bp <= 5:
                     self.next()
                     op = "<>" if op == "!=" else op
+                    if (self.at_kw("ANY", "SOME", "ALL")
+                            and self.peek(1).text == "("
+                            and self.peek(2).upper in ("SELECT", "WITH")):
+                        # quantified comparison; the IR covers the two
+                        # forms with exact IN-subquery equivalents
+                        quant = self.next().upper
+                        self.expect_op("(")
+                        sub = self.parse_query()
+                        self.expect_op(")")
+                        if op == "=" and quant in ("ANY", "SOME"):
+                            lhs = InSubquery(lhs, sub)
+                        elif op == "<>" and quant == "ALL":
+                            lhs = InSubquery(lhs, sub, negated=True)
+                        else:
+                            raise ParseError(
+                                f"unsupported quantified comparison "
+                                f"{op} {quant} (only = ANY/SOME and "
+                                f"<> ALL have exact IN equivalents)"
+                            )
+                        continue
                     lhs = BinOp(op, lhs, self.parse_expr(6))
                     continue
                 if op == "<=>" and min_bp <= 5:
@@ -797,9 +941,17 @@ class _Parser:
 
     def parse_postfix_predicate(self, lhs: Expr, negated: bool) -> Expr:
         if self.eat_kw("BETWEEN"):
+            symmetric = self.eat_kw("SYMMETRIC")
             lo = self.parse_expr(5)
             self.expect_kw("AND")
             hi = self.parse_expr(5)
+            if symmetric:
+                # BETWEEN SYMMETRIC: bounds in either order (Spark lacks
+                # the keyword — desugar to the two-sided OR)
+                both = BinOp(
+                    "OR", Between(lhs, lo, hi), Between(lhs, hi, lo)
+                )
+                return Not(both) if negated else both
             return Between(lhs, lo, hi, negated=negated)
         if self.eat_kw("IN"):
             self.expect_op("(")
@@ -907,8 +1059,15 @@ class _Parser:
                 return Exists(sub)
             if kw == "INTERVAL":
                 self.next()
-                n = int(self.next().text)
+                t2 = self.next()
+                # both INTERVAL 3 DAY and the quoted INTERVAL '3' DAY
+                n = int(_unquote(t2.text) if t2.kind == "string" else t2.text)
                 return Interval(n, self.ident().upper())
+            if (kw in ("EXTRACT", "SUBSTRING", "SUBSTR", "POSITION", "TRIM")
+                    and self.peek(1).text == "("):
+                std = self._try_parse_standard_fn(kw)
+                if std is not None:
+                    return std
             if kw in ("DATE", "TIMESTAMP") and self.peek(1).kind == "string":
                 import datetime as _dt
                 self.next()
@@ -928,6 +1087,81 @@ class _Parser:
                 return Col(self.ident(), table=name)
             return Col(name)
         raise ParseError(f"unexpected token {t.text!r} at offset {t.pos}")
+
+    # EXTRACT units with a same-named registry function (identical
+    # cross-engine semantics); anything else falls through to date_part
+    _EXTRACT_FNS = {
+        "year", "month", "day", "hour", "minute", "second", "quarter",
+        "dayofyear", "weekofyear",
+    }
+    _EXTRACT_ALIASES = {"doy": "dayofyear", "week": "weekofyear",
+                        "dow": "dayofweek"}
+
+    def _try_parse_standard_fn(self, kw: str) -> Optional[Expr]:
+        """SQL-standard keyword-separated call forms:
+
+        - ``EXTRACT(unit FROM e)``        -> year(e)/…/date_part('unit', e)
+        - ``SUBSTRING(x FROM a [FOR n])`` -> substring(x, a[, n])
+        - ``POSITION(sub IN s)``          -> strpos(s, sub)
+        - ``TRIM([BOTH|LEADING|TRAILING] [c] FROM x)``
+                                          -> trim/btrim/ltrim_chars/rtrim_chars
+
+        Returns None (with position restored) when the parenthesized body
+        is NOT the standard form — e.g. plain ``substring(x, 1, 3)`` or
+        ``trim(x)`` — so the generic call parser takes over."""
+        save = self.i
+        try:
+            self.next()  # fn keyword
+            self.expect_op("(")
+            if kw == "EXTRACT":
+                unit = self.ident().lower()
+                self.expect_kw("FROM")
+                e = self.parse_expr()
+                self.expect_op(")")
+                unit = self._EXTRACT_ALIASES.get(unit, unit)
+                if unit in self._EXTRACT_FNS or unit == "dayofweek":
+                    return Func(unit, (e,))
+                return Func("date_part", (Lit(unit), e))
+            if kw in ("SUBSTRING", "SUBSTR"):
+                x = self.parse_expr()
+                if not self.eat_kw("FROM"):
+                    raise ParseError("not standard-form substring")
+                start = self.parse_expr()
+                args = [x, start]
+                if self.eat_kw("FOR"):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return Func("substring", tuple(args))
+            if kw == "POSITION":
+                # min_bp=5 keeps the operand's own parse from consuming
+                # the separating IN as an IN-list predicate
+                sub = self.parse_expr(5)
+                if not self.eat_kw("IN"):
+                    raise ParseError("not standard-form position")
+                s = self.parse_expr()
+                self.expect_op(")")
+                return Func("strpos", (s, sub))
+            # TRIM
+            spec = "BOTH"
+            if self.at_kw("BOTH", "LEADING", "TRAILING"):
+                spec = self.next().upper
+            chars = None
+            if not self.at_kw("FROM"):
+                chars = self.parse_expr()
+            if not self.eat_kw("FROM"):
+                raise ParseError("not standard-form trim")
+            x = self.parse_expr()
+            self.expect_op(")")
+            if chars is None:
+                name = {"BOTH": "trim", "LEADING": "ltrim",
+                        "TRAILING": "rtrim"}[spec]
+                return Func(name, (x,))
+            name = {"BOTH": "btrim", "LEADING": "ltrim_chars",
+                    "TRAILING": "rtrim_chars"}[spec]
+            return Func(name, (x, chars))
+        except ParseError:
+            self.i = save
+            return None
 
     @staticmethod
     def _mk_cast(e: Expr, dtype: str) -> Expr:
@@ -1152,7 +1386,8 @@ class _Parser:
         if self.eat_kw("INTERVAL"):
             from datafusion_sqlgen_spark.expressions.core import FrameBound
 
-            n = int(self.next().text)
+            t2 = self.next()
+            n = int(_unquote(t2.text) if t2.kind == "string" else t2.text)
             iv = Interval(n, self.ident().upper())
             if self.eat_kw("PRECEDING"):
                 return FrameBound(iv, preceding=True)
@@ -1168,10 +1403,16 @@ class _Parser:
         return n
 
     def parse_case(self) -> Expr:
+        """Searched CASE, plus the operand form ``CASE x WHEN v THEN r``
+        desugared at parse time to ``CASE WHEN x = v THEN r`` (the IR has
+        only the searched form; the desugar is the render fixpoint)."""
         self.expect_kw("CASE")
+        operand = None if self.at_kw("WHEN") else self.parse_expr()
         whens = []
         while self.eat_kw("WHEN"):
             cond = self.parse_expr()
+            if operand is not None:
+                cond = BinOp("=", operand, cond)
             self.expect_kw("THEN")
             whens.append((cond, self.parse_expr()))
         else_ = self.parse_expr() if self.eat_kw("ELSE") else None

@@ -327,7 +327,21 @@ class Project(Plan):
         try:
             for e in self.exprs:
                 if isinstance(e, Star):
-                    cols.append(f"{e.table}.*" if e.table else "*")
+                    if e.except_cols:
+                        # expand star-except against the input schema
+                        drop = set(e.except_cols)
+                        if e.table:
+                            names = df.select(f"{e.table}.*").columns
+                            cols.extend(
+                                f"{e.table}.{c}" for c in names
+                                if c not in drop
+                            )
+                        else:
+                            cols.extend(
+                                c for c in df.columns if c not in drop
+                            )
+                    else:
+                        cols.append(f"{e.table}.*" if e.table else "*")
                 else:
                     cols.append(e.to_column())
         except NotImplementedError:
