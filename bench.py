@@ -98,6 +98,14 @@ HEADLINE = [
     # round-4b: single-pass TF-IDF, rolling anomaly gate
     "text_tfidf_topk",
     "ts_rolling_anomaly",
+    # round-4c: sub-document block dedup (one group-limit shuffle),
+    # C4 filter chain (zero-shuffle narrow map), temperature source
+    # mixing (broadcast rate table), ANN recall audit, sharded write
+    "dedup_block_level",
+    "text_c4_filters",
+    "sample_temperature_mix",
+    "sim_recall_at_k",
+    "sink_sharded_write",
 ]
 
 

@@ -656,3 +656,96 @@ def materialize_dedup_oracle(
         WHERE doc_id <> cluster_id
     )
     """
+
+
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 16,
+) -> DataFrame:
+    """Sub-document (line-level) dedup, C4/RefinedWeb-style, generalized
+    to fixed ``block``-word blocks: every distinct block survives exactly
+    once corpus-wide — at its globally FIRST occurrence (lowest doc id,
+    then block position) — and each document is reassembled from its
+    surviving blocks. Documents whose every block appeared earlier
+    elsewhere come back empty (n_blocks_kept drops to the survivor
+    count). C4 does this with sentences/lines; the word-block variant is
+    delimiter-free so it works on any text.
+
+    Scale shape: split -> posexplode is narrow; the global first-
+    occurrence choice is ONE row_number window keyed on md5(block) — a
+    single fixed-width hash shuffle of (hash, id, pos, block) rows, no
+    pairwise joins; reassembly is one groupBy(id) shuffle carrying only
+    surviving blocks. The reference has no sub-document operators at
+    all (its one live table is a flat scan — tests/select.rs:73-95).
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(block)
+    )
+    blocks = (
+        df.select(
+            F.col(id_col), ws.alias("ws"),
+            F.posexplode(starts).alias("bidx", "start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("bidx").cast("int").alias("bidx"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("start"), block), " "
+            ).alias("btext"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("btext"))).orderBy(
+        F.col(id_col).asc(), F.col("bidx").asc()
+    )
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bidx", "btext"))),
+                    lambda s: s["btext"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks_kept"),
+        )
+    )
+
+
+def block_dedup_oracle(table: str = "documents", block: int = 16) -> str:
+    return f"""
+    WITH blocks AS (
+        SELECT doc_id,
+               CAST((start - 1) / {block} AS INT) AS bidx,
+               array_to_string(
+                   list_slice(ws, start, start + {block} - 1), ' ') AS btext
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws), 1) + 1, {block})) AS start
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM {table}) t0
+        ) t1
+    ),
+    kept AS (
+        SELECT doc_id, bidx, btext FROM (
+            SELECT doc_id, bidx, btext,
+                   row_number() OVER (
+                       PARTITION BY md5(btext)
+                       ORDER BY doc_id ASC, bidx ASC) AS rn
+            FROM blocks
+        ) WHERE rn = 1
+    )
+    SELECT doc_id,
+           string_agg(btext, ' ' ORDER BY bidx) AS text_dedup,
+           count(*) AS n_blocks_kept
+    FROM kept GROUP BY doc_id
+    """

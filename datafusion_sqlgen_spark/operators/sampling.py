@@ -166,3 +166,94 @@ def hash_split_oracle(
         f"SELECT {cols}, CASE WHEN {_bucket_sql(id_col, salt)} < '{thr}' "
         f"THEN 'holdout' ELSE 'train' END AS split FROM {table}"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    tau: float = 0.5,
+    target_frac: float = 0.3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LLM sampling
+    scheme: raise each source's share to ``tau`` < 1 to up-weight small
+    sources, then sample so the expected output is ``target_frac`` of
+    the corpus). Per-source keep rate:
+
+        share_s = n_s**tau / sum_s n_s**tau
+        rate_s  = min(1, target_frac * N * share_s / n_s)
+
+    Everything is computed IN THE PLAN — one tiny per-source count
+    aggregate, rates via a window over that aggregate, broadcast-joined
+    back, then the same md5-threshold membership test as stable_sample.
+    No driver round trip, so the operator composes into a single job and
+    the oracle can mirror the identical arithmetic. The 65536-bucket
+    floor also absorbs pow() ULP differences between engines.
+
+    Scale: counts are one partial-aggregated shuffle of (source) keys;
+    the rate table is #sources rows (broadcast); membership is a narrow
+    filter. Documents never shuffle.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = Window.partitionBy()
+    share = F.pow(F.col("n_s"), tau) / F.sum(F.pow(F.col("n_s"), tau)).over(w)
+    total = F.sum(F.col("n_s")).over(w)
+    rate = F.least(
+        F.lit(1.0), F.lit(target_frac) * total * share / F.col("n_s")
+    )
+    thresholds = counts.select(
+        F.col(source_col),
+        F.when(rate >= 1.0, F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.hex(F.floor(rate * _BUCKETS).cast("int")), 4, "0"
+            )
+        )
+        .alias("thr"),
+    )
+    # Spark hex() yields uppercase; md5() lowercase — align case before
+    # the lexicographic compare
+    thresholds = thresholds.select(
+        source_col, F.lower(F.col("thr")).alias("thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(_bucket_col(id_col, salt) < F.col("thr"))
+        .drop("thr")
+    )
+
+
+def temperature_mix_oracle(
+    tau: float = 0.5,
+    target_frac: float = 0.3,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+    cols: str = "*",
+) -> str:
+    return f"""
+    WITH counts AS (
+        SELECT {source_col}, count(*) AS n_s FROM {table} GROUP BY {source_col}
+    ),
+    rates AS (
+        SELECT {source_col},
+               least(1.0, {target_frac} * (sum(n_s) OVER ())
+                     * (pow(n_s, {tau}) / sum(pow(n_s, {tau})) OVER ())
+                     / n_s) AS rate
+        FROM counts
+    ),
+    thresholds AS (
+        SELECT {source_col},
+               CASE WHEN rate >= 1.0 THEN 'g'
+                    ELSE lower(lpad(hex(CAST(floor(rate * {_BUCKETS}) AS INT)), 4, '0'))
+               END AS thr
+        FROM rates
+    )
+    SELECT {cols} FROM {table} t
+    JOIN thresholds th USING ({source_col})
+    WHERE {_bucket_sql('t.' + id_col, salt)} < th.thr
+    """

@@ -423,3 +423,72 @@ def quantize_int8_oracle(
                              - CAST(x AS DOUBLE)))), 6) AS max_abs_err
     FROM m
     """
+
+
+def recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality audit: recall@k of the IVF index versus exact
+    brute-force top-k, per query. The standard acceptance gate before
+    swapping an approximate index into a retrieval pipeline — run it on
+    a sampled query set, alert when recall drifts below target.
+
+    Composition of the two existing operators: ``ivf_topk`` (probe-own-
+    cell) inner-joined to ``cosine_topk`` (ground truth) on the
+    (query, neighbor) pair, counted per query. The exact side broadcasts
+    the same query set, so at scale this costs one extra corpus pass —
+    an audit run, not a serving path."""
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(corpus, queries, k, n_cells, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    # queries whose approx set misses ALL exact neighbors still need a row
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def recall_at_k_oracle(
+    table: str = "embeddings", k: int = 5, n_cells: int = 8,
+    max_query_id: int = 10,
+) -> str:
+    exact = cosine_topk_oracle(table, k, max_query_id)
+    approx = ivf_topk_oracle(table, k, n_cells, max_query_id)
+    return f"""
+    WITH exact_tk AS ({exact}),
+    approx_tk AS ({approx}),
+    hits AS (
+        SELECT e.query_id, count(*) AS n_hits
+        FROM exact_tk e
+        WHERE EXISTS (
+            SELECT 1 FROM approx_tk a
+            WHERE a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+        )
+        GROUP BY e.query_id
+    )
+    SELECT b.query_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / {k}::DOUBLE, 4) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact_tk) b
+    LEFT JOIN hits h USING (query_id)
+    """

@@ -719,3 +719,78 @@ def tfidf_top_terms_oracle(
     SELECT doc_id, rank, term, round(score, 4) AS score
     FROM ranked WHERE rank <= {k}
     """
+
+
+def c4_filters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 heuristic filter set (Raffel et al. 2020, the public
+    rules behind the C4 corpus), adapted document-level: minimum word
+    count, mean-word-length bounds, curly-brace (code/markup) filter,
+    'lorem ipsum' placeholder filter, terminal-punctuation flag. Emits
+    one boolean per rule plus the composite ``keep`` so a pipeline can
+    audit which rule fired — dropping rows is then a .filter("keep").
+
+    ``ends_punct`` is reported but NOT part of ``keep``: C4 applies it
+    per line; on delimiter-free corpora it would zero the corpus.
+
+    Pure narrow projection — one pass, no shuffle, codegen'd. The
+    word-length reduction is STAGED as its own projection layer so it
+    evaluates once per row: CollapseProject keeps non-cheap aliases
+    used more than once (reusing the Column object inline would copy
+    the lambda aggregate into every flag — the simhash staging
+    lesson)."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        words_col(F.col(text_col)).alias("__w"),
+    )
+    w = F.col("__w")
+    measured = staged.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.size(w).cast("bigint").alias("n_words"),
+        F.round(
+            F.aggregate(
+                w, F.lit(0).cast("double"), lambda a, x: a + F.length(x)
+            ) / F.size(w),
+            4,
+        ).alias("mean_word_len"),
+    )
+    nw, ml, t = F.col("n_words"), F.col("mean_word_len"), F.col("__t")
+    return measured.select(
+        F.col(id_col),
+        nw,
+        ml,
+        (nw >= 5).alias("min_words_ok"),
+        ((ml >= 3.0) & (ml <= 10.0)).alias("mean_len_ok"),
+        (~t.contains("{")).alias("no_brace"),
+        (~F.lower(t).contains("lorem ipsum")).alias("no_lorem"),
+        t.rlike(r"[.!?]$").alias("ends_punct"),
+        (
+            (nw >= 5) & (ml >= 3.0) & (ml <= 10.0)
+            & ~t.contains("{") & ~F.lower(t).contains("lorem ipsum")
+        ).alias("keep"),
+    )
+
+
+def c4_filters_oracle(table: str = "documents") -> str:
+    words = "string_split_regex(lower(text), '\\s+')"
+    mean_len = (
+        f"round(list_sum(list_transform({words}, w -> length(w)))"
+        f" / len({words})::DOUBLE, 4)"
+    )
+    return f"""
+    SELECT doc_id,
+           len({words}) AS n_words,
+           {mean_len} AS mean_word_len,
+           len({words}) >= 5 AS min_words_ok,
+           ({mean_len} >= 3.0 AND {mean_len} <= 10.0) AS mean_len_ok,
+           NOT contains(text, '{{') AS no_brace,
+           NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+           regexp_matches(text, '[.!?]$') AS ends_punct,
+           (len({words}) >= 5 AND {mean_len} >= 3.0 AND {mean_len} <= 10.0
+            AND NOT contains(text, '{{')
+            AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+    FROM {table}
+    """

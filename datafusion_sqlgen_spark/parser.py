@@ -24,6 +24,15 @@ the render-parse fixpoint over the ENTIRE workload catalog, plus
 DuckDB execution equality of original vs reparsed plans. Hand-rolled
 tokenizer + Pratt expression parser; no dependencies.
 
+Round 4c adds the SQL-standard reader-side forms a user writes by hand
+though no renderer emits them: operand-form CASE (desugared to
+searched), EXTRACT(unit FROM e), SUBSTRING(x FROM a [FOR n]),
+TRIM([BOTH|LEADING|TRAILING] [c] FROM x), POSITION(a IN b), quoted
+INTERVAL quantities, IS [NOT] TRUE/FALSE/UNKNOWN (to null-safe
+comparisons), BETWEEN SYMMETRIC, quantified ``= ANY``/``<> ALL`` (to
+IN-subqueries), ORDER BY ALL, ``* EXCEPT/EXCLUDE (cols)`` and
+DISTINCT ON (desugared to a row_number group-limit window).
+
 Known limitation: Spark's type-polymorphic `size`/`element_at` parse
 to their array reading (array_size / element_at); on a MAP column the
 parsed plan's Spark render stays exact but its DuckDB translation

@@ -121,3 +121,48 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def shard_col(key_col: str, n_shards: int, salt: str = "shard"):
+    """Deterministic, engine-portable shard assignment: the first 4 hex
+    chars of md5(key:salt) parsed as an int, mod n_shards. Stable across
+    runs/partitionings/engines (DuckDB twin: ``shard_sql``) — rand() or
+    spark_partition_id() would be neither."""
+    from pyspark.sql import functions as F
+
+    key = F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    hx = F.substring(F.md5(key), 1, 4)
+    return (F.conv(hx, 16, 10).cast("int") % n_shards).alias("shard")
+
+
+def shard_sql(key_col: str, n_shards: int, salt: str = "shard") -> str:
+    """DuckDB render of the identical shard assignment."""
+    return (
+        f"(CAST(concat('0x', substr(md5(CAST({key_col} AS VARCHAR) "
+        f"|| ':{salt}'), 1, 4)) AS INT) % {n_shards})"
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+    mode: str = "overwrite",
+) -> None:
+    """Sharded training-set materialization: assign every row a
+    deterministic shard (``shard_col``), repartition BY the shard column
+    so each shard's rows are physically clustered, and write
+    ``partitionBy("shard")`` — the layout data loaders consume
+    (shard k of n per worker) with per-shard directory pruning on read.
+
+    Scale: one hash shuffle on the shard id (fixed-width key), then a
+    parallel columnar write; no global sort, no driver collection. The
+    per-shard row counts are hash-balanced (~N/n_shards each)."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("shard", shard_col(key_col, n_shards, salt))
+    out.repartition(n_shards, F.col("shard")).write.mode(mode).partitionBy(
+        "shard"
+    ).parquet(path)

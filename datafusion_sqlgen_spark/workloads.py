@@ -1253,6 +1253,33 @@ FROM supplier WHERE s_suppkey < 50
 """
 
 
+def _sink_sharded_write(s: SparkSession) -> DataFrame:
+    """Write documents as deterministic hash shards (the data-loader
+    layout), read the directory back, count rows per shard. The oracle
+    computes the identical md5-derived shard assignment directly on the
+    source table — equality proves the write/read roundtrip preserved
+    every row in its assigned shard."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="sink_shards_") + "/docs"
+    sio.write_training_shards(s.table("documents"), out, n_shards=8)
+    back = sio.read_parquet(s, out)
+    return (
+        back.groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("shard").cast("int").alias("shard"), "n")
+    )
+
+
+_SINK_SHARDED_ORACLE = """
+SELECT CAST((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 4)) AS INT) % 8) AS INT) AS shard,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
 def _sink_partitioned_roundtrip(s: SparkSession) -> DataFrame:
     """Write orders partitioned by o_orderstatus to parquet via
     sources/io.write_parquet, read it back, and aggregate per partition.
@@ -1672,6 +1699,33 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 left_cols=["event_id", "user_id", "ts"], value_cols=["value"],
             ),
         ),
+        # --- round-4c additions ---
+        # sub-document (C4-style line/block-level) dedup with reassembly
+        "dedup_block_level": (
+            lambda s: dedup.block_dedup(s.table("documents")),
+            dedup.block_dedup_oracle(),
+        ),
+        # the published C4 heuristic filter set, one flag per rule
+        "text_c4_filters": (
+            lambda s: text.c4_filters(s.table("documents")),
+            text.c4_filters_oracle(),
+        ),
+        # temperature-based source mixing (multilingual-LLM sampling)
+        "sample_temperature_mix": (
+            lambda s: sampling.temperature_mix(s.table("documents"))
+            .select("doc_id", "source"),
+            sampling.temperature_mix_oracle(cols="t.doc_id, t.source"),
+        ),
+        # ANN acceptance gate: IVF recall@k vs exact brute force
+        "sim_recall_at_k": (
+            lambda s: similarity.recall_at_k(
+                s.table("embeddings"),
+                s.table("embeddings").filter(F.col("vec_id") < 10),
+            ),
+            similarity.recall_at_k_oracle(),
+        ),
+        # deterministic hash-sharded training-set write -> read-back counts
+        "sink_sharded_write": (_sink_sharded_write, _SINK_SHARDED_ORACLE),
     }
 
 
@@ -1759,7 +1813,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # ---- round-5 rotation queue (added late in r4, locally oracle-green
     # but not yet driver-sampled — put these first next round):
     # parsed_qualify_using, text_tfidf_topk, ts_rolling_anomaly,
-    # dedup_materialize ----
+    # dedup_materialize, dedup_block_level, text_c4_filters,
+    # sample_temperature_mix, sim_recall_at_k, sink_sharded_write ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

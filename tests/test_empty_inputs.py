@@ -131,3 +131,13 @@ def test_round4_ops_on_empty(spark, empty_docs, empty_emb):
     assert text.repetition_stats(empty_docs).count() == 0
     assert text.tfidf_top_terms(empty_docs).count() == 0
     assert similarity.quantize_int8(empty_emb).count() == 0
+
+
+def test_round4c_ops_on_empty(spark, empty_docs, empty_emb):
+    from datafusion_sqlgen_spark.operators import sampling
+
+    assert dedup.block_dedup(empty_docs).count() == 0
+    assert text.c4_filters(empty_docs).count() == 0
+    assert sampling.temperature_mix(empty_docs).count() == 0
+    corpus = spark.table("embeddings")
+    assert similarity.recall_at_k(corpus, empty_emb).count() == 0

@@ -424,3 +424,49 @@ def test_materialize_dedup_broadcast_anti(spark, queries):
     txt = plan_text(queries["dedup_materialize"](spark, SF_DIR))
     assert "LeftAnti" in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_block_dedup_group_limit_two_shuffles(spark, queries):
+    """The global first-occurrence choice must plan a partial+final
+    WindowGroupLimit around ONE fixed-width md5-keyed exchange (rn=1
+    prunes pre-shuffle); reassembly adds exactly one doc-id exchange.
+    A per-block join design would shuffle block text twice."""
+    txt = plan_text(queries["dedup_block_level"](spark, SF_DIR))
+    assert "WindowGroupLimit" in txt, "rn=1 not pushed into group-limit"
+    hashes = [l for l in txt.splitlines()
+              if "Arguments: hashpartitioning" in l]
+    assert len(hashes) == 2, hashes
+    tree = _tree(txt)
+    assert tree.count("Generate") == 1, "block explode duplicated"
+
+
+def test_c4_filters_single_pass_no_shuffle(spark, queries):
+    """One narrow projection: no exchange, and the word-length lambda
+    reduction evaluates ONCE (inline reuse would copy it per flag —
+    the simhash/decontaminate staging lesson)."""
+    df = queries["text_c4_filters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("aggregate(") == 1, "length reduction duplicated"
+    assert plan.count("split(") == 1, "tokenization duplicated"
+
+
+def test_temperature_mix_broadcast_rates(spark, queries):
+    """The per-source rate table (#sources rows) must broadcast back to
+    the corpus; documents never hash-shuffle."""
+    txt = plan_text(queries["sample_temperature_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    # only the tiny counts aggregate hash-shuffles (source keys)
+    hashes = [l for l in txt.splitlines()
+              if "Arguments: hashpartitioning" in l]
+    assert len(hashes) == 1, hashes
+
+
+def test_recall_at_k_broadcasts_queries(spark, queries):
+    """Both top-k tiers broadcast the query side; the corpus streams.
+    (The exact tier's nested-loop against the broadcast query set is the
+    documented brute-force audit shape, not a serving path.)"""
+    txt = plan_text(queries["sim_recall_at_k"](spark, SF_DIR))
+    assert txt.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in txt
