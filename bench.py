@@ -106,6 +106,7 @@ HEADLINE = [
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",
+    "sim_kmeans_fit",
 ]
 
 

@@ -492,3 +492,119 @@ def recall_at_k_oracle(
     FROM (SELECT DISTINCT query_id FROM exact_tk) b
     LEFT JOIN hits h USING (query_id)
     """
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means centroid training as pure DataFrame ops — the
+    index-build step that upgrades ``ivf_topk``'s first-k stand-in
+    centroids to trained ones. Deterministic: seeding is the k lowest-id
+    vectors, assignment ties break to the lowest cell, and each
+    centroid component is rounded to ``decimals`` after the mean so
+    float summation order (Spark partial aggregation vs any other
+    engine) cannot drift the next assignment.
+
+    Output is flattened to (cell_id, pos, component, n_members) rows —
+    hashable row-at-a-time, no array columns in the contract.
+
+    Scale shape per iteration: broadcast the k x d centroid table,
+    argmax-assign in one corpus pass (no corpus shuffle — same plan as
+    ivf_assign), then component means via a (cell, pos)-keyed partial
+    aggregation of k*d groups. Iterations are a fixed small count — the
+    loop is depth-bounded, not data-bounded. Empty cells drop out
+    deterministically in both engines."""
+    cents = corpus.filter(F.col(id_col) < k).select(id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        comp = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.round(F.avg("val"), decimals).alias("m"))
+        )
+        cents = (
+            comp.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias(vec_col)
+            )
+            .select(F.col("cell_id").alias(id_col), vec_col)
+        )
+    final = ivf_assign(corpus, cents, id_col, vec_col)
+    counts = final.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    flat = cents.select(
+        F.col(id_col).alias("cell_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "component"),
+    ).select(
+        "cell_id", F.col("pos").cast("int").alias("pos"), "component"
+    )
+    return flat.join(F.broadcast(counts), "cell_id", "left").select(
+        "cell_id", "pos", "component",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint")
+        .alias("n_members"),
+    )
+
+
+def kmeans_fit_oracle(
+    table: str = "embeddings",
+    k: int = 8,
+    n_iter: int = 2,
+    decimals: int = 6,
+) -> str:
+    """Iteration-unrolled DuckDB twin: one assign+mean CTE pair per
+    Lloyd iteration (positions 0-based to match posexplode)."""
+
+    def assign(cent_cte: str) -> str:
+        return f"""
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN {cent_cte} c
+        ) WHERE rn = 1"""
+
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid "
+        f"FROM {table} WHERE vec_id < {k})"
+    ]
+    for i in range(n_iter):
+        ctes.append(f"a{i + 1} AS ({assign(f'c{i}')})")
+        ctes.append(f"""comp{i + 1} AS (
+            SELECT cell_id, pos, round(avg(val), {decimals}) AS m
+            FROM (SELECT cell_id,
+                         generate_subscripts(embedding, 1) - 1 AS pos,
+                         unnest(embedding) AS val
+                  FROM a{i + 1})
+            GROUP BY cell_id, pos)""")
+        ctes.append(
+            f"c{i + 1} AS (SELECT cell_id, list(m ORDER BY pos) AS centroid "
+            f"FROM comp{i + 1} GROUP BY cell_id)"
+        )
+    ctes.append(f"afinal AS ({assign(f'c{n_iter}')})")
+    ctes.append(
+        "counts AS (SELECT cell_id, count(*) AS n_members "
+        "FROM afinal GROUP BY cell_id)"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f.cell_id,
+           CAST(generate_subscripts(f.centroid, 1) - 1 AS INT) AS pos,
+           unnest(f.centroid) AS component,
+           coalesce(co.n_members, 0) AS n_members
+    FROM c{n_iter} f LEFT JOIN counts co USING (cell_id)
+    """

@@ -1726,6 +1726,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         ),
         # deterministic hash-sharded training-set write -> read-back counts
         "sink_sharded_write": (_sink_sharded_write, _SINK_SHARDED_ORACLE),
+        # Lloyd's k-means centroid training (the IVF index-build step),
+        # flattened to hashable (cell, pos, component, n_members) rows
+        "sim_kmeans_fit": (
+            lambda s: similarity.kmeans_fit(s.table("embeddings")),
+            similarity.kmeans_fit_oracle(),
+        ),
     }
 
 
@@ -1814,7 +1820,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # but not yet driver-sampled — put these first next round):
     # parsed_qualify_using, text_tfidf_topk, ts_rolling_anomaly,
     # dedup_materialize, dedup_block_level, text_c4_filters,
-    # sample_temperature_mix, sim_recall_at_k, sink_sharded_write ----
+    # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
+    # sim_kmeans_fit ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

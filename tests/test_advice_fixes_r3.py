@@ -98,3 +98,19 @@ def test_sampled_workloads_have_oracles():
         if n not in oracles and not n.startswith("mm_")
     ]
     assert missing == [], f"sampled workloads without oracle SQL: {missing}"
+
+
+def test_kmeans_membership_partitions_corpus(spark):
+    """Every corpus vector lands in exactly one cell: n_members sums to
+    the corpus size, and components are finite."""
+    import math
+
+    from datafusion_sqlgen_spark.operators.similarity import kmeans_fit
+
+    emb = spark.table("embeddings")
+    res = kmeans_fit(emb, k=4, n_iter=1).collect()
+    per_cell = {}
+    for r in res:
+        per_cell[r["cell_id"]] = r["n_members"]
+        assert math.isfinite(r["component"])
+    assert sum(per_cell.values()) == emb.count()

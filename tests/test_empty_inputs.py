@@ -141,3 +141,7 @@ def test_round4c_ops_on_empty(spark, empty_docs, empty_emb):
     assert sampling.temperature_mix(empty_docs).count() == 0
     corpus = spark.table("embeddings")
     assert similarity.recall_at_k(corpus, empty_emb).count() == 0
+
+
+def test_kmeans_fit_on_empty(spark, empty_emb):
+    assert similarity.kmeans_fit(empty_emb).count() == 0

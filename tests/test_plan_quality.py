@@ -470,3 +470,12 @@ def test_recall_at_k_broadcasts_queries(spark, queries):
     txt = plan_text(queries["sim_recall_at_k"](spark, SF_DIR))
     assert txt.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in txt
+
+
+def test_kmeans_broadcasts_centroids_each_iteration(spark, queries):
+    """Every Lloyd iteration must broadcast the k x d centroid table —
+    the corpus is never hash-shuffled for assignment (only the tiny
+    (cell, pos) component means shuffle)."""
+    txt = plan_text(queries["sim_kmeans_fit"](spark, SF_DIR))
+    assert txt.count("BroadcastExchange") >= 3  # 2 iters + final assign
+    assert "SortMergeJoin" not in txt
