@@ -107,6 +107,7 @@ HEADLINE = [
     "sim_recall_at_k",
     "sink_sharded_write",
     "sim_kmeans_fit",
+    "profile_key_skew",
 ]
 
 

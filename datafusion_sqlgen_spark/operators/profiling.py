@@ -66,3 +66,64 @@ def profile_columns_oracle(table: str, cols: list[str]) -> str:
                CAST(max({c}) AS VARCHAR) AS max_s
         FROM {table}""")
     return " UNION ALL ".join(parts)
+
+
+def key_skew(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostic: the planning signal for salting /
+    AQE-skew-join decisions at scale. Reports the top heavy-hitter keys
+    with their row share, plus the global skew ratio (max group size
+    over mean group size) repeated on every row.
+
+    Scale shape: one partial-aggregated count per key, a 1-row global
+    aggregate broadcast back, and a TakeOrdered top-N — the per-key
+    count table is never globally sorted or single-partitioned, so the
+    operator works when distinct keys number in the billions."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    topk = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        topk.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            F.col("key").cast("string").alias("key"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("max_n")
+                / (F.col("total_rows") / F.col("n_keys")),
+                4,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def key_skew_oracle(table: str, key_col: str, top: int = 10) -> str:
+    return f"""
+    WITH counts AS (
+        SELECT {key_col} AS key, count(*) AS n FROM {table} GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n) AS total_rows, count(*) AS n_keys, max(n) AS max_n
+        FROM counts
+    ),
+    topk AS (
+        SELECT key, n FROM counts ORDER BY n DESC, key ASC LIMIT {top}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS INT) AS rank,
+           CAST(key AS VARCHAR) AS key,
+           n,
+           round(n / total_rows::DOUBLE, 6) AS share,
+           round(max_n / (total_rows::DOUBLE / n_keys), 4) AS skew_ratio
+    FROM topk CROSS JOIN tot
+    """

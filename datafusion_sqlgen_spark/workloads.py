@@ -1222,6 +1222,30 @@ def _ir_workloads() -> dict[str, Plan]:
         "JOIN cust_per_nation ON n_nationkey = c_nationkey "
         "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"
     )
+    # round-4c reader-side surface in one query: operand-form CASE,
+    # EXTRACT, SUBSTRING FROM/FOR, TRIM spec, POSITION IN, IS NOT TRUE,
+    # quoted INTERVAL arithmetic
+    w["parsed_reader_forms"] = parse_sql(
+        "SELECT o_orderkey, "
+        "CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done' "
+        "ELSE 'other' END AS status_word, "
+        "EXTRACT(YEAR FROM o_orderdate) AS yr, "
+        "SUBSTRING(o_orderpriority FROM 1 FOR 1) AS prio, "
+        "TRIM(BOTH '0' FROM CAST(o_orderkey AS VARCHAR)) AS trimmed, "
+        "POSITION('URGENT' IN o_orderpriority) AS urg_pos, "
+        "o_orderdate + INTERVAL '30' DAY AS due, "
+        "(o_totalprice > 100000) IS NOT TRUE AS small_order "
+        "FROM orders WHERE o_orderkey < 2000 "
+        "ORDER BY o_orderkey ASC NULLS FIRST"
+    )
+    # DISTINCT ON desugar: first row per group in ORDER BY order via the
+    # row_number group-limit window (no Spark-native equivalent)
+    w["parsed_distinct_on"] = parse_sql(
+        "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_name, c_acctbal "
+        "FROM customer "
+        "ORDER BY c_nationkey ASC NULLS FIRST, c_acctbal DESC NULLS LAST, "
+        "c_custkey ASC NULLS FIRST"
+    )
 
     return w
 
@@ -1732,6 +1756,11 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: similarity.kmeans_fit(s.table("embeddings")),
             similarity.kmeans_fit_oracle(),
         ),
+        # join-key skew diagnostic: heavy hitters + global skew ratio
+        "profile_key_skew": (
+            lambda s: profiling.key_skew(s.table("events"), "user_id"),
+            profiling.key_skew_oracle("events", "user_id"),
+        ),
     }
 
 
@@ -1821,7 +1850,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # parsed_qualify_using, text_tfidf_topk, ts_rolling_anomaly,
     # dedup_materialize, dedup_block_level, text_c4_filters,
     # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
-    # sim_kmeans_fit ----
+    # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
+    # parsed_distinct_on ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

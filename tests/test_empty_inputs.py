@@ -145,3 +145,10 @@ def test_round4c_ops_on_empty(spark, empty_docs, empty_emb):
 
 def test_kmeans_fit_on_empty(spark, empty_emb):
     assert similarity.kmeans_fit(empty_emb).count() == 0
+
+
+def test_key_skew_on_empty(spark):
+    from datafusion_sqlgen_spark.operators import profiling
+
+    empty = spark.table("events").filter("event_id < 0")
+    assert profiling.key_skew(empty, "user_id").count() == 0

@@ -479,3 +479,14 @@ def test_kmeans_broadcasts_centroids_each_iteration(spark, queries):
     txt = plan_text(queries["sim_kmeans_fit"](spark, SF_DIR))
     assert txt.count("BroadcastExchange") >= 3  # 2 iters + final assign
     assert "SortMergeJoin" not in txt
+
+
+def test_key_skew_take_ordered_no_global_sort(spark, queries):
+    """Heavy-hitter selection must be a TakeOrdered top-N over the
+    per-key counts, never a global Sort of the count table (distinct
+    keys can number in the billions); the 1-row totals broadcast."""
+    txt = plan_text(queries["profile_key_skew"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in txt
+    assert "BroadcastExchange" in txt
+    tree = _tree(txt)
+    assert "Sort " not in tree.replace("TakeOrderedAndProject", ""), tree
