@@ -662,8 +662,14 @@ class _Parser:
                 return self.parse_values()
             sub = self.parse_query()
             self.expect_op(")")
-            self.eat_kw("AS")
-            return sub.alias(self.ident())
+            if self.eat_kw("AS"):
+                return sub.alias(self.ident())
+            t = self.peek()
+            if (t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW
+                    and not (t.upper in ("PIVOT", "UNPIVOT")
+                             and self.peek(1).text == "(")):
+                return sub.alias(self.ident())
+            return sub
         table = self.ident()
         if self.eat_kw("AS"):
             return scan(table).alias(self.ident())
@@ -691,6 +697,9 @@ class _Parser:
                 continue
             if self.at_kw("UNPIVOT"):
                 left = self.parse_unpivot(left)
+                continue
+            if self.at_kw("PIVOT") and self.peek(1).text == "(":
+                left = self.parse_pivot(left)
                 continue
             nxt = self.parse_one_join(left)
             if nxt is None:
@@ -781,6 +790,32 @@ class _Parser:
         proj_names = [p.name for p in inner.exprs]
         ids = tuple(n for n in proj_names if n not in set(cols))
         return Unpivot(inner.input, ids, tuple(cols), var_col, value_col)
+
+    def parse_pivot(self, left: Plan) -> Plan:
+        """(...) [AS a] PIVOT (agg(expr) FOR col IN (v1, v2, ...)) — the
+        Snowflake-style FROM-clause pivot both engines execute verbatim.
+        Values must be literals (each becomes an output column name)."""
+        from datafusion_sqlgen_spark.plans.core import Pivot, SubqueryAlias
+
+        self.next()  # PIVOT
+        self.expect_op("(")
+        agg_expr = self.parse_expr()
+        self.expect_kw("FOR")
+        pivot_col = self.ident()
+        self.expect_kw("IN")
+        self.expect_op("(")
+        vals = [self.parse_expr()]
+        while self.eat_op(","):
+            vals.append(self.parse_expr())
+        self.expect_op(")")
+        self.expect_op(")")
+        for v in vals:
+            if not isinstance(v, Lit):
+                raise ParseError("PIVOT IN values must be literals")
+        # the derived-table alias is positional noise for PIVOT (the
+        # node regenerates one on render)
+        inner = left.input if isinstance(left, SubqueryAlias) else left
+        return Pivot(inner, agg_expr, pivot_col, tuple(vals))
 
     def parse_one_join(self, left: Plan) -> Optional[Plan]:
         how = None

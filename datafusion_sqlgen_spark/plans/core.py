@@ -239,6 +239,13 @@ class Plan:
         """Correlated per-row subquery: FROM self, LATERAL (sub) AS alias."""
         return Lateral(self, subquery, alias)
 
+    def pivot(self, agg, pivot_col: str, values: Sequence) -> "Pivot":
+        """Long -> wide: one column per value, grouped by the rest."""
+        from datafusion_sqlgen_spark.expressions.core import Lit
+
+        vals = tuple(v if isinstance(v, Expr) else Lit(v) for v in values)
+        return Pivot(self, _wrap_proj(agg), pivot_col, vals)
+
 
 def _wrap_proj(e) -> Expr:
     if isinstance(e, Expr):
@@ -686,6 +693,63 @@ class Unpivot(Plan):
         )
         # DataFrame.unpivot keeps NULL measures; SQL UNPIVOT drops them
         return out.filter(F.col(self.value_col).isNotNull())
+
+
+@dataclass(frozen=True)
+class Pivot(Plan):
+    """Long -> wide reshape: ``FROM (...) PIVOT (agg FOR col IN (v1,
+    v2, ...))`` — one output column per pivoted value, implicit GROUP BY
+    over every remaining column. Spark and DuckDB share this
+    Snowflake-style FROM-clause syntax verbatim (DuckDB additionally has
+    its own ``PIVOT ... ON ... USING`` statement form — not emitted).
+    Absent in the reference (catch-all logical_plan.rs:200-203).
+
+    Scale: one hash aggregation over the implicit group keys with a
+    fixed, declared value list — same shuffle as the equivalent
+    ``groupBy().pivot(col, values)`` (which is exactly what ``to_df``
+    runs; an undeclared value list would add a distinct-scan job).
+    """
+
+    input: Plan
+    agg: Expr  # aggregate call, e.g. agg("sum", col("o_totalprice"))
+    pivot_col: str
+    values: tuple  # Lit exprs, one output column per value
+
+    def _fold(self, dialect: str) -> _SelectState:
+        inner = self.input._fold(dialect)
+        vals = ", ".join(v.to_sql(dialect) for v in self.values)
+        from_sql = (
+            f"({inner.render()}) AS {_fresh_alias()} PIVOT "
+            f"({self.agg.to_sql(dialect)} FOR "
+            f"{quote_ident(self.pivot_col, dialect)} IN ({vals}))"
+        )
+        return _SelectState(from_sql=from_sql)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        df = self.input.to_df(spark)
+        referenced = {self.pivot_col} | _referenced_cols(self.agg)
+        group_cols = [c for c in df.columns if c not in referenced]
+        return (
+            df.groupBy(*group_cols)
+            .pivot(self.pivot_col, [v.value for v in self.values])
+            .agg(self.agg.to_column())
+        )
+
+
+def _referenced_cols(e) -> set:
+    """Bare column names referenced anywhere in an expression tree."""
+    import dataclasses
+
+    out: set = set()
+    if isinstance(e, Col):
+        out.add(e.name)
+    if dataclasses.is_dataclass(e):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            for item in v if isinstance(v, (tuple, list)) else (v,):
+                if isinstance(item, Expr):
+                    out |= _referenced_cols(item)
+    return out
 
 
 @dataclass(frozen=True)

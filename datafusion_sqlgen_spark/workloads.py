@@ -1238,6 +1238,15 @@ def _ir_workloads() -> dict[str, Plan]:
         "FROM orders WHERE o_orderkey < 2000 "
         "ORDER BY o_orderkey ASC NULLS FIRST"
     )
+    # FROM-clause PIVOT (Snowflake-style syntax both engines execute
+    # verbatim; plans.Pivot node; decimal sum keeps values bit-exact)
+    w["parsed_pivot_status"] = parse_sql(
+        "SELECT * FROM (SELECT o_custkey, o_orderstatus, "
+        "CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders "
+        "WHERE o_orderkey < 5000) "
+        "PIVOT (sum(price) FOR o_orderstatus IN ('O', 'F', 'P')) "
+        "ORDER BY o_custkey ASC NULLS FIRST"
+    )
     # DISTINCT ON desugar: first row per group in ORDER BY order via the
     # row_number group-limit window (no Spark-native equivalent)
     w["parsed_distinct_on"] = parse_sql(
@@ -1851,7 +1860,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # dedup_materialize, dedup_block_level, text_c4_filters,
     # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
-    # parsed_distinct_on ----
+    # parsed_distinct_on, parsed_pivot_status ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]
