@@ -259,20 +259,23 @@ def ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` cells by nearest centroid, probe only the query's own
     cell, exact cosine re-rank inside it.
 
-    Centroids here are the first ``n_cells`` corpus vectors — a
-    deterministic stand-in for k-means (same plumbing; train real
-    centroids offline and register them as a table for production). The
-    cell assignment is the *index build* (one pass, done once at 100 TB
-    and persisted, e.g. written bucketed-by-cell); the probe join is then
-    cell-equi and touches 1/n_cells of the corpus per query."""
+    Default centroids are the first ``n_cells`` corpus vectors — a
+    deterministic stand-in for k-means; pass ``centroids`` (an
+    (id_col, vec_col) frame, e.g. kmeans-trained — see
+    ivf_topk_trained) for a real index. The cell assignment is the
+    *index build* (one pass, done once at 100 TB and persisted, e.g.
+    written bucketed-by-cell); the probe join is then cell-equi and
+    touches 1/n_cells of the corpus per query."""
     from pyspark.sql import Window
 
-    centroids = corpus.filter(F.col(id_col) < n_cells)
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_cells)
     c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
     q = q_assigned.select(
@@ -519,6 +522,34 @@ def kmeans_fit(
     aggregation of k*d groups. Iterations are a fixed small count — the
     loop is depth-bounded, not data-bounded. Empty cells drop out
     deterministically in both engines."""
+    cents = _kmeans_centroids(corpus, k, n_iter, id_col, vec_col, decimals)
+    final = ivf_assign(corpus, cents, id_col, vec_col)
+    counts = final.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    flat = cents.select(
+        F.col(id_col).alias("cell_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "component"),
+    ).select(
+        "cell_id", F.col("pos").cast("int").alias("pos"), "component"
+    )
+    return flat.join(F.broadcast(counts), "cell_id", "left").select(
+        "cell_id", "pos", "component",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint")
+        .alias("n_members"),
+    )
+
+
+def _kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    decimals: int,
+) -> DataFrame:
+    """The Lloyd loop itself: (id_col, vec_col) centroid arrays after
+    ``n_iter`` assign+mean rounds (see kmeans_fit for the contract)."""
     cents = corpus.filter(F.col(id_col) < k).select(id_col, vec_col)
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
@@ -539,31 +570,72 @@ def kmeans_fit(
             )
             .select(F.col("cell_id").alias(id_col), vec_col)
         )
-    final = ivf_assign(corpus, cents, id_col, vec_col)
-    counts = final.groupBy("cell_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
-    flat = cents.select(
-        F.col(id_col).alias("cell_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "component"),
-    ).select(
-        "cell_id", F.col("pos").cast("int").alias("pos"), "component"
-    )
-    return flat.join(F.broadcast(counts), "cell_id", "left").select(
-        "cell_id", "pos", "component",
-        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint")
-        .alias("n_members"),
-    )
+    return cents
 
 
-def kmeans_fit_oracle(
-    table: str = "embeddings",
-    k: int = 8,
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
     n_iter: int = 2,
-    decimals: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over TRAINED centroids: the full index-build + search
+    composition (kmeans_fit's Lloyd loop feeding ivf_topk's
+    probe-own-cell join). Same scale shape as ivf_topk — the training
+    adds its fixed iteration cost up front, amortized over every query
+    at serving time."""
+    cents = _kmeans_centroids(corpus, n_cells, n_iter, id_col, vec_col, 6)
+    return ivf_topk(
+        corpus, queries, k, n_cells, id_col, vec_col, centroids=cents
+    )
+
+
+def ivf_topk_trained_oracle(
+    table: str = "embeddings",
+    k: int = 5,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    max_query_id: int = 10,
 ) -> str:
-    """Iteration-unrolled DuckDB twin: one assign+mean CTE pair per
-    Lloyd iteration (positions 0-based to match posexplode)."""
+    kmeans = _kmeans_ctes(table, n_cells, n_iter, 6)
+    return f"""
+    WITH {kmeans},
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cell_id, embedding AS qvec FROM assigned
+          WHERE vec_id < {max_query_id}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
+        FROM q JOIN assigned c
+          ON q.cell_id = c.cell_id AND q.query_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+def _kmeans_ctes(table: str, k: int, n_iter: int, decimals: int) -> str:
+    """The Lloyd-loop CTE chain shared by kmeans_fit_oracle and
+    ivf_topk_trained_oracle; the final centroid relation is c{n_iter}."""
 
     def assign(cent_cte: str) -> str:
         return f"""
@@ -594,14 +666,33 @@ def kmeans_fit_oracle(
             f"c{i + 1} AS (SELECT cell_id, list(m ORDER BY pos) AS centroid "
             f"FROM comp{i + 1} GROUP BY cell_id)"
         )
-    ctes.append(f"afinal AS ({assign(f'c{n_iter}')})")
-    ctes.append(
-        "counts AS (SELECT cell_id, count(*) AS n_members "
-        "FROM afinal GROUP BY cell_id)"
-    )
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def kmeans_fit_oracle(
+    table: str = "embeddings",
+    k: int = 8,
+    n_iter: int = 2,
+    decimals: int = 6,
+) -> str:
+    """Iteration-unrolled DuckDB twin: one assign+mean CTE pair per
+    Lloyd iteration (positions 0-based to match posexplode)."""
+    kmeans = _kmeans_ctes(table, k, n_iter, decimals)
     return f"""
-    WITH {joined}
+    WITH {kmeans},
+    afinal AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    ),
+    counts AS (SELECT cell_id, count(*) AS n_members
+               FROM afinal GROUP BY cell_id)
     SELECT f.cell_id,
            CAST(generate_subscripts(f.centroid, 1) - 1 AS INT) AS pos,
            unnest(f.centroid) AS component,

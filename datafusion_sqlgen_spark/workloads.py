@@ -1286,6 +1286,39 @@ FROM supplier WHERE s_suppkey < 50
 """
 
 
+def _source_jsonl_roundtrip(s: SparkSession) -> DataFrame:
+    """Write documents metadata as JSON-lines, read it back through the
+    JSON source with an explicit schema (schema-on-read: no inference
+    job), aggregate per language. First driver-sampled workload through
+    the JSON source path; values must match aggregating the parquet
+    source directly — which is what the oracle does."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="src_jsonl_") + "/docs_meta"
+    src = s.table("documents").select("doc_id", "lang", "n_chars")
+    sio.write_json(src, out)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    back = sio.read_json(s, out, schema=schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_SOURCE_JSONL_ORACLE = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 def _sink_sharded_write(s: SparkSession) -> DataFrame:
     """Write documents as deterministic hash shards (the data-loader
     layout), read the directory back, count rows per shard. The oracle
@@ -1770,6 +1803,18 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: profiling.key_skew(s.table("events"), "user_id"),
             profiling.key_skew_oracle("events", "user_id"),
         ),
+        # JSON-lines write -> schema-on-read -> aggregate (source path)
+        "source_jsonl_roundtrip": (
+            _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
+        ),
+        # IVF probe over kmeans-trained centroids (index build + search)
+        "sim_ivf_topk_trained": (
+            lambda s: similarity.ivf_topk_trained(
+                s.table("embeddings"),
+                s.table("embeddings").filter(F.col("vec_id") < 10),
+            ),
+            similarity.ivf_topk_trained_oracle(),
+        ),
     }
 
 
@@ -1792,6 +1837,24 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
 # CORRECTNESS_r01..r03 keys — do not hand-edit it) fill the sample, behind
 # 5 reference-behavior canaries.  tests/test_advice_fixes_r3.py pins both
 # the 50-entry boundary and that every name here exists in the catalog.
+# Workloads first added during round 4 — no CORRECTNESS_r01-r03 row by
+# construction. tests/test_advice_fixes_r3.py verifies the
+# never-driver-verified bookkeeping against this single source of
+# truth; round 5 folds the un-sampled tail into its rotation.
+R4_ADDITIONS: list[str] = [
+    "parsed_win_topn", "parsed_cte_agg", "sink_partitioned_roundtrip",
+    "expr_scalar_funcs5", "ts_sliding_1h_stats", "values_lookup_join",
+    "agg_filter_where", "ts_sessionize", "text_decontaminate",
+    "sim_quantize_int8", "text_repetition",
+    # late round-4 additions (the round-5 rotation queue below)
+    "parsed_qualify_using", "text_tfidf_topk", "ts_rolling_anomaly",
+    "dedup_materialize", "dedup_block_level", "text_c4_filters",
+    "sample_temperature_mix", "sim_recall_at_k", "sink_sharded_write",
+    "sim_kmeans_fit", "profile_key_skew", "parsed_reader_forms",
+    "parsed_distinct_on", "parsed_pivot_status",
+    "source_jsonl_roundtrip", "sim_ivf_topk_trained",
+]
+
 _SAMPLE_PRIORITY: list[str] = [
     # reference-behavior canaries (green r01-r03; keep a regression watch)
     "ref_scan_filter",
@@ -1860,7 +1923,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # dedup_materialize, dedup_block_level, text_c4_filters,
     # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
-    # parsed_distinct_on, parsed_pivot_status ----
+    # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
+    # sim_ivf_topk_trained ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

@@ -71,21 +71,17 @@ def test_never_verified_list_matches_correctness_files():
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         with open(path) as f:
             verified |= set(json.load(f))
+    from datafusion_sqlgen_spark.workloads import R4_ADDITIONS
+
     q = build_queries()
-    expected = [
-        n for n in q
-        if n not in verified
-        # workloads added in round 4 have no r1-r3 row by construction
-        and n not in ("parsed_win_topn", "parsed_cte_agg",
-                      "sink_partitioned_roundtrip", "expr_scalar_funcs5",
-                      "ts_sliding_1h_stats", "values_lookup_join",
-                      "agg_filter_where", "ts_sessionize",
-                      "text_decontaminate", "sim_quantize_int8",
-                      "text_repetition", "parsed_qualify_using",
-                      "text_tfidf_topk", "ts_rolling_anomaly",
-                      "dedup_materialize")
-    ]
+    # round-4 additions have no r1-r3 row by construction; everything
+    # else in the catalog is either verified or in the tracked list
+    expected = [n for n in q if n not in verified and n not in R4_ADDITIONS]
     assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
+    phantoms = [n for n in R4_ADDITIONS if n not in q]
+    assert phantoms == [], f"R4_ADDITIONS names not in catalog: {phantoms}"
+    overlap = [n for n in R4_ADDITIONS if n in verified]
+    assert overlap == [], f"R4_ADDITIONS already driver-verified: {overlap}"
 
 
 def test_sampled_workloads_have_oracles():

@@ -151,7 +151,23 @@ def _ops_r3():
             lambda p: p.select(col("a"), col("b"), col("s"))
             .join(akeys, using=("a",))
         ),
+        # round-4c star-except: add a helper column, then drop it via
+        # `* EXCEPT (t2)` (Spark) / `* EXCLUDE (t2)` (DuckDB) — schema
+        # restores to (a, b, s); the parse roundtrip must re-parse the
+        # except-list into the same Star IR
+        st.just(
+            lambda p: p.select(
+                col("a"), col("b"), col("s"),
+                (col("a") + col("a")).alias("t2"),
+            ).select(_star_except("t2"))
+        ),
     )
+
+
+def _star_except(*cols):
+    from datafusion_sqlgen_spark.expressions.core import Star
+
+    return Star(None, tuple(cols))
 
 
 @settings(max_examples=60, deadline=None)
