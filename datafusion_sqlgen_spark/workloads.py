@@ -1241,7 +1241,10 @@ def _ir_workloads() -> dict[str, Plan]:
     # FROM-clause PIVOT (Snowflake-style syntax both engines execute
     # verbatim; plans.Pivot node; decimal sum keeps values bit-exact)
     w["parsed_pivot_status"] = parse_sql(
-        "SELECT * FROM (SELECT o_custkey, o_orderstatus, "
+        "SELECT o_custkey, CAST(O AS DOUBLE) AS open_total, "
+        "CAST(F AS DOUBLE) AS filled_total, "
+        "CAST(P AS DOUBLE) AS pending_total "
+        "FROM (SELECT o_custkey, o_orderstatus, "
         "CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders "
         "WHERE o_orderkey < 5000) "
         "PIVOT (sum(price) FOR o_orderstatus IN ('O', 'F', 'P')) "

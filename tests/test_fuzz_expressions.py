@@ -127,3 +127,95 @@ def test_dual_render_and_oracle_agree(fuzz_env, expr):
         f"Spark != DuckDB\nspark sql: {p.to_sql('spark')}\n"
         f"duck sql:  {p.to_sql('duckdb')}\n{df_rows}\nvs\n{duck_rows}"
     )
+
+
+# ---- round-4c: string-function tier (trim family, substring, strpos,
+# concat) — the reader-surface registry entries under random nesting ----
+
+def _fn(*a):
+    from datafusion_sqlgen_spark.expressions import fn
+
+    return fn(*a)
+
+
+def _binop_concat(a, b):
+    from datafusion_sqlgen_spark.expressions.core import BinOp
+
+    return BinOp("||", a, b)
+
+
+def str_leaf():
+    return st.one_of(
+        st.just(col("s")),
+        st.sampled_from(["a", "Beta", " x ", "aa b", ""]).map(lit),
+        st.just(lit(None)),
+    )
+
+
+def string_expr(depth: int):
+    if depth <= 0:
+        return str_leaf()
+    sub = string_expr(depth - 1)
+    chars = st.sampled_from(["a", "A", " ", "ab"]).map(lit)
+    return st.one_of(
+        str_leaf(),
+        sub.map(lambda e: _fn("upper", e)),
+        sub.map(lambda e: _fn("lower", e)),
+        sub.map(lambda e: _fn("reverse", e)),
+        sub.map(lambda e: _fn("trim", e)),
+        st.tuples(sub, chars).map(lambda t: _fn("btrim", t[0], t[1])),
+        st.tuples(sub, chars).map(lambda t: _fn("ltrim_chars", t[0], t[1])),
+        st.tuples(sub, chars).map(lambda t: _fn("rtrim_chars", t[0], t[1])),
+        # positive start only: 0/negative starts have engine-specific
+        # semantics and are not emitted by the parser's standard form
+        st.tuples(sub, st.integers(1, 4), st.integers(0, 3)).map(
+            lambda t: _fn("substring", t[0], lit(t[1]), lit(t[2]))
+        ),
+        # || propagates NULL identically in both engines (concat() does
+        # NOT: DuckDB skips NULLs — deliberately not fuzzed here)
+        st.tuples(sub, sub).map(lambda t: _binop_concat(t[0], t[1])),
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(expr=string_expr(3))
+def test_string_fns_dual_render_and_oracle(fuzz_env, expr):
+    spark, con = fuzz_env
+    p = scan("fuzz_t").select(col("x"), expr.alias("v"))
+    df_rows = sorted(
+        ((_norm(a), b) for a, b in p.to_df(spark).collect()), key=_key
+    )
+    sql_rows = sorted(
+        ((_norm(a), b) for a, b in spark.sql(p.to_sql("spark")).collect()),
+        key=_key,
+    )
+    duck_rows = sorted(
+        ((_norm(a), b) for a, b in con.execute(p.to_sql("duckdb")).fetchall()),
+        key=_key,
+    )
+    assert df_rows == sql_rows, f"DataFrame != SQL for {p.to_sql('spark')}"
+    assert df_rows == duck_rows, (
+        f"Spark != DuckDB\nspark sql: {p.to_sql('spark')}\n"
+        f"duck sql:  {p.to_sql('duckdb')}\n{df_rows[:4]}\nvs\n{duck_rows[:4]}"
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(expr=string_expr(2))
+def test_strpos_over_fuzzed_strings(fuzz_env, expr):
+    """strpos (the parser's POSITION target) over nested string args."""
+    spark, con = fuzz_env
+    p = scan("fuzz_t").select(
+        col("x"), _fn("strpos", expr, lit("a")).alias("v")
+    )
+    df_rows = sorted(
+        ((_norm(a), _norm(b)) for a, b in p.to_df(spark).collect()), key=_key
+    )
+    duck_rows = sorted(
+        ((_norm(a), _norm(b)) for a, b in con.execute(p.to_sql("duckdb")).fetchall()),
+        key=_key,
+    )
+    assert df_rows == duck_rows, (
+        f"Spark != DuckDB\nspark sql: {p.to_sql('spark')}\n"
+        f"duck sql:  {p.to_sql('duckdb')}"
+    )
