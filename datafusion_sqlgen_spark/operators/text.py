@@ -794,3 +794,19 @@ def c4_filters_oracle(table: str = "documents") -> str:
             AND NOT contains(lower(text), 'lorem ipsum')) AS keep
     FROM {table}
     """
+
+
+def prepare_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ingest normalization — the text-operator contract.
+
+    Every operator in this module (and the dedup tier) assumes NON-NULL
+    text: on a NULL the engines legitimately diverge (Spark's legacy
+    ``size(split(NULL))`` is -1 where DuckDB's ``len`` is NULL, booleans
+    built from the -1 then differ from NULL three-valued logic, and the
+    divergence poisons every downstream flag). Real corpora do contain
+    NULLs, so the pipeline entry point maps them to '' ONCE — a narrow
+    per-row coalesce — instead of sprinkling defensive coalesces through
+    every expression. tests/test_null_text_contract.py proves the
+    operators agree with their DuckDB oracles on NULL-bearing input once
+    this step runs."""
+    return df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
