@@ -1,3 +1,8 @@
+from datafusion_sqlgen_spark.plans.audit import (
+    PlanAudit,
+    assert_scale_clean,
+    audit_plan,
+)
 from datafusion_sqlgen_spark.plans.core import (
     Aggregate,
     Distinct,
@@ -28,4 +33,5 @@ __all__ = [
     "Offset", "EmptyRelation", "Explode", "Aggregate", "Join", "SetOp", "With",
     "RecursiveWith", "Unpivot", "Pivot", "Lateral",
     "SubqueryAlias", "Values", "scan", "values_relation",
+    "PlanAudit", "audit_plan", "assert_scale_clean",
 ]
