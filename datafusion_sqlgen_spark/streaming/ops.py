@@ -301,3 +301,46 @@ def foreach_batch_idempotent_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File stream over the documents table shape — the streaming
+    ingestion side of the text/dedup pipeline (swap for Kafka in
+    production; the operator graph is identical)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_text_filter(docs: DataFrame) -> DataFrame:
+    """The batch text tier applied to a STREAM, unchanged.
+
+    Every per-document operator in ``operators.text`` is a pure column
+    projection, so it composes onto a streaming DataFrame verbatim —
+    the same ``prepare_documents`` + ``c4_filters`` code path that
+    curates a batch corpus filters documents at ingestion time. No
+    state, no watermark, no shuffle: a stateless map over every
+    micro-batch, which is exactly how an ingest-time quality gate wants
+    to run at 100 TB/day. The batch-twin equality test
+    (tests/test_streaming.py) proves streamed results match the batch
+    operator row-for-row."""
+    from datafusion_sqlgen_spark.operators import text as t
+
+    return t.c4_filters(t.prepare_documents(docs))

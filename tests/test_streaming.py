@@ -353,3 +353,41 @@ def test_session_window_stream_matches_batch_sessionize(spark, stream_dir):
         assert (su, ss, sn) == (bu, bs, bn)
         # stream rounds to 2, batch to 4 — compare within rounding slack
         assert abs(sv - round(bv, 2)) < 0.011, (su, ss, sv, bv)
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW dv AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    n = con.execute("SELECT count(*) FROM dv").fetchone()[0]
+    half = n // 2 + 1
+    for i in range(2):
+        con.execute(
+            f"COPY (SELECT * FROM dv ORDER BY doc_id LIMIT {half} OFFSET {i * half}) "
+            f"TO '{d}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+def test_streaming_text_filter_matches_batch(spark, docs_stream_dir):
+    """The text tier's pure-projection operators run on a stream
+    UNCHANGED: streamed c4_filters == batch c4_filters row-for-row.
+    (Stateless map — no watermark, no state store, append mode.)"""
+    from datafusion_sqlgen_spark.operators import text as t
+
+    stream = st.read_documents_stream(spark, docs_stream_dir)
+    out = st.streaming_text_filter(stream)
+    st.stream_to_memory(out, "docs_filtered", output_mode="append")
+    got = normalize_rows(
+        tuple(r) for r in spark.table("docs_filtered").collect()
+    )
+    batch = t.c4_filters(
+        t.prepare_documents(spark.table("documents"))
+    )
+    want = normalize_rows(tuple(r) for r in batch.collect())
+    assert got == want
