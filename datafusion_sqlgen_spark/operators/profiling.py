@@ -127,3 +127,31 @@ def key_skew_oracle(table: str, key_col: str, top: int = 10) -> str:
            round(max_n / (total_rows::DOUBLE / n_keys), 4) AS skew_ratio
     FROM topk CROSS JOIN tot
     """
+
+
+def distinct_sketches(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Per-group HLL sketches of a key's distinct count (Spark's
+    Datasketches-backed ``hll_sketch_agg``). The 100-TB distinct-count
+    pattern: sketches are small (KB), build map-side in one pass, and
+    MERGE losslessly — so per-shard / per-day sketches can be persisted
+    and unioned later instead of re-scanning history. No engine-portable
+    oracle exists (sketch bytes are implementation-specific), so the
+    correctness evidence is the mergeability law + exact-count tolerance
+    in tests/test_sketches.py."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col).alias("sketch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+def merged_distinct_estimate(sketches: DataFrame) -> DataFrame:
+    """Union per-group sketches into one global distinct estimate —
+    the reduce side of the pattern (rows crossing the wire: one sketch
+    per group, not one per key)."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("n_distinct_est")
+    )
