@@ -108,6 +108,9 @@ HEADLINE = [
     "sink_sharded_write",
     "sim_kmeans_fit",
     "profile_key_skew",
+    "sim_ivf_topk_trained",
+    "parsed_pivot_status",
+    "dedup_incremental",
 ]
 
 

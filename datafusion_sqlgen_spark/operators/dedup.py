@@ -749,3 +749,160 @@ def block_dedup_oracle(table: str = "documents", block: int = 16) -> str:
            count(*) AS n_blocks_kept
     FROM kept GROUP BY doc_id
     """
+
+
+def _banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    shingle: int,
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows — the shared candidate-join key
+    table behind minhash_buckets / minhash_dedup_pairs /
+    incremental_dedup."""
+    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle=shingle)
+    rows_per_band = k // bands
+    band_structs = []
+    for b in range(bands):
+        members = [
+            F.col(f"mh{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *members)).alias("bucket"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental corpus update: admit only the NEW documents that are
+    neither exact nor near duplicates of the EXISTING corpus — the
+    shape every continuously-crawled training corpus needs (re-running
+    full-corpus dedup per batch is O(corpus) per day; this is
+    O(new batch) plus index lookups).
+
+    Tiers, in cost order: (1) exact — LEFT ANTI on md5(text) against
+    the corpus hash set (fixed-width keys shuffle, never documents);
+    (2) near — the new batch's LSH band table joined against the
+    CORPUS band table (at production scale the corpus side is the
+    persisted index from the last run, not recomputed — the argument
+    takes any DataFrame, e.g. a parquet-backed band table); (3) exact
+    Jaccard verification on the candidate pairs only. Returns surviving
+    new rows as (id, text_md5)."""
+    corpus_md5 = corpus_df.select(
+        F.md5(F.col(text_col)).alias("__md5")
+    ).distinct()
+    hashed = new_df.select(
+        F.col(id_col), F.col(text_col),
+        F.md5(F.col(text_col)).alias("__md5"),
+    )
+    exact_ok = hashed.join(corpus_md5, "__md5", "left_anti")
+
+    new_bands = _banded(exact_ok, text_col, id_col, k, bands, shingle) \
+        .select(F.col(id_col).alias("new_id"), "band", "bucket")
+    corpus_bands = _banded(corpus_df, text_col, id_col, k, bands, shingle) \
+        .select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    cand = (
+        new_bands.join(corpus_bands, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = exact_ok.join(
+        cand.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh_n"),
+    )
+    sh_corp = corpus_df.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    ).select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh_c"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_c")))
+    union = F.size(F.array_union(F.col("sh_n"), F.col("sh_c")))
+    dup_ids = (
+        cand.join(sh_new, "new_id").join(sh_corp, "corpus_id")
+        .filter(F.round(inter / union, 4) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return exact_ok.join(dup_ids, id_col, "left_anti").select(
+        F.col(id_col), F.col("__md5").alias("text_md5")
+    )
+
+
+def incremental_dedup_oracle(
+    table: str = "documents",
+    split_id: int = 400,
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    rows_per_band = k // bands
+
+    def banded(sig_cte: str, side: str) -> str:
+        selects = []
+        for b in range(bands):
+            members = " || '|' || ".join(
+                f"mh{i}"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            selects.append(
+                f"SELECT doc_id AS {side}_id, {b} AS band, "
+                f"md5({members}) AS bucket FROM {sig_cte}"
+            )
+        return " UNION ALL ".join(selects)
+
+    sh = f"list_distinct({_DUCK_SHINGLES.format(sm1=shingle - 1)})"
+    sig_new = minhash_signatures_oracle("exact_ok", k=k, shingle=shingle)
+    sig_corp = minhash_signatures_oracle("corpus", k=k, shingle=shingle)
+    return f"""
+    WITH new_docs AS (SELECT * FROM {table} WHERE doc_id >= {split_id}),
+    corpus AS (SELECT * FROM {table} WHERE doc_id < {split_id}),
+    exact_ok AS (
+        SELECT doc_id, text, md5(text) AS text_md5 FROM new_docs
+        WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+    ),
+    sigs_new AS ({sig_new}),
+    sigs_corp AS ({sig_corp}),
+    banded_new AS ({banded('sigs_new', 'new')}),
+    banded_corp AS ({banded('sigs_corp', 'corpus')}),
+    cand AS (
+        SELECT DISTINCT new_id, corpus_id
+        FROM banded_new n JOIN banded_corp c USING (band, bucket)
+    ),
+    sh_new AS (SELECT doc_id AS new_id, {sh} AS sh_n FROM exact_ok
+               WHERE doc_id IN (SELECT new_id FROM cand)),
+    sh_corp AS (SELECT doc_id AS corpus_id, {sh} AS sh_c FROM corpus
+                WHERE doc_id IN (SELECT corpus_id FROM cand)),
+    dups AS (
+        SELECT DISTINCT new_id FROM cand
+        JOIN sh_new USING (new_id) JOIN sh_corp USING (corpus_id)
+        WHERE round(len(list_intersect(sh_n, sh_c))::DOUBLE
+                    / len(list_distinct(list_concat(sh_n, sh_c))), 4)
+              >= {threshold}
+    )
+    SELECT doc_id, text_md5 FROM exact_ok
+    WHERE doc_id NOT IN (SELECT new_id FROM dups)
+    """

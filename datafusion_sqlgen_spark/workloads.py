@@ -1810,6 +1810,16 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "source_jsonl_roundtrip": (
             _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
         ),
+        # incremental corpus update: new batch deduped against the
+        # existing corpus (exact md5 anti-join -> LSH candidates vs the
+        # corpus band table -> Jaccard verify)
+        "dedup_incremental": (
+            lambda s: dedup.incremental_dedup(
+                s.table("documents").filter(F.col("doc_id") >= 400),
+                s.table("documents").filter(F.col("doc_id") < 400),
+            ),
+            dedup.incremental_dedup_oracle(),
+        ),
         # IVF probe over kmeans-trained centroids (index build + search)
         "sim_ivf_topk_trained": (
             lambda s: similarity.ivf_topk_trained(
@@ -1855,7 +1865,7 @@ R4_ADDITIONS: list[str] = [
     "sample_temperature_mix", "sim_recall_at_k", "sink_sharded_write",
     "sim_kmeans_fit", "profile_key_skew", "parsed_reader_forms",
     "parsed_distinct_on", "parsed_pivot_status",
-    "source_jsonl_roundtrip", "sim_ivf_topk_trained",
+    "source_jsonl_roundtrip", "sim_ivf_topk_trained", "dedup_incremental",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
@@ -1927,7 +1937,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
     # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
-    # sim_ivf_topk_trained ----
+    # sim_ivf_topk_trained, dedup_incremental ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

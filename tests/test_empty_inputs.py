@@ -152,3 +152,14 @@ def test_key_skew_on_empty(spark):
 
     empty = spark.table("events").filter("event_id < 0")
     assert profiling.key_skew(empty, "user_id").count() == 0
+
+
+def test_incremental_dedup_edges(spark, empty_docs):
+    docs = spark.table("documents")
+    # empty new batch -> nothing admitted; empty corpus -> all admitted
+    assert dedup.incremental_dedup(empty_docs, docs).count() == 0
+    n = docs.count()
+    from datafusion_sqlgen_spark.operators.dedup import exact_dedup
+
+    distinct_new = dedup.incremental_dedup(docs, empty_docs).count()
+    assert distinct_new == n  # per-row admit (dups only vs CORPUS)
