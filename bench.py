@@ -111,6 +111,8 @@ HEADLINE = [
     "sim_ivf_topk_trained",
     "parsed_pivot_status",
     "dedup_incremental",
+    "ts_funnel_steps",
+    "ts_cohort_retention",
 ]
 
 

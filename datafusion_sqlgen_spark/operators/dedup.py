@@ -806,6 +806,8 @@ def incremental_dedup(
     takes any DataFrame, e.g. a parquet-backed band table); (3) exact
     Jaccard verification on the candidate pairs only. Returns surviving
     new rows as (id, text_md5)."""
+    from pyspark.storagelevel import StorageLevel
+
     corpus_md5 = corpus_df.select(
         F.md5(F.col(text_col)).alias("__md5")
     ).distinct()
@@ -813,7 +815,12 @@ def incremental_dedup(
         F.col(id_col), F.col(text_col),
         F.md5(F.col(text_col)).alias("__md5"),
     )
-    exact_ok = hashed.join(corpus_md5, "__md5", "left_anti")
+    # persisted: the survivors feed three lineages (banding, candidate
+    # shingling, final anti-join) — without the cut each re-executes the
+    # corpus-hash anti-join
+    exact_ok = hashed.join(corpus_md5, "__md5", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     new_bands = _banded(exact_ok, text_col, id_col, k, bands, shingle) \
         .select(F.col(id_col).alias("new_id"), "band", "bucket")

@@ -355,3 +355,149 @@ def rolling_anomaly_oracle(
            coalesce(abs((n - mu) / sigma) > {z_threshold}, FALSE) AS is_anomaly
     FROM scored
     """
+
+
+def funnel(
+    df: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest time each
+    step was reached AFTER the previous step (the product-analytics
+    staple). A user reaches step i only if a step-i event follows their
+    step-(i-1) reach time; NULL from the first unreached step onward.
+
+    Shape: collect each step's sorted event times in ONE user-keyed
+    hash aggregate (a single exchange), then fold left with array
+    filters — reach_0 = min(ts_0), reach_i = first ts_i > reach_(i-1).
+    No self-joins, no per-step shuffles, no row explosion: at 100 TB
+    this is one shuffle of (user, k sorted step arrays), and the arrays
+    hold only the funnel event types, not all events."""
+    t = F.col(ts_col)
+    typ = F.col(type_col)
+    per_user = df.filter(typ.isin(*steps)).groupBy(user_col).agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(typ == s, t))
+            ).alias(f"__ts_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reach_cols = []
+    prev_col = None
+    for i, s in enumerate(steps):
+        arr = F.col(f"__ts_{i}")
+        if prev_col is None:
+            reach = F.element_at(arr, 1)
+        else:
+            bound = prev_col
+            reach = F.element_at(F.filter(arr, lambda x: x > bound), 1)
+        name = f"reach_{s}"
+        per_user = per_user.withColumn(name, reach)
+        prev_col = F.col(name)
+        reach_cols.append(name)
+    return per_user.select(user_col, *reach_cols)
+
+
+def funnel_oracle(
+    table: str = "events",
+    steps: tuple = ("view", "click", "purchase"),
+) -> str:
+    lists = ",\n           ".join(
+        f"list_sort(list(ts) FILTER (WHERE event_type = '{s}')) AS ts_{i}"
+        for i, s in enumerate(steps)
+    )
+    reach_exprs = []
+    prev = None
+    for i, s in enumerate(steps):
+        if prev is None:
+            e = f"ts_{i}[1]"
+        else:
+            e = f"(list_filter(ts_{i}, x -> x > {prev}))[1]"
+        reach_exprs.append(f"{e} AS reach_{s}")
+        prev = f"reach_{s}"
+    # DuckDB lateral-references prior SELECT aliases? No — nest instead
+    step_in = ", ".join(f"'{s}'" for s in steps)
+    nested = (
+        f"SELECT user_id, {lists} FROM {table} "
+        f"WHERE event_type IN ({step_in}) GROUP BY user_id"
+    )
+    sel = nested
+    prev = None
+    for i, s in enumerate(steps):
+        if prev is None:
+            e = f"ts_{i}[1]"
+        else:
+            e = f"(list_filter(ts_{i}, x -> x > reach_{prev}))[1]"
+        keep_ts = ", ".join(
+            f"ts_{j}" for j in range(len(steps)) if j > i
+        )
+        keep_reach = ", ".join(f"reach_{q}" for q in list(steps)[:i])
+        cols = ", ".join(
+            c for c in ["user_id", keep_reach, f"{e} AS reach_{s}", keep_ts]
+            if c
+        )
+        sel = f"SELECT {cols} FROM ({sel})"
+        prev = s
+    reaches = ", ".join(f"reach_{s}" for s in steps)
+    return f"SELECT user_id, {reaches} FROM ({sel})"
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted distinct in each subsequent activity week. Output
+    (cohort_week, week_index, n_users) — the retention-curve substrate.
+
+    Shape: one user-keyed aggregate for cohort assignment, one distinct
+    over (user, week) activity, a join back on user (cohorts are a
+    per-user scalar — broadcastable when users fit, shuffle join
+    otherwise, both fine), then a (cohort, week) count. Every shuffle
+    key is fixed-width."""
+    week = F.date_trunc("week", F.col(ts_col))
+    cohorts = df.groupBy(user_col).agg(F.min(week).alias("cohort_week"))
+    activity = df.select(
+        F.col(user_col), week.alias("activity_week")
+    ).distinct()
+    joined = activity.join(cohorts, user_col)
+    return (
+        joined.groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            # DATE output: DuckDB's date_trunc('week') yields DATE where
+            # Spark yields TIMESTAMP — cast pins the shared type
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.col("activity_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                ) / 7
+            ).cast("int").alias("week_index"),
+            "n_users",
+        )
+    )
+
+
+def cohort_retention_oracle(table: str = "events") -> str:
+    return f"""
+    WITH cohorts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM {table} GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM {table}
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(datediff('day', CAST(cohort_week AS DATE),
+                         CAST(activity_week AS DATE)) / 7 AS INT)
+               AS week_index,
+           count(*) AS n_users
+    FROM activity JOIN cohorts USING (user_id)
+    GROUP BY cohort_week, activity_week
+    """

@@ -1810,6 +1810,17 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "source_jsonl_roundtrip": (
             _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
         ),
+        # ordered funnel: per-user earliest reach time per step, each
+        # step constrained to follow the previous (one user-keyed agg)
+        "ts_funnel_steps": (
+            lambda s: timeseries.funnel(s.table("events")),
+            timeseries.funnel_oracle(),
+        ),
+        # weekly cohort retention curve substrate
+        "ts_cohort_retention": (
+            lambda s: timeseries.cohort_retention(s.table("events")),
+            timeseries.cohort_retention_oracle(),
+        ),
         # incremental corpus update: new batch deduped against the
         # existing corpus (exact md5 anti-join -> LSH candidates vs the
         # corpus band table -> Jaccard verify)
@@ -1866,6 +1877,7 @@ R4_ADDITIONS: list[str] = [
     "sim_kmeans_fit", "profile_key_skew", "parsed_reader_forms",
     "parsed_distinct_on", "parsed_pivot_status",
     "source_jsonl_roundtrip", "sim_ivf_topk_trained", "dedup_incremental",
+    "ts_funnel_steps", "ts_cohort_retention",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
@@ -1937,7 +1949,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
     # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
-    # sim_ivf_topk_trained, dedup_incremental ----
+    # sim_ivf_topk_trained, dedup_incremental, ts_funnel_steps,
+    # ts_cohort_retention ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

@@ -163,3 +163,11 @@ def test_incremental_dedup_edges(spark, empty_docs):
 
     distinct_new = dedup.incremental_dedup(docs, empty_docs).count()
     assert distinct_new == n  # per-row admit (dups only vs CORPUS)
+
+
+def test_funnel_cohort_on_empty(spark):
+    from datafusion_sqlgen_spark.operators import timeseries
+
+    empty = spark.table("events").filter("event_id < 0")
+    assert timeseries.funnel(empty).count() == 0
+    assert timeseries.cohort_retention(empty).count() == 0

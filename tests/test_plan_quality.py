@@ -490,3 +490,14 @@ def test_key_skew_take_ordered_no_global_sort(spark, queries):
     assert "BroadcastExchange" in txt
     tree = _tree(txt)
     assert "Sort " not in tree.replace("TakeOrderedAndProject", ""), tree
+
+
+def test_incremental_dedup_no_cartesian_anti_join(spark, queries):
+    """The incremental update must stay candidate-bounded: the exact
+    tier is an anti join on fixed-width hashes, the near tier joins band
+    tables on (band, bucket) — no cartesian, no nested loop against the
+    corpus."""
+    txt = plan_text(queries["dedup_incremental"](spark, SF_DIR))
+    assert "LeftAnti" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
