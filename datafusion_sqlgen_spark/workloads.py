@@ -1322,6 +1322,40 @@ FROM documents GROUP BY lang
 """
 
 
+def _source_csv_roundtrip(s: SparkSession) -> DataFrame:
+    """Write nation as headered CSV, read it back through register_csv's
+    explicit-schema path, join against the parquet region table and
+    count per region — CSV source + cross-source join in one driver
+    workload (the reference's CSV surface: tests/select.rs:90-95)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="src_csv_") + "/nation_csv"
+    sio.write_csv(s.table("nation"), out)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+    ])
+    back = s.read.schema(schema).option("header", "true").csv(out)
+    return (
+        back.join(s.table("region"),
+                  back["n_regionkey"] == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"))
+    )
+
+
+_SOURCE_CSV_ORACLE = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def _sink_sharded_write(s: SparkSession) -> DataFrame:
     """Write documents as deterministic hash shards (the data-loader
     layout), read the directory back, count rows per shard. The oracle
@@ -1810,6 +1844,10 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "source_jsonl_roundtrip": (
             _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
         ),
+        # CSV write -> schema-on-read -> cross-source join (source path)
+        "source_csv_roundtrip": (
+            _source_csv_roundtrip, _SOURCE_CSV_ORACLE,
+        ),
         # ordered funnel: per-user earliest reach time per step, each
         # step constrained to follow the previous (one user-keyed agg)
         "ts_funnel_steps": (
@@ -1877,7 +1915,7 @@ R4_ADDITIONS: list[str] = [
     "sim_kmeans_fit", "profile_key_skew", "parsed_reader_forms",
     "parsed_distinct_on", "parsed_pivot_status",
     "source_jsonl_roundtrip", "sim_ivf_topk_trained", "dedup_incremental",
-    "ts_funnel_steps", "ts_cohort_retention",
+    "ts_funnel_steps", "ts_cohort_retention", "source_csv_roundtrip",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
@@ -1950,7 +1988,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
     # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
     # sim_ivf_topk_trained, dedup_incremental, ts_funnel_steps,
-    # ts_cohort_retention ----
+    # ts_cohort_retention, source_csv_roundtrip ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]
