@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_incremental",
     "ts_funnel_steps",
     "ts_cohort_retention",
+    "pipeline_curation",
 ]
 
 

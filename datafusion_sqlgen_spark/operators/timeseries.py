@@ -469,9 +469,11 @@ def cohort_retention(
         joined.groupBy("cohort_week", "activity_week")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .select(
-            # DATE output: DuckDB's date_trunc('week') yields DATE where
-            # Spark yields TIMESTAMP — cast pins the shared type
-            F.col("cohort_week").cast("date").alias("cohort_week"),
+            # STRING output: DuckDB's date_trunc('week') yields DATE,
+            # Spark TIMESTAMP, and the pandas frames type them as object
+            # vs datetime64 — an ISO string pins type AND value
+            F.col("cohort_week").cast("date").cast("string")
+            .alias("cohort_week"),
             (
                 F.datediff(
                     F.col("activity_week").cast("date"),
@@ -493,7 +495,7 @@ def cohort_retention_oracle(table: str = "events") -> str:
         SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
         FROM {table}
     )
-    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+    SELECT CAST(CAST(cohort_week AS DATE) AS VARCHAR) AS cohort_week,
            CAST(datediff('day', CAST(cohort_week AS DATE),
                          CAST(activity_week AS DATE)) / 7 AS INT)
                AS week_index,

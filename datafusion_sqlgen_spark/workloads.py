@@ -1322,6 +1322,66 @@ FROM documents GROUP BY lang
 """
 
 
+def _pipeline_curation(s: SparkSession) -> DataFrame:
+    """The full curation pipeline as ONE composed plan: normalize ->
+    C4 rule filter -> exact dedup (keep lowest doc id per content hash)
+    -> deterministic 50% sample -> per-source survivor counts. Every
+    stage is an operator from this repo; Catalyst fuses the narrow
+    stages and the whole thing runs with two shuffles (dedup hash,
+    final source agg). This is the workload that proves the operators
+    COMPOSE — the pipeline a reference user would actually run."""
+    from pyspark.sql import Window
+
+    docs = text.prepare_documents(s.table("documents"))
+    kept = docs.join(
+        text.c4_filters(docs).filter("keep").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sampled = sampling.stable_sample(deduped, 0.5, salt="curate")
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+_PIPELINE_CURATION_ORACLE = """
+WITH prepared AS (
+    SELECT doc_id, coalesce(text, '') AS text, lang, source, n_chars
+    FROM documents
+),
+words AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM prepared
+),
+kept AS (
+    SELECT p.* FROM prepared p JOIN words USING (doc_id)
+    WHERE len(w) >= 5
+      AND round(list_sum(list_transform(w, x -> length(x)))
+                / len(w)::DOUBLE, 4) BETWEEN 3.0 AND 10.0
+      AND NOT contains(p.text, '{')
+      AND NOT contains(lower(p.text), 'lorem ipsum')
+),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+    ) WHERE rn = 1
+),
+sampled AS (
+    SELECT * FROM deduped
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':curate'), 1, 4) < '8000'
+)
+SELECT source, count(*) AS n_docs, sum(length(text)) AS total_chars
+FROM sampled GROUP BY source
+"""
+
+
 def _source_csv_roundtrip(s: SparkSession) -> DataFrame:
     """Write nation as headered CSV, read it back through register_csv's
     explicit-schema path, join against the parquet region table and
@@ -1848,6 +1908,9 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "source_csv_roundtrip": (
             _source_csv_roundtrip, _SOURCE_CSV_ORACLE,
         ),
+        # the composed curation pipeline: prepare -> C4 -> dedup ->
+        # sample -> per-source stats, one plan, two shuffles
+        "pipeline_curation": (_pipeline_curation, _PIPELINE_CURATION_ORACLE),
         # ordered funnel: per-user earliest reach time per step, each
         # step constrained to follow the previous (one user-keyed agg)
         "ts_funnel_steps": (
@@ -1916,6 +1979,7 @@ R4_ADDITIONS: list[str] = [
     "parsed_distinct_on", "parsed_pivot_status",
     "source_jsonl_roundtrip", "sim_ivf_topk_trained", "dedup_incremental",
     "ts_funnel_steps", "ts_cohort_retention", "source_csv_roundtrip",
+    "pipeline_curation",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
@@ -1988,7 +2052,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
     # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
     # sim_ivf_topk_trained, dedup_incremental, ts_funnel_steps,
-    # ts_cohort_retention, source_csv_roundtrip ----
+    # ts_cohort_retention, source_csv_roundtrip, pipeline_curation ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]
