@@ -388,11 +388,19 @@ class Interval(Expr):
     n: int
     unit: str  # DAY / MONTH / YEAR / HOUR / MINUTE / SECOND
 
-    def to_sql(self, dialect: str = SPARK) -> str:
+    def _lit_sql(self) -> str:
+        # negative quantities need the quoted ANSI form: DuckDB rejects
+        # the bare `INTERVAL -1 DAY` spelling (both engines accept
+        # `INTERVAL '-1' DAY`; the parser reads both forms)
+        if self.n < 0:
+            return f"INTERVAL '{self.n}' {self.unit.upper()}"
         return f"INTERVAL {self.n} {self.unit.upper()}"
 
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return self._lit_sql()
+
     def to_column(self) -> Column:
-        return F.expr(f"INTERVAL {self.n} {self.unit.upper()}")
+        return F.expr(self._lit_sql())
 
 
 class TryCast(Cast):

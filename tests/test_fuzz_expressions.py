@@ -219,3 +219,75 @@ def test_strpos_over_fuzzed_strings(fuzz_env, expr):
         f"Spark != DuckDB\nspark sql: {p.to_sql('spark')}\n"
         f"duck sql:  {p.to_sql('duckdb')}"
     )
+
+
+# ---- round-4c: date/interval tier — arithmetic with month-end
+# clamping, truncation, part extraction, datediff (the other
+# divergence-prone family) ----
+
+def _date_lit(s_iso: str):
+    import datetime as dt
+
+    return lit(dt.date.fromisoformat(s_iso))
+
+
+def _interval(n, unit):
+    from datafusion_sqlgen_spark.expressions.core import Interval
+
+    return Interval(n, unit)
+
+
+def date_expr(depth: int):
+    leaves = st.sampled_from(
+        ["2024-01-31", "2024-02-29", "2023-12-15", "2024-06-01"]
+    ).map(_date_lit)
+    if depth <= 0:
+        return leaves
+    sub = date_expr(depth - 1)
+    iv = st.tuples(
+        st.integers(-3, 3), st.sampled_from(["DAY", "MONTH", "YEAR"])
+    ).map(lambda t: _interval(*t))
+    return st.one_of(
+        leaves,
+        st.tuples(sub, iv).map(lambda t: t[0] + t[1]),
+        st.tuples(sub, iv).map(lambda t: t[0] - t[1]),
+        sub.map(lambda e: _fn("last_day", e)),
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(expr=date_expr(3))
+def test_date_arithmetic_dual_render_and_oracle(fuzz_env, expr):
+    """Date +/- interval chains (incl. month-end clamping), last_day."""
+    spark, con = fuzz_env
+    p = scan("fuzz_t").select(col("x"), expr.alias("d")).limit(1)
+    df_rows = [tuple(r) for r in p.to_df(spark).collect()]
+    sql_rows = [tuple(r) for r in spark.sql(p.to_sql("spark")).collect()]
+    duck_rows = [tuple(r) for r in con.execute(p.to_sql("duckdb")).fetchall()]
+
+    def norm(rows):
+        import datetime as dt
+
+        out = []
+        for r in rows:
+            out.append(tuple(
+                v.date() if isinstance(v, dt.datetime) else v for v in r
+            ))
+        return out
+
+    assert norm(df_rows) == norm(sql_rows), p.to_sql("spark")
+    assert norm(df_rows) == norm(duck_rows), (
+        f"\nspark: {p.to_sql('spark')}\nduck:  {p.to_sql('duckdb')}"
+        f"\n{norm(df_rows)} vs {norm(duck_rows)}"
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(expr=date_expr(2),
+       part=st.sampled_from(["year", "month", "day", "quarter"]))
+def test_date_parts_dual_render_and_oracle(fuzz_env, expr, part):
+    spark, con = fuzz_env
+    p = scan("fuzz_t").select(_fn(part, expr).alias("v")).limit(1)
+    a = [int(r[0]) for r in p.to_df(spark).collect()]
+    b = [int(r[0]) for r in con.execute(p.to_sql("duckdb")).fetchall()]
+    assert a == b, f"{part}:\n{p.to_sql('spark')}\n{p.to_sql('duckdb')}"
