@@ -114,6 +114,7 @@ HEADLINE = [
     "ts_funnel_steps",
     "ts_cohort_retention",
     "pipeline_curation",
+    "text_unigram_logprob",
 ]
 
 

@@ -810,3 +810,77 @@ def prepare_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     operators agree with their DuckDB oracles on NULL-bearing input once
     this step runs."""
     return df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Perplexity-proxy quality scoring without a language model: each
+    document's mean unigram log-probability under the corpus's own
+    top-``vocab_size`` term distribution (out-of-vocabulary terms get
+    ``alpha``/total smoothing). Low scores flag boilerplate/gibberish —
+    the cheap stand-in for the KenLM perplexity filter in public
+    pipelines (CCNet-style), fully deterministic and oracle-checkable.
+
+    Scale shape: one corpus term count (map-side combined), a TakeOrdered
+    top-V vocabulary with the global total attached (V rows, broadcast),
+    then one doc-keyed aggregation over the exploded words joined to the
+    broadcast vocab — the corpus shuffles once (term count) and the
+    documents' word explosion never shuffles (broadcast lookup + local
+    re-aggregation by doc id)."""
+    words = words_col(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(words).alias("term"))
+    freqs = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = freqs.agg(F.sum("c").alias("total"))
+    vocab = (
+        freqs.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+        .select("term", (F.log(F.col("c") / F.col("total"))).alias("logp"))
+    )
+    # OOV rows take the smoothed logp; the scalar total re-broadcasts
+    # (the left join's total column would be NULL on OOV rows)
+    scored = (
+        exploded.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("logp"), F.log(F.lit(alpha) / F.col("total"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
+def unigram_logprob_oracle(
+    table: str = "documents", vocab_size: int = 1000, alpha: float = 0.5
+) -> str:
+    words = "string_split_regex(lower(text), '\\s+')"
+    return f"""
+    WITH exploded AS (
+        SELECT doc_id, unnest({words}) AS term FROM {table}
+    ),
+    freqs AS (SELECT term, count(*) AS c FROM exploded GROUP BY term),
+    totals AS (SELECT sum(c) AS total FROM freqs),
+    vocab AS (
+        SELECT term, ln(c / total) AS logp
+        FROM (SELECT term, c FROM freqs ORDER BY c DESC, term ASC
+              LIMIT {vocab_size}) CROSS JOIN totals
+    )
+    SELECT doc_id,
+           round(avg(coalesce(v.logp, ln({alpha} / t.total))), 4)
+               AS mean_logprob,
+           count(*) AS n_words
+    FROM exploded e
+    LEFT JOIN vocab v USING (term)
+    CROSS JOIN totals t
+    GROUP BY doc_id
+    """

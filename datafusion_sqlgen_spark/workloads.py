@@ -1911,6 +1911,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         # the composed curation pipeline: prepare -> C4 -> dedup ->
         # sample -> per-source stats, one plan, two shuffles
         "pipeline_curation": (_pipeline_curation, _PIPELINE_CURATION_ORACLE),
+        # perplexity-proxy quality score: mean unigram logprob under the
+        # corpus's own top-V distribution (CCNet-style filter stand-in)
+        "text_unigram_logprob": (
+            lambda s: text.unigram_logprob(s.table("documents")),
+            text.unigram_logprob_oracle(),
+        ),
         # ordered funnel: per-user earliest reach time per step, each
         # step constrained to follow the previous (one user-keyed agg)
         "ts_funnel_steps": (
@@ -1979,7 +1985,7 @@ R4_ADDITIONS: list[str] = [
     "parsed_distinct_on", "parsed_pivot_status",
     "source_jsonl_roundtrip", "sim_ivf_topk_trained", "dedup_incremental",
     "ts_funnel_steps", "ts_cohort_retention", "source_csv_roundtrip",
-    "pipeline_curation",
+    "pipeline_curation", "text_unigram_logprob",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
@@ -2052,7 +2058,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
     # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
     # sim_ivf_topk_trained, dedup_incremental, ts_funnel_steps,
-    # ts_cohort_retention, source_csv_roundtrip, pipeline_curation ----
+    # ts_cohort_retention, source_csv_roundtrip, pipeline_curation,
+    # text_unigram_logprob ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]

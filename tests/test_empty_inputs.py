@@ -171,3 +171,7 @@ def test_funnel_cohort_on_empty(spark):
     empty = spark.table("events").filter("event_id < 0")
     assert timeseries.funnel(empty).count() == 0
     assert timeseries.cohort_retention(empty).count() == 0
+
+
+def test_unigram_logprob_on_empty(spark, empty_docs):
+    assert text.unigram_logprob(empty_docs).count() == 0
