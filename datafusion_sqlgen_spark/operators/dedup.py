@@ -669,8 +669,10 @@ def block_dedup(
     once corpus-wide — at its globally FIRST occurrence (lowest doc id,
     then block position) — and each document is reassembled from its
     surviving blocks. Documents whose every block appeared earlier
-    elsewhere come back empty (n_blocks_kept drops to the survivor
-    count). C4 does this with sentences/lines; the word-block variant is
+    elsewhere come back with text_dedup = '' and n_blocks_kept = 0 (a
+    left join back to the input id set keeps the row — silently
+    dropping them would lose documents in any pipeline that rejoins on
+    id). C4 does this with sentences/lines; the word-block variant is
     delimiter-free so it works on any text.
 
     Scale shape: split -> posexplode is narrow; the global first-
@@ -706,7 +708,7 @@ def block_dedup(
         blocks.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    return (
+    survivors = (
         kept.groupBy(id_col)
         .agg(
             F.array_join(
@@ -718,6 +720,12 @@ def block_dedup(
             ).alias("text_dedup"),
             F.count(F.lit(1)).cast("bigint").alias("n_blocks_kept"),
         )
+    )
+    return df.select(id_col).join(survivors, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_blocks_kept"), F.lit(0)).cast("bigint")
+        .alias("n_blocks_kept"),
     )
 
 
@@ -744,11 +752,20 @@ def block_dedup_oracle(table: str = "documents", block: int = 16) -> str:
             FROM blocks
         ) WHERE rn = 1
     )
-    SELECT doc_id,
-           string_agg(btext, ' ' ORDER BY bidx) AS text_dedup,
-           count(*) AS n_blocks_kept
-    FROM kept GROUP BY doc_id
+    SELECT d.doc_id,
+           coalesce(g.text_dedup, '') AS text_dedup,
+           coalesce(g.n_blocks_kept, 0) AS n_blocks_kept
+    FROM {table} d LEFT JOIN (
+        SELECT doc_id,
+               string_agg(btext, ' ' ORDER BY bidx) AS text_dedup,
+               count(*) AS n_blocks_kept
+        FROM kept GROUP BY doc_id
+    ) g USING (doc_id)
     """
+
+
+# see incremental_dedup: holds at most the latest call's pinned frame
+_INCREMENTAL_CACHE: list = []
 
 
 def _banded(
@@ -808,6 +825,13 @@ def incremental_dedup(
     new rows as (id, text_md5)."""
     from pyspark.storagelevel import StorageLevel
 
+    # bound the cache footprint across repeated calls (a continuous
+    # ingest loop calls this per batch): release the PREVIOUS call's
+    # pinned survivors before pinning this one — at most one batch's
+    # cache outlives its call
+    while _INCREMENTAL_CACHE:
+        _INCREMENTAL_CACHE.pop().unpersist()
+
     corpus_md5 = corpus_df.select(
         F.md5(F.col(text_col)).alias("__md5")
     ).distinct()
@@ -821,6 +845,7 @@ def incremental_dedup(
     exact_ok = hashed.join(corpus_md5, "__md5", "left_anti").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _INCREMENTAL_CACHE.append(exact_ok)
 
     new_bands = _banded(exact_ok, text_col, id_col, k, bands, shingle) \
         .select(F.col(id_col).alias("new_id"), "band", "bucket")

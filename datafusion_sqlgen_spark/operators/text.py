@@ -766,7 +766,9 @@ def c4_filters(
         ((ml >= 3.0) & (ml <= 10.0)).alias("mean_len_ok"),
         (~t.contains("{")).alias("no_brace"),
         (~F.lower(t).contains("lorem ipsum")).alias("no_lorem"),
-        t.rlike(r"[.!?]$").alias("ends_punct"),
+        # \z (absolute end) — Java's $ matches before a trailing
+        # newline, RE2's does not; \z agrees in both engines
+        t.rlike(r"[.!?]\z").alias("ends_punct"),
         (
             (nw >= 5) & (ml >= 3.0) & (ml <= 10.0)
             & ~t.contains("{") & ~F.lower(t).contains("lorem ipsum")
@@ -788,7 +790,7 @@ def c4_filters_oracle(table: str = "documents") -> str:
            ({mean_len} >= 3.0 AND {mean_len} <= 10.0) AS mean_len_ok,
            NOT contains(text, '{{') AS no_brace,
            NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
-           regexp_matches(text, '[.!?]$') AS ends_punct,
+           regexp_matches(text, '[.!?]\z') AS ends_punct,
            (len({words}) >= 5 AND {mean_len} >= 3.0 AND {mean_len} <= 10.0
             AND NOT contains(text, '{{')
             AND NOT contains(lower(text), 'lorem ipsum')) AS keep

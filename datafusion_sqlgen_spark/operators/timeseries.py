@@ -409,16 +409,6 @@ def funnel_oracle(
         f"list_sort(list(ts) FILTER (WHERE event_type = '{s}')) AS ts_{i}"
         for i, s in enumerate(steps)
     )
-    reach_exprs = []
-    prev = None
-    for i, s in enumerate(steps):
-        if prev is None:
-            e = f"ts_{i}[1]"
-        else:
-            e = f"(list_filter(ts_{i}, x -> x > {prev}))[1]"
-        reach_exprs.append(f"{e} AS reach_{s}")
-        prev = f"reach_{s}"
-    # DuckDB lateral-references prior SELECT aliases? No — nest instead
     step_in = ", ".join(f"'{s}'" for s in steps)
     nested = (
         f"SELECT user_id, {lists} FROM {table} "

@@ -1138,6 +1138,13 @@ class _Parser:
         "year", "month", "day", "hour", "minute", "second", "quarter",
         "dayofyear", "weekofyear",
     }
+    # "dow" routes through the registry's dayofweek, which pins SPARK's
+    # convention (Sunday=1..7) in both dialects. The engines' own
+    # EXTRACT(DOW) semantics DISAGREE (Spark 1-7, DuckDB 0-6), so no
+    # choice can match both native behaviors — this engine's contract is
+    # Spark semantics, and the DuckDB render compensates (+1). A bare
+    # date_part('dow', e) fallback would silently return engine-
+    # dependent values.
     _EXTRACT_ALIASES = {"doy": "dayofyear", "week": "weekofyear",
                         "dow": "dayofweek"}
 

@@ -74,19 +74,30 @@ def plan_text(df: DataFrame) -> str:
 def audit_plan(df: DataFrame) -> PlanAudit:
     txt = plan_text(df)
     phys = df._jdf.queryExecution().executedPlan().toString()
+    # count operators from the formatted explain's numbered detail
+    # headers — each physical node appears there exactly ONCE (the tree
+    # section repeats every node, and substring counting would also fold
+    # BroadcastExchange/ReusedExchange into the shuffle-Exchange count)
+    ops = re.findall(r"^\(\d+\) (\w+)", txt, re.M)
+    # codegen spans are only visible in the codegen explain (the AQE
+    # executedPlan hides them behind AdaptiveSparkPlan pre-execution)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    codegen = "WholeStageCodegen" in buf.getvalue()
     return PlanAudit(
         pushed_filters=re.findall(r"PushedFilters: (\[[^\]]*\])", txt),
         read_schemas=re.findall(r"ReadSchema: (\S+)", txt),
-        n_exchanges=txt.count("Exchange"),
-        n_broadcasts=txt.count("BroadcastExchange"),
-        n_sort_merge_joins=txt.count("SortMergeJoin"),
-        n_broadcast_joins=txt.count("BroadcastHashJoin"),
-        n_nested_loop_joins=txt.count("BroadcastNestedLoopJoin"),
+        n_exchanges=sum(1 for o in ops if o == "Exchange"),
+        n_broadcasts=sum(1 for o in ops if o == "BroadcastExchange"),
+        n_sort_merge_joins=sum(1 for o in ops if o == "SortMergeJoin"),
+        n_broadcast_joins=sum(1 for o in ops if o == "BroadcastHashJoin"),
+        n_nested_loop_joins=sum(
+            1 for o in ops if o == "BroadcastNestedLoopJoin"
+        ),
         has_cartesian="CartesianProduct" in txt,
         has_python_eval=("BatchEvalPython" in phys),
-        # best-effort: AQE shows codegen spans only after execution
-        has_whole_stage_codegen=("WholeStageCodegen" in phys
-                                 or "isFinalPlan=false" in phys),
+        has_whole_stage_codegen=codegen,
         plan_text=txt,
     )
 

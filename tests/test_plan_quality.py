@@ -501,3 +501,13 @@ def test_incremental_dedup_no_cartesian_anti_join(spark, queries):
     assert "LeftAnti" in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_unigram_logprob_broadcast_vocab(spark, queries):
+    """The vocabulary (top-V + scalar total) must broadcast back to the
+    exploded words — the corpus shuffles once (term counts), never for
+    the scoring join."""
+    txt = plan_text(queries["text_unigram_logprob"](spark, SF_DIR))
+    assert txt.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in txt
+    assert "TakeOrderedAndProject" in txt  # top-V vocab, not a full sort
