@@ -475,6 +475,17 @@ class _Parser:
             limit = int(self.next().text)
         if self.eat_kw("OFFSET"):
             offset = int(self.next().text)
+            # SQL-standard `OFFSET n ROWS` noise words
+            self.eat_kw("ROWS") or self.eat_kw("ROW")
+        if self.at_kw("FETCH"):
+            # SQL-standard FETCH {FIRST|NEXT} n ROWS ONLY == LIMIT n
+            # (re-rendered as LIMIT — Spark has no FETCH)
+            self.next()
+            if not (self.eat_kw("FIRST") or self.eat_kw("NEXT")):
+                raise ParseError("expected FIRST or NEXT after FETCH")
+            limit = int(self.next().text)
+            self.eat_kw("ROWS") or self.eat_kw("ROW")
+            self.expect_kw("ONLY")
 
         # ---- assemble ----
         if base is None:

@@ -344,3 +344,56 @@ def streaming_text_filter(docs: DataFrame) -> DataFrame:
     from datafusion_sqlgen_spark.operators import text as t
 
     return t.c4_filters(t.prepare_documents(docs))
+
+
+def streaming_incremental_dedup_sink(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+) -> "object":
+    """Continuous corpus ingestion with dedup: every micro-batch is
+    (1) within-batch exact-deduped (lowest id per content hash),
+    (2) deduped against the ACCUMULATED corpus via the batch
+    ``incremental_dedup`` operator (exact md5 anti-join + LSH
+    candidates + Jaccard verify), (3) appended to the corpus parquet.
+
+    The same operator that updates a batch corpus daily runs here
+    per-trigger — foreachBatch is the bridge (the corpus read inside
+    the batch function sees all previous appends). The checkpoint pins
+    source offsets, so replays re-process no files and the corpus never
+    double-ingests."""
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.dedup import incremental_dedup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+            F.col("doc_id")
+        )
+        batch_unique = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            corpus = spark.read.parquet(corpus_path)
+            have_corpus = True
+        except Exception:  # first batch: no corpus yet
+            have_corpus = False
+        if have_corpus:
+            admitted_ids = incremental_dedup(batch_unique, corpus).select(
+                "doc_id"
+            )
+            admitted = batch_unique.join(admitted_ids, "doc_id", "left_semi")
+        else:
+            admitted = batch_unique
+        admitted.write.mode("append").parquet(corpus_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

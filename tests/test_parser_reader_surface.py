@@ -153,3 +153,12 @@ def test_case_operand_desugars_to_searched():
 def test_order_by_all_star_rejected():
     with pytest.raises(ParseError, match="ORDER BY ALL"):
         parse_sql("SELECT * FROM nation ORDER BY ALL")
+
+
+def test_fetch_first_parses_to_limit(spark, duck):
+    plan = parse_sql(
+        "SELECT n_name FROM nation ORDER BY n_name ASC NULLS FIRST "
+        "OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY"
+    )
+    assert "LIMIT 3" in plan.to_sql("spark")
+    assert_plan_matches_oracle(spark, duck, plan)

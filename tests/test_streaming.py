@@ -391,3 +391,35 @@ def test_streaming_text_filter_matches_batch(spark, docs_stream_dir):
     )
     want = normalize_rows(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_streaming_incremental_dedup_sink(spark, docs_stream_dir, tmp_path):
+    """Continuous dedup ingestion: per-trigger incremental_dedup against
+    the accumulating corpus. Invariants: the final corpus is exact-dup
+    free, every admitted row came from the input, and a checkpointed
+    restart re-ingests nothing."""
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    stream = st.read_documents_stream(spark, docs_stream_dir)
+    q = st.streaming_incremental_dedup_sink(stream, corpus, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    final = spark.read.parquet(corpus)
+    n = final.count()
+    assert n > 0
+    # exact-duplicate free
+    assert final.select(F.md5("text")).distinct().count() == n
+    # subset of the input
+    src = spark.table("documents")
+    assert final.join(src, "doc_id", "left_anti").count() == 0
+    # never larger than the input's distinct-text count
+    assert n <= src.select(F.md5("text")).distinct().count()
+
+    # checkpointed restart: no new files -> no new rows
+    q2 = st.streaming_incremental_dedup_sink(
+        st.read_documents_stream(spark, docs_stream_dir), corpus, ckpt
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(corpus).count() == n
