@@ -203,3 +203,92 @@ def sample_frames_oracle(
            unnest(generate_series(0, greatest({dur} - 1, 0), {every_ms})) AS frame_ms
     FROM {table}
     """
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(mm: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint: decode to a
+    ``grid x grid`` intensity patch (the stubbed codec lane — swap
+    decode_real in for production), then bit i = pixel_i > mean, packed
+    into a 64-bit integer. Near-duplicate images differ in few bits.
+
+    Decode runs in mapInPandas (Arrow batches, payloads never on the
+    driver); the packed hash is 8 bytes per image — the only thing any
+    later stage shuffles."""
+    import pandas as pd
+
+    _decode = _make_local_decoder()
+    n = grid * grid
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                px = _decode(p, n)
+                mean = sum(px) / n
+                h = 0
+                for i, v in enumerate(px):
+                    if v > mean:
+                        h |= 1 << i
+                # two's-complement into signed 64-bit for LongType
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return mm.mapInPandas(hash_batch, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    mm: DataFrame, max_hamming: int = 8, n_chunks: int = 4
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: band the 64-bit aHash into
+    ``n_chunks`` 16-bit chunks — any pair within ``max_hamming`` <
+    16*(n_chunks-1)... more precisely, pairs differing in fewer than
+    ``n_chunks`` chunks share at least one identical chunk (pigeonhole:
+    hamming <= n_chunks-1 bits guarantees it; larger budgets keep high
+    recall in practice) — candidates equi-join on (chunk_idx, value),
+    then the exact popcount-hamming verify runs on candidates only.
+    Same candidates-not-cross-product shape as MinHash-LSH; all
+    JVM-side after the hash (shiftright / bitwise AND / bit_count)."""
+    hashed = perceptual_hash(mm)
+    chunks = hashed.select(
+        "doc_id", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col("phash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "phash", F.col("c.ci").alias("ci"),
+             F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("h_a"),
+        "ci", "cv",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("h_b"),
+        "ci", "cv",
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -182,3 +182,40 @@ def test_chunk_documents_overlap_semantics(spark):
     # second chunk starts at word 24 and holds the 16-word tail
     assert rows[1]["n_words"] == 16 and rows[1]["chunk"].startswith("24 25")
     assert set(rows) == {0, 1}
+
+
+def test_perceptual_hash_deterministic(spark):
+    from datafusion_sqlgen_spark.operators import multimodal as mm
+
+    docs = spark.table("documents").limit(50)
+    wrapped = mm.as_multimodal(docs)
+    h1 = {r["doc_id"]: r["phash"] for r in mm.perceptual_hash(wrapped).collect()}
+    h2 = {r["doc_id"]: r["phash"] for r in mm.perceptual_hash(wrapped).collect()}
+    assert h1 == h2 and len(h1) == 50
+
+
+def test_phash_near_dup_finds_exact_payload_dups(spark):
+    """Identical payloads hash identically (hamming 0); the fake
+    decoder's avalanche means distinct payloads are unrelated — so the
+    found pairs are exactly the duplicated-payload pairs."""
+    from datafusion_sqlgen_spark.operators import multimodal as mm
+
+    rows = [(1, "same image bytes"), (2, "same image bytes"),
+            (3, "other payload"), (4, "third thing"),
+            (5, "same image bytes")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = mm.phash_near_dup_pairs(mm.as_multimodal(df), max_hamming=4)
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect())
+    assert got == [(1, 2, 0), (1, 5, 0), (2, 5, 0)]
+
+
+def test_phash_pairs_stay_candidate_bounded(spark):
+    """Plan shape: the pair search is a chunk-keyed equi self-join —
+    no cartesian, no nested loop."""
+    from datafusion_sqlgen_spark.operators import multimodal as mm
+
+    docs = spark.table("documents").limit(100)
+    df = mm.phash_near_dup_pairs(mm.as_multimodal(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
