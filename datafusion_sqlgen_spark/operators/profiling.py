@@ -155,3 +155,70 @@ def merged_distinct_estimate(sketches: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_est")
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Fixed-range histogram of a numeric column: ``width_bucket``
+    binning (bin 0 = below range, nbins+1 = above), counts per bin with
+    explicit bounds — the data-profiling staple. One map-side-combined
+    aggregation over at most nbins+2 groups; empty bins are densified
+    with a tiny generated spine so the output shape is stable.
+
+    Deterministic and engine-portable: width_bucket has identical
+    semantics in Spark and DuckDB (the registry maps it), and the bin
+    bounds are pure arithmetic."""
+    b = F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(nbins))
+    counts = df.filter(F.col(col).isNotNull()).groupBy(
+        b.cast("int").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spark = df.sparkSession
+    spine = spark.range(0, nbins + 2).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    width = (hi - lo) / nbins
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + (F.col("bin") - 1) * F.lit(width), 6)
+            .alias("bin_lo"),
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6)
+            .alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def histogram_oracle(
+    table: str, col: str, lo: float, hi: float, nbins: int = 10
+) -> str:
+    width = (hi - lo) / nbins
+    # DuckDB 1.x has no width_bucket — the registry's CASE formula
+    # (functions/registry.py) is inlined here verbatim
+    wb = (
+        f"(CASE WHEN ({col}) < ({lo}) THEN 0 "
+        f"WHEN ({col}) >= ({hi}) THEN ({nbins}) + 1 "
+        f"ELSE CAST(floor((({col}) - ({lo})) * ({nbins}) "
+        f"/ (({hi}) - ({lo}))) AS BIGINT) + 1 END)"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT CAST({wb} AS INT) AS bin,
+               count(*) AS n
+        FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+    ),
+    spine AS (
+        SELECT CAST(unnest(range(0, {nbins + 2})) AS INT) AS bin
+    )
+    SELECT bin,
+           round({lo} + (bin - 1) * {width}, 6) AS bin_lo,
+           round({lo} + bin * {width}, 6) AS bin_hi,
+           coalesce(n, 0) AS n
+    FROM spine LEFT JOIN counts USING (bin)
+    """

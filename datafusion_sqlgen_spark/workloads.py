@@ -1900,6 +1900,15 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: profiling.key_skew(s.table("events"), "user_id"),
             profiling.key_skew_oracle("events", "user_id"),
         ),
+        # fixed-range histogram with densified empty bins
+        "profile_histogram": (
+            lambda s: profiling.histogram(
+                s.table("orders"), "o_totalprice", 0.0, 600000.0, 12
+            ),
+            profiling.histogram_oracle(
+                "orders", "o_totalprice", 0.0, 600000.0, 12
+            ),
+        ),
         # JSON-lines write -> schema-on-read -> aggregate (source path)
         "source_jsonl_roundtrip": (
             _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
@@ -1985,7 +1994,7 @@ R4_ADDITIONS: list[str] = [
     "parsed_distinct_on", "parsed_pivot_status",
     "source_jsonl_roundtrip", "sim_ivf_topk_trained", "dedup_incremental",
     "ts_funnel_steps", "ts_cohort_retention", "source_csv_roundtrip",
-    "pipeline_curation", "text_unigram_logprob",
+    "pipeline_curation", "text_unigram_logprob", "profile_histogram",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
@@ -2059,7 +2068,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
     # sim_ivf_topk_trained, dedup_incremental, ts_funnel_steps,
     # ts_cohort_retention, source_csv_roundtrip, pipeline_curation,
-    # text_unigram_logprob ----
+    # text_unigram_logprob, profile_histogram ----
     # ---- 50-entry driver sample boundary (everything below already has a
     # green row in some round; catalog order follows) ----
 ]
