@@ -790,7 +790,7 @@ def c4_filters_oracle(table: str = "documents") -> str:
            ({mean_len} >= 3.0 AND {mean_len} <= 10.0) AS mean_len_ok,
            NOT contains(text, '{{') AS no_brace,
            NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
-           regexp_matches(text, '[.!?]\z') AS ends_punct,
+           regexp_matches(text, '[.!?]\\z') AS ends_punct,
            (len({words}) >= 5 AND {mean_len} >= 3.0 AND {mean_len} <= 10.0
             AND NOT contains(text, '{{')
             AND NOT contains(lower(text), 'lorem ipsum')) AS keep
