@@ -103,6 +103,7 @@ HEADLINE = [
     # mixing (broadcast rate table), ANN recall audit, sharded write
     "dedup_block_level",
     "text_c4_filters",
+    "text_gopher_filters",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",

@@ -1947,6 +1947,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # the published Gopher/MassiveText quality rule set, one flag
+        # per rule (the c4_filters companion — together the standard
+        # public pre-training filter stack)
+        "text_gopher_filters": (
+            lambda s: text.gopher_filters(s.table("documents")),
+            text.gopher_filters_oracle(),
+        ),
         # IVF probe over kmeans-trained centroids (index build + search)
         "sim_ivf_topk_trained": (
             lambda s: similarity.ivf_topk_trained(

@@ -451,6 +451,18 @@ def test_c4_filters_single_pass_no_shuffle(spark, queries):
     assert plan.count("split(") == 1, "tokenization duplicated"
 
 
+def test_gopher_filters_single_pass_no_shuffle(spark, queries):
+    """Gopher rules are a pure narrow map like the C4 chain: zero
+    exchanges, and each staged array (words, lines) tokenizes ONCE —
+    inline reuse would copy the split into every count column."""
+    df = queries["text_gopher_filters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("aggregate(") == 1, "length reduction duplicated"
+    # exactly two tokenizations: words (regex split) + lines (newline)
+    assert plan.count("split(") == 2, plan.count("split(")
+
+
 def test_temperature_mix_broadcast_rates(spark, queries):
     """The per-source rate table (#sources rows) must broadcast back to
     the corpus; documents never hash-shuffle."""
