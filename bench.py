@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_block_level",
     "text_c4_filters",
     "text_gopher_filters",
+    "sample_global_shuffle",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",

@@ -257,3 +257,49 @@ def temperature_mix_oracle(
     JOIN thresholds th USING ({source_col})
     WHERE {_bucket_sql('t.' + id_col, salt)} < th.thr
     """
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    out_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global shuffle — the training-order randomizer.
+
+    Training runs need the corpus in a random BUT reproducible order
+    (epoch seed = ``salt``): ``ORDER BY rand()`` changes across runs and
+    engines, and a driver-side shuffle doesn't exist at 100 TB. This
+    derives ``shuffle_key = md5(id:salt)`` — a uniform, engine-portable
+    permutation of ids — then range-repartitions on the key and sorts
+    within partitions: partition *i*'s keys all precede partition
+    *i+1*'s, so writing partitions in index order yields one globally
+    shuffled sequence without a single-partition global sort.
+
+    Scale shape: ONE range exchange (boundaries from Spark's fixed-seed
+    range sampler) + per-partition sort. Changing ``salt`` draws a fresh
+    epoch order; same salt → byte-identical order on every run and
+    cluster size (row→partition assignment may move with the boundary
+    sample, but the (shuffle_key, id) total order — and anything written
+    in partition-then-offset order — does not)."""
+    out = df.withColumn("shuffle_key", _bucket_full_col(id_col, salt))
+    n = out_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return out.repartitionByRange(n, "shuffle_key", id_col).sortWithinPartitions(
+        "shuffle_key", id_col
+    )
+
+
+def deterministic_shuffle_oracle(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    cols: str = "*",
+) -> str:
+    # the permutation lives in the key column; row order itself is
+    # compare-insensitive (the driver hashes sorted rows)
+    return (
+        f"SELECT {cols}, md5(CAST({id_col} AS VARCHAR) || ':{salt}') "
+        f"AS shuffle_key FROM {table}"
+    )

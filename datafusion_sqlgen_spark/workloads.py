@@ -1947,6 +1947,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # reproducible global shuffle (training-order randomization):
+        # md5 epoch key + ONE range exchange, no single-partition sort
+        "sample_global_shuffle": (
+            lambda s: sampling.deterministic_shuffle(s.table("documents"))
+            .select("doc_id", "source", "shuffle_key"),
+            sampling.deterministic_shuffle_oracle(cols="doc_id, source"),
+        ),
         # the published Gopher/MassiveText quality rule set, one flag
         # per rule (the c4_filters companion — together the standard
         # public pre-training filter stack)

@@ -467,3 +467,48 @@ def test_materialize_dedup(spark, duck):
     assert reps.subtract(kept).count() == 0
     assert out.count() == docs.count() - dropped.count()
     check(spark, duck, out, dedup.materialize_dedup_oracle(threshold=0.2))
+
+
+def test_deterministic_shuffle_order(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    shuffled = sampling.deterministic_shuffle(docs, out_partitions=8)
+    # global order: every partition's keys precede the next partition's,
+    # and rows are sorted within each partition
+    parts = (
+        shuffled.select(
+            F.spark_partition_id().alias("pid"), "shuffle_key", "doc_id"
+        )
+        .groupBy("pid")
+        .agg(
+            F.min("shuffle_key").alias("lo"),
+            F.max("shuffle_key").alias("hi"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev.hi <= cur.lo, (prev, cur)
+    seq = [r.shuffle_key for r in shuffled.select("shuffle_key").collect()]
+    # collect preserves partition-then-offset order in local mode
+    assert seq == sorted(seq)
+    # reproducible across runs; a new salt draws a different epoch order
+    ids1 = [r.doc_id for r in shuffled.select("doc_id").collect()]
+    ids2 = [
+        r.doc_id
+        for r in sampling.deterministic_shuffle(docs, out_partitions=8)
+        .select("doc_id").collect()
+    ]
+    assert ids1 == ids2
+    ids3 = [
+        r.doc_id
+        for r in sampling.deterministic_shuffle(
+            docs, salt="epoch2", out_partitions=8
+        ).select("doc_id").collect()
+    ]
+    assert ids3 != ids1 and sorted(ids3) == sorted(ids1)
+    # the key column matches the oracle's md5 permutation exactly
+    check(spark, duck,
+          shuffled.select("doc_id", "shuffle_key"),
+          sampling.deterministic_shuffle_oracle(cols="doc_id"))

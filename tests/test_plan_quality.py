@@ -463,6 +463,16 @@ def test_gopher_filters_single_pass_no_shuffle(spark, queries):
     assert plan.count("split(") == 2, plan.count("split(")
 
 
+def test_global_shuffle_range_partitioned(spark, queries):
+    """The epoch shuffle is ONE range exchange + within-partition sort —
+    never a single-partition global Sort (the ORDER BY rand() trap)."""
+    plan = queries["sample_global_shuffle"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1, plan[:400]
+
+
 def test_temperature_mix_broadcast_rates(spark, queries):
     """The per-source rate table (#sources rows) must broadcast back to
     the corpus; documents never hash-shuffle."""
