@@ -658,6 +658,75 @@ def materialize_dedup_oracle(
     """
 
 
+def quality_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`materialize_dedup` with quality-aware representative
+    selection: within each near-dup cluster keep the HIGHEST-quality
+    document (ties → smallest id) instead of the smallest id — the
+    curation-grade policy (when a page was scraped twice, ship the clean
+    copy, not the one that happens to have the lower id).
+
+    Scale: clusters are duplicate docs only (tiny); quality is computed
+    ONLY for clustered docs via a broadcast semi-join — the corpus at
+    large is never scored, never shuffled. The rank window partitions by
+    cluster_id over the tiny clustered set, and the final pass is the
+    same broadcast LEFT ANTI as materialize_dedup."""
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.text import quality_score
+
+    clusters = near_dup_clusters(
+        df, text_col, id_col, k=k, bands=bands, shingle=shingle,
+        threshold=threshold,
+    )
+    clustered = df.join(
+        F.broadcast(clusters.select(id_col)), id_col, "left_semi"
+    )
+    scored = quality_score(clustered, text_col, id_col).select(
+        id_col, "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.join(F.broadcast(clusters), id_col).select(
+        id_col, F.row_number().over(w).alias("rn")
+    )
+    drop = ranked.filter(F.col("rn") > 1).select(id_col)
+    return df.join(F.broadcast(drop), id_col, "left_anti").select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    )
+
+
+def quality_dedup_oracle(
+    table: str = "documents", k: int = 4, bands: int = 2, shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    from datafusion_sqlgen_spark.operators.text import quality_score_oracle
+
+    clusters_sql = near_dup_clusters_oracle(
+        table, k=k, bands=bands, shingle=shingle, threshold=threshold
+    )
+    return f"""
+    WITH q AS (SELECT doc_id, quality FROM ({quality_score_oracle(table)})),
+    ranked AS (
+        SELECT c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+        FROM ({clusters_sql}) c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, md5(text) AS text_md5
+    FROM {table}
+    WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """
+
+
 def block_dedup(
     df: DataFrame,
     text_col: str = "text",

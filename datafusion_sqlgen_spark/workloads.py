@@ -1644,6 +1644,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: dedup.simhash(s.table("documents")),
             dedup.simhash_oracle(),
         ),
+        # quality-aware terminus: each cluster keeps its highest-quality
+        # doc (ties -> smallest id); only clustered docs are ever scored
+        "dedup_quality_rep": (
+            lambda s: dedup.quality_dedup(s.table("documents"), threshold=0.2),
+            dedup.quality_dedup_oracle(threshold=0.2),
+        ),
         "dedup_ngram_jaccard": (
             lambda s: dedup.ngram_jaccard_pairs(
                 s.table("documents"), max_left_id=20, threshold=0.05

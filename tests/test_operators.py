@@ -512,3 +512,29 @@ def test_deterministic_shuffle_order(spark, duck):
     check(spark, duck,
           shuffled.select("doc_id", "shuffle_key"),
           sampling.deterministic_shuffle_oracle(cols="doc_id"))
+
+
+def test_quality_dedup_keeps_best_copy(spark):
+    from pyspark.sql import functions as F
+
+    # two near-identical docs; the HIGHER-id copy is cleaner (no junk
+    # punctuation), so quality-aware selection must invert min-id policy
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    noisy = base + " ###$$$%%%^^^&&&***!!!???###$$$%%%"
+    rows = [
+        (1, noisy),
+        (2, base),
+        (10, "a completely different document about spark partitions"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    survivors = sorted(
+        r.doc_id
+        for r in dedup.quality_dedup(docs, threshold=0.2).collect()
+    )
+    assert survivors == [2, 10], survivors
+    # min-id policy keeps doc 1 instead — the policies genuinely differ
+    minid = sorted(
+        r.doc_id
+        for r in dedup.materialize_dedup(docs, threshold=0.2).collect()
+    )
+    assert minid == [1, 10], minid
