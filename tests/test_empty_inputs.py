@@ -175,3 +175,11 @@ def test_funnel_cohort_on_empty(spark):
 
 def test_unigram_logprob_on_empty(spark, empty_docs):
     assert text.unigram_logprob(empty_docs).count() == 0
+
+
+def test_round4d_ops_on_empty(spark, empty_docs):
+    from datafusion_sqlgen_spark.operators import sampling
+
+    assert text.gopher_filters(empty_docs).count() == 0
+    assert sampling.deterministic_shuffle(empty_docs).count() == 0
+    assert dedup.quality_dedup(empty_docs).count() == 0

@@ -84,3 +84,8 @@ def test_divergence_is_real_without_preparation(spark):
     )
     row = text.token_stats(df).collect()[0]
     assert row["n_tokens"] == -1
+
+
+def test_gopher_filters_on_prepared_nulls(null_env):
+    prepared, con = null_env
+    _cmp(text.gopher_filters(prepared), con, text.gopher_filters_oracle())
