@@ -105,6 +105,7 @@ HEADLINE = [
     "text_c4_filters",
     "text_gopher_filters",
     "sample_global_shuffle",
+    "text_bm25_topk",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",

@@ -1063,3 +1063,124 @@ def gopher_filters_oracle(
             AND ellipsis_line_frac <= {max_ellipsis_frac}) AS keep
     FROM ratios
     """
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed term query (Robertson &
+    Zaragoza 2009; Lucene's non-negative idf variant) — the lexical
+    retrieval primitive behind eval-contamination lookups, hard-negative
+    mining, and quality probes over a training corpus.
+
+    Scale shape, deliberately explode-free: per-document term
+    frequencies come from ``size(filter(words, = term))`` per query term
+    — ONE narrow pass over the corpus, no posting-list shuffle (the
+    query is fixed and small, so tf is a per-row computation, not a
+    join). Corpus statistics (N, avgdl, per-term df) reduce to a single
+    1-row aggregate that broadcasts back; scoring is another narrow map
+    and the top-k is a TakeOrdered, not a global sort. Ranking uses the
+    ROUNDED score (ties → smallest id) so libm ULP noise can't reorder
+    engines."""
+    if not query_terms or len(query_terms) > 16:
+        raise ValueError("query_terms must hold 1..16 terms")
+    staged = df.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("__w")
+    )
+    w = F.col("__w")
+
+    def eq(term: str):
+        # a default-arg capture (lambda x, t=t: ...) would make the
+        # lambda binary, which F.filter treats as (element, INDEX)
+        return lambda x: x == F.lit(term)
+
+    per_doc = staged.select(
+        F.col(id_col),
+        F.size(w).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(w, eq(t))).cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * tf * (k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("__raw"))
+        .filter(F.col("__raw") > 0)
+        .select(F.col(id_col), F.round("__raw", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle(
+    query_terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(w, x -> x = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ",\n               ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i in range(len(query_terms))
+    )
+    parts = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * ({k1} + 1.0)"
+        f" / (tf_{i} + {k1} * ((1.0 - {b}) + {b} * dl / avgdl)))"
+        for i in range(len(query_terms))
+    )
+    return f"""
+    WITH staged AS (
+        SELECT doc_id, string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}') AS w
+        FROM {table}
+    ),
+    perdoc AS (
+        SELECT doc_id, len(w)::DOUBLE AS dl,
+               {tf_cols}
+        FROM staged
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+               {df_cols}
+        FROM perdoc
+    ),
+    scored AS (
+        SELECT doc_id, {parts} AS raw
+        FROM perdoc CROSS JOIN stats
+    )
+    SELECT doc_id, round(raw, 4) AS bm25
+    FROM scored WHERE raw > 0
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {k}
+    """

@@ -1953,6 +1953,14 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # Okapi BM25 top-k retrieval, explode-free (per-row tf for the
+        # fixed query; 1-row corpus stats broadcast; TakeOrdered top-k)
+        "text_bm25_topk": (
+            lambda s: text.bm25_topk(
+                s.table("documents"), ["hash", "join", "vector"], k=25
+            ),
+            text.bm25_topk_oracle(["hash", "join", "vector"], k=25),
+        ),
         # reproducible global shuffle (training-order randomization):
         # md5 epoch key + ONE range exchange, no single-partition sort
         "sample_global_shuffle": (

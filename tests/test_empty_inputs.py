@@ -183,3 +183,7 @@ def test_round4d_ops_on_empty(spark, empty_docs):
     assert text.gopher_filters(empty_docs).count() == 0
     assert sampling.deterministic_shuffle(empty_docs).count() == 0
     assert dedup.quality_dedup(empty_docs).count() == 0
+
+
+def test_bm25_on_empty(spark, empty_docs):
+    assert text.bm25_topk(empty_docs, ["hash"]).count() == 0

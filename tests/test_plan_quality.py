@@ -463,6 +463,20 @@ def test_gopher_filters_single_pass_no_shuffle(spark, queries):
     assert plan.count("split(") == 2, plan.count("split(")
 
 
+def test_bm25_explode_free_takeordered(spark, queries):
+    """BM25 tf is per-row (no posting-list explode), corpus stats are a
+    1-row broadcast, and the top-k is a TakeOrdered, not a global sort."""
+    plan = queries["text_bm25_topk"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "posting-list explode crept in"
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only exchange is the 1-row stats broadcast — the corpus never
+    # hash- or range-shuffles
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_global_shuffle_range_partitioned(spark, queries):
     """The epoch shuffle is ONE range exchange + within-partition sort —
     never a single-partition global Sort (the ORDER BY rand() trap)."""
