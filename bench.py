@@ -106,6 +106,7 @@ HEADLINE = [
     "text_gopher_filters",
     "sample_global_shuffle",
     "text_bm25_topk",
+    "text_dsir_weights",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",

@@ -1184,3 +1184,119 @@ def bm25_topk_oracle(
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the published recipe, with hashed-ngram features
+    simplified to the same top-V unigram model :func:`unigram_logprob`
+    uses): each corpus document's weight is its mean token
+    log-likelihood RATIO between the target domain's unigram
+    distribution and the corpus's own, ``mean(log p_target(t) - log
+    p_source(t))``. Positive = more target-like than average; feed the
+    weights to threshold or temperature sampling to select a
+    domain-matched subset.
+
+    Scale shape: two tiny vocabularies (one term count per corpus, each
+    reduced to a broadcast top-V table with its total attached), then
+    ONE explode of the scored corpus with two broadcast lookups and a
+    doc-keyed re-aggregation. The corpus shuffles once (its own term
+    count); the target corpus — typically small — once."""
+
+    def vocab(src: DataFrame, prefix: str):
+        exploded = src.select(
+            F.explode(words_col(F.col(text_col))).alias("term")
+        )
+        freqs = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        totals = freqs.agg(F.sum("c").alias(f"{prefix}_total"))
+        top = (
+            freqs.orderBy(F.col("c").desc(), F.col("term").asc())
+            .limit(vocab_size)
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "term",
+                F.log(F.col("c") / F.col(f"{prefix}_total"))
+                .alias(f"{prefix}_logp"),
+            )
+        )
+        return top, totals
+
+    tgt_vocab, tgt_totals = vocab(target_df, "tgt")
+    src_vocab, src_totals = vocab(df, "src")
+    exploded = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    scored = (
+        exploded.join(F.broadcast(tgt_vocab), "term", "left")
+        .join(F.broadcast(src_vocab), "term", "left")
+        .crossJoin(F.broadcast(tgt_totals))
+        .crossJoin(F.broadcast(src_totals))
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(
+                    F.col("tgt_logp"),
+                    F.log(F.lit(alpha) / F.col("tgt_total")),
+                )
+                - F.coalesce(
+                    F.col("src_logp"),
+                    F.log(F.lit(alpha) / F.col("src_total")),
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lr"), 4).alias("mean_logratio"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
+def dsir_weights_oracle(
+    table: str = "documents",
+    target_where: str = "lang = 'de'",
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+) -> str:
+    words = "string_split_regex(lower(text), '\\s+')"
+
+    def vocab(src: str, prefix: str) -> str:
+        return f"""
+    {prefix}_freqs AS (
+        SELECT term, count(*) AS c
+        FROM (SELECT unnest({words}) AS term FROM {src}) GROUP BY term
+    ),
+    {prefix}_totals AS (SELECT sum(c) AS total FROM {prefix}_freqs),
+    {prefix}_vocab AS (
+        SELECT term, ln(c / total) AS logp
+        FROM (SELECT term, c FROM {prefix}_freqs
+              ORDER BY c DESC, term ASC LIMIT {vocab_size})
+        CROSS JOIN {prefix}_totals
+    )"""
+
+    return f"""
+    WITH target AS (SELECT text FROM {table} WHERE {target_where}),
+    {vocab('target', 'tgt')},
+    {vocab(table, 'src')},
+    exploded AS (
+        SELECT doc_id, unnest({words}) AS term FROM {table}
+    )
+    SELECT doc_id,
+           round(avg(coalesce(tv.logp, ln({alpha} / tt.total))
+                     - coalesce(sv.logp, ln({alpha} / st.total))), 4)
+               AS mean_logratio,
+           count(*) AS n_words
+    FROM exploded e
+    LEFT JOIN tgt_vocab tv USING (term)
+    LEFT JOIN src_vocab sv USING (term)
+    CROSS JOIN tgt_totals tt
+    CROSS JOIN src_totals st
+    GROUP BY doc_id
+    """

@@ -1953,6 +1953,16 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # DSIR-style importance weights: mean unigram log-likelihood
+        # ratio of a target domain vs the corpus's own distribution
+        # (broadcast top-V vocabs; corpus shuffles once for its counts)
+        "text_dsir_weights": (
+            lambda s: text.dsir_weights(
+                s.table("documents"),
+                s.table("documents").filter(F.col("lang") == "de"),
+            ),
+            text.dsir_weights_oracle(target_where="lang = 'de'"),
+        ),
         # Okapi BM25 top-k retrieval, explode-free (per-row tf for the
         # fixed query; 1-row corpus stats broadcast; TakeOrdered top-k)
         "text_bm25_topk": (

@@ -538,3 +538,23 @@ def test_quality_dedup_keeps_best_copy(spark):
         for r in dedup.materialize_dedup(docs, threshold=0.2).collect()
     )
     assert minid == [1, 10], minid
+
+
+def test_dsir_weights_favor_target_domain(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    w = text.dsir_weights(docs, target)
+    means = {
+        r.lang: r.m
+        for r in w.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(F.avg("mean_logratio").alias("m")).collect()
+    }
+    # documents from the target domain must score higher than the
+    # corpus-average language under the target/source likelihood ratio
+    assert means["de"] == max(means.values()), means
+    assert means["de"] > means["en"], means
+    check(spark, duck,
+          w,
+          text.dsir_weights_oracle(target_where="lang = 'de'"))
