@@ -107,6 +107,7 @@ HEADLINE = [
     "sample_global_shuffle",
     "text_bm25_topk",
     "text_dsir_weights",
+    "join_fuzzy_names",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",

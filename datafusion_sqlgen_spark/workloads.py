@@ -1953,6 +1953,28 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # edit-distance join via positional q-gram blocking; the naive
+        # oracle proves the candidate generation lossless
+        "join_fuzzy_names": (
+            lambda s: joins.fuzzy_join(
+                s.table("part").filter(F.col("p_partkey") < 100).select(
+                    F.col("p_partkey").alias("id_a"),
+                    F.col("p_name").alias("name_a"),
+                ),
+                s.table("part").select(
+                    F.col("p_partkey").alias("id_b"),
+                    F.col("p_name").alias("name_b"),
+                ),
+                "id_a", "name_a", "id_b", "name_b", max_dist=1,
+            ).filter(F.col("id_a") < F.col("id_b")),
+            joins.fuzzy_join_oracle(
+                "SELECT p_partkey AS id_a, p_name AS name_a FROM part"
+                " WHERE p_partkey < 100",
+                "SELECT p_partkey AS id_b, p_name AS name_b FROM part",
+                "id_a", "name_a", "id_b", "name_b", max_dist=1,
+                extra_cond="AND a.id_a < b.id_b",
+            ),
+        ),
         # DSIR-style importance weights: mean unigram log-likelihood
         # ratio of a target domain vs the corpus's own distribution
         # (broadcast top-V vocabs; corpus shuffles once for its counts)

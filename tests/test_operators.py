@@ -558,3 +558,30 @@ def test_dsir_weights_favor_target_domain(spark, duck):
     check(spark, duck,
           w,
           text.dsir_weights_oracle(target_where="lang = 'de'"))
+
+
+def test_fuzzy_join_blocking_is_lossless(spark):
+    from pyspark.sql import functions as F
+
+    # edge cases: substitution, insertion (shifts every later gram),
+    # deletion, prefix/suffix edits, and a pair just over the bound
+    names = [
+        (1, "small ring"),
+        (2, "small wing"),   # substitution, dist 1
+        (3, "small rings"),  # suffix insertion, dist 1
+        (4, "smal ring"),    # interior deletion, dist 1
+        (5, "xsmall ring"),  # prefix insertion, dist 1
+        (6, "small kings"),  # dist 2 from #1 - must NOT match
+    ]
+    df = spark.createDataFrame(names, ["id_a", "name_a"])
+    rhs = df.select(
+        F.col("id_a").alias("id_b"), F.col("name_a").alias("name_b")
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in joins.fuzzy_join(
+            df, rhs, "id_a", "name_a", "id_b", "name_b", max_dist=1
+        ).filter("id_a < id_b").collect()
+    }
+    want = {(1, 2), (1, 3), (1, 4), (1, 5), (3, 6)}  # kings~rings s=1
+    assert got == want, got

@@ -463,6 +463,15 @@ def test_gopher_filters_single_pass_no_shuffle(spark, queries):
     assert plan.count("split(") == 2, plan.count("split(")
 
 
+def test_fuzzy_join_equi_on_grams(spark, queries):
+    """The edit-distance join must run as an EQUI join on the q-gram
+    key — never a nested-loop/cartesian over the string pair space."""
+    txt = plan_text(queries["join_fuzzy_names"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Join" in txt  # hash or sort-merge equi join on __gram
+
+
 def test_bm25_explode_free_takeordered(spark, queries):
     """BM25 tf is per-row (no posting-list explode), corpus stats are a
     1-row broadcast, and the top-k is a TakeOrdered, not a global sort."""
