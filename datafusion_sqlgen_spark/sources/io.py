@@ -22,17 +22,30 @@ from pyspark.sql import types as T
 
 
 def read_parquet(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Self-describing schema (reference tests/select.rs:73-78).
 
     Pass ``schema`` for datasets a pipeline stage may legitimately leave
     EMPTY (a partitioned write of zero rows has no parquet footers, so
     schema inference fails) — schema-on-read keeps the downstream stage
-    running on the degenerate case."""
+    running on the degenerate case.
+
+    Pass ``merge_schema=True`` for datasets whose schema EVOLVED across
+    writes (a long-lived corpus gains columns over time): footers from
+    all files are reconciled by name, older files surface NULL for
+    columns they predate. Off by default — merging reads every footer,
+    a real cost across millions of files; without it Spark trusts a
+    single file's footer."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
     if schema is not None:
-        return spark.read.schema(schema).parquet(path)
-    return spark.read.parquet(path)
+        return r.schema(schema).parquet(path)
+    return r.parquet(path)
 
 
 def read_csv(

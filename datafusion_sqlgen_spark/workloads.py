@@ -1322,6 +1322,42 @@ FROM documents GROUP BY lang
 """
 
 
+def _source_schema_evolution(s: SparkSession) -> DataFrame:
+    """Schema evolution across parquet writes — the long-lived-corpus
+    reality: generation 1 lacks a column generation 2 adds. Write both
+    generations to one dataset, read with ``merge_schema=True`` (footers
+    reconciled by name; old files surface NULL for the new column), and
+    aggregate per language counting which rows carry the new column.
+    The oracle computes the same split from the source table directly."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="src_evo_") + "/docs_evolved"
+    docs = s.table("documents")
+    gen1 = docs.filter(F.col("doc_id") < 250).select("doc_id", "lang", "n_chars")
+    gen2 = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "lang", "n_chars",
+        F.lit("scored").alias("quality_tier"),
+    )
+    sio.write_parquet(gen1, out)
+    sio.write_parquet(gen2, out, mode="append")
+    back = sio.read_parquet(s, out, merge_schema=True)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("quality_tier").cast("bigint").alias("n_with_tier"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_SOURCE_EVOLUTION_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS n_with_tier,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 def _pipeline_curation(s: SparkSession) -> DataFrame:
     """The full curation pipeline as ONE composed plan: normalize ->
     C4 rule filter -> exact dedup (keep lowest doc id per content hash)
@@ -1922,6 +1958,10 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         # CSV write -> schema-on-read -> cross-source join (source path)
         "source_csv_roundtrip": (
             _source_csv_roundtrip, _SOURCE_CSV_ORACLE,
+        ),
+        # two-generation parquet dataset read under mergeSchema
+        "source_schema_evolution": (
+            _source_schema_evolution, _SOURCE_EVOLUTION_ORACLE,
         ),
         # the composed curation pipeline: prepare -> C4 -> dedup ->
         # sample -> per-source stats, one plan, two shuffles
