@@ -108,6 +108,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_dsir_weights",
     "join_fuzzy_names",
+    "sim_pq_encode",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",

@@ -21,7 +21,7 @@ are rounded before hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -699,3 +699,196 @@ def kmeans_fit_oracle(
            coalesce(co.n_members, 0) AS n_members
     FROM c{n_iter} f LEFT JOIN counts co USING (cell_id)
     """
+
+
+def _l2_dist(a: Column, b: Column, decimals: int) -> Column:
+    """Euclidean distance, rounded for rank stability: the component
+    sum runs in index order in both engines (Spark ``aggregate`` over
+    ``zip_with``; DuckDB ``list_distance``), so the rounded value is
+    engine-identical and ULP noise cannot reorder an argmin."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(F.sqrt(sq), decimals)
+
+
+def _codebook_row(cents: DataFrame) -> DataFrame:
+    """Collapse a (cell_id, cent) codebook to ONE row holding the whole
+    book as an array — broadcast onto every corpus row so the argmin is
+    a per-row array fold instead of a join + window (zero shuffle)."""
+    return cents.agg(
+        F.collect_list(F.struct("cell_id", "cent")).alias("__cb")
+    )
+
+
+def _nearest_code(v: Column, cbook: Column, decimals: int) -> Column:
+    """Per-row argmin over the in-row codebook: ``array_min`` of
+    (rounded distance, cell) structs — lexicographic struct ordering IS
+    the nearest-with-lowest-cell-tie-break rule, computed without any
+    window or shuffle."""
+    return F.array_min(
+        F.transform(
+            cbook,
+            lambda c: F.struct(
+                _l2_dist(v, c["cent"], decimals).alias("d"),
+                c["cell_id"].alias("cell"),
+            ),
+        )
+    )
+
+
+def _kmeans_centroids_l2(
+    sub: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    decimals: int,
+) -> DataFrame:
+    """Lloyd loop under EUCLIDEAN assignment (PQ's metric; the cosine
+    twin lives in _kmeans_centroids). Same determinism contract:
+    lowest-id seeding, rounded distances with lowest-cell tie-break,
+    rounded component means. Each assignment pass is a zero-shuffle
+    narrow map (_nearest_code); the only exchange per iteration is the
+    k*(dim/m)-group component-mean aggregation."""
+    cents = sub.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
+    )
+    for _ in range(n_iter):
+        assigned = (
+            sub.crossJoin(F.broadcast(_codebook_row(cents)))
+            .select(
+                _nearest_code(F.col(vec_col), F.col("__cb"), decimals)["cell"]
+                .alias("cell_id"),
+                F.col(vec_col),
+            )
+        )
+        comp = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.round(F.avg("val"), decimals).alias("m"))
+        )
+        cents = comp.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cent")
+        )
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subvectors, train a tiny k-codeword codebook per subspace
+    (Lloyd under L2 — PQ's metric), and encode every vector as its
+    nearest codeword per subspace. Output rows ``(vec_id, subspace,
+    code, dist)`` — the m-byte-per-vector compressed representation
+    that, with the IVF tier, completes the IVF-PQ index family.
+
+    Scale shape: subvector slicing is a narrow map; each subspace's
+    codebook is k x (dim/m) — broadcast everywhere it's used; both the
+    training assignments and the final encoding are one corpus pass per
+    iteration with NO corpus shuffle (the only exchanges aggregate the
+    k*dim/m component means). Cost scales linearly in m as repeated
+    column work inside the same passes, not as extra joins."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    outs = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col), F.slice(vec, j * sd + 1, sd).alias("__v")
+        )
+        cents = _kmeans_centroids_l2(sub, k, n_iter, id_col, "__v", decimals)
+        picked = sub.crossJoin(F.broadcast(_codebook_row(cents))).select(
+            F.col(id_col),
+            _nearest_code(F.col("__v"), F.col("__cb"), decimals)
+            .alias("__p"),
+        )
+        outs.append(
+            picked.select(
+                F.col(id_col),
+                F.lit(j).cast("int").alias("subspace"),
+                F.col("__p")["cell"].cast("bigint").alias("code"),
+                F.round(F.col("__p")["d"], 4).alias("dist"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def pq_encode_oracle(
+    table: str = "embeddings",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    decimals: int = 6,
+) -> str:
+    """Iteration-unrolled DuckDB twin of pq_encode, one CTE chain per
+    subspace (1-based inclusive list slicing mirrors F.slice)."""
+    sd = dim // m
+    ctes, finals = [], []
+    for j in range(m):
+        a, b = j * sd + 1, (j + 1) * sd
+        p = f"s{j}"
+        ctes.append(
+            f"{p}_t AS (SELECT vec_id, embedding[{a}:{b}]::DOUBLE[] AS v "
+            f"FROM {table})"
+        )
+        ctes.append(
+            f"{p}_c0 AS (SELECT vec_id AS cell_id, v AS cent "
+            f"FROM {p}_t WHERE vec_id < {k})"
+        )
+        for i in range(n_iter):
+            ctes.append(f"""{p}_a{i + 1} AS (
+                SELECT cell_id, v FROM (
+                    SELECT t.vec_id, t.v, c.cell_id,
+                           row_number() OVER (PARTITION BY t.vec_id
+                               ORDER BY round(list_distance(t.v, c.cent),
+                                              {decimals}) ASC,
+                                        c.cell_id ASC) AS rn
+                    FROM {p}_t t CROSS JOIN {p}_c{i} c
+                ) WHERE rn = 1)""")
+            ctes.append(f"""{p}_comp{i + 1} AS (
+                SELECT cell_id, pos, round(avg(val), {decimals}) AS mval
+                FROM (SELECT cell_id, generate_subscripts(v, 1) - 1 AS pos,
+                             unnest(v) AS val
+                      FROM {p}_a{i + 1})
+                GROUP BY cell_id, pos)""")
+            ctes.append(
+                f"{p}_c{i + 1} AS (SELECT cell_id, "
+                f"list(mval ORDER BY pos) AS cent "
+                f"FROM {p}_comp{i + 1} GROUP BY cell_id)"
+            )
+        finals.append(f"""
+            SELECT vec_id, {j} AS subspace, cell_id AS code,
+                   round(d, 4) AS dist
+            FROM (
+                SELECT t.vec_id, c.cell_id,
+                       round(list_distance(t.v, c.cent), {decimals}) AS d,
+                       row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY round(list_distance(t.v, c.cent),
+                                          {decimals}) ASC,
+                                    c.cell_id ASC) AS rn
+                FROM {p}_t t CROSS JOIN {p}_c{n_iter} c
+            ) WHERE rn = 1""")
+    body = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(finals)
+    return f"WITH {body}\n{union}"

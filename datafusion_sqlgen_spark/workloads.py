@@ -2047,6 +2047,14 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.gopher_filters(s.table("documents")),
             text.gopher_filters_oracle(),
         ),
+        # product quantization: per-subspace L2 codebooks + m-code
+        # encoding (with the IVF tier, the IVF-PQ index family)
+        "sim_pq_encode": (
+            lambda s: similarity.pq_encode(
+                s.table("embeddings"), dim=64, m=4, k=4, n_iter=1
+            ),
+            similarity.pq_encode_oracle(dim=64, m=4, k=4, n_iter=1),
+        ),
         # IVF probe over kmeans-trained centroids (index build + search)
         "sim_ivf_topk_trained": (
             lambda s: similarity.ivf_topk_trained(
@@ -2095,6 +2103,10 @@ R4_ADDITIONS: list[str] = [
     "source_jsonl_roundtrip", "sim_ivf_topk_trained", "dedup_incremental",
     "ts_funnel_steps", "ts_cohort_retention", "source_csv_roundtrip",
     "pipeline_curation", "text_unigram_logprob", "profile_histogram",
+    # round-4d additions (this session; also round-5 rotation queue)
+    "text_gopher_filters", "sample_global_shuffle", "dedup_quality_rep",
+    "text_bm25_topk", "text_dsir_weights", "join_fuzzy_names",
+    "source_schema_evolution", "sim_pq_encode",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

@@ -187,3 +187,7 @@ def test_round4d_ops_on_empty(spark, empty_docs):
 
 def test_bm25_on_empty(spark, empty_docs):
     assert text.bm25_topk(empty_docs, ["hash"]).count() == 0
+
+
+def test_pq_encode_on_empty(spark, empty_emb):
+    assert similarity.pq_encode(empty_emb, dim=64, m=4).count() == 0

@@ -585,3 +585,30 @@ def test_fuzzy_join_blocking_is_lossless(spark):
     }
     want = {(1, 2), (1, 3), (1, 4), (1, 5), (3, 6)}  # kings~rings s=1
     assert got == want, got
+
+
+def test_pq_encode_semantics(spark):
+    from pyspark.sql import functions as F
+
+    emb = _df(spark, "embeddings")
+    out = similarity.pq_encode(emb, dim=64, m=4, k=4, n_iter=1)
+    n = emb.count()
+    # every vector gets exactly one code per subspace
+    assert out.count() == n * 4
+    assert out.groupBy("vec_id").count().filter("count <> 4").count() == 0
+    assert out.select("subspace").distinct().count() == 4
+    codes = {r.code for r in out.select("code").distinct().collect()}
+    assert codes <= {0, 1, 2, 3}
+    # encoding is deterministic across runs
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r)
+        for r in similarity.pq_encode(
+            emb, dim=64, m=4, k=4, n_iter=1
+        ).collect()
+    )
+    assert a == b
+    # dim must divide evenly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.pq_encode(emb, dim=64, m=5)

@@ -463,6 +463,17 @@ def test_gopher_filters_single_pass_no_shuffle(spark, queries):
     assert plan.count("split(") == 2, plan.count("split(")
 
 
+def test_pq_encode_argmin_is_narrow(spark, queries):
+    """PQ's nearest-codeword assignment folds the broadcast codebook
+    per row (array_min over structs) — no per-vector window, and the
+    corpus never hash-shuffles on vec_id. The only exchanges aggregate
+    k*(dim/m) component means and the k-row codebooks."""
+    plan = queries["sim_pq_encode"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "argmin fell back to a window"
+    assert "hashpartitioning(vec_id" not in plan, "corpus shuffled on id"
+
+
 def test_fuzzy_join_equi_on_grams(spark, queries):
     """The edit-distance join must run as an EQUI join on the q-gram
     key — never a nested-loop/cartesian over the string pair space."""
