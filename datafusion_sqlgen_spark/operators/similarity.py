@@ -239,16 +239,32 @@ def ivf_assign(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"),
         _norm(F.col(vec_col)).alias("__cn"),
     )
-    scored = df.withColumn("__vn", _norm(F.col(vec_col))).crossJoin(F.broadcast(cents))
-    sim = cosine_pre(F.col(vec_col), F.col("centroid"), F.col("__vn"), F.col("__cn"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cell_sim").desc(), F.col("cell_id").asc()
+    # ONE row holding the whole centroid table, broadcast onto every
+    # corpus row: the argmax is then a per-row array fold (array_min of
+    # (-sim, cell) structs = highest sim, lowest-cell tie-break — the
+    # same comparisons the old per-vector window made), so assignment
+    # is a zero-shuffle narrow map instead of a join + window.
+    cbook = cents.agg(
+        F.collect_list(F.struct("cell_id", "centroid", "__cn")).alias("__cb")
+    )
+    vn = _norm(F.col(vec_col))
+    pick = F.array_min(
+        F.transform(
+            F.col("__cb"),
+            lambda c: F.struct(
+                (
+                    -cosine_pre(
+                        F.col(vec_col), c["centroid"], F.col("__vn"), c["__cn"]
+                    )
+                ).alias("negsim"),
+                c["cell_id"].alias("cell"),
+            ),
+        )
     )
     return (
-        scored.select(id_col, vec_col, "cell_id", sim.alias("cell_sim"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+        df.withColumn("__vn", vn)
+        .crossJoin(F.broadcast(cbook))
+        .select(id_col, vec_col, pick["cell"].alias("cell_id"))
     )
 
 
