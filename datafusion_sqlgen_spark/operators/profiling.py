@@ -222,3 +222,37 @@ def histogram_oracle(
            coalesce(n, 0) AS n
     FROM spine LEFT JOIN counts USING (bin)
     """
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns — the feature
+    sanity check before a training run (collinear or dead metrics show
+    up immediately). ONE pass: every pair's ``corr`` rides a single
+    partial+final aggregate (the shuffle carries one row of moment
+    states per pair, never data rows); the long-form reshape is a
+    ``stack`` over that one aggregated row. Values round to 4 —
+    correlation's normalized form absorbs partial-aggregation
+    summation-order ULP."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )
+
+
+def correlation_matrix_oracle(table: str, cols: list[str]) -> str:
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 4) AS corr FROM {table}"
+        for a, b in pairs
+    ]
+    return "\nUNION ALL\n".join(selects)

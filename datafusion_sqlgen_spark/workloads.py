@@ -1942,6 +1942,17 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: profiling.key_skew(s.table("events"), "user_id"),
             profiling.key_skew_oracle("events", "user_id"),
         ),
+        # one-pass pairwise Pearson correlations, long-form via stack
+        "profile_correlations": (
+            lambda s: profiling.correlation_matrix(
+                s.table("lineitem"),
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            ),
+            profiling.correlation_matrix_oracle(
+                "lineitem",
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            ),
+        ),
         # fixed-range histogram with densified empty bins
         "profile_histogram": (
             lambda s: profiling.histogram(
@@ -2106,7 +2117,7 @@ R4_ADDITIONS: list[str] = [
     # round-4d additions (this session; also round-5 rotation queue)
     "text_gopher_filters", "sample_global_shuffle", "dedup_quality_rep",
     "text_bm25_topk", "text_dsir_weights", "join_fuzzy_names",
-    "source_schema_evolution", "sim_pq_encode",
+    "source_schema_evolution", "sim_pq_encode", "profile_correlations",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

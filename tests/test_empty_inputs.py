@@ -191,3 +191,13 @@ def test_bm25_on_empty(spark, empty_docs):
 
 def test_pq_encode_on_empty(spark, empty_emb):
     assert similarity.pq_encode(empty_emb, dim=64, m=4).count() == 0
+
+
+def test_correlation_matrix_on_empty(spark):
+    from datafusion_sqlgen_spark.operators import profiling
+
+    empty = spark.table("lineitem").filter("l_orderkey < 0")
+    out = profiling.correlation_matrix(empty, ["l_quantity", "l_tax"])
+    rows = out.collect()
+    # the stack emits the pair row with NULL corr (no data, not no row)
+    assert len(rows) == 1 and rows[0].corr is None
