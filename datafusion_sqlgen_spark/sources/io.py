@@ -179,3 +179,69 @@ def write_training_shards(
     out.repartition(n_shards, F.col("shard")).write.mode(mode).partitionBy(
         "shard"
     ).parquet(path)
+
+
+def zorder_key(
+    cols_with_ranges: "list[tuple[str, float, float]]", bits: int = 8
+):
+    """Z-order (Morton) key as pure JVM column math: each column is
+    fixed-range-binned to ``bits`` bits ([lo, hi] from table stats — a
+    profile_columns pass, or domain knowledge), then the bits of all
+    columns are interleaved. Rows close in EVERY dimension get close
+    keys, which is what makes multi-dimensional file pruning work."""
+    from pyspark.sql import functions as F
+
+    n = len(cols_with_ranges)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("bigint")
+    for j, (c, lo, hi) in enumerate(cols_with_ranges):
+        b = F.least(
+            F.lit(top).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.floor(
+                    (F.col(c) - F.lit(lo)) / F.lit(hi - lo) * (1 << bits)
+                ).cast("bigint"),
+            ),
+        )
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), n * i + j
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols_with_ranges: "list[tuple[str, float, float]]",
+    bits: int = 8,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write — the multi-dimensional layout
+    lever: directory partitioning prunes on ONE column; a Z-ordered
+    layout tightens every file's min/max footer stats on ALL the
+    clustered columns at once, so row-group/file skipping works for
+    filters on any of them (the technique behind Delta/Iceberg OPTIMIZE
+    ZORDER, here as a plain write).
+
+    Scale shape: the key is a narrow per-row expression; clustering is
+    ONE range exchange on the key + within-partition sort; the write
+    stays parallel. Cost is a single extra shuffle at write time, paid
+    once, amortized over every pruned read."""
+    from pyspark.sql import functions as F
+
+    n = n_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    out = df.withColumn("__z", zorder_key(cols_with_ranges, bits))
+    (
+        out.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

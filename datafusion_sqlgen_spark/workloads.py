@@ -1358,6 +1358,41 @@ FROM documents GROUP BY lang
 """
 
 
+def _sink_zorder_roundtrip(s: SparkSession) -> DataFrame:
+    """Z-order-clustered write of orders on (o_custkey, o_totalprice),
+    then a read-back aggregate proving the clustered copy is the same
+    multiset. The layout property itself (tight per-file footer spans on
+    BOTH dimensions) is pinned by
+    tests/test_multimodal_sources_udfs.py::test_zorder_write_tightens_footers."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="sink_z_") + "/orders_z"
+    orders = s.table("orders")
+    st = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    sio.write_zordered(
+        orders, out,
+        [("o_custkey", float(st[0]), float(st[1])),
+         ("o_totalprice", float(st[2]), float(st[3]))],
+        n_files=8,
+    )
+    back = sio.read_parquet(s, out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_SINK_ZORDER_ORACLE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def _pipeline_curation(s: SparkSession) -> DataFrame:
     """The full curation pipeline as ONE composed plan: normalize ->
     C4 rule filter -> exact dedup (keep lowest doc id per content hash)
@@ -1974,6 +2009,11 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "source_schema_evolution": (
             _source_schema_evolution, _SOURCE_EVOLUTION_ORACLE,
         ),
+        # Z-order clustered write -> read-back aggregate (the layout
+        # lever for multi-dimensional file pruning)
+        "sink_zorder_roundtrip": (
+            _sink_zorder_roundtrip, _SINK_ZORDER_ORACLE,
+        ),
         # the composed curation pipeline: prepare -> C4 -> dedup ->
         # sample -> per-source stats, one plan, two shuffles
         "pipeline_curation": (_pipeline_curation, _PIPELINE_CURATION_ORACLE),
@@ -2118,6 +2158,7 @@ R4_ADDITIONS: list[str] = [
     "text_gopher_filters", "sample_global_shuffle", "dedup_quality_rep",
     "text_bm25_topk", "text_dsir_weights", "join_fuzzy_names",
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
+    "sink_zorder_roundtrip",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

@@ -219,3 +219,50 @@ def test_phash_pairs_stay_candidate_bounded(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_write_tightens_footers(spark, tmp_path):
+    """Z-ordered files must carry much tighter min/max footer stats on
+    BOTH clustered columns than a row-order layout — the property that
+    makes multi-dimensional file/row-group skipping real."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datafusion_sqlgen_spark.sources.io import write_zordered
+
+    orders = spark.table("orders")
+    st = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    ranges = [
+        ("o_custkey", float(st[0]), float(st[1])),
+        ("o_totalprice", float(st[2]), float(st[3])),
+    ]
+    write_zordered(orders, str(tmp_path / "z"), ranges, n_files=8)
+    orders.repartition(8).write.parquet(str(tmp_path / "naive"))
+
+    def mean_span(path: str, col: str, lo: float, hi: float) -> float:
+        spans = []
+        for fp in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(fp).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx).statistics
+                los.append(s.min)
+                his.append(s.max)
+            spans.append((max(his) - min(los)) / (hi - lo))
+        return sum(spans) / len(spans)
+
+    # data integrity: the clustered copy is the same multiset
+    back = spark.read.parquet(str(tmp_path / "z"))
+    assert back.count() == orders.count()
+    assert back.agg(F.sum("o_totalprice")).first()[0] == pytest.approx(
+        orders.agg(F.sum("o_totalprice")).first()[0]
+    )
+    for col, lo, hi in ranges:
+        z = mean_span(str(tmp_path / "z"), col, lo, hi)
+        naive = mean_span(str(tmp_path / "naive"), col, lo, hi)
+        assert z < naive * 0.7, f"{col}: z-span {z:.2f} vs naive {naive:.2f}"
