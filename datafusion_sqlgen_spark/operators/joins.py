@@ -305,3 +305,58 @@ def fuzzy_join_oracle(
     AND levenshtein(a.{left_col}, b.{right_col}) <= {d}
     {extra_cond}
     """
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    on: str | None = None,
+) -> DataFrame:
+    """Interval-interval OVERLAP join (``a.lo <= b.hi AND b.lo <= a.hi``)
+    as an EQUI join — the two-large-sides scale path
+    (range_join_bucketed's sibling for when BOTH sides are ranges:
+    meeting-room conflicts, session/incident overlap, ad-slot
+    collisions).
+
+    Both sides explode to every bucket their interval touches; the join
+    is equi on bucket id (+ optional key), then the exact overlap
+    filter. Overlapping pairs coincide in EVERY shared bucket, so the
+    join would duplicate them — instead of a distinct, each pair is
+    emitted ONLY in its canonical first shared bucket
+    (``floor(max(a.lo, b.lo)/w)``, which both sides provably touch):
+    duplicate-free output with no post-join dedup shuffle."""
+    w = F.lit(bucket_width)
+
+    def explode_buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("bigint"),
+                    F.floor(F.col(hi) / w).cast("bigint"),
+                )
+            ),
+        )
+
+    keys = ["__bkt"] + ([on] if on else [])
+    lb = explode_buckets(left, left_lo, left_hi)
+    rb = explode_buckets(right, right_lo, right_hi)
+    return (
+        lb.join(rb, on=keys)
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+        )
+        .filter(
+            F.col("__bkt")
+            == F.floor(
+                F.greatest(F.col(left_lo), F.col(right_lo)) / w
+            ).cast("bigint")
+        )
+        .drop("__bkt")
+    )

@@ -2044,6 +2044,36 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # interval-interval overlap join, bucketized equi + canonical
+        # first-bucket emission (no dedup shuffle); naive oracle
+        "join_interval_overlap": (
+            lambda s: joins.interval_overlap_join(
+                s.table("events").filter("event_type = 'error'").select(
+                    F.col("event_id").alias("err_id"), "user_id",
+                    F.unix_timestamp("ts").alias("e_lo"),
+                    (F.unix_timestamp("ts") + 3600).alias("e_hi"),
+                ),
+                s.table("events").filter("event_type = 'purchase'").select(
+                    F.col("event_id").alias("purch_id"), "user_id",
+                    F.unix_timestamp("ts").alias("p_lo"),
+                    (F.unix_timestamp("ts") + 1800).alias("p_hi"),
+                ),
+                "e_lo", "e_hi", "p_lo", "p_hi", 3600.0, on="user_id",
+            ).select("err_id", "purch_id"),
+            """
+            SELECT a.err_id, b.purch_id
+            FROM (SELECT event_id AS err_id, user_id,
+                         epoch(ts)::BIGINT AS e_lo,
+                         epoch(ts)::BIGINT + 3600 AS e_hi
+                  FROM events WHERE event_type = 'error') a
+            JOIN (SELECT event_id AS purch_id, user_id,
+                         epoch(ts)::BIGINT AS p_lo,
+                         epoch(ts)::BIGINT + 1800 AS p_hi
+                  FROM events WHERE event_type = 'purchase') b
+            ON a.user_id = b.user_id
+               AND a.e_lo <= b.p_hi AND b.p_lo <= a.e_hi
+            """,
+        ),
         # edit-distance join via positional q-gram blocking; the naive
         # oracle proves the candidate generation lossless
         "join_fuzzy_names": (
@@ -2158,7 +2188,7 @@ R4_ADDITIONS: list[str] = [
     "text_gopher_filters", "sample_global_shuffle", "dedup_quality_rep",
     "text_bm25_topk", "text_dsir_weights", "join_fuzzy_names",
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
-    "sink_zorder_roundtrip",
+    "sink_zorder_roundtrip", "join_interval_overlap",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

@@ -612,3 +612,32 @@ def test_pq_encode_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         similarity.pq_encode(emb, dim=64, m=5)
+
+
+def test_interval_overlap_join_duplicate_free(spark):
+    from pyspark.sql import functions as F
+
+    # crafted so pairs share MANY buckets (long intervals, small width):
+    # the canonical-first-bucket rule must still emit each pair once
+    lhs = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 50.0, 60.0), (3, 200.0, 210.0)],
+        ["a_id", "a_lo", "a_hi"],
+    )
+    rhs = spark.createDataFrame(
+        [(10, 90.0, 150.0), (20, 0.0, 300.0), (30, 400.0, 410.0)],
+        ["b_id", "b_lo", "b_hi"],
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in joins.interval_overlap_join(
+            lhs, rhs, "a_lo", "a_hi", "b_lo", "b_hi", 10.0
+        ).collect()
+    )
+    # ground truth: all overlapping pairs, each exactly once
+    want = sorted(
+        (a, b)
+        for a, alo, ahi in [(1, 0, 100), (2, 50, 60), (3, 200, 210)]
+        for b, blo, bhi in [(10, 90, 150), (20, 0, 300), (30, 400, 410)]
+        if alo <= bhi and blo <= ahi
+    )
+    assert got == want, (got, want)
