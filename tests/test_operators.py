@@ -641,3 +641,40 @@ def test_interval_overlap_join_duplicate_free(spark):
         if alo <= bhi and blo <= ahi
     )
     assert got == want, (got, want)
+
+
+def test_fuzzy_join_lossless_randomized(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    alpha = "abcd "
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(5, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id_a", "s_a"])
+    rhs = df.select(F.col("id_a").alias("id_b"), F.col("s_a").alias("s_b"))
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in joins.fuzzy_join(
+            df, rhs, "id_a", "s_a", "id_b", "s_b", max_dist=1
+        ).filter("id_a < id_b").collect()
+    )
+    want = sorted(
+        (i, j, lev(a, b))
+        for i, a in rows for j, b in rows
+        if i < j and abs(len(a) - len(b)) <= 1 and lev(a, b) <= 1
+    )
+    assert got == want, f"{len(got)} vs {len(want)}"
