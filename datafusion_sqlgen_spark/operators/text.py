@@ -1300,3 +1300,56 @@ def dsir_weights_oracle(
     CROSS JOIN src_totals st
     GROUP BY doc_id
     """
+
+
+def ngram_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the n-gram LM substrate (count
+    tables for Kneser-Ney-style smoothing, collocation mining, template
+    detection). Currently word bigrams (``n`` reserved for the same
+    shape at higher orders).
+
+    Scale shape: adjacent words pair up IN-ROW (``zip_with`` of the
+    words array against its shifted self — no positional explode, no
+    self-join), then one explode feeds a map-side-combined count and a
+    TakeOrdered top-k. The DuckDB oracle builds the same pairs the
+    relational way (positions + pos+1 self-join) — two shapes, one
+    semantics, which is itself part of the check."""
+    if n != 2:
+        raise NotImplementedError("word bigrams only (n=2)")
+    w = words_col(F.col(text_col))
+    pairs = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        df.select(F.explode(pairs).alias("ngram"))
+        # zip_with pads the tail with NULL -> concat_ws drops the null
+        # side, leaving a bare first word: real bigrams contain a space
+        .filter(F.col("ngram").contains(" "))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def ngram_counts_oracle(table: str = "documents", k: int = 50) -> str:
+    return f"""
+    WITH wp AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}'), 1) AS pos,
+               unnest(string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')) AS word
+        FROM {table}
+    )
+    SELECT a.word || ' ' || b.word AS ngram, count(*) AS n
+    FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1
+    ORDER BY n DESC, ngram ASC
+    LIMIT {k}
+    """

@@ -2096,6 +2096,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 extra_cond="AND a.id_a < b.id_b",
             ),
         ),
+        # corpus top-k word bigrams: in-row zip_with pairing (no
+        # positional self-join), map-side-combined count, TakeOrdered
+        "text_ngram_counts": (
+            lambda s: text.ngram_counts(s.table("documents"), k=50),
+            text.ngram_counts_oracle(k=50),
+        ),
         # DSIR-style importance weights: mean unigram log-likelihood
         # ratio of a target domain vs the corpus's own distribution
         # (broadcast top-V vocabs; corpus shuffles once for its counts)
@@ -2188,7 +2194,7 @@ R4_ADDITIONS: list[str] = [
     "text_gopher_filters", "sample_global_shuffle", "dedup_quality_rep",
     "text_bm25_topk", "text_dsir_weights", "join_fuzzy_names",
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
-    "sink_zorder_roundtrip", "join_interval_overlap",
+    "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
