@@ -1353,3 +1353,80 @@ def ngram_counts_oracle(table: str = "documents", k: int = 50) -> str:
     ORDER BY n DESC, ngram ASC
     LIMIT {k}
     """
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_df: DataFrame,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The selection half of DSIR: turn :func:`dsir_weights` into an
+    actual subset — keep each document with probability
+    ``exp((w - w_max) / temperature)`` (the best-matching doc keeps with
+    probability 1; lower ratios decay exponentially; ``temperature``
+    flattens or sharpens). Membership is the repo's standard
+    deterministic md5-threshold test, so the same corpus + salt always
+    selects the same subset, on any engine.
+
+    Scale shape on top of dsir_weights: one 1-row max aggregate
+    (broadcast back), a narrow rate projection ROUNDED to 4 before the
+    65536-bucket floor (exp ULP cannot flip a boundary), and one
+    id-keyed join of fixed-width (id, rate) rows against the corpus —
+    documents shuffle once on their key, rates never exceed id+double
+    width."""
+    wts = dsir_weights(
+        df, target_df, text_col, id_col, vocab_size, alpha
+    ).select(id_col, "mean_logratio")
+    mx = wts.agg(F.max("mean_logratio").alias("__mx"))
+    rate = F.round(
+        F.exp((F.col("mean_logratio") - F.col("__mx")) / temperature), 4
+    )
+    rates = wts.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col), rate.alias("rate")
+    )
+    thr = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(F.hex(F.floor(F.col("rate") * 65536).cast("int")), 4, "0")
+        )
+    )
+    key = F.substring(
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ), 1, 4,
+    )
+    return (
+        df.select(id_col).join(rates, id_col)
+        .filter(key < thr)
+        .select(id_col, "rate")
+    )
+
+
+def dsir_resample_oracle(
+    table: str = "documents",
+    target_where: str = "lang = 'de'",
+    temperature: float = 1.0,
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+) -> str:
+    weights = dsir_weights_oracle(table, target_where, vocab_size, alpha)
+    return f"""
+    WITH wts AS (SELECT doc_id, mean_logratio FROM ({weights})),
+    mx AS (SELECT max(mean_logratio) AS w_max FROM wts),
+    rates AS (
+        SELECT doc_id,
+               round(exp((mean_logratio - w_max) / {temperature}), 4) AS rate
+        FROM wts CROSS JOIN mx
+    )
+    SELECT doc_id, rate
+    FROM rates
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 4)
+          < CASE WHEN rate >= 1.0 THEN 'g'
+                 ELSE lower(lpad(hex(CAST(floor(rate * 65536) AS INT)), 4, '0'))
+            END
+    """

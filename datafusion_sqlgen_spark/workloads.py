@@ -2096,6 +2096,18 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 extra_cond="AND a.id_a < b.id_b",
             ),
         ),
+        # DSIR selection: exp((w - w_max)/T) keep rates over the
+        # importance weights, md5-threshold membership (deterministic)
+        "text_dsir_resample": (
+            lambda s: text.dsir_resample(
+                s.table("documents"),
+                s.table("documents").filter(F.col("lang") == "de"),
+                temperature=0.05,
+            ),
+            text.dsir_resample_oracle(
+                target_where="lang = 'de'", temperature=0.05
+            ),
+        ),
         # corpus top-k word bigrams: in-row zip_with pairing (no
         # positional self-join), map-side-combined count, TakeOrdered
         "text_ngram_counts": (
@@ -2195,6 +2207,7 @@ R4_ADDITIONS: list[str] = [
     "text_bm25_topk", "text_dsir_weights", "join_fuzzy_names",
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
+    "text_dsir_resample",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

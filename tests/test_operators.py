@@ -678,3 +678,24 @@ def test_fuzzy_join_lossless_randomized(spark):
         if i < j and abs(len(a) - len(b)) <= 1 and lev(a, b) <= 1
     )
     assert got == want, f"{len(got)} vs {len(want)}"
+
+
+def test_dsir_resample_selects_and_matches_oracle(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    sel = text.dsir_resample(
+        docs, docs.filter("lang = 'de'"), temperature=0.05
+    )
+    n = sel.count()
+    assert 0 < n < docs.count()  # a real subset, not all/none
+    # target-language documents keep at a rate >= the corpus average
+    kept = sel.join(docs.select("doc_id", "lang"), "doc_id")
+    de_rate = kept.filter("lang = 'de'").count() / docs.filter(
+        "lang = 'de'"
+    ).count()
+    avg_rate = n / docs.count()
+    assert de_rate >= avg_rate, (de_rate, avg_rate)
+    check(spark, duck, sel,
+          text.dsir_resample_oracle(target_where="lang = 'de'",
+                                    temperature=0.05))
