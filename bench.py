@@ -109,6 +109,11 @@ HEADLINE = [
     "text_dsir_weights",
     "join_fuzzy_names",
     "sim_pq_encode",
+    "profile_correlations",
+    "sink_zorder_roundtrip",
+    "join_interval_overlap",
+    "text_ngram_counts",
+    "text_dsir_resample",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",
