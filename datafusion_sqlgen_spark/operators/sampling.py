@@ -303,3 +303,29 @@ def deterministic_shuffle_oracle(
         f"SELECT {cols}, md5(CAST({id_col} AS VARCHAR) || ':{salt}') "
         f"AS shuffle_key FROM {table}"
     )
+
+
+def kfold_assign(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", salt: str = "fold"
+) -> DataFrame:
+    """Add a ``fold`` column in [0, k): the cross-validation / ensemble
+    split. Same md5 derivation as hash_split — same id gets the same
+    fold forever, on every engine, so fold membership survives re-runs
+    and backfills (the leak-free property, k-way). Folds are
+    hash-balanced (~N/k each); one narrow projection, no shuffle."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    hx = F.substring(F.md5(key), 1, 4)
+    return df.withColumn(
+        "fold", (F.conv(hx, 16, 10).cast("int") % k).cast("int")
+    )
+
+
+def kfold_assign_oracle(
+    k: int = 5, table: str = "documents", id_col: str = "doc_id",
+    salt: str = "fold", cols: str = "*",
+) -> str:
+    return (
+        f"SELECT {cols}, (CAST(concat('0x', substr(md5(CAST({id_col} AS "
+        f"VARCHAR) || ':{salt}'), 1, 4)) AS INT) % {k}) AS fold "
+        f"FROM {table}"
+    )

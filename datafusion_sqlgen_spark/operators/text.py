@@ -179,13 +179,11 @@ LANG_PROFILES = {
 }
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram-heuristic language ID: count profile-trigram hits per
-    language, argmax via a CASE chain (deterministic tie-break: first
-    language in sorted order wins). Single projection; no shuffle; the
-    CASE-chain argmax is portable to the DuckDB oracle (which cannot
-    ``greatest`` structs)."""
-    text = F.lower(F.col(text_col))
+def _lang_exprs(text: Column):
+    """(scores-by-lang, pred, best) expression trio shared by
+    language_id and language_id_confidence: profile-trigram occurrence
+    scores, CASE-chain argmax (first language in sorted order wins
+    ties)."""
     langs = sorted(LANG_PROFILES)
     scores = {}
     for lang in langs:
@@ -211,11 +209,86 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         else:
             pred = pred.when(cond, lang)
             best_score = best_score.when(cond, scores[lang])
+    return scores, pred, best_score
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-heuristic language ID: count profile-trigram hits per
+    language, argmax via a CASE chain (deterministic tie-break: first
+    language in sorted order wins). Single projection; no shuffle; the
+    CASE-chain argmax is portable to the DuckDB oracle (which cannot
+    ``greatest`` structs)."""
+    _, pred, best_score = _lang_exprs(F.lower(F.col(text_col)))
     return df.select(
         F.col(id_col),
         pred.alias("lang_pred"),
         F.round(best_score, 2).alias("lang_score"),
     )
+
+
+def language_id_confidence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_margin: float = 1.0,
+) -> DataFrame:
+    """language_id plus the CONFIDENCE gate real pipelines filter on:
+    the margin between the best and second-best language scores
+    (fastText-style thresholding — a confident 'en' is kept, a 0.1-margin
+    coin flip is routed to review/drop). Margin is tie-order-independent
+    (a sorted-scores difference), so it composes with the CASE-chain
+    argmax without re-deciding ties. Still one narrow projection, no
+    shuffle."""
+    scores, pred, best_score = _lang_exprs(F.lower(F.col(text_col)))
+    ordered = F.reverse(
+        F.array_sort(F.array([scores[l] for l in sorted(LANG_PROFILES)]))
+    )
+    margin = F.round(ordered[0] - ordered[1], 2)
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.round(best_score, 2).alias("lang_score"),
+        margin.alias("lang_margin"),
+        (margin >= min_margin).alias("confident"),
+    )
+
+
+def language_id_confidence_oracle(
+    table: str = "documents", min_margin: float = 1.0
+) -> str:
+    langs = sorted(LANG_PROFILES)
+    score_sql = {}
+    for lang in langs:
+        occ = " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{g}', ''))) / {len(g)}"
+            for g in LANG_PROFILES[lang]
+        )
+        score_sql[lang] = f"CAST({occ} AS DOUBLE)"
+    pred_whens, score_whens = [], []
+    for i, lang in enumerate(langs):
+        others = langs[i + 1:]
+        if others:
+            cond = " AND ".join(
+                f"{score_sql[lang]} >= {score_sql[o]}" for o in others
+            )
+            pred_whens.append(f"WHEN {cond} THEN '{lang}'")
+            score_whens.append(f"WHEN {cond} THEN {score_sql[lang]}")
+        else:
+            pred_whens.append(f"ELSE '{lang}'")
+            score_whens.append(f"ELSE {score_sql[lang]}")
+    arr = ", ".join(score_sql[l] for l in langs)
+    margin = (
+        f"round(list_sort([{arr}], 'DESC')[1] "
+        f"- list_sort([{arr}], 'DESC')[2], 2)"
+    )
+    return f"""
+    SELECT doc_id,
+           CASE {' '.join(pred_whens)} END AS lang_pred,
+           round(CASE {' '.join(score_whens)} END, 2) AS lang_score,
+           {margin} AS lang_margin,
+           ({margin} >= {min_margin}) AS confident
+    FROM {table}
+    """
 
 
 def language_id_oracle(table: str = "documents") -> str:

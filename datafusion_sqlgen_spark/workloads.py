@@ -2096,6 +2096,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 extra_cond="AND a.id_a < b.id_b",
             ),
         ),
+        # language ID with top1-top2 confidence margin (the fastText-
+        # style gate real pipelines filter on)
+        "text_language_confidence": (
+            lambda s: text.language_id_confidence(s.table("documents")),
+            text.language_id_confidence_oracle(),
+        ),
         # DSIR selection: exp((w - w_max)/T) keep rates over the
         # importance weights, md5-threshold membership (deterministic)
         "text_dsir_resample": (
@@ -2131,6 +2137,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 s.table("documents"), ["hash", "join", "vector"], k=25
             ),
             text.bm25_topk_oracle(["hash", "join", "vector"], k=25),
+        ),
+        # deterministic k-fold assignment (leak-free CV splits)
+        "sample_kfold": (
+            lambda s: sampling.kfold_assign(s.table("documents"))
+            .select("doc_id", "source", "fold"),
+            sampling.kfold_assign_oracle(cols="doc_id, source"),
         ),
         # reproducible global shuffle (training-order randomization):
         # md5 epoch key + ONE range exchange, no single-partition sort
@@ -2207,7 +2219,7 @@ R4_ADDITIONS: list[str] = [
     "text_bm25_topk", "text_dsir_weights", "join_fuzzy_names",
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
-    "text_dsir_resample",
+    "text_dsir_resample", "text_language_confidence", "sample_kfold",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

@@ -699,3 +699,26 @@ def test_dsir_resample_selects_and_matches_oracle(spark, duck):
     check(spark, duck, sel,
           text.dsir_resample_oracle(target_where="lang = 'de'",
                                     temperature=0.05))
+
+
+def test_kfold_assign_balanced_and_stable(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    folds = sampling.kfold_assign(docs, k=5)
+    counts = {r.fold: r.n for r in folds.groupBy("fold")
+              .agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {0, 1, 2, 3, 4}
+    # hash-balanced: each fold within 2x of the uniform share
+    for c in counts.values():
+        assert n / 10 < c < n / 2.5, counts
+    # stable across runs; every id maps to exactly one fold
+    a = sorted((r.doc_id, r.fold) for r in folds.select("doc_id", "fold").collect())
+    b = sorted((r.doc_id, r.fold)
+               for r in sampling.kfold_assign(docs, k=5)
+               .select("doc_id", "fold").collect())
+    assert a == b
+    check(spark, duck,
+          folds.select("doc_id", "fold"),
+          sampling.kfold_assign_oracle(cols="doc_id"))
