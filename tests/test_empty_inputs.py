@@ -201,3 +201,24 @@ def test_correlation_matrix_on_empty(spark):
     rows = out.collect()
     # the stack emits the pair row with NULL corr (no data, not no row)
     assert len(rows) == 1 and rows[0].corr is None
+
+
+def test_round4d_late_ops_on_empty(spark, empty_docs):
+    from datafusion_sqlgen_spark.operators import joins, sampling
+
+    assert text.ngram_counts(empty_docs).count() == 0
+    assert text.language_id_confidence(empty_docs).count() == 0
+    assert sampling.kfold_assign(empty_docs).count() == 0
+    docs = spark.table("documents")
+    # resample with an empty target: every doc scores OOV-vs-OOV, the
+    # ratio degenerates but must not error or drop the corpus contract
+    out = text.dsir_resample(empty_docs, docs)
+    assert out.count() == 0
+    # overlap join with an empty side yields no pairs
+    lhs = spark.createDataFrame([(1, 0.0, 10.0)], ["a", "lo", "hi"])
+    empty_rhs = lhs.filter("a < 0").selectExpr(
+        "a AS b", "lo AS rlo", "hi AS rhi"
+    )
+    assert joins.interval_overlap_join(
+        lhs, empty_rhs, "lo", "hi", "rlo", "rhi", 5.0
+    ).count() == 0
