@@ -493,3 +493,97 @@ def cohort_retention_oracle(table: str = "events") -> str:
     FROM activity JOIN cohorts USING (user_id)
     GROUP BY cohort_week, activity_week
     """
+
+
+def mergeable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Hourly rollup as MERGEABLE partial states — the continuous-
+    aggregation / hypertable-rollup pattern: instead of final answers
+    (avg, stddev), each (hour, key) row carries the algebraic state
+    ``(n, sum, sum_sq, min, max)``. States from any partition of the
+    data (per day, per ingest batch, per site) merge LOSSLESSLY via
+    :func:`merge_rollups`, so yesterday's rollup never needs recomputing
+    when today's batch lands — the batch twin of a streaming
+    materialized view.
+
+    One map-side-combined hash aggregate on fixed-width (hour, key)
+    rows; finalization (avg = sum/n etc.) is a cheap projection the
+    reader applies."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hr"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(val_col).alias("sum_v"),
+            F.sum(F.col(val_col) * F.col(val_col)).alias("sum_sq"),
+            F.min(val_col).alias("min_v"),
+            F.max(val_col).alias("max_v"),
+        )
+    )
+
+
+def merge_rollups(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two mergeable_rollup state tables: union + re-aggregate
+    with the state algebra (counts and sums add; min/max combine). The
+    result is bit-identical to rolling up the concatenated raw data —
+    the property the workload oracle proves."""
+    cols = ["hr", a.columns[1]]
+    return (
+        a.unionByName(b)
+        .groupBy(*cols)
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def finalize_rollup(states: DataFrame, decimals: int = 4) -> DataFrame:
+    """Project final statistics out of merged states (reader-side).
+
+    The mean divides the ROUNDED total (not the raw sum — summation
+    order differs between a merged-states path and a raw rollup) and is
+    then TRUNCATED, not rounded: total/n lands on exact .5 boundaries
+    (e.g. 1236.27/24 = 51.51125) where Spark's HALF_UP and DuckDB's
+    rounding disagree, while floor of the identical IEEE quotient is
+    deterministic with no tie rule. (Assumes non-negative means, as
+    here; a signed metric would need trunc-toward-zero.)"""
+    total = F.round(F.col("sum_v"), decimals)
+    scale = 10 ** decimals
+    return states.select(
+        "hr", states.columns[1],
+        F.col("n"),
+        total.alias("total"),
+        (F.floor(total / F.col("n") * scale) / scale).alias("mean"),
+        F.round("min_v", decimals).alias("lo"),
+        F.round("max_v", decimals).alias("hi"),
+    )
+
+
+def mergeable_rollup_oracle(
+    table: str = "events", split_pred: str = "event_id % 2 = 0",
+    decimals: int = 4,
+) -> str:
+    """The ground truth for the merge law: rollup of ALL raw rows —
+    which the Spark side must reproduce by merging the rollups of the
+    two disjoint halves defined by ``split_pred``."""
+    return f"""
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           count(*) AS n,
+           round(sum(value), {decimals}) AS total,
+           floor(round(sum(value), {decimals}) / count(*) * {10 ** decimals})
+               / {10 ** decimals} AS mean,
+           round(min(value), {decimals}) AS lo,
+           round(max(value), {decimals}) AS hi
+    FROM {table}
+    GROUP BY 1, 2
+    """

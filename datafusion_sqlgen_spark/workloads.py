@@ -2096,6 +2096,22 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 extra_cond="AND a.id_a < b.id_b",
             ),
         ),
+        # mergeable hourly rollup: two disjoint halves rolled up
+        # independently, merged via the state algebra, finalized — the
+        # oracle is the rollup of ALL raw rows (proves merge lossless)
+        "ts_mergeable_rollup": (
+            lambda s: timeseries.finalize_rollup(
+                timeseries.merge_rollups(
+                    timeseries.mergeable_rollup(
+                        s.table("events").filter("event_id % 2 = 0")
+                    ),
+                    timeseries.mergeable_rollup(
+                        s.table("events").filter("event_id % 2 = 1")
+                    ),
+                )
+            ),
+            timeseries.mergeable_rollup_oracle(),
+        ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
         "text_language_confidence": (
@@ -2220,6 +2236,7 @@ R4_ADDITIONS: list[str] = [
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
     "text_dsir_resample", "text_language_confidence", "sample_kfold",
+    "ts_mergeable_rollup",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

@@ -722,3 +722,28 @@ def test_kfold_assign_balanced_and_stable(spark, duck):
     check(spark, duck,
           folds.select("doc_id", "fold"),
           sampling.kfold_assign_oracle(cols="doc_id"))
+
+
+def test_mergeable_rollup_merge_law(spark):
+    from pyspark.sql import functions as F
+
+    ev = _df(spark, "events")
+    full = timeseries.mergeable_rollup(ev)
+    # ANY disjoint partition of the raw data must merge to the same
+    # states: try a 3-way split on a different predicate than the
+    # workload's
+    parts = [ev.filter(f"event_id % 3 = {i}") for i in range(3)]
+    merged = timeseries.merge_rollups(
+        timeseries.merge_rollups(
+            timeseries.mergeable_rollup(parts[0]),
+            timeseries.mergeable_rollup(parts[1]),
+        ),
+        timeseries.mergeable_rollup(parts[2]),
+    )
+    a = sorted(
+        tuple(r) for r in timeseries.finalize_rollup(full).collect()
+    )
+    b = sorted(
+        tuple(r) for r in timeseries.finalize_rollup(merged).collect()
+    )
+    assert a == b
