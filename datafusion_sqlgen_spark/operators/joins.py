@@ -360,3 +360,21 @@ def interval_overlap_join(
         )
         .drop("__bkt")
     )
+
+
+def upsert(
+    current: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """Type-1 upsert (MERGE semantics, batch form): ``updates`` rows
+    replace same-key ``current`` rows; unmatched current rows survive.
+    The maintenance step for every dimension/state table a pipeline
+    keeps (user profiles, document status, centroid tables) on engines
+    without a native MERGE.
+
+    Scale shape: updates ∪ (current LEFT ANTI updates-keys) — when the
+    update batch is small (the common case) the anti join broadcasts
+    the update KEY LIST only, so the standing table is never shuffled;
+    a same-size merge degrades gracefully to one hash join."""
+    keys = updates.select(key)
+    survivors = current.join(F.broadcast(keys), key, "left_anti")
+    return updates.unionByName(survivors)

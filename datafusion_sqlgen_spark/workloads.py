@@ -2044,6 +2044,27 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # type-1 upsert (batch MERGE): updated customer rows replace
+        # same-key rows, the standing table never shuffles
+        "join_upsert_snapshot": (
+            lambda s: joins.upsert(
+                s.table("customer").select(
+                    "c_custkey", "c_name", "c_acctbal"
+                ),
+                s.table("customer").filter("c_custkey % 10 = 0").select(
+                    "c_custkey", "c_name",
+                    (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                ),
+                "c_custkey",
+            ),
+            """
+            SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey % 10 <> 0
+            """,
+        ),
         # interval-interval overlap join, bucketized equi + canonical
         # first-bucket emission (no dedup shuffle); naive oracle
         "join_interval_overlap": (
@@ -2236,7 +2257,7 @@ R4_ADDITIONS: list[str] = [
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
     "text_dsir_resample", "text_language_confidence", "sample_kfold",
-    "ts_mergeable_rollup",
+    "ts_mergeable_rollup", "join_upsert_snapshot",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

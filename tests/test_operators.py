@@ -747,3 +747,23 @@ def test_mergeable_rollup_merge_law(spark):
         tuple(r) for r in timeseries.finalize_rollup(merged).collect()
     )
     assert a == b
+
+
+def test_upsert_semantics(spark):
+    from pyspark.sql import functions as F
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "v"],
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], ["k", "name", "v"]
+    )
+    got = sorted(tuple(r) for r in joins.upsert(cur, upd, "k").collect())
+    assert got == [
+        (1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0), (4, "d", 40.0)
+    ], got
+    # the standing table side must not shuffle: anti join broadcasts keys
+    plan = joins.upsert(cur, upd, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
