@@ -256,3 +256,67 @@ def correlation_matrix_oracle(table: str, cols: list[str]) -> str:
         for a, b in pairs
     ]
     return "\nUNION ALL\n".join(selects)
+
+
+def robust_stats(
+    df: DataFrame,
+    val_col: str = "value",
+    group_col: str = "event_type",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    decimals: int = 4,
+) -> DataFrame:
+    """Winsorized per-group statistics — the outlier-robust metric gate
+    (a handful of corrupt readings shouldn't move a monitoring mean):
+    exact p_lo/p_hi percentiles per group, values clipped into that
+    band, then the winsorized mean.
+
+    Two passes by necessity (thresholds are an aggregate of the data
+    they clip): one EXACT percentile aggregate (per-group sort in the
+    agg — fine for bounded group counts; switch to approx_percentile
+    when groups are huge), thresholds broadcast back (#groups rows),
+    then one clipped re-aggregation. Both engines use the standard
+    1+(n-1)p linear interpolation, so the thresholds agree exactly."""
+    pcts = df.groupBy(group_col).agg(
+        F.percentile(val_col, p_lo).alias("__plo"),
+        F.percentile(val_col, p_hi).alias("__phi"),
+    )
+    clipped = df.join(F.broadcast(pcts), group_col).select(
+        group_col,
+        F.col("__plo"), F.col("__phi"),
+        F.least(
+            F.greatest(F.col(val_col), F.col("__plo")), F.col("__phi")
+        ).alias("__cv"),
+    )
+    return clipped.groupBy(group_col).agg(
+        F.round(F.min("__plo"), decimals).alias("p_lo"),
+        F.round(F.min("__phi"), decimals).alias("p_hi"),
+        F.round(F.avg("__cv"), decimals).alias("winsor_mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def robust_stats_oracle(
+    table: str = "events",
+    val_col: str = "value",
+    group_col: str = "event_type",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    decimals: int = 4,
+) -> str:
+    return f"""
+    WITH pcts AS (
+        SELECT {group_col},
+               quantile_cont({val_col}, {p_lo}) AS plo,
+               quantile_cont({val_col}, {p_hi}) AS phi
+        FROM {table} GROUP BY {group_col}
+    )
+    SELECT e.{group_col},
+           round(min(p.plo), {decimals}) AS p_lo,
+           round(min(p.phi), {decimals}) AS p_hi,
+           round(avg(least(greatest(e.{val_col}, p.plo), p.phi)),
+                 {decimals}) AS winsor_mean,
+           count(*) AS n
+    FROM {table} e JOIN pcts p USING ({group_col})
+    GROUP BY e.{group_col}
+    """

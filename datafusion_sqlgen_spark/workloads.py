@@ -1977,6 +1977,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: profiling.key_skew(s.table("events"), "user_id"),
             profiling.key_skew_oracle("events", "user_id"),
         ),
+        # winsorized per-group stats: exact percentiles broadcast back,
+        # clipped re-aggregation (outlier-robust metric gate)
+        "profile_robust_stats": (
+            lambda s: profiling.robust_stats(s.table("events")),
+            profiling.robust_stats_oracle(),
+        ),
         # one-pass pairwise Pearson correlations, long-form via stack
         "profile_correlations": (
             lambda s: profiling.correlation_matrix(
@@ -2257,7 +2263,7 @@ R4_ADDITIONS: list[str] = [
     "source_schema_evolution", "sim_pq_encode", "profile_correlations",
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
     "text_dsir_resample", "text_language_confidence", "sample_kfold",
-    "ts_mergeable_rollup", "join_upsert_snapshot",
+    "ts_mergeable_rollup", "join_upsert_snapshot", "profile_robust_stats",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
