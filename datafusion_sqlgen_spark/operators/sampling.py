@@ -329,3 +329,48 @@ def kfold_assign_oracle(
         f"VARCHAR) || ':{salt}'), 1, 4)) AS INT) % {k}) AS fold "
         f"FROM {table}"
     )
+
+
+def capped_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen DETERMINISTICALLY —
+    the class-balancing primitive (cap the dominant source/label so it
+    cannot swamp training). Selection ranks by md5(id:salt) within each
+    group: a uniform, reproducible, engine-portable choice, unlike
+    ``rand()`` ordering or a bare LIMIT (which picks partition-order
+    rows).
+
+    Scale: rank-within-group with rn <= k compiles to Spark's
+    WindowGroupLimit — per-partition top-k pruning BEFORE the group
+    shuffle, so the exchange carries at most k rows per (group,
+    partition), not the whole group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket_full_col(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def capped_per_group_oracle(
+    k: int, table: str = "documents", group_col: str = "source",
+    id_col: str = "doc_id", salt: str = "cap", cols: str = "*",
+) -> str:
+    return f"""
+    SELECT {cols} FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {group_col}
+            ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}'), {id_col}
+        ) AS rn
+        FROM {table}
+    ) WHERE rn <= {k}
+    """

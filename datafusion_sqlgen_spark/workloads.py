@@ -2181,6 +2181,15 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             text.bm25_topk_oracle(["hash", "join", "vector"], k=25),
         ),
+        # deterministic per-group cap (class balancing; WindowGroupLimit)
+        "sample_capped_per_group": (
+            lambda s: sampling.capped_per_group(
+                s.table("documents"), k=40, group_col="lang"
+            ).select("doc_id", "lang"),
+            sampling.capped_per_group_oracle(
+                40, group_col="lang", cols="doc_id, lang"
+            ),
+        ),
         # deterministic k-fold assignment (leak-free CV splits)
         "sample_kfold": (
             lambda s: sampling.kfold_assign(s.table("documents"))
@@ -2264,6 +2273,7 @@ R4_ADDITIONS: list[str] = [
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
     "text_dsir_resample", "text_language_confidence", "sample_kfold",
     "ts_mergeable_rollup", "join_upsert_snapshot", "profile_robust_stats",
+    "sample_capped_per_group",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
