@@ -378,3 +378,66 @@ def upsert(
     keys = updates.select(key)
     survivors = current.join(F.broadcast(keys), key, "left_anti")
     return updates.unionByName(survivors)
+
+
+def scd2_merge(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective: str,
+    close_missing: bool = False,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply a new full
+    ``snapshot`` (key + attrs) to a versioned ``history`` table
+    (key, attrs, valid_from, valid_to, is_current) at time
+    ``effective`` — changed keys get their open row CLOSED
+    (valid_to = effective) plus a fresh open version; new keys insert an
+    open version; unchanged keys pass through; with ``close_missing``
+    keys absent from the snapshot are closed (full-snapshot semantics).
+    History rows already closed always pass through untouched.
+
+    Scale shape: ONE full-outer hash join of the OPEN slice against the
+    snapshot on the key (closed history never joins — it is
+    filter-unioned around the join), attribute comparison via null-safe
+    equality. At 100 TB the open slice is one row per live key —
+    dimension-sized, not history-sized."""
+    cur = history.filter(F.col("is_current"))
+    past = history.filter(~F.col("is_current"))
+    snap = snapshot.select(key, *attrs)
+
+    c, s = cur.alias("c"), snap.alias("s")
+    j = c.join(s, F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer")
+    same = None
+    for a in attrs:
+        eq = F.col(f"c.{a}").eqNullSafe(F.col(f"s.{a}"))
+        same = eq if same is None else same & eq
+    in_cur = F.col(f"c.{key}").isNotNull()
+    in_snap = F.col(f"s.{key}").isNotNull()
+    eff = F.lit(effective).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+
+    hist_cols = [F.col(f"c.{x}") for x in (key, *attrs)]
+    untouched = j.filter(
+        in_cur & ((in_snap & same) | (~in_snap & F.lit(not close_missing)))
+    ).select(
+        *hist_cols, F.col("c.valid_from"), F.col("c.valid_to"),
+        F.col("c.is_current"),
+    )
+    closed = j.filter(
+        in_cur & ((in_snap & ~same) | (~in_snap & F.lit(close_missing)))
+    ).select(
+        *hist_cols, F.col("c.valid_from"), eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_rows = j.filter(in_snap & (~in_cur | ~same)).select(
+        *[F.col(f"s.{x}") for x in (key, *attrs)],
+        eff.alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        past.select(key, *attrs, "valid_from", "valid_to", "is_current")
+        .unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(new_rows)
+    )

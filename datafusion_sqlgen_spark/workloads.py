@@ -2050,6 +2050,41 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # type-2 SCD merge: changed keys close their open version and
+        # append a new one; history stays immutable
+        "join_scd2_merge": (
+            lambda s: joins.scd2_merge(
+                s.table("customer").select(
+                    "c_custkey", "c_name", "c_acctbal",
+                    F.lit("2024-01-01").cast("timestamp")
+                    .alias("valid_from"),
+                    F.lit(None).cast("timestamp").alias("valid_to"),
+                    F.lit(True).alias("is_current"),
+                ),
+                s.table("customer").select(
+                    "c_custkey", "c_name",
+                    F.when(
+                        F.col("c_custkey") % 10 == 0,
+                        F.col("c_acctbal") + 100,
+                    ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+                ),
+                "c_custkey", ["c_name", "c_acctbal"], "2024-06-01",
+            ),
+            """
+            SELECT c_custkey, c_name, c_acctbal,
+                   TIMESTAMP '2024-01-01' AS valid_from,
+                   NULL::TIMESTAMP AS valid_to, true AS is_current
+            FROM customer WHERE c_custkey % 10 <> 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal,
+                   TIMESTAMP '2024-01-01', TIMESTAMP '2024-06-01', false
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal + 100,
+                   TIMESTAMP '2024-06-01', NULL::TIMESTAMP, true
+            FROM customer WHERE c_custkey % 10 = 0
+            """,
+        ),
         # type-1 upsert (batch MERGE): updated customer rows replace
         # same-key rows, the standing table never shuffles
         "join_upsert_snapshot": (
@@ -2273,7 +2308,7 @@ R4_ADDITIONS: list[str] = [
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
     "text_dsir_resample", "text_language_confidence", "sample_kfold",
     "ts_mergeable_rollup", "join_upsert_snapshot", "profile_robust_stats",
-    "sample_capped_per_group",
+    "sample_capped_per_group", "join_scd2_merge",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [

@@ -767,3 +767,48 @@ def test_upsert_semantics(spark):
     plan = joins.upsert(cur, upd, "k")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_merge_semantics(spark):
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: one closed version + one open
+            (1, "a_old", "2023-01-01", "2024-01-01", False),
+            (1, "a", "2024-01-01", None, True),
+            (2, "b", "2024-01-01", None, True),
+            (3, "c", "2024-01-01", None, True),
+        ],
+        ["k", "attr", "valid_from", "valid_to", "is_current"],
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    snap = spark.createDataFrame(
+        # 1 unchanged, 2 changed, 3 missing, 4 new
+        [(1, "a"), (2, "b2"), (4, "d")], ["k", "attr"]
+    )
+    out = joins.scd2_merge(hist, snap, "k", ["attr"], "2024-06-01")
+    rows = {
+        (r.k, r.attr, str(r.valid_from)[:10],
+         str(r.valid_to)[:10] if r.valid_to else None, r.is_current)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "a_old", "2023-01-01", "2024-01-01", False),  # history kept
+        (1, "a", "2024-01-01", None, True),               # unchanged
+        (2, "b", "2024-01-01", "2024-06-01", False),      # closed
+        (2, "b2", "2024-06-01", None, True),              # new version
+        (3, "c", "2024-01-01", None, True),               # missing kept
+        (4, "d", "2024-06-01", None, True),               # new key
+    }, rows
+    # full-snapshot mode closes missing keys
+    closed = joins.scd2_merge(
+        hist, snap, "k", ["attr"], "2024-06-01", close_missing=True
+    )
+    k3 = [(r.attr, r.is_current, str(r.valid_to)[:10] if r.valid_to else None)
+          for r in closed.filter("k = 3").collect()]
+    assert k3 == [("c", False, "2024-06-01")], k3
