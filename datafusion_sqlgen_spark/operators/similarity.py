@@ -908,3 +908,59 @@ def pq_encode_oracle(
     body = ",\n".join(ctes)
     union = "\nUNION ALL\n".join(finals)
     return f"WITH {body}\n{union}"
+
+
+def component_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-component embedding statistics (mean, std, min, max) — the
+    embedding-health audit: dead components (std ~ 0), un-centered
+    dimensions, and range blowouts all show up here before they poison
+    a similarity index or a whitening step.
+
+    One posexplode + a (pos)-keyed aggregation of d groups — map-side
+    combined, the shuffle carries d rows of moment states per
+    partition. Std is the population form computed from
+    (sum_sq/n - mean^2), rounded; both engines aggregate the identical
+    component multiset."""
+    exploded = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("pos", "v")
+    )
+    n = F.count(F.lit(1))
+    mean = F.sum("v") / n
+    var = F.sum(F.col("v") * F.col("v")) / n - mean * mean
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(mean, decimals).alias("mean"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), decimals)
+            .alias("std"),
+            F.round(F.min("v"), decimals).alias("lo"),
+            F.round(F.max("v"), decimals).alias("hi"),
+        )
+        .select(F.col("pos").cast("int").alias("pos"), "n", "mean",
+                "std", "lo", "hi")
+    )
+
+
+def component_stats_oracle(
+    table: str = "embeddings", decimals: int = 4
+) -> str:
+    return f"""
+    SELECT CAST(pos AS INT) AS pos, count(*) AS n,
+           round(sum(v) / count(*), {decimals}) AS mean,
+           round(sqrt(greatest(sum(v * v) / count(*)
+                 - (sum(v) / count(*)) * (sum(v) / count(*)), 0.0)),
+                 {decimals}) AS std,
+           round(min(v), {decimals}) AS lo,
+           round(max(v), {decimals}) AS hi
+    FROM (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding::DOUBLE[]) AS v
+          FROM {table})
+    GROUP BY pos
+    """

@@ -2245,6 +2245,11 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.gopher_filters(s.table("documents")),
             text.gopher_filters_oracle(),
         ),
+        # per-component embedding stats (dead dims, centering, range)
+        "sim_component_stats": (
+            lambda s: similarity.component_stats(s.table("embeddings")),
+            similarity.component_stats_oracle(),
+        ),
         # product quantization: per-subspace L2 codebooks + m-code
         # encoding (with the IVF tier, the IVF-PQ index family)
         "sim_pq_encode": (
@@ -2308,7 +2313,7 @@ R4_ADDITIONS: list[str] = [
     "sink_zorder_roundtrip", "join_interval_overlap", "text_ngram_counts",
     "text_dsir_resample", "text_language_confidence", "sample_kfold",
     "ts_mergeable_rollup", "join_upsert_snapshot", "profile_robust_stats",
-    "sample_capped_per_group", "join_scd2_merge",
+    "sample_capped_per_group", "join_scd2_merge", "sim_component_stats",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
