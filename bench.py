@@ -114,6 +114,10 @@ HEADLINE = [
     "join_interval_overlap",
     "text_ngram_counts",
     "text_dsir_resample",
+    "ts_mergeable_rollup",
+    "join_scd2_merge",
+    "sample_capped_per_group",
+    "profile_robust_stats",
     "sample_temperature_mix",
     "sim_recall_at_k",
     "sink_sharded_write",
