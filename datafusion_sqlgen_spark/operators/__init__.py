@@ -1,4 +1,5 @@
 from datafusion_sqlgen_spark.operators import (
+    affinity,
     dedup,
     joins,
     multimodal,
@@ -9,4 +10,4 @@ from datafusion_sqlgen_spark.operators import (
     timeseries,
 )
 
-__all__ = ["dedup", "similarity", "text", "joins", "multimodal", "sampling", "timeseries", "profiling"]
+__all__ = ["affinity", "dedup", "similarity", "text", "joins", "multimodal", "sampling", "timeseries", "profiling"]

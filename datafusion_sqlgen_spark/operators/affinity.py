@@ -1,0 +1,105 @@
+"""Co-occurrence / affinity analytics.
+
+Market-basket style pairwise association over a (basket, item) relation
+— the classic retail/recommendation primitive, shaped for scale: one
+basket-keyed self-join whose fan-out is bounded by basket size (the
+quadratic is per-basket, never corpus-wide), map-side-combined pair
+counts, and broadcast scalar/item-count tables for the lift arithmetic.
+
+No analogue in the reference (its surface ends at scan/project/filter);
+beyond-reference analytics mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    k: int = 50,
+    decimals: int = 4,
+) -> DataFrame:
+    """Top-k co-occurring item pairs with LIFT
+    (``n_ij * N / (n_i * n_j)``): which items appear in the same basket
+    far more often than independence predicts.
+
+    Scale shape: the (basket, item) relation deduplicates, self-joins
+    on the basket key (fan-out = per-basket pair count — bounded by
+    basket size, so no corpus-wide quadratic), pair counts aggregate
+    with map-side combine, and the per-item counts plus the 1-row
+    basket total broadcast back for the lift arithmetic. Ranking uses
+    the ROUNDED lift (ties → item ids) so float noise cannot reorder
+    engines; the top-k is a TakeOrdered."""
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = items.agg(
+        F.countDistinct("b").cast("double").alias("nb")
+    )
+    item_counts = items.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
+    a, c = items.alias("a"), items.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.b") == F.col("c.b")) & (F.col("a.i") < F.col("c.i")))
+        .groupBy(
+            F.col("a.i").alias("item_a"), F.col("c.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_together"))
+        .filter(F.col("n_together") >= min_support)
+    )
+    ca = item_counts.select(
+        F.col("i").alias("item_a"), F.col("ni").alias("na")
+    )
+    cb = item_counts.select(
+        F.col("i").alias("item_b"), F.col("ni").alias("nb_i")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "n_together",
+            F.round(
+                F.col("n_together") * F.col("nb")
+                / (F.col("na") * F.col("nb_i")),
+                decimals,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(k)
+    )
+
+
+def basket_pairs_oracle(
+    table: str = "lineitem",
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    k: int = 50,
+    decimals: int = 4,
+) -> str:
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT {basket_col} AS b, {item_col} AS i FROM {table}
+    ),
+    nb AS (SELECT count(DISTINCT b)::DOUBLE AS nb FROM items),
+    cnt AS (SELECT i, count(*) AS ni FROM items GROUP BY i),
+    pairs AS (
+        SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_together
+        FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_support}
+    )
+    SELECT item_a, item_b, n_together,
+           round(n_together * nb.nb / (ca.ni * cb.ni), {decimals}) AS lift
+    FROM pairs
+    JOIN cnt ca ON item_a = ca.i
+    JOIN cnt cb ON item_b = cb.i
+    CROSS JOIN nb
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT {k}
+    """

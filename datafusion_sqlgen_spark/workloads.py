@@ -47,6 +47,7 @@ from datafusion_sqlgen_spark.plans import (
     scan,
 )
 from datafusion_sqlgen_spark.operators import (
+    affinity,
     dedup,
     joins,
     multimodal,
@@ -2050,6 +2051,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.incremental_dedup_oracle(),
         ),
+        # market-basket pair affinity with lift (per-basket-bounded
+        # self-join; rounded-lift TakeOrdered)
+        "affinity_basket_pairs": (
+            lambda s: affinity.basket_pairs(s.table("lineitem")),
+            affinity.basket_pairs_oracle(),
+        ),
         # type-2 SCD merge: changed keys close their open version and
         # append a new one; history stays immutable
         "join_scd2_merge": (
@@ -2314,6 +2321,7 @@ R4_ADDITIONS: list[str] = [
     "text_dsir_resample", "text_language_confidence", "sample_kfold",
     "ts_mergeable_rollup", "join_upsert_snapshot", "profile_robust_stats",
     "sample_capped_per_group", "join_scd2_merge", "sim_component_stats",
+    "affinity_basket_pairs",
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
