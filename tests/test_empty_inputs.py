@@ -222,3 +222,26 @@ def test_round4d_late_ops_on_empty(spark, empty_docs):
     assert joins.interval_overlap_join(
         lhs, empty_rhs, "lo", "hi", "rlo", "rhi", 5.0
     ).count() == 0
+
+
+def test_round4d_final_ops_on_empty(spark):
+    from datafusion_sqlgen_spark.operators import (
+        affinity, joins, profiling, sampling, similarity, timeseries,
+    )
+
+    empty_ev = spark.table("events").filter("event_id < 0")
+    empty_li = spark.table("lineitem").filter("l_orderkey < 0")
+    empty_emb = spark.table("embeddings").filter("vec_id < 0")
+    docs = spark.table("documents")
+    assert timeseries.mergeable_rollup(empty_ev).count() == 0
+    assert profiling.robust_stats(empty_ev).count() == 0
+    assert similarity.component_stats(empty_emb).count() == 0
+    assert affinity.basket_pairs(empty_li).count() == 0
+    assert sampling.capped_per_group(
+        docs.filter("doc_id < 0"), 5
+    ).count() == 0
+    # upsert with empty updates is identity; empty current is the batch
+    cur = docs.select("doc_id", "source")
+    empty = cur.filter("doc_id < 0")
+    assert joins.upsert(cur, empty, "doc_id").count() == cur.count()
+    assert joins.upsert(empty, cur, "doc_id").count() == cur.count()
