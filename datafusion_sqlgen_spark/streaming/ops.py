@@ -397,3 +397,50 @@ def streaming_incremental_dedup_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_rollup_sink(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+) -> "object":
+    """Continuously-maintained rollup (the materialized-view pattern):
+    each micro-batch rolls up to mergeable partial states
+    (``timeseries.mergeable_rollup``) and MERGES into the standing
+    state table — history is never recomputed, the merge touches only
+    fixed-width (hour, key) state rows. Readers finalize on demand
+    (``timeseries.finalize_rollup``).
+
+    The state table is tiny (one row per open (hour, key)), so the
+    swap is a double write (merged → ``{path}_next`` → ``{path}``) —
+    never an in-place overwrite of a table being read. On a
+    transactional format (Delta/Iceberg) the body becomes a MERGE; the
+    stream graph is unchanged. The checkpoint pins offsets: a replayed
+    batch re-merges the same states idempotently only on exactly-once
+    sources — pair with ``stream_dedup`` upstream for at-least-once
+    ones."""
+    from datafusion_sqlgen_spark.operators.timeseries import (
+        merge_rollups,
+        mergeable_rollup,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        states = mergeable_rollup(batch_df)
+        try:
+            existing = spark.read.parquet(state_path)
+            states = merge_rollups(existing, states)
+        except Exception:  # first batch: no standing table yet
+            pass
+        states.write.mode("overwrite").parquet(state_path + "_next")
+        spark.read.parquet(state_path + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

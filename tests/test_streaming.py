@@ -423,3 +423,38 @@ def test_streaming_incremental_dedup_sink(spark, docs_stream_dir, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(corpus).count() == n
+
+
+def test_streaming_rollup_sink_matches_batch(spark, stream_dir, tmp_path):
+    """The continuously-merged state table must finalize to exactly the
+    batch rollup of all replayed data — the merge algebra under
+    trigger-at-a-time arrival."""
+    from datafusion_sqlgen_spark.operators import timeseries as ts
+
+    state = str(tmp_path / "rollup_state")
+    q = st.streaming_rollup_sink(
+        st.read_events_stream(spark, stream_dir),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = normalize_rows(
+        [
+            tuple(r)
+            for r in ts.finalize_rollup(spark.read.parquet(state)).collect()
+        ],
+        4,
+    )
+    batch = normalize_rows(
+        [
+            tuple(r)
+            for r in ts.finalize_rollup(
+                ts.mergeable_rollup(
+                    spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+                )
+            ).collect()
+        ],
+        4,
+    )
+    assert streamed == batch and len(streamed) > 0
