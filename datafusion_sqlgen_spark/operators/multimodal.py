@@ -76,30 +76,40 @@ def decode_real(payload: bytes, mime: str):
 def decode_fake(payload: bytes, n: int = 64) -> list[float]:
     """Deterministic FAKE decode: n pseudo-pixels derived from the MD5
     stream of the payload. Stands in for decode_real so the Spark-side
-    plumbing (batching, schema, feature shape) is fully exercised."""
-    out: list[float] = []
-    seed = payload or b""
-    block = b""
+    plumbing (batching, schema, feature shape) is fully exercised.
+
+    The block counter is appended as ASCII (``md5(payload + b"0")``,
+    ``b"1"``, ...) rather than packed bytes so a SQL oracle can replay
+    the stream: DuckDB's ``md5`` is VARCHAR-only and cannot hash NUL
+    bytes, but ``md5(text || '0')`` hashes exactly these bytes."""
+    return [b / 255.0 for b in _decode_bytes(payload or b"", n)]
+
+
+def _decode_bytes(seed: bytes, n: int) -> list[int]:
+    out: list[int] = []
     counter = 0
     while len(out) < n:
-        block = hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
-        out.extend(b / 255.0 for b in block)
+        block = hashlib.md5(seed + str(counter).encode()).digest()
+        out.extend(block)
         counter += 1
     return out[:n]
 
 
 def _make_local_decoder():
-    """Build a decode_fake equivalent with no module references, safe to
-    ship inside pandas-UDF closures (pickled by value)."""
+    """Build a decode_fake-equivalent returning raw 0..255 ints, with no
+    module references, safe to ship inside pandas-UDF closures (pickled
+    by value). Integer bytes let callers reduce exactly (sum of ints)
+    before any float division — the property the DuckDB oracle twin
+    relies on for bit-identical doubles."""
     import hashlib as _hl
 
     def decode(payload, n: int):
-        out: list[float] = []
+        out: list[int] = []
         seed = bytes(payload) if payload is not None else b""
         counter = 0
         while len(out) < n:
-            block = _hl.md5(seed + counter.to_bytes(4, "little")).digest()
-            out.extend(b / 255.0 for b in block)
+            block = _hl.md5(seed + str(counter).encode()).digest()
+            out.extend(block)
             counter += 1
         return out[:n]
 
@@ -129,16 +139,48 @@ def extract_features(mm: DataFrame, dim: int = 64) -> DataFrame:
 
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [_decode(p, dim) for p in pdf["payload"]]
+            raw = [_decode(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "feature": feats,
-                    "mean_intensity": [round(sum(f) / len(f), 6) for f in feats],
+                    "feature": [[b / 255.0 for b in r] for r in raw],
+                    # integer sum first, then the same float divisions the
+                    # oracle performs -> bit-identical doubles both sides
+                    "mean_intensity": [
+                        round(sum(r) / 255.0 / dim, 6) for r in raw
+                    ],
                 }
             )
 
     return mm.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def extract_features_oracle(
+    table: str = "documents", payload_from: str = "text", dim: int = 64
+) -> str:
+    """DuckDB twin of ``extract_features(as_multimodal(df))`` for the
+    driver's hash check (VERDICT r4 item 4 — the catalog's last
+    ``no_oracle`` row): replay the MD5 byte stream in SQL. The payload is
+    the UTF-8 bytes of ``payload_from`` and the fake decoder hashes
+    ``payload + ascii(counter)``, so ``md5(text || '0')`` etc. reproduces
+    the digests exactly; each hex pair casts to its byte value via
+    ``CAST('0x..' AS INT)``. mean_intensity reduces the integer byte sum
+    with the same division order as the Spark side."""
+    n_digests = (dim + 15) // 16
+    digest_sums = []
+    for c in range(n_digests):
+        n_bytes = min(16, dim - 16 * c)
+        digest_sums.append(
+            f"list_sum(list_transform(range(0, {n_bytes}), i -> "
+            f"CAST('0x' || substr(md5({payload_from} || '{c}'), "
+            f"1 + 2 * i, 2) AS INTEGER)))"
+        )
+    total = " + ".join(digest_sums)
+    return f"""
+    SELECT doc_id,
+           round(({total}) / 255.0 / {dim}, 6) AS mean_intensity
+    FROM {table}
+    """
 
 
 RESIZE_SCHEMA = T.StructType(

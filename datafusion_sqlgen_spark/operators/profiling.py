@@ -60,7 +60,8 @@ def profile_columns_oracle(table: str, cols: list[str]) -> str:
         SELECT '{c}' AS col_name,
                count(*) AS n_rows,
                count({c}) AS n_non_null,
-               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
                count(DISTINCT {c}) AS n_distinct,
                CAST(min({c}) AS VARCHAR) AS min_s,
                CAST(max({c}) AS VARCHAR) AS max_s

@@ -247,10 +247,10 @@ def sessionize_oracle(
     ),
     numbered AS (
         SELECT {key_col}, {ts_col}, {value_col},
-               sum(new_sess) OVER (
+               CAST(sum(new_sess) OVER (
                    PARTITION BY {key_col} ORDER BY {ts_col}
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_no
+               ) AS BIGINT) AS session_no
         FROM flagged
     )
     SELECT {key_col}, session_no,
@@ -530,9 +530,12 @@ def mergeable_rollup(
 
 def merge_rollups(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two mergeable_rollup state tables: union + re-aggregate
-    with the state algebra (counts and sums add; min/max combine). The
-    result is bit-identical to rolling up the concatenated raw data —
-    the property the workload oracle proves."""
+    with the state algebra (counts and sums add; min/max combine).
+    n/min/max merge exactly; sum_v/sum_sq are floating-point partial
+    sums whose summation order differs from a raw rollup, so the merged
+    result equals the raw rollup AFTER ``finalize_rollup``'s rounding
+    (the property the workload oracle actually proves), not bit-for-bit
+    on the raw state columns."""
     cols = ["hr", a.columns[1]]
     return (
         a.unionByName(b)

@@ -415,25 +415,47 @@ def streaming_rollup_sink(
     swap is a double write (merged → ``{path}_next`` → ``{path}``) —
     never an in-place overwrite of a table being read. On a
     transactional format (Delta/Iceberg) the body becomes a MERGE; the
-    stream graph is unchanged. The checkpoint pins offsets: a replayed
-    batch re-merges the same states idempotently only on exactly-once
-    sources — pair with ``stream_dedup`` upstream for at-least-once
-    ones."""
+    stream graph is unchanged.
+
+    Replay safety: the merge is ADDITIVE, so re-merging a batch would
+    double-count. Every state row therefore carries the id of the last
+    applied batch (``__applied_batch_id``); ``write_batch`` skips any
+    batch id at or below it, making the crash-recovery replay of the
+    last uncommitted batch a no-op. Existence of the standing table is
+    probed explicitly via the Hadoop FileSystem API — a corrupt file or
+    schema drift FAILS the batch (and the query) instead of silently
+    discarding accumulated state. Residual risk: the promote
+    (``_next`` → ``{path}``) is not atomic on plain parquet; a crash
+    mid-promote needs the transactional-format variant."""
     from datafusion_sqlgen_spark.operators.timeseries import (
         merge_rollups,
         mergeable_rollup,
     )
+
+    def _hadoop_exists(spark: SparkSession, p: str) -> bool:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         states = mergeable_rollup(batch_df)
-        try:
+        if _hadoop_exists(spark, state_path):
             existing = spark.read.parquet(state_path)
+            if "__applied_batch_id" in existing.columns:
+                last = existing.agg(
+                    F.max("__applied_batch_id")
+                ).collect()[0][0]
+                if last is not None and batch_id <= last:
+                    return  # replayed batch already merged — idempotent
+                existing = existing.drop("__applied_batch_id")
             states = merge_rollups(existing, states)
-        except Exception:  # first batch: no standing table yet
-            pass
+        states = states.withColumn(
+            "__applied_batch_id", F.lit(batch_id).cast("long")
+        )
         states.write.mode("overwrite").parquet(state_path + "_next")
         spark.read.parquet(state_path + "_next").write.mode(
             "overwrite"
@@ -444,3 +466,39 @@ def streaming_rollup_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def run_bounded_rollup(
+    spark: SparkSession,
+    events_path: str,
+    work_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drive :func:`streaming_rollup_sink` over a BOUNDED file stream to
+    completion and return the finalized standing table — the
+    driver-checkable face of the streaming tier (VERDICT r4 item 8):
+    the result's compute path goes through readStream → foreachBatch →
+    per-trigger state merges, yet it is a static DataFrame an oracle can
+    hash against the batch twin (``mergeable_rollup_oracle``).
+
+    ``work_dir`` holds the standing state table and the checkpoint;
+    callers pass a fresh temp dir (the workload uses a per-run
+    SparkContext-scoped dir so repeated runs never share state)."""
+    import os
+
+    from datafusion_sqlgen_spark.operators.timeseries import finalize_rollup
+
+    stream = read_events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    q = streaming_rollup_sink(
+        stream,
+        state_path=os.path.join(work_dir, "rollup_state"),
+        checkpoint=os.path.join(work_dir, "checkpoint"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    states = spark.read.parquet(os.path.join(work_dir, "rollup_state")).drop(
+        "__applied_batch_id"
+    )
+    return finalize_rollup(states)

@@ -1394,6 +1394,25 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def _streaming_rollup_result(s: SparkSession) -> DataFrame:
+    """Bounded-stream replay of the materialized-rollup sink: events are
+    split into 4 parquet files, streamed one file per trigger through
+    ``streaming_rollup_sink`` (so the standing state table is built by
+    4 successive foreachBatch merges, exercising the additive state
+    algebra AND the batch-id idempotency guard), then the finalized
+    table is returned for the driver's hash check against the batch
+    rollup of all raw rows. First workload whose result's compute path
+    runs through a streaming query (VERDICT r4 item 8)."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import run_bounded_rollup
+
+    work = tempfile.mkdtemp(prefix="stream_rollup_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    return run_bounded_rollup(s, src, work, max_files_per_trigger=1)
+
+
 def _pipeline_curation(s: SparkSession) -> DataFrame:
     """The full curation pipeline as ONE composed plan: normalize ->
     C4 rule filter -> exact dedup (keep lowest doc id per content hash)
@@ -1809,14 +1828,15 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             dedup.embedding_near_dup_oracle(b=6),
         ),
         # multimodal pipeline: binary payload + metadata -> mapInPandas
-        # feature extraction; deterministic fake decode, no SQL equivalent
-        # (mean_intensity kept; the 64-float vector column is dropped for
-        # the rows-only check to keep the driver comparison light)
+        # feature extraction; the fake decode is deterministic MD5
+        # expansion, so since round 5 a DuckDB md5-replay twin hash-checks
+        # mean_intensity (the 64-float vector column is dropped to keep
+        # the driver comparison light)
         "mm_feature_extract": (
             lambda s: multimodal.extract_features(
                 multimodal.as_multimodal(s.table("documents"))
             ).select("doc_id", "mean_intensity"),
-            None,  # rows-only: decode is Python-side by design
+            multimodal.extract_features_oracle("documents", "text", 64),
         ),
         # multimodal frame sampling: JVM-side explode of the frame index,
         # duration derived from payload size -> fully oracle-checkable
@@ -2181,6 +2201,16 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             timeseries.mergeable_rollup_oracle(),
         ),
+        # STREAMING driver-visible workload (first CORRECTNESS row whose
+        # compute path goes through a streaming query — VERDICT r4 item
+        # 8): events split into 4 files, replayed as a bounded file
+        # stream through the foreachBatch materialized-rollup sink (one
+        # state merge per trigger), finalized standing table returned;
+        # the oracle is the batch rollup of ALL raw rows
+        "streaming_rollup_result": (
+            _streaming_rollup_result,
+            timeseries.mergeable_rollup_oracle(),
+        ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
         "text_language_confidence": (
@@ -2325,79 +2355,82 @@ R4_ADDITIONS: list[str] = [
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
-    # reference-behavior canaries (green r01-r03; keep a regression watch)
+    # Round-5 rotation (VERDICT r4 "Next round" items 1+3): exactly
+    # 2 canaries + the 3 sampled-never-green workloads (both r4 reds
+    # were oracle dtype bugs, now cast-fixed; mm_feature_extract gained
+    # an oracle this round) + all 45 never-driver-sampled workloads
+    # (catalog keys minus union of CORRECTNESS_r01..r04 keys — the list
+    # below was generated programmatically, do not hand-edit) = 50.
+    # tests/test_advice_fixes_r3.py regenerates this arithmetic.
+    # reference-behavior canaries (green every prior round):
     "ref_scan_filter",
+    "ref_nested_slots",
+    # sampled-but-never-green: fixed this round, must re-sample
+    "profile_orders",
+    "ts_sessionize",
+    "mm_feature_extract",
+    # --- the 45 never-driver-sampled workloads (all r4 additions) ---
+    # parsed-SQL forms
+    "parsed_qualify_using",
+    "parsed_reader_forms",
+    "parsed_pivot_status",
+    "parsed_distinct_on",
+    # dedup tier
+    "dedup_materialize",
+    "dedup_quality_rep",
+    "dedup_block_level",
+    "dedup_incremental",
+    # text tier
+    "text_tfidf_topk",
+    "text_c4_filters",
+    "text_gopher_filters",
+    "text_unigram_logprob",
+    "text_language_confidence",
+    "text_dsir_weights",
+    "text_dsir_resample",
+    "text_ngram_counts",
+    "text_bm25_topk",
+    # sampling tier
+    "sample_temperature_mix",
+    "sample_capped_per_group",
+    "sample_kfold",
+    "sample_global_shuffle",
+    # similarity tier
+    "sim_recall_at_k",
+    "sim_kmeans_fit",
+    "sim_ivf_topk_trained",
+    "sim_component_stats",
+    "sim_pq_encode",
+    # profiling tier
+    "profile_key_skew",
+    "profile_robust_stats",
+    "profile_correlations",
+    "profile_histogram",
+    # sources / sinks
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "source_schema_evolution",
+    "sink_sharded_write",
+    "sink_zorder_roundtrip",
+    # timeseries tier
+    "ts_rolling_anomaly",
+    "ts_funnel_steps",
+    "ts_cohort_retention",
+    "ts_mergeable_rollup",
+    # joins tier
+    "join_scd2_merge",
+    "join_upsert_snapshot",
+    "join_interval_overlap",
+    "join_fuzzy_names",
+    # pipeline / affinity
+    "pipeline_curation",
+    "affinity_basket_pairs",
+    # ---- 50-entry driver sample boundary ----
+    # round-6 rotation queue (first never-sampled names next round):
+    "streaming_rollup_result",
+    # remaining canaries (green r1-r4; rotate back in when slots free)
     "ref_sort_limit_offset",
     "ref_null_safe_cmp",
-    "ref_nested_slots",
-    # --- the 35 never-driver-verified workloads (r4 rotation focus) ---
-    # missed r3's sample by the off-by-three boundary:
-    "profile_orders",
-    "udf_bpeish_token_count",
-    "agg_pivot_status",
-    # set-op / join variants
-    "setop_union_by_name",
-    "join_salted_skew",
-    "join_range_bucketed",
-    # lateral / expression families
-    "lat_posexplode_embedding",
-    "expr_string_funcs2",
-    # text tier
-    "text_fingerprint",
-    "text_pack_sequences",
-    "text_redact",
-    "text_word_positions",
-    "text_top_terms",
-    # sampling / timeseries
-    "sample_stable_topk",
-    "sample_hash_split",
-    "ts_locf_resample",
-    # similarity
-    "sim_lsh_bucket_stats",
-    "sim_embedding_norms",
-    # multimodal (never sampled in any round)
-    "mm_feature_extract",
-    "mm_frame_sample",
-    # remaining TPC-H (15 queries)
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # --- round-4 new workloads (new code needs first-sample coverage) ---
-    "parsed_win_topn",
-    "parsed_cte_agg",
-    "sink_partitioned_roundtrip",
-    "expr_scalar_funcs5",
-    "ts_sliding_1h_stats",
-    "values_lookup_join",
-    "agg_filter_where",
-    "ts_sessionize",
-    "text_decontaminate",
-    "sim_quantize_int8",
-    "text_repetition",
-    # ---- round-5 rotation queue (added late in r4, locally oracle-green
-    # but not yet driver-sampled — put these first next round):
-    # parsed_qualify_using, text_tfidf_topk, ts_rolling_anomaly,
-    # dedup_materialize, dedup_block_level, text_c4_filters,
-    # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
-    # sim_kmeans_fit, profile_key_skew, parsed_reader_forms,
-    # parsed_distinct_on, parsed_pivot_status, source_jsonl_roundtrip,
-    # sim_ivf_topk_trained, dedup_incremental, ts_funnel_steps,
-    # ts_cohort_retention, source_csv_roundtrip, pipeline_curation,
-    # text_unigram_logprob, profile_histogram ----
-    # ---- 50-entry driver sample boundary (everything below already has a
-    # green row in some round; catalog order follows) ----
 ]
 
 

@@ -18,21 +18,30 @@ from datafusion_sqlgen_spark.workloads import (
     build_queries,
 )
 
-# catalog keys minus union(CORRECTNESS_r01..r03 keys), generated
-# programmatically at round-4 start — the workloads with no driver
-# correctness row in any round, which this round's sample must cover
-NEVER_DRIVER_VERIFIED = [
-    "profile_orders", "udf_bpeish_token_count", "agg_pivot_status",
-    "setop_union_by_name", "join_salted_skew", "join_range_bucketed",
-    "lat_posexplode_embedding", "expr_string_funcs2", "text_fingerprint",
-    "text_pack_sequences", "text_redact", "text_word_positions",
-    "sample_stable_topk", "sample_hash_split", "ts_locf_resample",
-    "sim_lsh_bucket_stats", "sim_embedding_norms", "mm_feature_extract",
-    "mm_frame_sample", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22", "text_top_terms",
-]
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_rows(rounds) -> dict:
+    """Union of CORRECTNESS_r* rows for the given round numbers."""
+    rows: dict = {}
+    for r in rounds:
+        path = os.path.join(_REPO, f"CORRECTNESS_r{r:02d}.json")
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if name not in rows or row.get("hash_match"):
+                    rows[name] = row
+    return rows
+
+
+# regenerated (not transcribed) from catalog minus union(r01..r04):
+# the round-5 rotation focus, plus workloads added THIS round (r5) that
+# structurally cannot have an r1-r4 row
+def _never_driver_sampled() -> list[str]:
+    sampled = set(_driver_rows(range(1, 5)))
+    return [n for n in build_queries() if n not in sampled]
+
+
+R5_ADDITIONS = ["streaming_rollup_result"]
 
 
 def test_every_priority_name_exists():
@@ -54,44 +63,50 @@ def test_driver_sample_is_exactly_the_first_fifty_priority_names():
     assert first50 == _SAMPLE_PRIORITY[:50]
 
 
-def test_all_never_verified_workloads_inside_the_sample():
-    """Round-4 rotation goal: every workload that has no CORRECTNESS row
-    in rounds 1-3 sits inside this round's 50-entry sample window."""
+def test_all_never_sampled_workloads_inside_the_sample():
+    """Round-5 rotation goal (VERDICT r4 item 3): every workload with no
+    CORRECTNESS row in rounds 1-4 sits inside the 50-entry sample window
+    — EXCEPT workloads first added this round (tracked in R5_ADDITIONS),
+    which queue behind the backlog at position 51+."""
     first50 = set(list(build_queries())[:50])
-    left_out = [n for n in NEVER_DRIVER_VERIFIED if n not in first50]
-    assert left_out == [], f"never-verified workloads outside sample: {left_out}"
+    left_out = [
+        n for n in _never_driver_sampled()
+        if n not in first50 and n not in R5_ADDITIONS
+    ]
+    assert left_out == [], f"never-sampled workloads outside sample: {left_out}"
 
 
-def test_never_verified_list_matches_correctness_files():
-    """The hardcoded list above IS catalog-minus-verified — regenerate
-    the comparison instead of trusting the transcription."""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
-    for r in (1, 2, 3):
-        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
-        with open(path) as f:
-            verified |= set(json.load(f))
+def test_sampled_never_green_workloads_resampled():
+    """The three sampled-but-never-green rows (two r4 oracle dtype bugs,
+    one no_oracle) were all fixed this round and must be re-sampled."""
+    rows = _driver_rows(range(1, 5))
+    never_green = sorted(
+        n for n, row in rows.items()
+        if n in build_queries() and not row.get("hash_match")
+    )
+    assert never_green == [
+        "mm_feature_extract", "profile_orders", "ts_sessionize"
+    ]
+    first50 = set(list(build_queries())[:50])
+    left_out = [n for n in never_green if n not in first50]
+    assert left_out == [], f"never-green workloads outside sample: {left_out}"
+
+
+def test_r4_additions_bookkeeping_still_consistent():
     from datafusion_sqlgen_spark.workloads import R4_ADDITIONS
 
     q = build_queries()
-    # round-4 additions have no r1-r3 row by construction; everything
-    # else in the catalog is either verified or in the tracked list
-    expected = [n for n in q if n not in verified and n not in R4_ADDITIONS]
-    assert sorted(expected) == sorted(NEVER_DRIVER_VERIFIED)
-    phantoms = [n for n in R4_ADDITIONS if n not in q]
-    assert phantoms == [], f"R4_ADDITIONS names not in catalog: {phantoms}"
-    overlap = [n for n in R4_ADDITIONS if n in verified]
-    assert overlap == [], f"R4_ADDITIONS already driver-verified: {overlap}"
+    phantoms = [n for n in R4_ADDITIONS + R5_ADDITIONS if n not in q]
+    assert phantoms == [], f"tracked additions not in catalog: {phantoms}"
 
 
 def test_sampled_workloads_have_oracles():
     """Everything in the sample window gets the STRONG driver check
-    (rows+schema+hash vs DuckDB) except the two multimodal workloads,
-    whose binary featurization is intentionally rows-only."""
+    (rows+schema+hash vs DuckDB) — since round 5 even mm_feature_extract
+    carries one (md5-expansion twin), so there are no exceptions."""
     oracles = build_oracles()
     missing = [
-        n for n in list(build_queries())[:50]
-        if n not in oracles and not n.startswith("mm_")
+        n for n in list(build_queries())[:50] if n not in oracles
     ]
     assert missing == [], f"sampled workloads without oracle SQL: {missing}"
 
