@@ -1318,7 +1318,8 @@ def _source_jsonl_roundtrip(s: SparkSession) -> DataFrame:
 
 
 _SOURCE_JSONL_ORACLE = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -1353,8 +1354,9 @@ def _source_schema_evolution(s: SparkSession) -> DataFrame:
 
 _SOURCE_EVOLUTION_ORACLE = """
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS n_with_tier,
-       sum(n_chars) AS total_chars
+       CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_tier,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -1468,7 +1470,8 @@ sampled AS (
     SELECT * FROM deduped
     WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':curate'), 1, 4) < '8000'
 )
-SELECT source, count(*) AS n_docs, sum(length(text)) AS total_chars
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM sampled GROUP BY source
 """
 
