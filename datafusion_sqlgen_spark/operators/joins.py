@@ -241,18 +241,32 @@ def fuzzy_join(
     ``q*(max_dist+1) + max_dist`` (each edit destroys or shifts at most
     ``q`` positional grams, so ``len-q+1 - q*d ≥ 1`` survivors remain
     aligned within the window); the exact ``levenshtein`` then runs on
-    candidates only. The oracle is the NAIVE verified join, so the
-    correctness gate itself proves the blocking drops nothing.
+    candidates only. Strings BELOW that pigeonhole bound take a
+    separate exact path — an equi join on candidate length (each right
+    row explodes its length to the ±d window), never q-grams — so the
+    losslessness contract holds on EVERY input domain, short strings
+    included. The oracle is the NAIVE verified join, so the correctness
+    gate itself proves the combined blocking drops nothing.
 
-    Scale: the join shuffles (gram, short-string) rows — never full
-    documents — and the verify is per-candidate. Skewed grams (a hot
-    bigram) are AQE-skew-splittable since the join is equi on the gram.
+    Scale: the gram join shuffles (gram, short-string) rows — never
+    full documents — and the verify is per-candidate. Skewed grams (a
+    hot bigram) are AQE-skew-splittable since the join is equi on the
+    gram. The short-string path joins on length (≤ ``bound+d`` distinct
+    values): sound for the near-universal case where sub-``bound``-char
+    strings are a sliver of the domain; a domain that is MOSTLY 4-char
+    strings needs a smaller ``q`` instead.
     """
     d = max_dist
+    bound = q * (d + 1) + d  # pigeonhole losslessness threshold
 
     def grams(df: DataFrame, id_: str, col: str, pos_name: str):
         c = F.col(col)
-        idx = F.sequence(F.lit(1), F.length(c) - (q - 1))
+        # clamp like every other shingle op in the repo (dedup.py/text.py):
+        # without it a sub-q string yields a DESCENDING sequence ->
+        # phantom grams from substr at position 0
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(c) - (q - 1), F.lit(1))
+        )
         return df.select(
             F.col(id_), c,
             F.explode(
@@ -267,17 +281,40 @@ def fuzzy_join(
             F.col(f"__gp.{pos_name}").alias(pos_name),
         )
 
-    la = grams(left, left_id, left_col, "__pa")
-    rb = grams(right, right_id, right_col, "__pb")
-    cand = (
+    # main path: both sides at/above the pigeonhole bound -> gram blocking
+    la = grams(left.filter(F.length(left_col) >= bound), left_id, left_col, "__pa")
+    rb = grams(right.filter(F.length(right_col) >= bound), right_id, right_col, "__pb")
+    cand_long = (
         la.join(rb, "__gram")
         .filter(F.abs(F.col("__pa") - F.col("__pb")) <= d)
         .filter(
             F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col))) <= d
         )
         .select(left_id, left_col, right_id, right_col)
-        .distinct()
     )
+    # short path: any pair whose smaller side is below the bound; both
+    # sides are then < bound + d, and the paths stay disjoint via the
+    # at-least-one-short filter (no cross-path dedup needed)
+    ls = left.filter(F.length(left_col) < bound + d).select(
+        left_id, left_col, F.length(left_col).alias("__l")
+    )
+    rs = right.filter(F.length(right_col) < bound + d).select(
+        right_id, right_col,
+        F.explode(
+            F.sequence(
+                F.greatest(F.length(right_col) - d, F.lit(0)),
+                F.length(right_col) + d,
+            )
+        ).alias("__l"),
+    )
+    cand_short = (
+        ls.join(rs, "__l")
+        .filter(
+            (F.length(left_col) < bound) | (F.length(right_col) < bound)
+        )
+        .select(left_id, left_col, right_id, right_col)
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
     return cand.withColumn(
         "edit_dist", F.levenshtein(F.col(left_col), F.col(right_col))
     ).filter(F.col("edit_dist") <= d)
@@ -371,12 +408,14 @@ def upsert(
     keeps (user profiles, document status, centroid tables) on engines
     without a native MERGE.
 
-    Scale shape: updates ∪ (current LEFT ANTI updates-keys) — when the
-    update batch is small (the common case) the anti join broadcasts
-    the update KEY LIST only, so the standing table is never shuffled;
-    a same-size merge degrades gracefully to one hash join."""
+    Scale shape: updates ∪ (current LEFT ANTI updates-keys). No forced
+    broadcast hint: a hint never degrades, so a large update batch
+    would OOM the driver instead of falling back. AQE sizes the key
+    list at runtime — a small batch (the common case) broadcasts only
+    the update KEYS and the standing table is never shuffled; a
+    same-size merge genuinely degrades to one shuffle hash join."""
     keys = updates.select(key)
-    survivors = current.join(F.broadcast(keys), key, "left_anti")
+    survivors = current.join(keys, key, "left_anti")
     return updates.unionByName(survivors)
 
 

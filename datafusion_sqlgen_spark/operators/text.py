@@ -1026,7 +1026,10 @@ def gopher_filters(
         .alias("__sum_len"),
         (occurrences("#") + occurrences("...") + occurrences("…"))
         .alias("__n_sym"),
-        F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+        # Unicode letter class, not [a-z]: the Gopher/MassiveText rule is
+        # "words containing an alphabetic character", and the corpus has
+        # de/fr text whose words can be all-accented (ü, é, ß)
+        F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
         .cast("bigint").alias("__n_alpha"),
         F.size(F.array_intersect(w, sw)).cast("bigint").alias("stopword_hits"),
         F.size(lines).cast("bigint").alias("__n_lines"),
@@ -1102,7 +1105,7 @@ def gopher_filters_oracle(
                len(w) AS n_words,
                list_sum(list_transform(w, x -> length(x)))::DOUBLE AS sum_len,
                CAST({n_sym} AS BIGINT) AS n_sym,
-               len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+               len(list_filter(w, x -> regexp_matches(x, '\\p{{L}}'))) AS n_alpha,
                len(list_intersect(w, [{sw}])) AS stopword_hits,
                len(lines) AS n_lines,
                len(list_filter(lines, x -> {bullet})) AS n_bullet,

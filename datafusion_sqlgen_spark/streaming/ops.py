@@ -427,45 +427,59 @@ def streaming_rollup_sink(
     discarding accumulated state. Residual risk: the promote
     (``_next`` → ``{path}``) is not atomic on plain parquet; a crash
     mid-promote needs the transactional-format variant."""
-    from datafusion_sqlgen_spark.operators.timeseries import (
-        merge_rollups,
-        mergeable_rollup,
-    )
-
-    def _hadoop_exists(spark: SparkSession, p: str) -> bool:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        states = mergeable_rollup(batch_df)
-        if _hadoop_exists(spark, state_path):
-            existing = spark.read.parquet(state_path)
-            if "__applied_batch_id" in existing.columns:
-                last = existing.agg(
-                    F.max("__applied_batch_id")
-                ).collect()[0][0]
-                if last is not None and batch_id <= last:
-                    return  # replayed batch already merged — idempotent
-                existing = existing.drop("__applied_batch_id")
-            states = merge_rollups(existing, states)
-        states = states.withColumn(
-            "__applied_batch_id", F.lit(batch_id).cast("long")
-        )
-        states.write.mode("overwrite").parquet(state_path + "_next")
-        spark.read.parquet(state_path + "_next").write.mode(
-            "overwrite"
-        ).parquet(state_path)
+        rollup_merge_batch(batch_df, batch_id, state_path)
 
     return (
         events_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def _hadoop_exists(spark: SparkSession, p: str) -> bool:
+    """Portable existence probe (local FS, HDFS, object stores) via the
+    Hadoop FileSystem API — replaces the bare try/except around the
+    state read, which used to swallow corrupt-file and schema-drift
+    errors and silently reset accumulated state (ADVICE r4 item 1)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def rollup_merge_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> None:
+    """One micro-batch of the materialized-rollup sink, module-level so
+    the replay contract is directly testable: merge the batch's partial
+    states into the standing table UNLESS ``batch_id`` was already
+    applied (the additive merge would double-count a crash-recovery
+    replay otherwise)."""
+    from datafusion_sqlgen_spark.operators.timeseries import (
+        merge_rollups,
+        mergeable_rollup,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    states = mergeable_rollup(batch_df)
+    if _hadoop_exists(spark, state_path):
+        existing = spark.read.parquet(state_path)
+        if "__applied_batch_id" in existing.columns:
+            last = existing.agg(F.max("__applied_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch already merged — idempotent
+            existing = existing.drop("__applied_batch_id")
+        states = merge_rollups(existing, states)
+    states = states.withColumn(
+        "__applied_batch_id", F.lit(batch_id).cast("long")
+    )
+    states.write.mode("overwrite").parquet(state_path + "_next")
+    spark.read.parquet(state_path + "_next").write.mode(
+        "overwrite"
+    ).parquet(state_path)
 
 
 def run_bounded_rollup(

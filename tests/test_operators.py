@@ -587,6 +587,49 @@ def test_fuzzy_join_blocking_is_lossless(spark):
     assert got == want, got
 
 
+def test_fuzzy_join_lossless_on_short_strings(spark):
+    """ADVICE r4 item 2: strings below the pigeonhole bound
+    (q*(d+1)+d = 5 for q=2,d=1) — including sub-q strings, where the
+    unclamped gram sequence used to generate phantom grams — must still
+    satisfy the naive-oracle losslessness contract via the exact
+    length-blocked path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    # lengths 1..7 straddle the bound; "" excluded (levenshtein trivially
+    # pairs it with every 1-char string — covered by ("a","") below)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(1, 7))))
+        for i in range(80)
+    ] + [(80, "a"), (81, ""), (82, "xy"), (83, "x")]
+    df = spark.createDataFrame(rows, ["id_a", "s_a"])
+    rhs = df.select(F.col("id_a").alias("id_b"), F.col("s_a").alias("s_b"))
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in joins.fuzzy_join(
+            df, rhs, "id_a", "s_a", "id_b", "s_b", max_dist=1
+        ).filter("id_a < id_b").collect()
+    )
+    want = sorted(
+        (i, j, lev(a, b))
+        for i, a in rows for j, b in rows
+        if i < j and lev(a, b) <= 1
+    )
+    assert got == want, f"{len(got)} vs {len(want)}"
+
+
 def test_pq_encode_semantics(spark):
     from pyspark.sql import functions as F
 
@@ -763,10 +806,15 @@ def test_upsert_semantics(spark):
     assert got == [
         (1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0), (4, "d", 40.0)
     ], got
-    # the standing table side must not shuffle: anti join broadcasts keys
-    plan = joins.upsert(cur, upd, "k")._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # ADVICE r4 item 3: no forced broadcast hint (a hint never degrades —
+    # a huge update batch must be able to fall back to a shuffle join).
+    # The anti join is still there, and AQE's runtime plan picks the
+    # broadcast for this small key list on its own.
+    res = joins.upsert(cur, upd, "k")
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_scd2_merge_semantics(spark):

@@ -458,3 +458,52 @@ def test_streaming_rollup_sink_matches_batch(spark, stream_dir, tmp_path):
         4,
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_rollup_batch_replay_is_idempotent(spark, stream_dir, tmp_path):
+    """ADVICE r4 item 1: the additive state merge must NOT double-count
+    a crash-recovery replay — re-applying an already-applied batch_id is
+    a no-op, while the next batch_id still merges."""
+    from datafusion_sqlgen_spark.operators import timeseries as ts
+
+    state = str(tmp_path / "state")
+    batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    st.rollup_merge_batch(batch, 0, state)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(state).drop(
+            "__applied_batch_id"
+        ).collect()
+    )
+    # replay of batch 0 (same or stale id): state unchanged
+    st.rollup_merge_batch(batch, 0, state)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(state).drop(
+            "__applied_batch_id"
+        ).collect()
+    ) == once
+    # a NEW batch id still merges (counts double since same data)
+    st.rollup_merge_batch(batch, 1, state)
+    n_after = {
+        (r["hr"], r[1]): r["n"] for r in spark.read.parquet(state).collect()
+    }
+    n_once = {(r[0], r[1]): r[2] for r in once}
+    assert n_after == {k: 2 * v for k, v in n_once.items()}
+
+
+def test_rollup_sink_fails_loud_on_corrupt_state(spark, stream_dir, tmp_path):
+    """A corrupt standing table must FAIL the batch, not silently reset
+    accumulated state to the current batch (the old bare-except bug)."""
+    import pytest
+
+    state = str(tmp_path / "state")
+    import os
+
+    os.makedirs(state, exist_ok=True)
+    with open(os.path.join(state, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    with pytest.raises(Exception):
+        st.rollup_merge_batch(batch, 0, state)
+    # the corrupt table was NOT overwritten by the failed batch
+    with open(os.path.join(state, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"not a parquet file"
