@@ -439,8 +439,12 @@ def scd2_merge(
     Scale shape: ONE full-outer hash join of the OPEN slice against the
     snapshot on the key (closed history never joins — it is
     filter-unioned around the join), attribute comparison via null-safe
-    equality. At 100 TB the open slice is one row per live key —
-    dimension-sized, not history-sized."""
+    equality. Each joined row emits its 0-2 output versions through a
+    single conditional-array explode, so the join and both input scans
+    execute ONCE — the filter-per-branch union form re-ran the join
+    three times (3 scans of each side; a real cost when the open slice
+    is billions of keys). At 100 TB the open slice is one row per live
+    key — dimension-sized, not history-sized."""
     cur = history.filter(F.col("is_current"))
     past = history.filter(~F.col("is_current"))
     snap = snapshot.select(key, *attrs)
@@ -456,27 +460,36 @@ def scd2_merge(
     eff = F.lit(effective).cast("timestamp")
     null_ts = F.lit(None).cast("timestamp")
 
-    hist_cols = [F.col(f"c.{x}") for x in (key, *attrs)]
-    untouched = j.filter(
-        in_cur & ((in_snap & same) | (~in_snap & F.lit(not close_missing)))
-    ).select(
-        *hist_cols, F.col("c.valid_from"), F.col("c.valid_to"),
-        F.col("c.is_current"),
+    def version(side: str, valid_from, valid_to, is_current):
+        return F.struct(
+            *[F.col(f"{side}.{x}").alias(x) for x in (key, *attrs)],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            is_current.alias("is_current"),
+        )
+
+    branches = F.array(
+        F.when(
+            in_cur
+            & ((in_snap & same) | (~in_snap & F.lit(not close_missing))),
+            version("c", F.col("c.valid_from"), F.col("c.valid_to"),
+                    F.col("c.is_current")),
+        ),
+        F.when(
+            in_cur
+            & ((in_snap & ~same) | (~in_snap & F.lit(close_missing))),
+            version("c", F.col("c.valid_from"), eff, F.lit(False)),
+        ),
+        F.when(
+            in_snap & (~in_cur | ~same),
+            version("s", eff, null_ts, F.lit(True)),
+        ),
     )
-    closed = j.filter(
-        in_cur & ((in_snap & ~same) | (~in_snap & F.lit(close_missing)))
-    ).select(
-        *hist_cols, F.col("c.valid_from"), eff.alias("valid_to"),
-        F.lit(False).alias("is_current"),
-    )
-    new_rows = j.filter(in_snap & (~in_cur | ~same)).select(
-        *[F.col(f"s.{x}") for x in (key, *attrs)],
-        eff.alias("valid_from"), null_ts.alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    return (
-        past.select(key, *attrs, "valid_from", "valid_to", "is_current")
-        .unionByName(untouched)
-        .unionByName(closed)
-        .unionByName(new_rows)
-    )
+    merged = j.select(
+        F.explode(
+            F.filter(branches, lambda x: x.isNotNull())
+        ).alias("__v")
+    ).select("__v.*")
+    return past.select(
+        key, *attrs, "valid_from", "valid_to", "is_current"
+    ).unionByName(merged)

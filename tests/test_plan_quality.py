@@ -567,3 +567,148 @@ def test_unigram_logprob_broadcast_vocab(spark, queries):
     assert txt.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in txt
     assert "TakeOrderedAndProject" in txt  # top-V vocab, not a full sort
+
+
+# ---- round-5 gates: the round-4d additions (VERDICT r4 item 5) ----
+
+
+def test_scd2_single_join_single_pass(spark, queries):
+    """The SCD2 merge must execute its full-outer join ONCE: the three
+    output versions (untouched / closed / new) come from one
+    conditional-array explode above one join — never a union of three
+    filtered re-joins (3x scans of both sides at scale)."""
+    plan = queries["join_scd2_merge"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    joins_n = sum(plan.count(x) for x in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    ))
+    assert joins_n == 1, f"SCD2 planned {joins_n} joins, want exactly 1"
+    assert "FullOuter" in plan
+    assert plan.count("Generate") == 1  # the 0-2 version explode
+
+
+def test_interval_overlap_equi_on_buckets(spark, queries):
+    """Interval-interval overlap must run as an EQUI join on the bucket
+    id (both sides exploded to touched buckets), never a nested-loop
+    theta join over the interval pair space."""
+    txt = queries["join_interval_overlap"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert txt.count("Generate") == 2  # one bucket explode per side
+
+
+def test_basket_pairs_bounded_fanout_takeordered(spark, queries):
+    """Market-basket lift: the self-join is equi on the basket key (the
+    quadratic stays per-basket), count/item tables broadcast for the
+    lift arithmetic, the single nested-loop is the 1-row basket-total
+    broadcast, and the top-k is a TakeOrdered, not a global sort."""
+    plan = queries["affinity_basket_pairs"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row total only
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # item-count lift joins
+
+
+def test_funnel_single_user_shuffle(spark, queries):
+    """The step funnel reduces to per-user min-timestamps: ONE
+    hash-partitioned exchange on the user key, aggregates map-side
+    combined."""
+    plan = queries["ts_funnel_steps"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_shuffle_budget(spark, queries):
+    """Cohort retention: cohort assignment + activity distinct + final
+    (cohort, week) count — three key shuffles, the user-cohort join
+    broadcastable, no global sort."""
+    plan = queries["ts_cohort_retention"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mergeable_rollup_two_aggregate_shuffles(spark, queries):
+    """The merge-law workload (two halves rolled up + merged): each
+    rollup is a partial+final hash aggregate; the union re-aggregate
+    shares the (hour, key) partitioning — bounded exchanges, no joins."""
+    plan = queries["ts_mergeable_rollup"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_robust_stats_single_percentile_pass(spark, queries):
+    """Robust stats (median/IQR/MAD): percentile sketches aggregate in
+    one pass + one broadcast join for the MAD re-center — never a
+    per-column full sort."""
+    plan = queries["profile_robust_stats"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan  # no sort-based quantile
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_capped_per_group_window_group_limit(spark, queries):
+    """Per-group capped sampling must compile to WindowGroupLimit (the
+    rank<=k pushdown): partial top-k BEFORE the group shuffle, one
+    exchange total."""
+    plan = queries["sample_capped_per_group"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kfold_is_shuffle_free(spark, queries):
+    """k-fold assignment is pure row-local hash arithmetic: ZERO
+    exchanges of any kind — the 100-TB ideal (split 100 TB with no data
+    movement)."""
+    plan = queries["sample_kfold"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_language_confidence_is_shuffle_free(spark, queries):
+    """Language-ID + confidence margin is a narrow per-document
+    projection: zero exchanges, zero Python evals — ingest-gate shape."""
+    plan = queries["text_language_confidence"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ngram_counts_single_explode_single_shuffle(spark, queries):
+    """Corpus n-gram counts: one explode pass, one (gram) aggregate
+    exchange, top-k via TakeOrdered."""
+    plan = queries["text_ngram_counts"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_component_stats_single_shuffle(spark, queries):
+    """Embedding component stats: one posexplode + one (component)
+    aggregate exchange — never a per-component scan."""
+    plan = queries["sim_component_stats"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dsir_weights_broadcast_scalars_no_cartesian(spark, queries):
+    """DSIR importance weights: hashed-ngram count tables and scalar
+    totals BROADCAST back to the corpus (the only nested-loop joins are
+    1-row scalar broadcasts); the corpus itself never cartesians."""
+    plan = queries["text_dsir_weights"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 4 and plan.count("BroadcastExchange") >= bnlj
