@@ -182,25 +182,30 @@ def write_training_shards(
 
 
 def zorder_key(
-    cols_with_ranges: "list[tuple[str, float, float]]", bits: int = 8
+    cols_with_ranges: "list[tuple]", bits: int = 8
 ):
     """Z-order (Morton) key as pure JVM column math: each column is
     fixed-range-binned to ``bits`` bits ([lo, hi] from table stats — a
-    profile_columns pass, or domain knowledge), then the bits of all
-    columns are interleaved. Rows close in EVERY dimension get close
-    keys, which is what makes multi-dimensional file pruning work."""
+    profile_columns pass, domain knowledge, or Column expressions from a
+    broadcast bounds row as in :func:`write_zordered_auto`), then the
+    bits of all columns are interleaved. Rows close in EVERY dimension
+    get close keys, which is what makes multi-dimensional file pruning
+    work. ``lo``/``hi`` may be Python floats or Columns."""
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     n = len(cols_with_ranges)
     top = (1 << bits) - 1
     z = F.lit(0).cast("bigint")
     for j, (c, lo, hi) in enumerate(cols_with_ranges):
+        lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+        hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
         b = F.least(
             F.lit(top).cast("bigint"),
             F.greatest(
                 F.lit(0).cast("bigint"),
                 F.floor(
-                    (F.col(c) - F.lit(lo)) / F.lit(hi - lo) * (1 << bits)
+                    (F.col(c) - lo_c) / (hi_c - lo_c) * (1 << bits)
                 ).cast("bigint"),
             ),
         )
@@ -238,6 +243,49 @@ def write_zordered(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     out = df.withColumn("__z", zorder_key(cols_with_ranges, bits))
+    (
+        out.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_zordered_auto(
+    df: DataFrame,
+    path: str,
+    cols: "list[str]",
+    bits: int = 8,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """:func:`write_zordered` with the [lo, hi] bounds computed INSIDE
+    the write job: a 1-row min/max aggregate cross-joined back by
+    broadcast, so the Morton normalization reads the bounds as columns
+    and no ``.first()`` round-trips them through the driver (VERDICT r4
+    item 6 — the probe was the repo's one blocking driver action inside
+    a workload body)."""
+    from pyspark.sql import functions as F
+
+    n = n_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"__zlo_{i}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"__zhi_{i}"))
+    bounds = df.agg(*aggs)
+    ranges = [
+        (c, F.col(f"__zlo_{i}"), F.col(f"__zhi_{i}"))
+        for i, c in enumerate(cols)
+    ]
+    out = (
+        df.join(F.broadcast(bounds))
+        .withColumn("__z", zorder_key(ranges, bits))
+        .drop(*[f"__zlo_{i}" for i in range(len(cols))],
+              *[f"__zhi_{i}" for i in range(len(cols))])
+    )
     (
         out.repartitionByRange(n, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -1373,15 +1373,10 @@ def _sink_zorder_roundtrip(s: SparkSession) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="sink_z_") + "/orders_z"
     orders = s.table("orders")
-    st = orders.agg(
-        F.min("o_custkey"), F.max("o_custkey"),
-        F.min("o_totalprice"), F.max("o_totalprice"),
-    ).first()
-    sio.write_zordered(
-        orders, out,
-        [("o_custkey", float(st[0]), float(st[1])),
-         ("o_totalprice", float(st[2]), float(st[3]))],
-        n_files=8,
+    # bounds computed inside the write job (broadcast 1-row min/max) —
+    # no .first() driver round-trip (VERDICT r4 item 6)
+    sio.write_zordered_auto(
+        orders, out, ["o_custkey", "o_totalprice"], n_files=8
     )
     back = sio.read_parquet(s, out)
     return back.groupBy("o_orderstatus").agg(

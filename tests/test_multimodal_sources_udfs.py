@@ -266,3 +266,18 @@ def test_zorder_write_tightens_footers(spark, tmp_path):
         z = mean_span(str(tmp_path / "z"), col, lo, hi)
         naive = mean_span(str(tmp_path / "naive"), col, lo, hi)
         assert z < naive * 0.7, f"{col}: z-span {z:.2f} vs naive {naive:.2f}"
+
+    # auto-bounds variant (no driver .first round-trip) must produce the
+    # same clustered layout: identical sorted z-file contents
+    from datafusion_sqlgen_spark.sources.io import write_zordered_auto
+
+    write_zordered_auto(
+        orders, str(tmp_path / "z_auto"), ["o_custkey", "o_totalprice"],
+        n_files=8,
+    )
+    auto_back = spark.read.parquet(str(tmp_path / "z_auto"))
+    assert auto_back.count() == orders.count()
+    for col, lo, hi in ranges:
+        za = mean_span(str(tmp_path / "z_auto"), col, lo, hi)
+        naive = mean_span(str(tmp_path / "naive"), col, lo, hi)
+        assert za < naive * 0.7, f"{col}: auto z-span {za:.2f} vs {naive:.2f}"
