@@ -133,11 +133,20 @@ def test_distinct_on_picks_max_row(spark, duck):
     assert got == want
 
 
-def test_unsupported_quantified_comparison_raises():
-    with pytest.raises(ParseError, match="quantified"):
+def test_ordered_quantified_comparison_desugars():
+    """Round 5: > ALL no longer raises — it desugars to a max scalar
+    subquery (the r4-era ParseError covered only = ANY / <> ALL)."""
+    p = parse_sql(
+        "SELECT 1 AS x FROM nation "
+        "WHERE n_nationkey > ALL (SELECT c_nationkey FROM customer)"
+    )
+    sql = p.to_sql("spark")
+    assert "max(" in sql and "ALL" not in sql
+    # the unnamable-column form still raises, with actionable wording
+    with pytest.raises(ParseError, match="alias"):
         parse_sql(
             "SELECT 1 AS x FROM nation "
-            "WHERE n_nationkey > ALL (SELECT c_nationkey FROM customer)"
+            "WHERE n_nationkey > ALL (SELECT c_nationkey + 1 FROM customer)"
         )
 
 
