@@ -130,6 +130,10 @@ HEADLINE = [
     "ts_cohort_retention",
     "pipeline_curation",
     "text_unigram_logprob",
+    # round-5: the streaming tier's driver-visible workload (bounded
+    # 4-file replay through the foreachBatch rollup sink — streaming
+    # throughput is a first-class cost, not a pytest-only path)
+    "streaming_rollup_result",
 ]
 
 

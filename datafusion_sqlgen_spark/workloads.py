@@ -2353,16 +2353,21 @@ R4_ADDITIONS: list[str] = [
 ]
 
 _SAMPLE_PRIORITY: list[str] = [
-    # Round-5 rotation (VERDICT r4 "Next round" items 1+3): exactly
-    # 2 canaries + the 3 sampled-never-green workloads (both r4 reds
+    # Round-5 rotation (VERDICT r4 "Next round" items 1, 3, 8): exactly
+    # 1 canary + the 3 sampled-never-green workloads (both r4 reds
     # were oracle dtype bugs, now cast-fixed; mm_feature_extract gained
     # an oracle this round) + all 45 never-driver-sampled workloads
     # (catalog keys minus union of CORRECTNESS_r01..r04 keys — the list
-    # below was generated programmatically, do not hand-edit) = 50.
+    # below was generated programmatically, do not hand-edit) + the new
+    # streaming-path workload (item 8 requires its first driver row
+    # THIS round) = 50. The other three ref_* canaries rotate out —
+    # every behavior they watch is exercised by the 48 real rows, and
+    # the 50-slot budget is the binding constraint.
     # tests/test_advice_fixes_r3.py regenerates this arithmetic.
-    # reference-behavior canaries (green every prior round):
-    "ref_scan_filter",
+    # reference-behavior canary (green every prior round):
     "ref_nested_slots",
+    # streaming tier's first driver-checkable row (r5 addition):
+    "streaming_rollup_result",
     # sampled-but-never-green: fixed this round, must re-sample
     "profile_orders",
     "ts_sessionize",
@@ -2424,9 +2429,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "pipeline_curation",
     "affinity_basket_pairs",
     # ---- 50-entry driver sample boundary ----
-    # round-6 rotation queue (first never-sampled names next round):
-    "streaming_rollup_result",
     # remaining canaries (green r1-r4; rotate back in when slots free)
+    "ref_scan_filter",
     "ref_sort_limit_offset",
     "ref_null_safe_cmp",
 ]
