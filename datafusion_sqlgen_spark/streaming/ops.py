@@ -378,12 +378,12 @@ def streaming_incremental_dedup_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
-            corpus = spark.read.parquet(corpus_path)
-            have_corpus = True
-        except Exception:  # first batch: no corpus yet
-            have_corpus = False
+        # explicit existence probe, same rationale as rollup_merge_batch:
+        # a corrupt corpus must FAIL the batch, not silently re-admit
+        # every document as if the corpus were empty
+        have_corpus = _hadoop_exists(spark, corpus_path)
         if have_corpus:
+            corpus = spark.read.parquet(corpus_path)
             admitted_ids = incremental_dedup(batch_unique, corpus).select(
                 "doc_id"
             )
