@@ -1450,11 +1450,13 @@ def dsir_resample(
     selects the same subset, on any engine.
 
     Scale shape on top of dsir_weights: one 1-row max aggregate
-    (broadcast back), a narrow rate projection ROUNDED to 4 before the
-    65536-bucket floor (exp ULP cannot flip a boundary), and one
-    id-keyed join of fixed-width (id, rate) rows against the corpus —
-    documents shuffle once on their key, rates never exceed id+double
-    width."""
+    (broadcast back), then a narrow rate projection ROUNDED to 4 before
+    the 65536-bucket floor (exp ULP cannot flip a boundary) and the
+    threshold filter — all on the (id, weight) table dsir_weights
+    already reduced to. No join back to the corpus: the weight table
+    carries one row per scored document (round 5 removed a redundant
+    id-keyed join that re-shuffled the id set for nothing — callers
+    join the returned ids to fetch payloads when they need them)."""
     wts = dsir_weights(
         df, target_df, text_col, id_col, vocab_size, alpha
     ).select(id_col, "mean_logratio")
@@ -1475,11 +1477,7 @@ def dsir_resample(
             F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
         ), 1, 4,
     )
-    return (
-        df.select(id_col).join(rates, id_col)
-        .filter(key < thr)
-        .select(id_col, "rate")
-    )
+    return rates.filter(key < thr).select(id_col, "rate")
 
 
 def dsir_resample_oracle(
