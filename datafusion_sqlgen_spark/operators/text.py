@@ -1460,6 +1460,13 @@ def dsir_resample(
     wts = dsir_weights(
         df, target_df, text_col, id_col, vocab_size, alpha
     ).select(id_col, "mean_logratio")
+    # materialize the per-doc weight table before it branches into the
+    # max aggregate AND the rate projection: without this Spark re-runs
+    # the whole weights pipeline (vocab builds + corpus tokenization)
+    # once per branch — measured 14 Generate nodes / 28 scans in one
+    # plan. The cached table is (id, double) per document — the one
+    # intermediate small enough to pin at any corpus scale.
+    wts = wts.persist()
     mx = wts.agg(F.max("mean_logratio").alias("__mx"))
     rate = F.round(
         F.exp((F.col("mean_logratio") - F.col("__mx")) / temperature), 4
