@@ -46,6 +46,9 @@ def main() -> None:
 
     spark = get_spark(app_name="oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    # keep ok/FAIL lines greppable: the console progress bar's \r glues
+    # itself onto result lines otherwise
+    spark.conf.set("spark.ui.showConsoleProgress", "false")
     register_tables(spark, sf_dir)
 
     con = duckdb.connect()
