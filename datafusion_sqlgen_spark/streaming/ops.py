@@ -505,14 +505,24 @@ def run_bounded_rollup(
     stream = read_events_stream(
         spark, events_path, max_files_per_trigger=max_files_per_trigger
     )
+    state_path = os.path.join(work_dir, "rollup_state")
     q = streaming_rollup_sink(
         stream,
-        state_path=os.path.join(work_dir, "rollup_state"),
+        state_path=state_path,
         checkpoint=os.path.join(work_dir, "checkpoint"),
     )
     q.processAllAvailable()
     q.stop()
-    states = spark.read.parquet(os.path.join(work_dir, "rollup_state")).drop(
-        "__applied_batch_id"
-    )
+    if not _hadoop_exists(spark, state_path):
+        # empty source -> zero triggers wrote state; return an empty
+        # finalized frame with the right schema instead of a read error
+        from datafusion_sqlgen_spark.operators.timeseries import (
+            mergeable_rollup,
+        )
+
+        empty = mergeable_rollup(
+            spark.createDataFrame([], EVENTS_SCHEMA)
+        )
+        return finalize_rollup(empty)
+    states = spark.read.parquet(state_path).drop("__applied_batch_id")
     return finalize_rollup(states)

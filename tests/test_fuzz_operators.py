@@ -153,3 +153,46 @@ def _round_half_away(x: float) -> float:
     frac = abs(x) - f
     r = f + 1 if frac >= 0.5 else f
     return math.copysign(r, x)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # hour bucket
+            st.sampled_from(["a", "b"]),  # event_type
+            st.integers(-5, 5),           # value (int: exact partial sums)
+            st.integers(0, 3),            # partition assignment
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_merge_rollup_law_under_arbitrary_splits(spark, events):
+    """The mergeable-rollup algebra (round 5 streaming-sink substrate):
+    for ANY partition of the input into batches, folding merge_rollups
+    over per-batch states then finalizing equals finalizing the rollup
+    of all rows at once — the invariant that makes the foreachBatch
+    materialized view trustworthy under arbitrary trigger boundaries."""
+    from functools import reduce
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h), t, float(v), p)
+        for h, t, v, p in events
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double, part int"
+    )
+    whole = timeseries.finalize_rollup(
+        timeseries.mergeable_rollup(df.drop("part"))
+    )
+    parts = [
+        timeseries.mergeable_rollup(
+            df.filter(f"part = {p}").drop("part")
+        )
+        for p in sorted({r[3] for r in rows})
+    ]
+    merged = timeseries.finalize_rollup(reduce(timeseries.merge_rollups, parts))
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b

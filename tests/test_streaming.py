@@ -490,6 +490,19 @@ def test_rollup_batch_replay_is_idempotent(spark, stream_dir, tmp_path):
     assert n_after == {k: 2 * v for k, v in n_once.items()}
 
 
+def test_bounded_rollup_empty_source_yields_empty_frame(spark, tmp_path):
+    """Zero input files -> zero triggers -> no state table; the bounded
+    driver must return an empty finalized frame, not a read error."""
+    import os
+
+    src = str(tmp_path / "empty_events")
+    os.makedirs(src, exist_ok=True)
+    out = st.run_bounded_rollup(spark, src, str(tmp_path / "work"))
+    assert out.count() == 0
+    assert out.columns == ["hr", "event_type", "n", "total", "mean",
+                           "lo", "hi"]
+
+
 def test_rollup_sink_fails_loud_on_corrupt_state(spark, stream_dir, tmp_path):
     """A corrupt standing table must FAIL the batch, not silently reset
     accumulated state to the current batch (the old bare-except bug)."""
