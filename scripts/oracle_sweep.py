@@ -44,11 +44,14 @@ def main() -> None:
     import __spark_entry__ as entry
     from datafusion_sqlgen_spark import get_spark, register_tables
 
-    spark = get_spark(app_name="oracle-sweep")
-    spark.sparkContext.setLogLevel("ERROR")
     # keep ok/FAIL lines greppable: the console progress bar's \r glues
-    # itself onto result lines otherwise
-    spark.conf.set("spark.ui.showConsoleProgress", "false")
+    # itself onto result lines otherwise (static conf — must be set at
+    # session build, not via spark.conf.set)
+    spark = get_spark(
+        app_name="oracle-sweep",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, sf_dir)
 
     con = duckdb.connect()
