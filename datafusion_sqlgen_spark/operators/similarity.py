@@ -25,6 +25,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Trained centroid/codebook tables are k rows but carry a multi-pass
+# Lloyd lineage; without a cut every downstream job (assignment,
+# member counts, the query-side probe) re-runs the whole training
+# chain. Persisting the final table IS the "index built once, then
+# served" shape the docstrings promise at 100 TB. Bounded registry so
+# repeated calls (benches, notebooks) don't accumulate cached plans.
+_TRAINED_CACHE: list[DataFrame] = []
+
+
+def _pin_trained(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    while len(_TRAINED_CACHE) >= 8:
+        _TRAINED_CACHE.pop(0).unpersist()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRAINED_CACHE.append(df)
+    return df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -586,7 +605,7 @@ def _kmeans_centroids(
             )
             .select(F.col("cell_id").alias(id_col), vec_col)
         )
-    return cents
+    return _pin_trained(cents)
 
 
 def ivf_topk_trained(
@@ -794,6 +813,9 @@ def _kmeans_centroids_l2(
                 lambda s: s["m"],
             ).alias("cent")
         )
+    # no _pin_trained here: each subspace codebook is consumed exactly
+    # once (the final encode pass), so a cache cut is pure overhead —
+    # unlike the cosine loop, whose output fans out to several jobs
     return cents
 
 
