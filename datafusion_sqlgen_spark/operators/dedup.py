@@ -920,11 +920,17 @@ def incremental_dedup(
         .select(F.col(id_col).alias("new_id"), "band", "bucket")
     corpus_bands = _banded(corpus_df, text_col, id_col, k, bands, shingle) \
         .select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    # persisted: the candidate-pair table feeds three lineages (the two
+    # semi-join prunes and the final verify join) — without the cut each
+    # re-executes the corpus-side banding + band join. Candidate pairs
+    # are the small side by construction (LSH bands exist to shrink them)
     cand = (
         new_bands.join(corpus_bands, ["band", "bucket"])
         .select("new_id", "corpus_id")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _INCREMENTAL_CACHE.append(cand)
     sh_new = exact_ok.join(
         cand.select(F.col("new_id").alias(id_col)).distinct(),
         id_col, "left_semi",
