@@ -1431,6 +1431,24 @@ def ngram_counts_oracle(table: str = "documents", k: int = 50) -> str:
     """
 
 
+# Pinned per-doc DSIR weight tables, same bounded-registry discipline as
+# similarity._TRAINED_CACHE / dedup._INCREMENTAL_CACHE: the persist is
+# load-bearing (the table branches into a max agg AND a rate
+# projection), but an unbounded session would otherwise accumulate one
+# pinned plan per dsir_resample call.
+_WEIGHTS_CACHE: list[DataFrame] = []
+
+
+def _pin_weights(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    while len(_WEIGHTS_CACHE) >= 4:
+        _WEIGHTS_CACHE.pop(0).unpersist()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _WEIGHTS_CACHE.append(df)
+    return df
+
+
 def dsir_resample(
     df: DataFrame,
     target_df: DataFrame,
@@ -1465,8 +1483,10 @@ def dsir_resample(
     # the whole weights pipeline (vocab builds + corpus tokenization)
     # once per branch — measured 14 Generate nodes / 28 scans in one
     # plan. The cached table is (id, double) per document — the one
-    # intermediate small enough to pin at any corpus scale.
-    wts = wts.persist()
+    # intermediate small enough to pin at any corpus scale. Bounded
+    # registry (round-6 ADVICE): repeated calls in one session evict
+    # the oldest pinned weight table instead of accumulating forever.
+    wts = _pin_weights(wts)
     mx = wts.agg(F.max("mean_logratio").alias("__mx"))
     rate = F.round(
         F.exp((F.col("mean_logratio") - F.col("__mx")) / temperature), 4

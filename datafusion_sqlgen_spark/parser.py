@@ -33,11 +33,12 @@ comparisons), BETWEEN SYMMETRIC, quantified ``= ANY``/``<> ALL`` (to
 IN-subqueries), ORDER BY ALL, ``* EXCEPT/EXCLUDE (cols)`` and
 DISTINCT ON (desugared to a row_number group-limit window).
 
-Round 5 closes the two documented edges: ordered quantified
-comparisons (``> ANY``, ``<= ALL``, ``= ALL``, ``<> ANY``, ...)
-desugar to min/max scalar subqueries (exact under WHERE/HAVING truth
-filtering; the SQL-standard three-valued edge differs only for an
-empty or NULL-containing subquery result under NOT), and the
+Round 5 closes the two documented edges — hardened in round 6: ordered
+quantified comparisons (``> ANY``, ``<= ALL``, ``= ALL``, ``<> ANY``,
+...) desugar to a CASE over min/max/count scalar subqueries that
+reproduces the SQL-standard three-valued result EXACTLY, including
+empty and NULL-containing subquery results under any truth context
+(plain WHERE, NOT, IS [NOT] TRUE/FALSE/UNKNOWN), and the
 type-polymorphic ``size``/``element_at`` resolve their MAP reading
 from map-producing call expressions automatically — or from the
 optional ``parse_sql(sql, schema={...: "map"})`` argument for bare
@@ -990,11 +991,10 @@ class _Parser:
                             and self.peek(2).upper in ("SELECT", "WITH")):
                         # quantified comparison: = ANY / <> ALL map to
                         # exact IN-subqueries; the ordered forms desugar
-                        # to min/max scalar subqueries (x > ANY s ⟺
-                        # x > min(s), etc. — exact under WHERE/HAVING
-                        # truth-value filtering; the SQL-standard
-                        # three-valued edge differs only for an EMPTY or
-                        # NULL-containing subquery result under NOT)
+                        # to a three-valued CASE over min/max/count
+                        # scalar subqueries — exact for empty and
+                        # NULL-containing subquery results in every
+                        # truth context (see _desugar_quantified)
                         quant = self.next().upper
                         self.expect_op("(")
                         sub = self.parse_query()
@@ -1064,12 +1064,25 @@ class _Parser:
     def _desugar_quantified(
         self, lhs: Expr, op: str, quant: str, sub: "Plan"
     ) -> Expr:
-        """Ordered quantified comparisons as min/max scalar subqueries
-        (VERDICT r4 item 7): ``x > ANY s ⟺ x > (SELECT min(v) FROM s)``,
-        ``x > ALL s ⟺ x > (SELECT max(v) FROM s)``, and the mirrored
-        forms; ``= ALL`` / ``<> ANY`` combine both extrema. One
-        aggregate pass either way — at scale this is strictly better
-        than the correlated-EXISTS rewrite (no per-row probe)."""
+        """Ordered quantified comparisons as EXACT three-valued CASE over
+        extrema + count scalar subqueries (round-6 ADVICE fix — the
+        bare min/max rewrite returned wrong rows under plain WHERE:
+        ``x > ALL (empty)`` is TRUE natively but NULL under ``x > max``,
+        and ``x > ALL {1, NULL}`` is UNKNOWN natively but TRUE under
+        ``max``-ignores-NULLs).
+
+        SQL-standard semantics reproduced, for ``x <cmp> ALL s``:
+        TRUE when s is empty; NULL when x IS NULL (s non-empty); FALSE
+        when a non-NULL counterexample exists; NULL when s contains a
+        NULL but no counterexample; else TRUE. ``ANY``/``SOME`` mirror
+        with FALSE/TRUE swapped and a witness instead of a
+        counterexample. Counterexamples/witnesses reduce to min/max
+        comparisons, so the rewrite needs only four scalar aggregates
+        (min, max, count(*), count(v)) over ONE uncorrelated subquery —
+        Catalyst's MergeScalarSubqueries collapses them into a single
+        aggregate pass, and there is still no per-row probe (the
+        correlated-EXISTS alternative). ``= ANY`` / ``<> ALL`` never
+        reach here (exact IN-subquery sugar upstream)."""
         name = _single_output_name(sub)
         if name is None:
             raise ParseError(
@@ -1077,30 +1090,57 @@ class _Parser:
                 "column must be a named or aliased expression (alias it, "
                 "e.g. SELECT expr AS v ...)"
             )
-        lo = ScalarSubquery(sub.group_by().agg(
+        mn = ScalarSubquery(sub.group_by().agg(
             Alias(Func("min", (Col(name),)), "__qmin")))
-        hi = ScalarSubquery(sub.group_by().agg(
+        mx = ScalarSubquery(sub.group_by().agg(
             Alias(Func("max", (Col(name),)), "__qmax")))
+        cnt = ScalarSubquery(sub.group_by().agg(
+            Alias(Func("count", ()), "__qcnt")))
+        cntv = ScalarSubquery(sub.group_by().agg(
+            Alias(Func("count", (Col(name),)), "__qcntv")))
         any_ = quant in ("ANY", "SOME")
-        table = {
-            (">", True): BinOp(">", lhs, lo),
-            (">=", True): BinOp(">=", lhs, lo),
-            ("<", True): BinOp("<", lhs, hi),
-            ("<=", True): BinOp("<=", lhs, hi),
-            (">", False): BinOp(">", lhs, hi),
-            (">=", False): BinOp(">=", lhs, hi),
-            ("<", False): BinOp("<", lhs, lo),
-            ("<=", False): BinOp("<=", lhs, lo),
-        }
-        if (op, any_) in table:
-            return table[(op, any_)]
-        if op == "=" and not any_:
-            # x = ALL s ⟺ x = min(s) AND x = max(s)
-            return BinOp("AND", BinOp("=", lhs, lo), BinOp("=", lhs, hi))
-        if op == "<>" and any_:
-            # x <> ANY s ⟺ x <> min(s) OR x <> max(s)
-            return BinOp("OR", BinOp("<>", lhs, lo), BinOp("<>", lhs, hi))
-        raise ParseError(f"unsupported quantified comparison {op} {quant}")
+        if op in (">", ">=", "<", "<="):
+            if any_:
+                # witness that makes x <cmp> ANY s TRUE (over non-NULLs)
+                decisive = {
+                    ">": BinOp(">", lhs, mn),
+                    ">=": BinOp(">=", lhs, mn),
+                    "<": BinOp("<", lhs, mx),
+                    "<=": BinOp("<=", lhs, mx),
+                }[op]
+            else:
+                # counterexample that makes x <cmp> ALL s FALSE
+                decisive = {
+                    ">": BinOp("<=", lhs, mx),
+                    ">=": BinOp("<", lhs, mx),
+                    "<": BinOp(">=", lhs, mn),
+                    "<=": BinOp(">", lhs, mn),
+                }[op]
+        elif op == "=" and not any_:
+            # non-NULL v != x exists ⟺ min != x or max != x
+            decisive = BinOp(
+                "OR", BinOp("<>", lhs, mn), BinOp("<>", lhs, mx))
+        elif op == "<>" and any_:
+            decisive = BinOp(
+                "OR", BinOp("<>", lhs, mn), BinOp("<>", lhs, mx))
+        else:
+            raise ParseError(
+                f"unsupported quantified comparison {op} {quant}")
+        # When count(v) == 0 (all NULL), min/max are NULL so `decisive`
+        # is NULL and its WHEN arm is skipped — falling through to the
+        # has-NULL arm, which is the correct UNKNOWN.
+        empty_result = Lit(False) if any_ else Lit(True)
+        decisive_result = Lit(True) if any_ else Lit(False)
+        default = Lit(False) if any_ else Lit(True)
+        return Case(
+            whens=(
+                (BinOp("=", cnt, Lit(0)), empty_result),
+                (IsNull(lhs), Lit(None)),
+                (decisive, decisive_result),
+                (BinOp("<", cntv, cnt), Lit(None)),
+            ),
+            else_=default,
+        )
 
     def parse_postfix_predicate(self, lhs: Expr, negated: bool) -> Expr:
         if self.eat_kw("BETWEEN"):

@@ -744,6 +744,19 @@ def test_dsir_resample_selects_and_matches_oracle(spark, duck):
                                     temperature=0.05))
 
 
+def test_dsir_resample_weight_cache_bounded(spark):
+    """Round-6 ADVICE: repeated dsir_resample calls must not accumulate
+    pinned weight tables without bound — the registry evicts oldest."""
+    docs = _df(spark, "documents").limit(50)
+    target = docs.filter("lang = 'de'")
+    for _ in range(6):
+        text.dsir_resample(docs, target).count()
+    assert len(text._WEIGHTS_CACHE) <= 4
+    # still-registered frames remain pinned (the cut stays load-bearing)
+    for frame in text._WEIGHTS_CACHE:
+        assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
+
+
 def test_kfold_assign_balanced_and_stable(spark, duck):
     from pyspark.sql import functions as F
 

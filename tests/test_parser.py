@@ -375,29 +375,41 @@ def test_group_by_all(pspark, pduck):
 
 def test_quantified_comparisons_desugar_to_extrema(pspark, pduck):
     """Ordered quantified comparisons (> ANY, <= ALL, = ALL, <> ANY, ...)
-    desugar to min/max scalar subqueries (VERDICT r4 item 7); results
-    must match DuckDB's NATIVE ANY/ALL on both renders."""
+    desugar to a three-valued CASE over min/max/count scalar subqueries
+    (round-6 ADVICE fix); results must match DuckDB's NATIVE ANY/ALL on
+    both renders — including EMPTY and NULL-containing subquery results,
+    NULL lhs rows, and both WHERE and WHERE NOT truth contexts."""
     pduck.execute(
         "CREATE OR REPLACE TABLE qt AS SELECT * FROM (VALUES "
-        "(1, 10.0), (2, 20.0), (3, 30.0), (4, 20.0)) t(id, v)"
+        "(1, 10.0), (2, 20.0), (3, 30.0), (4, 20.0), (5, NULL)) t(id, v)"
     )
     pspark.createDataFrame(
-        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 20.0)], "id int, v double"
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 20.0), (5, None)],
+        "id int, v double",
     ).createOrReplaceTempView("qt")
-    subs = "(SELECT v FROM qt WHERE id >= 2)"
-    for op, quant in [(">", "ANY"), (">=", "ANY"), ("<", "SOME"),
-                      ("<=", "ANY"), (">", "ALL"), (">=", "ALL"),
-                      ("<", "ALL"), ("<=", "ALL"), ("=", "ALL"),
-                      ("<>", "ANY")]:
-        q = f"SELECT id FROM qt WHERE v {op} {quant} {subs}"
-        p = parse_sql(q)
-        for dialect in ("spark", "duckdb"):
-            s1 = p.to_sql(dialect)
-            assert parse_sql(s1).to_sql(dialect) == s1  # fixpoint
-        sp = sorted(r.id for r in pspark.sql(p.to_sql("spark")).collect())
-        du = sorted(r[0] for r in pduck.execute(p.to_sql("duckdb")).fetchall())
-        native = sorted(r[0] for r in pduck.execute(q).fetchall())
-        assert sp == du == native, f"{op} {quant}: {sp} {du} {native}"
+    sub_plain = "(SELECT v FROM qt WHERE id >= 2 AND v IS NOT NULL)"
+    sub_empty = "(SELECT v FROM qt WHERE id > 99)"
+    sub_nulls = "(SELECT v FROM qt WHERE id >= 2)"  # contains a NULL
+    sub_all_null = "(SELECT v FROM qt WHERE v IS NULL)"
+    ops = [(">", "ANY"), (">=", "ANY"), ("<", "SOME"), ("<=", "ANY"),
+           (">", "ALL"), (">=", "ALL"), ("<", "ALL"), ("<=", "ALL"),
+           ("=", "ALL"), ("<>", "ANY")]
+    for subs in (sub_plain, sub_empty, sub_nulls, sub_all_null):
+        for op, quant in ops:
+            for tmpl in ("SELECT id FROM qt WHERE v {c}",
+                         "SELECT id FROM qt WHERE NOT (v {c})"):
+                q = tmpl.format(c=f"{op} {quant} {subs}")
+                p = parse_sql(q)
+                for dialect in ("spark", "duckdb"):
+                    s1 = p.to_sql(dialect)
+                    assert parse_sql(s1).to_sql(dialect) == s1  # fixpoint
+                sp = sorted(
+                    r.id for r in pspark.sql(p.to_sql("spark")).collect())
+                du = sorted(
+                    r[0]
+                    for r in pduck.execute(p.to_sql("duckdb")).fetchall())
+                native = sorted(r[0] for r in pduck.execute(q).fetchall())
+                assert sp == du == native, f"{q}: {sp} {du} {native}"
     # unnamable single column -> actionable error
     with pytest.raises(ParseError):
         parse_sql("SELECT id FROM qt WHERE v > ANY (SELECT v + 1 FROM qt)")
