@@ -584,9 +584,17 @@ def _ir_workloads() -> dict[str, Plan]:
         .select(col("c_custkey"), col("c_name"))
     )
 
+    # anti against a FILTERED right side: every customer has *some*
+    # order at every sf, which made the original anti-join return 0 rows
+    # — a trivially-matching correctness row. Customers with no URGENT
+    # order is non-empty and actually discriminates (round-6 hardening).
     w["join_anti"] = (
         scan("customer")
-        .join(scan("orders"), on=col("c_custkey") == col("o_custkey"), how="left_anti")
+        .join(
+            scan("orders").filter(col("o_orderpriority") == lit("1-URGENT")),
+            on=col("c_custkey") == col("o_custkey"),
+            how="left_anti",
+        )
         .select(col("c_custkey"), col("c_name"))
     )
 
@@ -641,10 +649,29 @@ def _ir_workloads() -> dict[str, Plan]:
     w["setop_union_all"] = SetOp(cust_nk, supp_nk, "union_all")
     w["setop_union"] = SetOp(cust_nk, supp_nk, "union")
     w["setop_intersect"] = SetOp(cust_nk.distinct(), supp_nk.distinct(), "intersect")
-    w["setop_except"] = SetOp(cust_nk.distinct(), supp_nk.distinct(), "except")
-    # bag semantics: multiplicity-aware intersect/except
+    # EXCEPT against a filtered right side: suppliers cover all 25
+    # nations at every sf, so the original distinct-except returned 0
+    # rows — trivially matching. Nations with no negative-balance
+    # supplier is non-empty and discriminating (round-6 hardening).
+    supp_nk_neg = (
+        scan("supplier")
+        .filter(col("s_acctbal") < lit(0))
+        .select(col("s_nationkey").cast("int").alias("nk"))
+    )
+    w["setop_except"] = SetOp(cust_nk.distinct(), supp_nk_neg.distinct(), "except")
+    # bag semantics: multiplicity-aware intersect/except.  EXCEPT ALL
+    # keeps left multiplicities beyond the right's — customers outnumber
+    # suppliers ~15x per nation, so the left side must be the bigger bag
+    # for a non-empty, multiplicity-sensitive result (round-6: the old
+    # supplier-minus-customer direction was always empty).
     w["setop_intersect_all"] = SetOp(cust_nk, supp_nk, "intersect_all")
-    w["setop_except_all"] = SetOp(supp_nk, cust_nk, "except_all")
+    w["setop_except_all"] = SetOp(
+        scan("customer")
+        .filter(col("c_custkey") <= lit(400))
+        .select(col("c_nationkey").cast("int").alias("nk")),
+        supp_nk,
+        "except_all",
+    )
 
     # --- CTE + subqueries ---
     rev = (
@@ -2352,87 +2379,79 @@ R4_ADDITIONS: list[str] = [
     "affinity_basket_pairs",
 ]
 
+# The one stale workload the 50-slot budget cannot fit this round:
+# agg_tpch_q1 is the TPC-H-Q1-shaped aggregate whose near-twin tpch_q1
+# went driver-green in r4, and the judge's r5 independent sweep re-ran
+# it green — lowest marginal risk of the 51.  It sits at position 51
+# and MUST lead the r7 rotation.
+R6_DEFERRED: list[str] = ["agg_tpch_q1"]
+
 _SAMPLE_PRIORITY: list[str] = [
-    # Round-5 rotation (VERDICT r4 "Next round" items 1, 3, 8): exactly
-    # 1 canary + the 3 sampled-never-green workloads (both r4 reds
-    # were oracle dtype bugs, now cast-fixed; mm_feature_extract gained
-    # an oracle this round) + all 45 never-driver-sampled workloads
-    # (catalog keys minus union of CORRECTNESS_r01..r04 keys — the list
-    # below was generated programmatically, do not hand-edit) + the new
-    # streaming-path workload (item 8 requires its first driver row
-    # THIS round) = 50. The other three ref_* canaries rotate out —
-    # every behavior they watch is exercised by the 48 real rows, and
-    # the 50-slot budget is the binding constraint.
-    # tests/test_advice_fixes_r3.py regenerates this arithmetic.
-    # reference-behavior canary (green every prior round):
-    "ref_nested_slots",
-    # streaming tier's first driver-checkable row (r5 addition):
-    "streaming_rollup_result",
-    # sampled-but-never-green: fixed this round, must re-sample
-    "profile_orders",
-    "ts_sessionize",
-    "mm_feature_extract",
-    # --- the 45 never-driver-sampled workloads (all r4 additions) ---
-    # parsed-SQL forms
-    "parsed_qualify_using",
-    "parsed_reader_forms",
-    "parsed_pivot_status",
-    "parsed_distinct_on",
-    # dedup tier
-    "dedup_materialize",
-    "dedup_quality_rep",
-    "dedup_block_level",
-    "dedup_incremental",
-    # text tier
-    "text_tfidf_topk",
-    "text_c4_filters",
-    "text_gopher_filters",
-    "text_unigram_logprob",
-    "text_language_confidence",
-    "text_dsir_weights",
-    "text_dsir_resample",
-    "text_ngram_counts",
-    "text_bm25_topk",
-    # sampling tier
-    "sample_temperature_mix",
-    "sample_capped_per_group",
-    "sample_kfold",
-    "sample_global_shuffle",
-    # similarity tier
-    "sim_recall_at_k",
-    "sim_kmeans_fit",
-    "sim_ivf_topk_trained",
-    "sim_component_stats",
-    "sim_pq_encode",
-    # profiling tier
-    "profile_key_skew",
-    "profile_robust_stats",
-    "profile_correlations",
-    "profile_histogram",
-    # sources / sinks
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "source_schema_evolution",
-    "sink_sharded_write",
-    "sink_zorder_roundtrip",
-    # timeseries tier
-    "ts_rolling_anomaly",
-    "ts_funnel_steps",
-    "ts_cohort_retention",
-    "ts_mergeable_rollup",
-    # joins tier
-    "join_scd2_merge",
-    "join_upsert_snapshot",
-    "join_interval_overlap",
-    "join_fuzzy_names",
-    # pipeline / affinity
-    "pipeline_curation",
-    "affinity_basket_pairs",
+    # Round-6 rotation (VERDICT r5 "Next round" item 1): the 51
+    # workloads whose latest driver sample is round 1 or 2 — the
+    # agg/expr/setop/basic-join core, untouched by the driver while
+    # expressions/, registry and plans/ changed through r3-r5 —
+    # oldest-first.  6 r1-last rows lead, then the 45 r2-last rows;
+    # 51 > 50 slots, so one low-risk row (R6_DEFERRED above) waits at
+    # position 51.  The list was generated programmatically (catalog
+    # keys whose max round over CORRECTNESS_r01..r05 is <= 2 — do not
+    # hand-edit); tests/test_advice_fixes_r3.py regenerates the
+    # arithmetic from the CORRECTNESS files.  No canaries this round:
+    # the 50 rows ARE the freshness debt.
+    # --- last driver-sampled in ROUND 1 ---
+    "subq_exists",
+    "subq_in",
+    "subq_scalar_avg",
+    "win_lag_lead",
+    "win_rank_topn",
+    "win_running_sum",  # also the r5 bench noise suspect — re-measured
+    # --- last driver-sampled in ROUND 2 ---
+    "agg_collect",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_mode_global",
+    "agg_percentiles",
+    "agg_regr_bitwise",
+    "agg_rollup",
+    "agg_rollup_grouping",
+    "agg_stats",
+    "agg_string_agg",
+    "cte_top_customers",
+    "expr_array_funcs",
+    "expr_array_funcs2",
+    "expr_bitwise_unary",
+    "expr_case_in_isnull",
+    "expr_date_funcs",
+    "expr_higher_order",
+    "expr_json_extract",
+    "expr_like_rlike_concat",
+    "expr_math_funcs",
+    "expr_scalar_funcs3",
+    "expr_string_funcs",
+    "expr_struct_field",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_cross_small",
+    "join_full_outer",
+    "join_left",
+    "join_nonequi_range",
+    "join_right",
+    "join_semi",
+    "join_tpch_q5ish",
+    "ref_array_index",
+    "ref_between_scalar_fns",
+    "ref_distinct",
+    "ref_project_cast_arith",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union",
+    "setop_union_all",
     # ---- 50-entry driver sample boundary ----
-    # remaining canaries (green r1-r4; rotate back in when slots free)
-    "ref_scan_filter",
-    "ref_sort_limit_offset",
-    "ref_null_safe_cmp",
+    "agg_tpch_q1",  # R6_DEFERRED — leads the r7 rotation
 ]
 
 

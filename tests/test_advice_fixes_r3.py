@@ -41,6 +41,18 @@ def _never_driver_sampled() -> list[str]:
     return [n for n in build_queries() if n not in sampled]
 
 
+def _latest_sample_round() -> dict[str, int]:
+    """For each catalog key, the latest round (1..5) whose CORRECTNESS
+    file sampled it — the round-6 staleness measure."""
+    latest: dict[str, int] = {}
+    for r in range(1, 6):
+        path = os.path.join(_REPO, f"CORRECTNESS_r{r:02d}.json")
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = r
+    return latest
+
+
 R5_ADDITIONS = ["streaming_rollup_result"]
 
 
@@ -63,33 +75,45 @@ def test_driver_sample_is_exactly_the_first_fifty_priority_names():
     assert first50 == _SAMPLE_PRIORITY[:50]
 
 
-def test_all_never_sampled_workloads_inside_the_sample():
-    """Round-5 rotation goal (VERDICT r4 item 3): every workload with no
-    CORRECTNESS row in rounds 1-4 sits inside the 50-entry sample window
-    — EXCEPT workloads first added this round (tracked in R5_ADDITIONS),
-    which queue behind the backlog at position 51+."""
-    first50 = set(list(build_queries())[:50])
-    left_out = [
-        n for n in _never_driver_sampled()
-        if n not in first50 and n not in R5_ADDITIONS
-    ]
-    assert left_out == [], f"never-sampled workloads outside sample: {left_out}"
+def test_r6_sample_is_exactly_the_stale_tail_oldest_first():
+    """Round-6 rotation goal (VERDICT r5 item 1): the sample window is
+    drawn from exactly the workloads whose latest driver sample is round
+    1 or 2, oldest-first — regenerated here from the CORRECTNESS files,
+    never transcribed.  51 stale rows compete for 50 slots; the single
+    deferred name is pinned in R6_DEFERRED and must sit at position 51
+    so it leads the r7 rotation."""
+    from datafusion_sqlgen_spark.workloads import R6_DEFERRED
+
+    latest = _latest_sample_round()
+    catalog = list(build_queries())
+    stale = {n for n in catalog if latest.get(n, 99) <= 2}
+    assert len(stale) == 51, f"stale-tail arithmetic moved: {len(stale)}"
+    first50 = catalog[:50]
+    assert set(first50) == stale - set(R6_DEFERRED), (
+        sorted(set(first50) ^ (stale - set(R6_DEFERRED))))
+    # oldest-first: every r1-last row precedes every r2-last row
+    r1_pos = [first50.index(n) for n in first50 if latest[n] == 1]
+    r2_pos = [first50.index(n) for n in first50 if latest[n] == 2]
+    assert max(r1_pos) < min(r2_pos)
+    # the deferred row queues immediately behind the boundary
+    assert catalog[50] == R6_DEFERRED[0] == "agg_tpch_q1"
+    # and nothing in the sample is fresher than round 2
+    assert all(latest[n] <= 2 for n in first50)
 
 
-def test_sampled_never_green_workloads_resampled():
-    """The three sampled-but-never-green rows (two r4 oracle dtype bugs,
-    one no_oracle) were all fixed this round and must be re-sampled."""
-    rows = _driver_rows(range(1, 5))
-    never_green = sorted(
-        n for n, row in rows.items()
+def test_no_workload_has_ever_finished_red():
+    """As of r5 every workload's most recent driver check is green; keep
+    it that way — a red row here means a regression the rotation must
+    prioritize over freshness."""
+    latest_row: dict = {}
+    for r in range(1, 6):
+        with open(os.path.join(_REPO, f"CORRECTNESS_r{r:02d}.json")) as f:
+            latest_row.update(json.load(f))  # later rounds win
+    stuck_red = sorted(
+        n for n, row in latest_row.items()
         if n in build_queries() and not row.get("hash_match")
     )
-    assert never_green == [
-        "mm_feature_extract", "profile_orders", "ts_sessionize"
-    ]
-    first50 = set(list(build_queries())[:50])
-    left_out = [n for n in never_green if n not in first50]
-    assert left_out == [], f"never-green workloads outside sample: {left_out}"
+    assert stuck_red == [], f"workloads red at latest check: {stuck_red}"
 
 
 def test_r4_additions_bookkeeping_still_consistent():
