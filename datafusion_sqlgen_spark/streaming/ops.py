@@ -346,51 +346,118 @@ def streaming_text_filter(docs: DataFrame) -> DataFrame:
     return t.c4_filters(t.prepare_documents(docs))
 
 
+def dedup_ingest_batch(
+    batch_df: DataFrame, batch_id: int, corpus_path: str
+) -> None:
+    """One micro-batch of the continuous-dedup corpus sink, module-level
+    so the crash-replay contract is directly testable (round-6 VERDICT
+    item 2).  The batch is (1) within-batch exact-deduped (lowest id per
+    content hash), (2) deduped against the ACCUMULATED corpus via the
+    batch ``incremental_dedup`` operator (exact md5 anti-join + LSH
+    candidates + Jaccard verify), (3) committed to the corpus as a
+    ``batch=<id>`` partition directory via stage-then-atomic-rename.
+
+    Replay safety BY CONSTRUCTION, not by the accident that replayed
+    content happens to anti-join away: a committed ``batch=<id>``
+    directory is the applied-batch record, so a crash-recovery replay of
+    an already-committed id returns immediately; a crash mid-write
+    leaves only a hidden ``.staging-batch-<id>`` directory that readers
+    never see (Hadoop hides dot-paths) and the replay deletes before
+    rewriting.  The visible corpus therefore only ever contains
+    fully-committed batches — no partial part-files, no double ingest,
+    and admission stays correct even if it later becomes
+    non-content-keyed."""
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.dedup import incremental_dedup
+
+    spark = batch_df.sparkSession
+    commit_dir = f"{corpus_path}/batch={batch_id}"
+    if _hadoop_exists(spark, commit_dir):
+        return  # crash-recovery replay of a committed batch: no-op
+    if batch_df.isEmpty():
+        return
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    batch_unique = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # explicit committed-batch probe, same rationale as the rollup sink:
+    # a corrupt corpus must FAIL the batch, not silently re-admit every
+    # document as if the corpus were empty
+    corpus = read_dedup_corpus(spark, corpus_path)
+    if corpus is not None:
+        admitted_ids = incremental_dedup(batch_unique, corpus).select(
+            "doc_id"
+        )
+        admitted = batch_unique.join(admitted_ids, "doc_id", "left_semi")
+    else:
+        admitted = batch_unique
+    staging = f"{corpus_path}/.staging-batch-{batch_id}"
+    _atomic_commit_dir(spark, admitted, staging, commit_dir)
+
+
+def read_dedup_corpus(spark: SparkSession, corpus_path: str):
+    """The accumulated corpus = the union of committed ``batch=<id>``
+    directories (partition discovery; the partition column is
+    bookkeeping and is dropped).  Returns None when no batch has ever
+    committed — hidden staging leftovers don't count."""
+    if not _committed_batches(spark, corpus_path):
+        return None
+    return spark.read.parquet(corpus_path).drop("batch")
+
+
+def _committed_batches(spark: SparkSession, corpus_path: str) -> list:
+    """Sorted ids of fully-committed ``batch=<id>`` directories."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _atomic_commit_dir(
+    spark: SparkSession, df: DataFrame, staging: str, commit_dir: str
+) -> None:
+    """Write ``df`` to the hidden ``staging`` directory, then promote it
+    with one filesystem rename — the commit point.  Readers never see
+    staging (dot-prefixed paths are hidden from Hadoop listings), so a
+    crash before the rename leaves the visible state untouched and the
+    retry starts clean (stale staging is deleted first)."""
+    jvm = spark._jvm
+    hstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    hcommit = jvm.org.apache.hadoop.fs.Path(commit_dir)
+    fs = hstaging.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hstaging):
+        fs.delete(hstaging, True)  # crashed earlier attempt
+    df.write.mode("overwrite").parquet(staging)
+    fs.mkdirs(hcommit.getParent())
+    if not fs.rename(hstaging, hcommit):
+        raise IOError(
+            f"atomic promote failed: rename {staging} -> {commit_dir}"
+        )
+
+
 def streaming_incremental_dedup_sink(
     docs_stream: DataFrame,
     corpus_path: str,
     checkpoint: str,
 ) -> "object":
-    """Continuous corpus ingestion with dedup: every micro-batch is
-    (1) within-batch exact-deduped (lowest id per content hash),
-    (2) deduped against the ACCUMULATED corpus via the batch
-    ``incremental_dedup`` operator (exact md5 anti-join + LSH
-    candidates + Jaccard verify), (3) appended to the corpus parquet.
-
-    The same operator that updates a batch corpus daily runs here
-    per-trigger — foreachBatch is the bridge (the corpus read inside
-    the batch function sees all previous appends). The checkpoint pins
-    source offsets, so replays re-process no files and the corpus never
-    double-ingests."""
-    from pyspark.sql import Window
-
-    from datafusion_sqlgen_spark.operators.dedup import incremental_dedup
+    """Continuous corpus ingestion with dedup — per-batch logic and the
+    replay/atomicity contract live in :func:`dedup_ingest_batch`; the
+    checkpoint pins source offsets so only the last uncommitted batch
+    ever replays, and the batch-directory commit makes that replay a
+    no-op."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
-            F.col("doc_id")
-        )
-        batch_unique = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        # explicit existence probe, same rationale as rollup_merge_batch:
-        # a corrupt corpus must FAIL the batch, not silently re-admit
-        # every document as if the corpus were empty
-        have_corpus = _hadoop_exists(spark, corpus_path)
-        if have_corpus:
-            corpus = spark.read.parquet(corpus_path)
-            admitted_ids = incremental_dedup(batch_unique, corpus).select(
-                "doc_id"
-            )
-            admitted = batch_unique.join(admitted_ids, "doc_id", "left_semi")
-        else:
-            admitted = batch_unique
-        admitted.write.mode("append").parquet(corpus_path)
+        dedup_ingest_batch(batch_df, batch_id, corpus_path)
 
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
@@ -411,22 +478,25 @@ def streaming_rollup_sink(
     fixed-width (hour, key) state rows. Readers finalize on demand
     (``timeseries.finalize_rollup``).
 
-    The state table is tiny (one row per open (hour, key)), so the
-    swap is a double write (merged → ``{path}_next`` → ``{path}``) —
-    never an in-place overwrite of a table being read. On a
-    transactional format (Delta/Iceberg) the body becomes a MERGE; the
-    stream graph is unchanged.
+    The state table is tiny (one row per open (hour, key)), so each
+    batch writes a complete new GENERATION of it: merged state lands in
+    a hidden staging directory and is promoted by ONE filesystem rename
+    to ``gen-<batch_id>`` — the commit point (round-6 VERDICT item 3;
+    the old ``_next`` double-write could crash mid-promote and leave a
+    torn table).  Readers resolve the highest committed generation
+    (:func:`read_rollup_state`), so a crash at ANY point leaves the
+    previous generation fully readable.  On a transactional format
+    (Delta/Iceberg) the body becomes a MERGE; the stream graph is
+    unchanged.
 
     Replay safety: the merge is ADDITIVE, so re-merging a batch would
-    double-count. Every state row therefore carries the id of the last
-    applied batch (``__applied_batch_id``); ``write_batch`` skips any
-    batch id at or below it, making the crash-recovery replay of the
-    last uncommitted batch a no-op. Existence of the standing table is
-    probed explicitly via the Hadoop FileSystem API — a corrupt file or
-    schema drift FAILS the batch (and the query) instead of silently
-    discarding accumulated state. Residual risk: the promote
-    (``_next`` → ``{path}``) is not atomic on plain parquet; a crash
-    mid-promote needs the transactional-format variant."""
+    double-count.  The generation directory name IS the applied-batch
+    record: ``rollup_merge_batch`` skips any batch id at or below the
+    latest committed generation, making the crash-recovery replay of
+    the last uncommitted batch a no-op.  Committed generations are
+    probed explicitly via the Hadoop FileSystem API — a corrupt state
+    file or schema drift FAILS the batch (and the query) instead of
+    silently discarding accumulated state."""
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         rollup_merge_batch(batch_df, batch_id, state_path)
 
@@ -452,10 +522,12 @@ def rollup_merge_batch(
     batch_df: DataFrame, batch_id: int, state_path: str
 ) -> None:
     """One micro-batch of the materialized-rollup sink, module-level so
-    the replay contract is directly testable: merge the batch's partial
-    states into the standing table UNLESS ``batch_id`` was already
-    applied (the additive merge would double-count a crash-recovery
-    replay otherwise)."""
+    the replay AND crash-promote contracts are directly testable: merge
+    the batch's partial states into a NEW generation of the standing
+    table unless ``batch_id`` was already applied (the additive merge
+    would double-count a crash-recovery replay otherwise).  The
+    generation directory name carries the applied batch id; promote is
+    stage + one atomic rename (see :func:`streaming_rollup_sink`)."""
     from datafusion_sqlgen_spark.operators.timeseries import (
         merge_rollups,
         mergeable_rollup,
@@ -464,22 +536,68 @@ def rollup_merge_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    latest = _latest_generation(spark, state_path)
+    if latest is not None and batch_id <= latest:
+        return  # replayed batch already committed — idempotent
     states = mergeable_rollup(batch_df)
-    if _hadoop_exists(spark, state_path):
-        existing = spark.read.parquet(state_path)
-        if "__applied_batch_id" in existing.columns:
-            last = existing.agg(F.max("__applied_batch_id")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # replayed batch already merged — idempotent
-            existing = existing.drop("__applied_batch_id")
+    if latest is not None:
+        existing = spark.read.parquet(f"{state_path}/gen-{latest}")
         states = merge_rollups(existing, states)
-    states = states.withColumn(
-        "__applied_batch_id", F.lit(batch_id).cast("long")
+    _atomic_commit_dir(
+        spark,
+        states,
+        f"{state_path}/.staging-gen-{batch_id}",
+        f"{state_path}/gen-{batch_id}",
     )
-    states.write.mode("overwrite").parquet(state_path + "_next")
-    spark.read.parquet(state_path + "_next").write.mode(
-        "overwrite"
-    ).parquet(state_path)
+    _retire_generations(spark, state_path, keep=2)
+
+
+def _latest_generation(spark: SparkSession, state_path: str):
+    """Highest committed ``gen-<batch_id>`` under ``state_path``, or
+    None when no generation has ever committed.  Hidden staging
+    directories (crashed promotes) never count."""
+    gens = _generation_ids(spark, state_path)
+    return gens[-1] if gens else None
+
+
+def _generation_ids(spark: SparkSession, state_path: str) -> list:
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("gen-"):
+            out.append(int(name[4:]))
+    return sorted(out)
+
+
+def _retire_generations(
+    spark: SparkSession, state_path: str, keep: int
+) -> None:
+    """Delete all but the ``keep`` newest committed generations — the
+    state stays O(1) on disk while a reader mid-scan of the previous
+    generation is never yanked."""
+    gens = _generation_ids(spark, state_path)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for g in gens[:-keep] if keep else gens:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{state_path}/gen-{g}"), True
+        )
+
+
+def read_rollup_state(spark: SparkSession, state_path: str):
+    """The standing rollup state = the highest committed generation.
+    Returns None when no batch has ever committed (callers decide the
+    empty-state shape)."""
+    latest = _latest_generation(spark, state_path)
+    if latest is None:
+        return None
+    return spark.read.parquet(f"{state_path}/gen-{latest}")
 
 
 def run_bounded_rollup(
@@ -513,16 +631,13 @@ def run_bounded_rollup(
     )
     q.processAllAvailable()
     q.stop()
-    if not _hadoop_exists(spark, state_path):
+    states = read_rollup_state(spark, state_path)
+    if states is None:
         # empty source -> zero triggers wrote state; return an empty
         # finalized frame with the right schema instead of a read error
         from datafusion_sqlgen_spark.operators.timeseries import (
             mergeable_rollup,
         )
 
-        empty = mergeable_rollup(
-            spark.createDataFrame([], EVENTS_SCHEMA)
-        )
-        return finalize_rollup(empty)
-    states = spark.read.parquet(state_path).drop("__applied_batch_id")
+        states = mergeable_rollup(spark.createDataFrame([], EVENTS_SCHEMA))
     return finalize_rollup(states)

@@ -405,7 +405,7 @@ def test_streaming_incremental_dedup_sink(spark, docs_stream_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    final = spark.read.parquet(corpus)
+    final = st.read_dedup_corpus(spark, corpus)
     n = final.count()
     assert n > 0
     # exact-duplicate free
@@ -422,7 +422,59 @@ def test_streaming_incremental_dedup_sink(spark, docs_stream_dir, tmp_path):
     )
     q2.processAllAvailable()
     q2.stop()
-    assert spark.read.parquet(corpus).count() == n
+    assert st.read_dedup_corpus(spark, corpus).count() == n
+
+
+def test_dedup_ingest_batch_replay_and_crash_recovery(spark, tmp_path):
+    """Round-6 VERDICT item 2: the corpus commit must be idempotent BY
+    CONSTRUCTION.  (a) Re-invoking write_batch with an already-committed
+    batch id leaves the corpus byte-identical — even for content that
+    would pass admission (a NEW doc id with NEW text, the case the old
+    append-path only survived accidentally).  (b) A crash mid-write
+    leaves only hidden staging, which readers never see and the replay
+    cleans up."""
+    corpus = str(tmp_path / "corpus")
+    docs = spark.table("documents").limit(20)
+    st.dedup_ingest_batch(docs, 0, corpus)
+    once = sorted(
+        tuple(r) for r in st.read_dedup_corpus(spark, corpus).collect()
+    )
+    assert len(once) > 0
+    # (a) replay of committed batch 0 with DIFFERENT admissible content:
+    # committed-directory guard short-circuits before any admission logic
+    other = (
+        spark.table("documents")
+        .orderBy(F.desc("doc_id"))
+        .limit(5)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" fresh")))
+    )
+    st.dedup_ingest_batch(other, 0, corpus)
+    assert sorted(
+        tuple(r) for r in st.read_dedup_corpus(spark, corpus).collect()
+    ) == once
+    # (b) crash mid-write: stale staging dir with garbage, no commit dir
+    staging = os.path.join(str(tmp_path / "corpus"), ".staging-batch-1")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn write")
+    # staging is invisible to readers
+    assert sorted(
+        tuple(r) for r in st.read_dedup_corpus(spark, corpus).collect()
+    ) == once
+    # the replay of batch 1 cleans staging and commits atomically
+    batch1 = (
+        spark.table("documents")
+        .filter(F.col("doc_id").between(100, 110))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    )
+    st.dedup_ingest_batch(batch1, 1, corpus)
+    final = st.read_dedup_corpus(spark, corpus)
+    assert final.count() > len(once)
+    assert not os.path.exists(staging)
+    # exact-duplicate free across both committed batches
+    assert (
+        final.select(F.md5("text")).distinct().count() == final.count()
+    )
 
 
 def test_streaming_rollup_sink_matches_batch(spark, stream_dir, tmp_path):
@@ -442,7 +494,9 @@ def test_streaming_rollup_sink_matches_batch(spark, stream_dir, tmp_path):
     streamed = normalize_rows(
         [
             tuple(r)
-            for r in ts.finalize_rollup(spark.read.parquet(state)).collect()
+            for r in ts.finalize_rollup(
+                st.read_rollup_state(spark, state)
+            ).collect()
         ],
         4,
     )
@@ -470,24 +524,57 @@ def test_rollup_batch_replay_is_idempotent(spark, stream_dir, tmp_path):
     batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
     st.rollup_merge_batch(batch, 0, state)
     once = sorted(
-        tuple(r) for r in spark.read.parquet(state).drop(
-            "__applied_batch_id"
-        ).collect()
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
     )
     # replay of batch 0 (same or stale id): state unchanged
     st.rollup_merge_batch(batch, 0, state)
     assert sorted(
-        tuple(r) for r in spark.read.parquet(state).drop(
-            "__applied_batch_id"
-        ).collect()
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
     ) == once
     # a NEW batch id still merges (counts double since same data)
     st.rollup_merge_batch(batch, 1, state)
     n_after = {
-        (r["hr"], r[1]): r["n"] for r in spark.read.parquet(state).collect()
+        (r["hr"], r[1]): r["n"]
+        for r in st.read_rollup_state(spark, state).collect()
     }
     n_once = {(r[0], r[1]): r[2] for r in once}
     assert n_after == {k: 2 * v for k, v in n_once.items()}
+
+
+def test_rollup_crash_mid_promote_leaves_committed_generation(
+    spark, stream_dir, tmp_path
+):
+    """Round-6 VERDICT item 3: the promote is stage + one atomic rename.
+    A crash mid-promote (stale staging, possibly torn) must leave the
+    last committed generation fully readable, and the replay must
+    commit cleanly over it."""
+    state = str(tmp_path / "state")
+    batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    st.rollup_merge_batch(batch, 0, state)
+    once = sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    )
+    # simulate the crash: torn staging for generation 1, no commit
+    staging = os.path.join(state, ".staging-gen-1")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn promote")
+    # reader still resolves the committed generation, untouched
+    assert sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    ) == once
+    # replay of batch 1: staging cleaned, new generation committed
+    st.rollup_merge_batch(batch, 1, state)
+    assert not os.path.exists(staging)
+    n_after = {
+        (r["hr"], r[1]): r["n"]
+        for r in st.read_rollup_state(spark, state).collect()
+    }
+    n_once = {(r[0], r[1]): r[2] for r in once}
+    assert n_after == {k: 2 * v for k, v in n_once.items()}
+    # retired generations stay bounded: at most 2 on disk
+    gens = [d for d in os.listdir(state) if d.startswith("gen-")]
+    assert len(gens) <= 2
 
 
 def test_bounded_rollup_empty_source_yields_empty_frame(spark, tmp_path):
@@ -504,19 +591,23 @@ def test_bounded_rollup_empty_source_yields_empty_frame(spark, tmp_path):
 
 
 def test_rollup_sink_fails_loud_on_corrupt_state(spark, stream_dir, tmp_path):
-    """A corrupt standing table must FAIL the batch, not silently reset
-    accumulated state to the current batch (the old bare-except bug)."""
+    """A corrupt COMMITTED generation must FAIL the next merging batch,
+    not silently reset accumulated state to the current batch (the old
+    bare-except bug).  Replays at or below the committed id short-
+    circuit before reading, so only a NEW batch id trips the read."""
     import pytest
 
     state = str(tmp_path / "state")
     import os
 
-    os.makedirs(state, exist_ok=True)
-    with open(os.path.join(state, "part-00000.parquet"), "wb") as f:
+    gen0 = os.path.join(state, "gen-0")
+    os.makedirs(gen0, exist_ok=True)
+    with open(os.path.join(gen0, "part-00000.parquet"), "wb") as f:
         f.write(b"not a parquet file")
     batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
     with pytest.raises(Exception):
-        st.rollup_merge_batch(batch, 0, state)
-    # the corrupt table was NOT overwritten by the failed batch
-    with open(os.path.join(state, "part-00000.parquet"), "rb") as f:
+        st.rollup_merge_batch(batch, 1, state)
+    # the corrupt generation was NOT overwritten by the failed batch
+    with open(os.path.join(gen0, "part-00000.parquet"), "rb") as f:
         assert f.read() == b"not a parquet file"
+    assert not os.path.exists(os.path.join(state, "gen-1"))
