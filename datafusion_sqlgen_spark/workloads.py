@@ -2487,10 +2487,129 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _sample_order(out)
 
 
+# ----------------------------------------------------------------------
+# Hand-written oracles for high-value IR workloads (round-6 VERDICT item
+# 6): for IR workloads the DuckDB oracle is normally GENERATED from the
+# same plan IR, so a semantic bug expressed identically in both dialect
+# renderers would self-confirm.  These replacements are authored from
+# the workload's English spec in deliberately DIFFERENT formulations
+# (UNION ALL instead of ROLLUP, correlated counts instead of window
+# ranks, generate_series instead of recursion, a pre-aggregated join
+# instead of a correlated scalar subquery), neutralizing the shared-IR
+# blind spot for the rows that exercise the trickiest semantics.
+_HAND_ORACLES: dict[str, str] = {
+    # rollup = explicit union of the three grouping levels
+    "agg_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT l_returnflag, CAST(NULL AS VARCHAR), count(*),
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), count(*),
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+FROM lineitem
+""",
+    # row_number/rank = correlated order-statistic counts
+    "win_rank_topn": """
+SELECT * FROM (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(round(CAST(o.o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price,
+         (SELECT count(*) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey
+             AND (o2.o_totalprice > o.o_totalprice
+                  OR (o2.o_totalprice = o.o_totalprice
+                      AND o2.o_orderkey <= o.o_orderkey))) AS rn,
+         (SELECT 1 + count(*) FROM orders o3
+           WHERE o3.o_custkey = o.o_custkey
+             AND o3.o_orderstatus < o.o_orderstatus) AS status_rank
+  FROM orders o
+) t WHERE rn <= 3
+""",
+    # EXISTS = key-set membership
+    "subq_exists": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+    # RANGE frame + nth_value = correlated aggregates / ordered OFFSET
+    "win_range_frame": """
+SELECT o.o_orderkey, o.o_custkey,
+       round(CAST((SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                     FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey
+                      AND o2.o_orderkey BETWEEN o.o_orderkey - 1000
+                                            AND o.o_orderkey) AS DOUBLE),
+             2) AS near_sum,
+       (SELECT o3.o_orderstatus FROM orders o3
+         WHERE o3.o_custkey = o.o_custkey
+         ORDER BY o3.o_orderkey LIMIT 1 OFFSET 1) AS second_status
+FROM orders o WHERE o.o_custkey < 50
+""",
+    # recursive spine = generate_series (inclusive stop, same months)
+    "cte_recursive_month_spine": """
+SELECT m, coalesce(rev, CAST(0 AS DOUBLE)) AS rev
+FROM (SELECT CAST(g AS TIMESTAMP) AS m
+        FROM generate_series(TIMESTAMP '1995-01-01 00:00:00',
+                             TIMESTAMP '1996-12-01 00:00:00',
+                             INTERVAL 1 MONTH) t(g)) spine
+LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                       AS DOUBLE) AS rev
+             FROM orders GROUP BY 1) mrev ON mo = m
+ORDER BY m
+""",
+    # scalar-in-SELECT = cross-joined total + left-join group count
+    "subq_scalar_in_select": """
+SELECT n.n_nationkey, n.n_name, t.total_customers,
+       count(c.c_custkey) AS nation_customers
+FROM nation n
+CROSS JOIN (SELECT count(*) AS total_customers FROM customer) t
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey, n.n_name, t.total_customers
+ORDER BY n.n_nationkey
+""",
+    # correlated per-part threshold = pre-aggregated join
+    "tpch_q17": """
+WITH thr AS (SELECT l_partkey, 0.5 * avg(l_quantity) AS t
+               FROM lineitem GROUP BY l_partkey)
+SELECT CAST(round(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0,
+                        2), 2) AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN thr ON thr.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5' AND l.l_quantity < thr.t
+""",
+    # hand-phrased EXISTS/NOT EXISTS (aliases and predicates authored
+    # independently of the renderer's subquery emission)
+    "tpch_q21": """
+SELECT s.s_name AS s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_3'
+  AND l1.l_shipdate > CAST(o.o_orderdate AS DATE) + 60
+  AND EXISTS (SELECT 1 FROM lineitem l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                   WHERE l3.l_orderkey = l1.l_orderkey
+                     AND l3.l_suppkey <> l1.l_suppkey
+                     AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+""",
+}
+
+
 def build_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, plan in _ir_workloads().items():
-        out[name] = plan.to_sql("duckdb")
+        out[name] = _HAND_ORACLES.get(name) or plan.to_sql("duckdb")
     for name, (_fn, oracle) in _operator_workloads().items():
         if oracle is not None:
             out[name] = oracle
