@@ -62,15 +62,41 @@ def as_multimodal(
     )
 
 
-def decode_real(payload: bytes, mime: str):
-    """Real codec hook — wire Pillow/soundfile/PyAV here in production.
+def decode_real(payload: bytes, mime: str, n: int = 64) -> list:
+    """Real image decode behind an OPTIONAL import (round-6 VERDICT item
+    7): when Pillow is installed, decode ``payload`` (PNG/JPEG/anything
+    PIL reads), convert to grayscale, resample to an ~sqrt(n) grid and
+    return exactly ``n`` pixels normalized to [0, 1] — the same shape
+    contract as :func:`decode_fake`, so the two are drop-in swappable in
+    ``extract_features``.  Audio/video mimes still need
+    soundfile/PyAV and raise.
 
-    STUB: media libraries are not available in this container."""
-    raise NotImplementedError(
-        "real media decoding requires Pillow/soundfile/PyAV; "
-        "this environment ships none — use decode_fake (deterministic) "
-        "or install a codec and swap it in here"
-    )
+    Without Pillow (this container ships no media libraries) the call
+    raises ``NotImplementedError`` with the install hint;
+    ``decode_fake`` remains the deterministic oracle-checkable path."""
+    if mime and not mime.startswith("image/"):
+        raise NotImplementedError(
+            f"decode_real handles images only (got {mime!r}); wire "
+            "soundfile/PyAV here for audio/video"
+        )
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decoding requires Pillow, which this "
+            "environment does not ship — use decode_fake "
+            "(deterministic) or `pip install Pillow`"
+        ) from exc
+    import io
+    import math
+
+    side = max(1, math.isqrt(n))
+    height = (n + side - 1) // side
+    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+    img = img.resize((side, height))
+    px = list(img.getdata())[:n]
+    px += [0] * (n - len(px))
+    return [p / 255.0 for p in px]
 
 
 def decode_fake(payload: bytes, n: int = 64) -> list[float]:
@@ -116,6 +142,34 @@ def _make_local_decoder():
     return decode
 
 
+def _make_local_real_decoder():
+    """Pillow-backed twin of :func:`_make_local_decoder`: returns raw
+    0..255 grayscale ints on the same shape contract.  The driver-side
+    import fails fast with the install hint when Pillow is absent;
+    executors re-import inside the closure (pickled by value)."""
+    try:
+        from PIL import Image  # noqa: F401 — fail fast on the driver
+    except ImportError as exc:
+        raise NotImplementedError(
+            "extract_features(decoder='real') requires Pillow — "
+            "`pip install Pillow` or use the default fake decoder"
+        ) from exc
+
+    def decode(payload, n: int):
+        import io
+        import math
+
+        from PIL import Image
+
+        side = max(1, math.isqrt(n))
+        height = (n + side - 1) // side
+        img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+        px = list(img.resize((side, height)).getdata())[:n]
+        return px + [0] * (n - len(px))
+
+    return decode
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -125,17 +179,24 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(mm: DataFrame, dim: int = 64) -> DataFrame:
+def extract_features(
+    mm: DataFrame, dim: int = 64, decoder: str = "fake"
+) -> DataFrame:
     """Decode + featurize via ``mapInPandas``: one Arrow batch in, one
-    out, never a Python call per row for the batch transfer. The fake
-    decoder keeps it deterministic; swap ``decode_fake`` -> ``decode_real``
-    for production."""
+    out, never a Python call per row for the batch transfer.
+    ``decoder="fake"`` (default) is deterministic and oracle-checkable;
+    ``decoder="real"`` routes the SAME batching/schema lane through the
+    Pillow-backed :func:`decode_real` (fails fast on the driver when
+    Pillow is absent)."""
     import pandas as pd
 
-    # nested copy of decode_fake: a closure-local function is pickled BY
+    # nested copy of the decoder: a closure-local function is pickled BY
     # VALUE by cloudpickle, so executors need no import of this package
     # (a module-level reference would require --py-files on a cluster)
-    _decode = _make_local_decoder()
+    if decoder == "real":
+        _decode = _make_local_real_decoder()
+    else:
+        _decode = _make_local_decoder()
 
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -37,9 +37,60 @@ def test_multimodal_schema_and_features(spark):
     assert [round(v, 5) for v in got] == [round(v, 5) for v in expected]
 
 
-def test_decode_real_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def _tiny_png(pixels, width, height) -> bytes:
+    """Minimal valid grayscale PNG from stdlib only (struct+zlib) — lets
+    the real-decode test build input without needing Pillow itself."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * width:(y + 1) * width])
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_without_pillow_raises_with_hint():
+    """Where Pillow is absent the optional-import path must fail with
+    the actionable NotImplementedError, not an ImportError."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — covered by the real-decode test")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
         mm.decode_real(b"xx", "image/png")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm._make_local_real_decoder()
+
+
+def test_decode_real_decodes_png():
+    """Skip-gated real-codec path (round-6 VERDICT item 7): with Pillow
+    installed, decode_real reads a PNG built from stdlib bytes and
+    honors the decode_fake shape contract (length n, values in [0,1],
+    deterministic)."""
+    pytest.importorskip("PIL")
+    png = _tiny_png([0, 64, 128, 255], 2, 2)
+    out = mm.decode_real(png, "image/png", n=16)
+    assert len(out) == 16
+    assert all(0.0 <= v <= 1.0 for v in out)
+    assert out == mm.decode_real(png, "image/png", n=16)
+    # non-image mimes still raise toward the audio/video TODO
+    with pytest.raises(NotImplementedError, match="images only"):
+        mm.decode_real(png, "audio/wav")
 
 
 def test_resize_and_frames(spark):
