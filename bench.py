@@ -134,7 +134,27 @@ HEADLINE = [
     # 4-file replay through the foreachBatch rollup sink — streaming
     # throughput is a first-class cost, not a pytest-only path)
     "streaming_rollup_result",
+    # round-6: the continuous-dedup corpus sink's driver-visible twin
+    # (2-file replay, per-trigger incremental_dedup admission, atomic
+    # batch-directory commits)
+    "streaming_dedup_result",
 ]
+
+
+def _machine_canary() -> float:
+    """Fixed single-thread CPU workload (200k chained md5 of 1 KiB) —
+    a hardware-speed constant, independent of Spark and of this repo's
+    code.  Round-over-round query comparisons are only meaningful after
+    normalizing by this: an archived-tree A/B in round 6 showed the
+    SAME code running 2.5-3x slower than round 5's recorded numbers
+    because the round-6 host was simply slower."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    b = b"x" * 1024
+    for _ in range(200_000):
+        b = (hashlib.md5(b).digest() * 64)[:1024]
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -196,6 +216,7 @@ def main() -> None:
         "queries_spread": spreads,
         "spread_median": round(statistics.median(spreads.values()), 3),
         "runs_per_query": n_runs,
+        "machine_canary_sec": _machine_canary(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver keeps only a ~2,000-char TAIL of stdout, which truncates

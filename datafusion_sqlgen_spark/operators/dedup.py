@@ -965,7 +965,13 @@ def incremental_dedup_oracle(
     bands: int = 2,
     shingle: int = 3,
     threshold: float = 0.5,
+    corpus_sql: str = None,
+    new_sql: str = None,
 ) -> str:
+    """DuckDB twin of :func:`incremental_dedup`.  By default corpus/new
+    split ``table`` at ``split_id``; pass ``corpus_sql`` / ``new_sql``
+    to admit against an arbitrary corpus expression (the streaming
+    workload chains two admissions this way)."""
     rows_per_band = k // bands
 
     def banded(sig_cte: str, side: str) -> str:
@@ -984,9 +990,11 @@ def incremental_dedup_oracle(
     sh = f"list_distinct({_DUCK_SHINGLES.format(sm1=shingle - 1)})"
     sig_new = minhash_signatures_oracle("exact_ok", k=k, shingle=shingle)
     sig_corp = minhash_signatures_oracle("corpus", k=k, shingle=shingle)
+    new_body = new_sql or f"SELECT * FROM {table} WHERE doc_id >= {split_id}"
+    corpus_body = corpus_sql or f"SELECT * FROM {table} WHERE doc_id < {split_id}"
     return f"""
-    WITH new_docs AS (SELECT * FROM {table} WHERE doc_id >= {split_id}),
-    corpus AS (SELECT * FROM {table} WHERE doc_id < {split_id}),
+    WITH new_docs AS ({new_body}),
+    corpus AS ({corpus_body}),
     exact_ok AS (
         SELECT doc_id, text, md5(text) AS text_md5 FROM new_docs
         WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)

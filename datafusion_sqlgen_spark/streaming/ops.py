@@ -466,6 +466,44 @@ def streaming_incremental_dedup_sink(
     )
 
 
+def run_bounded_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    work_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drive :func:`streaming_incremental_dedup_sink` over a BOUNDED
+    file stream to completion and return the final corpus as
+    (doc_id, text_md5) — the driver-checkable face of the continuous-
+    dedup tier: the result's compute path runs through readStream →
+    foreachBatch → per-trigger incremental_dedup admissions → atomic
+    batch-directory commits, yet it is a static DataFrame an oracle can
+    hash against the sequential batch twin.
+
+    Batch ORDER matters for dedup (the first-arrived member of a dup
+    pair is the one kept), so callers must fix the file order — the
+    file source processes files oldest-modification-time first; the
+    workload sets strictly increasing mtimes on its split files."""
+    import os
+
+    corpus_path = os.path.join(work_dir, "corpus")
+    q = streaming_incremental_dedup_sink(
+        read_documents_stream(
+            spark, docs_path, max_files_per_trigger=max_files_per_trigger
+        ),
+        corpus_path,
+        os.path.join(work_dir, "checkpoint"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    corpus = read_dedup_corpus(spark, corpus_path)
+    if corpus is None:
+        return spark.createDataFrame([], "doc_id long, text_md5 string")
+    return corpus.select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("text_md5")
+    )
+
+
 def streaming_rollup_sink(
     events_stream: DataFrame,
     state_path: str,

@@ -1437,6 +1437,69 @@ def _streaming_rollup_result(s: SparkSession) -> DataFrame:
     return run_bounded_rollup(s, src, work, max_files_per_trigger=1)
 
 
+def _streaming_dedup_result(s: SparkSession) -> DataFrame:
+    """Bounded-stream replay of the continuous-dedup corpus sink
+    (round 6): documents split into 2 parquet files with strictly
+    increasing mtimes (batch order is load-bearing for dedup — the
+    first-arrived member of a dup pair is the one kept), streamed one
+    file per trigger through ``streaming_incremental_dedup_sink`` so
+    the corpus is built by successive atomic ``batch=<id>`` commits,
+    then the final corpus (doc_id, text_md5) is returned for the
+    driver's hash check against the sequential two-stage batch twin."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import run_bounded_dedup
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "docs_files")
+    os.makedirs(src, exist_ok=True)
+    docs = s.table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    halves = (
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+    )
+    for i, frame in enumerate(halves):
+        tmp = os.path.join(work, f"tmp{i}")
+        frame.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(src, f"part{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        ts = 1_000_000_000 + i * 3600
+        os.utime(dst, (ts, ts))
+    return run_bounded_dedup(s, src, work, max_files_per_trigger=1)
+
+
+def _streaming_dedup_oracle() -> str:
+    """Sequential two-stage twin of the streamed ingestion: batch 0 is
+    within-batch exact-deduped (no corpus yet), batch 1 is within-batch
+    exact-deduped then admitted against batch 0's corpus via the
+    incremental_dedup oracle; the corpus is their union."""
+    b0 = (
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY md5(text) "
+        "ORDER BY doc_id) AS rn FROM documents WHERE doc_id < 250"
+        ") WHERE rn = 1"
+    )
+    b1 = (
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY md5(text) "
+        "ORDER BY doc_id) AS rn FROM documents WHERE doc_id >= 250"
+        ") WHERE rn = 1"
+    )
+    admitted = dedup.incremental_dedup_oracle(
+        corpus_sql=b0, new_sql=b1
+    )
+    return f"""
+    SELECT doc_id, md5(text) AS text_md5 FROM ({b0})
+    UNION ALL
+    SELECT doc_id, text_md5 FROM ({admitted})
+    """
+
+
 def _pipeline_curation(s: SparkSession) -> DataFrame:
     """The full curation pipeline as ONE composed plan: normalize ->
     C4 rule filter -> exact dedup (keep lowest doc id per content hash)
@@ -2235,6 +2298,15 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "streaming_rollup_result": (
             _streaming_rollup_result,
             timeseries.mergeable_rollup_oracle(),
+        ),
+        # STREAMING driver-visible workload #2 (round 6): the
+        # continuous-dedup corpus sink replayed over a bounded 2-file
+        # stream (deterministic batch order via file mtimes), final
+        # corpus hash-checked against the sequential two-stage batch
+        # twin — makes the atomic batch-commit path a CORRECTNESS row
+        "streaming_dedup_result": (
+            _streaming_dedup_result,
+            _streaming_dedup_oracle(),
         ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
