@@ -1078,11 +1078,13 @@ class _Parser:
         with FALSE/TRUE swapped and a witness instead of a
         counterexample. Counterexamples/witnesses reduce to min/max
         comparisons, so the rewrite needs only four scalar aggregates
-        (min, max, count(*), count(v)) over ONE uncorrelated subquery —
-        Catalyst's MergeScalarSubqueries collapses them into a single
-        aggregate pass, and there is still no per-row probe (the
-        correlated-EXISTS alternative). ``= ANY`` / ``<> ALL`` never
-        reach here (exact IN-subquery sugar upstream)."""
+        (min, max, count(*), count(v)) over ONE uncorrelated subquery.
+        Catalyst's MergeScalarSubqueries fuses them into struct-valued
+        shared aggregates (verified: 2 merged passes per predicate in
+        the optimized plan, executed once — not per row), and there is
+        still no per-row probe (the correlated-EXISTS alternative).
+        ``= ANY`` / ``<> ALL`` never reach here (exact IN-subquery
+        sugar upstream)."""
         name = _single_output_name(sub)
         if name is None:
             raise ParseError(

@@ -1287,6 +1287,14 @@ def _ir_workloads() -> dict[str, Plan]:
         "c_custkey ASC NULLS FIRST"
     )
 
+    # round 6: the exact three-valued quantified-comparison desugar,
+    # driver-checked against DuckDB's NATIVE ANY/ALL (hand oracle in
+    # _HAND_ORACLES — maximum independence: the oracle never sees the
+    # CASE rewrite).  The three projection columns pin the three fixed
+    # edges: empty subquery (TRUE for ALL), plain TRUE/FALSE mix, and a
+    # NULL-containing subquery whose undecided rows must be NULL.
+    w["parsed_quantified_forms"] = parse_sql(_QUANTIFIED_FORMS_SQL)
+
     return w
 
 
@@ -2559,6 +2567,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _sample_order(out)
 
 
+# Quantified comparisons over orders: runs desugared on Spark, native
+# on DuckDB (the _HAND_ORACLES entry is this exact text).
+_QUANTIFIED_FORMS_SQL = """
+SELECT c_custkey,
+       c_acctbal > ALL (SELECT o_totalprice AS v FROM orders
+                         WHERE o_custkey = 999999999) AS gt_all_empty,
+       c_acctbal * 100 >= ANY (SELECT o_totalprice AS v FROM orders
+                                WHERE o_orderkey % 1000 = 0) AS ge_any_mix,
+       c_acctbal < ALL (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                    ELSE o_totalprice END AS v
+                          FROM orders WHERE o_custkey < 100) AS lt_all_nulls
+FROM customer
+"""
+
+
 # ----------------------------------------------------------------------
 # Hand-written oracles for high-value IR workloads (round-6 VERDICT item
 # 6): for IR workloads the DuckDB oracle is normally GENERATED from the
@@ -2570,6 +2593,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # instead of a correlated scalar subquery), neutralizing the shared-IR
 # blind spot for the rows that exercise the trickiest semantics.
 _HAND_ORACLES: dict[str, str] = {
+    # DuckDB executes its NATIVE quantified comparisons; Spark runs the
+    # parser's three-valued CASE desugar — the two meet only in results
+    "parsed_quantified_forms": _QUANTIFIED_FORMS_SQL,
     # rollup = explicit union of the three grouping levels
     "agg_rollup": """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
