@@ -400,12 +400,35 @@ def dedup_ingest_batch(
 
 def read_dedup_corpus(spark: SparkSession, corpus_path: str):
     """The accumulated corpus = the union of committed ``batch=<id>``
-    directories (partition discovery; the partition column is
-    bookkeeping and is dropped).  Returns None when no batch has ever
-    committed — hidden staging leftovers don't count."""
-    if not _committed_batches(spark, corpus_path):
+    directories (partition discovery via basePath; the partition column
+    is bookkeeping and is dropped).  Returns None when no batch has
+    ever committed OR every committed batch is data-less — a fully-
+    rejected batch commits an empty directory (its replay marker) that
+    contains no parquet footers, so the read selects only data-bearing
+    directories explicitly instead of letting schema inference fail on
+    the empty ones.  Hidden staging leftovers never count."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
         return None
-    return spark.read.parquet(corpus_path).drop("batch")
+    with_data = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("batch=")):
+            continue
+        if any(
+            f.getPath().getName().endswith(".parquet")
+            for f in fs.listStatus(status.getPath())
+        ):
+            with_data.append(f"{corpus_path}/{name}")
+    if not with_data:
+        return None
+    return (
+        spark.read.option("basePath", corpus_path)
+        .parquet(*with_data)
+        .drop("batch")
+    )
 
 
 def _committed_batches(spark: SparkSession, corpus_path: str) -> list:

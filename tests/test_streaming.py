@@ -477,6 +477,35 @@ def test_dedup_ingest_batch_replay_and_crash_recovery(spark, tmp_path):
     )
 
 
+def test_dedup_ingest_fully_rejected_batch_still_commits_marker(
+    spark, tmp_path
+):
+    """A batch whose every document is a duplicate admits nothing but
+    must still commit its (empty) batch directory as the replay marker
+    — and the data-less directory must not break subsequent corpus
+    reads or ingests (Spark writes zero part files for an empty
+    DataFrame, so schema inference would fail on it)."""
+    corpus = str(tmp_path / "corpus")
+    docs = spark.table("documents").limit(10)
+    st.dedup_ingest_batch(docs, 0, corpus)
+    n0 = st.read_dedup_corpus(spark, corpus).count()
+    # batch 1 = identical content -> fully rejected, empty commit
+    st.dedup_ingest_batch(docs, 1, corpus)
+    assert os.path.isdir(os.path.join(corpus, "batch=1"))
+    assert st.read_dedup_corpus(spark, corpus).count() == n0
+    # replay of the fully-rejected batch: still a no-op
+    st.dedup_ingest_batch(docs, 1, corpus)
+    assert st.read_dedup_corpus(spark, corpus).count() == n0
+    # a later batch with genuinely novel content (appending " x" would
+    # be near-dup-rejected, correctly) ingests over the empty marker
+    fresh = docs.withColumn(
+        "text",
+        F.concat(F.lit("wholly novel text nr "), F.col("doc_id").cast("string")),
+    )
+    st.dedup_ingest_batch(fresh, 2, corpus)
+    assert st.read_dedup_corpus(spark, corpus).count() > n0
+
+
 def test_streaming_rollup_sink_matches_batch(spark, stream_dir, tmp_path):
     """The continuously-merged state table must finalize to exactly the
     batch rollup of all replayed data — the merge algebra under
