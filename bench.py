@@ -216,7 +216,10 @@ def main() -> None:
         "queries_spread": spreads,
         "spread_median": round(statistics.median(spreads.values()), 3),
         "runs_per_query": n_runs,
-        "machine_canary_sec": _machine_canary(),
+        "machine_canary_sec": (canary := _machine_canary()),
+        # hardware-normalized total: compare THIS across rounds (the
+        # round-6 A/B showed hosts differing 2.5-3x in raw speed)
+        "value_per_canary": round(total / canary, 1) if canary else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver keeps only a ~2,000-char TAIL of stdout, which truncates

@@ -80,23 +80,15 @@ def decode_real(payload: bytes, mime: str, n: int = 64) -> list:
             "soundfile/PyAV here for audio/video"
         )
     try:
-        from PIL import Image
+        from PIL import Image  # noqa: F401 — availability probe only
     except ImportError as exc:
         raise NotImplementedError(
             "real image decoding requires Pillow, which this "
             "environment does not ship — use decode_fake "
             "(deterministic) or `pip install Pillow`"
         ) from exc
-    import io
-    import math
-
-    side = max(1, math.isqrt(n))
-    height = (n + side - 1) // side
-    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
-    img = img.resize((side, height))
-    px = list(img.getdata())[:n]
-    px += [0] * (n - len(px))
-    return [p / 255.0 for p in px]
+    # same grid/truncate/pad logic as the mapInPandas lane — one source
+    return [p / 255.0 for p in _make_local_real_decoder()(payload, n)]
 
 
 def decode_fake(payload: bytes, n: int = 64) -> list[float]:
@@ -195,8 +187,12 @@ def extract_features(
     # (a module-level reference would require --py-files on a cluster)
     if decoder == "real":
         _decode = _make_local_real_decoder()
-    else:
+    elif decoder == "fake":
         _decode = _make_local_decoder()
+    else:
+        raise ValueError(
+            f"decoder must be 'fake' or 'real', got {decoder!r}"
+        )
 
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -412,6 +412,7 @@ def read_dedup_corpus(spark: SparkSession, corpus_path: str):
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return None
+    _reject_foreign_layout(fs, root, "batch=")
     with_data = []
     for status in fs.listStatus(root):
         name = status.getPath().getName()
@@ -431,19 +432,26 @@ def read_dedup_corpus(spark: SparkSession, corpus_path: str):
     )
 
 
-def _committed_batches(spark: SparkSession, corpus_path: str) -> list:
-    """Sorted ids of fully-committed ``batch=<id>`` directories."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(corpus_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return []
-    out = []
+def _reject_foreign_layout(fs, root, expected_prefix: str) -> None:
+    """FAIL LOUD when the state root contains visible entries that are
+    not this layout's committed directories — e.g. flat parquet part
+    files written by the pre-generation (round-5) layout.  Treating
+    such a root as 'never committed' would silently reset accumulated
+    state / re-admit every document, the exact failure mode the
+    explicit-probe design exists to prevent.  Hidden (dot/underscore)
+    names — staging, _SUCCESS — are exempt."""
     for status in fs.listStatus(root):
         name = status.getPath().getName()
-        if status.isDirectory() and name.startswith("batch="):
-            out.append(int(name.split("=", 1)[1]))
-    return sorted(out)
+        if name.startswith(".") or name.startswith("_"):
+            continue
+        if not (status.isDirectory() and name.startswith(expected_prefix)):
+            raise IOError(
+                f"{root} contains {name!r}, which is not a committed "
+                f"'{expected_prefix}<id>' directory of this layout — "
+                "refusing to treat existing state as empty. If this is "
+                "pre-generation-layout state, migrate it by writing it "
+                f"as {expected_prefix}0 under the root."
+            )
 
 
 def _atomic_commit_dir(
@@ -627,6 +635,7 @@ def _generation_ids(spark: SparkSession, state_path: str) -> list:
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return []
+    _reject_foreign_layout(fs, root, "gen-")
     out = []
     for status in fs.listStatus(root):
         name = status.getPath().getName()

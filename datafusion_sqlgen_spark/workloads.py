@@ -661,17 +661,15 @@ def _ir_workloads() -> dict[str, Plan]:
     w["setop_except"] = SetOp(cust_nk.distinct(), supp_nk_neg.distinct(), "except")
     # bag semantics: multiplicity-aware intersect/except.  EXCEPT ALL
     # keeps left multiplicities beyond the right's — customers outnumber
-    # suppliers ~15x per nation, so the left side must be the bigger bag
-    # for a non-empty, multiplicity-sensitive result (round-6: the old
-    # supplier-minus-customer direction was always empty).
+    # suppliers ~15x per nation AT EVERY SCALE FACTOR (both tables scale
+    # together), so the uncapped customer bag minus the supplier bag is
+    # non-empty and multiplicity-sensitive at any sf.  (Round-6 history:
+    # the original supplier-minus-customer direction was always empty,
+    # and a first fix capping customers at c_custkey <= 400 was again
+    # empty at sf >= ~0.04 where suppliers outnumber the capped slice —
+    # caught by the round-6 code review's data-level audit.)
     w["setop_intersect_all"] = SetOp(cust_nk, supp_nk, "intersect_all")
-    w["setop_except_all"] = SetOp(
-        scan("customer")
-        .filter(col("c_custkey") <= lit(400))
-        .select(col("c_nationkey").cast("int").alias("nk")),
-        supp_nk,
-        "except_all",
-    )
+    w["setop_except_all"] = SetOp(cust_nk, supp_nk, "except_all")
 
     # --- CTE + subqueries ---
     rev = (

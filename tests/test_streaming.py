@@ -619,6 +619,36 @@ def test_bounded_rollup_empty_source_yields_empty_frame(spark, tmp_path):
                            "lo", "hi"]
 
 
+def test_legacy_flat_layout_fails_loud_not_silent_reset(
+    spark, stream_dir, tmp_path
+):
+    """Round-6 review finding: a state/corpus root holding flat parquet
+    files from the pre-generation layout must FAIL the batch with a
+    migration message — treating it as 'never committed' would silently
+    zero accumulated rollup state or re-admit every document."""
+    import pytest
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    with open(os.path.join(state, "part-00000.parquet"), "wb") as f:
+        f.write(b"pre-round-6 flat state")
+    batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    with pytest.raises(Exception, match="refusing to treat"):
+        st.rollup_merge_batch(batch, 0, state)
+    # the foreign file was not touched
+    assert os.path.exists(os.path.join(state, "part-00000.parquet"))
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    with open(os.path.join(corpus, "part-00000.parquet"), "wb") as f:
+        f.write(b"pre-round-6 flat corpus")
+    with pytest.raises(Exception, match="refusing to treat"):
+        st.read_dedup_corpus(spark, corpus)
+    docs = spark.table("documents").limit(5)
+    with pytest.raises(Exception, match="refusing to treat"):
+        st.dedup_ingest_batch(docs, 0, corpus)
+
+
 def test_rollup_sink_fails_loud_on_corrupt_state(spark, stream_dir, tmp_path):
     """A corrupt COMMITTED generation must FAIL the next merging batch,
     not silently reset accumulated state to the current batch (the old
