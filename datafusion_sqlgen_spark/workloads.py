@@ -2594,6 +2594,74 @@ _HAND_ORACLES: dict[str, str] = {
     # DuckDB executes its NATIVE quantified comparisons; Spark runs the
     # parser's three-valued CASE desugar — the two meet only in results
     "parsed_quantified_forms": _QUANTIFIED_FORMS_SQL,
+    # grouping sets = explicit union of exactly the requested sets
+    "agg_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+UNION ALL
+SELECT o_orderstatus, CAST(NULL AS VARCHAR), count(*)
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), count(*)
+FROM orders
+""",
+    # cube = union of all four grouping levels
+    "agg_cube": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+UNION ALL
+SELECT o_orderstatus, CAST(NULL AS VARCHAR), count(*)
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), o_orderpriority, count(*)
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), count(*)
+FROM orders
+""",
+    # IN-subquery = correlated EXISTS
+    "subq_in": """
+SELECT c.c_custkey, c.c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 400000)
+""",
+    # scalar-avg filter = cross-joined 1-row aggregate
+    "subq_scalar_avg": """
+SELECT o.o_orderkey,
+       CAST(round(CAST(o.o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+           AS price
+FROM orders o, (SELECT avg(o_totalprice) AS a FROM orders) t
+WHERE o.o_totalprice > t.a
+""",
+    # CTE + filter = plain GROUP BY ... HAVING
+    "cte_top_customers": """
+SELECT o_custkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total
+FROM orders GROUP BY o_custkey
+HAVING CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+       > 200000
+""",
+    # hand-typed named-WINDOW forms (same frame semantics, authored
+    # independently of the renderer's OVER emission; frame addition
+    # order is preserved so float running sums stay bit-comparable)
+    "win_running_sum": """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 2) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ROWS UNBOUNDED PRECEDING)
+""",
+    "win_lag_lead": """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 2) AS delta_prev,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+""",
     # rollup = explicit union of the three grouping levels
     "agg_rollup": """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
