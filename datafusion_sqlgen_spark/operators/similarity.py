@@ -593,7 +593,7 @@ def _kmeans_centroids(
                 "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
             )
             .groupBy("cell_id", "pos")
-            .agg(F.round(F.avg("val"), decimals).alias("m"))
+            .agg(_stable_round(F.avg("val"), decimals).alias("m"))
         )
         cents = (
             comp.groupBy("cell_id")
@@ -736,17 +736,33 @@ def kmeans_fit_oracle(
     """
 
 
+def _stable_round(c: Column, decimals: int) -> Column:
+    """Engine-identical half-up rounding on doubles:
+    ``floor(x * 10^n + 0.5) / 10^n`` — pure IEEE double ops, so two
+    engines given the SAME double produce the same result.  Built-in
+    ``round`` does NOT have this property: Spark rounds the shortest
+    decimal string HALF_UP while DuckDB rounds the binary value, which
+    diverges deterministically at representable-boundary values (the
+    round-6 sf0.1 sweep caught exactly this on pq_encode distances —
+    same class as the documented workloads._money hazard)."""
+    f = float(10 ** decimals)
+    return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
 def _l2_dist(a: Column, b: Column, decimals: int) -> Column:
-    """Euclidean distance, rounded for rank stability: the component
-    sum runs in index order in both engines (Spark ``aggregate`` over
-    ``zip_with``; DuckDB ``list_distance``), so the rounded value is
-    engine-identical and ULP noise cannot reorder an argmin."""
+    """Euclidean distance, stabilized for rank AND value equality.  The
+    DuckDB twin (:func:`_duck_l2`) replays the SAME strict left-fold in
+    index order — IEEE double addition is deterministic given the
+    order, so raw distances are bit-identical (``list_distance`` is
+    not: its ULP noise flipped rounded values at sf0.1) — and both
+    sides then round via the floor formulation (:func:`_stable_round`),
+    which is a pure-double function and therefore engine-identical."""
     sq = F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return F.round(F.sqrt(sq), decimals)
+    return _stable_round(F.sqrt(sq), decimals)
 
 
 def _codebook_row(cents: DataFrame) -> DataFrame:
@@ -805,7 +821,7 @@ def _kmeans_centroids_l2(
                 "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
             )
             .groupBy("cell_id", "pos")
-            .agg(F.round(F.avg("val"), decimals).alias("m"))
+            .agg(_stable_round(F.avg("val"), decimals).alias("m"))
         )
         cents = comp.groupBy("cell_id").agg(
             F.transform(
@@ -862,13 +878,33 @@ def pq_encode(
                 F.col(id_col),
                 F.lit(j).cast("int").alias("subspace"),
                 F.col("__p")["cell"].cast("bigint").alias("code"),
-                F.round(F.col("__p")["d"], 4).alias("dist"),
+                _stable_round(F.col("__p")["d"], 4).alias("dist"),
             )
         )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def _duck_round(x: str, decimals: int) -> str:
+    """DuckDB SQL twin of :func:`_stable_round` — same floor formula,
+    same doubles, same result."""
+    f = 10 ** decimals
+    return f"(floor(({x}) * {f} + 0.5) / {f})"
+
+
+def _duck_l2(a: str, b: str) -> str:
+    """DuckDB SQL for the bit-exact twin of :func:`_l2_dist`'s raw
+    distance: squared diffs in index order, strict left fold from a 0.0
+    seed (exactly Spark's ``aggregate(zip_with(...))``), then sqrt —
+    IEEE-deterministic, so both engines produce the same double."""
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"__di -> ({a}[__di] - {b}[__di]) * ({a}[__di] - {b}[__di]))), "
+        f"(__dacc, __dx) -> __dacc + __dx))"
+    )
 
 
 def pq_encode_oracle(
@@ -880,7 +916,9 @@ def pq_encode_oracle(
     decimals: int = 6,
 ) -> str:
     """Iteration-unrolled DuckDB twin of pq_encode, one CTE chain per
-    subspace (1-based inclusive list slicing mirrors F.slice)."""
+    subspace (1-based inclusive list slicing mirrors F.slice).
+    Distances use :func:`_duck_l2` — the bit-exact fold twin of the
+    Spark side — not ``list_distance`` (see _l2_dist)."""
     sd = dim // m
     ctes, finals = [], []
     for j in range(m):
@@ -899,13 +937,12 @@ def pq_encode_oracle(
                 SELECT cell_id, v FROM (
                     SELECT t.vec_id, t.v, c.cell_id,
                            row_number() OVER (PARTITION BY t.vec_id
-                               ORDER BY round(list_distance(t.v, c.cent),
-                                              {decimals}) ASC,
+                               ORDER BY {_duck_round(_duck_l2('t.v', 'c.cent'), decimals)} ASC,
                                         c.cell_id ASC) AS rn
                     FROM {p}_t t CROSS JOIN {p}_c{i} c
                 ) WHERE rn = 1)""")
             ctes.append(f"""{p}_comp{i + 1} AS (
-                SELECT cell_id, pos, round(avg(val), {decimals}) AS mval
+                SELECT cell_id, pos, {_duck_round('avg(val)', decimals)} AS mval
                 FROM (SELECT cell_id, generate_subscripts(v, 1) - 1 AS pos,
                              unnest(v) AS val
                       FROM {p}_a{i + 1})
@@ -917,13 +954,12 @@ def pq_encode_oracle(
             )
         finals.append(f"""
             SELECT vec_id, {j} AS subspace, cell_id AS code,
-                   round(d, 4) AS dist
+                   {_duck_round('d', 4)} AS dist
             FROM (
                 SELECT t.vec_id, c.cell_id,
-                       round(list_distance(t.v, c.cent), {decimals}) AS d,
+                       {_duck_round(_duck_l2('t.v', 'c.cent'), decimals)} AS d,
                        row_number() OVER (PARTITION BY t.vec_id
-                           ORDER BY round(list_distance(t.v, c.cent),
-                                          {decimals}) ASC,
+                           ORDER BY {_duck_round(_duck_l2('t.v', 'c.cent'), decimals)} ASC,
                                     c.cell_id ASC) AS rn
                 FROM {p}_t t CROSS JOIN {p}_c{n_iter} c
             ) WHERE rn = 1""")
