@@ -331,6 +331,70 @@ def kfold_assign_oracle(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "lsfold",
+) -> DataFrame:
+    """Group-aware k-fold: near-duplicate documents (MinHash-LSH pairs
+    → connected components) are assigned to the SAME fold, so a
+    near-copy of an eval document can never leak into train — the
+    split hygiene every dedup paper assumes and plain per-id hashing
+    silently violates.  Singleton documents are their own group.
+
+    Output ``(doc_id, group_id, fold)``; fold = md5(group:salt) mod k,
+    the same engine-portable derivation as :func:`kfold_assign`, keyed
+    on the GROUP so membership moves together.
+
+    Scale shape: clustering touches only documents that LSH-pair with
+    something (a small fraction of the corpus — signatures shuffle,
+    documents don't); the cluster table joins back id-to-id and the
+    fold is a narrow projection.  No new shuffle beyond the existing
+    CC label propagation."""
+    from datafusion_sqlgen_spark.operators.dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    base = docs.select(id_col).join(clusters, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("group_id"),
+    )
+    key = F.concat(F.col("group_id").cast("string"), F.lit(":" + salt))
+    hx = F.substring(F.md5(key), 1, 4)
+    return base.withColumn(
+        "fold", (F.conv(hx, 16, 10).cast("int") % k).cast("int")
+    )
+
+
+def leakage_safe_split_oracle(
+    k: int = 5,
+    threshold: float = 0.2,
+    table: str = "documents",
+    salt: str = "lsfold",
+) -> str:
+    from datafusion_sqlgen_spark.operators.dedup import (
+        near_dup_clusters_oracle,
+    )
+
+    clusters = near_dup_clusters_oracle(table, threshold=threshold)
+    return f"""
+    WITH clusters AS ({clusters}),
+    base AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS group_id
+        FROM {table} d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, group_id,
+           (CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)
+                || ':{salt}'), 1, 4)) AS INT) % {k}) AS fold
+    FROM base
+    """
+
+
 def capped_per_group(
     df: DataFrame,
     k: int,

@@ -2371,6 +2371,14 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             .select("doc_id", "source", "fold"),
             sampling.kfold_assign_oracle(cols="doc_id, source"),
         ),
+        # round 6: GROUP-aware k-fold — near-dup clusters (LSH -> CC)
+        # land in one fold, so eval near-copies cannot leak into train;
+        # fold keyed on the cluster representative, singletons on
+        # their own id
+        "sample_leakage_safe_split": (
+            lambda s: sampling.leakage_safe_split(s.table("documents")),
+            sampling.leakage_safe_split_oracle(),
+        ),
         # reproducible global shuffle (training-order randomization):
         # md5 epoch key + ONE range exchange, no single-partition sort
         "sample_global_shuffle": (

@@ -757,6 +757,36 @@ def test_dsir_resample_weight_cache_bounded(spark):
         assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
 
 
+def test_leakage_safe_split_groups_never_straddle_folds(spark, duck):
+    """Round-6 operator: every near-dup cluster lands in exactly one
+    fold (the leakage guarantee), singletons keep their own id as
+    group, folds stay hash-balanced, and the oracle twin matches."""
+    from datafusion_sqlgen_spark.operators import dedup, sampling
+
+    docs = _df(spark, "documents")
+    out = sampling.leakage_safe_split(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # leakage guarantee: one fold per group
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], set()).add(r["fold"])
+    assert all(len(folds) == 1 for folds in by_group.values())
+    # the known near-dup clusters really do share groups
+    clusters = dedup.near_dup_clusters(docs, threshold=0.2).collect()
+    gid = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    got = {r["doc_id"]: r["group_id"] for r in rows}
+    for doc, cl in gid.items():
+        assert got[doc] == cl
+    assert len(gid) > 0  # the fixture corpus does contain near-dups
+    # hash balance: no fold takes more than half the corpus
+    from collections import Counter
+
+    fold_sizes = Counter(r["fold"] for r in rows)
+    assert len(fold_sizes) == 5 and max(fold_sizes.values()) < len(rows) / 2
+    check(spark, duck, out, sampling.leakage_safe_split_oracle())
+
+
 def test_kfold_assign_balanced_and_stable(spark, duck):
     from pyspark.sql import functions as F
 
