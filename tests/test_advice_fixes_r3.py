@@ -101,6 +101,32 @@ def test_r6_sample_is_exactly_the_stale_tail_oldest_first():
     assert all(latest[n] <= 2 for n in first50)
 
 
+def test_rotation_tool_agrees_with_current_sample():
+    """scripts/rotation_next.py is the mechanical source for round-7+
+    rotations; while the round-6 CORRECTNESS files are the latest, its
+    computed first-50 must equal the hand-assembled sample (same
+    arithmetic, two implementations)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "scripts", "rotation_next.py")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    names = []
+    in_sample = False
+    for line in out.stdout.splitlines():
+        if line.startswith("# --- next sample"):
+            in_sample = True
+            continue
+        if line.startswith("# --- overflow"):
+            break
+        if in_sample and line and not line.startswith("#"):
+            names.append(line.split()[0])
+    assert names == _SAMPLE_PRIORITY[:50]
+
+
 def test_no_workload_has_ever_finished_red():
     """As of r5 every workload's most recent driver check is green; keep
     it that way — a red row here means a regression the rotation must
