@@ -852,39 +852,73 @@ def pq_encode(
     code, dist)`` — the m-byte-per-vector compressed representation
     that, with the IVF tier, completes the IVF-PQ index family.
 
-    Scale shape: subvector slicing is a narrow map; each subspace's
-    codebook is k x (dim/m) — broadcast everywhere it's used; both the
-    training assignments and the final encoding are one corpus pass per
-    iteration with NO corpus shuffle (the only exchanges aggregate the
-    k*dim/m component means). Cost scales linearly in m as repeated
-    column work inside the same passes, not as extra joins."""
+    Scale shape (round-6 single-pass rewrite): the corpus EXPLODES once
+    into (vec_id, subspace, subvector) rows — same total data volume,
+    m× the rows at 1/m the width — and ALL m subspaces train together:
+    one corpus-wide assignment pass + one (subspace, cell, pos) mean
+    aggregation per Lloyd iteration, and one encode pass, instead of
+    m of each (the original per-subspace loop scanned the corpus 2m+m
+    times; at 100 TB the scan count IS the cost). Codebooks stay
+    k x (dim/m) per subspace, collapsed to one broadcast row per
+    subspace and equi-joined on the subspace id — no corpus shuffle
+    anywhere; the only exchanges aggregate the m*k*(dim/m) component
+    means."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sd = dim // m
     vec = F.col(vec_col).cast("array<double>")
-    outs = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col), F.slice(vec, j * sd + 1, sd).alias("__v")
+    sub = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.slice(vec, j * sd + 1, sd) for j in range(m)
+            ])
+        ).alias("subspace", "__v"),
+    )
+    # seeds: the first k vectors' subvectors, per subspace
+    cents = sub.filter(F.col(id_col) < k).select(
+        F.col("subspace"),
+        F.col(id_col).alias("cell_id"),
+        F.col("__v").alias("cent"),
+    )
+    for _ in range(n_iter):
+        books = cents.groupBy("subspace").agg(
+            F.collect_list(F.struct("cell_id", "cent")).alias("__cb")
         )
-        cents = _kmeans_centroids_l2(sub, k, n_iter, id_col, "__v", decimals)
-        picked = sub.crossJoin(F.broadcast(_codebook_row(cents))).select(
-            F.col(id_col),
-            _nearest_code(F.col("__v"), F.col("__cb"), decimals)
-            .alias("__p"),
+        assigned = sub.join(F.broadcast(books), "subspace").select(
+            F.col("subspace"),
+            _nearest_code(F.col("__v"), F.col("__cb"), decimals)["cell"]
+            .alias("cell_id"),
+            F.col("__v"),
         )
-        outs.append(
-            picked.select(
-                F.col(id_col),
-                F.lit(j).cast("int").alias("subspace"),
-                F.col("__p")["cell"].cast("bigint").alias("code"),
-                _stable_round(F.col("__p")["d"], 4).alias("dist"),
+        comp = (
+            assigned.select(
+                "subspace", "cell_id",
+                F.posexplode(F.col("__v")).alias("pos", "val"),
             )
+            .groupBy("subspace", "cell_id", "pos")
+            .agg(_stable_round(F.avg("val"), decimals).alias("m"))
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        cents = comp.groupBy("subspace", "cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cent")
+        )
+    books = cents.groupBy("subspace").agg(
+        F.collect_list(F.struct("cell_id", "cent")).alias("__cb")
+    )
+    picked = sub.join(F.broadcast(books), "subspace").select(
+        F.col(id_col),
+        F.col("subspace").cast("int").alias("subspace"),
+        _nearest_code(F.col("__v"), F.col("__cb"), decimals).alias("__p"),
+    )
+    return picked.select(
+        F.col(id_col),
+        F.col("subspace"),
+        F.col("__p")["cell"].cast("bigint").alias("code"),
+        _stable_round(F.col("__p")["d"], 4).alias("dist"),
+    )
 
 
 def _duck_round(x: str, decimals: int) -> str:
