@@ -765,15 +765,6 @@ def _l2_dist(a: Column, b: Column, decimals: int) -> Column:
     return _stable_round(F.sqrt(sq), decimals)
 
 
-def _codebook_row(cents: DataFrame) -> DataFrame:
-    """Collapse a (cell_id, cent) codebook to ONE row holding the whole
-    book as an array — broadcast onto every corpus row so the argmin is
-    a per-row array fold instead of a join + window (zero shuffle)."""
-    return cents.agg(
-        F.collect_list(F.struct("cell_id", "cent")).alias("__cb")
-    )
-
-
 def _nearest_code(v: Column, cbook: Column, decimals: int) -> Column:
     """Per-row argmin over the in-row codebook: ``array_min`` of
     (rounded distance, cell) structs — lexicographic struct ordering IS
@@ -788,51 +779,6 @@ def _nearest_code(v: Column, cbook: Column, decimals: int) -> Column:
             ),
         )
     )
-
-
-def _kmeans_centroids_l2(
-    sub: DataFrame,
-    k: int,
-    n_iter: int,
-    id_col: str,
-    vec_col: str,
-    decimals: int,
-) -> DataFrame:
-    """Lloyd loop under EUCLIDEAN assignment (PQ's metric; the cosine
-    twin lives in _kmeans_centroids). Same determinism contract:
-    lowest-id seeding, rounded distances with lowest-cell tie-break,
-    rounded component means. Each assignment pass is a zero-shuffle
-    narrow map (_nearest_code); the only exchange per iteration is the
-    k*(dim/m)-group component-mean aggregation."""
-    cents = sub.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
-    )
-    for _ in range(n_iter):
-        assigned = (
-            sub.crossJoin(F.broadcast(_codebook_row(cents)))
-            .select(
-                _nearest_code(F.col(vec_col), F.col("__cb"), decimals)["cell"]
-                .alias("cell_id"),
-                F.col(vec_col),
-            )
-        )
-        comp = (
-            assigned.select(
-                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
-            )
-            .groupBy("cell_id", "pos")
-            .agg(_stable_round(F.avg("val"), decimals).alias("m"))
-        )
-        cents = comp.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cent")
-        )
-    # no _pin_trained here: each subspace codebook is consumed exactly
-    # once (the final encode pass), so a cache cut is pure overhead —
-    # unlike the cosine loop, whose output fans out to several jobs
-    return cents
 
 
 def pq_encode(
