@@ -138,6 +138,9 @@ HEADLINE = [
     # (2-file replay, per-trigger incremental_dedup admission, atomic
     # batch-directory commits)
     "streaming_dedup_result",
+    # round-6: group-aware leakage-safe folds (LSH -> CC -> group-keyed
+    # fold hash) — the split-hygiene primitive
+    "sample_leakage_safe_split",
 ]
 
 
