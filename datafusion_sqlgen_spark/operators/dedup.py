@@ -1021,3 +1021,148 @@ def incremental_dedup_oracle(
     SELECT doc_id, text_md5 FROM exact_ok
     WHERE doc_id NOT IN (SELECT new_id FROM dups)
     """
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune —
+    *within each cluster only* — every vector that has a lower-id
+    near-duplicate (rounded cosine ≥ ``threshold``). Survivors keep
+    their cluster id, so downstream curation can stratify by cell.
+
+    The drop rule is pairwise-exists, not greedy-sequential: a vector is
+    pruned iff *some* lower-id same-cell vector is ≥ threshold close to
+    it. That is order-free (fully parallel, no sequential scan over the
+    cluster like the paper's reference implementation) and exactly
+    expressible in one SQL anti-join — the right trade at 100 TB.
+
+    Scale shape: the Lloyd training + assignment reuse
+    ``similarity._kmeans_centroids``/``ivf_assign`` (broadcast k×d
+    centroids, zero-shuffle argmax per row). The pairwise stage is the
+    whole point of clustering first: the self-join key is ``cell_id``,
+    so one hash shuffle on a small int key and each cell compares only
+    its own members — O(Σ|cell|²) instead of O(n²), with cell count the
+    knob (√n cells keeps expected cell size √n). Cosines are compared
+    after :func:`similarity._stable_round` so the threshold test is
+    engine-identical (built-in round diverges on doubles; see the
+    pq_encode round-6 finding).
+
+    The reference has no similarity surface (nothing past scan/filter in
+    /root/reference/datafusion-sqlgen/src/logical_plan.rs:200-203); this
+    is beyond-reference LLM-pipeline mandate territory.
+    """
+    from datafusion_sqlgen_spark.operators.similarity import (
+        _kmeans_centroids,
+        _norm,
+        _stable_round,
+        cosine_pre,
+        ivf_assign,
+    )
+
+    cents = _kmeans_centroids(df, n_cells, n_iter, id_col, vec_col, 6)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    # norm once per vector before the pair join (pair count is quadratic
+    # in cell size; per-pair array passes dominate otherwise)
+    sides = assigned.select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
+    a = sides.select(
+        F.col(id_col).alias("id_a"), F.col("cell_id").alias("cell_a"),
+        F.col(vec_col).alias("vec_a"), F.col("__n").alias("norm_a"),
+    )
+    b = sides.select(
+        F.col(id_col).alias("id_b"), F.col("cell_id").alias("cell_b"),
+        F.col(vec_col).alias("vec_b"), F.col("__n").alias("norm_b"),
+    )
+    dup_high = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(
+            _stable_round(
+                cosine_pre(
+                    F.col("vec_a"), F.col("vec_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+                4,
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup_high, id_col, "left_anti").select(
+        id_col, F.col("cell_id").cast("bigint").alias("cell_id")
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    """DuckDB SQL for the bit-exact twin of :func:`similarity._dot` /
+    ``cosine_pre``: element products in index order, strict left fold
+    from a 0.0 seed, divided by the two strict-fold norms — the same
+    IEEE double sequence Spark evaluates, so both engines produce the
+    same double (``list_cosine_similarity`` is NOT that: like
+    ``list_distance`` it carries ULP noise, fine for ranking, fatal for
+    a threshold compare)."""
+
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({a}) + 1), {expr})), "
+            f"(__ca, __cx) -> __ca + __cx)"
+        )
+
+    dot = fold(f"__ci -> CAST({a}[__ci] AS DOUBLE) * CAST({b}[__ci] AS DOUBLE)")
+    na = fold(f"__ci -> CAST({a}[__ci] AS DOUBLE) * CAST({a}[__ci] AS DOUBLE)")
+    nb = fold(f"__ci -> CAST({b}[__ci] AS DOUBLE) * CAST({b}[__ci] AS DOUBLE)")
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def semantic_dedup_oracle(
+    table: str = "embeddings",
+    n_cells: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.25,
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import (
+        _duck_round,
+        _kmeans_ctes,
+    )
+
+    kmeans = _kmeans_ctes(table, n_cells, n_iter, 6)
+    cos = _duck_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH {kmeans},
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE {_duck_round(cos, 4)} >= {threshold}
+    )
+    SELECT t.vec_id, CAST(t.cell_id AS BIGINT) AS cell_id
+    FROM assigned t
+    WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = t.vec_id)
+    """

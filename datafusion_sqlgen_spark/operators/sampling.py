@@ -438,3 +438,117 @@ def capped_per_group_oracle(
         FROM {table}
     ) WHERE rn <= {k}
     """
+
+
+_DEFAULT_MIX: dict[str, int] = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    budget_pct: int = 30,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture sampling to a token budget: admit documents
+    per-domain, in a deterministic md5 order, until each domain has
+    consumed its weighted share of the corpus token budget — the
+    "mix domains to target proportions" step of a pretraining data
+    pipeline (the published mixture recipes — The Pile, DoReMi — are
+    exactly per-domain token budgets).
+
+    ``weights`` maps source → integer weight (must sum to 100); domains
+    absent from the map are excluded. The budget base is the total
+    whitespace-token count of the *included* domains, scaled by
+    ``budget_pct``; each domain's share is
+    ``total * budget_pct * weight // 10000`` — all-bigint arithmetic,
+    so the admission compare is exact in every engine (no float
+    threshold to drift). A document is admitted while the running total
+    *before* it is under the share, so every non-empty share admits at
+    least one document and the overshoot is bounded by one document.
+
+    Scale shape: one narrow projection computes per-doc token counts
+    (higher-order fns, no UDF), one broadcast 1-row total, and one
+    window per domain (`PARTITION BY source ORDER BY md5(id)`) for the
+    running sum — a single hash shuffle on the domain key. Domains are
+    independent, so the cumulative scan parallelizes across them; a
+    skewed mega-domain can additionally be range-split by the md5
+    prefix, same plumbing. Admission order is md5(id), i.e. a
+    reproducible uniform shuffle within each domain — no rand(), no
+    seed bookkeeping, identical on every run and engine.
+
+    The reference has no sampling surface; beyond-reference
+    LLM-pipeline mandate (same rationale as the rest of this module).
+    """
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.text import words_col
+
+    w = dict(_DEFAULT_MIX if weights is None else weights)
+    if sum(w.values()) != 100:
+        raise ValueError(f"weights must sum to 100, got {sum(w.values())}")
+    wexpr = F.lit(None).cast("bigint")
+    for src, pct in sorted(w.items()):
+        wexpr = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(wexpr)
+
+    d = (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.size(words_col(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("__w", wexpr)
+        .filter(F.col("__w").isNotNull())
+    )
+    total = d.agg(F.sum("n_tokens").cast("bigint").alias("__total"))
+    win = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(
+            "cum_tokens_before",
+            F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cum_tokens_before")
+            < F.expr(f"__total * {int(budget_pct)} * __w div 10000")
+        )
+        .select(id_col, source_col, "n_tokens", "cum_tokens_before")
+    )
+
+
+def token_budget_mix_oracle(
+    table: str = "documents",
+    weights: dict[str, int] | None = None,
+    budget_pct: int = 30,
+) -> str:
+    w = dict(_DEFAULT_MIX if weights is None else weights)
+    case = " ".join(
+        f"WHEN '{src}' THEN {pct}" for src, pct in sorted(w.items())
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CASE source {case} END AS w
+        FROM {table}
+    ),
+    f AS (SELECT * FROM d WHERE w IS NOT NULL),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM f),
+    c AS (
+        SELECT f.*, t.total,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_tokens_before
+        FROM f, t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens_before
+    FROM c WHERE cum_tokens_before < (total * {int(budget_pct)} * w) // 10000
+    """

@@ -2065,6 +2065,21 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.c4_filters(s.table("documents")),
             text.c4_filters_oracle(),
         ),
+        # SemDeDup-style semantic dedup: k-means cluster, prune
+        # within-cluster near-dups (pairwise cosine >= tau), keep
+        # lowest-id representatives — the published cluster-then-prune
+        # scale shape (pair join keyed on cell_id, never all-pairs)
+        "dedup_semantic": (
+            lambda s: dedup.semantic_dedup(s.table("embeddings")),
+            dedup.semantic_dedup_oracle(),
+        ),
+        # per-domain token-budget mixture (The Pile / DoReMi-style
+        # mixture recipe): md5-ordered admission until each source hits
+        # its all-bigint weighted share of the corpus token budget
+        "sample_token_budget_mix": (
+            lambda s: sampling.token_budget_mix(s.table("documents")),
+            sampling.token_budget_mix_oracle(),
+        ),
         # temperature-based source mixing (multilingual-LLM sampling)
         "sample_temperature_mix": (
             lambda s: sampling.temperature_mix(s.table("documents"))

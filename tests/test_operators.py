@@ -903,3 +903,61 @@ def test_scd2_merge_semantics(spark):
     k3 = [(r.attr, r.is_current, str(r.valid_to)[:10] if r.valid_to else None)
           for r in closed.filter("k = 3").collect()]
     assert k3 == [("c", False, "2024-06-01")], k3
+
+
+def test_semantic_dedup_prunes_within_cluster_dups(spark, duck):
+    from pyspark.sql import functions as F
+
+    emb = _df(spark, "embeddings")
+    out = dedup.semantic_dedup(emb)
+    rows = {r.vec_id: r.cell_id for r in out.collect()}
+    n = emb.count()
+    # meaningful, non-degenerate prune: survivors are a strict subset
+    assert 0 < len(rows) < n
+    # survivors carry a cluster id; cluster count is bounded by n_cells
+    assert len(set(rows.values())) <= 8
+    # the drop rule keeps the lowest id of every qualifying pair: the
+    # global minimum id can never have a lower-id duplicate, so it
+    # always survives
+    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    assert min_id in rows
+    # deterministic across runs
+    again = {r.vec_id: r.cell_id for r in dedup.semantic_dedup(emb).collect()}
+    assert rows == again
+    check(spark, duck, out, dedup.semantic_dedup_oracle())
+
+
+def test_token_budget_mix_shares_and_determinism(spark, duck):
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    out = sampling.token_budget_mix(docs)
+    rows = [(r.doc_id, r.source, r.n_tokens, r.cum_tokens_before)
+            for r in out.collect()]
+    assert rows  # non-empty at every SF (budget shares scale with data)
+    # only weighted sources are admitted
+    assert {r[1] for r in rows} <= {"src0", "src1", "src2", "src3"}
+    # each admitted doc started under its domain share, and overshoot is
+    # bounded by one document: tokens(source) - max_doc <= share
+    from datafusion_sqlgen_spark.operators.text import words_col
+
+    weights = {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+    total = (
+        docs.filter(F.col("source").isin(*weights))
+        .agg(F.sum(F.size(words_col(F.col("text")))))
+        .collect()[0][0]
+    )
+    per_src: dict[str, list[int]] = {}
+    for _, src, n_tok, _ in rows:
+        per_src.setdefault(src, []).append(n_tok)
+    for src, toks in per_src.items():
+        share = total * 30 * weights[src] // 10000
+        assert sum(toks) - max(toks) <= share <= sum(toks) + share
+    # weights must sum to 100
+    with pytest.raises(ValueError):
+        sampling.token_budget_mix(docs, weights={"src0": 50})
+    # deterministic across runs
+    again = [(r.doc_id, r.source, r.n_tokens, r.cum_tokens_before)
+             for r in sampling.token_budget_mix(docs).collect()]
+    assert sorted(rows) == sorted(again)
+    check(spark, duck, out, sampling.token_budget_mix_oracle())

@@ -722,3 +722,29 @@ def test_dsir_resample_materializes_weights_once(spark, queries):
     plan = queries["text_dsir_resample"](spark, SF_DIR)._jdf \
         .queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, "weights cache dropped"
+
+
+def test_semantic_dedup_pair_join_keyed_on_cells(spark, queries):
+    """SemDeDup prune: the pairwise stage must be an equi join keyed on
+    cell_id (one hash shuffle on a small int key), never a cartesian
+    over the corpus; nested-loop joins appear only against broadcast
+    1-row codebook/total sides (the ivf_assign shape)."""
+    plan = queries["dedup_semantic"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the pair join and the survivor anti-join compile to equi joins
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_token_budget_mix_single_domain_shuffle(spark, queries):
+    """Token-budget mixture: ONE hash exchange total (the per-domain
+    running-sum window); the corpus total joins as a broadcast 1-row
+    side; zero Python evals."""
+    plan = queries["sample_token_budget_mix"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") == 1
