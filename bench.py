@@ -141,6 +141,10 @@ HEADLINE = [
     # round-6: group-aware leakage-safe folds (LSH -> CC -> group-keyed
     # fold hash) — the split-hygiene primitive
     "sample_leakage_safe_split",
+    # round-6b: cluster-then-prune semantic dedup (cell-keyed pair join)
+    # and per-domain token-budget mixture (one window shuffle)
+    "dedup_semantic",
+    "sample_token_budget_mix",
 ]
 
 
