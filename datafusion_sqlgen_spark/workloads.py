@@ -1534,6 +1534,115 @@ def _pipeline_curation(s: SparkSession) -> DataFrame:
     )
 
 
+def _pipeline_semantic_curation(s: SparkSession) -> DataFrame:
+    """The round-6 curation pipeline upgraded to the published
+    cluster-then-prune recipe, as ONE composed plan: normalize -> C4
+    rule filter -> SemDeDup semantic prune over the *kept* documents'
+    embeddings (filter first, then cluster — the cheap gate runs before
+    the quadratic-per-cell stage) -> per-domain token-budget mixture ->
+    per-source survivor stats. Every stage is an operator from this
+    repo; the oracle below replays the identical chain in one DuckDB
+    WITH pipeline, k-means CTEs included."""
+    docs = text.prepare_documents(s.table("documents"))
+    kept = docs.join(
+        text.c4_filters(docs).filter("keep").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    emb_kept = s.table("embeddings").join(
+        kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    surv = dedup.semantic_dedup(emb_kept).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    sem = kept.join(surv, "doc_id", "left_semi")
+    mixed = sampling.token_budget_mix(sem)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def _pipeline_semantic_oracle() -> str:
+    from datafusion_sqlgen_spark.operators.dedup import _duck_cosine
+    from datafusion_sqlgen_spark.operators.similarity import (
+        _duck_round,
+        _kmeans_ctes,
+    )
+
+    kmeans = _kmeans_ctes("emb_kept", 8, 2, 6)
+    cos = _duck_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH prepared AS (
+        SELECT doc_id, coalesce(text, '') AS text, lang, source, n_chars
+        FROM documents
+    ),
+    wrds AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        FROM prepared
+    ),
+    kept AS (
+        SELECT p.* FROM prepared p JOIN wrds USING (doc_id)
+        WHERE len(w) >= 5
+          AND round(list_sum(list_transform(w, x -> length(x)))
+                    / len(w)::DOUBLE, 4) BETWEEN 3.0 AND 10.0
+          AND NOT contains(p.text, '{{')
+          AND NOT contains(lower(p.text), 'lorem ipsum')
+    ),
+    emb_kept AS (
+        SELECT e.* FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id
+    ),
+    {kmeans},
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM emb_kept t CROSS JOIN c2 c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE {_duck_round(cos, 4)} >= 0.25
+    ),
+    surv AS (
+        SELECT t.vec_id AS doc_id FROM assigned t
+        WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = t.vec_id)
+    ),
+    sem AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+    d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 30
+                           WHEN 'src2' THEN 20 WHEN 'src3' THEN 10 END AS w
+        FROM sem
+    ),
+    f AS (SELECT * FROM d WHERE w IS NOT NULL),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM f),
+    cum AS (
+        SELECT f.*, tot.total,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM f, tot
+    ),
+    mixed AS (
+        SELECT doc_id, source, n_tokens FROM cum
+        WHERE cum_before < (total * 30 * w) // 10000
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM mixed GROUP BY source
+    """
+
+
 _PIPELINE_CURATION_ORACLE = """
 WITH prepared AS (
     SELECT doc_id, coalesce(text, '') AS text, lang, source, n_chars
@@ -2153,6 +2262,12 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         # the composed curation pipeline: prepare -> C4 -> dedup ->
         # sample -> per-source stats, one plan, two shuffles
         "pipeline_curation": (_pipeline_curation, _PIPELINE_CURATION_ORACLE),
+        # the same composition upgraded to the published cluster-then-
+        # prune recipe: C4 gate -> SemDeDup over kept embeddings ->
+        # token-budget mixture -> per-source stats, one composed plan
+        "pipeline_semantic_curation": (
+            _pipeline_semantic_curation, _pipeline_semantic_oracle(),
+        ),
         # perplexity-proxy quality score: mean unigram logprob under the
         # corpus's own top-V distribution (CCNet-style filter stand-in)
         "text_unigram_logprob": (
