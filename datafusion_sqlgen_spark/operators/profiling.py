@@ -321,3 +321,163 @@ def robust_stats_oracle(
     FROM {table} e JOIN pcts p USING ({group_col})
     GROUP BY e.{group_col}
     """
+
+
+# --- Deterministic portable HyperLogLog -------------------------------
+#
+# distinct_sketches() above uses Spark's Datasketches-backed HLL, whose
+# sketch bytes no other engine can replay — so its correctness evidence
+# is law-based tests only. This variant trades a few bits of accuracy
+# for full engine portability: registers derive from md5 (idx = first
+# 2 hex chars, rho = leading-zero rank of the next 13), so DuckDB can
+# rebuild the exact same register table and the driver can hash-compare
+# it. The 100-TB shape is identical to the native path: per-group state
+# is <= 256 (group, register, rho) rows built map-side in one pass,
+# merge = max per register (associative, commutative, idempotent), and
+# historical shards union without re-scanning data.
+
+_HLL_P = 8                       # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 52                  # 13 md5 hex chars after the 2 index chars
+_HLL_RHO_MAX = _HLL_WBITS + 1    # w == 0 -> all 52 bits zero
+# Flajolet et al.'s bias constant for m >= 128, folded together with
+# m^2 * 2^53 (the fixed-point scale of the register sum) into ONE float
+# literal so both engines parse the identical double.
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1)))
+
+
+def hll_registers(
+    df: DataFrame, key_col: str = "user_id", group_col: str = "event_type"
+) -> DataFrame:
+    """Per-group deterministic-HLL register table: ``(group, register,
+    rho)`` with rho = max leading-zero rank seen in that register.
+    Engine-portable (md5-derived), so unlike :func:`distinct_sketches`
+    the state itself is oracle-checkable. One narrow projection + one
+    groupBy on (group, register) — the shuffle carries at most
+    ``groups * 256`` rows regardless of input size."""
+    key = F.col(key_col).cast("string")
+    hx = F.md5(key)
+    idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.conv(w.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col), idx.alias("register"), rho.alias("rho"))
+        .groupBy(group_col, "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Merge per-group register tables into ONE global register set —
+    max per register, the HLL union. This is the lossless-merge law the
+    native-sketch path proves in tests, here visible to the oracle:
+    merging shard sketches equals sketching the union."""
+    return (
+        registers.groupBy("register")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def _hll_estimate_col(s_present: Column, n_regs: Column) -> Column:
+    """Estimate from a register aggregate: raw = alpha*m^2 / sum(2^-rho)
+    (fixed-point: each register contributes 2^(53-rho), absent registers
+    2^53 — BIGINT-exact, <= 2^61), with Flajolet's small-range linear
+    counting m*ln(m/V) when raw <= 2.5m and V zero registers exist.
+    Every input to the float ops is integer-exact, so both engines
+    compute the identical double."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    v = F.lit(_HLL_M) - n_regs
+    s_scaled = (
+        s_present + v.cast("bigint") * F.lit(1 << (_HLL_WBITS + 1)).cast("bigint")
+    )
+    raw = F.lit(float(_HLL_NUM)) / s_scaled.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return _stable_round(est, 4)
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str = "user_id", group_col: str = "event_type"
+) -> DataFrame:
+    """Per-group distinct estimate from the deterministic registers,
+    alongside the exact count for audit. The exact branch is the
+    expensive one (distinct shuffle) — at 100 TB you keep only the
+    register branch; it is joined here so sf-level tests can see the
+    error. Small group-count join, broadcast by AQE."""
+    regs = hll_registers(df, key_col, group_col)
+    agg = regs.groupBy(group_col).agg(
+        # SQL-side shiftleft: the Python wrapper only takes a literal
+        # shift amount, the engine function takes a column
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)"))
+        .alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    est = agg.select(
+        F.col(group_col),
+        _hll_estimate_col(F.col("__s"), F.col("__n")).alias("n_distinct_est"),
+    )
+    exact = df.where(F.col(key_col).isNotNull()).groupBy(group_col).agg(
+        F.countDistinct(key_col).cast("bigint").alias("n_distinct_exact")
+    )
+    return est.join(exact, group_col)
+
+
+def _hll_regs_sql(table: str, key_col: str, group_col: str) -> str:
+    return f"""
+    SELECT {group_col},
+           CAST(CAST(concat('0x', substr(md5(CAST({key_col} AS VARCHAR)), 1, 2))
+                AS BIGINT) AS INT) AS register,
+           CAST(max(CASE
+               WHEN CAST(concat('0x', substr(md5(CAST({key_col} AS VARCHAR)), 3, 13))
+                    AS BIGINT) = 0 THEN {_HLL_RHO_MAX}
+               ELSE {_HLL_RHO_MAX} - length(bin(CAST(concat('0x',
+                    substr(md5(CAST({key_col} AS VARCHAR)), 3, 13)) AS BIGINT)))
+           END) AS INT) AS rho
+    FROM {table} WHERE {key_col} IS NOT NULL
+    GROUP BY 1, 2"""
+
+
+def hll_registers_oracle(
+    table: str = "events", key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> str:
+    return _hll_regs_sql(table, key_col, group_col)
+
+
+def hll_estimate_oracle(
+    table: str = "events", key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    raw = f"({_HLL_NUM} / CAST(__s + ({_HLL_M} - __n) * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE))"
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M} AND __n < {_HLL_M} "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({_HLL_M} - __n AS DOUBLE)) "
+        f"ELSE {raw} END"
+    )
+    return f"""
+    WITH regs AS ({_hll_regs_sql(table, key_col, group_col)}),
+    agg AS (
+        SELECT {group_col},
+               sum(1::BIGINT << ({_HLL_RHO_MAX} - rho)) AS __s,
+               count(*) AS __n
+        FROM regs GROUP BY {group_col}
+    ),
+    exact AS (
+        SELECT {group_col},
+               CAST(count(DISTINCT {key_col}) AS BIGINT) AS n_distinct_exact
+        FROM {table} WHERE {key_col} IS NOT NULL GROUP BY {group_col}
+    )
+    SELECT a.{group_col}, {_duck_round(est, 4)} AS n_distinct_est,
+           e.n_distinct_exact
+    FROM agg a JOIN exact e USING ({group_col})"""

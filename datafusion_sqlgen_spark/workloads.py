@@ -2242,6 +2242,19 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 "orders", "o_totalprice", 0.0, 600000.0, 12
             ),
         ),
+        # deterministic portable HLL: the md5-derived register table is
+        # itself the driver-checked artifact (unlike the opaque native
+        # sketch bytes of distinct_sketches)
+        "profile_hll_registers": (
+            lambda s: profiling.hll_registers(s.table("events")),
+            profiling.hll_registers_oracle(),
+        ),
+        # ... and the estimate derived from those registers, with the
+        # exact count joined in so the error is audit-visible
+        "profile_hll_estimate": (
+            lambda s: profiling.hll_estimate(s.table("events")),
+            profiling.hll_estimate_oracle(),
+        ),
         # JSON-lines write -> schema-on-read -> aggregate (source path)
         "source_jsonl_roundtrip": (
             _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
