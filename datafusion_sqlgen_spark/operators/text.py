@@ -11,7 +11,7 @@ the same deterministic math, so the driver can hash-compare results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Deterministic stopword list used by quality scoring and language ID.
@@ -1531,3 +1531,144 @@ def dsir_resample_oracle(
                  ELSE lower(lpad(hex(CAST(floor(rate * 65536) AS INT)), 4, '0'))
             END
     """
+
+
+# --- Hashed n-gram linear classifier (fastText-style inference) --------
+
+
+def make_hash_weights(
+    spark: SparkSession, vocab_size: int = 4096, salt: str = "ft"
+) -> DataFrame:
+    """Deterministic stand-in for a TRAINED hashed-ngram linear model
+    (fastText / VW style: features hash into ``vocab_size`` buckets,
+    one weight per bucket). In production the weight table is loaded
+    from a training artifact; here each weight derives from md5 of its
+    bucket id so the DuckDB oracle can rebuild the identical table.
+    Weights are FIXED-POINT bigints in [-32768, 32767] (= w * 2^16):
+    integer sums are order-independent, which keeps the doc score
+    engine-identical — the float path (sum doubles, then sigmoid)
+    would depend on Spark's partial-agg fold order."""
+    return spark.range(vocab_size).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + salt))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("bigint")
+            - F.lit(32768)
+        ).alias("w_fp"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score documents with a hashed-ngram linear classifier — the
+    fastText-shaped quality/domain gate every published curation
+    pipeline runs (CCNet, RefinedWeb, FineWeb: a linear model over
+    hashed word uni+bigrams, sigmoid, threshold). This is the INFERENCE
+    path as one Spark plan: in-row gram construction (``zip_with``
+    against the shifted self — no positional explode), one explode,
+    one broadcast join against the V-row weight table, and a map-side
+    combined per-doc integer sum. At 100 TB the weight table is KBs
+    broadcast everywhere and the only shuffle is the doc-keyed
+    re-aggregation of (id, partial-sum) rows.
+
+    Logit = mean bucket weight over the doc's grams (fastText averages
+    feature vectors); score = sigmoid(logit), rounded via the
+    engine-stable floor formula; ``label`` thresholds the RAW score."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    w = words_col(F.col(text_col))
+    unigrams = F.filter(w, lambda g: g != F.lit(""))
+    bigrams_raw = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the tail: the last element is a bare word, not a
+    # bigram — real bigrams contain the joining space
+    bigrams = F.filter(bigrams_raw, lambda g: g.contains(" "))
+    grams = F.concat(unigrams, bigrams)
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    bucketed = exploded.select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("bigint") % vocab_size
+        ).cast("int").alias("bucket"),
+    )
+    agg = (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w_fp").alias("__sfp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+    )
+    logit = F.col("__sfp").cast("double") / (
+        F.lit(65536.0) * F.col("n_grams").cast("double")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        _stable_round(score, 4).alias("score"),
+        (score >= F.lit(threshold)).alias("label"),
+    )
+
+
+def classifier_score_oracle(
+    table: str = "documents",
+    vocab_size: int = 4096,
+    salt: str = "ft",
+    threshold: float = 0.5,
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    sig = (
+        f"(1.0 / (1.0 + exp(-(CAST(__sfp AS DOUBLE) "
+        f"/ (65536.0 * CAST(n_grams AS DOUBLE))))))"
+    )
+    return f"""
+    WITH wts AS (
+        SELECT CAST(range AS INT) AS bucket,
+               CAST(concat('0x', substr(md5(CAST(range AS VARCHAR)
+                    || ':{salt}'), 1, 4)) AS BIGINT) - 32768 AS w_fp
+        FROM range(0, {vocab_size})
+    ),
+    ws AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}') AS w
+        FROM {table}
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_concat(
+            list_filter(w, x -> x <> ''),
+            list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i + 1])
+        )) AS gram
+        FROM ws
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                    % {vocab_size} AS INT) AS bucket
+        FROM grams
+    ),
+    a AS (
+        SELECT doc_id, sum(w.w_fp) AS __sfp,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM b JOIN wts w USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, {_duck_round(sig, 4)} AS score,
+           {sig} >= {threshold} AS label
+    FROM a"""

@@ -2242,6 +2242,15 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
                 "orders", "o_totalprice", 0.0, 600000.0, 12
             ),
         ),
+        # fastText-shaped hashed uni+bigram linear classifier inference:
+        # broadcast V-row weight table, in-row gram build, one explode,
+        # fixed-point integer sums so the sigmoid input is order-free
+        "text_classifier_score": (
+            lambda s: text.classifier_score(
+                s.table("documents"), text.make_hash_weights(s)
+            ),
+            text.classifier_score_oracle(),
+        ),
         # deterministic portable HLL: the md5-derived register table is
         # itself the driver-checked artifact (unlike the opaque native
         # sketch bytes of distinct_sketches)

@@ -89,3 +89,10 @@ def test_divergence_is_real_without_preparation(spark):
 def test_gopher_filters_on_prepared_nulls(null_env):
     prepared, con = null_env
     _cmp(text.gopher_filters(prepared), con, text.gopher_filters_oracle())
+
+
+def test_classifier_score_on_prepared_nulls(null_env, spark):
+    prepared, con = null_env
+    sdf = text.classifier_score(prepared, text.make_hash_weights(spark))
+    # NULL and '' docs produce zero grams on both engines -> absent rows
+    _cmp(sdf, con, text.classifier_score_oracle())

@@ -961,3 +961,28 @@ def test_token_budget_mix_shares_and_determinism(spark, duck):
              for r in sampling.token_budget_mix(docs).collect()]
     assert sorted(rows) == sorted(again)
     check(spark, duck, out, sampling.token_budget_mix_oracle())
+
+
+def test_classifier_weights_deterministic_and_bounded(spark):
+    w = text.make_hash_weights(spark, vocab_size=64).collect()
+    assert len(w) == 64
+    assert all(-32768 <= r["w_fp"] <= 32767 for r in w)
+    again = {r["bucket"]: r["w_fp"] for r in
+             text.make_hash_weights(spark, vocab_size=64).collect()}
+    assert {r["bucket"]: r["w_fp"] for r in w} == again
+
+
+def test_classifier_score_shape_and_gram_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "hello"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = text.classifier_score(docs, text.make_hash_weights(spark))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 3 unigrams + 2 bigrams; single word -> 1 gram; empty -> absent
+    assert rows[1]["n_grams"] == 5
+    assert rows[2]["n_grams"] == 1
+    assert 3 not in rows
+    for r in rows.values():
+        assert 0.0 < r["score"] < 1.0
+        assert r["label"] == (r["score"] >= 0.5) or abs(r["score"] - 0.5) < 1e-3
