@@ -145,6 +145,14 @@ HEADLINE = [
     # and per-domain token-budget mixture (one window shuffle)
     "dedup_semantic",
     "sample_token_budget_mix",
+    # round-6c: full semantic-curation composition (C4 -> SemDeDup ->
+    # token-budget mix in ONE plan), oracle-checkable HLL distinct
+    # (fixed 256-row register state per group), and fastText-shaped
+    # hashed-ngram classifier inference (broadcast weight table, one
+    # doc-keyed shuffle)
+    "pipeline_semantic_curation",
+    "profile_hll_estimate",
+    "text_classifier_score",
 ]
 
 
