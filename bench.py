@@ -153,6 +153,12 @@ HEADLINE = [
     "pipeline_semantic_curation",
     "profile_hll_estimate",
     "text_classifier_score",
+    # round-6d: count-min heavy hitters (shard-sketch + cell-sum merge,
+    # broadcast point queries) and n-gram Bloom decontamination (the
+    # training-side membership test is a pure in-row projection against
+    # a 1-row broadcast bit array -- zero train-side shuffle)
+    "profile_cms_heavy_hitters",
+    "dedup_bloom_ngram_decontaminate",
 ]
 
 

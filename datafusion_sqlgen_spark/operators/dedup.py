@@ -1166,3 +1166,322 @@ def semantic_dedup_oracle(
     FROM assigned t
     WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = t.vec_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership: broadcastable set summaries for decontamination.
+#
+# No analogue in the reference. The 100-TB use case: the held-out /
+# evaluation set's fingerprints must be excluded from training data, but
+# broadcasting (or shuffle-joining) the full fingerprint set against every
+# training document is the expensive formulation. A Bloom filter compresses
+# the set to a fixed bit array (here m bits packed 63 per BIGINT word, so
+# the filter is m/63 rows) with zero false NEGATIVES -- the filter
+# broadcasts for KBs, prefilters everything, and only the (rare) positive
+# candidates go through the exact verification join.
+#
+# All bit positions are md5-derived, so Spark and DuckDB build
+# bit-identical filters and the membership test itself is oracle-checkable.
+# Words hold 63 bits, not 64: DuckDB rejects 1::BIGINT << 63 as overflow.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096   # bits
+_BLOOM_K = 4      # hash functions
+
+
+def _bloom_probes(
+    df: DataFrame, key_col: str, m_bits: int, k: int, carry: list[str]
+) -> DataFrame:
+    """One row per (input row, hash i): bit position pos = first 12 md5
+    hex chars of 'i:key' mod m_bits (48 bits -- BIGINT-exact in both
+    engines), split into (word, mask)."""
+    key = F.col(key_col).cast("string")
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        *[F.col(c) for c in carry],
+        F.explode(F.array([F.lit(i) for i in range(k)])).alias("i"),
+        key.alias("__k"),
+    )
+    hx = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("__k")))
+    pos = F.conv(F.substring(hx, 1, 12), 16, 10).cast("bigint") % F.lit(m_bits)
+    return rows.select(
+        *[F.col(c) for c in carry],
+        F.floor(pos / F.lit(63)).cast("int").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', __k)), 1, 12), 16, 10) AS BIGINT) % {m_bits} % 63 AS INT))"
+        ).alias("mask"),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Build the filter: ``(word, bits)`` rows, at most ceil(m_bits/63).
+    The groupBy's map-side partial bit_or bounds the shuffle at the word
+    count per mapper; the result is the broadcastable summary. Filters
+    over disjoint shards merge losslessly with a further per-word bit_or
+    (associative/commutative/idempotent -- same law as the HLL max)."""
+    return (
+        _bloom_probes(df, key_col, m_bits, k, carry=[])
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    id_col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Per-id membership test: (id, maybe-member). A key is a maybe-member
+    iff all k of its bits are set -- misses are DEFINITE non-members.
+    Probe rows join the broadcast filter on word (the filter never
+    shuffles); the k probes per id collapse in a map-side-combined
+    count."""
+    from pyspark.sql.functions import broadcast
+
+    probes = _bloom_probes(df, key_col, m_bits, k, carry=[id_col])
+    joined = probes.join(broadcast(bloom), ["word"], "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+    return joined.groupBy(id_col).agg(
+        (F.sum(hit.cast("int")) == k).alias(out_col)
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_mod: int = 17,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """End-to-end decontamination audit: the held-out slice (ids where
+    id % holdout_mod = 0) is Bloom-summarized by content fingerprint
+    (md5 of the text); every remaining (training) doc is tested against
+    the broadcast filter AND against the exact held-out set. Output per
+    training doc: (id, bloom_hit, exact_dup). Zero false negatives by
+    construction (bloom_hit >= exact_dup row-wise); the gap is the FP
+    rate you trade for never shuffling the held-out set. At scale the
+    exact branch runs only on the bloom_hit=true survivors -- it is
+    computed for ALL docs here so the audit (and the oracle) can see
+    both columns."""
+    from pyspark.sql.functions import broadcast
+
+    fp = F.md5(F.col(text_col))
+    base = docs.where(F.col(text_col).isNotNull())
+    heldout = base.where(F.col(id_col) % holdout_mod == 0).select(fp.alias("fp"))
+    train = base.where(F.col(id_col) % holdout_mod != 0).select(
+        F.col(id_col), fp.alias("fp")
+    )
+    bloom = bloom_build(heldout, "fp", m_bits, k)
+    flags = bloom_maybe_contains(train, "fp", bloom, id_col, m_bits, k)
+    exact = (
+        train.join(
+            broadcast(heldout.distinct().withColumn("__e", F.lit(True))),
+            "fp",
+            "left",
+        )
+        .select(F.col(id_col), F.col("__e").isNotNull().alias("exact_dup"))
+    )
+    return flags.join(exact, id_col).select(id_col, "bloom_hit", "exact_dup")
+
+
+def bloom_decontaminate_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_mod: int = 17,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> str:
+    """DuckDB replay: identical md5 positions, 63-bit words, bit_or."""
+    pos = (
+        f"CAST(concat('0x', substr(md5(concat(CAST(i.i AS VARCHAR), ':', fp)), 1, 12)) "
+        f"AS BIGINT) % {m_bits}"
+    )
+    return f"""
+    WITH heldout AS (
+        SELECT md5({text_col}) AS fp FROM {table}
+        WHERE {text_col} IS NOT NULL AND {id_col} % {holdout_mod} = 0
+    ),
+    train AS (
+        SELECT {id_col}, md5({text_col}) AS fp FROM {table}
+        WHERE {text_col} IS NOT NULL AND {id_col} % {holdout_mod} <> 0
+    ),
+    bloom AS (
+        SELECT CAST(({pos}) // 63 AS INT) AS word,
+               bit_or(1::BIGINT << CAST(({pos}) % 63 AS INT)) AS bits
+        FROM heldout, (SELECT unnest(range({k})) AS i) i
+        GROUP BY 1
+    ),
+    probes AS (
+        SELECT t.{id_col},
+               CAST(({pos}) // 63 AS INT) AS word,
+               1::BIGINT << CAST(({pos}) % 63 AS INT) AS mask
+        FROM train t, (SELECT unnest(range({k})) AS i) i
+    ),
+    flags AS (
+        SELECT p.{id_col},
+               sum(CASE WHEN coalesce(b.bits, 0) & p.mask <> 0 THEN 1 ELSE 0 END) = {k}
+                   AS bloom_hit
+        FROM probes p LEFT JOIN bloom b USING (word)
+        GROUP BY p.{id_col}
+    ),
+    exact AS (
+        SELECT t.{id_col},
+               EXISTS (SELECT 1 FROM heldout h WHERE h.fp = t.fp) AS exact_dup
+        FROM train t
+    )
+    SELECT f.{id_col}, f.bloom_hit, e.exact_dup
+    FROM flags f JOIN exact e USING ({id_col})"""
+
+
+def bloom_ngram_decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    holdout_mod: int = 17,
+    m_bits: int = 1 << 18,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """N-gram decontamination, the GPT-3/PaLM-style formulation: a
+    training document is contaminated if ANY of its word n-grams appears
+    in the held-out set. The held-out side contributes every n-gram
+    (docs x ~words rows -- exactly the set too large to broadcast or
+    shuffle-join at 100 TB), Bloom-compressed to ONE row holding the
+    packed bit array (m_bits/63 BIGINT words, ~33 KB at the default m).
+
+    Scale design: the training-side test is a pure projection -- the
+    1-row filter cross-joins in (broadcast), and each doc evaluates all
+    k bit probes of all its n-grams IN-ROW via higher-order array
+    functions. No explode, no per-gram shuffle, no groupBy on the
+    training side at all: the only aggregation anywhere is the
+    held-out-side bit_or (bounded at m_bits/63 rows per mapper). The
+    exact branch (per-gram semi join) is the audit/verify path you run
+    only on bloom survivors at scale; computed for all docs here so the
+    oracle sees both columns. Zero false negatives by construction.
+    """
+    from pyspark.sql.functions import broadcast
+
+    n_words = m_bits // 63 + 1
+    grams = (
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), i -> array_join(slice(__w, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .withColumn("__grams", F.expr(grams))
+        .select(F.col(id_col), "__grams")
+    )
+    held = base.where(F.col(id_col) % holdout_mod == 0)
+    train = base.where(F.col(id_col) % holdout_mod != 0)
+
+    bloom_words = bloom_build(
+        held.select(F.explode("__grams").alias("gram")), "gram", m_bits, k
+    )
+    # pack the word table into ONE array row: absent words are 0
+    packed = bloom_words.groupBy().agg(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), w -> "
+            "coalesce(map_from_entries(collect_list(struct(word, bits)))[w], CAST(0 AS BIGINT)))"
+        ).alias("__bits")
+    )
+
+    def probe(gram: str, i: int) -> str:
+        pos = (
+            f"CAST(conv(substring(md5(concat('{i}:', {gram})), 1, 12), 16, 10) AS BIGINT) % {m_bits}"
+        )
+        return (
+            f"(element_at(__bits, CAST(({pos}) DIV 63 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 63 AS INT))) != 0"
+        )
+
+    gram_hit = " AND ".join(probe("g", i) for i in range(k))
+    flags = train.crossJoin(broadcast(packed)).select(
+        F.col(id_col),
+        F.expr(f"exists(__grams, g -> {gram_hit})").alias("bloom_hit"),
+    )
+
+    held_grams = held.select(F.explode("__grams").alias("gram")).distinct()
+    train_grams = train.select(F.col(id_col), F.explode("__grams").alias("gram"))
+    contaminated = (
+        train_grams.join(broadcast(held_grams), "gram", "left_semi")
+        .select(id_col).distinct()
+        .withColumn("__c", F.lit(True))
+    )
+    exact = train.select(id_col).join(contaminated, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("__c"), F.lit(False)).alias("exact_dup")
+    )
+    return flags.join(exact, id_col).select(id_col, "bloom_hit", "exact_dup")
+
+
+def bloom_ngram_decontaminate_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    holdout_mod: int = 17,
+    m_bits: int = 1 << 18,
+    k: int = _BLOOM_K,
+) -> str:
+    """DuckDB replay: same split-on-space n-grams, same md5 positions,
+    same 63-bit words; the membership test is the (logically equivalent)
+    probe-join formulation, which DuckDB plans fine at test scale."""
+    pos = (
+        f"CAST(concat('0x', substr(md5(concat(CAST(i.i AS VARCHAR), ':', gram)), 1, 12)) "
+        f"AS BIGINT) % {m_bits}"
+    )
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS w
+        FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    g AS (
+        SELECT {id_col},
+               unnest(CASE WHEN len(w) >= {n}
+                      THEN [array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]
+                      ELSE [] END) AS gram
+        FROM base
+    ),
+    held AS (SELECT gram FROM g WHERE {id_col} % {holdout_mod} = 0),
+    train AS (SELECT {id_col}, gram FROM g WHERE {id_col} % {holdout_mod} <> 0),
+    bloom AS (
+        SELECT CAST(({pos}) // 63 AS INT) AS word,
+               bit_or(1::BIGINT << CAST(({pos}) % 63 AS INT)) AS bits
+        FROM held, (SELECT unnest(range({k})) AS i) i
+        GROUP BY 1
+    ),
+    probes AS (
+        SELECT t.{id_col}, t.gram,
+               CAST(({pos}) // 63 AS INT) AS word,
+               1::BIGINT << CAST(({pos}) % 63 AS INT) AS mask
+        FROM train t, (SELECT unnest(range({k})) AS i) i
+    ),
+    gram_hits AS (
+        SELECT {id_col}, gram,
+               sum(CASE WHEN coalesce(b.bits, 0) & p.mask <> 0 THEN 1 ELSE 0 END) = {k}
+                   AS ghit
+        FROM probes p LEFT JOIN bloom b USING (word)
+        GROUP BY {id_col}, gram
+    ),
+    flags AS (
+        SELECT {id_col}, bool_or(ghit) AS bloom_hit
+        FROM gram_hits GROUP BY {id_col}
+    ),
+    exact AS (
+        SELECT t.{id_col}, bool_or(t.gram IN (SELECT gram FROM held)) AS exact_dup
+        FROM train t GROUP BY t.{id_col}
+    )
+    SELECT f.{id_col}, f.bloom_hit, e.exact_dup
+    FROM flags f JOIN exact e USING ({id_col})"""

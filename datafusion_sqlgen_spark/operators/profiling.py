@@ -481,3 +481,200 @@ def hll_estimate_oracle(
     SELECT a.{group_col}, {_duck_round(est, 4)} AS n_distinct_est,
            e.n_distinct_exact
     FROM agg a JOIN exact e USING ({group_col})"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: deterministic portable heavy-hitter counting.
+#
+# No analogue in the reference (no sketching surface at all); this is the
+# training-pipeline mandate: frequency questions ("which domains / users /
+# n-grams dominate the corpus?") at 100 TB are answered from a sketch whose
+# state is depth x width COUNTER CELLS, not keys. Like the deterministic HLL
+# above, every hash is md5-derived so Spark and DuckDB build bit-identical
+# sketches and the state itself is oracle-checkable.
+#
+# Scale design: the sketch build is one narrow projection (explode of a
+# depth-length literal array) into a groupBy whose map-side partial
+# aggregation bounds the shuffle at depth*width rows PER MAPPER regardless
+# of input size. Merging shard sketches is a plain per-cell SUM -- exact,
+# associative, commutative -- so per-day / per-shard sketches persist and
+# combine without rescanning history (cms_merge of shard sketches is
+# cell-identical to sketching the union, a law the heavy-hitter workload
+# proves against the oracle). Point queries broadcast the KB-sized sketch.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_cells(
+    df: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """(d, bucket) probe cells for every input row: d in [0, depth), and
+    bucket = first 8 md5 hex chars of 'd:key' mod width. 8 hex chars is
+    32 bits -- exact in BIGINT in both engines."""
+    key = F.col(key_col).cast("string")
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.explode(F.array([F.lit(d) for d in range(depth)])).alias("d"),
+        key.alias("__k"),
+    )
+    hx = F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("__k")))
+    bucket = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % F.lit(width)
+    ).cast("int")
+    return rows.select(F.col("d").cast("int").alias("d"), bucket.alias("bucket"))
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of a key column: ``(d, bucket, cnt)`` with at most
+    depth*width rows (absent cells are implicit zeros). Point-lookup
+    estimate = min over d of the key's cell -- an overestimate bounded by
+    n/width per extra colliding key, never an underestimate."""
+    return (
+        _cms_cells(df, key_col, depth, width)
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches (a union of cms_sketch outputs) into one:
+    per-cell SUM. Exact -- the merged sketch is cell-identical to
+    sketching the concatenated inputs."""
+    return (
+        sketches.groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+    out_col: str = "cms_cnt",
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys`` (one row per key):
+    min over the depth rows of that key's cells. The sketch side is
+    depth*width rows at most -- broadcast it; the probe explode is k
+    rows per key into a map-side-combined min."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array([F.lit(d) for d in range(depth)])).alias("d"),
+        key.alias("__k"),
+    )
+    hx = F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("__k")))
+    bucket = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % F.lit(width)
+    ).cast("int")
+    probes = probes.select(
+        F.col(key_col), F.col("d").cast("int").alias("d"), bucket.alias("bucket")
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = probes.join(broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(out_col)
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    top: int = 10,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Heavy hitters with sketch-vs-exact audit, exercising the merge law
+    end-to-end: the corpus is split into two disjoint shards (even/odd
+    md5 of the key), each shard sketched independently, the sketches
+    merged -- then the top-N keys by EXACT count (deterministic
+    tie-break on the key) are point-queried against the merged sketch.
+    Output: (key, exact_cnt, cms_cnt) with cms_cnt >= exact_cnt always.
+    At scale the exact branch is the one you drop; it is joined here so
+    the sketch error is audit-visible."""
+    key = F.col(key_col)
+    base = df.where(key.isNotNull())
+    shard = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 2
+    )
+    even = base.where(shard == 0)
+    odd = base.where(shard == 1)
+    merged = cms_merge(
+        cms_sketch(even, key_col, depth, width).unionAll(
+            cms_sketch(odd, key_col, depth, width)
+        )
+    )
+    exact = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps,
+    # no global sort/window over the key-cardinality table)
+    cand = exact.orderBy(F.col("exact_cnt").desc(), key.asc()).limit(top)
+    est = cms_estimate(merged, cand.select(key_col), key_col, depth, width)
+    return cand.join(est, key_col).select(key_col, "exact_cnt", "cms_cnt")
+
+
+def _cms_cells_sql(
+    source: str, key_col: str, depth: int, width: int
+) -> str:
+    """DuckDB twin of _cms_cells over an arbitrary FROM source."""
+    k = f"CAST({key_col} AS VARCHAR)"
+    return f"""
+    SELECT CAST(i.i AS INT) AS d,
+           CAST(CAST(concat('0x', substr(md5(concat(CAST(i.i AS VARCHAR), ':', {k})), 1, 8))
+                AS BIGINT) % {width} AS INT) AS bucket
+    FROM {source}, (SELECT unnest(range({depth})) AS i) i
+    WHERE {key_col} IS NOT NULL"""
+
+
+def cms_heavy_hitters_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    top: int = 10,
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> str:
+    """DuckDB replay of cms_heavy_hitters. The two-shard build + merge on
+    the Spark side is cell-identical to one global build (the merge law),
+    so the oracle builds the sketch in one pass -- a driver hash match IS
+    the merge-law proof."""
+    k = f"CAST({key_col} AS VARCHAR)"
+    return f"""
+    WITH sketch AS (
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({_cms_cells_sql(table, key_col, depth, width)})
+        GROUP BY d, bucket
+    ),
+    exact AS (
+        SELECT {key_col}, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM {table} WHERE {key_col} IS NOT NULL GROUP BY {key_col}
+    ),
+    cand AS (
+        SELECT {key_col}, exact_cnt
+        FROM (SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, {key_col} ASC) AS rn
+              FROM exact)
+        WHERE rn <= {top}
+    ),
+    probes AS (
+        SELECT c.{key_col}, CAST(i.i AS INT) AS d,
+               CAST(CAST(concat('0x', substr(md5(concat(CAST(i.i AS VARCHAR), ':', {k})), 1, 8))
+                    AS BIGINT) % {width} AS INT) AS bucket
+        FROM cand c, (SELECT unnest(range({depth})) AS i) i
+    ),
+    est AS (
+        SELECT p.{key_col},
+               CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_cnt
+        FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+        GROUP BY p.{key_col}
+    )
+    SELECT c.{key_col}, c.exact_cnt, e.cms_cnt
+    FROM cand c JOIN est e USING ({key_col})"""

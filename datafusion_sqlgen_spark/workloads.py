@@ -2264,6 +2264,21 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: profiling.hll_estimate(s.table("events")),
             profiling.hll_estimate_oracle(),
         ),
+        # count-min sketch heavy hitters: two disjoint shards sketched
+        # independently and cell-sum-merged on the Spark side, one-pass
+        # build on the oracle side — the hash match IS the merge law
+        "profile_cms_heavy_hitters": (
+            lambda s: profiling.cms_heavy_hitters(s.table("events")),
+            profiling.cms_heavy_hitters_oracle(),
+        ),
+        # GPT-3/PaLM-style n-gram decontamination through a broadcast
+        # Bloom bit array: the training-side membership test is a pure
+        # in-row projection (no train-side shuffle at all); exact
+        # verification joined in so the FP gap is audit-visible
+        "dedup_bloom_ngram_decontaminate": (
+            lambda s: dedup.bloom_ngram_decontaminate(s.table("documents")),
+            dedup.bloom_ngram_decontaminate_oracle(),
+        ),
         # JSON-lines write -> schema-on-read -> aggregate (source path)
         "source_jsonl_roundtrip": (
             _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
