@@ -711,3 +711,111 @@ def run_bounded_rollup(
 
         states = mergeable_rollup(spark.createDataFrame([], EVENTS_SCHEMA))
     return finalize_rollup(states)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance: a standing HLL register table kept
+# current by per-trigger max-merges. The rollup sink above maintains
+# ADDITIVE state (needs the batch-id guard to survive replays); HLL
+# registers are the IDEMPOTENT counterpart — max-merge makes replaying
+# a batch harmless by algebra — so together they cover both replay
+# classes a 100-TB ingest pipeline meets. The guard is kept anyway (a
+# replay is wasted work even when it is correct), and the final state
+# is oracle-checkable: by the union law, N trigger merges equal the
+# one-pass register build DuckDB replays (profiling.hll_registers_oracle).
+# ---------------------------------------------------------------------------
+
+
+def sketch_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> None:
+    """One micro-batch of the streaming-sketch sink (module-level so the
+    replay and crash-promote contracts are directly testable): sketch
+    the batch, max-merge into the standing register table, commit as a
+    new generation via stage + one atomic rename."""
+    from datafusion_sqlgen_spark.operators.profiling import hll_registers
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    latest = _latest_generation(spark, state_path)
+    if latest is not None and batch_id <= latest:
+        return  # replayed batch already committed
+    regs = hll_registers(batch_df, key_col, group_col)
+    if latest is not None:
+        existing = spark.read.parquet(f"{state_path}/gen-{latest}")
+        regs = (
+            existing.unionByName(regs)
+            .groupBy(group_col, "register")
+            .agg(F.max("rho").cast("int").alias("rho"))
+        )
+    _atomic_commit_dir(
+        spark,
+        regs,
+        f"{state_path}/.staging-gen-{batch_id}",
+        f"{state_path}/gen-{batch_id}",
+    )
+    _retire_generations(spark, state_path, keep=2)
+
+
+def streaming_sketch_sink(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> "object":
+    """Continuously-maintained distinct-count sketch: every micro-batch
+    folds into a <= groups*256-row register table, so the standing
+    state answers "distinct users per event type, ever" at any moment
+    without rescanning history — the streaming face of
+    ``profiling.hll_registers``."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_merge_batch(batch_df, batch_id, state_path, key_col, group_col)
+
+    return (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def run_bounded_sketch(
+    spark: SparkSession,
+    events_path: str,
+    work_dir: str,
+    max_files_per_trigger: int = 1,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Drive :func:`streaming_sketch_sink` over a BOUNDED file stream to
+    completion and return the standing register table — driver-checkable
+    because the union law makes N trigger merges equal DuckDB's one-pass
+    build of the same registers."""
+    import os
+
+    stream = read_events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    state_path = os.path.join(work_dir, "sketch_state")
+    q = streaming_sketch_sink(
+        stream,
+        state_path=state_path,
+        checkpoint=os.path.join(work_dir, "checkpoint"),
+        key_col=key_col,
+        group_col=group_col,
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = read_rollup_state(spark, state_path)
+    if state is None:
+        from datafusion_sqlgen_spark.operators.profiling import hll_registers
+
+        state = hll_registers(
+            spark.createDataFrame([], EVENTS_SCHEMA), key_col, group_col
+        )
+    return state.select(group_col, "register", "rho")

@@ -1443,6 +1443,23 @@ def _streaming_rollup_result(s: SparkSession) -> DataFrame:
     return run_bounded_rollup(s, src, work, max_files_per_trigger=1)
 
 
+def _streaming_hll_result(s: SparkSession) -> DataFrame:
+    """Bounded-stream replay of the streaming-sketch sink: events split
+    into 4 parquet files, streamed one file per trigger through
+    ``streaming_sketch_sink`` so the standing HLL register table is
+    built by 4 successive max-merges (the idempotent state class, vs
+    the rollup sink's additive class), then returned for the driver's
+    hash check against the one-pass register build (union law)."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import run_bounded_sketch
+
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    return run_bounded_sketch(s, src, work, max_files_per_trigger=1)
+
+
 def _streaming_dedup_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the continuous-dedup corpus sink
     (round 6): documents split into 2 parquet files with strictly
@@ -2480,6 +2497,15 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         "streaming_dedup_result": (
             _streaming_dedup_result,
             _streaming_dedup_oracle(),
+        ),
+        # STREAMING driver-visible workload #3 (round 6): the standing
+        # HLL register table built by 4 successive trigger max-merges —
+        # by the union law the streamed state equals DuckDB's one-pass
+        # register build, so the IDEMPOTENT-merge replay class gets a
+        # CORRECTNESS row next to the rollup sink's additive class
+        "streaming_hll_registers": (
+            _streaming_hll_result,
+            profiling.hll_registers_oracle(),
         ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
