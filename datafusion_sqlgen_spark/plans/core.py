@@ -962,6 +962,25 @@ _SETOP_SQL = {
 }
 
 
+def _subtree_has_offset(p: "Plan") -> bool:
+    """True when any node under ``p`` is an Offset — the trigger of the
+    Spark 4.1 AQE distinct-set-op bug (see SetOp._setop_sql)."""
+    from dataclasses import fields as _dc_fields
+
+    stack = [p]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Offset):
+            return True
+        for f in _dc_fields(n):
+            v = getattr(n, f.name)
+            if isinstance(v, Plan):
+                stack.append(v)
+            elif isinstance(v, (list, tuple)):
+                stack.extend(x for x in v if isinstance(x, Plan))
+    return False
+
+
 @dataclass(frozen=True)
 class SetOp(Plan):
     """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL].
@@ -971,14 +990,38 @@ class SetOp(Plan):
     right: Plan
     kind: str
 
+    def _needs_left_dedup(self) -> bool:
+        """Spark 4.1 AQE workaround predicate: a distinct INTERSECT/
+        EXCEPT whose left branch carries an OFFSET must pre-distinct
+        that branch (already-distinct tops are left alone so the
+        render→parse→render fixpoint holds)."""
+        return (
+            self.kind in ("intersect", "except")
+            and not isinstance(self.left, Distinct)
+            and _subtree_has_offset(self.left)
+        )
+
     def _setop_sql(self, dialect: str) -> str:
         # Parenthesize each operand: a child with ORDER BY/LIMIT is invalid
         # SQL unparenthesized, and nested set-ops would regroup under
         # INTERSECT's higher precedence ((a UNION b) INTERSECT c would
         # otherwise parse as a UNION (b INTERSECT c)). Both dialects accept
         # parenthesized query terms.
+        left_sql = self.left.to_sql(dialect)
+        if dialect == SPARK and self._needs_left_dedup():
+            # Spark 4.1 AQE workaround: replanning a distinct INTERSECT/
+            # EXCEPT whose left branch is a LIMIT+OFFSET (TakeOrdered-
+            # AndProject with offset) DROPS the final distinct aggregate
+            # of the semi/anti-join rewrite — the Initial Plan carries
+            # the HashAggregate, the AQE Final Plan loses it and left
+            # duplicates leak through (found by tests/test_fuzz_plans).
+            # Distinct set ops ignore left multiplicity, so pre-
+            # distincting the left operand is semantically free and
+            # makes the output distinct by join shape even when the
+            # final aggregate is dropped.
+            left_sql = f"SELECT DISTINCT * FROM ({left_sql}) AS {_fresh_alias()}"
         return (
-            f"({self.left.to_sql(dialect)}) {_SETOP_SQL[self.kind]} "
+            f"({left_sql}) {_SETOP_SQL[self.kind]} "
             f"({self.right.to_sql(dialect)})"
         )
 
@@ -998,6 +1041,11 @@ class SetOp(Plan):
             return l.union(r)
         if self.kind == "union":
             return l.union(r).distinct()
+        if self._needs_left_dedup():
+            # same Spark 4.1 AQE workaround as _setop_sql: the DataFrame
+            # path plans the identical semi/anti-join rewrite and leaks
+            # left duplicates the same way
+            l = l.distinct()
         if self.kind == "intersect":
             return l.intersect(r)
         if self.kind == "intersect_all":

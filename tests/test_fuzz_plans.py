@@ -215,3 +215,59 @@ def test_stacked_plans_r3_dual_render(plan_env, chain):
     assert df_rows == duck_rows, (
         f"Spark != DuckDB\nspark: {sql}\nduck: {p.to_sql('duckdb')}"
     )
+
+
+def test_intersect_after_offset_dedups(plan_env):
+    """Regression: Spark 4.1's AQE replan of a distinct INTERSECT whose
+    left branch carries LIMIT+OFFSET (TakeOrderedAndProject with offset)
+    drops the final distinct aggregate of the semi-join rewrite — left
+    duplicates leaked through on BOTH the DataFrame and the SQL path
+    (found by test_stacked_plans_r2_dual_render). The SetOp node now
+    pre-distincts the left operand (semantically free for distinct
+    INTERSECT/EXCEPT), which keeps the output distinct by join shape
+    even when AQE loses the aggregate."""
+    spark, con = plan_env
+    base = scan("fuzz_p").select(col("a"), col("b"), col("s"))
+    p = (
+        scan("fuzz_p")
+        .union(base)
+        .sort(col("a").desc(), col("b").asc(), col("s").asc())
+        .offset(1)
+        .limit(10)
+        .select(col("a"), col("b"), col("s"))
+        .intersect(base)
+    )
+    for rows in (
+        [tuple(r) for r in p.to_df(spark).collect()],
+        [tuple(r) for r in spark.sql(p.to_sql("spark")).collect()],
+    ):
+        assert len(rows) == len(set(rows)), "INTERSECT leaked duplicates"
+    duck = sorted(
+        (tuple(r) for r in con.execute(p.to_sql("duckdb")).fetchall()),
+        key=_key,
+    )
+    assert sorted((tuple(r) for r in p.to_df(spark).collect()), key=_key) == duck
+
+
+def test_except_after_offset_dedups(plan_env):
+    """Same Spark AQE bug class for EXCEPT: the anti-join rewrite's
+    final distinct is equally at risk, and pre-distincting the left
+    operand is equally free."""
+    spark, con = plan_env
+    base = scan("fuzz_p").select(col("a"), col("b"), col("s"))
+    p = (
+        scan("fuzz_p")
+        .union(base)
+        .sort(col("a").desc(), col("b").asc(), col("s").asc())
+        .offset(1)
+        .limit(10)
+        .select(col("a"), col("b"), col("s"))
+        .except_(base.filter(col("a") < lit(38)))
+    )
+    df_rows = sorted((tuple(r) for r in p.to_df(spark).collect()), key=_key)
+    assert len(df_rows) == len(set(df_rows))
+    duck = sorted(
+        (tuple(r) for r in con.execute(p.to_sql("duckdb")).fetchall()),
+        key=_key,
+    )
+    assert df_rows == duck
