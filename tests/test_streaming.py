@@ -670,3 +670,74 @@ def test_rollup_sink_fails_loud_on_corrupt_state(spark, stream_dir, tmp_path):
     with open(os.path.join(gen0, "part-00000.parquet"), "rb") as f:
         assert f.read() == b"not a parquet file"
     assert not os.path.exists(os.path.join(state, "gen-1"))
+
+
+def test_streaming_sketch_sink_matches_one_pass(spark, stream_dir, tmp_path):
+    """The union law, trigger-at-a-time: N max-merges of per-batch HLL
+    register tables equal the one-pass register build over all data."""
+    from datafusion_sqlgen_spark.operators import profiling as pr
+
+    state = str(tmp_path / "sketch_state")
+    q = st.streaming_sketch_sink(
+        st.read_events_stream(spark, stream_dir),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    )
+    whole = sorted(
+        tuple(r)
+        for r in pr.hll_registers(
+            spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+        ).select("event_type", "register", "rho").collect()
+    )
+    assert streamed == whole and len(streamed) > 0
+
+
+def test_sketch_merge_batch_replay_is_noop(spark, stream_dir, tmp_path):
+    """Replay is harmless twice over: the guard skips an applied batch
+    id, and even WITHOUT the guard the max-merge is idempotent — a new
+    batch id carrying the same data leaves the registers unchanged."""
+    state = str(tmp_path / "state")
+    batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    st.sketch_merge_batch(batch, 0, state)
+    once = sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    )
+    st.sketch_merge_batch(batch, 0, state)  # guard path
+    assert sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    ) == once
+    st.sketch_merge_batch(batch, 1, state)  # algebra path (max-merge)
+    assert sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    ) == once
+
+
+def test_sketch_crash_mid_promote_leaves_committed_generation(
+    spark, stream_dir, tmp_path
+):
+    """A staging directory abandoned by a crash never shadows the last
+    committed generation — readers keep resolving consistent state."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    batch = spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+    st.sketch_merge_batch(batch, 0, state)
+    once = sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    )
+    # simulate a crash mid-promote of batch 1: staging written, rename
+    # never happened
+    shutil.copytree(f"{state}/gen-0", f"{state}/.staging-gen-1")
+    assert sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    ) == once
+    # recovery replays batch 1 to completion
+    st.sketch_merge_batch(batch, 1, state)
+    assert sorted(
+        tuple(r) for r in st.read_rollup_state(spark, state).collect()
+    ) == once
