@@ -159,6 +159,9 @@ HEADLINE = [
     # a 1-row broadcast bit array -- zero train-side shuffle)
     "profile_cms_heavy_hitters",
     "dedup_bloom_ngram_decontaminate",
+    # binned quantile sketch: bounded (group, bin, cnt) state, window
+    # only over occupied bins
+    "profile_quantile_sketch",
 ]
 
 

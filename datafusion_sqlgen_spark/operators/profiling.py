@@ -678,3 +678,147 @@ def cms_heavy_hitters_oracle(
     )
     SELECT c.{key_col}, c.exact_cnt, e.cms_cnt
     FROM cand c JOIN est e USING ({key_col})"""
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile sketch: the third mergeable-state family (HLL =
+# distinct, CMS = frequency, this = quantiles). DDSketch-shaped but with
+# FIXED-POINT bins (floor(value * scale)) instead of log-gamma bins:
+# double multiply + floor are bit-identical IEEE ops in Spark and DuckDB,
+# while log() could differ in the last ulp at a bin boundary — the same
+# determinism rule as similarity._stable_round. Absolute resolution is
+# 1/scale; state is one (group, bin, cnt) row per OCCUPIED bin — bounded
+# by value-range * scale, independent of row count — and shard states
+# merge by per-bin SUM (exact), so per-day quantile states persist and
+# combine without rescanning history. The estimate never touches floats
+# that engines could disagree on: cum >= q*n compares integer-exact
+# counts against q * (BIGINT-exact n).
+# ---------------------------------------------------------------------------
+
+_QSK_SCALE = 4  # bins of width 0.25
+
+
+def binned_quantile_sketch(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    scale: int = _QSK_SCALE,
+) -> DataFrame:
+    """Per-group quantile state: ``(group, bin, cnt)``, one map-side-
+    combined groupBy whose shuffle carries occupied bins, not rows."""
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col),
+            F.floor(F.col(value_col) * F.lit(scale)).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def binned_quantile_merge(states: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Merge shard states: per-(group, bin) SUM — exact, so merged
+    equals sketching the concatenated inputs."""
+    return states.groupBy(group_col, "bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    qs: tuple = (0.5, 0.95, 0.99),
+    scale: int = _QSK_SCALE,
+) -> DataFrame:
+    """Per-group quantile estimates from the merged sketch, exercising
+    the merge law end-to-end like cms_heavy_hitters: the input splits
+    into two md5 shards, each sketched independently, merged, then for
+    each q the estimate is the midpoint of the smallest bin whose
+    cumulative count reaches q*n. Window + joins run over the bounded
+    state table (occupied bins), never over data rows. Estimate error
+    is at most 1/(2*scale) absolute — the audit column ``n`` carries
+    the exact population so tests can bound it."""
+    from pyspark.sql import Window
+
+    base = df.where(F.col(value_col).isNotNull())
+    shard = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 2
+    )
+    merged = binned_quantile_merge(
+        binned_quantile_sketch(base.where(shard == 0), value_col, group_col, scale)
+        .unionAll(
+            binned_quantile_sketch(
+                base.where(shard == 1), value_col, group_col, scale
+            )
+        ),
+        group_col,
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("cum", F.sum("cnt").over(w))
+    tot = merged.groupBy(group_col).agg(F.sum("cnt").cast("bigint").alias("n"))
+    out = tot
+    for q in qs:
+        name = f"p{int(q * 100)}_est"
+        pick = (
+            cum.join(tot, group_col)
+            .where(F.col("cum") >= F.lit(q) * F.col("n"))
+            .groupBy(group_col)
+            .agg(
+                ((F.min("bin") + F.lit(0.5)) / F.lit(float(scale))).alias(name)
+            )
+        )
+        out = out.join(pick, group_col)
+    return out.select(group_col, "n", *[f"p{int(q * 100)}_est" for q in qs])
+
+
+def binned_quantiles_oracle(
+    table: str = "events",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    qs: tuple = (0.5, 0.95, 0.99),
+    scale: int = _QSK_SCALE,
+) -> str:
+    """DuckDB one-pass replay — the driver hash match doubles as the
+    merge-law proof, exactly like cms_heavy_hitters_oracle."""
+    picks = []
+    for q in qs:
+        name = f"p{int(q * 100)}_est"
+        picks.append(
+            f"""
+    pick_{name} AS (
+        SELECT {group_col}, (min(bin) + 0.5) / {float(scale)!r} AS {name}
+        FROM cum JOIN tot USING ({group_col})
+        WHERE cum >= {q!r} * n
+        GROUP BY {group_col}
+    )"""
+        )
+    joins = " ".join(
+        f"JOIN pick_p{int(q * 100)}_est USING ({group_col})" for q in qs
+    )
+    cols = ", ".join(f"p{int(q * 100)}_est" for q in qs)
+    return f"""
+    WITH state AS (
+        SELECT {group_col},
+               CAST(floor({value_col} * {scale}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM {table} WHERE {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT {group_col}, bin, cnt,
+               sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM state
+    ),
+    tot AS (
+        SELECT {group_col}, CAST(sum(cnt) AS BIGINT) AS n
+        FROM state GROUP BY {group_col}
+    ),{",".join(picks)}
+    SELECT {group_col}, n, {cols}
+    FROM tot {joins}"""

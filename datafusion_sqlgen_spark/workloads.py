@@ -2288,6 +2288,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: profiling.cms_heavy_hitters(s.table("events")),
             profiling.cms_heavy_hitters_oracle(),
         ),
+        # binned quantile sketch (third mergeable family after HLL and
+        # CMS): fixed-point bins, two-shard build + per-bin-sum merge on
+        # the Spark side vs one-pass oracle — hash match = merge law
+        "profile_quantile_sketch": (
+            lambda s: profiling.binned_quantiles(s.table("events")),
+            profiling.binned_quantiles_oracle(),
+        ),
         # GPT-3/PaLM-style n-gram decontamination through a broadcast
         # Bloom bit array: the training-side membership test is a pure
         # in-row projection (no train-side shuffle at all); exact

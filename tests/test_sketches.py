@@ -202,3 +202,56 @@ def test_bloom_ngram_train_side_shuffle_free(spark):
     # the single-row packed-filter cross join is against a broadcast;
     # any other cartesian is a bug
     assert not audit.has_cartesian
+
+
+# --- binned quantile sketch ----------------------------------------------
+
+
+def test_quantile_sketch_merge_equals_global(spark):
+    """Per-bin SUM merge of shard states equals the one-pass state."""
+    ev = spark.table("events").where(F.col("value").isNotNull())
+    shard = (
+        F.conv(F.substring(F.md5(F.col("value").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 2
+    )
+    merged = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in profiling.binned_quantile_merge(
+            profiling.binned_quantile_sketch(ev.where(shard == 0)).unionAll(
+                profiling.binned_quantile_sketch(ev.where(shard == 1))
+            )
+        ).collect()
+    }
+    whole = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in profiling.binned_quantile_sketch(ev).collect()
+    }
+    assert merged == whole
+
+
+def test_quantile_sketch_estimates_within_resolution(spark):
+    """|estimate - exact quantile| <= 1/(2*scale) + half a bin for the
+    discrete-vs-midpoint convention: the documented accuracy bound."""
+    rows = profiling.binned_quantiles(spark.table("events")).collect()
+    assert len(rows) > 0
+    tol = 1.0 / (2 * profiling._QSK_SCALE) + 1e-9
+    for r in rows:
+        et = r["event_type"]
+        for q, col in ((0.5, "p50_est"), (0.95, "p95_est"), (0.99, "p99_est")):
+            exact = (
+                spark.table("events")
+                .where(F.col("value").isNotNull() & (F.col("event_type") == et))
+                .agg(F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"))
+                .collect()[0][0]
+            )
+            assert abs(r[col] - exact) <= tol, (et, q, r[col], exact)
+
+
+def test_quantile_sketch_state_bounded(spark):
+    """State rows are occupied bins, bounded by range*scale — never by
+    input row count."""
+    ev = spark.table("events")
+    hi = ev.agg(F.max("value")).collect()[0][0]
+    n_state = profiling.binned_quantile_sketch(ev).count()
+    n_groups = ev.select("event_type").distinct().count()
+    assert n_state <= n_groups * (int(hi * profiling._QSK_SCALE) + 1)
