@@ -762,19 +762,22 @@ def binned_quantiles(
     )
     cum = merged.withColumn("cum", F.sum("cnt").over(w))
     tot = merged.groupBy(group_col).agg(F.sum("cnt").cast("bigint").alias("n"))
-    out = tot
-    for q in qs:
-        name = f"p{int(q * 100)}_est"
-        pick = (
-            cum.join(tot, group_col)
-            .where(F.col("cum") >= F.lit(q) * F.col("n"))
-            .groupBy(group_col)
-            .agg(
-                ((F.min("bin") + F.lit(0.5)) / F.lit(float(scale))).alias(name)
+    # every quantile picks its bin in ONE conditional aggregation over
+    # the (broadcast-joined) state rows — not one join branch per q
+    aggs = [
+        (
+            (
+                F.min(F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("bin")))
+                + F.lit(0.5)
             )
-        )
-        out = out.join(pick, group_col)
-    return out.select(group_col, "n", *[f"p{int(q * 100)}_est" for q in qs])
+            / F.lit(float(scale))
+        ).alias(f"p{int(q * 100)}_est")
+        for q in qs
+    ]
+    picks = cum.join(tot, group_col).groupBy(group_col).agg(
+        F.max("n").cast("bigint").alias("n"), *aggs
+    )
+    return picks.select(group_col, "n", *[f"p{int(q * 100)}_est" for q in qs])
 
 
 def binned_quantiles_oracle(
@@ -786,22 +789,11 @@ def binned_quantiles_oracle(
 ) -> str:
     """DuckDB one-pass replay — the driver hash match doubles as the
     merge-law proof, exactly like cms_heavy_hitters_oracle."""
-    picks = []
-    for q in qs:
-        name = f"p{int(q * 100)}_est"
-        picks.append(
-            f"""
-    pick_{name} AS (
-        SELECT {group_col}, (min(bin) + 0.5) / {float(scale)!r} AS {name}
-        FROM cum JOIN tot USING ({group_col})
-        WHERE cum >= {q!r} * n
-        GROUP BY {group_col}
-    )"""
-        )
-    joins = " ".join(
-        f"JOIN pick_p{int(q * 100)}_est USING ({group_col})" for q in qs
+    cols = ", ".join(
+        f"(min(CASE WHEN cum >= {q!r} * n THEN bin END) + 0.5) / {float(scale)!r}"
+        f" AS p{int(q * 100)}_est"
+        for q in qs
     )
-    cols = ", ".join(f"p{int(q * 100)}_est" for q in qs)
     return f"""
     WITH state AS (
         SELECT {group_col},
@@ -819,6 +811,7 @@ def binned_quantiles_oracle(
     tot AS (
         SELECT {group_col}, CAST(sum(cnt) AS BIGINT) AS n
         FROM state GROUP BY {group_col}
-    ),{",".join(picks)}
-    SELECT {group_col}, n, {cols}
-    FROM tot {joins}"""
+    )
+    SELECT {group_col}, CAST(max(n) AS BIGINT) AS n, {cols}
+    FROM cum JOIN tot USING ({group_col})
+    GROUP BY {group_col}"""
