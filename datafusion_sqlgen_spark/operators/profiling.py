@@ -602,17 +602,28 @@ def cms_heavy_hitters(
     the sketch error is audit-visible."""
     key = F.col(key_col)
     base = df.where(key.isNotNull())
+    # per-shard sub-sketches from ONE scan: the shard is a grouping
+    # column of the cell build, not a filter — two real shard states
+    # exist as rows and merge by sum, without scanning the data twice
     shard = (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
         .cast("bigint") % 2
+    ).alias("shard")
+    cells = base.select(
+        shard,
+        F.explode(F.array([F.lit(d) for d in range(depth)])).alias("d"),
+        key.cast("string").alias("__k"),
     )
-    even = base.where(shard == 0)
-    odd = base.where(shard == 1)
-    merged = cms_merge(
-        cms_sketch(even, key_col, depth, width).unionAll(
-            cms_sketch(odd, key_col, depth, width)
-        )
+    hx = F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("__k")))
+    bucket = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % F.lit(width)
+    ).cast("int")
+    per_shard = (
+        cells.select("shard", F.col("d").cast("int").alias("d"), bucket.alias("bucket"))
+        .groupBy("shard", "d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    merged = cms_merge(per_shard.select("d", "bucket", "cnt"))
     exact = base.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
     )
@@ -742,18 +753,23 @@ def binned_quantiles(
     from pyspark.sql import Window
 
     base = df.where(F.col(value_col).isNotNull())
+    # one-scan shard demo, same shape as cms_heavy_hitters: shard is a
+    # grouping column, the two sub-states merge by per-bin sum
     shard = (
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 4), 16, 10)
         .cast("bigint") % 2
+    ).alias("shard")
+    per_shard = (
+        base.select(
+            shard,
+            F.col(group_col),
+            F.floor(F.col(value_col) * F.lit(scale)).cast("bigint").alias("bin"),
+        )
+        .groupBy("shard", group_col, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     merged = binned_quantile_merge(
-        binned_quantile_sketch(base.where(shard == 0), value_col, group_col, scale)
-        .unionAll(
-            binned_quantile_sketch(
-                base.where(shard == 1), value_col, group_col, scale
-            )
-        ),
-        group_col,
+        per_shard.select(group_col, "bin", "cnt"), group_col
     )
     w = (
         Window.partitionBy(group_col)
