@@ -162,6 +162,9 @@ HEADLINE = [
     # binned quantile sketch: bounded (group, bin, cnt) state, window
     # only over occupied bins
     "profile_quantile_sketch",
+    # full IVF-PQ composition: coarse probe -> fixed-point ADC over PQ
+    # codes -> exact re-rank; corpus never shuffles
+    "sim_ivf_pq_topk",
 ]
 
 

@@ -781,39 +781,16 @@ def _nearest_code(v: Column, cbook: Column, decimals: int) -> Column:
     )
 
 
-def pq_encode(
-    corpus: DataFrame,
-    dim: int,
-    m: int = 4,
-    k: int = 4,
-    n_iter: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    decimals: int = 6,
+def _pq_subvectors(
+    corpus: DataFrame, dim: int, m: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Product quantization (Jégou et al. 2011): split each vector into
-    ``m`` subvectors, train a tiny k-codeword codebook per subspace
-    (Lloyd under L2 — PQ's metric), and encode every vector as its
-    nearest codeword per subspace. Output rows ``(vec_id, subspace,
-    code, dist)`` — the m-byte-per-vector compressed representation
-    that, with the IVF tier, completes the IVF-PQ index family.
-
-    Scale shape (round-6 single-pass rewrite): the corpus EXPLODES once
-    into (vec_id, subspace, subvector) rows — same total data volume,
-    m× the rows at 1/m the width — and ALL m subspaces train together:
-    one corpus-wide assignment pass + one (subspace, cell, pos) mean
-    aggregation per Lloyd iteration, and one encode pass, instead of
-    m of each (the original per-subspace loop scanned the corpus 2m+m
-    times; at 100 TB the scan count IS the cost). Codebooks stay
-    k x (dim/m) per subspace, collapsed to one broadcast row per
-    subspace and equi-joined on the subspace id — no corpus shuffle
-    anywhere; the only exchanges aggregate the m*k*(dim/m) component
-    means."""
+    """(id, subspace, subvector) rows — the corpus exploded once into m
+    subspaces (same data volume, m x the rows at 1/m the width)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sd = dim // m
     vec = F.col(vec_col).cast("array<double>")
-    sub = corpus.select(
+    return corpus.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
@@ -821,6 +798,21 @@ def pq_encode(
             ])
         ).alias("subspace", "__v"),
     )
+
+
+def _pq_train_cents(
+    corpus: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    decimals: int,
+) -> DataFrame:
+    """PQ codebook training (the Lloyd loop of pq_encode, shared with
+    ivf_pq_topk): (subspace, cell_id, cent) codeword rows."""
+    sub = _pq_subvectors(corpus, dim, m, id_col, vec_col)
     # seeds: the first k vectors' subvectors, per subspace
     cents = sub.filter(F.col(id_col) < k).select(
         F.col("subspace"),
@@ -851,6 +843,39 @@ def pq_encode(
                 lambda s: s["m"],
             ).alias("cent")
         )
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subvectors, train a tiny k-codeword codebook per subspace
+    (Lloyd under L2 — PQ's metric), and encode every vector as its
+    nearest codeword per subspace. Output rows ``(vec_id, subspace,
+    code, dist)`` — the m-byte-per-vector compressed representation
+    that, with the IVF tier, completes the IVF-PQ index family.
+
+    Scale shape (round-6 single-pass rewrite): the corpus EXPLODES once
+    into (vec_id, subspace, subvector) rows — same total data volume,
+    m× the rows at 1/m the width — and ALL m subspaces train together:
+    one corpus-wide assignment pass + one (subspace, cell, pos) mean
+    aggregation per Lloyd iteration, and one encode pass, instead of
+    m of each (the original per-subspace loop scanned the corpus 2m+m
+    times; at 100 TB the scan count IS the cost). Codebooks stay
+    k x (dim/m) per subspace, collapsed to one broadcast row per
+    subspace and equi-joined on the subspace id — no corpus shuffle
+    anywhere; the only exchanges aggregate the m*k*(dim/m) component
+    means."""
+    sub = _pq_subvectors(corpus, dim, m, id_col, vec_col)
+    cents = _pq_train_cents(corpus, dim, m, k, n_iter, id_col, vec_col, decimals)
     books = cents.groupBy("subspace").agg(
         F.collect_list(F.struct("cell_id", "cent")).alias("__cb")
     )
@@ -1002,3 +1027,295 @@ def component_stats_oracle(
           FROM {table})
     GROUP BY pos
     """
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    m: int = 4,
+    kcode: int = 4,
+    n_iter: int = 1,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate search (Jégou et al. 2011), the full
+    FAISS-style composition of this module's tiers: k-means coarse
+    cells (IVF), per-subspace PQ codebooks, asymmetric-distance
+    shortlist, exact re-rank.
+
+    Per query: (1) rank the coarse centroids and probe the ``nprobe``
+    nearest cells; (2) score every candidate in those cells from its
+    m-byte PQ code via the query's distance table (ADC — the candidate
+    VECTORS are never touched); (3) exact-cosine re-rank only the
+    ``refine * k`` best ADC candidates. Output matches ivf_topk:
+    (query_id, neighbor_id, cos_sim, rnk).
+
+    Scale shape — the corpus never shuffles: cell assignment and PQ
+    encoding are broadcast-join passes (the one-time index build, both
+    persisted/bucketed in production); at query time every join is
+    against a broadcast small side (nprobe cells per query, the
+    per-query m x kcode distance table, the refine*k shortlist).
+    Candidate volume per query is nprobe/n_cells of the corpus read as
+    m-row CODES, not dim-float vectors — the 100-TB bandwidth win PQ
+    exists for.
+
+    Determinism (driver-hash requirements): ADC subspace distances are
+    fixed-point BIGINTs (floor(l2 * 1e6 + 0.5)), so their SUM is
+    order-free where a double sum would depend on Spark's partial-
+    aggregation order; shortlist ties break on (adc, neighbor_id); the
+    re-rank rounds like ivf_topk."""
+    sd = dim // m
+    # --- index build (one-time at scale) ---
+    coarse = _kmeans_centroids(corpus, n_cells, n_iter, id_col, vec_col, 6)
+    assigned = ivf_assign(corpus, coarse, id_col, vec_col)
+    cents = _pq_train_cents(corpus, dim, m, kcode, n_iter, id_col, vec_col, 6)
+    books = cents.groupBy("subspace").agg(
+        F.collect_list(F.struct("cell_id", "cent")).alias("__cb")
+    )
+    codes = (
+        _pq_subvectors(corpus, dim, m, id_col, vec_col)
+        .join(F.broadcast(books), "subspace")
+        .select(
+            F.col(id_col),
+            F.col("subspace").cast("int").alias("subspace"),
+            _nearest_code(F.col("__v"), F.col("__cb"), 6)["cell"]
+            .cast("bigint").alias("code"),
+        )
+    )
+    # --- query side ---
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    ccents = coarse.select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("centroid"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("cell_id").asc()
+    )
+    qcells = (
+        F.broadcast(q).join(ccents)
+        .select(
+            "query_id", "cell_id",
+            cosine_pre(
+                F.col("qvec"), F.col("centroid"), F.col("qn"), F.col("__cn")
+            ).alias("__csim"),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    # per-query ADC table: distance from each query subvector to each
+    # codeword, fixed-point (m * kcode rows per query, broadcast)
+    qsub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("qvec"), j * sd + 1, sd) for j in range(m)
+            ])
+        ).alias("subspace", "__qv"),
+    )
+    dtable = qsub.join(F.broadcast(cents), "subspace").select(
+        "query_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("cell_id").cast("bigint").alias("code"),
+        F.floor(
+            _l2_dist(F.col("__qv"), F.col("cent"), 6) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint").alias("d_int"),
+    )
+    # --- probe + ADC shortlist (codes only, no vectors) ---
+    cand = F.broadcast(qcells).join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col("cell_id")
+        ),
+        "cell_id",
+    ).where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id"
+    )
+    adc = (
+        cand.join(
+            codes.select(
+                F.col(id_col).alias("neighbor_id"), "subspace", "code"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_int").cast("bigint").alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # --- exact re-rank of the shortlist only ---
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    rer = (
+        F.broadcast(shortlist.join(q, "query_id"))
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"), "rnk",
+        )
+    )
+
+
+def ivf_pq_topk_oracle(
+    table: str = "embeddings",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    m: int = 4,
+    kcode: int = 4,
+    n_iter: int = 1,
+    refine: int = 4,
+    max_query_id: int = 10,
+) -> str:
+    """Full DuckDB replay of ivf_pq_topk: coarse k-means CTEs + the
+    per-subspace PQ codebook chains (same generators as the standalone
+    oracles), then probe -> fixed-point ADC -> shortlist -> re-rank."""
+    sd = dim // m
+    kmeans = _kmeans_ctes(table, n_cells, n_iter, 6)
+    # PQ codebook CTE chains, one per subspace (same as pq_encode_oracle)
+    ctes = [kmeans]
+    books_rows, codes_rows, dtab_rows = [], [], []
+    for j in range(m):
+        a, b = j * sd + 1, (j + 1) * sd
+        p = f"s{j}"
+        ctes.append(
+            f"{p}_t AS (SELECT vec_id, embedding[{a}:{b}]::DOUBLE[] AS v "
+            f"FROM {table})"
+        )
+        ctes.append(
+            f"{p}_c0 AS (SELECT vec_id AS cell_id, v AS cent "
+            f"FROM {p}_t WHERE vec_id < {kcode})"
+        )
+        for i in range(n_iter):
+            ctes.append(f"""{p}_a{i + 1} AS (
+                SELECT cell_id, v FROM (
+                    SELECT t.vec_id, t.v, c.cell_id,
+                           row_number() OVER (PARTITION BY t.vec_id
+                               ORDER BY {_duck_round(_duck_l2('t.v', 'c.cent'), 6)} ASC,
+                                        c.cell_id ASC) AS rn
+                    FROM {p}_t t CROSS JOIN {p}_c{i} c
+                ) WHERE rn = 1)""")
+            ctes.append(f"""{p}_comp{i + 1} AS (
+                SELECT cell_id, pos, {_duck_round('avg(val)', 6)} AS mval
+                FROM (SELECT cell_id, generate_subscripts(v, 1) - 1 AS pos,
+                             unnest(v) AS val
+                      FROM {p}_a{i + 1})
+                GROUP BY cell_id, pos)""")
+            ctes.append(
+                f"{p}_c{i + 1} AS (SELECT cell_id, "
+                f"list(mval ORDER BY pos) AS cent "
+                f"FROM {p}_comp{i + 1} GROUP BY cell_id)"
+            )
+        codes_rows.append(f"""
+            SELECT vec_id, {j} AS subspace, cell_id AS code FROM (
+                SELECT t.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY {_duck_round(_duck_l2('t.v', 'c.cent'), 6)} ASC,
+                                    c.cell_id ASC) AS rn
+                FROM {p}_t t CROSS JOIN {p}_c{n_iter} c
+            ) WHERE rn = 1""")
+        dtab_rows.append(f"""
+            SELECT q.query_id, {j} AS subspace, c.cell_id AS code,
+                   CAST(floor({_duck_round(_duck_l2(f'q.qvec[{a}:{b}]', 'c.cent'), 6)}
+                        * 1000000.0 + 0.5) AS BIGINT) AS d_int
+            FROM q CROSS JOIN {p}_c{n_iter} c""")
+    body = ",\n".join(ctes)
+    codes_union = "\nUNION ALL\n".join(codes_rows)
+    dtab_union = "\nUNION ALL\n".join(dtab_rows)
+    return f"""
+    WITH {body},
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT t.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+          FROM {table} WHERE vec_id < {max_query_id}),
+    qcells AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                           q.qvec, c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM q CROSS JOIN c{n_iter} c
+        ) WHERE rn <= {nprobe}
+    ),
+    codes AS ({codes_union}),
+    dtable AS ({dtab_union}),
+    cand AS (
+        SELECT qc.query_id, a.vec_id AS neighbor_id
+        FROM qcells qc JOIN assigned a USING (cell_id)
+        WHERE qc.query_id <> a.vec_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(sum(d.d_int) AS BIGINT) AS adc
+        FROM cand c
+        JOIN codes co ON co.vec_id = c.neighbor_id
+        JOIN dtable d ON d.query_id = c.query_id
+                     AND d.subspace = co.subspace AND d.code = co.code
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rn
+            FROM adc
+        ) WHERE rn <= {refine * k}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_cosine_similarity(q.qvec, t.embedding::DOUBLE[]) AS cos_sim
+        FROM shortlist s
+        JOIN q USING (query_id)
+        JOIN {table} t ON t.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM rer
+    ) WHERE rnk <= {k}"""

@@ -2614,6 +2614,17 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             similarity.ivf_topk_trained_oracle(),
         ),
+        # the full IVF-PQ composition: coarse kmeans probe (nprobe
+        # cells) -> fixed-point asymmetric-distance shortlist over PQ
+        # codes (candidate vectors never touched) -> exact re-rank of
+        # refine*k survivors; corpus never shuffles
+        "sim_ivf_pq_topk": (
+            lambda s: similarity.ivf_pq_topk(
+                s.table("embeddings"),
+                s.table("embeddings").filter(F.col("vec_id") < 10),
+            ),
+            similarity.ivf_pq_topk_oracle(),
+        ),
     }
 
 

@@ -986,3 +986,34 @@ def test_classifier_score_shape_and_gram_count(spark):
     for r in rows.values():
         assert 0.0 < r["score"] < 1.0
         assert r["label"] == (r["score"] >= 0.5) or abs(r["score"] - 0.5) < 1e-3
+
+
+def test_ivf_pq_topk_laws(spark):
+    """IVF-PQ output contract: contiguous ranks 1..k per query, cos_sim
+    non-increasing with rank, no self-matches; recall vs the exact
+    brute force is positive (the shortlist re-rank recovers real
+    neighbors, not arbitrary rows)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_sqlgen_spark.operators import similarity as sim
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    rows = sim.ivf_pq_topk(emb, qs, k=5).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append((r["rnk"], r["cos_sim"]))
+    assert len(per_q) == 10
+    for q, rr in per_q.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, len(rr) + 1))
+        sims = [x[1] for x in rr]
+        assert sims == sorted(sims, reverse=True)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, qs, k=5).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, recall  # nprobe=2/8 cells; sanity floor
