@@ -2810,6 +2810,112 @@ FROM customer
 # instead of a correlated scalar subquery), neutralizing the shared-IR
 # blind spot for the rows that exercise the trickiest semantics.
 _HAND_ORACLES: dict[str, str] = {
+    # LOCF without IGNORE NULLS: segment ids from a running count of
+    # non-null clicks, then the segment's single non-null via max()
+    "win_ignore_nulls_locf": """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'click' THEN value END AS cv
+    FROM events WHERE event_id < 5000
+),
+g AS (
+    SELECT event_id, user_id, cv,
+           count(cv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+    FROM e
+)
+SELECT event_id, user_id,
+       round(max(cv) OVER (PARTITION BY user_id, grp), 4)
+           AS last_click_value
+FROM g
+""",
+    # EXCEPT ALL as multiplicity arithmetic: per-key counts, left minus
+    # right, each surviving key repeated (cn - sn) times
+    "setop_except_all": """
+WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk, count(*) AS cn
+           FROM customer GROUP BY 1),
+s AS (SELECT CAST(s_nationkey AS INT) AS nk, count(*) AS sn
+      FROM supplier GROUP BY 1),
+reps AS (
+    SELECT c.nk, c.cn - coalesce(s.sn, 0) AS r
+    FROM c LEFT JOIN s USING (nk)
+    WHERE c.cn - coalesce(s.sn, 0) > 0
+)
+SELECT nk FROM (SELECT nk, unnest(range(r)) AS i FROM reps)
+""",
+    # interpolated percentiles derived from row_number arithmetic
+    # (h = 1 + (n-1)p; value = lo + frac * (hi - lo)), not the native
+    # quantile_cont the generated oracle would use
+    "agg_percentiles": """
+WITH q AS (
+    SELECT l_returnflag, l_quantity AS v,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS r,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+p AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS r,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+d AS (
+    SELECT l_returnflag, l_discount AS v,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_discount) AS r,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+qq AS (
+    SELECT l_returnflag,
+           round(max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END)
+                 + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+                   * (coalesce(max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 2 THEN v END),
+                               max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END))
+                      - max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END)), 4)
+               AS p50_qty
+    FROM q GROUP BY l_returnflag, n
+),
+pp AS (
+    SELECT l_returnflag,
+           round(max(CASE WHEN r = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1 THEN v END)
+                 + ((n - 1) * 0.95 - floor((n - 1) * 0.95))
+                   * (coalesce(max(CASE WHEN r = CAST(floor((n - 1) * 0.95) AS BIGINT) + 2 THEN v END),
+                               max(CASE WHEN r = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1 THEN v END))
+                      - max(CASE WHEN r = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1 THEN v END)), 4)
+               AS p95_price
+    FROM p GROUP BY l_returnflag, n
+),
+dd AS (
+    SELECT l_returnflag,
+           round(max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END)
+                 + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+                   * (coalesce(max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 2 THEN v END),
+                               max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END))
+                      - max(CASE WHEN r = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN v END)), 4)
+               AS med_disc
+    FROM d GROUP BY l_returnflag, n
+)
+SELECT l_returnflag, qq.p50_qty, pp.p95_price, dd.med_disc
+FROM qq JOIN pp USING (l_returnflag) JOIN dd USING (l_returnflag)
+""",
+    # range join spelled as join + WHERE, broadcast-free formulation
+    "join_nonequi_range": """
+SELECT l.l_orderkey, l.l_partkey, round(l.l_extendedprice, 2) AS price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_extendedprice > p.p_retailprice * 20
+""",
+    # semi join as EXISTS (the decorrelated twin of the join-operator form)
+    "join_semi": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    # anti join as NOT EXISTS against the filtered right side
+    "join_anti": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
     # DuckDB executes its NATIVE quantified comparisons; Spark runs the
     # parser's three-valued CASE desugar — the two meet only in results
     "parsed_quantified_forms": _QUANTIFIED_FORMS_SQL,
