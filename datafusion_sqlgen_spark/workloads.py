@@ -1720,6 +1720,41 @@ def _source_csv_roundtrip(s: SparkSession) -> DataFrame:
     )
 
 
+def _source_orc_roundtrip(s: SparkSession) -> DataFrame:
+    """Write orders as status-partitioned ORC (Spark's second columnar
+    native format: vectorized reads + filter pushdown), read it back,
+    and aggregate — the partition column survives the roundtrip as data.
+    DuckDB never sees the ORC; the oracle is the same aggregate over the
+    original parquet table, which the roundtrip must preserve."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.sources import io as sio
+
+    out = tempfile.mkdtemp(prefix="src_orc_") + "/orders_orc"
+    sio.write_orc(
+        s.table("orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ),
+        out,
+        partition_by=["o_orderstatus"],
+    )
+    back = sio.read_orc(s, out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        ).cast("double").alias("total"),
+    )
+
+
+_SOURCE_ORC_ORACLE = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 _SOURCE_CSV_ORACLE = """
 SELECT r_name, count(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -2304,6 +2339,9 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             dedup.bloom_ngram_decontaminate_oracle(),
         ),
         # JSON-lines write -> schema-on-read -> aggregate (source path)
+        "source_orc_roundtrip": (
+            _source_orc_roundtrip, _SOURCE_ORC_ORACLE,
+        ),
         "source_jsonl_roundtrip": (
             _source_jsonl_roundtrip, _SOURCE_JSONL_ORACLE,
         ),
