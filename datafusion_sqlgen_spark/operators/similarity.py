@@ -843,7 +843,10 @@ def _pq_train_cents(
                 lambda s: s["m"],
             ).alias("cent")
         )
-    return cents
+    # trained codebooks feed multiple consumers (the corpus encode pass
+    # AND every query's ADC table) — pin like _kmeans_centroids so the
+    # Lloyd lineage runs once, not once per consumer
+    return _pin_trained(cents)
 
 
 def pq_encode(
