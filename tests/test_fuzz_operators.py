@@ -196,3 +196,87 @@ def test_merge_rollup_law_under_arbitrary_splits(spark, events):
     a = sorted(tuple(r) for r in whole.collect())
     b = sorted(tuple(r) for r in merged.collect())
     assert a == b
+
+
+# --- round-6 sketches: properties on adversarial generated inputs -------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(st.integers(-5, 5), min_size=1, max_size=60),
+)
+def test_fuzz_cms_overestimates_every_key(spark, keys):
+    """CMS point estimates >= true counts for EVERY key, on multisets
+    with heavy duplication and negatives the events table never has."""
+    from collections import Counter
+
+    from datafusion_sqlgen_spark.operators import profiling
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    sketch = profiling.cms_sketch(df, "k", depth=3, width=8)  # tiny width: force collisions
+    uniq = spark.createDataFrame([(k,) for k in set(keys)], "k bigint")
+    est = {
+        r["k"]: r["cms_cnt"]
+        for r in profiling.cms_estimate(sketch, uniq, "k", depth=3, width=8).collect()
+    }
+    true = Counter(keys)
+    assert all(est[k] >= n for k, n in true.items()), (est, true)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    members=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                     min_size=1, max_size=30),
+    probes=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                    min_size=1, max_size=10),
+)
+def test_fuzz_bloom_never_false_negative(spark, members, probes):
+    """Membership never misses a real member, for any key set — even at
+    a deliberately saturated 64-bit filter."""
+    from datafusion_sqlgen_spark.operators import dedup
+
+    mdf = spark.createDataFrame([(m,) for m in members], "fp string")
+    bloom = dedup.bloom_build(mdf, "fp", m_bits=64, k=3)
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(set(members) | set(probes))],
+        "pid bigint, fp string",
+    )
+    flags = {
+        r["pid"]: r["bloom_hit"]
+        for r in dedup.bloom_maybe_contains(
+            pdf, "fp", bloom, "pid", m_bits=64, k=3
+        ).collect()
+    }
+    rows = {r["pid"]: r["fp"] for r in pdf.collect()}
+    mem = set(members)
+    for pid, fp in rows.items():
+        if fp in mem:
+            assert flags[pid], (fp, "false negative")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=50,
+    ),
+)
+def test_fuzz_quantile_sketch_within_resolution(spark, vals):
+    """p50/p95/p99 estimates stay within 1/(2*scale) of the exact
+    discrete quantile on arbitrary (negative, clustered, single-value)
+    inputs."""
+    from datafusion_sqlgen_spark.operators import profiling
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = profiling.binned_quantiles(
+        df, value_col="v", group_col="g", scale=4
+    ).collect()[0]
+    tol = 1.0 / (2 * 4) + 1e-9
+    sv = sorted(vals)
+    for q, col in ((0.5, "p50_est"), (0.95, "p95_est"), (0.99, "p99_est")):
+        # discrete quantile: smallest x with cum fraction >= q
+        import math as _m
+
+        idx = max(0, _m.ceil(q * len(sv)) - 1)
+        assert abs(row[col] - sv[idx]) <= tol, (q, row[col], sv[idx], sv)
