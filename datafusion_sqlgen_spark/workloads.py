@@ -2942,6 +2942,64 @@ SELECT l.l_orderkey, l.l_partkey, round(l.l_extendedprice, 2) AS price
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_extendedprice > p.p_retailprice * 20
 """,
+    # q18's IN-over-HAVING decorrelated by hand to a plain join against
+    # the pre-aggregated qty table (unique keys by construction)
+    "tpch_q18": """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 120
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN big ON big.l_orderkey = o_orderkey
+JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+    # q20's IN-over-(join->group->having) as a correlated EXISTS with
+    # HAVING — the opposite decorrelation direction from the IR render
+    "tpch_q20": """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (
+    SELECT 1
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE contains(p.p_name, 'red') AND l.l_suppkey = s_suppkey
+    GROUP BY l.l_suppkey
+    HAVING sum(l.l_quantity) > 100
+)
+ORDER BY s_name ASC
+""",
+    # q22's NOT EXISTS as a LEFT JOIN .. IS NULL anti join, and the
+    # correlated scalar avg as an uncorrelated CTE cross join
+    "tpch_q22": """
+WITH eligible AS (
+    SELECT c_custkey, c_acctbal, right(c_name, 1) AS cntrycode
+    FROM customer
+    WHERE right(c_name, 1) IN ('1', '2', '3', '4')
+),
+avg_bal AS (
+    SELECT round(avg(c_acctbal), 4) AS a
+    FROM customer
+    WHERE c_acctbal > 0.0 AND right(c_name, 1) IN ('1', '2', '3', '4')
+),
+recent AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+)
+SELECT cntrycode, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS totacctbal
+FROM eligible e
+CROSS JOIN avg_bal
+LEFT JOIN recent r ON r.o_custkey = e.c_custkey
+WHERE e.c_acctbal > avg_bal.a AND r.o_custkey IS NULL
+GROUP BY cntrycode
+ORDER BY cntrycode ASC
+""",
     # semi join as EXISTS (the decorrelated twin of the join-operator form)
     "join_semi": """
 SELECT c_custkey, c_name FROM customer c
