@@ -245,3 +245,40 @@ def test_round4d_final_ops_on_empty(spark):
     empty = cur.filter("doc_id < 0")
     assert joins.upsert(cur, empty, "doc_id").count() == cur.count()
     assert joins.upsert(empty, cur, "doc_id").count() == cur.count()
+
+
+def test_round6_sketches_on_empty(spark):
+    """CMS, Bloom, binned quantiles on an empty source: empty state,
+    empty estimates, no crash."""
+    from datafusion_sqlgen_spark.operators import profiling
+
+    empty_ev = spark.table("events").filter("event_id < 0")
+    assert profiling.cms_sketch(empty_ev, "user_id").count() == 0
+    assert profiling.cms_heavy_hitters(empty_ev, "user_id").count() == 0
+    assert profiling.binned_quantile_sketch(empty_ev).count() == 0
+    assert profiling.binned_quantiles(empty_ev).count() == 0
+    assert profiling.hll_registers(empty_ev).count() == 0
+
+
+def test_bloom_on_empty_sides(spark, empty_docs):
+    """Empty member set -> empty filter -> every probe is a definite
+    non-member; empty probe set -> no flags."""
+    docs = spark.table("documents")
+    keys = docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+    empty_keys = keys.filter("doc_id < 0")
+    bloom_empty = dedup.bloom_build(empty_keys, "fp")
+    assert bloom_empty.count() == 0
+    flags = dedup.bloom_maybe_contains(
+        keys.limit(5), "fp", bloom_empty, "doc_id"
+    )
+    assert flags.where(F.col("bloom_hit")).count() == 0
+    assert dedup.bloom_maybe_contains(
+        empty_keys, "fp", dedup.bloom_build(keys, "fp"), "doc_id"
+    ).count() == 0
+
+
+def test_ivf_pq_on_empty_queries(spark, empty_emb):
+    from datafusion_sqlgen_spark.operators import similarity as sim
+
+    corpus = spark.table("embeddings")
+    assert sim.ivf_pq_topk(corpus, empty_emb).count() == 0
