@@ -748,3 +748,39 @@ def test_token_budget_mix_single_domain_shuffle(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Window") == 1
+
+
+def test_ivf_pq_all_joins_broadcast_no_corpus_shuffle(spark, queries):
+    """IVF-PQ: zero sort-merge joins — every join is against a
+    broadcast small side (nprobe cells, ADC table, shortlist) or a
+    broadcast 1-row codebook; no cartesian, no Python eval. The corpus
+    reaches the plan only through scans + broadcast-hash probes."""
+    plan = queries["sim_ivf_pq_topk"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_sketch_windows_only_over_state(spark, queries):
+    """Binned quantiles: the window (cumulative bin counts) runs over
+    the bounded state table, and the raw-value scan reads exactly the
+    two needed columns with the null filter pushed."""
+    plan = queries["profile_quantile_sketch"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+    assert "PushedFilters: [IsNotNull(value)" in plan
+
+
+def test_bloom_ngram_packed_filter_is_single_row_broadcast(spark, queries):
+    """n-gram Bloom decontamination: the packed bit-array side is ONE
+    broadcast row (a BroadcastNestedLoopJoin against it is the designed
+    shape); no Python eval anywhere."""
+    plan = queries["dedup_bloom_ngram_decontaminate"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # vs the 1-row packed filter
