@@ -3000,6 +3000,93 @@ WHERE e.c_acctbal > avg_bal.a AND r.o_custkey IS NULL
 GROUP BY cntrycode
 ORDER BY cntrycode ASC
 """,
+    # regression family recomputed from raw power sums (a third
+    # algorithm vs Spark's and DuckDB's native covariance updates), bit
+    # ops unchanged
+    "agg_regr_bitwise": """
+WITH sums AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disc,
+           sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+           sum(l_quantity * l_quantity) AS sxx,
+           sum(l_extendedprice * l_extendedprice) AS syy,
+           sum(l_quantity * l_extendedprice) AS sxy,
+           CAST(bit_and(CAST(l_orderkey % 256 AS INT)) AS BIGINT) AS k_and,
+           CAST(bit_or(CAST(l_orderkey % 256 AS INT)) AS BIGINT) AS k_or,
+           CAST(bit_xor(CAST(l_orderkey % 256 AS INT)) AS BIGINT) AS k_xor
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_disc,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n), 4)
+           AS icept,
+       round(power(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       n AS n,
+       round(sx / n, 4) AS avg_x,
+       round(sy / n, 4) AS avg_y,
+       k_and, k_or, k_xor
+FROM sums
+ORDER BY l_returnflag ASC
+""",
+    # ordered string_agg as list(... ORDER BY) + array_to_string
+    "agg_string_agg": """
+SELECT c_nationkey,
+       array_to_string(list(c_name ORDER BY c_custkey), ',') AS names,
+       count(*) AS n
+FROM customer WHERE c_custkey < 150
+GROUP BY c_nationkey
+""",
+    # mode as an explicit count ranking (exact when the mode is unique,
+    # which the driver data guarantees; ties would be engine-defined)
+    "agg_mode_global": """
+WITH counts AS (
+    SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+top AS (
+    SELECT lang FROM counts ORDER BY c DESC, lang ASC LIMIT 1
+)
+SELECT (SELECT lang FROM top) AS top_lang,
+       CAST(sum(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_long,
+       count(*) AS n_docs
+FROM documents
+""",
+    # UNION distinct via GROUP BY over the bag union
+    "setop_union": """
+SELECT nk FROM (
+    SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+    UNION ALL
+    SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+) GROUP BY nk
+""",
+    # INTERSECT ALL as multiplicity arithmetic: least(cn, sn) repeats
+    "setop_intersect_all": """
+WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk, count(*) AS cn
+           FROM customer GROUP BY 1),
+s AS (SELECT CAST(s_nationkey AS INT) AS nk, count(*) AS sn
+      FROM supplier GROUP BY 1),
+reps AS (
+    SELECT c.nk, least(c.cn, s.sn) AS r FROM c JOIN s USING (nk)
+)
+SELECT nk FROM (SELECT nk, unnest(range(r)) AS i FROM reps)
+""",
+    # FULL OUTER as inner + left-only + right-only union
+    "join_full_outer": """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 50),
+o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey > 30)
+SELECT c.c_custkey, o.o_orderkey FROM c JOIN o ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT c.c_custkey, NULL FROM c
+WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT NULL, o.o_orderkey FROM o
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
+""",
     # semi join as EXISTS (the decorrelated twin of the join-operator form)
     "join_semi": """
 SELECT c_custkey, c_name FROM customer c
