@@ -3087,6 +3087,22 @@ UNION ALL
 SELECT NULL, o.o_orderkey FROM o
 WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)
 """,
+    # first/last over the full frame as joins against per-user extreme
+    # rows (row_number ranking both directions), no window navigation fns
+    "win_first_last": """
+WITH r AS (
+    SELECT event_id, user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS rf,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM events
+),
+f AS (SELECT user_id, event_type AS first_type FROM r WHERE rf = 1),
+l AS (SELECT user_id, event_type AS last_type FROM r WHERE rl = 1)
+SELECT e.event_id, e.user_id, f.first_type, l.last_type
+FROM events e JOIN f USING (user_id) JOIN l USING (user_id)
+""",
     # semi join as EXISTS (the decorrelated twin of the join-operator form)
     "join_semi": """
 SELECT c_custkey, c_name FROM customer c
