@@ -3103,6 +3103,21 @@ l AS (SELECT user_id, event_type AS last_type FROM r WHERE rl = 1)
 SELECT e.event_id, e.user_id, f.first_type, l.last_type
 FROM events e JOIN f USING (user_id) JOIN l USING (user_id)
 """,
+    # rollup + GROUPING() as the explicit two-level union
+    "agg_rollup_grouping": """
+SELECT l_returnflag, 0 AS is_total, count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), 1, count(*) FROM lineitem
+""",
+    # JSON path access through DuckDB's arrow operator instead of the
+    # registry's get_json_object mapping; missing key -> NULL not error
+    "expr_json_extract": """
+SELECT event_id, event_type,
+       CAST(props->>'$.k' AS BIGINT) AS k_val,
+       props->>'$.missing' AS absent
+FROM events WHERE event_id < 2000
+""",
     # semi join as EXISTS (the decorrelated twin of the join-operator form)
     "join_semi": """
 SELECT c_custkey, c_name FROM customer c
