@@ -3118,6 +3118,57 @@ SELECT event_id, event_type,
        props->>'$.missing' AS absent
 FROM events WHERE event_id < 2000
 """,
+    # sample stats from raw power sums (third algorithm vs both
+    # engines' native streaming-update implementations)
+    "agg_stats": """
+WITH sums AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(l_quantity) AS sq, sum(l_quantity * l_quantity) AS sqq,
+           sum(l_discount) AS sd, sum(l_discount * l_discount) AS sdd,
+           sum(l_extendedprice) AS sp,
+           sum(l_extendedprice * l_extendedprice) AS spp,
+           sum(l_quantity * l_extendedprice) AS sqp,
+           min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) AS sd_qty,
+       round((sdd - sd * sd / n) / (n - 1), 6) AS var_disc,
+       round((n * sqp - sq * sp)
+             / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 4)
+           AS corr_qty_price,
+       first_ship, last_ship
+FROM sums
+""",
+    # distinct counts from a pre-deduplicated subquery join instead of
+    # count(DISTINCT) inside the aggregate
+    "agg_distinct": """
+WITH d AS (
+    SELECT o_orderstatus, count(*) AS n_cust
+    FROM (SELECT DISTINCT o_orderstatus, o_custkey FROM orders)
+    GROUP BY o_orderstatus
+),
+t AS (
+    SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, d.n_cust, t.n_orders
+FROM d JOIN t USING (o_orderstatus)
+""",
+    # left outer as matched counts UNION zero rows for unmatched keys
+    "join_left": """
+SELECT n_name, CAST(coalesce(m.c, 0) AS BIGINT) AS n_suppliers
+FROM nation
+LEFT JOIN (SELECT s_nationkey, count(*) AS c FROM supplier GROUP BY 1) m
+       ON m.s_nationkey = n_nationkey
+""",
+    # right outer == the same aggregate keyed from the preserved side
+    "join_right": """
+SELECT n_name, CAST(coalesce(m.c, 0) AS BIGINT) AS n_suppliers
+FROM nation
+LEFT JOIN (SELECT s_nationkey, count(*) AS c FROM supplier GROUP BY 1) m
+       ON m.s_nationkey = n_nationkey
+""",
     # semi join as EXISTS (the decorrelated twin of the join-operator form)
     "join_semi": """
 SELECT c_custkey, c_name FROM customer c
