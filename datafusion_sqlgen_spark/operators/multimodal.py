@@ -391,3 +391,26 @@ def phash_near_dup_pairs(
         cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ingest_binary_files(
+    spark, path: str, id_pattern: str = r"(\d+)\.bin$"
+) -> DataFrame:
+    """Ingest a directory of raw media files through Spark's
+    ``binaryFile`` source — the standard way bulk images/audio enter a
+    cluster (payload bytes stay executor-side; the driver only lists
+    paths). Output matches this module's (id, payload, n_bytes)
+    contract, with the id parsed from the file name.
+
+    At 100 TB the source parallelizes by file; set
+    ``spark.sql.files.maxPartitionBytes`` / use many files so the scan
+    fans out. Filter pushdown works on path/length/modificationTime
+    (e.g. ``.where("length < 10485760")`` never reads oversized blobs).
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.regexp_extract(F.col("path"), id_pattern, 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )

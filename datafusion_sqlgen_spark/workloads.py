@@ -1443,6 +1443,29 @@ def _streaming_rollup_result(s: SparkSession) -> DataFrame:
     return run_bounded_rollup(s, src, work, max_files_per_trigger=1)
 
 
+def _mm_binary_ingest(s: SparkSession) -> DataFrame:
+    """Write the first 40 documents' bytes as individual .bin files
+    (setup), then ingest the directory through the binaryFile source
+    and fingerprint each payload executor-side."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="mm_bin_")
+    rows = (
+        s.table("documents")
+        .where("doc_id < 40 AND text IS NOT NULL")
+        .select("doc_id", "text")
+        .collect()  # 40 small rows: file-writing setup, not compute
+    )
+    for r in rows:
+        with open(os.path.join(work, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    mm = multimodal.ingest_binary_files(s, work)
+    return mm.select(
+        "doc_id", "n_bytes", F.md5(F.col("payload")).alias("payload_md5")
+    )
+
+
 def _streaming_hll_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the streaming-sketch sink: events split
     into 4 parquet files, streamed one file per trigger through
@@ -2087,6 +2110,18 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
         # expansion, so since round 5 a DuckDB md5-replay twin hash-checks
         # mean_intensity (the 64-float vector column is dropped to keep
         # the driver comparison light)
+        # binaryFile-source ingest: raw files written to a dir, read
+        # back through Spark's binary source (payloads never cross the
+        # driver), id parsed from the file name, md5-checked against
+        # the original text bytes (the 40-file write is test setup)
+        "mm_binary_ingest": (
+            _mm_binary_ingest,
+            """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+""",
+        ),
         "mm_feature_extract": (
             lambda s: multimodal.extract_features(
                 multimodal.as_multimodal(s.table("documents"))
