@@ -3204,6 +3204,46 @@ FROM nation
 LEFT JOIN (SELECT s_nationkey, count(*) AS c FROM supplier GROUP BY 1) m
        ON m.s_nationkey = n_nationkey
 """,
+    # HAVING as WHERE over the aggregated subquery
+    "agg_having": """
+SELECT o_custkey, n, spend FROM (
+    SELECT o_custkey, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS spend
+    FROM orders GROUP BY o_custkey
+) WHERE n > 12
+""",
+    # ordered collect via string_agg instead of sort_array(collect_list)
+    "agg_collect": """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+           AS order_keys,
+       count(*) AS n
+FROM orders WHERE o_custkey < 30
+GROUP BY o_custkey
+""",
+    # ranking family recomputed from row_number + group-size arithmetic
+    # (exact because the ordering is a total order: no ties); ntile uses
+    # the SQL big-tiles-first rule explicitly
+    "win_analytic_suite": """
+WITH r AS (
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+           count(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders WHERE o_custkey < 100
+)
+SELECT o_orderkey, o_custkey,
+       CAST(rn AS BIGINT) AS drnk,
+       CAST(CASE
+           WHEN rn <= (n % 4) * (n // 4 + 1)
+               THEN (rn - 1) // (n // 4 + 1) + 1
+           ELSE (n % 4) + ((rn - 1) - (n % 4) * (n // 4 + 1)) // (n // 4) + 1
+       END AS BIGINT) AS quartile,
+       round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank,
+       round(CAST(rn AS DOUBLE) / n, 6) AS cdist
+FROM r
+""",
     # semi join as EXISTS (the decorrelated twin of the join-operator form)
     "join_semi": """
 SELECT c_custkey, c_name FROM customer c
