@@ -2749,79 +2749,76 @@ R4_ADDITIONS: list[str] = [
     "affinity_basket_pairs",
 ]
 
-# The one stale workload the 50-slot budget cannot fit this round:
-# agg_tpch_q1 is the TPC-H-Q1-shaped aggregate whose near-twin tpch_q1
-# went driver-green in r4, and the judge's r5 independent sweep re-ran
-# it green — lowest marginal risk of the 51.  It sits at position 51
-# and MUST lead the r7 rotation.
+# Round-6 deferral bookkeeping (kept for history): agg_tpch_q1 was the
+# one r2-stale row the round-6 50-slot budget could not fit; it leads
+# the stale cohort of the round-7 rotation below.
 R6_DEFERRED: list[str] = ["agg_tpch_q1"]
 
 _SAMPLE_PRIORITY: list[str] = [
-    # Round-6 rotation (VERDICT r5 "Next round" item 1): the 51
-    # workloads whose latest driver sample is round 1 or 2 — the
-    # agg/expr/setop/basic-join core, untouched by the driver while
-    # expressions/, registry and plans/ changed through r3-r5 —
-    # oldest-first.  6 r1-last rows lead, then the 45 r2-last rows;
-    # 51 > 50 slots, so one low-risk row (R6_DEFERRED above) waits at
-    # position 51.  The list was generated programmatically (catalog
-    # keys whose max round over CORRECTNESS_r01..r05 is <= 2 — do not
-    # hand-edit); tests/test_advice_fixes_r3.py regenerates the
-    # arithmetic from the CORRECTNESS files.  No canaries this round:
-    # the 50 rows ARE the freshness debt.
-    # --- last driver-sampled in ROUND 1 ---
-    "subq_exists",
-    "subq_in",
-    "subq_scalar_avg",
-    "win_lag_lead",
-    "win_rank_topn",
-    "win_running_sum",  # also the r5 bench noise suspect — re-measured
-    # --- last driver-sampled in ROUND 2 ---
-    "agg_collect",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_mode_global",
-    "agg_percentiles",
-    "agg_regr_bitwise",
-    "agg_rollup",
-    "agg_rollup_grouping",
-    "agg_stats",
-    "agg_string_agg",
-    "cte_top_customers",
-    "expr_array_funcs",
-    "expr_array_funcs2",
-    "expr_bitwise_unary",
-    "expr_case_in_isnull",
-    "expr_date_funcs",
-    "expr_higher_order",
-    "expr_json_extract",
-    "expr_like_rlike_concat",
-    "expr_math_funcs",
-    "expr_scalar_funcs3",
-    "expr_string_funcs",
-    "expr_struct_field",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_cross_small",
-    "join_full_outer",
-    "join_left",
-    "join_nonequi_range",
-    "join_right",
-    "join_semi",
-    "join_tpch_q5ish",
-    "ref_array_index",
-    "ref_between_scalar_fns",
-    "ref_distinct",
-    "ref_project_cast_arith",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union",
-    "setop_union_all",
+    # Round-7 rotation (VERDICT r6 "Next round" item 1), generated by
+    # `python scripts/rotation_next.py --through-round 6` — do not
+    # hand-edit; tests/test_advice_fixes_r3.py re-runs the tool pinned
+    # to the r6 artifact set and diffs it against this list.  Ordering
+    # is the fixed policy red -> never-driver-sampled -> stale-oldest:
+    # the 16 round-6 additions have the weakest evidence (no driver row
+    # ever), so they outrank the 93-row r3/r4 stale backlog (VERDICT r6
+    # "What's wrong" item 2).
+    # --- never driver-sampled (round-6 additions), catalog order ---
+    "parsed_quantified_forms",
+    "mm_binary_ingest",
+    "dedup_semantic",
+    "sample_token_budget_mix",
+    "text_classifier_score",
+    "profile_hll_registers",
+    "profile_hll_estimate",
+    "profile_cms_heavy_hitters",
+    "profile_quantile_sketch",
+    "dedup_bloom_ngram_decontaminate",
+    "source_orc_roundtrip",
+    "pipeline_semantic_curation",
+    "streaming_dedup_result",
+    "streaming_hll_registers",
+    "sample_leakage_safe_split",
+    "sim_ivf_pq_topk",
+    # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
+    "agg_tpch_q1",
+    # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
+    # the remaining 13 lead the r8 stale cohort together with the 46
+    # r4-last rows — see scripts/rotation_next.py's overflow queue) ---
+    "ref_wildcard",
+    "win_first_last",
+    "win_ignore_nulls_locf",
+    "win_range_frame",
+    "win_analytic_suite",
+    "win_moving_avg",
+    "events_hourly_rollup",
+    "events_sessionize_gap",
+    "cte_recursive_month_spine",
+    "subq_scalar_in_select",
+    "expr_date_parts_trycast",
+    "expr_map_funcs",
+    "lat_explode_words",
+    "unpivot_measures",
+    "lat_topn_per_group",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q9",
+    "tpch_q17",
+    "tpch_q18",
+    "parsed_scan_filter_sort",
+    "parsed_join_agg_having",
+    "parsed_case_in_distinct",
+    "dedup_exact",
+    "dedup_canonical",
+    "dedup_minhash_signatures",
+    "dedup_minhash_buckets",
+    "dedup_minhash_verify",
+    "text_chunk_documents",
+    "sample_stable_hash",
+    "sample_stratified",
+    "ts_gap_fill_hourly",
+    "ts_ohlc_hourly",
     # ---- 50-entry driver sample boundary ----
-    "agg_tpch_q1",  # R6_DEFERRED — leads the r7 rotation
 ]
 
 

@@ -75,42 +75,44 @@ def test_driver_sample_is_exactly_the_first_fifty_priority_names():
     assert first50 == _SAMPLE_PRIORITY[:50]
 
 
-def test_r6_sample_is_exactly_the_stale_tail_oldest_first():
-    """Round-6 rotation goal (VERDICT r5 item 1): the sample window is
-    drawn from exactly the workloads whose latest driver sample is round
-    1 or 2, oldest-first — regenerated here from the CORRECTNESS files,
-    never transcribed.  51 stale rows compete for 50 slots; the single
-    deferred name is pinned in R6_DEFERRED and must sit at position 51
-    so it leads the r7 rotation."""
-    from datafusion_sqlgen_spark.workloads import R6_DEFERRED
-
-    latest = _latest_sample_round()
+def test_r7_sample_is_never_sampled_then_stale_oldest_first():
+    """Round-7 rotation goal (VERDICT r6 item 1): the sample leads with
+    every workload that has NO driver row in CORRECTNESS_r01..r06 (the
+    16 round-6 additions — weakest evidence), then the stale backlog
+    oldest-first (the r6-deferred r2 row, then the r3 tail in catalog
+    order).  Regenerated from the artifact set PINNED to round 6 so the
+    driver dropping CORRECTNESS_r07.json cannot invalidate this test
+    (the r6 verdict's self-invalidation defect)."""
+    latest: dict[str, int] = {}
+    for r in range(1, 7):
+        with open(os.path.join(_REPO, f"CORRECTNESS_r{r:02d}.json")) as f:
+            for name in json.load(f):
+                latest[name] = r
     catalog = list(build_queries())
-    stale = {n for n in catalog if latest.get(n, 99) <= 2}
-    assert len(stale) == 51, f"stale-tail arithmetic moved: {len(stale)}"
-    first50 = catalog[:50]
-    assert set(first50) == stale - set(R6_DEFERRED), (
-        sorted(set(first50) ^ (stale - set(R6_DEFERRED))))
-    # oldest-first: every r1-last row precedes every r2-last row
-    r1_pos = [first50.index(n) for n in first50 if latest[n] == 1]
-    r2_pos = [first50.index(n) for n in first50 if latest[n] == 2]
-    assert max(r1_pos) < min(r2_pos)
-    # the deferred row queues immediately behind the boundary
-    assert catalog[50] == R6_DEFERRED[0] == "agg_tpch_q1"
-    # and nothing in the sample is fresher than round 2
-    assert all(latest[n] <= 2 for n in first50)
+    never = [n for n in catalog if n not in latest]
+    stale = sorted(
+        (n for n in catalog if n in latest),
+        key=lambda n: (latest[n], catalog.index(n)),
+    )
+    expected = (never + stale)[:50]
+    assert catalog[:50] == expected, (
+        [(i, a, b) for i, (a, b) in enumerate(zip(catalog[:50], expected))
+         if a != b])
+    # every never-sampled row made the window
+    assert set(never) <= set(catalog[:50])
 
 
 def test_rotation_tool_agrees_with_current_sample():
-    """scripts/rotation_next.py is the mechanical source for round-7+
-    rotations; while the round-6 CORRECTNESS files are the latest, its
-    computed first-50 must equal the hand-assembled sample (same
-    arithmetic, two implementations)."""
+    """scripts/rotation_next.py is the mechanical source of the sample;
+    run it PINNED to the artifact set the round-7 sample was assembled
+    from (--through-round 6) so a newly-dropped CORRECTNESS_r07+.json
+    cannot self-invalidate the comparison."""
     import subprocess
     import sys
 
     out = subprocess.run(
-        [sys.executable, os.path.join(_REPO, "scripts", "rotation_next.py")],
+        [sys.executable, os.path.join(_REPO, "scripts", "rotation_next.py"),
+         "--through-round", "6"],
         capture_output=True, text=True, timeout=120,
     )
     assert out.returncode == 0, out.stderr[-500:]
@@ -128,13 +130,17 @@ def test_rotation_tool_agrees_with_current_sample():
 
 
 def test_no_workload_has_ever_finished_red():
-    """As of r5 every workload's most recent driver check is green; keep
-    it that way — a red row here means a regression the rotation must
-    prioritize over freshness."""
+    """Every workload's most recent driver check must be green; a red
+    row means a regression the rotation must prioritize over freshness.
+    Globs ALL CORRECTNESS files (the r6 verdict flagged the previous
+    hardcoded range(1, 6) for silently ignoring r6+)."""
+    import glob
+
     latest_row: dict = {}
-    for r in range(1, 6):
-        with open(os.path.join(_REPO, f"CORRECTNESS_r{r:02d}.json")) as f:
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
             latest_row.update(json.load(f))  # later rounds win
+    assert len(latest_row) >= 193  # r1..r6 union; grows monotonically
     stuck_red = sorted(
         n for n, row in latest_row.items()
         if n in build_queries() and not row.get("hash_match")
