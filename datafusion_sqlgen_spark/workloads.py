@@ -1466,6 +1466,20 @@ def _mm_binary_ingest(s: SparkSession) -> DataFrame:
     )
 
 
+def _mm_phash_pairs(s: SparkSession) -> DataFrame:
+    """Perceptual near-dup pairs over documents plus a doc_id+10M twin
+    copy (planted exact duplicates keep the result non-empty at every
+    SF — the 0-row trivially-green-trap rule). max_hamming=32 exceeds
+    n_chunks-1, so the output contract deliberately includes the LSH
+    band predicate; the oracle states the same predicate."""
+    docs = s.table("documents").select("doc_id", "text")
+    twin = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    mm = multimodal.as_multimodal(docs.unionByName(twin))
+    return multimodal.phash_near_dup_pairs(mm, max_hamming=32, n_chunks=4)
+
+
 def _streaming_hll_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the streaming-sketch sink: events split
     into 4 parquet files, streamed one file per trigger through
@@ -2130,6 +2144,16 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
         ),
         # multimodal frame sampling: JVM-side explode of the frame index,
         # duration derived from payload size -> fully oracle-checkable
+        # perceptual-hash near-dup pairs (the last pytest-only
+        # capability until round 7): aHash over the deterministic fake
+        # decode, 16-bit LSH banding, popcount verify — the DuckDB twin
+        # replays the md5 pixel stream and states the band predicate
+        # explicitly; a doc_id+10M twin copy plants exact duplicates so
+        # the result is non-empty at every SF
+        "mm_phash_pairs": (
+            _mm_phash_pairs,
+            multimodal.phash_pairs_oracle(),
+        ),
         "mm_frame_sample": (
             lambda s: multimodal.sample_frames(
                 multimodal.as_multimodal(s.table("documents"))
@@ -2780,6 +2804,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "streaming_hll_registers",
     "sample_leakage_safe_split",
     "sim_ivf_pq_topk",
+    # mm_phash_pairs is a ROUND-7 addition (VERDICT r6 item 4) — never
+    # sampled by definition, so the policy puts it ahead of the stale
+    # cohort too
+    "mm_phash_pairs",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -2817,8 +2845,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "sample_stable_hash",
     "sample_stratified",
     "ts_gap_fill_hourly",
-    "ts_ohlc_hourly",
     # ---- 50-entry driver sample boundary ----
+    # ts_ohlc_hourly (r3) was displaced by the mm_phash_pairs addition;
+    # it leads the r8 stale cohort with the other 13 r3 leftovers
 ]
 
 
@@ -3428,6 +3457,294 @@ WHERE o.o_orderstatus = 'F'
 GROUP BY s.s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 100
+""",
+    # ---- round-7 campaign (VERDICT r6 item 2): independent
+    # formulations for every r7-sampled row whose oracle was
+    # IR-generated — correlated-scalar-subquery Q1, list-slice
+    # moving averages, epoch-arithmetic hour buckets, tuple-ordered
+    # LIMIT-1 lag, strftime date parts, hand-constant-folded map
+    # literals, UNION-ALL unpivot, max-join greatest-per-group,
+    # pre-aggregated-min TPC-H Q2, row_number top-k, filtered-
+    # subquery HAVING, and boolean-arithmetic bucket indexing ----
+    # TPC-H Q1 via correlated scalar subqueries per distinct group —
+    # the oracle never runs a GROUP BY over the measures at all
+    "agg_tpch_q1": """
+WITH g AS (
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+  (SELECT CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+   FROM lineitem li WHERE li.l_returnflag = g.l_returnflag
+     AND li.l_linestatus = g.l_linestatus
+     AND li.l_shipdate <= TIMESTAMP '2024-11-01 00:00:00') AS sum_qty,
+  (SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+   FROM lineitem li WHERE li.l_returnflag = g.l_returnflag
+     AND li.l_linestatus = g.l_linestatus
+     AND li.l_shipdate <= TIMESTAMP '2024-11-01 00:00:00') AS sum_base_price,
+  (SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+   FROM lineitem li WHERE li.l_returnflag = g.l_returnflag
+     AND li.l_linestatus = g.l_linestatus
+     AND li.l_shipdate <= TIMESTAMP '2024-11-01 00:00:00') AS sum_disc_price,
+  (SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                         * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE)
+   FROM lineitem li WHERE li.l_returnflag = g.l_returnflag
+     AND li.l_linestatus = g.l_linestatus
+     AND li.l_shipdate <= TIMESTAMP '2024-11-01 00:00:00') AS sum_charge,
+  (SELECT round(avg(l_quantity), 4)
+   FROM lineitem li WHERE li.l_returnflag = g.l_returnflag
+     AND li.l_linestatus = g.l_linestatus
+     AND li.l_shipdate <= TIMESTAMP '2024-11-01 00:00:00') AS avg_qty,
+  (SELECT round(avg(l_discount), 4)
+   FROM lineitem li WHERE li.l_returnflag = g.l_returnflag
+     AND li.l_linestatus = g.l_linestatus
+     AND li.l_shipdate <= TIMESTAMP '2024-11-01 00:00:00') AS avg_disc,
+  (SELECT count(*)
+   FROM lineitem li WHERE li.l_returnflag = g.l_returnflag
+     AND li.l_linestatus = g.l_linestatus
+     AND li.l_shipdate <= TIMESTAMP '2024-11-01 00:00:00') AS count_order
+FROM g
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+""",
+    # wildcard expansion written out by hand; filter as NOT(negation)
+    "ref_wildcard": """
+SELECT r_regionkey, r_name FROM region WHERE NOT (r_regionkey >= 4)
+""",
+    # moving average from ordered per-user arrays and list slices, not a
+    # window frame
+    "win_moving_avg": """
+WITH u AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS vs,
+           list(event_id ORDER BY ts, event_id) AS ids
+    FROM events GROUP BY user_id
+),
+x AS (
+    SELECT unnest(ids) AS event_id,
+           unnest(vs) AS v,
+           generate_subscripts(ids, 1) AS i,
+           vs
+    FROM u
+)
+SELECT event_id,
+       round(list_aggregate(vs[CASE WHEN i > 3 THEN i - 3 ELSE 1 END : i],
+                            'avg'), 4) AS avg_4
+FROM x
+""",
+    # hour bucket from integer epoch arithmetic instead of date_trunc
+    "events_hourly_rollup": """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+            AS TIMESTAMP) AS hour,
+       event_type,
+       CAST(sum(1) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    # previous-event timestamp via a correlated tuple-ordered LIMIT 1
+    # subquery instead of lag()
+    "events_sessionize_gap": """
+SELECT event_id, user_id,
+       CASE WHEN epoch(ts) - epoch(
+                (SELECT e2.ts FROM events e2
+                 WHERE e2.user_id = e.user_id
+                   AND (e2.ts, e2.event_id) < (e.ts, e.event_id)
+                 ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1)) > 1800
+            THEN 1 ELSE 0 END AS new_session
+FROM events e
+""",
+    # date parts from strftime formatting, month end from interval
+    # arithmetic, try_cast from a regex guard
+    "expr_date_parts_trycast": """
+SELECT o_orderkey,
+       CAST(strftime(o_orderdate, '%w') AS INTEGER) + 1 AS dow,
+       CAST(strftime(o_orderdate, '%j') AS INTEGER) AS doy,
+       CAST(strftime(o_orderdate, '%V') AS INTEGER) AS woy,
+       (CAST(strftime(o_orderdate, '%m') AS INTEGER) + 2) // 3 AS q,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+            + INTERVAL 1 MONTH - INTERVAL 1 DAY AS TIMESTAMP) AS month_end,
+       CASE WHEN regexp_matches(o_orderstatus, '^[+-]?[0-9]+$')
+            THEN CAST(o_orderstatus AS INTEGER) END AS bad_cast,
+       CAST(40 + 2 AS INTEGER) AS good_cast
+FROM orders WHERE o_orderkey < 500
+""",
+    # the map literal is constant-foldable by hand: every output is a
+    # direct expression over the row, no map functions at all
+    "expr_map_funcs": """
+SELECT o_orderkey,
+       o_orderstatus AS st,
+       CAST(NULL AS VARCHAR) AS missing,
+       CAST(2 AS INTEGER) AS n_entries,
+       'st,pri' AS ks,
+       TRUE AS has_pri
+FROM orders WHERE o_orderkey < 500
+""",
+    # tokens via regexp_extract_all of non-space runs instead of
+    # split + unnest + length filter
+    "lat_explode_words": """
+SELECT word, count(*) AS n
+FROM (
+    SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS word
+    FROM documents WHERE doc_id < 50
+)
+GROUP BY word
+ORDER BY n DESC NULLS LAST, word ASC NULLS FIRST
+LIMIT 50
+""",
+    # manual unpivot: UNION ALL of one SELECT per measure
+    "unpivot_measures": """
+WITH a AS (
+    SELECT c_nationkey,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS m_bal,
+           CAST(count(*) AS DOUBLE) AS m_cnt,
+           CAST(round(max(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS m_max
+    FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'm_bal' AS measure, m_bal AS val FROM a
+UNION ALL
+SELECT c_nationkey, 'm_cnt' AS measure, m_cnt AS val FROM a
+UNION ALL
+SELECT c_nationkey, 'm_max' AS measure, m_max AS val FROM a
+ORDER BY c_nationkey ASC NULLS FIRST, measure ASC NULLS FIRST
+""",
+    # greatest-per-group via max-join + min-custkey tie-break, no
+    # LATERAL and no window
+    "lat_topn_per_group": """
+WITH m AS (
+    SELECT c_nationkey, max(c_acctbal) AS mb FROM customer GROUP BY 1
+),
+b AS (
+    SELECT c.c_nationkey, c.c_name, c.c_acctbal, c.c_custkey
+    FROM customer c JOIN m
+      ON c.c_nationkey = m.c_nationkey AND c.c_acctbal = m.mb
+),
+best AS (
+    SELECT * FROM b
+    WHERE c_custkey = (SELECT min(b2.c_custkey) FROM b b2
+                       WHERE b2.c_nationkey = b.c_nationkey)
+)
+SELECT n_name, best.c_name AS top_customer,
+       round(CAST(best.c_acctbal AS DOUBLE), 2) AS top_balance
+FROM nation JOIN best ON n_nationkey = best.c_nationkey
+ORDER BY n_name ASC NULLS FIRST
+""",
+    # min-cost via a pre-aggregated per-part min table joined back in,
+    # instead of the correlated scalar subquery
+    "tpch_q2": """
+WITH eur AS (
+    SELECT l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+mc AS (
+    SELECT l_partkey AS pk, min(l_extendedprice) AS min_cost
+    FROM eur GROUP BY 1
+)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       l_extendedprice AS supplycost
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN mc ON mc.pk = p_partkey AND l_extendedprice = mc.min_cost
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+  AND r_name = 'EUROPE'
+ORDER BY s_acctbal DESC NULLS LAST, n_name ASC NULLS FIRST,
+         s_name ASC NULLS FIRST, p_partkey ASC NULLS FIRST
+LIMIT 100
+""",
+    # revenue aggregated per order from lineitem ALONE first (decimal
+    # sums are exact, so pre-aggregation is safe), then joined out
+    "tpch_q3": """
+WITH rev AS (
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+FROM rev
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
+         l_orderkey ASC NULLS FIRST
+LIMIT 10
+""",
+    # profit as a DIFFERENCE of two exact decimal sums (sum(a-b) ==
+    # sum(a)-sum(b) in decimal); year from strftime; LIKE not contains
+    "tpch_q9": """
+SELECT n_name AS nation,
+       CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                  - sum(CAST(p_retailprice AS DECIMAL(18,4))
+                        * CAST(l_quantity AS DECIMAL(18,4))
+                        * CAST(0.1 AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(strftime(o_orderdate, '%Y') AS BIGINT)
+ORDER BY nation ASC NULLS FIRST, o_year DESC NULLS LAST
+""",
+    # top-50 via row_number arithmetic instead of ORDER BY ... LIMIT
+    "parsed_scan_filter_sort": """
+WITH r AS (
+    SELECT c_custkey, c_name, c_acctbal,
+           row_number() OVER (ORDER BY c_acctbal DESC NULLS LAST,
+                              c_custkey ASC NULLS FIRST) AS rn
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING')
+      AND c_acctbal >= 100 AND c_acctbal <= 5000
+)
+SELECT c_custkey, c_name, c_acctbal FROM r WHERE rn <= 50
+ORDER BY rn
+""",
+    # HAVING as a filtered subquery; orders pre-aggregated per customer
+    # first (counts and decimal sums re-aggregate exactly)
+    "parsed_join_agg_having": """
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+seg AS (
+    SELECT c_mktsegment,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+    FROM customer JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_orders, revenue FROM seg
+WHERE n_orders > 10
+ORDER BY c_mktsegment ASC NULLS FIRST
+""",
+    # bucket from boolean arithmetic list-indexing, not a CASE chain;
+    # IN-list as disjunction; DISTINCT as GROUP BY
+    "parsed_case_in_distinct": """
+SELECT o_orderstatus,
+       list_extract(['small', 'mid', 'big'],
+                    1 + CAST(coalesce(o_totalprice > 50000, FALSE) AS INTEGER)
+                      + CAST(coalesce(o_totalprice > 200000, FALSE) AS INTEGER))
+           AS bucket
+FROM orders
+WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
+GROUP BY 1, 2
+ORDER BY o_orderstatus ASC NULLS FIRST, bucket ASC NULLS FIRST
 """,
 }
 

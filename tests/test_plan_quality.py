@@ -784,3 +784,16 @@ def test_bloom_ngram_packed_filter_is_single_row_broadcast(spark, queries):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # vs the 1-row packed filter
+
+
+def test_phash_pairs_banded_equi_join_no_all_pairs(spark, queries):
+    """phash_near_dup_pairs must generate candidates through the 16-bit
+    band equi-join — never an all-pairs product over the corpus. The
+    hamming verify runs on candidates only, JVM-side (no Python eval
+    after the mapInPandas hash)."""
+    plan = queries["mm_phash_pairs"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(ci" in plan or "ci#" in plan  # band keys join
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 2
