@@ -63,21 +63,33 @@ def as_multimodal(
 
 
 def decode_real(payload: bytes, mime: str, n: int = 64) -> list:
-    """Real image decode behind an OPTIONAL import (round-6 VERDICT item
-    7): when Pillow is installed, decode ``payload`` (PNG/JPEG/anything
-    PIL reads), convert to grayscale, resample to an ~sqrt(n) grid and
-    return exactly ``n`` pixels normalized to [0, 1] — the same shape
-    contract as :func:`decode_fake`, so the two are drop-in swappable in
-    ``extract_features``.  Audio/video mimes still need
-    soundfile/PyAV and raise.
+    """Real media decode behind OPTIONAL imports (round-6 VERDICT items
+    7 and r6 "Next round" 6): image mimes decode through Pillow
+    (grayscale, resample to an ~sqrt(n) grid), audio mimes through
+    soundfile (mono mix, n equal-width window means mapped from [-1, 1]
+    to [0, 1]) — both return exactly ``n`` floats in [0, 1], the same
+    shape contract as :func:`decode_fake`, so every path is drop-in
+    swappable in ``extract_features``.  Video mimes still need PyAV and
+    raise.
 
-    Without Pillow (this container ships no media libraries) the call
-    raises ``NotImplementedError`` with the install hint;
-    ``decode_fake`` remains the deterministic oracle-checkable path."""
+    Without the relevant library (this container ships no media
+    libraries) the call raises ``NotImplementedError`` with the install
+    hint; ``decode_fake`` remains the deterministic oracle-checkable
+    path."""
+    if mime and mime.startswith("audio/"):
+        try:
+            import soundfile  # noqa: F401 — availability probe only
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile, which this "
+                "environment does not ship — use decode_fake "
+                "(deterministic) or `pip install soundfile`"
+            ) from exc
+        return _make_local_audio_decoder()(payload, n)
     if mime and not mime.startswith("image/"):
         raise NotImplementedError(
-            f"decode_real handles images only (got {mime!r}); wire "
-            "soundfile/PyAV here for audio/video"
+            f"decode_real handles image/* and audio/* (got {mime!r}); "
+            "wire PyAV here for video"
         )
     try:
         from PIL import Image  # noqa: F401 — availability probe only
@@ -158,6 +170,42 @@ def _make_local_real_decoder():
         img = Image.open(io.BytesIO(bytes(payload))).convert("L")
         px = list(img.resize((side, height)).getdata())[:n]
         return px + [0] * (n - len(px))
+
+    return decode
+
+
+def _make_local_audio_decoder():
+    """soundfile-backed audio twin of :func:`_make_local_real_decoder`:
+    mono-mixes the waveform and reduces it to ``n`` equal-width window
+    means, mapped from [-1, 1] to the [0, 1] feature range.  Driver-side
+    import fails fast with the install hint when soundfile is absent;
+    executors re-import inside the closure (pickled by value)."""
+    try:
+        import soundfile  # noqa: F401 — fail fast on the driver
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decoding requires soundfile — `pip install "
+            "soundfile` or use the default fake decoder"
+        ) from exc
+
+    def decode(payload, n: int):
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        data, _rate = sf.read(io.BytesIO(bytes(payload)), dtype="float64")
+        if data.ndim > 1:  # channel mix-down
+            data = data.mean(axis=1)
+        if data.size == 0:
+            return [0.0] * n
+        # n equal-width windows over the waveform; mean per window
+        edges = np.linspace(0, data.size, n + 1).astype(int)
+        out = []
+        for a, b in zip(edges[:-1], edges[1:]):
+            seg = data[a:b] if b > a else data[min(a, data.size - 1):][:1]
+            out.append(float(np.clip((seg.mean() + 1.0) / 2.0, 0.0, 1.0)))
+        return out
 
     return decode
 

@@ -88,9 +88,56 @@ def test_decode_real_decodes_png():
     assert len(out) == 16
     assert all(0.0 <= v <= 1.0 for v in out)
     assert out == mm.decode_real(png, "image/png", n=16)
-    # non-image mimes still raise toward the audio/video TODO
-    with pytest.raises(NotImplementedError, match="images only"):
-        mm.decode_real(png, "audio/wav")
+    # video mimes still raise toward the PyAV TODO
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mm.decode_real(png, "video/mp4")
+
+
+def _tiny_wav(samples, rate=8000):
+    """Mono 16-bit PCM WAV from stdlib bytes — no media libs needed to
+    BUILD the fixture, only to decode it."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(s * 32767)) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_real_audio_without_soundfile_raises_with_hint():
+    """Where soundfile is absent the optional-import audio path must
+    fail with the actionable NotImplementedError, not an ImportError
+    (round-6 VERDICT item 6, mirroring the Pillow pattern)."""
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("soundfile installed — covered by the decode test")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        mm.decode_real(b"xx", "audio/wav")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        mm._make_local_audio_decoder()
+
+
+def test_decode_real_decodes_wav():
+    """Skip-gated real-audio path: with soundfile installed, decode_real
+    reads a stdlib-built PCM WAV and honors the decode_fake shape
+    contract (length n, values in [0,1], deterministic); a constant
+    positive waveform must land above the 0.5 midpoint."""
+    pytest.importorskip("soundfile")
+    wav = _tiny_wav([0.5] * 64 + [-0.5] * 64)
+    out = mm.decode_real(wav, "audio/wav", n=16)
+    assert len(out) == 16
+    assert all(0.0 <= v <= 1.0 for v in out)
+    assert out == mm.decode_real(wav, "audio/wav", n=16)
+    assert out[0] > 0.5 > out[-1]
 
 
 def test_resize_and_frames(spark):
