@@ -165,6 +165,10 @@ HEADLINE = [
     # full IVF-PQ composition: coarse probe -> fixed-point ADC over PQ
     # codes -> exact re-rank; corpus never shuffles
     "sim_ivf_pq_topk",
+    # round-7 additions
+    "mm_phash_pairs",
+    "profile_theta_setops",
+    "dedup_substring_spans",
 ]
 
 

@@ -1485,3 +1485,110 @@ def bloom_ngram_decontaminate_oracle(
     )
     SELECT f.{id_col}, f.bloom_hit, e.exact_dup
     FROM flags f JOIN exact e USING ({id_col})"""
+
+
+def substring_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Cross-document duplicated-substring statistics — the exact-
+    substring half of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" (arXiv:2107.06499), at span
+    granularity: a fixed-length character gram every ``stride``
+    characters, flagged when the identical gram occurs in MORE THAN ONE
+    document.  Output per doc: ``(id, n_spans, n_dup_spans, dup_frac)``
+    — the curation signal ("drop/trim docs that are mostly boilerplate
+    shared with other docs") without the suffix-array machinery the
+    paper builds single-node.
+
+    Scale shape: span generation is a JVM-side sequence+explode
+    projection (expansion factor ~len/stride, the documented cost);
+    the shuffle key is a 52-bit md5-derived hash (8 bytes), never the
+    span text; gram counting is a map-side-combining groupBy; the
+    span→count join shuffles on the same hash key.  Boilerplate-heavy
+    corpora skew the hottest gram keys — the count aggregation combines
+    map-side so the skew reaches the shuffle as one row per (partition,
+    gram), and AQE skew-join handles the join back.  MD5-derived grams
+    keep the whole pipeline DuckDB-oracle-checkable."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    ln = F.length(F.col(text_col))
+    offs = F.sequence(F.lit(0), ln - F.lit(gram_len), F.lit(stride))
+    spans = (
+        df.where(F.col(text_col).isNotNull() & (ln >= gram_len))
+        .select(F.col(id_col), F.explode(offs).alias("off"), F.col(text_col))
+        .select(
+            F.col(id_col),
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring({text_col}, off + 1, {gram_len})")),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("bigint").alias("gh"),
+        )
+    )
+    gcounts = spans.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    per_doc = (
+        spans.join(gcounts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("__ndocs") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        _stable_round(
+            F.col("n_dup_spans").cast("double")
+            / F.col("n_spans").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def substring_span_stats_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 40,
+    stride: int = 10,
+) -> str:
+    """DuckDB twin: identical offsets (range stop is exclusive, Spark's
+    sequence stop inclusive — hence the +1), identical md5-substr gram
+    hash, identical integer counts, identical float division + floor
+    rounding."""
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    frac = _duck_round(
+        "CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / CAST(count(*) AS DOUBLE)", 6)
+    return f"""
+WITH spans AS (
+    SELECT {id_col},
+           CAST(concat('0x', substr(md5(substr({text_col},
+                CAST(o AS INTEGER) + 1, {gram_len})), 1, 13)) AS BIGINT) AS gh
+    FROM {table},
+         unnest(range(0, length({text_col}) - {gram_len} + 1, {stride}))
+             AS t(o)
+    WHERE {text_col} IS NOT NULL AND length({text_col}) >= {gram_len}
+),
+gc AS (
+    SELECT gh, count(DISTINCT {id_col}) AS ndocs FROM spans GROUP BY gh
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       {frac} AS dup_frac
+FROM spans JOIN gc USING (gh)
+GROUP BY {id_col}
+"""

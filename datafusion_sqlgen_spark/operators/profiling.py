@@ -831,3 +831,190 @@ def binned_quantiles_oracle(
     SELECT {group_col}, CAST(max(n) AS BIGINT) AS n, {cols}
     FROM cum JOIN tot USING ({group_col})
     GROUP BY {group_col}"""
+
+
+# ---------------------------------------------------------------------------
+# KMV theta sketch: mergeable distinct sketches that, unlike HLL, support
+# SET-OPERATION estimates (intersection/difference) — the sketch family
+# behind Apache DataSketches' theta sketches (Dasgupta et al., "Theta-
+# Sketch Framework", and Beyer et al. 2007's KMV estimator).  State is
+# the k smallest distinct md5-derived 52-bit hash values per group:
+# KB-sized, union-mergeable (k-min of concatenated k-min lists), and —
+# because the hash is deterministic — bit-identical in any engine, so
+# estimates are oracle-checkable exactly like the portable HLL above.
+# ---------------------------------------------------------------------------
+
+_THETA_K = 64
+_THETA_HBITS = 52  # 13 md5 hex digits -> uniform in [0, 2^52)
+_THETA_FULL = 1 << _THETA_HBITS
+
+
+def _theta_hash_col(key_col: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+
+
+def theta_sketch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = _THETA_K,
+) -> DataFrame:
+    """Per-group KMV theta sketch: ``(group, ks)`` where ``ks`` is the
+    sorted k smallest DISTINCT 52-bit hashes of ``key_col``.
+
+    Two-level reduction so the per-group shuffle is bounded: level 0
+    computes candidate k-mins per (group, input partition) — partition-
+    local, so the level-1 exchange carries at most ``k * P`` rows per
+    group instead of every distinct key.  Level 0's ``collect_set``
+    holds that partition's distinct hashes during the fold; a
+    production-hardened tier would swap in a bounded JVM UDAF
+    (DataSketches' ThetaSketch UDAF) — the documented trade for staying
+    dependency-free here.  The RESULT is partitioning-independent: the
+    global k-min of distinct values equals the k-min of the union of
+    partition k-mins."""
+    lvl0 = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col),
+            _theta_hash_col(key_col).alias("h"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .groupBy(group_col, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+    )
+    return (
+        lvl0.select(group_col, F.explode("ks").alias("h"))
+        .groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+    )
+
+
+def theta_merge(sketches: DataFrame, k: int = _THETA_K) -> DataFrame:
+    """Union-merge per-group sketches into ONE sketch: k smallest of the
+    concatenated retained sets — the lossless KMV merge law (merging
+    shard sketches equals sketching the shard union), proven in tests by
+    sketching disjoint shards and comparing against a build-once run."""
+    return (
+        sketches.select(F.explode("ks").alias("h"))
+        .distinct()
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+    )
+
+
+def _theta_threshold(ks: Column, k: int) -> Column:
+    """The sketch's theta as an INTEGER hash threshold: the k-th
+    smallest retained hash when full, else 2^52 (exact mode — the
+    sketch saw fewer than k distinct keys and retains all of them)."""
+    return (
+        F.when(F.size(ks) < k, F.lit(_THETA_FULL))
+        .otherwise(F.element_at(ks, k))
+        .cast("bigint")
+    )
+
+
+def theta_set_estimates(
+    sketches: DataFrame,
+    group_col: str = "event_type",
+    k: int = _THETA_K,
+) -> DataFrame:
+    """Pairwise INTERSECTION and UNION distinct estimates from per-group
+    sketches — the operation HLL registers cannot express.  For a pair
+    (A, B): theta = min(theta_A, theta_B); common = |{h in ka ∩ kb :
+    h < theta}|; est_common = common * 2^52 / theta.  Union k-mins come
+    from the merged retained sets (exact k smallest of A ∪ B — every
+    missing hash is >= its own sketch's theta >= the merged k-th);
+    est_union = (k-1) * 2^52 / theta_u, or the exact merged size when
+    under k.  Every input to the float division is integer-exact, so
+    both engines compute identical doubles (same discipline as the
+    portable HLL estimate)."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    a = sketches.select(
+        F.col(group_col).alias("type_a"), F.col("ks").alias("ka")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("type_b"), F.col("ks").alias("kb")
+    )
+    pairs = a.crossJoin(b).where(F.col("type_a") < F.col("type_b"))
+    theta = F.least(
+        _theta_threshold(F.col("ka"), k), _theta_threshold(F.col("kb"), k)
+    )
+    th = F.col("__theta")
+    common = F.size(
+        F.filter(F.array_intersect("ka", "kb"), lambda x: x < th)
+    )
+    est_common = _stable_round(
+        common.cast("double") * F.lit(float(_THETA_FULL)) / th.cast("double"),
+        4,
+    )
+    merged = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, k)
+    mth = _theta_threshold(F.col("__merged"), k)
+    est_union = F.when(
+        F.size("__merged") < k, F.size("__merged").cast("double")
+    ).otherwise(
+        _stable_round(
+            F.lit(float(k - 1)) * F.lit(float(_THETA_FULL))
+            / mth.cast("double"),
+            4,
+        )
+    )
+    return (
+        pairs.withColumn("__theta", theta)
+        .withColumn("__merged", merged)
+        .select(
+            "type_a",
+            "type_b",
+            est_common.alias("est_common"),
+            est_union.alias("est_union"),
+        )
+    )
+
+
+def theta_estimates_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = _THETA_K,
+) -> str:
+    """DuckDB twin: replay the k-min-distinct state and the identical
+    integer-threshold arithmetic (list_intersect/list_filter stand in
+    for Spark's array ops; the estimates divide the same exact
+    integers, so doubles match bit-for-bit)."""
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    full = _THETA_FULL
+    return f"""
+WITH h AS (
+    SELECT DISTINCT {group_col} AS g,
+           CAST(concat('0x', substr(md5(CAST({key_col} AS VARCHAR)), 1, 13))
+                AS BIGINT) AS h
+    FROM {table} WHERE {key_col} IS NOT NULL
+),
+sk AS (
+    SELECT g, (list(h ORDER BY h))[1:{k}] AS ks FROM h GROUP BY g
+),
+pairs AS (
+    SELECT a.g AS type_a, b.g AS type_b, a.ks AS ka, b.ks AS kb,
+           least(
+               CASE WHEN len(a.ks) < {k} THEN {full} ELSE a.ks[{k}] END,
+               CASE WHEN len(b.ks) < {k} THEN {full} ELSE b.ks[{k}] END
+           ) AS theta
+    FROM sk a JOIN sk b ON a.g < b.g
+),
+calc AS (
+    SELECT type_a, type_b, theta,
+           len(list_filter(list_intersect(ka, kb), x -> x < theta))
+               AS common,
+           list_sort(list_distinct(ka || kb))[1:{k}] AS merged
+    FROM pairs
+)
+SELECT type_a, type_b,
+       {_duck_round(f"CAST(common AS DOUBLE) * CAST({full} AS DOUBLE) / CAST(theta AS DOUBLE)", 4)}
+           AS est_common,
+       CASE WHEN len(merged) < {k} THEN CAST(len(merged) AS DOUBLE)
+            ELSE {_duck_round(f"CAST({k - 1} AS DOUBLE) * CAST({full} AS DOUBLE) / CAST(merged[{k}] AS DOUBLE)", 4)}
+       END AS est_union
+FROM calc
+"""

@@ -2389,6 +2389,25 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: profiling.binned_quantiles(s.table("events")),
             profiling.binned_quantiles_oracle(),
         ),
+        # KMV theta sketch (fourth mergeable family): pairwise
+        # INTERSECTION + UNION distinct estimates — the set operation
+        # HLL registers cannot express; md5-derived k-min state makes
+        # the estimates engine-identical (integer thresholds into IEEE
+        # division). Merge law + error bound proven in tests.
+        "profile_theta_setops": (
+            lambda s: profiling.theta_set_estimates(
+                profiling.theta_sketch(s.table("events"))
+            ),
+            profiling.theta_estimates_oracle(),
+        ),
+        # Lee-et-al-style cross-document duplicated-substring spans:
+        # fixed-length char grams every stride chars, flagged when the
+        # gram occurs in >1 doc; per-doc dup fraction is the curation
+        # signal. Shuffle key is the 52-bit gram hash, never span text.
+        "dedup_substring_spans": (
+            lambda s: dedup.substring_span_stats(s.table("documents")),
+            dedup.substring_span_stats_oracle(),
+        ),
         # GPT-3/PaLM-style n-gram decontamination through a broadcast
         # Bloom bit array: the training-side membership test is a pure
         # in-row projection (no train-side shuffle at all); exact

@@ -1017,3 +1017,70 @@ def test_ivf_pq_topk_laws(spark):
     approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall > 0.2, recall  # nprobe=2/8 cells; sanity floor
+
+
+# ---- substring-span dedup (round 7) ----
+
+
+def test_substring_spans_basic_planted(spark):
+    """Two docs sharing an exact 40-char run are both flagged; a doc
+    with unique text has dup_frac 0."""
+    shared = "x" * 17 + "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG " * 2
+    rows = [
+        (1, "aaa " + shared + " unique-tail-one-1111"),
+        (2, "bbb " + shared + " unique-tail-two-2222"),
+        (3, "entirely different text with no forty-char overlap at all "
+            "padded padded padded padded padded padded"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.substring_span_stats(df).collect()}
+    assert out[1]["n_dup_spans"] > 0
+    assert out[2]["n_dup_spans"] > 0
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["dup_frac"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert r["n_dup_spans"] <= r["n_spans"]
+
+
+def test_substring_spans_within_doc_repeat_not_cross_doc(spark):
+    """A doc that repeats ITS OWN substring is not cross-doc duplicated
+    — the flag requires > 1 distinct doc."""
+    df = spark.createDataFrame(
+        [(1, ("self-repeating block! " * 10))], ["doc_id", "text"]
+    )
+    out = dedup.substring_span_stats(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_dup_spans"] == 0
+
+
+def test_substring_spans_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, None)], ["doc_id", "text"]
+    )
+    assert dedup.substring_span_stats(df).collect() == []
+
+
+def test_substring_spans_span_count_arithmetic(spark):
+    """n_spans = floor((len - gram_len) / stride) + 1 for len >=
+    gram_len — the offsets contract the DuckDB twin replays."""
+    text = "z" * 100
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = dedup.substring_span_stats(df, gram_len=40, stride=10).collect()
+    assert out[0]["n_spans"] == (100 - 40) // 10 + 1
+
+
+def test_substring_spans_plan_shuffles_hash_not_text(spark):
+    """The exchanges must carry the 52-bit gram hash, never the span
+    text: no 'substring(' appears in any Exchange-adjacent projection
+    output — spans are hashed in the same projection that creates
+    them, before any shuffle."""
+    df = spark.table("documents")
+    plan = dedup.substring_span_stats(df)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # span text reduced to gh before the exchange: the shuffle keys are
+    # gh / doc_id
+    assert "hashpartitioning(gh" in plan

@@ -255,3 +255,98 @@ def test_quantile_sketch_state_bounded(spark):
     n_state = profiling.binned_quantile_sketch(ev).count()
     n_groups = ev.select("event_type").distinct().count()
     assert n_state <= n_groups * (int(hi * profiling._QSK_SCALE) + 1)
+
+
+# ---- KMV theta sketch (round 7) ----
+
+
+def test_theta_merge_equals_global(spark):
+    """KMV union law: the k-min of per-group sketch k-mins equals the
+    k-min built over the ungrouped data — shard sketches merge
+    losslessly (exact list equality, not estimate tolerance)."""
+    ev = spark.table("events").where(F.col("user_id").isNotNull())
+    per_type = profiling.theta_sketch(ev, "user_id", "event_type")
+    merged = profiling.theta_merge(per_type).collect()[0]["ks"]
+    whole = profiling.theta_sketch(
+        ev.withColumn("__all", F.lit("all")), "user_id", "__all"
+    ).collect()[0]["ks"]
+    assert merged == whole
+
+
+def test_theta_sketch_partitioning_invariant(spark):
+    """The two-level reduction must be partitioning-independent: the
+    same data at 1 partition and at 32 partitions yields identical
+    sketches (the level-0 spark_partition_id is an implementation
+    detail, not a semantic input)."""
+    ev = spark.table("events").where(F.col("user_id").isNotNull())
+    one = {
+        r["event_type"]: r["ks"]
+        for r in profiling.theta_sketch(ev.coalesce(1)).collect()
+    }
+    many = {
+        r["event_type"]: r["ks"]
+        for r in profiling.theta_sketch(ev.repartition(32)).collect()
+    }
+    assert one == many
+
+
+def test_theta_sketch_state_bounded_and_sorted(spark):
+    rows = profiling.theta_sketch(spark.table("events")).collect()
+    assert rows
+    for r in rows:
+        assert len(r["ks"]) <= profiling._THETA_K
+        assert r["ks"] == sorted(r["ks"])
+        assert len(set(r["ks"])) == len(r["ks"])  # distinct
+        assert all(0 <= h < profiling._THETA_FULL for h in r["ks"])
+
+
+def test_theta_estimates_track_exact(spark):
+    """k=64 -> RSE ~ 1/sqrt(k-2) ~ 12.7%; allow ~4 sigma on the
+    intersection/union estimates vs exact distinct counts."""
+    ev = spark.table("events").where(F.col("user_id").isNotNull())
+    est = {
+        (r["type_a"], r["type_b"]): (r["est_common"], r["est_union"])
+        for r in profiling.theta_set_estimates(
+            profiling.theta_sketch(ev)
+        ).collect()
+    }
+    assert est
+    users = {
+        t: {r["user_id"] for r in
+            ev.where(F.col("event_type") == t)
+            .select("user_id").distinct().collect()}
+        for t in {k for pair in est for k in pair}
+    }
+    for (a, b), (ec, eu) in est.items():
+        exact_c = len(users[a] & users[b])
+        exact_u = len(users[a] | users[b])
+        assert abs(ec - exact_c) <= max(8, 0.55 * exact_c), (a, b, ec, exact_c)
+        assert abs(eu - exact_u) <= max(8, 0.55 * exact_u), (a, b, eu, exact_u)
+
+
+def test_theta_exact_mode_under_k(spark):
+    """Fewer than k distinct keys -> the sketch retains everything and
+    the estimates are EXACT (theta = full range)."""
+    ev = spark.table("events").where(F.col("user_id") < 20)
+    est = profiling.theta_set_estimates(
+        profiling.theta_sketch(ev)
+    ).collect()
+    assert est
+    ua = spark.table("events").where(F.col("user_id") < 20)
+    for r in est:
+        sa = {x["user_id"] for x in ua.where(
+            F.col("event_type") == r["type_a"]).select("user_id")
+            .distinct().collect()}
+        sb = {x["user_id"] for x in ua.where(
+            F.col("event_type") == r["type_b"]).select("user_id")
+            .distinct().collect()}
+        assert r["est_common"] == float(len(sa & sb))
+        assert r["est_union"] == float(len(sa | sb))
+
+
+def test_theta_empty_input(spark):
+    ev = spark.table("events").where(F.lit(False))
+    assert profiling.theta_sketch(ev).collect() == []
+    assert profiling.theta_set_estimates(
+        profiling.theta_sketch(ev)
+    ).collect() == []
