@@ -2823,10 +2823,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "streaming_hll_registers",
     "sample_leakage_safe_split",
     "sim_ivf_pq_topk",
-    # mm_phash_pairs is a ROUND-7 addition (VERDICT r6 item 4) — never
-    # sampled by definition, so the policy puts it ahead of the stale
-    # cohort too
+    # ROUND-7 additions (phash oracle per VERDICT r6 item 4; theta
+    # set-op sketches and substring-span dedup as new pipeline
+    # operators) — never sampled by definition, so the policy puts them
+    # ahead of the stale cohort too
     "mm_phash_pairs",
+    "profile_theta_setops",
+    "dedup_substring_spans",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -2862,11 +2865,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_minhash_verify",
     "text_chunk_documents",
     "sample_stable_hash",
-    "sample_stratified",
-    "ts_gap_fill_hourly",
     # ---- 50-entry driver sample boundary ----
-    # ts_ohlc_hourly (r3) was displaced by the mm_phash_pairs addition;
-    # it leads the r8 stale cohort with the other 13 r3 leftovers
+    # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
+    # displaced by the three round-7 additions; they lead the r8 stale
+    # cohort with the other 13 r3 leftovers
 ]
 
 
@@ -3764,6 +3766,400 @@ FROM orders
 WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
 GROUP BY 1, 2
 ORDER BY o_orderstatus ASC NULLS FIRST, bucket ASC NULLS FIRST
+""",
+    # ---- round-7 PROACTIVE batch for the projected r8 cohort
+    # (VERDICT r6 item 2 "keep growing it with each rotation"):
+    # independent formulations for the r4-stale IR rows queued to
+    # rotate in round 8 — EXISTS decorrelated to joins, FILTER as
+    # CASE aggregation, VALUES lookups constant-folded, LIMIT/
+    # OFFSET as row_number arithmetic, RANGE frames as self-join
+    # windows, argmax via rank-keeps-ties, NOT IN as anti-join,
+    # modular-arithmetic IN-lists, and decimal-exact partial
+    # re-aggregation throughout ----
+    # equality filter as null-guarded double negation
+    "ref_scan_filter": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT (c_mktsegment <> 'BUILDING') AND c_mktsegment IS NOT NULL
+""",
+    # LIMIT/OFFSET as row_number arithmetic (rows 6..25)
+    "ref_sort_limit_offset": """
+WITH r AS (
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC NULLS LAST,
+                              o_orderkey ASC NULLS FIRST) AS rn
+    FROM orders
+)
+SELECT o_orderkey, o_totalprice FROM r
+WHERE rn > 5 AND rn <= 25
+ORDER BY rn
+""",
+    # three-valued IS [NOT] DISTINCT FROM truth table folded by hand
+    "ref_null_safe_cmp": """
+SELECT TRUE AS a, FALSE AS b, TRUE AS c, FALSE AS d
+""",
+    # RANGE interval frame as an explicit self-join window (decimal
+    # sums are exact, so join order is irrelevant)
+    "ts_sliding_1h_stats": """
+SELECT a.event_id, a.event_type,
+       CAST(round(sum(CAST(b.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_1h,
+       count(*) AS n_1h
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+GROUP BY a.event_id, a.event_type
+""",
+    # every function swapped for an equivalent formulation: unicode for
+    # ascii, alphabet substr for chr, byte-length identities, list index
+    # for split_part, replace for translate, printf for to_hex,
+    # ltrim+rtrim for trim(charset)
+    "expr_string_funcs2": """
+SELECT p_partkey,
+       unicode(p_name) AS first_byte,
+       substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+              CAST((p_partkey % 26) + 1 AS INTEGER), 1) AS letter,
+       CAST(strlen(p_name) * 8 AS INTEGER) AS bits,
+       CAST(strlen(p_name) AS INTEGER) AS octets,
+       coalesce(string_split(p_name, ' ')[2], '') AS second_word,
+       replace(p_brand, '#', '-') AS brand_t,
+       upper(printf('%x', p_partkey)) AS hex_key,
+       sha256(p_name) AS sha,
+       rtrim(ltrim(p_type, 'DS'), 'DS') AS trimmed
+FROM part WHERE p_partkey < 500
+""",
+    # VALUES lookup folded into a CASE mapping (LEFT JOIN miss == CASE
+    # ELSE NULL)
+    "values_lookup_join": """
+SELECT CASE o_orderpriority
+           WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+           WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+           WHEN '5-LOW' THEN 5 END AS rank,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total
+FROM orders
+GROUP BY 1
+""",
+    # FILTER (WHERE ...) as CASE-conditional aggregation
+    "agg_filter_where": """
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big,
+       CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN CAST(o_totalprice AS DECIMAL(18,4)) END),
+                  2) AS DOUBLE) AS urgent_total,
+       max(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END)
+           AS low_max
+FROM orders GROUP BY o_orderstatus
+""",
+    # sign/trunc as CASE arithmetic; initcap + regexp word extraction
+    # hand-constant-folded over the closed priority domain; the three
+    # epoch constructors swapped for each other (same instants)
+    "expr_scalar_funcs5": """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 1.0
+            WHEN o_totalprice < 150000 THEN -1.0 ELSE 0.0 END AS sgn,
+       CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice / 1000)
+            ELSE ceil(o_totalprice / 1000) END AS price_k,
+       CASE o_orderpriority
+           WHEN '1-URGENT' THEN '1-urgent' WHEN '2-HIGH' THEN '2-high'
+           WHEN '3-MEDIUM' THEN '3-medium'
+           WHEN '4-NOT SPECIFIED' THEN '4-not Specified'
+           WHEN '5-LOW' THEN '5-low' END AS prio_t,
+       sha256(o_orderpriority) AS prio_sha,
+       md5(o_orderpriority) AS prio_md5,
+       CASE o_orderpriority
+           WHEN '1-URGENT' THEN 'URGENT' WHEN '2-HIGH' THEN 'HIGH'
+           WHEN '3-MEDIUM' THEN 'MEDIUM'
+           WHEN '4-NOT SPECIFIED' THEN 'NOT,SPECIFIED'
+           WHEN '5-LOW' THEN 'LOW' END AS prio_words,
+       epoch_ms(CAST(o_orderkey * 86400 AS BIGINT) * 1000) AS ts_s,
+       CAST(to_timestamp(o_orderkey * 86400) AS TIMESTAMP) AS ts_ms,
+       CAST(to_timestamp(o_orderkey * 86400) AS TIMESTAMP) AS ts_us
+FROM orders WHERE o_orderkey < 500
+""",
+    # positional explode as a join against an index range + list index
+    "lat_posexplode_embedding": """
+SELECT vec_id, CAST(i AS INTEGER) AS pos,
+       round(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE), 4) AS val
+FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+WHERE vec_id < 10
+ORDER BY vec_id ASC NULLS FIRST, pos ASC NULLS FIRST
+""",
+    # EXISTS decorrelated into a join against the distinct qualifying
+    # order keys
+    "tpch_q4": """
+WITH late AS (
+    SELECT DISTINCT l_orderkey
+    FROM lineitem JOIN orders o2 ON l_orderkey = o2.o_orderkey
+    WHERE l_shipdate > CAST(o2.o_orderdate AS DATE) + CAST(60 AS INTEGER)
+)
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders JOIN late ON o_orderkey = late.l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC NULLS FIRST
+""",
+    # re-aggregated per-order partials (decimal-exact re-aggregation);
+    # BETWEEN opened into inequalities
+    "tpch_q6": """
+WITH per_order AS (
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_discount AS DECIMAL(18,4))) AS s
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    GROUP BY l_orderkey
+)
+SELECT CAST(round(sum(s), 2) AS DOUBLE) AS revenue FROM per_order
+""",
+    # nation-pair disjunction as a concatenated-pair IN list; year via
+    # strftime; customer-rooted join order
+    "tpch_q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name || '|' || n2.n_name)
+      IN ('NATION_12|NATION_11', 'NATION_11|NATION_12')
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, CAST(strftime(l_shipdate, '%Y') AS BIGINT)
+ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+         l_year ASC NULLS FIRST
+""",
+    # same CASE numerator but the share computed from per-(year, nation)
+    # decimal partials re-aggregated — exact decimal re-aggregation
+    "tpch_q8": """
+WITH vols AS (
+    SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+           n2.n_name AS nation,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS v
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+)
+SELECT o_year,
+       CAST(round(sum(CASE WHEN nation = 'NATION_5' THEN v
+                           ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  / sum(v), 6) AS DOUBLE) AS mkt_share
+FROM vols GROUP BY o_year ORDER BY o_year ASC NULLS FIRST
+""",
+    # revenue pre-aggregated per order from lineitem alone, then joined
+    # out and re-aggregated per customer (decimal-exact)
+    "tpch_q10": """
+WITH rev AS (
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS r
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+)
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       CAST(round(sum(r), 2) AS DOUBLE) AS revenue
+FROM rev
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+LIMIT 20
+""",
+    # HAVING-with-scalar-subquery as a filtered CTE join
+    "tpch_q11": """
+WITH vals AS (
+    SELECT l_partkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_quantity AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_partkey
+),
+thr AS (
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_quantity AS DECIMAL(18,4)))
+                      * CAST(0.0005 AS DECIMAL(18,8)), 2) AS DOUBLE)
+           AS threshold
+    FROM lineitem
+)
+SELECT l_partkey, value FROM vals, thr
+WHERE value > threshold
+ORDER BY value DESC NULLS LAST, l_partkey ASC NULLS FIRST
+""",
+    # high/low counts as total-minus-high arithmetic over two grouped
+    # counts (no CASE)
+    "tpch_q12": """
+WITH j AS (
+    SELECT l_linestatus, o_orderpriority
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+t AS (SELECT l_linestatus, count(*) AS total FROM j GROUP BY 1),
+h AS (SELECT l_linestatus, count(*) AS high FROM j
+      WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      GROUP BY 1)
+SELECT t.l_linestatus,
+       CAST(coalesce(h.high, 0) AS BIGINT) AS high_line_count,
+       CAST(t.total - coalesce(h.high, 0) AS BIGINT) AS low_line_count
+FROM t LEFT JOIN h ON t.l_linestatus = h.l_linestatus
+ORDER BY t.l_linestatus ASC NULLS FIRST
+""",
+    # left-join count as a correlated scalar COUNT subquery
+    "tpch_q13": """
+WITH cc AS (
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderpriority <> '5-LOW') AS c_count
+    FROM customer
+)
+SELECT c_count, count(*) AS custdist
+FROM cc GROUP BY c_count
+ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST
+""",
+    # promo share from separate numerator/denominator sums (typed
+    # coalesce keeps the division operand types identical)
+    "tpch_q14": """
+WITH d AS (
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS den
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+),
+n AS (
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS num
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+)
+SELECT CAST(round(100.0 * coalesce(num, CAST(0 AS DECIMAL(18,4))) / den,
+                  4) AS DOUBLE) AS promo_revenue
+FROM d, n
+""",
+    # argmax via rank()-keeps-ties window instead of the scalar max
+    # subquery
+    "tpch_q15": """
+WITH supplier_revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+),
+r AS (
+    SELECT supplier_no, total_revenue,
+           rank() OVER (ORDER BY total_revenue DESC) AS rk
+    FROM supplier_revenue
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN r ON s_suppkey = supplier_no
+WHERE rk = 1
+ORDER BY s_suppkey ASC NULLS FIRST
+""",
+    # NOT IN as a left-anti join; the size IN-list as modular arithmetic
+    # (1,4,...,22 are exactly == 1 mod 3 within [1, 22])
+    "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) bad
+       ON l_suppkey = bad.s_suppkey
+WHERE NOT (p_brand = 'Brand#1')
+  AND p_size % 3 = 1 AND p_size >= 1 AND p_size <= 22
+  AND bad.s_suppkey IS NULL
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS FIRST,
+         p_type ASC NULLS FIRST, p_size ASC NULLS FIRST
+""",
+    # the OR-of-AND branches are brand-disjoint: total = exact decimal
+    # sum of three branch sums
+    "tpch_q19": """
+WITH b1 AS (
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS s
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity >= 1 AND l_quantity <= 11
+      AND p_size >= 1 AND p_size <= 5
+),
+b2 AS (
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS s
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#10' AND l_quantity >= 10 AND l_quantity <= 20
+      AND p_size >= 1 AND p_size <= 10
+),
+b3 AS (
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS s
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#20' AND l_quantity >= 20 AND l_quantity <= 30
+      AND p_size >= 1 AND p_size <= 15
+)
+SELECT CAST(round(coalesce(b1.s, 0) + coalesce(b2.s, 0)
+                  + coalesce(b3.s, 0), 2) AS DOUBLE) AS revenue
+FROM b1, b2, b3
+""",
+    # top-1-per-customer via max-join + min-orderkey tie-break instead
+    # of row_number
+    "parsed_win_topn": """
+WITH g AS (
+    SELECT o_custkey, max(o_totalprice) AS mp,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS cust_total
+    FROM orders WHERE o_custkey < 300 GROUP BY o_custkey
+),
+cand AS (
+    SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, g.cust_total
+    FROM orders o JOIN g
+      ON o.o_custkey = g.o_custkey AND o.o_totalprice = g.mp
+)
+SELECT o_custkey, o_orderkey, o_totalprice, cust_total
+FROM cand
+WHERE o_orderkey = (SELECT min(c2.o_orderkey) FROM cand c2
+                    WHERE c2.o_custkey = cand.o_custkey)
+ORDER BY o_custkey ASC NULLS FIRST
+""",
+    # the two CTEs inlined into one flat join + aggregate
+    "parsed_cte_agg": """
+SELECT r_name, n_name, count(*) AS n_cust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
 """,
 }
 

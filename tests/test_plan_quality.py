@@ -797,3 +797,16 @@ def test_phash_pairs_banded_equi_join_no_all_pairs(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(ci" in plan or "ci#" in plan  # band keys join
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 2
+
+
+def test_theta_setops_plan_tiny_joins_no_python(spark, queries):
+    """The theta sketch build exchanges only aggregated candidate rows
+    (never raw events past the partial agg); the pairwise estimate join
+    is a deliberate k-row-sketch-vs-k-row-sketch broadcast nested loop,
+    never a sort-merge or true cartesian; everything stays JVM-side."""
+    plan = queries["profile_theta_setops"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # sketch pairs only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
