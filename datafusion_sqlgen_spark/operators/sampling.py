@@ -552,3 +552,127 @@ def token_budget_mix_oracle(
     SELECT doc_id, source, n_tokens, cum_tokens_before
     FROM c WHERE cum_tokens_before < (total * {int(budget_pct)} * w) // 10000
     """
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_per_group: int = 16,
+    salt: str = "pps",
+) -> DataFrame:
+    """Deterministic PPS (probability-proportional-to-size) systematic
+    sample: exactly ``n_per_group`` picks per group, where a row's
+    selection probability is proportional to its INTEGER ``weight_col``
+    — the weighted-sampling primitive behind data-mixing recipes
+    ("sample documents proportional to token count").  Classic
+    systematic PPS: lay the rows on a line in a deterministic
+    md5-shuffled order, mark every multiple of total/n, take the row
+    each mark lands in; rows heavier than total/n are selected with
+    certainty.  Every decision is integer arithmetic
+    (``(cum * n) // total`` crossing), so the sample is bit-identical
+    in any engine — no rand(), no floats.
+
+    Scale shape (the reason this is NOT one window over the whole
+    group): a per-group cumulative sum as a single window would gather
+    each group into one reducer.  Instead, two-phase prefix sums — rows
+    land in 256 md5 buckets per group; per-(group, bucket) subtotals
+    (a <=256-rows-per-group table) get window prefix offsets; the
+    within-bucket cumulative sum runs in per-bucket windows joined back
+    to the offsets.  Partition sizes are bounded by the bucket split at
+    any corpus size, and the result is EXACTLY the single-pass
+    cumulative sum because the global order is (bucket, hash, id).
+
+    Overflow bound: ``cum * n_per_group`` must fit a BIGINT — fine to
+    ~9e18/n total weight (e.g. 1e14 tokens at n=10k); beyond that,
+    scale weights down first."""
+    w = F.col(weight_col).cast("bigint")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    rows = (
+        df.where(F.col(weight_col).isNotNull() & (w > 0))
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            w.alias("__w"),
+            F.substring(h, 1, 2).alias("__b"),
+            F.substring(h, 3, 30).alias("__h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # phase 1: per-(group, bucket) subtotals -> prefix offsets + totals
+    # over a <=256-rows-per-group table (tiny window, never the corpus)
+    per_bucket = rows.groupBy(group_col, "__b").agg(
+        F.sum("__w").alias("__bw")
+    )
+    wb = Window.partitionBy(group_col).orderBy("__b")
+    offsets = per_bucket.select(
+        F.col(group_col),
+        F.col("__b"),
+        (F.sum("__bw").over(wb) - F.col("__bw")).alias("__off"),
+        F.sum("__bw").over(
+            Window.partitionBy(group_col)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__total"),
+    )
+    # phase 2: within-bucket cumulative sums + the offset
+    wc = Window.partitionBy(group_col, "__b").orderBy("__h", id_col)
+    cum = (
+        rows.join(offsets, [group_col, "__b"])
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col("__w"),
+            (F.col("__off") + F.sum("__w").over(wc)).alias("__cum"),
+            F.col("__total"),
+        )
+    )
+    picked = cum.where(
+        F.expr(f"(__cum * {n_per_group}) DIV __total")
+        > F.expr(f"((__cum - __w) * {n_per_group}) DIV __total")
+    )
+    return picked.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col("__w").alias("weight"),
+        F.expr(f"CAST((__cum * {n_per_group}) DIV __total AS BIGINT)")
+        .alias("pick_idx"),
+    )
+
+
+def pps_systematic_sample_oracle(
+    table: str = "documents",
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_per_group: int = 16,
+    salt: str = "pps",
+) -> str:
+    """DuckDB twin: the two-phase Spark prefix sum equals one window
+    ordered by (bucket, hash, id), so the oracle is the single-pass
+    formulation — deliberately different structure, identical integers."""
+    h = f"md5(CAST({id_col} AS VARCHAR) || ':{salt}')"
+    return f"""
+WITH rows_w AS (
+    SELECT {group_col}, {id_col},
+           CAST({weight_col} AS BIGINT) AS w,
+           substr({h}, 1, 2) AS b,
+           substr({h}, 3, 30) AS hh
+    FROM {table}
+    WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+),
+cum AS (
+    SELECT {group_col}, {id_col}, w,
+           sum(w) OVER (PARTITION BY {group_col}
+                        ORDER BY b, hh, {id_col}
+                        ROWS UNBOUNDED PRECEDING) AS c,
+           sum(w) OVER (PARTITION BY {group_col}) AS total
+    FROM rows_w
+)
+SELECT {group_col}, {id_col}, w AS weight,
+       CAST((c * {n_per_group}) // total AS BIGINT) AS pick_idx
+FROM cum
+WHERE (c * {n_per_group}) // total
+      > ((c - w) * {n_per_group}) // total
+"""

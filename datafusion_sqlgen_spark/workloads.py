@@ -2300,6 +2300,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: sampling.token_budget_mix(s.table("documents")),
             sampling.token_budget_mix_oracle(),
         ),
+        # deterministic PPS systematic sampling (round 7): exactly n
+        # picks per source, probability proportional to integer weight;
+        # two-phase bucket prefix sums on the Spark side vs a single
+        # window on the oracle side — identical integers either way
+        "sample_pps_systematic": (
+            lambda s: sampling.pps_systematic_sample(s.table("documents")),
+            sampling.pps_systematic_sample_oracle(),
+        ),
         # temperature-based source mixing (multilingual-LLM sampling)
         "sample_temperature_mix": (
             lambda s: sampling.temperature_mix(s.table("documents"))
@@ -2830,6 +2838,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "mm_phash_pairs",
     "profile_theta_setops",
     "dedup_substring_spans",
+    "sample_pps_systematic",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -2864,11 +2873,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_minhash_buckets",
     "dedup_minhash_verify",
     "text_chunk_documents",
-    "sample_stable_hash",
     # ---- 50-entry driver sample boundary ----
-    # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the three round-7 additions; they lead the r8 stale
-    # cohort with the other 13 r3 leftovers
+    # sample_stable_hash, sample_stratified, ts_gap_fill_hourly,
+    # ts_ohlc_hourly (r3) were displaced by the four round-7 additions;
+    # they lead the r8 stale cohort with the other 13 r3 leftovers
 ]
 
 

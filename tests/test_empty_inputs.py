@@ -282,3 +282,15 @@ def test_ivf_pq_on_empty_queries(spark, empty_emb):
 
     corpus = spark.table("embeddings")
     assert sim.ivf_pq_topk(corpus, empty_emb).count() == 0
+
+
+def test_substring_spans_on_empty(spark, empty_docs):
+    assert dedup.substring_span_stats(empty_docs).count() == 0
+
+
+def test_phash_pairs_on_empty(spark, empty_docs):
+    from datafusion_sqlgen_spark.operators import multimodal as mm
+
+    empty_mm = mm.as_multimodal(empty_docs.select("doc_id", "text"))
+    assert mm.perceptual_hash(empty_mm).count() == 0
+    assert mm.phash_near_dup_pairs(empty_mm).count() == 0

@@ -1084,3 +1084,59 @@ def test_substring_spans_plan_shuffles_hash_not_text(spark):
     # span text reduced to gh before the exchange: the shuffle keys are
     # gh / doc_id
     assert "hashpartitioning(gh" in plan
+
+
+def test_pps_systematic_sample_invariants(spark, duck):
+    """Systematic PPS contract: per group, mark-crossing counts
+    telescope to exactly n_per_group (floor(total*n/total) == n), the
+    last picked row carries pick_idx == n, at most n distinct rows are
+    picked, and any row heavier than total/n is selected with
+    certainty."""
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    n = 16
+    out = sampling.pps_systematic_sample(docs, n_per_group=n)
+    rows = out.collect()
+    assert rows
+    per_group: dict[str, list] = {}
+    for r in rows:
+        per_group.setdefault(r["source"], []).append(r)
+    base = (
+        docs.where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("bigint")).alias("total"))
+    )
+    totals = {r["source"]: r["total"] for r in base.collect()}
+    assert set(per_group) == set(totals)
+    for src, picked in per_group.items():
+        assert len(picked) <= n
+        assert max(r["pick_idx"] for r in picked) == n
+    # certainty selection: every row with w*n > total must be picked
+    heavy = docs.where(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    ).select("doc_id", "source", F.col("n_chars").cast("bigint").alias("w"))
+    picked_ids = {(r["source"], r["doc_id"]) for r in rows}
+    for r in heavy.collect():
+        if r["w"] * n > totals[r["source"]]:
+            assert (r["source"], r["doc_id"]) in picked_ids
+    # deterministic across runs
+    again = sorted(tuple(r) for r in
+                   sampling.pps_systematic_sample(docs, n_per_group=n).collect())
+    assert sorted(tuple(r) for r in rows) == again
+    check(spark, duck, out, sampling.pps_systematic_sample_oracle())
+
+
+def test_pps_systematic_sample_plan_two_phase(spark):
+    """Scale gate: no corpus-wide per-group window.  The only window
+    partitioned by `source` alone runs over the <=256-row per-bucket
+    subtotal table (input is a HashAggregate, not the scan); corpus
+    rows are cumulated in (source, bucket) windows."""
+    df = spark.table("documents")
+    plan = sampling.pps_systematic_sample(df)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # phase-2 window partitions carry the bucket column
+    assert "windowspecdefinition(source" in plan.lower()
+    assert "__b" in plan
