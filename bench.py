@@ -169,6 +169,14 @@ HEADLINE = [
     "mm_phash_pairs",
     "profile_theta_setops",
     "dedup_substring_spans",
+    # exact n-per-group weighted sampling via two-phase bucketed
+    # prefix sums (no corpus-wide per-group window)
+    "sample_pps_systematic",
+    # CCNet segment dedup: counts keyed on 52-bit hash, one inherent
+    # reassembly shuffle
+    "dedup_segments_ccnet",
+    # 3 unrolled integer PageRank iterations over O(n*d) LSH edges
+    "graph_pagerank_sim",
 ]
 
 

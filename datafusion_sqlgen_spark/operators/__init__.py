@@ -1,6 +1,7 @@
 from datafusion_sqlgen_spark.operators import (
     affinity,
     dedup,
+    graph,
     joins,
     multimodal,
     profiling,
@@ -10,4 +11,4 @@ from datafusion_sqlgen_spark.operators import (
     timeseries,
 )
 
-__all__ = ["affinity", "dedup", "similarity", "text", "joins", "multimodal", "sampling", "timeseries", "profiling"]
+__all__ = ["affinity", "dedup", "graph", "similarity", "text", "joins", "multimodal", "sampling", "timeseries", "profiling"]

@@ -1592,3 +1592,115 @@ SELECT {id_col},
 FROM spans JOIN gc USING (gh)
 GROUP BY {id_col}
 """
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style cross-document segment dedup (Wenzek et al. 2019,
+    arXiv:1911.00359 §"deduplication"): hash each segment of every
+    document, drop EVERY copy of a segment that occurs in >=
+    ``min_docs`` distinct documents, and emit the cleaned document —
+    the step that removes boilerplate headers/footers/navigation from
+    web corpora.  Real corpora segment on newlines/paragraphs; the
+    driver tables carry single-line word-soup text, so segments here
+    are fixed ``seg_words``-word windows (same plumbing, different
+    splitter).  Output per doc: ``(id, n_segs, n_kept, clean_md5)``
+    where ``clean_md5`` fingerprints the kept segments re-joined in
+    original order ('' when everything was boilerplate).
+
+    Scale shape: segments are built in-row (split -> sequence ->
+    posexplode -> slice, whole-stage-codegen'd); the occurrence count
+    groups on a 52-bit md5-derived hash with map-side combine, so
+    boilerplate skew reaches the shuffle pre-combined; the count join
+    back is on the same 8-byte key (AQE skew-join territory).  The
+    reassembly groupBy shuffles segment text once — inherent, the op
+    rewrites the corpus — and orders segments with ``sort_array`` over
+    (seg_idx, seg) structs, not a window, so each doc reassembles in
+    one reduce-side row."""
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(seg_words))
+    segs = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), ws.alias("ws"),
+                F.posexplode(starts).alias("seg_idx", "start"))
+        .select(
+            F.col(id_col),
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.array_join(F.slice(F.col("ws"), F.col("start"), seg_words), " ")
+            .alias("seg"),
+        )
+    )
+    hashed = segs.select(
+        id_col, "seg_idx", "seg",
+        F.conv(F.substring(F.md5(F.col("seg")), 1, 13), 16, 10)
+        .cast("bigint").alias("sh"),
+    )
+    counts = hashed.groupBy("sh").agg(F.countDistinct(id_col).alias("__ndocs"))
+    kept_struct = F.when(
+        F.col("__ndocs") < min_docs, F.struct("seg_idx", "seg")
+    )
+    return (
+        hashed.join(counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(F.when(F.col("__ndocs") < min_docs, 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(kept_struct)),
+                        lambda x: x["seg"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
+def segment_dedup_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin in a different shape: ordered ``string_agg`` instead
+    of sort_array-over-structs (all-dropped docs give NULL there, hence
+    the coalesce to '' matching Spark's empty concat_ws)."""
+    return f"""
+WITH segs AS (
+    SELECT {id_col},
+           CAST((start - 1) / {seg_words} AS INT) AS seg_idx,
+           array_to_string(
+               list_slice(ws, start, start + {seg_words} - 1), ' ') AS seg
+    FROM (
+        SELECT {id_col}, ws,
+               unnest(range(1, greatest(len(ws), 1) + 1, {seg_words}))
+                   AS start
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws
+              FROM {table} WHERE {text_col} IS NOT NULL) t0
+    ) t
+),
+h AS (
+    SELECT {id_col}, seg_idx, seg,
+           CAST(concat('0x', substr(md5(seg), 1, 13)) AS BIGINT) AS sh
+    FROM segs
+),
+c AS (SELECT sh, count(DISTINCT {id_col}) AS ndocs FROM h GROUP BY sh)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN ndocs < {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       md5(coalesce(
+           string_agg(CASE WHEN ndocs < {min_docs} THEN seg END, ' '
+                      ORDER BY seg_idx), '')) AS clean_md5
+FROM h JOIN c USING (sh)
+GROUP BY {id_col}
+"""

@@ -49,6 +49,7 @@ from datafusion_sqlgen_spark.plans import (
 from datafusion_sqlgen_spark.operators import (
     affinity,
     dedup,
+    graph,
     joins,
     multimodal,
     profiling,
@@ -2416,6 +2417,24 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: dedup.substring_span_stats(s.table("documents")),
             dedup.substring_span_stats_oracle(),
         ),
+        # CCNet-style cross-document segment dedup (round 7): drop every
+        # copy of a segment seen in >=2 docs and fingerprint the cleaned
+        # text; occurrence counts group on a 52-bit hash with map-side
+        # combine, reassembly via sort_array (no window)
+        "dedup_segments_ccnet": (
+            lambda s: dedup.segment_dedup(s.table("documents")),
+            dedup.segment_dedup_oracle(),
+        ),
+        # fixed-point PageRank centrality over a bounded-degree LSH
+        # similarity graph (round 7): the link-analysis quality signal
+        # (CommonCrawl harmonic-centrality ranking) as 3 unrolled
+        # integer iterations — bit-identical in any engine
+        "graph_pagerank_sim": (
+            lambda s: graph.pagerank(
+                graph.knn_edges(s.table("embeddings")), iterations=3
+            ),
+            graph.pagerank_oracle(graph.knn_edges_oracle_cte(), iterations=3),
+        ),
         # GPT-3/PaLM-style n-gram decontamination through a broadcast
         # Bloom bit array: the training-side membership test is a pure
         # in-row projection (no train-side shuffle at all); exact
@@ -2839,6 +2858,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "profile_theta_setops",
     "dedup_substring_spans",
     "sample_pps_systematic",
+    "dedup_segments_ccnet",
+    "graph_pagerank_sim",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -2871,12 +2892,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_canonical",
     "dedup_minhash_signatures",
     "dedup_minhash_buckets",
-    "dedup_minhash_verify",
-    "text_chunk_documents",
     # ---- 50-entry driver sample boundary ----
-    # sample_stable_hash, sample_stratified, ts_gap_fill_hourly,
-    # ts_ohlc_hourly (r3) were displaced by the four round-7 additions;
-    # they lead the r8 stale cohort with the other 13 r3 leftovers
+    # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
+    # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
+    # displaced by the six round-7 additions; they lead the r8 stale
+    # cohort with the other 13 r3 leftovers
 ]
 
 

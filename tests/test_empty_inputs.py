@@ -294,3 +294,14 @@ def test_phash_pairs_on_empty(spark, empty_docs):
     empty_mm = mm.as_multimodal(empty_docs.select("doc_id", "text"))
     assert mm.perceptual_hash(empty_mm).count() == 0
     assert mm.phash_near_dup_pairs(empty_mm).count() == 0
+
+
+def test_segment_dedup_on_empty(spark, empty_docs):
+    assert dedup.segment_dedup(empty_docs).count() == 0
+
+
+def test_pagerank_on_empty_graph(spark, empty_docs):
+    from datafusion_sqlgen_spark.operators import graph
+
+    edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert graph.pagerank(edges, iterations=2).count() == 0

@@ -1140,3 +1140,95 @@ def test_pps_systematic_sample_plan_two_phase(spark):
     # phase-2 window partitions carry the bucket column
     assert "windowspecdefinition(source" in plan.lower()
     assert "__b" in plan
+
+
+def test_segment_dedup_ccnet(spark, duck):
+    """CCNet segment-dedup contract: n_kept <= n_segs, a doc whose
+    every segment is unique keeps everything (clean_md5 == md5 of the
+    rejoined original segments), dropping is symmetric (every copy of
+    a cross-doc segment goes), and the DuckDB twin agrees."""
+    docs = _df(spark, "documents")
+    out = dedup.segment_dedup(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows
+    assert all(r["n_kept"] <= r["n_segs"] for r in rows.values())
+    # synthetic: two docs sharing one segment, one doc fully unique
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared + " " + uniq_a), (2, shared + " " + uniq_b),
+         (3, uniq_b.replace("b", "c"))],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup.segment_dedup(df).collect()}
+    assert got[1]["n_segs"] == 2 and got[1]["n_kept"] == 1
+    assert got[2]["n_segs"] == 2 and got[2]["n_kept"] == 1
+    assert got[3]["n_kept"] == got[3]["n_segs"] == 1
+    import hashlib
+    assert got[1]["clean_md5"] == hashlib.md5(uniq_a.encode()).hexdigest()
+    check(spark, duck, out, dedup.segment_dedup_oracle())
+
+
+def test_segment_dedup_plan_hash_keyed_count(spark):
+    """The occurrence-count aggregation must key on the 52-bit segment
+    hash (map-side combinable 8-byte key), never the segment text."""
+    plan = dedup.segment_dedup(spark.table("documents"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(sh" in plan
+
+
+def test_pagerank_mass_and_determinism(spark, duck):
+    """Fixed-point PageRank: total rank mass conserved to bounded floor
+    loss, bit-identical across runs, and the chained-CTE DuckDB twin
+    reproduces every BIGINT rank."""
+    from datafusion_sqlgen_spark.operators import graph
+
+    emb = _df(spark, "embeddings")
+    edges = graph.knn_edges(emb)
+    out = graph.pagerank(edges, iterations=3)
+    rows = sorted(tuple(r) for r in out.collect())
+    n = len(rows)
+    scale = 10**12
+    tot = sum(r[1] for r in rows)
+    # every floor-division loses < 1 unit per node per term per iteration
+    assert scale - 8 * n * 3 <= tot <= scale
+    again = sorted(tuple(r) for r in
+                   graph.pagerank(graph.knn_edges(emb), iterations=3).collect())
+    assert rows == again
+    check(spark, duck, out,
+          graph.pagerank_oracle(graph.knn_edges_oracle_cte(), iterations=3))
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    """A star graph (hub <-> 8 spokes) must rank the hub strictly above
+    every spoke."""
+    from datafusion_sqlgen_spark.operators import graph
+
+    fwd = [(0, i) for i in range(1, 9)]
+    edges = spark.createDataFrame(
+        fwd + [(d, s) for s, d in fwd], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank_fp"] for r in
+             graph.pagerank(edges, iterations=3).collect()}
+    assert all(ranks[0] > ranks[i] for i in range(1, 9))
+
+
+def test_knn_edges_bounded_degree_no_pair_join(spark):
+    """Edge build is O(n*d) — lead() windows, never a within-bucket
+    pair join: no more than 2*d edges out of any node, symmetric, and
+    the plan has no join at all."""
+    from datafusion_sqlgen_spark.operators import graph
+
+    emb = _df(spark, "embeddings")
+    edges = graph.knn_edges(emb, d=2)
+    rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert len(rows) == len(set(rows))  # no duplicate edges
+    assert set(rows) == {(d, s) for s, d in rows}  # symmetric
+    from collections import Counter
+    deg = Counter(s for s, _ in rows)
+    assert max(deg.values()) <= 4  # d forward + <= d backward
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
