@@ -4189,6 +4189,153 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
 """,
+    # ---- round 7: hand oracles for the six r3 rows displaced into the
+    # r8 rotation lead (they resample with independent evidence) ----
+    # hex-prefix threshold re-expressed NUMERICALLY: the generated
+    # oracle compares substr(md5) < '1999' lexicographically; here the
+    # 4 hex chars parse to an integer against 0x1999 = 6553 — equal
+    # if and only if hex-string order really is numeric order
+    "sample_stable_hash": """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(concat('0x',
+        substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 4))
+      AS INTEGER) < 6553
+""",
+    # per-stratum CASE threshold unrolled into three UNION ALL branches
+    # with numeric cutoffs (de keeps everything: its generated cutoff
+    # 'g' sorts above every hex digit)
+    "sample_stratified": """
+SELECT doc_id, lang FROM documents WHERE lang = 'de'
+UNION ALL
+SELECT doc_id, lang FROM documents
+WHERE lang = 'en' AND CAST(concat('0x',
+        substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 4))
+      AS INTEGER) < 6553
+UNION ALL
+SELECT doc_id, lang FROM documents
+WHERE lang = 'fr' AND CAST(concat('0x',
+        substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 4))
+      AS INTEGER) < 32768
+""",
+    # hour spine from a RECURSIVE CTE (not generate_series), counts from
+    # a grid LEFT JOIN against the RAW events (not a pre-aggregated
+    # hourly table)
+    "ts_gap_fill_hourly": """
+WITH RECURSIVE span AS (
+    SELECT CAST(min(date_trunc('hour', ts)) AS TIMESTAMP) AS a,
+           CAST(max(date_trunc('hour', ts)) AS TIMESTAMP) AS b
+    FROM events
+),
+hours(hr) AS (
+    SELECT a FROM span
+    UNION ALL
+    SELECT hr + INTERVAL 1 HOUR FROM hours, span WHERE hr < b
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, g.hr, CAST(count(e.event_id) AS BIGINT) AS n
+FROM types t
+CROSS JOIN hours g
+LEFT JOIN events e
+    ON e.event_type = t.event_type
+   AND CAST(date_trunc('hour', e.ts) AS TIMESTAMP) = g.hr
+GROUP BY t.event_type, g.hr
+""",
+    # open/close fetched by joining back to the row holding the
+    # bucket's min/max timestamp (no arg_min/arg_max) — valid because
+    # the driver's nanosecond timestamps never tie within a bucket,
+    # which the generated oracle's arg_min would mask if they did
+    "ts_ohlc_hourly": """
+WITH base AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type, ts, value
+    FROM events
+),
+ext AS (
+    SELECT bucket, event_type,
+           min(ts) AS tmin, max(ts) AS tmax,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           count(*) AS n
+    FROM base GROUP BY bucket, event_type
+)
+SELECT e.bucket, e.event_type,
+       round(o.value, 2) AS open, e.high, e.low,
+       round(c.value, 2) AS close, e.n
+FROM ext e
+JOIN base o ON o.bucket = e.bucket AND o.event_type = e.event_type
+           AND o.ts = e.tmin
+JOIN base c ON c.bucket = e.bucket AND c.event_type = e.event_type
+           AND c.ts = e.tmax
+""",
+    # chunk membership by POSITION-RANGE JOIN (word p belongs to chunk
+    # start s iff s <= p < s+size) with ordered string_agg — not the
+    # generated oracle's list_slice; truncated tail chunks fall out of
+    # the count(*) instead of len(list_slice)
+    "text_chunk_documents": """
+WITH words AS (
+    SELECT doc_id, w, CAST(p AS INT) AS p
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS p
+        FROM documents WHERE doc_id < 200
+    ) u
+),
+nw AS (SELECT doc_id, max(p) AS nword FROM words GROUP BY doc_id),
+starts AS (
+    SELECT doc_id,
+           CAST(unnest(range(1, greatest(nword, 1) + 1, 24)) AS INT)
+               AS start
+    FROM nw
+)
+SELECT w.doc_id,
+       CAST((s.start - 1) / 24 AS INT) AS chunk_idx,
+       string_agg(w.w, ' ' ORDER BY w.p) AS chunk,
+       CAST(count(*) AS INT) AS n_words
+FROM starts s
+JOIN words w ON w.doc_id = s.doc_id
+            AND w.p >= s.start AND w.p < s.start + 32
+GROUP BY w.doc_id, s.start
+""",
+    # band collision expressed directly on minhash equality — (mh0,mh1)
+    # or (mh2,mh3) pairwise equal — over an all-pairs join of per-doc
+    # signatures; no banded UNION/DISTINCT, no md5 bucket ids, so the
+    # banding semantics are checked rather than replayed
+    "dedup_minhash_verify": """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+shing AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+               AS sh
+    FROM toks
+),
+mh AS (
+    SELECT doc_id,
+           min(substr(md5(s), 1, 8)) AS mh0,
+           min(substr(md5(s), 9, 8)) AS mh1,
+           min(substr(md5(s), 17, 8)) AS mh2,
+           min(substr(md5(s), 25, 8)) AS mh3
+    FROM (SELECT doc_id, unnest(sh) AS s FROM shing) u
+    GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+           AS jaccard
+FROM mh a
+JOIN mh b ON a.doc_id < b.doc_id
+         AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+           OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+JOIN shing sa ON sa.doc_id = a.doc_id
+JOIN shing sb ON sb.doc_id = b.doc_id
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.2
+""",
 }
 
 
@@ -4197,6 +4344,7 @@ def build_oracles() -> dict[str, str]:
     for name, plan in _ir_workloads().items():
         out[name] = _HAND_ORACLES.get(name) or plan.to_sql("duckdb")
     for name, (_fn, oracle) in _operator_workloads().items():
-        if oracle is not None:
-            out[name] = oracle
+        shipped = _HAND_ORACLES.get(name) or oracle
+        if shipped is not None:
+            out[name] = shipped
     return _sample_order(out)
