@@ -177,6 +177,16 @@ HEADLINE = [
     "dedup_segments_ccnet",
     # 3 unrolled integer PageRank iterations over O(n*d) LSH edges
     "graph_pagerank_sim",
+    # stateful session windows merged across 4 file-triggers through
+    # the complete-mode memory sink (the third streaming headline)
+    "streaming_sessions_result",
+    # interpolated-bigram LM scoring: broadcast top-B/top-V LM tables,
+    # one token-stream shuffle shared by the lag window and the per-doc
+    # mean (the CCNet-perplexity-gate shape)
+    "text_bigram_logprob",
+    # SQ8 scalar-quantized ANN: exact integer-dot shortlist over int8
+    # codes (quarter-bandwidth corpus pass), float re-rank of refine*k
+    "sim_sq8_topk",
 ]
 
 

@@ -463,6 +463,165 @@ def quantize_int8_oracle(
     """
 
 
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 approximate search: the scalar-quantization tier between
+    brute force and IVF-PQ (FAISS's ``SQ8`` index shape).  Each vector
+    is symmetrically quantized to int8 codes (``quantize_int8``'s
+    math: scale = 127/max|x|); the shortlist ranks candidates by the
+    INTEGER dot product of the code arrays rescaled by the two scales,
+    and only the ``refine * k`` best are re-ranked with exact float
+    cosine.
+
+    Scale shape: quantization is a narrow in-row map (no shuffle);
+    queries broadcast; the shortlist pass streams the corpus once and
+    shuffles only (query_id, neighbor_id, approx) scalar rows — never
+    vectors — and the exact re-rank touches ``refine*k`` original
+    vectors per query via a broadcast semi-lookup.  The 100-TB win is
+    bandwidth: the scoring pass reads dim BYTES per row instead of
+    4*dim, one quarter of the scan.
+
+    Determinism: int8 x int8 products summed over dim stay far below
+    2^53, so the dot product is EXACT in both engines regardless of
+    summation order (the order-free trick fixed-point ADC uses, for
+    free); ties break on neighbor_id; the re-rank rounds like the
+    other tiers.  Zero vectors quantize to NULL scale (nullif) and are
+    excluded rather than divide-by-zero."""
+    def _q(df: DataFrame, prefix: str) -> DataFrame:
+        v = F.col(vec_col)
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        scale = F.lit(127.0) / F.nullif(maxabs, F.lit(0.0))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            scale.alias(f"{prefix}scale"),
+            F.transform(
+                v, lambda x: F.round(x.cast("double") * scale).cast("bigint")
+            ).alias(f"{prefix}codes"),
+        ).where(F.col(f"{prefix}scale").isNotNull())
+
+    qq = _q(queries, "q_")
+    cq = _q(corpus, "c_")
+    idot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qq)
+        .join(cq, F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (idot.cast("double") / (F.col("q_scale") * F.col("c_scale")))
+            .alias("__approx"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    rer = (
+        F.broadcast(shortlist.join(q, "query_id"))
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"), "rnk",
+        )
+    )
+
+
+def sq8_topk_oracle(
+    table: str = "embeddings",
+    k: int = 5,
+    refine: int = 4,
+    max_query_id: int = 10,
+) -> str:
+    """DuckDB twin of :func:`sq8_topk`.  ``list_dot_product`` over the
+    code arrays cast to DOUBLE is exact (integer values far below
+    2^53), so the shortlist is engine-identical; the re-rank replays
+    the exact-cosine formulation of the other tiers."""
+    quant = """
+        SELECT vec_id,
+               127.0 / nullif(list_max(list_transform(embedding,
+                                  x -> abs(CAST(x AS DOUBLE)))), 0) AS scale,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE)
+                              * (127.0 / nullif(list_max(list_transform(
+                                    embedding, y -> abs(CAST(y AS DOUBLE)))),
+                                    0)))) AS codes
+        FROM {table}
+    """.format(table=table)
+    return f"""
+    WITH cq AS ({quant}),
+    qq AS (SELECT * FROM cq WHERE vec_id < {max_query_id}
+                              AND scale IS NOT NULL),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.codes, c.codes)
+                   / (q.scale * c.scale) AS approx
+        FROM qq q JOIN cq c
+          ON q.vec_id <> c.vec_id AND c.scale IS NOT NULL
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx DESC,
+                                                 neighbor_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= {refine * k}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) AS cos_sim
+        FROM shortlist s
+        JOIN {table} q ON q.vec_id = s.query_id
+        JOIN {table} c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC,
+                                             neighbor_id ASC) AS rnk
+          FROM rer)
+    WHERE rnk <= {k}
+    """
+
+
 def recall_at_k(
     corpus: DataFrame,
     queries: DataFrame,

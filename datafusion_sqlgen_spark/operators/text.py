@@ -961,6 +961,149 @@ def unigram_logprob_oracle(
     """
 
 
+def bigram_interp_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    bigram_size: int = 2000,
+    lam: float = 0.7,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the next step up
+    from :func:`unigram_logprob` toward the KenLM perplexity filter in
+    CCNet-style pipelines: per-token
+    ``ln(lam * P(w|prev) + (1-lam) * P_uni(w))`` (Jelinek-Mercer
+    interpolation), averaged per document.  ``P(w|prev)`` comes from the
+    corpus's own top-``bigram_size`` bigram table (0 outside it, and for
+    each document's first token); ``P_uni`` from the top-``vocab_size``
+    unigram table with ``alpha``/total OOV smoothing.
+
+    Determinism: per-token log-probs are snapped to 1e-6 fixed-point
+    BIGINTs before the per-doc sum, so the mean is independent of
+    partial-aggregation order and engine summation order; the final
+    mean uses the engine-identical floor-rounding formulation.
+
+    Scale shape: ONE corpus shuffle for the bigram count (the unigram
+    count shares the exploded scan), TakeOrdered top-B/top-V tables
+    broadcast (B+V rows), then the per-token scoring is a doc-keyed
+    window (lag) whose partitioning the final per-doc aggregation
+    reuses — the token stream shuffles once, the corpus never
+    all-pairs. At 100 TB the LM tables stay KB-sized; everything else
+    is map-side against broadcasts."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    words = words_col(F.col(text_col))
+    toks = df.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "term")
+    )
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = freqs.agg(F.sum("c").alias("total"))
+    vocab = (
+        freqs.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+        .select("term", (F.col("c") / F.col("total")).alias("pu"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("term").over(w))
+    bigrams = (
+        pairs.where(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .orderBy(F.col("bc").desc(), F.col("prev").asc(), F.col("term").asc())
+        .limit(bigram_size)
+        .join(
+            F.broadcast(freqs.withColumnRenamed("term", "prev")),
+            "prev",
+        )
+        .select("prev", "term", (F.col("bc") / F.col("c")).alias("pb"))
+    )
+    lp = F.log(
+        F.lit(lam) * F.coalesce(F.col("pb"), F.lit(0.0))
+        + F.lit(1.0 - lam)
+        * F.coalesce(F.col("pu"), F.lit(alpha) / F.col("total"))
+    )
+    scored = (
+        pairs.join(F.broadcast(vocab), "term", "left")
+        .join(F.broadcast(bigrams), ["prev", "term"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(lp * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("lpfx"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        _stable_round(
+            F.sum("lpfx").cast("double")
+            / (F.lit(1e6) * F.count(F.lit(1))),
+            4,
+        ).alias("mean_logprob"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
+def bigram_interp_logprob_oracle(
+    table: str = "documents",
+    vocab_size: int = 1000,
+    bigram_size: int = 2000,
+    lam: float = 0.7,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`bigram_interp_logprob`: unnest +
+    generate_subscripts replays posexplode, lag() the window, and the
+    SAME fixed-point snap before the per-doc sum makes the comparison
+    immune to summation order (reference corpus-building parity:
+    datafusion-sqlgen has no LM tier; cited for the documents-table
+    shape only)."""
+    words = f"string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({words}) AS term,
+               generate_subscripts({words}, 1) AS pos
+        FROM {table}
+    ),
+    freqs AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    totals AS (SELECT sum(c) AS total FROM freqs),
+    vocab AS (
+        SELECT term, c / total AS pu
+        FROM (SELECT term, c FROM freqs ORDER BY c DESC, term ASC
+              LIMIT {vocab_size}) CROSS JOIN totals
+    ),
+    pairs AS (
+        SELECT doc_id, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM toks
+    ),
+    bigrams AS (
+        SELECT b.prev, b.term, b.bc / f.c AS pb
+        FROM (SELECT prev, term, count(*) AS bc
+              FROM pairs WHERE prev IS NOT NULL
+              GROUP BY prev, term
+              ORDER BY bc DESC, prev ASC, term ASC
+              LIMIT {bigram_size}) b
+        JOIN freqs f ON f.term = b.prev
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(floor(ln({lam} * coalesce(b.pb, 0.0)
+                          + {1.0 - lam} * coalesce(v.pu, {alpha} / t.total))
+                          * 1e6 + 0.5) AS BIGINT) AS lpfx
+        FROM pairs p
+        LEFT JOIN vocab v ON v.term = p.term
+        LEFT JOIN bigrams b ON b.prev = p.prev AND b.term = p.term
+        CROSS JOIN totals t
+    )
+    SELECT doc_id,
+           floor(CAST(sum(lpfx) AS DOUBLE) / (1e6 * count(*)) * 1e4 + 0.5)
+               / 1e4 AS mean_logprob,
+           count(*) AS n_words
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
 # Bullet prefixes / ellipsis suffixes for the Gopher line-shape rules.
 GOPHER_BULLETS = ("- ", "* ", "• ")
 GOPHER_ELLIPSES = ("...", "…")

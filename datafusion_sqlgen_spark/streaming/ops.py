@@ -104,17 +104,31 @@ def sliding_window_stream(
 def session_window_stream(
     events: DataFrame,
     gap: str = "30 minutes",
-    watermark: str = "30 minutes",
+    watermark: str | None = "30 minutes",
+    exact: bool = False,
 ) -> DataFrame:
     """Session windows per user: a session closes after ``gap`` of
     inactivity (the streaming twin of the batch ``events_sessionize_gap``
-    workload)."""
+    workload).  ``exact=True`` sums values in DECIMAL(18,4) before
+    rounding, making ``session_value`` independent of float summation
+    order — required for the cross-engine driver hash check.
+
+    ``watermark=None`` skips the watermark: correct ONLY with a
+    complete-mode sink over a bounded replay whose batches are not
+    time-ordered (a watermark would drop whole earlier-timestamped
+    batches as late).  Production append-mode streams keep the
+    watermark — it is what bounds session state."""
+    val = (
+        F.col("value").cast("decimal(18,4)") if exact else F.col("value")
+    )
+    sv = F.round(F.sum(val), 2)
+    src = events.withWatermark("ts", watermark) if watermark else events
     return (
-        events.withWatermark("ts", watermark)
+        src
         .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            (sv.cast("double") if exact else sv).alias("session_value"),
         )
         .select(
             F.col("sess.start").alias("session_start"),

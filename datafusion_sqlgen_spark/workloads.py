@@ -1498,6 +1498,62 @@ def _streaming_hll_result(s: SparkSession) -> DataFrame:
     return run_bounded_sketch(s, src, work, max_files_per_trigger=1)
 
 
+def _streaming_sessions_result(s: SparkSession) -> DataFrame:
+    """Session-window aggregation through a real streaming query
+    (round 7): events split into 4 parquet files and streamed one file
+    per trigger into ``session_window_stream`` (complete-mode memory
+    sink), so sessions MERGE across triggers — the stateful-session
+    path, not a batch re-run.  DECIMAL-exact value sums make the result
+    hash-identical to the DuckDB gaps-and-islands twin."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        read_events_stream,
+        session_window_stream,
+        stream_to_memory,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    stream_to_memory(
+        session_window_stream(stream, watermark=None, exact=True),
+        "streaming_sessions_tbl",
+    )
+    return s.table("streaming_sessions_tbl")
+
+
+# Gaps-and-islands batch twin of the streaming session windows: a new
+# session starts when the previous event of the user is > gap away;
+# session_end is Spark's last-event + gap convention.
+_STREAMING_SESSIONS_ORACLE = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+),
+g AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS session_value
+FROM g
+GROUP BY user_id, sid
+"""
+
+
 def _streaming_dedup_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the continuous-dedup corpus sink
     (round 6): documents split into 2 parquet files with strictly
@@ -2478,6 +2534,15 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: text.unigram_logprob(s.table("documents")),
             text.unigram_logprob_oracle(),
         ),
+        # interpolated-bigram LM scoring (round 7): one step closer to
+        # the CCNet KenLM gate — Jelinek-Mercer lam*P(w|prev) +
+        # (1-lam)*P_uni(w) under the corpus's own top-B/top-V tables,
+        # per-token logs snapped to 1e-6 fixed point so the per-doc
+        # mean is summation-order-free across engines
+        "text_bigram_logprob": (
+            lambda s: text.bigram_interp_logprob(s.table("documents")),
+            text.bigram_interp_logprob_oracle(),
+        ),
         # ordered funnel: per-user earliest reach time per step, each
         # step constrained to follow the previous (one user-keyed agg)
         "ts_funnel_steps": (
@@ -2657,6 +2722,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             _streaming_hll_result,
             profiling.hll_registers_oracle(),
         ),
+        # STREAMING driver-visible workload #4 (round 7): per-user
+        # session windows built by a stateful streaming query over 4
+        # file-triggers (sessions merge across batches), hash-checked
+        # against the batch gaps-and-islands twin
+        "streaming_sessions_result": (
+            _streaming_sessions_result,
+            _STREAMING_SESSIONS_ORACLE,
+        ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
         "text_language_confidence": (
@@ -2768,6 +2841,17 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             similarity.ivf_pq_topk_oracle(),
         ),
+        # SQ8 scalar-quantized search (round 7): int8 codes, EXACT
+        # integer-dot shortlist (order-free without fixed-point — int8
+        # products can't lose bits in a double sum), float re-rank of
+        # refine*k — the 4x-bandwidth tier between brute force and PQ
+        "sim_sq8_topk": (
+            lambda s: similarity.sq8_topk(
+                s.table("embeddings"),
+                s.table("embeddings").filter(F.col("vec_id") < 10),
+            ),
+            similarity.sq8_topk_oracle(),
+        ),
     }
 
 
@@ -2860,6 +2944,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "sample_pps_systematic",
     "dedup_segments_ccnet",
     "graph_pagerank_sim",
+    "streaming_sessions_result",
+    "text_bigram_logprob",
+    "sim_sq8_topk",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -2889,14 +2976,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_join_agg_having",
     "parsed_case_in_distinct",
     "dedup_exact",
-    "dedup_canonical",
-    "dedup_minhash_signatures",
-    "dedup_minhash_buckets",
     # ---- 50-entry driver sample boundary ----
+    # dedup_canonical, dedup_minhash_signatures, dedup_minhash_buckets,
     # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
     # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the six round-7 additions; they lead the r8 stale
-    # cohort with the other 13 r3 leftovers
+    # displaced by the nine round-7 additions; they lead the r8 stale
+    # cohort with the other 13 r3 leftovers (all nine displaced rows
+    # now carry independent hand oracles)
 ]
 
 
@@ -4296,6 +4382,77 @@ FROM starts s
 JOIN words w ON w.doc_id = s.doc_id
             AND w.p >= s.start AND w.p < s.start + 32
 GROUP BY w.doc_id, s.start
+""",
+    # canonical dedup via WINDOW aggregates + DISTINCT over the raw
+    # canonical string (not GROUP BY md5): if the hash-group and the
+    # string-window disagree on any group, md5 collided or the
+    # canonicalizations diverged
+    "dedup_canonical": """
+SELECT DISTINCT
+       md5(c) AS canon_md5,
+       min(doc_id) OVER (PARTITION BY c) AS keep_id,
+       count(*) OVER (PARTITION BY c) AS n_copies
+FROM (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+      FROM documents)
+""",
+    # signatures as min AGGREGATES over unnested distinct shingles —
+    # grouped-min rows instead of the generated oracle's list_min over
+    # list_transform (set-min is slice-order- and multiplicity-free, so
+    # the two formulations must agree exactly)
+    "dedup_minhash_signatures": """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+)
+SELECT doc_id,
+       min(substr(md5(s), 1, 8)) AS mh0,
+       min(substr(md5(s), 9, 8)) AS mh1,
+       min(substr(md5(s), 17, 8)) AS mh2,
+       min(substr(md5(s), 25, 8)) AS mh3
+FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 2), ' '))))
+               AS s
+    FROM toks
+) u
+GROUP BY doc_id
+""",
+    # signatures as min AGGREGATES over unnested distinct shingles (not
+    # list_min of list_transform); the two band branches aggregated in
+    # one grouped pass over an unpivoted (band, bucket) projection
+    "dedup_minhash_buckets": """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+mh AS (
+    SELECT doc_id,
+           min(substr(md5(s), 1, 8)) AS mh0,
+           min(substr(md5(s), 9, 8)) AS mh1,
+           min(substr(md5(s), 17, 8)) AS mh2,
+           min(substr(md5(s), 25, 8)) AS mh3
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + 2), ' '))))
+                   AS s
+        FROM toks
+    ) u
+    GROUP BY doc_id
+),
+bb AS (
+    SELECT doc_id, b.band,
+           CASE b.band WHEN 0 THEN md5(mh0 || '|' || mh1)
+                       ELSE md5(mh2 || '|' || mh3) END AS bucket
+    FROM mh CROSS JOIN (VALUES (0), (1)) AS b(band)
+)
+SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM bb GROUP BY band, bucket
+HAVING count(*) > 1
 """,
     # band collision expressed directly on minhash equality — (mh0,mh1)
     # or (mh2,mh3) pairwise equal — over an all-pairs join of per-doc

@@ -305,3 +305,16 @@ def test_pagerank_on_empty_graph(spark, empty_docs):
 
     edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
     assert graph.pagerank(edges, iterations=2).count() == 0
+
+
+def test_bigram_logprob_on_empty(spark, empty_docs):
+    assert text.bigram_interp_logprob(empty_docs).count() == 0
+
+
+def test_sq8_topk_on_empty(spark):
+    from datafusion_sqlgen_spark.operators import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    assert similarity.sq8_topk(empty, empty).count() == 0

@@ -810,3 +810,29 @@ def test_theta_setops_plan_tiny_joins_no_python(spark, queries):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # sketch pairs only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_logprob_broadcast_lm_tables_no_python(spark, queries):
+    """Both LM tables (top-B bigrams with their prev-counts, top-V
+    vocab + scalar total) must broadcast back to the lagged token
+    stream: the corpus shuffles for the counts and once for the
+    doc-keyed lag window — the scoring joins never sort-merge, and the
+    whole operator stays JVM-side (no Python eval anywhere)."""
+    txt = plan_text(queries["text_bigram_logprob"](spark, SF_DIR))
+    assert txt.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert "TakeOrderedAndProject" in txt  # top-B/top-V, not full sorts
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_sq8_topk_broadcast_queries_narrow_shuffle(spark, queries):
+    """SQ8 search: quantization is an in-row map (no exchange before
+    the scoring join); the query side broadcasts; no cartesian against
+    the corpus (the scoring join is the deliberate broadcast
+    nested-loop against the k-row query side); everything JVM-side."""
+    txt = plan_text(queries["sim_sq8_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "SortMergeJoin" not in txt
+    assert txt.count("BroadcastExchange") >= 2  # queries + shortlist
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt

@@ -741,3 +741,30 @@ def test_sketch_crash_mid_promote_leaves_committed_generation(
     assert sorted(
         tuple(r) for r in st.read_rollup_state(spark, state).collect()
     ) == once
+
+
+def test_session_stream_unwatermarked_exact_multi_trigger(spark, stream_dir):
+    """The driver-workload path (round 7): watermark=None + exact=True
+    over event-id-split files (NOT time-ordered), one file per trigger.
+    A watermark would wrongly drop whole earlier-timestamped batches as
+    late; without it the complete-mode state must merge sessions across
+    triggers to exactly the single-batch result, with DECIMAL-exact
+    value sums."""
+    ev = st.read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    st.stream_to_memory(
+        st.session_window_stream(ev, watermark=None, exact=True),
+        "t_sess_nowm",
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM t_sess_nowm").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in st.session_window_stream(
+            spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir),
+            watermark=None,
+            exact=True,
+        ).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
