@@ -187,6 +187,9 @@ HEADLINE = [
     # SQ8 scalar-quantized ANN: exact integer-dot shortlist over int8
     # codes (quarter-bandwidth corpus pass), float re-rank of refine*k
     "sim_sq8_topk",
+    # stateful stream-stream interval join replayed across 4 triggers
+    # (the fourth streaming headline)
+    "streaming_attribution_result",
 ]
 
 

@@ -223,11 +223,20 @@ def click_purchase_attribution_stream(
     events: DataFrame,
     attribution: str = "30 minutes",
     watermark: str = "2 hours",
+    exact: bool = False,
 ) -> DataFrame:
     """Stream-stream interval join: purchases attributed to the click
     they followed within ``attribution``. Both sides carry watermarks and
     the join condition bounds event-time distance, so Spark can evict
     join state (unbounded otherwise — the canonical stream-join pitfall).
+
+    ``exact=True`` passes ``value`` through unrounded (bit-identical to
+    the source double — the cross-engine driver hash needs this because
+    rounding a raw double diverges between engines at representable
+    .xx5 boundaries; see workloads._money).  Pair with a watermark wide
+    enough that the bounded replay's batches cannot be dropped as late
+    — inner joins emit matches immediately either way; the watermark
+    only governs state eviction and late-drop.
 
     Returns (user_id, click_ts, purchase_ts, value)."""
     clicks = (
@@ -257,7 +266,7 @@ def click_purchase_attribution_stream(
         F.col("c_user").alias("user_id"),
         "click_ts",
         "purchase_ts",
-        F.round("value", 2).alias("value"),
+        (F.col("value") if exact else F.round("value", 2)).alias("value"),
     )
 
 

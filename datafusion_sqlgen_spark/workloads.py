@@ -1554,6 +1554,54 @@ GROUP BY user_id, sid
 """
 
 
+def _streaming_attribution_result(s: SparkSession) -> DataFrame:
+    """Stream-stream interval join through a real streaming query
+    (round 7): events split into 4 parquet files streamed one per
+    trigger; purchases attribute to prior clicks within 30 minutes
+    across trigger boundaries (the stateful stream-join path).  The
+    replay watermark is deliberately wide — the 4 files are
+    event-id-split, not time-ordered, and a production-width watermark
+    would drop whole earlier-timestamped batches as late; inner joins
+    emit matches immediately, so the watermark only governs eviction.
+    ``exact=True`` passes values through unrounded (bit-identical
+    doubles, no cross-engine rounding hazard)."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        click_purchase_attribution_stream,
+        read_events_stream,
+        stream_to_memory,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_attr_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    stream_to_memory(
+        click_purchase_attribution_stream(
+            stream, watermark="3650 days", exact=True
+        ),
+        "streaming_attribution_tbl",
+        output_mode="append",
+    )
+    return s.table("streaming_attribution_tbl")
+
+
+_STREAMING_ATTRIBUTION_ORACLE = """
+SELECT c.user_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       p.value AS value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def _streaming_dedup_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the continuous-dedup corpus sink
     (round 6): documents split into 2 parquet files with strictly
@@ -2730,6 +2778,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             _streaming_sessions_result,
             _STREAMING_SESSIONS_ORACLE,
         ),
+        # STREAMING driver-visible workload #5 (round 7): stateful
+        # stream-stream interval join — purchases attributed to prior
+        # clicks ACROSS trigger boundaries, hash-checked against the
+        # batch self-join twin (values pass through unrounded)
+        "streaming_attribution_result": (
+            _streaming_attribution_result,
+            _STREAMING_ATTRIBUTION_ORACLE,
+        ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
         "text_language_confidence": (
@@ -2947,6 +3003,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "streaming_sessions_result",
     "text_bigram_logprob",
     "sim_sq8_topk",
+    "streaming_attribution_result",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -2975,14 +3032,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_scan_filter_sort",
     "parsed_join_agg_having",
     "parsed_case_in_distinct",
-    "dedup_exact",
     # ---- 50-entry driver sample boundary ----
-    # dedup_canonical, dedup_minhash_signatures, dedup_minhash_buckets,
-    # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
-    # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the nine round-7 additions; they lead the r8 stale
-    # cohort with the other 13 r3 leftovers (all nine displaced rows
-    # now carry independent hand oracles)
+    # dedup_exact, dedup_canonical, dedup_minhash_signatures,
+    # dedup_minhash_buckets, dedup_minhash_verify, text_chunk_documents,
+    # sample_stable_hash, sample_stratified, ts_gap_fill_hourly,
+    # ts_ohlc_hourly (r3) were displaced by the ten round-7 additions;
+    # they lead the r8 stale cohort with the other 13 r3 leftovers (all
+    # ten displaced rows now carry independent hand oracles)
 ]
 
 
@@ -4382,6 +4438,21 @@ FROM starts s
 JOIN words w ON w.doc_id = s.doc_id
             AND w.p >= s.start AND w.p < s.start + 32
 GROUP BY w.doc_id, s.start
+""",
+    # exact dedup via a correlated-aggregate formulation over the RAW
+    # text (not GROUP BY md5): one row per first-occurrence doc, copies
+    # counted by an equality subquery — any disagreement with the
+    # hash-group form means md5 collided or grouping diverged
+    "dedup_exact": """
+SELECT md5(d.text) AS text_md5,
+       d.doc_id AS keep_id,
+       (SELECT count(*) FROM documents c
+        WHERE c.text = d.text) AS n_copies
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM documents e
+    WHERE e.text = d.text AND e.doc_id < d.doc_id
+)
 """,
     # canonical dedup via WINDOW aggregates + DISTINCT over the raw
     # canonical string (not GROUP BY md5): if the hash-group and the

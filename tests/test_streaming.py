@@ -768,3 +768,35 @@ def test_session_stream_unwatermarked_exact_multi_trigger(spark, stream_dir):
     )
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_attribution_stream_exact_multi_trigger_wide_watermark(
+    spark, stream_dir
+):
+    """The driver-workload path (round 7): event-id-split files, one
+    per trigger, wide watermark (the files are NOT time-ordered — a
+    production-width watermark would drop earlier-timestamped batches),
+    exact value passthrough.  The stream-stream join state must match
+    purchases to clicks ACROSS trigger boundaries to exactly the batch
+    self-join result."""
+    ev = st.read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    st.stream_to_memory(
+        st.click_purchase_attribution_stream(
+            ev, watermark="3650 days", exact=True
+        ),
+        "t_attr_exact",
+        output_mode="append",
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM t_attr_exact").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in st.click_purchase_attribution_stream(
+            spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir),
+            watermark="3650 days",
+            exact=True,
+        ).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
