@@ -190,6 +190,9 @@ HEADLINE = [
     # stateful stream-stream interval join replayed across 4 triggers
     # (the fourth streaming headline)
     "streaming_attribution_result",
+    # classifier training: unrolled logistic GD, broadcast weight
+    # table per epoch, exact-integer gradients
+    "text_lr_train",
 ]
 
 

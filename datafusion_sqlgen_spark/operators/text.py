@@ -1815,3 +1815,265 @@ def classifier_score_oracle(
     SELECT doc_id, n_grams, {_duck_round(sig, 4)} AS score,
            {sig} >= {threshold} AS label
     FROM a"""
+
+
+def _hashed_gram_features(
+    df: DataFrame, vocab_size: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, bucket, cnt) count features over hashed word uni+bigrams
+    — classifier_score's gram pipeline, aggregated to counts so the
+    training loop touches one narrow row per distinct (doc, bucket)."""
+    w = words_col(F.col(text_col))
+    unigrams = F.filter(w, lambda g: g != F.lit(""))
+    bigrams_raw = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigrams = F.filter(bigrams_raw, lambda g: g.contains(" "))
+    grams = F.concat(unigrams, bigrams)
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(
+            F.col(id_col),
+            (
+                F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+                .cast("bigint") % vocab_size
+            ).cast("int").alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def lr_train_hashed(
+    df: DataFrame,
+    vocab_size: int = 4096,
+    n_iter: int = 2,
+    lr: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    positive: str = "en",
+) -> DataFrame:
+    """TRAIN the hashed-ngram linear classifier on Spark — the other
+    half of classifier_score (which is inference under a shipped weight
+    table): full-batch logistic-regression gradient descent over count
+    features of hashed word uni+bigrams, label = ``label_col ==
+    positive``.  Output: the trained fixed-point weight table
+    (bucket, w_fp = w * 2^16; bias as bucket -1) — feed it straight
+    back into ``classifier_score``-style inference.
+
+    Cross-engine determinism (what makes a TRAINED model
+    hash-checkable): weights live as 2^16 fixed-point BIGINTs; per-doc
+    margins are exact integer dot products; per-doc errors (sigmoid -
+    y) snap to 1e-6 fixed point BEFORE the gradient sums, so every
+    gradient is an exact BIGINT sum — order-free under any partial
+    aggregation — and the weight update floor-rounds identically in
+    both engines.  From zero init the first epoch's errors are exactly
+    +-0.5, so iteration 1 needs no weight join at all.
+
+    Scale shape: the gram explosion runs ONCE into persisted
+    (doc, bucket, cnt) features (the "index build"); each epoch is a
+    broadcast join against the <=V-row weight table, one doc-keyed
+    integer aggregation, one bucket-keyed integer aggregation (<=V
+    rows out).  Doc count and bias arrive as broadcast 1-row
+    aggregates — no driver collect.  Caveat at extreme scale: a
+    per-bucket gradient sum is |err_fx| <= 1e6 times the bucket's
+    occurrence count, so past ~10^9 occurrences per bucket the BIGINT
+    sum should shed the 1e6 error scale (or move to DECIMAL) to stay
+    within double-exact range for the update's float step."""
+    feats = _pin_weights(
+        _hashed_gram_features(df, vocab_size, text_col, id_col)
+    )
+    labs = df.select(
+        F.col(id_col),
+        F.when(F.col(label_col) == positive, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("y"),
+    )
+    nd = labs.agg(F.count(F.lit(1)).alias("__n"))
+
+    def delta(g_col: Column) -> Column:
+        return F.floor(
+            F.lit(lr) * g_col.cast("double") * F.lit(65536.0)
+            / (F.lit(1e6) * F.col("__n").cast("double"))
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    w_df = None
+    b_df = None
+    for _ in range(n_iter):
+        if w_df is None:
+            err = labs.select(
+                F.col(id_col),
+                (F.lit(500000) - F.lit(1000000) * F.col("y"))
+                .cast("bigint").alias("err_fx"),
+            )
+        else:
+            s = (
+                feats.join(F.broadcast(w_df), "bucket")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("cnt") * F.col("w_fp")).alias("s_fp"))
+            )
+            logit = (
+                F.coalesce(F.col("s_fp"), F.lit(0)).cast("double")
+                + F.col("b_fp").cast("double")
+            ) / F.lit(65536.0)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+            err = (
+                labs.join(s, id_col, "left")
+                .crossJoin(F.broadcast(b_df))
+                .select(
+                    F.col(id_col),
+                    F.floor(
+                        (p - F.col("y").cast("double")) * F.lit(1e6)
+                        + F.lit(0.5)
+                    ).cast("bigint").alias("err_fx"),
+                )
+            )
+        g = (
+            feats.join(err, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("cnt") * F.col("err_fx")).alias("g_fx"))
+            .crossJoin(F.broadcast(nd))
+        )
+        if w_df is None:
+            w_df = g.select("bucket", (-delta(F.col("g_fx"))).alias("w_fp"))
+        else:
+            # both sides are <=V rows; broadcast the fresh gradient so
+            # the weight update never sort-merges
+            w_df = (
+                w_df.join(F.broadcast(g), "bucket")
+                .select(
+                    "bucket",
+                    (F.col("w_fp") - delta(F.col("g_fx"))).alias("w_fp"),
+                )
+            )
+        gb = err.agg(F.sum("err_fx").alias("g_fx")).crossJoin(
+            F.broadcast(nd)
+        )
+        if b_df is None:
+            b_df = gb.select((-delta(F.col("g_fx"))).alias("b_fp"))
+        else:
+            b_df = b_df.crossJoin(F.broadcast(gb)).select(
+                (F.col("b_fp") - delta(F.col("g_fx"))).alias("b_fp")
+            )
+    bias_row = (
+        b_df.crossJoin(F.broadcast(nd))
+        .where(F.col("__n") > 0)
+        .select(
+            F.lit(-1).cast("int").alias("bucket"),
+            F.col("b_fp").cast("bigint").alias("w_fp"),
+        )
+    )
+    return (
+        w_df.where(F.col("w_fp") != 0)
+        .select(F.col("bucket").cast("int").alias("bucket"), "w_fp")
+        .unionAll(bias_row)
+    )
+
+
+def lr_train_hashed_oracle(
+    table: str = "documents",
+    vocab_size: int = 4096,
+    n_iter: int = 2,
+    lr: float = 0.1,
+    label_col: str = "lang",
+    positive: str = "en",
+) -> str:
+    """DuckDB twin of :func:`lr_train_hashed`: the SAME epochs unrolled
+    as chained CTEs (the kmeans-oracle pattern), exact integer
+    gradients, identical floor-rounded updates."""
+    parts = [f"""
+    ws AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}') AS w
+        FROM {table}
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_concat(
+            list_filter(w, x -> x <> ''),
+            list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i + 1])
+        )) AS gram
+        FROM ws
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                    % {vocab_size} AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN {label_col} = '{positive}'
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        FROM {table}
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM lab),
+    err1 AS (
+        SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS err_fx
+        FROM lab
+    )"""]
+    upd = (
+        "CAST(floor({lr} * CAST({g} AS DOUBLE) * 65536.0"
+        " / (1e6 * nd) + 0.5) AS BIGINT)"
+    )
+    prev_w, prev_b = None, None
+    for it in range(1, n_iter + 1):
+        e = f"err{it}"
+        if it > 1:
+            parts.append(f"""
+    s{it} AS (
+        SELECT f.doc_id, sum(f.cnt * {prev_w}.w_fp) AS s_fp
+        FROM feat f JOIN {prev_w} ON {prev_w}.bucket = f.bucket
+        GROUP BY f.doc_id
+    ),
+    {e} AS (
+        SELECT l.doc_id,
+               CAST(floor((1.0 / (1.0 + exp(-(
+                       (CAST(coalesce(s.s_fp, 0) AS DOUBLE)
+                        + CAST({prev_b}.b_fp AS DOUBLE)) / 65536.0)))
+                   - CAST(l.y AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS err_fx
+        FROM lab l
+        LEFT JOIN s{it} s ON s.doc_id = l.doc_id
+        CROSS JOIN {prev_b}
+    )""")
+        gw = upd.format(lr=lr, g="sum(e.err_fx * f.cnt)")
+        gb = upd.format(lr=lr, g="sum(err_fx)")
+        if prev_w is None:
+            parts.append(f"""
+    w{it} AS (
+        SELECT f.bucket, -{gw} AS w_fp
+        FROM feat f JOIN {e} e ON e.doc_id = f.doc_id
+        CROSS JOIN nn GROUP BY f.bucket, nd
+    ),
+    b{it} AS (
+        SELECT -{gb} AS b_fp FROM {e} CROSS JOIN nn GROUP BY nd
+    )""")
+        else:
+            parts.append(f"""
+    w{it} AS (
+        SELECT {prev_w}.bucket, {prev_w}.w_fp - {gw} AS w_fp
+        FROM feat f
+        JOIN {e} e ON e.doc_id = f.doc_id
+        JOIN {prev_w} ON {prev_w}.bucket = f.bucket
+        CROSS JOIN nn
+        GROUP BY {prev_w}.bucket, {prev_w}.w_fp, nd
+    ),
+    b{it} AS (
+        SELECT {prev_b}.b_fp - {gb} AS b_fp
+        FROM {e} CROSS JOIN {prev_b} CROSS JOIN nn
+        GROUP BY {prev_b}.b_fp, nd
+    )""")
+        prev_w, prev_b = f"w{it}", f"b{it}"
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT CAST(bucket AS INT) AS bucket, w_fp
+    FROM {prev_w} WHERE w_fp != 0
+    UNION ALL
+    SELECT CAST(-1 AS INT), b_fp FROM {prev_b}
+    WHERE (SELECT count(*) FROM lab) > 0
+    """
+    )

@@ -2591,6 +2591,15 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: text.bigram_interp_logprob(s.table("documents")),
             text.bigram_interp_logprob_oracle(),
         ),
+        # classifier TRAINING (round 7): full-batch logistic GD over
+        # hashed-gram count features, label = lang=='en'; exact integer
+        # gradients (errors snap to 1e-6 fixed point first) make the
+        # TRAINED weight table engine-identical — the missing half of
+        # text_classifier_score's inference
+        "text_lr_train": (
+            lambda s: text.lr_train_hashed(s.table("documents")),
+            text.lr_train_hashed_oracle(),
+        ),
         # ordered funnel: per-user earliest reach time per step, each
         # step constrained to follow the previous (one user-keyed agg)
         "ts_funnel_steps": (
@@ -3004,6 +3013,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_bigram_logprob",
     "sim_sq8_topk",
     "streaming_attribution_result",
+    "text_lr_train",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -3031,14 +3041,14 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q18",
     "parsed_scan_filter_sort",
     "parsed_join_agg_having",
-    "parsed_case_in_distinct",
     # ---- 50-entry driver sample boundary ----
-    # dedup_exact, dedup_canonical, dedup_minhash_signatures,
-    # dedup_minhash_buckets, dedup_minhash_verify, text_chunk_documents,
-    # sample_stable_hash, sample_stratified, ts_gap_fill_hourly,
-    # ts_ohlc_hourly (r3) were displaced by the ten round-7 additions;
-    # they lead the r8 stale cohort with the other 13 r3 leftovers (all
-    # ten displaced rows now carry independent hand oracles)
+    # parsed_case_in_distinct, dedup_exact, dedup_canonical,
+    # dedup_minhash_signatures, dedup_minhash_buckets,
+    # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
+    # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
+    # displaced by the eleven round-7 additions; they lead the r8 stale
+    # cohort with the other 13 r3 leftovers (all eleven displaced rows
+    # now carry independent hand oracles)
 ]
 
 

@@ -318,3 +318,7 @@ def test_sq8_topk_on_empty(spark):
         [], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     )
     assert similarity.sq8_topk(empty, empty).count() == 0
+
+
+def test_lr_train_on_empty(spark, empty_docs):
+    assert text.lr_train_hashed(empty_docs).count() == 0

@@ -1232,3 +1232,23 @@ def test_knn_edges_bounded_degree_no_pair_join(spark):
     assert max(deg.values()) <= 4  # d forward + <= d backward
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_lr_train_roundtrips_into_inference_and_separates_classes(spark):
+    """The trained weight table must plug straight back into the
+    classifier_score inference path (same (bucket, w_fp) contract; the
+    bias row's bucket -1 matches no gram hash, so it rides along
+    harmlessly), and two epochs from zero init must already separate
+    the classes: mean score of positive-label docs above the mean of
+    the rest."""
+    docs = _df(spark, "documents")
+    trained = text.lr_train_hashed(docs, n_iter=2)
+    scored = text.classifier_score(docs, trained.filter("bucket >= 0"))
+    rows = scored.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).collect()
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+    en = [r["score"] for r in rows if r["lang"] == "en"]
+    rest = [r["score"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)

@@ -836,3 +836,17 @@ def test_sq8_topk_broadcast_queries_narrow_shuffle(spark, queries):
     assert "SortMergeJoin" not in txt
     assert txt.count("BroadcastExchange") >= 2  # queries + shortlist
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_lr_train_broadcast_weights_integer_gradients(spark, queries):
+    """LR training: every bucket-keyed join (scoring against the <=V-row
+    weight table, the weight update against the fresh gradient) must
+    broadcast — corpus-sized doc-keyed joins may legitimately
+    sort-merge; no cartesian products beyond the deliberate 1-row
+    scalar cross-joins; the whole loop stays JVM-side."""
+    plan = queries["text_lr_train"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [bucket" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # weights, bias, doc count
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
