@@ -193,6 +193,9 @@ HEADLINE = [
     # classifier training: unrolled logistic GD, broadcast weight
     # table per epoch, exact-integer gradients
     "text_lr_train",
+    # sliding windows accumulated across 4 triggers (the fifth
+    # streaming headline)
+    "streaming_sliding_result",
 ]
 
 

@@ -85,12 +85,19 @@ def sliding_window_stream(
     events: DataFrame,
     window: str = "1 hour",
     slide: str = "30 minutes",
-    watermark: str = "30 minutes",
+    watermark: str | None = "30 minutes",
 ) -> DataFrame:
     """Sliding windows: each event lands in window/slide overlapping
-    windows; shuffle volume scales by the overlap factor."""
+    windows; shuffle volume scales by the overlap factor.
+
+    ``watermark=None`` follows session_window_stream's bounded-replay
+    contract: only for a complete-mode sink over id-split (non-time-
+    ordered) batches, where a watermark would drop whole earlier-
+    timestamped batches as late; production append-mode streams keep
+    it — it is what finalizes and evicts window state."""
+    src = events.withWatermark("ts", watermark) if watermark else events
     return (
-        events.withWatermark("ts", watermark)
+        src
         .groupBy(F.window("ts", window, slide).alias("win"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

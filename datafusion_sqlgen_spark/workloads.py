@@ -1554,6 +1554,52 @@ GROUP BY user_id, sid
 """
 
 
+def _streaming_sliding_result(s: SparkSession) -> DataFrame:
+    """Sliding event-time windows through a real streaming query
+    (round 7): events split into 4 parquet files streamed one file per
+    trigger into ``sliding_window_stream`` without a watermark
+    (complete-mode memory sink over an id-split bounded replay — the
+    sessions workload's documented pattern), so overlapping windows
+    accumulate counts ACROSS triggers.  Pure counts: no float hazard
+    anywhere."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        read_events_stream,
+        sliding_window_stream,
+        stream_to_memory,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_slide_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    stream_to_memory(
+        sliding_window_stream(stream, watermark=None),
+        "streaming_sliding_tbl",
+    )
+    return s.table("streaming_sliding_tbl")
+
+
+# Each event lands in exactly window/slide = 2 overlapping windows:
+# start = slide-aligned bucket minus k*slide for k in {0, 1}.  Spark
+# aligns window origins to the epoch, so integer epoch arithmetic
+# replays the assignment exactly (floor(epoch(ts)), not CAST — CAST
+# rounds fractional seconds).
+_STREAMING_SLIDING_ORACLE = """
+WITH s AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+w AS (
+    SELECT (CAST(floor(e / 1800) AS BIGINT) - k.k) * 1800 AS ws
+    FROM s CROSS JOIN (VALUES (0), (1)) AS k(k)
+)
+SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(ws + 3600) AS TIMESTAMP) AS window_end,
+       CAST(count(*) AS BIGINT) AS n
+FROM w
+GROUP BY ws
+"""
+
+
 def _streaming_attribution_result(s: SparkSession) -> DataFrame:
     """Stream-stream interval join through a real streaming query
     (round 7): events split into 4 parquet files streamed one per
@@ -2795,6 +2841,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             _streaming_attribution_result,
             _STREAMING_ATTRIBUTION_ORACLE,
         ),
+        # STREAMING driver-visible workload #6 (round 7): sliding
+        # event-time windows accumulated across 4 file-triggers,
+        # hash-checked against integer epoch-arithmetic window
+        # assignment (each event in exactly 2 overlapping windows)
+        "streaming_sliding_result": (
+            _streaming_sliding_result,
+            _STREAMING_SLIDING_ORACLE,
+        ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
         "text_language_confidence": (
@@ -3014,6 +3068,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_sq8_topk",
     "streaming_attribution_result",
     "text_lr_train",
+    "streaming_sliding_result",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -3040,14 +3095,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q17",
     "tpch_q18",
     "parsed_scan_filter_sort",
-    "parsed_join_agg_having",
     # ---- 50-entry driver sample boundary ----
-    # parsed_case_in_distinct, dedup_exact, dedup_canonical,
-    # dedup_minhash_signatures, dedup_minhash_buckets,
+    # parsed_join_agg_having, parsed_case_in_distinct, dedup_exact,
+    # dedup_canonical, dedup_minhash_signatures, dedup_minhash_buckets,
     # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
     # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the eleven round-7 additions; they lead the r8 stale
-    # cohort with the other 13 r3 leftovers (all eleven displaced rows
+    # displaced by the twelve round-7 additions; they lead the r8 stale
+    # cohort with the other 13 r3 leftovers (all twelve displaced rows
     # now carry independent hand oracles)
 ]
 

@@ -800,3 +800,27 @@ def test_attribution_stream_exact_multi_trigger_wide_watermark(
     )
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_sliding_stream_unwatermarked_multi_trigger(spark, stream_dir):
+    """The driver-workload path (round 7): overlapping sliding windows
+    must accumulate counts across file-triggers (complete-mode state),
+    matching the single-batch result exactly; every event lands in
+    exactly window/slide = 2 windows."""
+    ev = st.read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    st.stream_to_memory(
+        st.sliding_window_stream(ev, watermark=None), "t_slide_nowm"
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM t_slide_nowm").collect()
+    )
+    batch_df = st.sliding_window_stream(
+        spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir),
+        watermark=None,
+    )
+    batch = sorted(tuple(r) for r in batch_df.collect())
+    assert streamed == batch
+    n_events = (
+        spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir).count()
+    )
+    assert sum(r[2] for r in streamed) == 2 * n_events
