@@ -4001,6 +4001,89 @@ WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
 GROUP BY 1, 2
 ORDER BY o_orderstatus ASC NULLS FIRST, bucket ASC NULLS FIRST
 """,
+    # ---- round-7 PROACTIVE batch for the projected r9 cohort: the
+    # last five r5-stale IR rows without independent formulations ----
+    # nested projection slots flattened away: filter and output both
+    # inline the decimal arithmetic on base columns (no subquery)
+    "ref_nested_slots": """
+SELECT c_custkey,
+       CAST(round(CAST(c_acctbal AS DECIMAL(18,4)) * 2, 2) AS DOUBLE)
+           AS bal2
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * 2 > 5000
+  AND c_mktsegment <> 'BUILDING'
+""",
+    # QUALIFY top-5 via a correlated tuple-rank count subquery; also
+    # encodes that the running count(*) over a unique ORDER BY equals
+    # row_number, so seg_n is emitted as rn
+    "parsed_qualify_using": """
+WITH picked AS (
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM customer WHERE c_custkey % 3 = 0
+),
+r AS (
+    SELECT p.c_mktsegment, p.c_custkey,
+           CAST(p.c_acctbal AS DOUBLE) AS bal,
+           (SELECT count(*) FROM picked q
+            WHERE q.c_mktsegment = p.c_mktsegment
+              AND (q.c_acctbal > p.c_acctbal
+                   OR (q.c_acctbal = p.c_acctbal
+                       AND q.c_custkey < p.c_custkey))) + 1 AS rn
+    FROM picked p
+)
+SELECT c_mktsegment, c_custkey, bal, rn, rn AS seg_n
+FROM r WHERE rn <= 5
+ORDER BY c_mktsegment ASC, rn ASC
+""",
+    # every scalar replayed through a different function: CASE as a
+    # VALUES lookup, year via strftime, substring as left, trim as
+    # two-sided regexp, strpos via split_part, IS DISTINCT FROM TRUE
+    # as <= on the non-null price
+    "parsed_reader_forms": """
+SELECT o.o_orderkey,
+       coalesce(m.word, 'other') AS status_word,
+       CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS yr,
+       left(o.o_orderpriority, 1) AS prio,
+       regexp_replace(regexp_replace(CAST(o.o_orderkey AS VARCHAR),
+                                     '^0+', ''), '0+$', '') AS trimmed,
+       CASE WHEN o.o_orderpriority LIKE '%URGENT%'
+            THEN length(split_part(o.o_orderpriority, 'URGENT', 1)) + 1
+            ELSE 0 END AS urg_pos,
+       o.o_orderdate + INTERVAL 30 DAY AS due,
+       o.o_totalprice <= 100000 AS small_order
+FROM orders o
+LEFT JOIN (VALUES ('O', 'open'), ('F', 'done')) AS m(st, word)
+       ON m.st = o.o_orderstatus
+WHERE o.o_orderkey < 2000
+ORDER BY o.o_orderkey ASC
+""",
+    # PIVOT as FILTERed conditional aggregation (no PIVOT clause)
+    "parsed_pivot_status": """
+SELECT o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS filled_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS pending_total
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY o_custkey
+ORDER BY o_custkey ASC
+""",
+    # DISTINCT ON as a NOT EXISTS greatest-per-group anti-pattern (no
+    # window at all)
+    "parsed_distinct_on": """
+SELECT c_nationkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM customer d
+    WHERE d.c_nationkey = c.c_nationkey
+      AND (d.c_acctbal > c.c_acctbal
+           OR (d.c_acctbal = c.c_acctbal AND d.c_custkey < c.c_custkey))
+)
+ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC
+""",
     # ---- round-7 PROACTIVE batch for the projected r8 cohort
     # (VERDICT r6 item 2 "keep growing it with each rotation"):
     # independent formulations for the r4-stale IR rows queued to
