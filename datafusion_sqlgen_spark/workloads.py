@@ -4001,6 +4001,126 @@ WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
 GROUP BY 1, 2
 ORDER BY o_orderstatus ASC NULLS FIRST, bucket ASC NULLS FIRST
 """,
+    # ---- round-7 PROACTIVE batch 2: r6-fresh structural rows, so
+    # every set-op / join / scalar family has at least one
+    # independent formulation before it rotates again ----
+    # UNION ALL as bag arithmetic: per-key multiplicities from a FULL
+    # OUTER join of per-table counts, rows regenerated by unnest(range)
+    "setop_union_all": """
+WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1),
+ss AS (SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1),
+m AS (
+    SELECT coalesce(cc.nk, ss.nk) AS nk,
+           coalesce(cc.n, 0) + coalesce(ss.n, 0) AS n
+    FROM cc FULL JOIN ss ON cc.nk = ss.nk
+)
+SELECT CAST(nk AS INTEGER) AS nk
+FROM (SELECT nk, unnest(range(n)) FROM m)
+""",
+    # INTERSECT as EXISTS + GROUP BY (no set operator)
+    "setop_intersect": """
+SELECT CAST(c_nationkey AS INTEGER) AS nk
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM supplier s
+              WHERE s.s_nationkey = c.c_nationkey)
+GROUP BY 1
+""",
+    # EXCEPT as NOT EXISTS + GROUP BY (no set operator)
+    "setop_except": """
+SELECT CAST(c_nationkey AS INTEGER) AS nk
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_nationkey = c.c_nationkey
+                    AND s.s_acctbal < 0)
+GROUP BY 1
+""",
+    # DISTINCT as GROUP BY
+    "ref_distinct": """
+SELECT l_returnflag, l_linestatus FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    # CROSS JOIN as an inner join whose condition touches one side
+    "join_cross_small": """
+SELECT r_name, n_name
+FROM region JOIN nation ON n_nationkey < 3
+""",
+    # dimension rollup with the order aggregation PUSHED BELOW the
+    # dimension joins (partial-aggregate reassociation is exact
+    # because the money sums stay DECIMAL until the final round)
+    "join_broadcast_dims": """
+WITH po AS (
+    SELECT o_custkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+           count(*) AS n
+    FROM orders GROUP BY o_custkey
+)
+SELECT r_name, n_name,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+       CAST(sum(n) AS BIGINT) AS n_orders
+FROM po
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    # price*(1-d) re-derived by the distributive law — exact in
+    # DECIMAL, so the two routes must agree to the last digit
+    "ref_project_cast_arith": """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                  - CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4)), 2) AS DOUBLE)
+           AS net_price
+FROM lineitem WHERE l_orderkey < 200
+""",
+    # BETWEEN as double negation; abs as greatest(x, -x)
+    "ref_between_scalar_fns": """
+SELECT l_orderkey, l_linenumber,
+       greatest(l_extendedprice, -l_extendedprice) AS abs_price,
+       round(ln(l_extendedprice), 6) AS ln_price
+FROM lineitem
+WHERE NOT (l_quantity < 10) AND NOT (l_quantity > 20)
+""",
+    # array indexing replayed through unnest + subscripts + pick-outs
+    "ref_array_index": """
+SELECT vec_id,
+       round(CAST(max(CASE WHEN i = 1 THEN x END) AS DOUBLE), 6) AS dim1,
+       round(CAST(max(CASE WHEN i = 64 THEN x END) AS DOUBLE), 6) AS dim64
+FROM (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id < 100) u
+GROUP BY vec_id
+""",
+    # struct pack-then-extract is the identity on the base columns
+    "expr_struct_field": """
+SELECT c_custkey, c_mktsegment AS seg, CAST(c_nationkey AS INTEGER) AS nk
+FROM customer WHERE c_custkey < 100
+""",
+    # CASE as a VALUES lookup; IN as OR-equality; IS NOT NULL negated
+    "expr_case_in_isnull": """
+SELECT o.o_orderkey,
+       coalesce(m.lbl, 'partial') AS status_label,
+       (o.o_orderpriority = '1-URGENT'
+        OR o.o_orderpriority = '2-HIGH') AS is_hot,
+       NOT (o.o_totalprice IS NULL) AS has_price
+FROM orders o
+LEFT JOIN (VALUES ('F', 'finished'), ('O', 'open')) AS m(st, lbl)
+       ON m.st = o.o_orderstatus
+""",
+    # every bitwise op replayed as modular arithmetic (valid for the
+    # non-negative key domain): &3 = %4, |8 and xor5 from bit
+    # decomposition, NOT > as <=
+    "expr_bitwise_unary": """
+SELECT n_nationkey,
+       n_nationkey % 4 AS and3,
+       n_nationkey + 8 * (1 - ((n_nationkey // 8) % 2)) AS or8,
+       n_nationkey + 5
+           - 2 * ((n_nationkey % 2) + 4 * ((n_nationkey // 4) % 2))
+           AS xor5,
+       0 - n_nationkey AS neg,
+       n_nationkey <= 10 AS not_gt10
+FROM nation
+""",
     # ---- round-7 PROACTIVE batch for the projected r9 cohort: the
     # last five r5-stale IR rows without independent formulations ----
     # nested projection slots flattened away: filter and output both
