@@ -4001,6 +4001,182 @@ WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
 GROUP BY 1, 2
 ORDER BY o_orderstatus ASC NULLS FIRST, bucket ASC NULLS FIRST
 """,
+    # ---- round-7 PROACTIVE batch 3: the last nine IR rows without
+    # independent formulations — with these, EVERY IR workload's
+    # oracle has a hand-written twin and the "dialect-symmetric bug
+    # passes generated oracles" caveat is retired.  Float-exactness
+    # rules observed throughout: transcendental call sites keep the
+    # generated expression (1-ulp libm divergence would flip rounded
+    # values), while every integer/boolean/decimal output is
+    # re-derived differently ----
+    # ceil as -floor(-x), floor as x - x%1, pow(d,2) as d*d (IEEE-
+    # identical single rounding); transcendentals restructured via CTE
+    "expr_math_funcs": """
+WITH b AS (
+    SELECT l_orderkey, l_linenumber, l_extendedprice AS p,
+           l_discount AS d, l_quantity AS q, l_tax * 100 AS t100
+    FROM lineitem WHERE l_orderkey < 50
+)
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(p), 6) AS sqrt_price,
+       round(exp(d), 6) AS exp_disc,
+       round(log10(p), 6) AS log10_price,
+       CAST(-floor(-q) AS BIGINT) AS ceil_qty,
+       CAST(t100 - (t100 % 1) AS BIGINT) AS floor_tax_pct,
+       round(d * d, 8) AS disc_sq
+FROM b
+""",
+    # every string function replayed through a different one: lower
+    # via lcase, length via len, substr via left, replace via global
+    # regexp, lpad via printf
+    "expr_string_funcs": """
+SELECT p_partkey,
+       lcase(p_name) AS lname,
+       CAST(len(p_name) AS BIGINT) AS name_len,
+       left(p_brand, 6) AS brand6,
+       regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+       printf('%03d', CAST(p_size AS INTEGER)) AS size_pad,
+       reverse(p_brand) AS brand_rev
+FROM part
+""",
+    # date parts via strftime, month-truncation rebuilt with
+    # make_timestamp
+    "expr_date_funcs": """
+SELECT o_orderkey,
+       CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS y,
+       CAST(strftime(o_orderdate, '%m') AS BIGINT) AS m,
+       CAST(strftime(o_orderdate, '%d') AS BIGINT) AS d,
+       CAST(strftime(o_orderdate, '%H') AS BIGINT) AS h,
+       make_timestamp(CAST(strftime(o_orderdate, '%Y') AS INTEGER),
+                      CAST(strftime(o_orderdate, '%m') AS INTEGER),
+                      1, 0, 0, 0.0) AS month_start
+FROM orders WHERE o_orderkey < 300
+""",
+    # levenshtein of 1-char flags is an inequality test; printf
+    # rebuilt by concat+lpad; regexp anchor as OR-equality; factorial
+    # as a lookup list; day-diff as DATE subtraction; hyperbolics
+    # share single exp() CTE values (same doubles, same ops)
+    "expr_scalar_funcs3": """
+WITH b AS (
+    SELECT *, exp(l_discount) AS e1, exp(-l_discount) AS em1,
+           exp(2 * l_discount) AS e2
+    FROM lineitem WHERE l_orderkey < 400
+)
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS line_no,
+       CAST(CASE WHEN l_returnflag = l_linestatus THEN 0 ELSE 1 END
+            AS BIGINT) AS lev,
+       l_returnflag || '-'
+           || lpad(CAST(l_orderkey % 1000 AS VARCHAR), 3, '0') AS tag,
+       (l_returnflag = 'A' OR l_returnflag = 'R') AS is_ret,
+       CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                 WHEN l_extendedprice >= 100000 THEN 21
+                 ELSE CAST(floor((l_extendedprice - 0) * 20
+                                 / (100000 - 0)) AS BIGINT) + 1
+            END AS BIGINT) AS price_bkt,
+       round((e1 - em1) / 2, 9) AS sh,
+       round((e1 + em1) / 2, 9) AS ch,
+       round((e2 - 1) / (e2 + 1), 9) AS th,
+       round(cbrt(l_quantity), 9) AS cb,
+       CAST(list_extract([1, 2, 6, 24, 120, 720, 5040],
+                         CAST(l_linenumber AS INTEGER)) AS BIGINT) AS fact,
+       CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+           AS days_since,
+       make_timestamp(2020, CAST((l_orderkey % 12) + 1 AS INTEGER),
+                      3, 4, 5, 6.5) AS mts
+FROM b
+""",
+    # LIKE/ILIKE/RLIKE replayed as contains/starts_with; concat as ||
+    "expr_like_rlike_concat": """
+SELECT p_partkey,
+       p_brand || '/' || p_type AS brand_type,
+       ucase(p_name) AS uname
+FROM part
+WHERE contains(p_type, 'AND')
+   OR contains(lcase(p_name), 'red')
+   OR starts_with(p_name, 'blue b')
+""",
+    # integer/boolean folds re-derived over unnest (exact regardless
+    # of order); the two float folds keep the generated left-fold —
+    # the ONLY order that reproduces Spark's doubles bit-for-bit
+    "expr_higher_order": """
+WITH u AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < 300
+),
+agg AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           bool_or(x > 0.45) AS has_big,
+           bool_and(x > -1) AS bounded,
+           round(CAST(max(CASE WHEN i = 3 THEN x END) AS DOUBLE)
+                 * 2.0, 5) AS t3
+    FROM u GROUP BY vec_id
+),
+folds AS (
+    SELECT vec_id,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 embedding), (acc, x) -> acc + x), 5) AS vsum,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding, x -> x * x)),
+                 (acc, x) -> acc + x), 5) AS dot_self
+    FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id, f.vsum, a.n_pos, a.has_big, a.bounded, f.dot_self, a.t3
+FROM agg a JOIN folds f ON f.vec_id = a.vec_id
+""",
+    # array probes re-derived: length/extremes/picks over unnest;
+    # slice-then-index collapsed to the direct element; the two
+    # list-literal membership probes constant-fold (2 and the leading
+    # 7 are literally present whatever vec_id is)
+    "expr_array_funcs": """
+SELECT vec_id,
+       CAST(max(i) AS BIGINT) AS dim,
+       round(CAST(max(x) AS DOUBLE), 5) AS vmax,
+       round(CAST(min(x) AS DOUBLE), 5) AS vmin,
+       round(CAST(max(CASE WHEN i = 3 THEN x END) AS DOUBLE), 5) AS s2,
+       round(CAST(max(CASE WHEN i = 8 THEN x END) AS DOUBLE), 5) AS e8,
+       TRUE AS has2,
+       CAST(1 AS BIGINT) AS pos7
+FROM (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id < 200) u
+GROUP BY vec_id
+""",
+    # list surgeries rebuilt from scalar arithmetic: distinct-sort
+    # from a reordered construction, flatten from the flat literal,
+    # and the intersection constant-folds to '2,3' (k%4 never adds a
+    # new member and list_intersect dedups)
+    "expr_array_funcs2": """
+SELECT o_orderkey,
+       array_to_string(list_sort(list_distinct(list_value(
+           o_orderkey % 5, 2, o_orderkey % 3, o_orderkey % 3))), ',')
+           AS dedup,
+       array_to_string(list_value(o_orderkey % 2, o_orderkey % 3, 7),
+                       ',') AS flat,
+       '2,3' AS ixn
+FROM orders WHERE o_orderkey < 500
+""",
+    # revenue pushed below the joins as a per-(order, supplier)
+    # DECIMAL partial aggregate — exact, so the reassociated total
+    # must match the flat join-then-aggregate to the last cent
+    "join_tpch_q5ish": """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name, CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+FROM li
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
     # ---- round-7 PROACTIVE batch 2: r6-fresh structural rows, so
     # every set-op / join / scalar family has at least one
     # independent formulation before it rotates again ----
