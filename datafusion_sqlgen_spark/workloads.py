@@ -1425,6 +1425,29 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _replay_shuffle(s: SparkSession, n: int = 8):
+    """Scope the bounded streaming replays to ``n`` shuffle/state
+    partitions.  Stateful streaming fixes the state-store count at the
+    session's shuffle-partition setting per stateful operator per
+    micro-batch — at the default 32 a k-file replay of driver-table
+    data spends its whole wall-clock on hundreds of near-empty state
+    tasks and checkpoint files (measured: the stream-stream attribution
+    replay drops 23s -> 5s at sf0.1 going 32 -> 4).  At production
+    scale the same knob is sized UP to the key cardinality instead —
+    state partitioning should always track state size, not the batch
+    default.  Restores the previous setting afterwards."""
+    old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        s.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _streaming_rollup_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the materialized-rollup sink: events are
     split into 4 parquet files, streamed one file per trigger through
@@ -1441,7 +1464,8 @@ def _streaming_rollup_result(s: SparkSession) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_rollup_")
     src = work + "/events_files"
     s.table("events").repartition(4).write.parquet(src)
-    return run_bounded_rollup(s, src, work, max_files_per_trigger=1)
+    with _replay_shuffle(s):
+        return run_bounded_rollup(s, src, work, max_files_per_trigger=1)
 
 
 def _mm_binary_ingest(s: SparkSession) -> DataFrame:
@@ -1495,7 +1519,8 @@ def _streaming_hll_result(s: SparkSession) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_hll_")
     src = work + "/events_files"
     s.table("events").repartition(4).write.parquet(src)
-    return run_bounded_sketch(s, src, work, max_files_per_trigger=1)
+    with _replay_shuffle(s):
+        return run_bounded_sketch(s, src, work, max_files_per_trigger=1)
 
 
 def _streaming_sessions_result(s: SparkSession) -> DataFrame:
@@ -1517,10 +1542,11 @@ def _streaming_sessions_result(s: SparkSession) -> DataFrame:
     src = work + "/events_files"
     s.table("events").repartition(4).write.parquet(src)
     stream = read_events_stream(s, src, max_files_per_trigger=1)
-    stream_to_memory(
-        session_window_stream(stream, watermark=None, exact=True),
-        "streaming_sessions_tbl",
-    )
+    with _replay_shuffle(s):
+        stream_to_memory(
+            session_window_stream(stream, watermark=None, exact=True),
+            "streaming_sessions_tbl",
+        )
     return s.table("streaming_sessions_tbl")
 
 
@@ -1574,10 +1600,11 @@ def _streaming_sliding_result(s: SparkSession) -> DataFrame:
     src = work + "/events_files"
     s.table("events").repartition(4).write.parquet(src)
     stream = read_events_stream(s, src, max_files_per_trigger=1)
-    stream_to_memory(
-        sliding_window_stream(stream, watermark=None),
-        "streaming_sliding_tbl",
-    )
+    with _replay_shuffle(s):
+        stream_to_memory(
+            sliding_window_stream(stream, watermark=None),
+            "streaming_sliding_tbl",
+        )
     return s.table("streaming_sliding_tbl")
 
 
@@ -1623,13 +1650,14 @@ def _streaming_attribution_result(s: SparkSession) -> DataFrame:
     src = work + "/events_files"
     s.table("events").repartition(4).write.parquet(src)
     stream = read_events_stream(s, src, max_files_per_trigger=1)
-    stream_to_memory(
-        click_purchase_attribution_stream(
-            stream, watermark="3650 days", exact=True
-        ),
-        "streaming_attribution_tbl",
-        output_mode="append",
-    )
+    with _replay_shuffle(s, 4):
+        stream_to_memory(
+            click_purchase_attribution_stream(
+                stream, watermark="3650 days", exact=True
+            ),
+            "streaming_attribution_tbl",
+            output_mode="append",
+        )
     return s.table("streaming_attribution_tbl")
 
 
@@ -1681,7 +1709,8 @@ def _streaming_dedup_result(s: SparkSession) -> DataFrame:
         shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
         ts = 1_000_000_000 + i * 3600
         os.utime(dst, (ts, ts))
-    return run_bounded_dedup(s, src, work, max_files_per_trigger=1)
+    with _replay_shuffle(s):
+        return run_bounded_dedup(s, src, work, max_files_per_trigger=1)
 
 
 def _streaming_dedup_oracle() -> str:
