@@ -379,3 +379,46 @@ def test_zorder_write_tightens_footers(spark, tmp_path):
         za = mean_span(str(tmp_path / "z_auto"), col, lo, hi)
         naive = mean_span(str(tmp_path / "naive"), col, lo, hi)
         assert za < naive * 0.7, f"{col}: auto z-span {za:.2f} vs {naive:.2f}"
+
+
+def test_decode_real_video_without_pyav_raises_with_hint():
+    """Where PyAV is absent the optional-import video path must fail
+    with the actionable NotImplementedError, not an ImportError —
+    the same contract as the Pillow and soundfile lanes."""
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("PyAV installed — covered by the decode test")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mm.decode_real(b"xx", "video/mp4")
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mm._make_local_video_decoder()
+
+
+def test_decode_real_decodes_video():
+    """Skip-gated real-video path: with PyAV installed, decode_real
+    samples frame luminance means and honors the decode_fake shape
+    contract (length n, values in [0,1], deterministic)."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 32
+        for shade in (0, 128, 255):
+            arr = np.full((32, 32, 3), shade, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                out.mux(pkt)
+        for pkt in stream.encode():
+            out.mux(pkt)
+    clip = buf.getvalue()
+    out = mm.decode_real(clip, "video/mp4", n=6)
+    assert len(out) == 6
+    assert all(0.0 <= v <= 1.0 for v in out)
+    assert out == mm.decode_real(clip, "video/mp4", n=6)
