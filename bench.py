@@ -196,6 +196,9 @@ HEADLINE = [
     # sliding windows accumulated across 4 triggers (the fifth
     # streaming headline)
     "streaming_sliding_result",
+    # IVF-SQ8: trained coarse probe bounds candidates, integer SQ8
+    # ADC bounds bytes per candidate
+    "sim_ivf_sq8_topk",
 ]
 
 

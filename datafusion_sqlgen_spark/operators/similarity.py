@@ -622,6 +622,217 @@ def sq8_topk_oracle(
     """
 
 
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 1,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 approximate search — the FAISS ``IVFx,SQ8`` shape that
+    completes this module's index ladder (brute force → LSH → IVF →
+    SQ8 → PQ → IVF-PQ → IVF-SQ8): trained k-means coarse cells bound
+    WHICH vectors are scored (nprobe/n_cells of the corpus), SQ8
+    integer codes bound HOW MUCH is read per scored row (dim bytes,
+    not 4·dim), and only ``refine*k`` candidates per query touch their
+    original float vectors at re-rank.
+
+    Scale shape: the index build (Lloyd loop + cell assignment + SQ8
+    codes) is broadcast-join passes over the corpus — persisted/
+    bucketed in production; at query time every join is against a
+    broadcast side (nprobe cells/query, the k-row quantized queries,
+    the refine·k shortlist), and the ADC pass shuffles only scalar
+    (query, neighbor, approx) rows.  Determinism: the integer dot is
+    exact in any summation order (int8 products never lose bits in a
+    double sum); probe and shortlist ties break on ids; the re-rank
+    rounds like every other tier."""
+    coarse = _kmeans_centroids(corpus, n_cells, n_iter, id_col, vec_col, 6)
+    assigned = ivf_assign(corpus, coarse, id_col, vec_col)
+
+    def _q(df: DataFrame, prefix: str, extra: list = ()) -> DataFrame:
+        v = F.col(vec_col)
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        scale = F.lit(127.0) / F.nullif(maxabs, F.lit(0.0))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            scale.alias(f"{prefix}scale"),
+            F.transform(
+                v, lambda x: F.round(x.cast("double") * scale).cast("bigint")
+            ).alias(f"{prefix}codes"),
+            *extra,
+        ).where(F.col(f"{prefix}scale").isNotNull())
+
+    codes = _q(assigned, "c_", [F.col("cell_id")])
+    qq = _q(queries, "q_")
+    # --- coarse probe: nprobe nearest trained centroids per query ---
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    ccents = coarse.select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("centroid"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("cell_id").asc()
+    )
+    qcells = (
+        F.broadcast(q).join(ccents)
+        .select(
+            "query_id", "cell_id",
+            cosine_pre(
+                F.col("qvec"), F.col("centroid"), F.col("qn"), F.col("__cn")
+            ).alias("__csim"),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    # --- SQ8 ADC over the probed cells only ---
+    idot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qcells.join(qq, qcells.query_id == qq.q_id))
+        .join(codes, "cell_id")
+        .where(F.col("query_id") != F.col("c_id"))
+        .select(
+            "query_id",
+            F.col("c_id").alias("neighbor_id"),
+            (idot.cast("double") / (F.col("q_scale") * F.col("c_scale")))
+            .alias("__approx"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # --- exact re-rank of the shortlist only ---
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    rer = (
+        F.broadcast(shortlist.join(q, "query_id"))
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"), "rnk",
+        )
+    )
+
+
+def ivf_sq8_topk_oracle(
+    table: str = "embeddings",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 1,
+    refine: int = 4,
+    max_query_id: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ivf_sq8_topk`: the Lloyd CTE chain feeds
+    cell assignment, SQ8 quantization replays per-vector, the probe
+    ranks trained centroids per query, and the integer-dot shortlist
+    is exact in any order (int8 products in a double sum)."""
+    kmeans = _kmeans_ctes(table, n_cells, n_iter, 6)
+    return f"""
+    WITH {kmeans},
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    ),
+    codes AS (
+        SELECT vec_id, cell_id,
+               127.0 / nullif(list_max(list_transform(embedding,
+                                  x -> abs(CAST(x AS DOUBLE)))), 0) AS scale,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE)
+                              * (127.0 / nullif(list_max(list_transform(
+                                    embedding, y -> abs(CAST(y AS DOUBLE)))),
+                                    0)))) AS qc
+        FROM assigned
+    ),
+    qcells AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.vec_id AS query_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} q CROSS JOIN c{n_iter} c
+            WHERE q.vec_id < {max_query_id}
+        ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(qq.qc, c.qc) / (qq.scale * c.scale) AS approx
+        FROM qcells p
+        JOIN codes qq ON qq.vec_id = p.query_id
+        JOIN codes c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id
+        WHERE qq.scale IS NOT NULL AND c.scale IS NOT NULL
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx DESC,
+                                                 neighbor_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= {refine * k}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) AS cos_sim
+        FROM shortlist s
+        JOIN {table} q ON q.vec_id = s.query_id
+        JOIN {table} c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC,
+                                             neighbor_id ASC) AS rnk
+          FROM rer)
+    WHERE rnk <= {k}
+    """
+
+
 def recall_at_k(
     corpus: DataFrame,
     queries: DataFrame,

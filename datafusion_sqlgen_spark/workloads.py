@@ -3000,6 +3000,17 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             similarity.sq8_topk_oracle(),
         ),
+        # IVF-SQ8 composition (round 7): trained coarse cells bound
+        # WHICH vectors are scored, SQ8 codes bound how much is READ
+        # per scored row — the FAISS IVFx,SQ8 shape completing the
+        # index ladder
+        "sim_ivf_sq8_topk": (
+            lambda s: similarity.ivf_sq8_topk(
+                s.table("embeddings"),
+                s.table("embeddings").filter(F.col("vec_id") < 10),
+            ),
+            similarity.ivf_sq8_topk_oracle(),
+        ),
     }
 
 
@@ -3098,6 +3109,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "streaming_attribution_result",
     "text_lr_train",
     "streaming_sliding_result",
+    "sim_ivf_sq8_topk",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -3123,15 +3135,15 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q9",
     "tpch_q17",
     "tpch_q18",
-    "parsed_scan_filter_sort",
     # ---- 50-entry driver sample boundary ----
-    # parsed_join_agg_having, parsed_case_in_distinct, dedup_exact,
-    # dedup_canonical, dedup_minhash_signatures, dedup_minhash_buckets,
+    # parsed_scan_filter_sort, parsed_join_agg_having,
+    # parsed_case_in_distinct, dedup_exact, dedup_canonical,
+    # dedup_minhash_signatures, dedup_minhash_buckets,
     # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
     # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the twelve round-7 additions; they lead the r8 stale
-    # cohort with the other 13 r3 leftovers (all twelve displaced rows
-    # now carry independent hand oracles)
+    # displaced by the thirteen round-7 additions; they lead the r8
+    # stale cohort with the other 13 r3 leftovers (ALL IR rows now
+    # carry independent hand oracles — campaign complete)
 ]
 
 

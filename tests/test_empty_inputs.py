@@ -322,3 +322,12 @@ def test_sq8_topk_on_empty(spark):
 
 def test_lr_train_on_empty(spark, empty_docs):
     assert text.lr_train_hashed(empty_docs).count() == 0
+
+
+def test_ivf_sq8_topk_on_empty(spark):
+    from datafusion_sqlgen_spark.operators import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    assert similarity.ivf_sq8_topk(empty, empty).count() == 0

@@ -850,3 +850,16 @@ def test_lr_train_broadcast_weights_integer_gradients(spark, queries):
     assert plan.count("BroadcastExchange") >= 3  # weights, bias, doc count
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_sq8_topk_broadcast_joins_no_corpus_shuffle(spark, queries):
+    """IVF-SQ8: every query-time join is against a broadcast side
+    (probed cells, quantized queries, shortlist); no cartesian beyond
+    the deliberate k-row centroid nested loops; the corpus itself is
+    never sort-merged; everything JVM-side."""
+    plan = queries["sim_ivf_sq8_topk"](spark, SF_DIR)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
