@@ -199,6 +199,9 @@ HEADLINE = [
     # IVF-SQ8: trained coarse probe bounds candidates, integer SQ8
     # ADC bounds bytes per candidate
     "sim_ivf_sq8_topk",
+    # custom stateful op (applyInPandasWithState) with fixed-point
+    # state, replayed across 4 triggers (the sixth streaming headline)
+    "streaming_running_totals_result",
 ]
 
 

@@ -180,6 +180,10 @@ _RUNNING_STATE_SCHEMA = "total double, n bigint"
 _RUNNING_OUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double"
 )
+_RUNNING_FX_STATE_SCHEMA = "total_fx bigint, n bigint"
+_RUNNING_FX_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_fx bigint"
+)
 
 
 def user_running_totals_stream(events: DataFrame) -> DataFrame:
@@ -207,6 +211,44 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
         update,
         outputStructType=_RUNNING_OUT_SCHEMA,
         stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_running_totals_stream_exact(events: DataFrame) -> DataFrame:
+    """Cross-engine-exact twin of :func:`user_running_totals_stream`
+    (round 7, making the custom-stateful tier driver-hash-checkable):
+    per-user state carries the value total as a 1e4 FIXED-POINT BIGINT
+    — each value snaps to ``floor(v * 10^4 + 0.5)`` (the engine-
+    identical IEEE formulation) before an integer accumulation, so the
+    running total is independent of batch boundaries, pandas summation
+    strategy, and engine addition order.  The emitted ``total_fx`` is
+    an exact integer a SQL oracle reproduces with the same snap.
+    ``n_events`` is strictly increasing across emissions, so the final
+    per-user snapshot is the max-``n_events`` row of the update-mode
+    sink."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        total_fx, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            fx = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 1e4 + 0.5
+            ).astype("int64")
+            total_fx += int(fx.sum())
+            n += int(len(pdf))
+        state.update((total_fx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_fx": [total_fx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_FX_OUT_SCHEMA,
+        stateStructType=_RUNNING_FX_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

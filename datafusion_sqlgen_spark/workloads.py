@@ -1580,6 +1580,52 @@ GROUP BY user_id, sid
 """
 
 
+def _streaming_running_totals_result(s: SparkSession) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) through a real
+    streaming query (round 7): per-user running totals accumulate in
+    1e4 fixed-point BIGINT state across 4 file-triggers; the final
+    snapshot per user is its max-n_events emission in the update-mode
+    sink (the counter is strictly increasing).  Makes the custom-
+    stateful tier — previously pytest-only — driver-hash-checkable."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        read_events_stream,
+        stream_to_memory,
+        user_running_totals_stream_exact,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_totals_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    with _replay_shuffle(s):
+        stream_to_memory(
+            user_running_totals_stream_exact(stream),
+            "streaming_totals_tbl",
+            output_mode="update",
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        s.table("streaming_totals_tbl")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_fx")
+    )
+
+
+_STREAMING_TOTALS_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_fx
+FROM events
+GROUP BY user_id
+"""
+
+
 def _streaming_sliding_result(s: SparkSession) -> DataFrame:
     """Sliding event-time windows through a real streaming query
     (round 7): events split into 4 parquet files streamed one file per
@@ -2878,6 +2924,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             _streaming_sliding_result,
             _STREAMING_SLIDING_ORACLE,
         ),
+        # STREAMING driver-visible workload #7 (round 7): the custom
+        # stateful operator (applyInPandasWithState) with fixed-point
+        # BIGINT state — running totals exact across trigger
+        # boundaries, hash-checked against the batch GROUP BY
+        "streaming_running_totals_result": (
+            _streaming_running_totals_result,
+            _STREAMING_TOTALS_ORACLE,
+        ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
         "text_language_confidence": (
@@ -3110,6 +3164,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_lr_train",
     "streaming_sliding_result",
     "sim_ivf_sq8_topk",
+    "streaming_running_totals_result",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -3134,14 +3189,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q3",
     "tpch_q9",
     "tpch_q17",
-    "tpch_q18",
     # ---- 50-entry driver sample boundary ----
-    # parsed_scan_filter_sort, parsed_join_agg_having,
+    # tpch_q18, parsed_scan_filter_sort, parsed_join_agg_having,
     # parsed_case_in_distinct, dedup_exact, dedup_canonical,
     # dedup_minhash_signatures, dedup_minhash_buckets,
     # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
     # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the thirteen round-7 additions; they lead the r8
+    # displaced by the fourteen round-7 additions; they lead the r8
     # stale cohort with the other 13 r3 leftovers (ALL IR rows now
     # carry independent hand oracles — campaign complete)
 ]

@@ -824,3 +824,40 @@ def test_sliding_stream_unwatermarked_multi_trigger(spark, stream_dir):
         spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir).count()
     )
     assert sum(r[2] for r in streamed) == 2 * n_events
+
+
+def test_running_totals_exact_multi_trigger(spark, stream_dir):
+    """The driver-workload path (round 7): fixed-point BIGINT state in
+    applyInPandasWithState must accumulate exactly across triggers —
+    the final per-user snapshot (max-n_events emission) equals the
+    batch GROUP BY with the same value snap, as integers."""
+    ev = st.read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    st.stream_to_memory(
+        st.user_running_totals_stream_exact(ev),
+        "t_totals_fx",
+        output_mode="update",
+    )
+    import pyspark.sql.functions as F
+
+    final = {
+        (r["user_id"]): (r["n_events"], r["total_fx"])
+        for r in spark.sql("""
+            SELECT user_id, n_events, total_fx FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rn
+                FROM t_totals_fx) WHERE rn = 1
+        """).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["fx"])
+        for r in spark.read.schema(st.EVENTS_SCHEMA).parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("bigint")
+            ).alias("fx"),
+        )
+        .collect()
+    }
+    assert final == batch and len(final) > 0
