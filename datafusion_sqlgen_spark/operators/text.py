@@ -1850,7 +1850,7 @@ def lr_train_hashed(
     df: DataFrame,
     vocab_size: int = 4096,
     n_iter: int = 2,
-    lr: float = 0.1,
+    lr: float = 0.05,
     text_col: str = "text",
     id_col: str = "doc_id",
     label_col: str = "lang",
@@ -1977,7 +1977,7 @@ def lr_train_hashed_oracle(
     table: str = "documents",
     vocab_size: int = 4096,
     n_iter: int = 2,
-    lr: float = 0.1,
+    lr: float = 0.05,
     label_col: str = "lang",
     positive: str = "en",
 ) -> str:

@@ -1252,3 +1252,67 @@ def test_lr_train_roundtrips_into_inference_and_separates_classes(spark):
     rest = [r["score"] for r in rows if r["lang"] != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_lr_train_loss_decreases_with_epochs(spark):
+    """Training must actually optimize ITS OWN objective: mean logistic
+    loss on the trained sum-margin (sum of bucket weights + bias — the
+    margin the gradients descend) strictly decreases over epochs and
+    starts below the zero-init loss ln(2). (classifier_score's
+    inference logit is the per-gram MEAN — a calibration rescale of
+    the same weights, not the training objective.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    docs = _df(spark, "documents")
+    feats = text._hashed_gram_features(docs, 4096, "text", "doc_id")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+    def mean_loss(w):
+        brows = w.filter("bucket = -1").collect()
+        bias = (brows[0]["w_fp"] if brows else 0) / 65536.0
+        sc = (
+            feats.join(w.filter("bucket >= 0"), "bucket")
+            .groupBy("doc_id")
+            .agg((F.sum(F.col("cnt") * F.col("w_fp")) / 65536.0).alias("m"))
+        )
+        rows = labels.join(sc, "doc_id", "left").fillna({"m": 0.0}).collect()
+        tot = 0.0
+        for r in rows:
+            p = 1.0 / (1.0 + math.exp(-(r["m"] + bias)))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            tot += -(r["y"] * math.log(p) + (1 - r["y"]) * math.log(1 - p))
+        return tot / len(rows)
+
+    l1 = mean_loss(text.lr_train_hashed(docs, n_iter=1))
+    l2 = mean_loss(text.lr_train_hashed(docs, n_iter=2))
+    assert l2 < l1 < math.log(2)
+
+
+def test_ann_ladder_recall_vs_brute_force(spark):
+    """Quality audit of the round-7 ANN tiers: SQ8 (quantized but
+    exhaustive + exact re-rank) must reproduce brute-force top-5
+    almost perfectly; IVF-SQ8 (probes nprobe/n_cells of the corpus)
+    trades recall for the candidate bound and must still clear 0.5 on
+    the driver embeddings."""
+    emb = _df(spark, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sq8_topk(emb, queries, k=5).collect()
+    }
+    ivf_sq8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_sq8_topk(emb, queries, k=5).collect()
+    }
+    assert len(exact) == 50
+    assert len(sq8 & exact) / len(exact) >= 0.9
+    assert len(ivf_sq8 & exact) / len(exact) >= 0.5
