@@ -202,6 +202,8 @@ HEADLINE = [
     # custom stateful op (applyInPandasWithState) with fixed-point
     # state, replayed across 4 triggers (the sixth streaming headline)
     "streaming_running_totals_result",
+    # stateless stream-static broadcast enrichment (the seventh)
+    "streaming_enrich_result",
 ]
 
 

@@ -1673,6 +1673,43 @@ GROUP BY ws
 """
 
 
+def _streaming_enrich_result(s: SparkSession) -> DataFrame:
+    """Stream-static broadcast enrichment through a real streaming
+    query (round 7): events stream one file per trigger and every
+    micro-batch broadcast-joins the STATIC customer dimension — the
+    facts-stream/dims-broadcast pattern, stateless (append mode, no
+    watermark, no state store).  Exact integer/string columns only."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        read_events_stream,
+        stream_static_enrich,
+        stream_to_memory,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    dim = s.table("customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    enriched = stream_static_enrich(stream, dim, on="user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
+    )
+    stream_to_memory(enriched, "streaming_enrich_tbl", output_mode="append")
+    return s.table("streaming_enrich_tbl")
+
+
+_STREAMING_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_nationkey
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
 def _streaming_attribution_result(s: SparkSession) -> DataFrame:
     """Stream-stream interval join through a real streaming query
     (round 7): events split into 4 parquet files streamed one per
@@ -2932,6 +2969,13 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             _streaming_running_totals_result,
             _STREAMING_TOTALS_ORACLE,
         ),
+        # STREAMING driver-visible workload #8 (round 7): stateless
+        # stream-static broadcast enrichment — every micro-batch joins
+        # the static customer dim, hash-checked against the batch join
+        "streaming_enrich_result": (
+            _streaming_enrich_result,
+            _STREAMING_ENRICH_ORACLE,
+        ),
         # language ID with top1-top2 confidence margin (the fastText-
         # style gate real pipelines filter on)
         "text_language_confidence": (
@@ -3165,6 +3209,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "streaming_sliding_result",
     "sim_ivf_sq8_topk",
     "streaming_running_totals_result",
+    "streaming_enrich_result",
     # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
     "agg_tpch_q1",
     # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
@@ -3188,14 +3233,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q2",
     "tpch_q3",
     "tpch_q9",
-    "tpch_q17",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q18, parsed_scan_filter_sort, parsed_join_agg_having,
+    # tpch_q17, tpch_q18, parsed_scan_filter_sort, parsed_join_agg_having,
     # parsed_case_in_distinct, dedup_exact, dedup_canonical,
     # dedup_minhash_signatures, dedup_minhash_buckets,
     # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
     # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the fourteen round-7 additions; they lead the r8
+    # displaced by the fifteen round-7 additions; they lead the r8
     # stale cohort with the other 13 r3 leftovers (ALL IR rows now
     # carry independent hand oracles — campaign complete)
 ]
