@@ -273,7 +273,10 @@ class _Parser:
 
     # ---- statement -------------------------------------------------------
     def parse_statement(self) -> Plan:
-        plan = self.parse_query()
+        if self.at_kw("MERGE"):
+            plan = self.parse_merge()
+        else:
+            plan = self.parse_query()
         self.eat_op(";")
         if self.peek().kind != "eof":
             t = self.peek()
@@ -309,6 +312,113 @@ class _Parser:
                 break
         cols = tuple(f"col{j + 1}" for j in range(len(rows[0])))
         return Values(tuple(rows), cols)
+
+    def parse_merge(self) -> Plan:
+        """``MERGE INTO`` as a *batch* statement: since this engine's
+        tables are immutable parquet relations, MERGE returns the merged
+        table as a query (the reference's whole surface is SELECT
+        rendering, tests/select.rs:62 — MERGE is the statement form a
+        pipeline's maintenance job writes).  The parse DESUGARS straight
+        into the existing relational IR, exactly the shapes of
+        ``operators/joins.upsert`` (updates ∪ target-ANTI-updates), so
+        both renders, execution, and the round-trip fixpoint come for
+        free:
+
+          WHEN MATCHED THEN UPDATE SET * + WHEN NOT MATCHED THEN INSERT *
+              → SELECT s.* FROM src s UNION ALL
+                SELECT t.* FROM tgt t LEFT ANTI JOIN src s ON ...
+          WHEN MATCHED THEN DELETE (alone)
+              → SELECT t.* FROM tgt t LEFT ANTI JOIN src s ON ...
+          WHEN NOT MATCHED THEN INSERT * (alone — insert-if-absent)
+              → SELECT t.* FROM tgt t UNION ALL
+                SELECT s.* FROM src s LEFT ANTI JOIN tgt t ON ...
+          DELETE + INSERT * (replace-matched-with-nothing, add-new)
+              → SELECT s.* FROM src s LEFT ANTI JOIN tgt t ON ... UNION ALL
+                SELECT t.* FROM tgt t LEFT ANTI JOIN src s ON ...
+
+        Row-level forms (``UPDATE SET col = expr``, ``WHEN ... AND cond``)
+        are rejected with a pointer to the operator API
+        (``joins.scd2_merge`` covers attribute-diffing merges)."""
+        self.expect_kw("MERGE")
+        self.expect_kw("INTO")
+        target, t_name = self._merge_relation("target")
+        self.expect_kw("USING")
+        source, s_name = self._merge_relation("source")
+        self.expect_kw("ON")
+        on = self.parse_expr()
+
+        matched = None  # "update" | "delete"
+        insert = False
+        while self.at_kw("WHEN"):
+            self.next()
+            negated = self.eat_kw("NOT")
+            self.expect_kw("MATCHED")
+            if self.at_kw("AND"):
+                raise ParseError(
+                    "MERGE WHEN ... AND <cond> is not supported; use the "
+                    "operator API (operators/joins.py scd2_merge) for "
+                    "conditional merges"
+                )
+            self.expect_kw("THEN")
+            if negated:
+                self.expect_kw("INSERT")
+                if not self.eat_op("*"):
+                    raise ParseError(
+                        "MERGE supports INSERT * only (whole-row insert)"
+                    )
+                insert = True
+            elif self.eat_kw("DELETE"):
+                matched = "delete"
+            else:
+                self.expect_kw("UPDATE")
+                self.expect_kw("SET")
+                if not self.eat_op("*"):
+                    raise ParseError(
+                        "MERGE supports UPDATE SET * only (whole-row "
+                        "replace); per-column SET needs the operator API"
+                    )
+                matched = "update"
+        if matched is None and not insert:
+            raise ParseError("MERGE needs at least one WHEN clause")
+        if matched == "update" and not insert:
+            raise ParseError(
+                "UPDATE SET * without INSERT * drops unmatched source "
+                "rows silently; add WHEN NOT MATCHED THEN INSERT *"
+            )
+
+        src_rows = source.select(Star(table=s_name))
+        tgt_survivors = target.join(source, on=on, how="left_anti").select(
+            Star(table=t_name)
+        )
+        if matched == "update":  # upsert: joins.upsert's exact shape
+            return SetOp(src_rows, tgt_survivors, "union_all")
+        if matched == "delete" and not insert:
+            return tgt_survivors
+        new_rows = source.join(target, on=on, how="left_anti").select(
+            Star(table=s_name)
+        )
+        if matched == "delete":  # delete + insert
+            return SetOp(new_rows, tgt_survivors, "union_all")
+        # insert-if-absent: target intact, only unseen source keys append
+        return SetOp(target.select(Star(table=t_name)), new_rows, "union_all")
+
+    def _merge_relation(self, role: str) -> tuple:
+        """A MERGE operand: table [AS alias] or (query) AS alias.
+        Returns (plan, qualifier) — the name ``t.*``/ON conditions use."""
+        if self.eat_op("("):
+            sub = self.parse_query()
+            self.expect_op(")")
+            self.eat_kw("AS")
+            name = self.ident()
+            return sub.alias(name), name
+        table = self.ident()
+        if self.eat_kw("AS") or (
+            self.peek().kind in ("ident", "qident")
+            and self.peek().upper not in ("USING", "ON", "WHEN")
+        ):
+            name = self.ident()
+            return scan(table).alias(name), name
+        return scan(table), table
 
     def parse_with(self) -> Plan:
         self.expect_kw("WITH")
@@ -732,11 +842,74 @@ class _Parser:
             return sub
         table = self.ident()
         if self.eat_kw("AS"):
-            return scan(table).alias(self.ident())
+            return self._maybe_tablesample(scan(table).alias(self.ident()))
         t = self.peek()
-        if (t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW):
-            return scan(table).alias(self.ident())
-        return scan(table)
+        if (t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW
+                and t.upper != "TABLESAMPLE"):
+            return self._maybe_tablesample(scan(table).alias(self.ident()))
+        return self._maybe_tablesample(scan(table))
+
+    def _maybe_tablesample(self, rel: Plan) -> Plan:
+        """``TABLESAMPLE (p PERCENT ON id_col) [REPEATABLE ('salt')]`` —
+        the *deterministic* dialect of the statement form.  Engine-native
+        TABLESAMPLE is non-reproducible (Spark's BERNOULLI and DuckDB's
+        SYSTEM draw from different RNGs, so no oracle could ever agree),
+        which is exactly the property a curation pipeline cannot accept;
+        this engine's sampling contract is content-addressed membership
+        (``operators/sampling.stable_sample``).  The clause therefore
+        REQUIRES the hash key (``ON id_col``) and desugars at parse time
+        into the same md5-bucket filter stable_sample compiles to:
+
+            substring(md5(CAST(id AS STRING) || ':salt'), 1, 4) < '<hex>'
+
+        identical membership in both dialects, no new IR node, and the
+        render→parse fixpoint holds because the render IS the filter."""
+        if not self.at_kw("TABLESAMPLE"):
+            return rel
+        self.next()
+        self.expect_op("(")
+        t = self.next()
+        try:
+            pct = float(t.text)
+        except ValueError:
+            raise ParseError(
+                f"TABLESAMPLE expects a numeric percentage, got {t.text!r}"
+            ) from None
+        self.expect_kw("PERCENT")
+        if not self.eat_kw("ON"):
+            raise ParseError(
+                "TABLESAMPLE requires ON <id_col>: random sampling is not "
+                "reproducible across engines; this dialect is the "
+                "deterministic md5-bucket sample (sampling.stable_sample)"
+            )
+        id_col = self.ident()
+        self.expect_op(")")
+        salt = "sample"
+        if self.eat_kw("REPEATABLE"):
+            self.expect_op("(")
+            tok = self.next()
+            if tok.kind != "string":
+                raise ParseError(
+                    "REPEATABLE takes a quoted salt string, e.g. "
+                    "REPEATABLE ('v2')"
+                )
+            salt = _unquote(tok.text)
+            self.expect_op(")")
+        from datafusion_sqlgen_spark.operators.sampling import _threshold
+
+        pred = BinOp(
+            "<",
+            Func("substring", (
+                Func("md5", (
+                    Func("concat", (
+                        Cast(Col(id_col), "string"), Lit(":" + salt),
+                    )),
+                )),
+                Lit(1), Lit(4),
+            )),
+            Lit(_threshold(pct / 100.0)),
+        )
+        return rel.filter(pred)
 
     def parse_from_clause(self, left: Plan) -> Plan:
         """Joins, LATERAL VIEW generators, comma-LATERAL subqueries and

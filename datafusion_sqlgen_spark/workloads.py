@@ -1294,6 +1294,33 @@ def _ir_workloads() -> dict[str, Plan]:
     # NULL-containing subquery whose undecided rows must be NULL.
     w["parsed_quantified_forms"] = parse_sql(_QUANTIFIED_FORMS_SQL)
 
+    # round 8 (VERDICT r7 item 6): the two statement forms a pipeline's
+    # maintenance job writes, entering through SQL text like every other
+    # parsed_* row.  MERGE INTO desugars to the joins.upsert shape
+    # (updates ∪ target-ANTI-updates); the source mixes in-place updates
+    # (custkey % 7) with brand-new keys (custkey % 11, shifted past the
+    # keyspace) so BOTH merge arms produce rows at every SF.
+    w["parsed_merge_upsert"] = parse_sql(
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+        "'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 7 = 0 "
+        "UNION ALL "
+        "SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey, "
+        "c_acctbal, 'INSERTED' AS c_mktsegment FROM customer "
+        "WHERE c_custkey % 11 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # TABLESAMPLE in its deterministic dialect (ON <id_col> — random
+    # sampling can never hash-match across engines) desugars to the
+    # sampling.stable_sample md5-bucket filter.
+    w["parsed_tablesample"] = parse_sql(
+        "SELECT doc_id, lang, length(text) AS text_len FROM documents "
+        "TABLESAMPLE (10 PERCENT ON doc_id) REPEATABLE ('r8') "
+        "ORDER BY doc_id ASC NULLS FIRST"
+    )
+
     return w
 
 
@@ -2646,6 +2673,13 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: profiling.hll_estimate(s.table("events")),
             profiling.hll_estimate_oracle(),
         ),
+        # round 8: the native Datasketches tier becomes sweep-checkable —
+        # both estimators' error bounds asserted per group; the oracle
+        # recomputes exact + portable and pins the native flag TRUE
+        "profile_hll_native_vs_portable": (
+            lambda s: profiling.hll_native_vs_portable(s.table("events")),
+            profiling.hll_native_vs_portable_oracle(),
+        ),
         # count-min sketch heavy hitters: two disjoint shards sketched
         # independently and cell-sum-merged on the Spark side, one-pass
         # build on the oracle side — the hash match IS the merge law
@@ -3166,82 +3200,75 @@ R4_ADDITIONS: list[str] = [
 R6_DEFERRED: list[str] = ["agg_tpch_q1"]
 
 _SAMPLE_PRIORITY: list[str] = [
-    # Round-7 rotation (VERDICT r6 "Next round" item 1), generated by
-    # `python scripts/rotation_next.py --through-round 6` — do not
+    # Round-8 rotation (VERDICT r7 "Next round" item 1), generated by
+    # `python scripts/rotation_next.py --through-round 7` — do not
     # hand-edit; tests/test_advice_fixes_r3.py re-runs the tool pinned
-    # to the r6 artifact set and diffs it against this list.  Ordering
-    # is the fixed policy red -> never-driver-sampled -> stale-oldest:
-    # the 16 round-6 additions have the weakest evidence (no driver row
-    # ever), so they outrank the 93-row r3/r4 stale backlog (VERDICT r6
-    # "What's wrong" item 2).
-    # --- never driver-sampled (round-6 additions), catalog order ---
-    "parsed_quantified_forms",
-    "mm_binary_ingest",
-    "dedup_semantic",
-    "sample_token_budget_mix",
-    "text_classifier_score",
-    "profile_hll_registers",
-    "profile_hll_estimate",
-    "profile_cms_heavy_hitters",
-    "profile_quantile_sketch",
-    "dedup_bloom_ngram_decontaminate",
-    "source_orc_roundtrip",
-    "pipeline_semantic_curation",
-    "streaming_dedup_result",
-    "streaming_hll_registers",
-    "sample_leakage_safe_split",
-    "sim_ivf_pq_topk",
-    # ROUND-7 additions (phash oracle per VERDICT r6 item 4; theta
-    # set-op sketches and substring-span dedup as new pipeline
-    # operators) — never sampled by definition, so the policy puts them
-    # ahead of the stale cohort too
-    "mm_phash_pairs",
-    "profile_theta_setops",
-    "dedup_substring_spans",
-    "sample_pps_systematic",
-    "dedup_segments_ccnet",
-    "graph_pagerank_sim",
-    "streaming_sessions_result",
-    "text_bigram_logprob",
-    "sim_sq8_topk",
-    "streaming_attribution_result",
-    "text_lr_train",
-    "streaming_sliding_result",
-    "sim_ivf_sq8_topk",
-    "streaming_running_totals_result",
-    "streaming_enrich_result",
-    # --- last driver-sampled in ROUND 2 (the r6 deferral) ---
-    "agg_tpch_q1",
-    # --- last driver-sampled in ROUND 3, catalog order (33 of 46 fit;
-    # the remaining 13 lead the r8 stale cohort together with the 46
-    # r4-last rows — see scripts/rotation_next.py's overflow queue) ---
-    "ref_wildcard",
-    "win_first_last",
-    "win_ignore_nulls_locf",
-    "win_range_frame",
-    "win_analytic_suite",
-    "win_moving_avg",
-    "events_hourly_rollup",
-    "events_sessionize_gap",
-    "cte_recursive_month_spine",
-    "subq_scalar_in_select",
-    "expr_date_parts_trycast",
-    "expr_map_funcs",
-    "lat_explode_words",
-    "unpivot_measures",
-    "lat_topn_per_group",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q9",
+    # to the MAX SHIPPED CORRECTNESS round (self-updating since r8) and
+    # diffs it against this list.  Ordering is the fixed policy
+    # red -> never-driver-sampled -> stale-oldest: the three round-8
+    # additions (MERGE/TABLESAMPLE statement forms, cross-tier HLL)
+    # have no driver row ever, then the 28 r3-stale rows VERDICT r7
+    # flagged, then the oldest r4 rows that fit.
+    # --- never driver-sampled (round-8 additions) ---
+    "parsed_merge_upsert",
+    "parsed_tablesample",
+    "profile_hll_native_vs_portable",
+    # --- last driver-sampled in ROUND 3, catalog order ---
+    "tpch_q17",
+    "tpch_q18",
+    "parsed_scan_filter_sort",
+    "parsed_join_agg_having",
+    "parsed_case_in_distinct",
+    "dedup_exact",
+    "dedup_canonical",
+    "dedup_minhash_signatures",
+    "dedup_minhash_buckets",
+    "dedup_minhash_verify",
+    "text_chunk_documents",
+    "sample_stable_hash",
+    "sample_stratified",
+    "ts_gap_fill_hourly",
+    "ts_ohlc_hourly",
+    "dedup_cluster_cc",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "sim_cosine_topk",
+    "sim_cosine_topk_bucketed",
+    "sim_ivf_topk",
+    "dedup_embedding_cosine",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "join_asof_events",
+    # --- last driver-sampled in ROUND 4, catalog order (19 of 65 fit;
+    # the rest queue for r9 — scripts/rotation_next.py overflow) ---
+    "ref_scan_filter",
+    "ref_sort_limit_offset",
+    "ref_null_safe_cmp",
+    "ts_sliding_1h_stats",
+    "expr_string_funcs2",
+    "values_lookup_join",
+    "agg_filter_where",
+    "expr_scalar_funcs5",
+    "lat_posexplode_embedding",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q17, tpch_q18, parsed_scan_filter_sort, parsed_join_agg_having,
-    # parsed_case_in_distinct, dedup_exact, dedup_canonical,
-    # dedup_minhash_signatures, dedup_minhash_buckets,
-    # dedup_minhash_verify, text_chunk_documents, sample_stable_hash,
-    # sample_stratified, ts_gap_fill_hourly, ts_ohlc_hourly (r3) were
-    # displaced by the fifteen round-7 additions; they lead the r8
-    # stale cohort with the other 13 r3 leftovers (ALL IR rows now
-    # carry independent hand oracles — campaign complete)
+    # tpch_q16/q19-q22, parsed_win_topn, parsed_cte_agg,
+    # setop_union_by_name, sink_partitioned_roundtrip, text_top_terms,
+    # text_pack_sequences, text_redact, text_word_positions,
+    # sample_stable_topk, sample_hash_split (r4) lead the r9 stale
+    # cohort (ALL IR rows carry independent hand oracles)
 ]
 
 
@@ -4518,6 +4545,28 @@ WHERE NOT EXISTS (
            OR (d.c_acctbal = c.c_acctbal AND d.c_custkey < c.c_custkey))
 )
 ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC
+""",
+    # ---- round 8: statement forms (VERDICT r7 item 6) ----
+    # MERGE upsert replayed WITHOUT any join: source ⊂ target keys become
+    # a CASE rewrite over the whole table; the shifted insert arm appends.
+    # Maximum independence — the oracle never sees ANTI JOIN or UNION
+    # of survivors.
+    "parsed_merge_upsert": """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+           AS c_mktsegment
+FROM customer
+UNION ALL
+SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, 'INSERTED'
+FROM customer WHERE c_custkey % 11 = 0
+""",
+    # deterministic TABLESAMPLE: substr + || instead of the generated
+    # substring + concat, threshold hex hard-coded (0.10 * 65536 = 6553
+    # -> '1999')
+    "parsed_tablesample": """
+SELECT doc_id, lang, length(text) AS text_len FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':r8'), 1, 4) < '1999'
+ORDER BY doc_id ASC
 """,
     # ---- round-7 PROACTIVE batch for the projected r8 cohort
     # (VERDICT r6 item 2 "keep growing it with each rotation"):

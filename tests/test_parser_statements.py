@@ -1,0 +1,191 @@
+"""Statement-form parsing (round 8, VERDICT r7 item 6): MERGE INTO and
+TABLESAMPLE — the two maintenance-statement forms a pipeline operator
+writes that previously had API-only coverage (operators/joins.upsert,
+operators/sampling.stable_sample).
+
+Both DESUGAR at parse time into the existing relational IR (no new plan
+nodes), so the reference's own round-trip invariant
+(/root/reference/datafusion-sqlgen/tests/select.rs:57-68) — render is a
+parse fixpoint — holds by construction and is pinned here anyway.
+"""
+
+import pytest
+
+from datafusion_sqlgen_spark.parser import ParseError, parse_sql
+from tests.test_operators import check
+
+MERGE_UPSERT = (
+    "MERGE INTO customer AS t USING ("
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+    "'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 7 = 0 "
+    "UNION ALL "
+    "SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey, "
+    "c_acctbal, 'INSERTED' AS c_mktsegment FROM customer "
+    "WHERE c_custkey % 11 = 0) AS s "
+    "ON t.c_custkey = s.c_custkey "
+    "WHEN MATCHED THEN UPDATE SET * "
+    "WHEN NOT MATCHED THEN INSERT *"
+)
+
+
+def _fixpoint(sql: str) -> None:
+    """The statement's Spark render re-parses and re-renders to the
+    identical string (the desugared plan is made of ordinary IR nodes,
+    so one render reaches the fixpoint)."""
+    s1 = parse_sql(sql).to_sql("spark")
+    s2 = parse_sql(s1).to_sql("spark")
+    assert s1 == s2, f"not a parse fixpoint:\n{s1}\n{s2}"
+
+
+def test_merge_upsert_three_way(spark, duck):
+    """MERGE upsert: DataFrame execution == generated Spark SQL ==
+    an oracle that never joins (CASE rewrite + shifted insert arm)."""
+    p = parse_sql(MERGE_UPSERT)
+    _fixpoint(MERGE_UPSERT)
+    a = check(
+        spark, duck, p.to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+               'INSERTED'
+        FROM customer WHERE c_custkey % 11 = 0
+        """,
+    )
+    b = sorted(
+        tuple(r) for r in spark.sql(p.to_sql("spark")).collect()
+    )
+    assert len(a) == len(b)
+    # both merge arms actually fired
+    segs = {r[-1] for r in a}
+    assert "UPDATED" in segs and "INSERTED" in segs
+
+
+def test_merge_matches_upsert_operator(spark):
+    """The parsed statement and operators/joins.upsert are the same
+    operator entered two ways."""
+    from pyspark.sql import functions as F
+
+    from datafusion_sqlgen_spark.operators.joins import upsert
+
+    cust = spark.table("customer")
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 11 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 10000000)
+        .withColumn("c_mktsegment", F.lit("INSERTED"))
+    )
+    via_op = upsert(cust, updates, "c_custkey")
+    via_sql = parse_sql(MERGE_UPSERT).to_df(spark)
+    assert sorted(map(tuple, via_op.collect())) == sorted(
+        map(tuple, via_sql.collect())
+    )
+
+
+def test_merge_delete_only(spark, duck):
+    """WHEN MATCHED THEN DELETE alone is the anti-join: customers from
+    nations 0-4 with no orders plus every customer of other nations
+    stay — here keyed so matches exist but don't cover the table."""
+    sql = (
+        "MERGE INTO nation AS t USING region AS s "
+        "ON t.n_regionkey = s.r_regionkey AND s.r_name = 'ASIA' "
+        "WHEN MATCHED THEN DELETE"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT * FROM nation
+        WHERE n_regionkey NOT IN
+            (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+        """,
+    )
+
+
+def test_merge_insert_only(spark, duck):
+    sql = (
+        "MERGE INTO region AS t USING "
+        "(SELECT r_regionkey + 50 AS r_regionkey, r_name "
+        "FROM region) AS s "
+        "ON t.r_regionkey = s.r_regionkey "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT * FROM region
+        UNION ALL
+        SELECT r_regionkey + 50, r_name FROM region
+        """,
+    )
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED THEN UPDATE SET c_name = 'x'", "UPDATE SET \\*"),
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED AND t.c_acctbal > 0 THEN DELETE", "AND"),
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey",
+     "WHEN"),
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED THEN UPDATE SET *", "INSERT"),
+])
+def test_merge_rejects_unsupported_forms(bad, msg):
+    with pytest.raises(ParseError, match=msg):
+        parse_sql(bad)
+
+
+def test_tablesample_matches_stable_sample(spark, duck):
+    """TABLESAMPLE (p PERCENT ON id) is stable_sample entered as SQL:
+    identical membership, dual-dialect, fixpoint after one render."""
+    from datafusion_sqlgen_spark.operators.sampling import stable_sample
+
+    sql = ("SELECT doc_id FROM documents "
+           "TABLESAMPLE (10 PERCENT ON doc_id)")
+    _fixpoint(sql)
+    p = parse_sql(sql)
+    check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    got = {r.doc_id for r in p.to_df(spark).collect()}
+    via_op = {
+        r.doc_id for r in
+        stable_sample(spark.table("documents"), 0.10).select("doc_id")
+        .collect()
+    }
+    assert got == via_op
+    assert 0 < len(got) < spark.table("documents").count()
+
+
+def test_tablesample_repeatable_salt_draws_independent_sample(spark):
+    base = parse_sql(
+        "SELECT doc_id FROM documents TABLESAMPLE (20 PERCENT ON doc_id)"
+    ).to_df(spark)
+    salted = parse_sql(
+        "SELECT doc_id FROM documents TABLESAMPLE (20 PERCENT ON doc_id) "
+        "REPEATABLE ('v2')"
+    ).to_df(spark)
+    a = {r.doc_id for r in base.collect()}
+    b = {r.doc_id for r in salted.collect()}
+    assert a != b  # independent draws
+    # ... of roughly the same size
+    assert abs(len(a) - len(b)) < max(len(a), len(b))
+
+
+def test_tablesample_requires_on_column():
+    with pytest.raises(ParseError, match="ON"):
+        parse_sql("SELECT * FROM documents TABLESAMPLE (10 PERCENT)")
+
+
+def test_tablesample_pushes_filter_to_scan(spark):
+    """The desugared md5 filter sits directly over the scan — Catalyst
+    collapses it into the FileScan's data filters, so at 100 TB the
+    sample never materializes unsampled rows past the scan stage."""
+    p = parse_sql(
+        "SELECT doc_id FROM documents TABLESAMPLE (10 PERCENT ON doc_id)"
+    )
+    plan = p.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan and "Exchange" not in plan

@@ -350,3 +350,17 @@ def test_theta_empty_input(spark):
     assert profiling.theta_set_estimates(
         profiling.theta_sketch(ev)
     ).collect() == []
+
+
+def test_hll_native_vs_portable_both_within_bounds(spark, duck):
+    """Round-8 cross-tier consistency row (VERDICT r7 item 7): the
+    native Datasketches estimate and the portable deterministic HLL
+    both sit within their published error bounds of the exact count,
+    and the workload's DuckDB oracle replays exact + portable and
+    agrees on every value."""
+    from tests.test_operators import check
+
+    out = profiling.hll_native_vs_portable(spark.table("events"))
+    rows = out.collect()
+    assert rows and all(r.native_ok and r.portable_ok for r in rows)
+    check(spark, duck, out, profiling.hll_native_vs_portable_oracle())
