@@ -204,6 +204,14 @@ HEADLINE = [
     "streaming_running_totals_result",
     # stateless stream-static broadcast enrichment (the seventh)
     "streaming_enrich_result",
+    # round-8 additions: MERGE INTO / TABLESAMPLE statement forms
+    # (parse -> desugared IR -> Catalyst; the upsert is one anti-join
+    # union, the sample a pushed-down scan filter) and the cross-tier
+    # HLL consistency row (native datasketches + portable registers +
+    # exact audit in one pass over events)
+    "parsed_merge_upsert",
+    "parsed_tablesample",
+    "profile_hll_native_vs_portable",
 ]
 
 
