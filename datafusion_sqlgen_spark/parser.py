@@ -158,6 +158,23 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _source_equi_col(on: Expr, s_name: str) -> Optional[Col]:
+    """Walk a MERGE ON condition for an equality whose one side is a
+    column qualified by the SOURCE alias; return that column.  In an
+    equi-join a matched row always has the source key NON-NULL (a NULL
+    key never equi-matches), so ``s.key IS NOT NULL`` after the left
+    join is exactly the standard MATCHED test."""
+    if isinstance(on, BinOp):
+        if on.op.upper() == "AND":
+            return (_source_equi_col(on.left, s_name)
+                    or _source_equi_col(on.right, s_name))
+        if on.op == "=":
+            for side in (on.left, on.right):
+                if isinstance(side, Col) and side.table == s_name:
+                    return side
+    return None
+
+
 @dataclass
 class _Tok:
     kind: str  # number | string | qident | op | ident | eof
@@ -336,9 +353,23 @@ class _Parser:
               → SELECT s.* FROM src s LEFT ANTI JOIN tgt t ON ... UNION ALL
                 SELECT t.* FROM tgt t LEFT ANTI JOIN src s ON ...
 
-        Row-level forms (``UPDATE SET col = expr``, ``WHEN ... AND cond``)
-        are rejected with a pointer to the operator API
-        (``joins.scd2_merge`` covers attribute-diffing merges)."""
+          WHEN MATCHED THEN UPDATE SET col = expr [, ...]
+              → SELECT t.* EXCEPT (cols),
+                       CASE WHEN s.<key> IS NOT NULL THEN expr
+                            ELSE t.col END AS col, ...
+                FROM tgt t LEFT JOIN src s ON ...
+                (the scd2-ish one-join shape; SET columns move to the
+                END of the output — no schema knowledge needed, and the
+                optional INSERT * arm reorders source columns the same
+                way so the positional union stays aligned)
+
+        MERGE preconditions (standard semantics, documented not
+        checked): source keys unique on the join key (a LEFT JOIN would
+        otherwise duplicate matched target rows), and for INSERT * the
+        source and target share column layout.  ``WHEN ... AND cond``
+        is rejected with a pointer to the operator API
+        (``joins.scd2_merge`` covers attribute-diffing conditional
+        merges)."""
         self.expect_kw("MERGE")
         self.expect_kw("INTO")
         target, t_name = self._merge_relation("target")
@@ -347,7 +378,8 @@ class _Parser:
         self.expect_kw("ON")
         on = self.parse_expr()
 
-        matched = None  # "update" | "delete"
+        matched = None  # "update" | "update_set" | "delete"
+        assignments: list[tuple] = []  # (col, Expr) for update_set
         insert = False
         while self.at_kw("WHEN"):
             self.next()
@@ -372,12 +404,16 @@ class _Parser:
             else:
                 self.expect_kw("UPDATE")
                 self.expect_kw("SET")
-                if not self.eat_op("*"):
-                    raise ParseError(
-                        "MERGE supports UPDATE SET * only (whole-row "
-                        "replace); per-column SET needs the operator API"
-                    )
-                matched = "update"
+                if self.eat_op("*"):
+                    matched = "update"
+                else:
+                    while True:
+                        c = self.ident()
+                        self.expect_op("=")
+                        assignments.append((c, self.parse_expr()))
+                        if not self.eat_op(","):
+                            break
+                    matched = "update_set"
         if matched is None and not insert:
             raise ParseError("MERGE needs at least one WHEN clause")
         if matched == "update" and not insert:
@@ -385,6 +421,35 @@ class _Parser:
                 "UPDATE SET * without INSERT * drops unmatched source "
                 "rows silently; add WHEN NOT MATCHED THEN INSERT *"
             )
+
+        if matched == "update_set":
+            skey = _source_equi_col(on, s_name)
+            if skey is None:
+                raise ParseError(
+                    "UPDATE SET col = expr needs an equi-condition "
+                    f"referencing the source alias ({s_name!r}) in ON — "
+                    "the matched test is s.<key> IS NOT NULL after the "
+                    "left join"
+                )
+            set_cols = tuple(c for c, _ in assignments)
+            upd_exprs = [Star(table=t_name, except_cols=set_cols)]
+            for c, e in assignments:
+                upd_exprs.append(Alias(
+                    Case(whens=((IsNotNull(skey), e),),
+                         else_=Col(c, t_name)),
+                    c,
+                ))
+            updated = target.join(source, on=on, how="left").select(
+                *upd_exprs
+            )
+            if not insert:
+                return updated
+            ins_exprs = [Star(table=s_name, except_cols=set_cols)]
+            ins_exprs += [Col(c, s_name) for c in set_cols]
+            new_rows = source.join(target, on=on, how="left_anti").select(
+                *ins_exprs
+            )
+            return SetOp(updated, new_rows, "union_all")
 
         src_rows = source.select(Star(table=s_name))
         tgt_survivors = target.join(source, on=on, how="left_anti").select(

@@ -127,8 +127,6 @@ def test_merge_insert_only(spark, duck):
 
 @pytest.mark.parametrize("bad,msg", [
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
-     "WHEN MATCHED THEN UPDATE SET c_name = 'x'", "UPDATE SET \\*"),
-    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
      "WHEN MATCHED AND t.c_acctbal > 0 THEN DELETE", "AND"),
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey",
      "WHEN"),
@@ -189,3 +187,71 @@ def test_tablesample_pushes_filter_to_scan(spark):
     )
     plan = p.to_df(spark)._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan and "Exchange" not in plan
+
+
+MERGE_SET = (
+    "MERGE INTO customer AS t USING ("
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0"
+    ") AS s ON t.c_custkey = s.c_custkey "
+    "WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal * 2, "
+    "c_mktsegment = 'BOOSTED'"
+)
+
+
+def test_merge_update_set_columns(spark, duck):
+    """Per-column UPDATE SET (round 8): one left join, SET columns
+    re-emitted at the end via CASE over the matched test — the oracle
+    is the CASE rewrite with no join at all."""
+    _fixpoint(MERGE_SET)
+    p = parse_sql(MERGE_SET)
+    check(
+        spark, duck, p.to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 3 = 0 THEN 'BOOSTED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        """,
+    )
+    # generated Spark SQL must agree with the DataFrame path
+    a = sorted(map(tuple, p.to_df(spark).collect()))
+    b = sorted(map(tuple, spark.sql(p.to_sql("spark")).collect()))
+    assert a == b
+
+
+def test_merge_update_set_with_insert(spark, duck):
+    sql = (
+        "MERGE INTO region AS t USING ("
+        "SELECT r_regionkey + 3 AS r_regionkey, r_name FROM region"
+        ") AS s ON t.r_regionkey = s.r_regionkey "
+        "WHEN MATCHED THEN UPDATE SET r_name = s.r_name "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT t.r_regionkey,
+               CASE WHEN s.r_regionkey IS NOT NULL THEN s.r_name
+                    ELSE t.r_name END AS r_name
+        FROM region t LEFT JOIN
+             (SELECT r_regionkey + 3 AS r_regionkey, r_name FROM region) s
+          ON t.r_regionkey = s.r_regionkey
+        UNION ALL
+        SELECT s2.r_regionkey, s2.r_name
+        FROM (SELECT r_regionkey + 3 AS r_regionkey, r_name FROM region) s2
+        WHERE NOT EXISTS (SELECT 1 FROM region t2
+                          WHERE t2.r_regionkey = s2.r_regionkey)
+        """,
+    )
+
+
+def test_merge_update_set_requires_source_equi_key():
+    with pytest.raises(ParseError, match="equi-condition"):
+        parse_sql(
+            "MERGE INTO customer AS t USING orders AS s "
+            "ON t.c_custkey < s.o_custkey "
+            "WHEN MATCHED THEN UPDATE SET c_acctbal = 0"
+        )
