@@ -212,6 +212,9 @@ HEADLINE = [
     "parsed_merge_upsert",
     "parsed_tablesample",
     "profile_hll_native_vs_portable",
+    # cross-corpus ANN join: neither side broadcasts, one cell_id
+    # shuffle each, multi-probe assignment is a zero-shuffle fold
+    "sim_ann_join",
 ]
 
 

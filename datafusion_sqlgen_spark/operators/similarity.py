@@ -978,6 +978,166 @@ def _kmeans_centroids(
     return _pin_trained(cents)
 
 
+def ivf_assign_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF assignment: each vector gets its ``nprobe``
+    NEAREST cells (by cosine, lowest-cell tie-break), one output row per
+    (vector, probed cell).  Same zero-shuffle shape as
+    :func:`ivf_assign` — the whole centroid table rides in as ONE
+    broadcast row and the per-vector top-nprobe is an in-row
+    sort+slice+explode, never a join or window."""
+    cents = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    cbook = cents.agg(
+        F.collect_list(F.struct("cell_id", "centroid", "__cn")).alias("__cb")
+    )
+    scored = F.transform(
+        F.col("__cb"),
+        lambda c: F.struct(
+            (
+                -cosine_pre(
+                    F.col(vec_col), c["centroid"], F.col("__vn"), c["__cn"]
+                )
+            ).alias("negsim"),
+            c["cell_id"].alias("cell"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    return (
+        df.withColumn("__vn", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cbook))
+        .select(id_col, vec_col, F.explode(probes).alias("__p"))
+        .select(id_col, vec_col, F.col("__p")["cell"].alias("cell_id"))
+    )
+
+
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus approximate-nearest-neighbor JOIN: for EVERY left
+    vector, its top-``k`` right vectors by cosine — the primitive behind
+    cross-corpus near-dup sweeps, retrieval-augmented labeling, and
+    train/eval contamination checks at embedding level.
+
+    This is NOT :func:`ivf_topk` with a big query batch: that operator
+    broadcasts the query side (right for ad-hoc search, fatal when the
+    "queries" are themselves a corpus).  Here NEITHER side broadcasts —
+    right is assigned to its one nearest cell (the index build: one
+    narrow pass, persisted/bucketed-by-cell at 100 TB), left is
+    assigned to its ``nprobe`` nearest cells (multi-probe bounds the
+    recall loss of single-cell probing), and the join is pure
+    cell-equi: both sides shuffle ONCE on cell_id and the comparison
+    count is Σ_cells |left probes in cell| × |right in cell| instead of
+    |left| × |right|.  Top-k per left row is one window inside the
+    join's own partitioning.  Only the sqrt(n)-sized centroid table is
+    ever broadcast (inside the assignment folds).  Ties break to the
+    lowest neighbor id; rows whose probed cells are empty of right
+    vectors emit nothing (the documented ANN recall trade, audited by
+    recall_at_k)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        # the n_cells lowest-id right vectors — deterministic stand-in
+        # for k-means (pass trained centroids for a real index)
+        centroids = right.orderBy(F.col(id_col)).limit(n_cells)
+    r = ivf_assign(right, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell_id"),
+        F.col(vec_col).alias("rvec"),
+        _norm(F.col(vec_col)).alias("rn"),
+    )
+    l = ivf_assign_multi(left, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("cell_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    sim = cosine_pre(F.col("qvec"), F.col("rvec"), F.col("qn"), F.col("rn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        l.join(r, "cell_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+def ann_join_oracle(
+    table: str = "embeddings",
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    left_pred: str = "vec_id % 2 = 1",
+    right_pred: str = "vec_id % 2 = 0",
+) -> str:
+    """DuckDB replay over a left/right split of ``table``: centroids are
+    the first ``n_cells`` RIGHT vectors, right side single-assigned,
+    left side top-``nprobe``-assigned, cell-equi join, top-k window."""
+    return f"""
+    WITH rt AS (SELECT vec_id, embedding FROM {table} WHERE {right_pred}),
+    lt AS (SELECT vec_id, embedding FROM {table} WHERE {left_pred}),
+    cents AS (
+        SELECT vec_id AS cell_id, embedding AS centroid FROM rt
+        ORDER BY vec_id LIMIT {n_cells}
+    ),
+    r_assigned AS (
+        SELECT vec_id AS neighbor_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM rt t CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    l_assigned AS (
+        SELECT vec_id AS query_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY list_cosine_similarity(
+                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+            FROM lt t CROSS JOIN cents c
+        ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT l.query_id, r.neighbor_id,
+               list_cosine_similarity(
+                   l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cos_sim
+        FROM l_assigned l JOIN r_assigned r USING (cell_id)
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC)
+                   AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
 def ivf_topk_trained(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2401,6 +2401,17 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             similarity.ivf_topk_oracle(max_query_id=10),
         ),
+        # round 8: cross-corpus ANN JOIN — odd-id vectors probe their
+        # nprobe=2 nearest cells of an even-id index; neither side
+        # broadcasts (both are corpus-scale by construction), the join
+        # is pure cell-equi
+        "sim_ann_join": (
+            lambda s: similarity.ann_join(
+                s.table("embeddings").filter("vec_id % 2 = 1"),
+                s.table("embeddings").filter("vec_id % 2 = 0"),
+            ),
+            similarity.ann_join_oracle(),
+        ),
         # b=6 -> 64 sign-LSH buckets: total pair count scales ~1/buckets
         # and the pair join's parallelism is bucket-count-bound, so more
         # (smaller) buckets is the scale knob (2.5x faster than b=4 at
@@ -3213,6 +3224,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_merge_upsert",
     "parsed_tablesample",
     "profile_hll_native_vs_portable",
+    "sim_ann_join",
     # --- last driver-sampled in ROUND 3, catalog order ---
     "tpch_q17",
     "tpch_q18",
@@ -3262,9 +3274,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
-    "tpch_q15",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q16/q19-q22, parsed_win_topn, parsed_cte_agg,
+    # tpch_q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
     # setop_union_by_name, sink_partitioned_roundtrip, text_top_terms,
     # text_pack_sequences, text_redact, text_word_positions,
     # sample_stable_topk, sample_hash_split (r4) lead the r9 stale

@@ -863,3 +863,45 @@ def test_ivf_sq8_topk_broadcast_joins_no_corpus_shuffle(spark, queries):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") >= 3
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_join_neither_corpus_broadcasts(spark, queries):
+    """Cross-corpus ANN join (round 8): no FORCED broadcast of either
+    corpus.  At sf0.001 the planner rightly broadcasts the 250-row
+    side on its own — that is the adaptive behavior we want — so the
+    gate disables the size heuristic (autoBroadcastJoinThreshold=-1):
+    any BroadcastHashJoin that survives would mean a hard-coded
+    broadcast hint on a corpus side, which would OOM at 100 TB.  The
+    only broadcasts left are the 1-row centroid codebooks (the
+    designed BroadcastNestedLoopJoin of the assignment folds), and the
+    corpus-corpus join degrades to a shuffle on cell_id."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["sim_ann_join"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "hashpartitioning(cell_id" in plan, plan[:2000]
+
+
+def test_ann_join_multi_probe_bounds_candidates(spark):
+    """nprobe=2 assignment emits exactly 2 rows per left vector, and
+    every output query row carries <= k neighbors."""
+    from pyspark.sql import functions as F
+
+    from datafusion_sqlgen_spark.operators import similarity
+
+    emb = spark.table("embeddings")
+    left = emb.filter("vec_id % 2 = 1")
+    cents = emb.filter("vec_id % 2 = 0").orderBy("vec_id").limit(8)
+    probes = similarity.ivf_assign_multi(left, cents, nprobe=2)
+    per_vec = probes.groupBy("vec_id").count().agg(
+        F.min("count"), F.max("count")).first()
+    assert per_vec[0] == 2 and per_vec[1] == 2
+    out = similarity.ann_join(left, emb.filter("vec_id % 2 = 0"), k=3)
+    worst = out.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert worst <= 3
