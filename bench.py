@@ -215,6 +215,8 @@ HEADLINE = [
     # cross-corpus ANN join: neither side broadcasts, one cell_id
     # shuffle each, multi-probe assignment is a zero-shuffle fold
     "sim_ann_join",
+    # ... and its brute-force recall audit on a 25-query sample
+    "sim_ann_join_recall",
 ]
 
 

@@ -1138,6 +1138,90 @@ def ann_join_oracle(
     """
 
 
+def ann_join_recall(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Acceptance audit for :func:`ann_join`: per left-sample vector,
+    recall@k of the multi-probe cell join versus exact brute force over
+    the right corpus.  Run on a SAMPLED left side (the audit shape —
+    the brute-force ground truth broadcasts the sample and streams the
+    right corpus once); tune ``nprobe``/``n_cells`` until recall holds,
+    then serve with :func:`ann_join` on the full left corpus.  Same
+    per-query output contract as :func:`recall_at_k`."""
+    exact = cosine_topk(right, left, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_join(left, right, k, n_cells, nprobe, id_col, vec_col)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ann_join_recall_oracle(
+    table: str = "embeddings",
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    left_pred: str = "vec_id % 2 = 1",
+    right_pred: str = "vec_id % 2 = 0",
+) -> str:
+    approx = ann_join_oracle(table, k, n_cells, nprobe, left_pred,
+                             right_pred)
+    return f"""
+    WITH exact_tk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY list_cosine_similarity(
+                           l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                           DESC, r.vec_id ASC) AS rnk
+            FROM (SELECT * FROM {table} WHERE {left_pred}) l
+            CROSS JOIN (SELECT * FROM {table} WHERE {right_pred}) r
+            WHERE l.vec_id <> r.vec_id
+        ) WHERE rnk <= {k}
+    ),
+    approx_tk AS ({approx}),
+    hits AS (
+        SELECT e.query_id, count(*) AS n_hits
+        FROM exact_tk e
+        WHERE EXISTS (
+            SELECT 1 FROM approx_tk a
+            WHERE a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+        )
+        GROUP BY e.query_id
+    )
+    SELECT b.query_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / {k}::DOUBLE, 4) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact_tk) b
+    LEFT JOIN hits h USING (query_id)
+    """
+
+
 def ivf_topk_trained(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2412,6 +2412,18 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             similarity.ann_join_oracle(),
         ),
+        # ... and its acceptance audit: recall@k of the multi-probe
+        # join vs exact brute force, on a 25-query left sample (the
+        # audit shape — ground truth broadcasts the sample)
+        "sim_ann_join_recall": (
+            lambda s: similarity.ann_join_recall(
+                s.table("embeddings").filter(
+                    "vec_id % 2 = 1 AND vec_id < 50"),
+                s.table("embeddings").filter("vec_id % 2 = 0"),
+            ),
+            similarity.ann_join_recall_oracle(
+                left_pred="vec_id % 2 = 1 AND vec_id < 50"),
+        ),
         # b=6 -> 64 sign-LSH buckets: total pair count scales ~1/buckets
         # and the pair join's parallelism is bucket-count-bound, so more
         # (smaller) buckets is the scale knob (2.5x faster than b=4 at
@@ -3225,6 +3237,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_tablesample",
     "profile_hll_native_vs_portable",
     "sim_ann_join",
+    "sim_ann_join_recall",
     # --- last driver-sampled in ROUND 3, catalog order ---
     "tpch_q17",
     "tpch_q18",
@@ -3273,9 +3286,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
-    "tpch_q14",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
+    # tpch_q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
     # setop_union_by_name, sink_partitioned_roundtrip, text_top_terms,
     # text_pack_sequences, text_redact, text_word_positions,
     # sample_stable_topk, sample_hash_split (r4) lead the r9 stale

@@ -83,3 +83,28 @@ def test_hand_oracles_are_the_shipped_oracles():
         if oracles.get(n) != sql
     ]
     assert drift == [], f"hand oracle not shipped via build_oracles: {drift}"
+
+
+def test_coverage_md_counts_match_catalog():
+    """VERDICT r7 item 2: COVERAGE.md's sweep-stamp counts lagged the
+    catalog (223 recorded, 224 real) because only README was count-
+    pinned.  Pin COVERAGE.md's '<N>/<N> green at each scale' claim to
+    the live catalog size the same way."""
+    n = len(build_queries())
+    with open(os.path.join(_REPO, "COVERAGE.md")) as f:
+        text = f.read()
+    stamps = re.findall(r"(\d+)/(\d+) green at\s+each scale", text)
+    assert stamps, "COVERAGE.md lost its dual-scale sweep stamp"
+    for a, b in stamps:
+        assert int(a) == int(b) == n, (
+            f"COVERAGE.md stamps {a}/{b}, catalog has {n}")
+
+
+def test_coverage_md_hand_oracle_count_matches_registry():
+    with open(os.path.join(_REPO, "COVERAGE.md")) as f:
+        text = f.read()
+    m = re.search(r"`workloads\._HAND_ORACLES`, (\d+)\s+rows", text)
+    assert m, "COVERAGE.md lost its hand-oracle registry sentence"
+    assert int(m.group(1)) == len(_HAND_ORACLES), (
+        f"COVERAGE.md cites {m.group(1)}, registry has "
+        f"{len(_HAND_ORACLES)}")
