@@ -474,6 +474,11 @@ class _Parser:
             sub = self.parse_query()
             self.expect_op(")")
             self.eat_kw("AS")
+            if self.at_kw("ON", "USING", "WHEN"):
+                raise ParseError(
+                    f"MERGE {role} subquery needs an alias (its columns "
+                    "are referenced by ON and the star projections)"
+                )
             name = self.ident()
             return sub.alias(name), name
         table = self.ident()

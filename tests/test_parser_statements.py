@@ -255,3 +255,11 @@ def test_merge_update_set_requires_source_equi_key():
             "ON t.c_custkey < s.o_custkey "
             "WHEN MATCHED THEN UPDATE SET c_acctbal = 0"
         )
+
+
+def test_merge_subquery_source_requires_alias():
+    with pytest.raises(ParseError, match="needs an alias"):
+        parse_sql(
+            "MERGE INTO customer AS t USING (SELECT 1 AS x) "
+            "ON t.c_custkey = x WHEN MATCHED THEN DELETE"
+        )
