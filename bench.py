@@ -217,6 +217,9 @@ HEADLINE = [
     "sim_ann_join",
     # ... and its brute-force recall audit on a 25-query sample
     "sim_ann_join_recall",
+    # embedding-level benchmark decontamination (ann_join + τ gate +
+    # per-source accounting)
+    "pipeline_embedding_decontamination",
 ]
 
 

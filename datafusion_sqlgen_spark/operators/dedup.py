@@ -1344,6 +1344,91 @@ def bloom_decontaminate_oracle(
     FROM flags f JOIN exact e USING ({id_col})"""
 
 
+def embedding_decontaminate(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    docs: DataFrame,
+    tau: float = 0.3,
+    k_probe: int = 1,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination (round 8): the embedding-level
+    sibling of the Bloom n-gram decontaminators above — paraphrased or
+    translated benchmark items share no n-grams with their training-set
+    leaks, but they do share an embedding neighborhood (the published
+    LLM-decontamination recipe: drop training docs whose nearest
+    benchmark embedding exceeds a cosine threshold).
+
+    Composition of existing operators: ``similarity.ann_join`` finds
+    each corpus vector's approximate nearest benchmark vector (the
+    benchmark side is the ANN index — it is the small, static side),
+    the τ gate marks contamination, and the verdict joins back to the
+    document table for per-source keep/drop accounting.
+
+    Scale shape: inherits ann_join's — neither corpus nor benchmark
+    broadcasts, one cell_id shuffle each, then one doc-keyed join of a
+    (small) contaminated-id set against the corpus documents.  The
+    approximation is the ann_join trade: a contaminated doc whose probe
+    misses the right cell escapes (audit with ann_join_recall; raise
+    nprobe to tighten).  Output: ``(source, n_kept, n_dropped)``."""
+    from datafusion_sqlgen_spark.operators.similarity import ann_join
+
+    top1 = ann_join(
+        corpus_emb, bench_emb, k=k_probe, n_cells=n_cells, nprobe=nprobe,
+        id_col="vec_id",
+    )
+    contaminated = (
+        top1.filter(F.col("cos_sim") >= tau)
+        .select(F.col("query_id").alias(id_col))
+        .distinct()
+    )
+    corpus_docs = docs.join(
+        corpus_emb.select(F.col("vec_id").alias(id_col)), id_col
+    )
+    flagged = corpus_docs.join(
+        contaminated.withColumn("__c", F.lit(1)), id_col, "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.when(F.col("__c").isNull(), 1)).cast("bigint")
+        .alias("n_kept"),
+        F.count("__c").cast("bigint").alias("n_dropped"),
+    )
+
+
+def embedding_decontaminate_oracle(
+    tau: float = 0.3,
+    k_probe: int = 1,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    corpus_pred: str = "vec_id % 10 <> 0",
+    bench_pred: str = "vec_id % 10 = 0",
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import ann_join_oracle
+
+    approx = ann_join_oracle(
+        "embeddings", k_probe, n_cells, nprobe, corpus_pred, bench_pred
+    )
+    return f"""
+    WITH approx AS ({approx}),
+    contaminated AS (
+        SELECT DISTINCT query_id AS doc_id FROM approx
+        WHERE cos_sim >= {tau}
+    ),
+    corpus_docs AS (
+        SELECT d.doc_id, d.source FROM documents d
+        JOIN (SELECT vec_id FROM embeddings WHERE {corpus_pred}) e
+          ON d.doc_id = e.vec_id
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE c.doc_id IS NULL) AS BIGINT)
+               AS n_kept,
+           CAST(count(c.doc_id) AS BIGINT) AS n_dropped
+    FROM corpus_docs cd LEFT JOIN contaminated c ON cd.doc_id = c.doc_id
+    GROUP BY source"""
+
+
 def bloom_ngram_decontaminate(
     docs: DataFrame,
     text_col: str = "text",

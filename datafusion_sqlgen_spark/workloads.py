@@ -2412,6 +2412,18 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             similarity.ann_join_oracle(),
         ),
+        # embedding-level benchmark decontamination: ann_join against a
+        # held-out benchmark split (vec_id % 10), τ-gate, per-source
+        # keep/drop accounting — the semantic sibling of the Bloom
+        # n-gram decontaminators
+        "pipeline_embedding_decontamination": (
+            lambda s: dedup.embedding_decontaminate(
+                s.table("embeddings").filter("vec_id % 10 <> 0"),
+                s.table("embeddings").filter("vec_id % 10 = 0"),
+                s.table("documents"),
+            ),
+            dedup.embedding_decontaminate_oracle(),
+        ),
         # ... and its acceptance audit: recall@k of the multi-probe
         # join vs exact brute force, on a 25-query left sample (the
         # audit shape — ground truth broadcasts the sample)
@@ -3238,6 +3250,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "profile_hll_native_vs_portable",
     "sim_ann_join",
     "sim_ann_join_recall",
+    "pipeline_embedding_decontamination",
     # --- last driver-sampled in ROUND 3, catalog order ---
     "tpch_q17",
     "tpch_q18",
@@ -3285,9 +3298,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q10",
     "tpch_q11",
     "tpch_q12",
-    "tpch_q13",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
+    # tpch_q13/q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
     # setop_union_by_name, sink_partitioned_roundtrip, text_top_terms,
     # text_pack_sequences, text_redact, text_word_positions,
     # sample_stable_topk, sample_hash_split (r4) lead the r9 stale

@@ -1334,3 +1334,27 @@ def test_ann_ladder_recall_vs_brute_force(spark):
     assert len(exact) == 50
     assert len(sq8 & exact) / len(exact) >= 0.9
     assert len(ivf_sq8 & exact) / len(exact) >= 0.5
+
+
+def test_embedding_decontaminate_per_source_accounting(spark, duck):
+    """Round-8 semantic decontamination: per-source keep/drop counts
+    match the DuckDB replay, both arms fire, and kept+dropped covers
+    exactly the corpus docs that have embeddings."""
+    from datafusion_sqlgen_spark.operators import dedup as dd
+
+    emb = _df(spark, "embeddings")
+    out = dd.embedding_decontaminate(
+        emb.filter("vec_id % 10 <> 0"),
+        emb.filter("vec_id % 10 = 0"),
+        _df(spark, "documents"),
+    )
+    rows = out.collect()
+    check(spark, duck, out, dd.embedding_decontaminate_oracle())
+    assert sum(r.n_dropped for r in rows) > 0  # not a trivially-green gate
+    assert sum(r.n_kept for r in rows) > 0
+    from pyspark.sql import functions as F
+
+    corpus_n = emb.filter("vec_id % 10 <> 0").join(
+        _df(spark, "documents").select(
+            F.col("doc_id").alias("vec_id")), "vec_id").count()
+    assert sum(r.n_kept + r.n_dropped for r in rows) == corpus_n
