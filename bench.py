@@ -220,6 +220,9 @@ HEADLINE = [
     # embedding-level benchmark decontamination (ann_join + τ gate +
     # per-source accounting)
     "pipeline_embedding_decontamination",
+    # BPE merge-rule training: 6 iterations of pair-count + argmax +
+    # literal replace over the capped word-shape table
+    "text_bpe_train",
 ]
 
 

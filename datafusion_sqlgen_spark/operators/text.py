@@ -2077,3 +2077,144 @@ def lr_train_hashed_oracle(
     WHERE (SELECT count(*) FROM lab) > 0
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (round 8): learn a byte-pair-encoding merge
+# table from the corpus itself — the tokenizer-training step of an LLM
+# data pipeline, on the same engine that cleans the data.  Published
+# algorithm (Sennrich et al. 2016; GPT-2/tiktoken lineage): start from
+# characters, repeatedly merge the most frequent adjacent symbol pair.
+#
+# Engine-portable determinism: the symbol sequence of each word is a
+# space-joined STRING, a merge is two literal `replace` passes of
+# ' a b ' -> ' ab ' (two passes so an alternating chain ' a b a b '
+# fully merges — the shared-separator blind spot of single-pass
+# replace; any residue beyond two passes is identical in both engines
+# by construction, and the variant is documented as the operator's
+# semantics), and the winning pair breaks frequency ties by (a, b)
+# string order.  No RNG, no float, no engine-specific tokenizer.
+#
+# Scale shape: the corpus collapses ONCE into a word-frequency table
+# capped at `top_words` (the classic BPE-training working set — word
+# SHAPES, not the corpus, drive the merges; cap chosen deterministic by
+# (freq DESC, word)).  Each of the `n_merges` iterations is one narrow
+# pair-explode + one map-side-combined groupBy over that bounded table,
+# an argmax of ONE collected row (the k-means/CC pattern — a 1-row
+# driver aggregate per iteration is the documented legitimate collect),
+# and one literal-replace map.  localCheckpoint flattens the per-
+# iteration lineage exactly like connected_components.
+# ---------------------------------------------------------------------------
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    top_words: int = 2000,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules; returns ``(rank, a, b,
+    pair_count)`` — the merge table a tokenizer would serialize."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(top_words)
+    )
+    state = words.select(
+        "w", "n",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.expr("regexp_extract_all(w, '.', 0)")),
+            F.lit(" "),
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        top = (
+            state.select(
+                "n",
+                F.explode(F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                )).alias("p"),
+            )
+            .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()  # 1-row argmax per iteration (k-means/CC pattern)
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rank, a, b, int(cnt)))
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        state = state.withColumn(
+            "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, pair_count bigint"
+    )
+
+
+def bpe_train_merges_oracle(
+    table: str = "documents",
+    n_merges: int = 6,
+    text_col: str = "text",
+    top_words: int = 2000,
+) -> str:
+    """Iteration-unrolled DuckDB twin: same word cap, same pair counts,
+    same (cnt DESC, a, b) argmax, same two-pass literal replace."""
+    parts = [f"""words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split_regex(
+                lower(coalesce({text_col}, '')), '\\s+')) AS w
+            FROM {table}
+        ) WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w ORDER BY n DESC, w LIMIT {top_words}
+    )""",
+             """s0 AS MATERIALIZED (
+        SELECT w, n,
+               ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+                   || ' ' AS seq
+        FROM words
+    )"""]
+    prev = "s0"
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+        SELECT syms[i] AS a, syms[i + 1] AS b,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT n, string_split(trim(seq), ' ') AS syms FROM {prev}),
+             UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+        SELECT {r} AS rank, a, b, cnt FROM p{r}
+        ORDER BY cnt DESC, a, b LIMIT 1
+    )""")
+        parts.append(f"""s{r} AS MATERIALIZED (
+        SELECT w, n,
+               replace(replace(seq,
+                   (SELECT ' ' || a || ' ' || b || ' ' FROM m{r}),
+                   (SELECT ' ' || a || b || ' ' FROM m{r})),
+                   (SELECT ' ' || a || ' ' || b || ' ' FROM m{r}),
+                   (SELECT ' ' || a || b || ' ' FROM m{r})) AS seq
+        FROM s{r - 1}
+    )""")
+        prev = f"s{r}"
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT rank, a, b, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union}"

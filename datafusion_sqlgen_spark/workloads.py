@@ -2827,6 +2827,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: text.lr_train_hashed(s.table("documents")),
             text.lr_train_hashed_oracle(),
         ),
+        # round 8: BPE merge-rule training — the tokenizer-training step
+        # on the same engine (Sennrich 2016); bounded word-shape table,
+        # one pair-count aggregate + 1-row argmax + literal replace per
+        # iteration; oracle is the iteration-unrolled CTE chain
+        "text_bpe_train": (
+            lambda s: text.bpe_train_merges(s.table("documents")),
+            text.bpe_train_merges_oracle(),
+        ),
         # ordered funnel: per-user earliest reach time per step, each
         # step constrained to follow the previous (one user-keyed agg)
         "ts_funnel_steps": (
@@ -3251,6 +3259,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ann_join",
     "sim_ann_join_recall",
     "pipeline_embedding_decontamination",
+    "text_bpe_train",
     # --- last driver-sampled in ROUND 3, catalog order ---
     "tpch_q17",
     "tpch_q18",
@@ -3297,9 +3306,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q8",
     "tpch_q10",
     "tpch_q11",
-    "tpch_q12",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q13/q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
+    # tpch_q12/q13/q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
     # setop_union_by_name, sink_partitioned_roundtrip, text_top_terms,
     # text_pack_sequences, text_redact, text_word_positions,
     # sample_stable_topk, sample_hash_split (r4) lead the r9 stale
