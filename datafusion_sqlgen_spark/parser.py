@@ -920,41 +920,56 @@ class _Parser:
         return self._maybe_tablesample(scan(table))
 
     def _maybe_tablesample(self, rel: Plan) -> Plan:
-        """``TABLESAMPLE (p PERCENT ON id_col) [REPEATABLE ('salt')]`` —
-        the *deterministic* dialect of the statement form.  Engine-native
-        TABLESAMPLE is non-reproducible (Spark's BERNOULLI and DuckDB's
-        SYSTEM draw from different RNGs, so no oracle could ever agree),
-        which is exactly the property a curation pipeline cannot accept;
-        this engine's sampling contract is content-addressed membership
-        (``operators/sampling.stable_sample``).  The clause therefore
-        REQUIRES the hash key (``ON id_col``) and desugars at parse time
-        into the same md5-bucket filter stable_sample compiles to:
+        """``TABLESAMPLE (p PERCENT ON id_col | n ROWS ON id_col)
+        [REPEATABLE ('salt')]`` — the *deterministic* dialect of the
+        statement form.  Engine-native TABLESAMPLE is non-reproducible
+        (Spark's BERNOULLI and DuckDB's SYSTEM draw from different RNGs,
+        so no oracle could ever agree), which is exactly the property a
+        curation pipeline cannot accept; this engine's sampling contract
+        is content-addressed membership.  The clause therefore REQUIRES
+        the hash key (``ON id_col``) and desugars at parse time into the
+        corresponding operator's exact compilation:
 
-            substring(md5(CAST(id AS STRING) || ':salt'), 1, 4) < '<hex>'
+          * ``p PERCENT`` → ``operators/sampling.stable_sample``'s
+            md5-bucket filter
+            ``substring(md5(CAST(id AS STRING) || ':salt'), 1, 4) < hex``
+            (default salt ``'sample'``);
+          * ``n ROWS`` → ``operators/sampling.stable_topk_sample``'s
+            exactly-n permutation prefix
+            ``ORDER BY md5(CAST(id AS STRING) || ':salt'), id LIMIT n``
+            (default salt ``'topk'``) — plan-wise a TakeOrdered, never
+            a global sort.
 
-        identical membership in both dialects, no new IR node, and the
-        render→parse fixpoint holds because the render IS the filter."""
+        Identical membership in both dialects, no new IR nodes, and the
+        render→parse fixpoint holds because the render IS the
+        filter/sort-limit."""
         if not self.at_kw("TABLESAMPLE"):
             return rel
         self.next()
         self.expect_op("(")
         t = self.next()
         try:
-            pct = float(t.text)
+            num = float(t.text)
         except ValueError:
             raise ParseError(
-                f"TABLESAMPLE expects a numeric percentage, got {t.text!r}"
+                f"TABLESAMPLE expects a number, got {t.text!r}"
             ) from None
-        self.expect_kw("PERCENT")
+        if self.eat_kw("PERCENT"):
+            kind = "percent"
+        elif self.eat_kw("ROWS"):
+            kind = "rows"
+        else:
+            raise ParseError("TABLESAMPLE expects PERCENT or ROWS")
         if not self.eat_kw("ON"):
             raise ParseError(
                 "TABLESAMPLE requires ON <id_col>: random sampling is not "
                 "reproducible across engines; this dialect is the "
-                "deterministic md5-bucket sample (sampling.stable_sample)"
+                "deterministic md5 sample (sampling.stable_sample / "
+                "stable_topk_sample)"
             )
         id_col = self.ident()
         self.expect_op(")")
-        salt = "sample"
+        salt = None
         if self.eat_kw("REPEATABLE"):
             self.expect_op("(")
             tok = self.next()
@@ -965,21 +980,33 @@ class _Parser:
                 )
             salt = _unquote(tok.text)
             self.expect_op(")")
-        from datafusion_sqlgen_spark.operators.sampling import _threshold
 
-        pred = BinOp(
-            "<",
-            Func("substring", (
-                Func("md5", (
-                    Func("concat", (
-                        Cast(Col(id_col), "string"), Lit(":" + salt),
+        if kind == "percent":
+            from datafusion_sqlgen_spark.operators.sampling import _threshold
+
+            pred = BinOp(
+                "<",
+                Func("substring", (
+                    Func("md5", (
+                        Func("concat", (
+                            Cast(Col(id_col), "string"),
+                            Lit(":" + (salt or "sample")),
+                        )),
                     )),
+                    Lit(1), Lit(4),
                 )),
-                Lit(1), Lit(4),
+                Lit(_threshold(num / 100.0)),
+            )
+            return rel.filter(pred)
+        rk = Func("md5", (
+            Func("concat", (
+                Cast(Col(id_col), "string"), Lit(":" + (salt or "topk")),
             )),
-            Lit(_threshold(pct / 100.0)),
-        )
-        return rel.filter(pred)
+        ))
+        return rel.sort(
+            SortKey(rk, ascending=True, nulls_first=True),
+            SortKey(Col(id_col), ascending=True, nulls_first=True),
+        ).limit(int(num))
 
     def parse_from_clause(self, left: Plan) -> Plan:
         """Joins, LATERAL VIEW generators, comma-LATERAL subqueries and

@@ -1320,6 +1320,23 @@ def _ir_workloads() -> dict[str, Plan]:
         "TABLESAMPLE (10 PERCENT ON doc_id) REPEATABLE ('r8') "
         "ORDER BY doc_id ASC NULLS FIRST"
     )
+    # ... and its exactly-n ROWS form (stable_topk_sample's permutation
+    # prefix; TakeOrdered plan, never a global sort)
+    w["parsed_tablesample_rows"] = parse_sql(
+        "SELECT doc_id, lang FROM documents "
+        "TABLESAMPLE (40 ROWS ON doc_id)"
+    )
+    # per-column UPDATE SET MERGE: one left join, SET columns re-emitted
+    # last via CASE over the matched test (source keys unique by
+    # construction — a projection of the target's own keys)
+    w["parsed_merge_update_set"] = parse_sql(
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey % 3 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal * 2, "
+        "c_mktsegment = 'BOOSTED'"
+    )
 
     return w
 
@@ -3260,6 +3277,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_ann_join_recall",
     "pipeline_embedding_decontamination",
     "text_bpe_train",
+    "parsed_tablesample_rows",
+    "parsed_merge_update_set",
     # --- last driver-sampled in ROUND 3, catalog order ---
     "tpch_q17",
     "tpch_q18",
@@ -3305,9 +3324,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q10",
-    "tpch_q11",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q12/q13/q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
+    # tpch_q11/q12/q13/q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
     # setop_union_by_name, sink_partitioned_roundtrip, text_top_terms,
     # text_pack_sequences, text_redact, text_word_positions,
     # sample_stable_topk, sample_hash_split (r4) lead the r9 stale
@@ -4610,6 +4628,27 @@ FROM customer WHERE c_custkey % 11 = 0
 SELECT doc_id, lang, length(text) AS text_len FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':r8'), 1, 4) < '1999'
 ORDER BY doc_id ASC
+""",
+    # ROWS form as a window rank instead of ORDER BY ... LIMIT
+    "parsed_tablesample_rows": """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':topk'), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 40
+""",
+    # per-column SET replayed WITHOUT any join: source ⊂ target keys
+    # become CASE rewrites in place (column order: SET columns last,
+    # matching the t.* EXCEPT desugar)
+    "parsed_merge_update_set": """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2
+            ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 3 = 0 THEN 'BOOSTED'
+            ELSE c_mktsegment END AS c_mktsegment
+FROM customer
 """,
     # ---- round-7 PROACTIVE batch for the projected r8 cohort
     # (VERDICT r6 item 2 "keep growing it with each rotation"):

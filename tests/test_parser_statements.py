@@ -263,3 +263,34 @@ def test_merge_subquery_source_requires_alias():
             "MERGE INTO customer AS t USING (SELECT 1 AS x) "
             "ON t.c_custkey = x WHEN MATCHED THEN DELETE"
         )
+
+
+def test_tablesample_rows_matches_stable_topk(spark, duck):
+    """TABLESAMPLE (n ROWS ON id) is stable_topk_sample entered as SQL:
+    exactly-n deterministic permutation prefix, TakeOrdered plan (never
+    a global sort), dual-dialect equality, fixpoint."""
+    from datafusion_sqlgen_spark.operators.sampling import (
+        stable_topk_sample,
+    )
+
+    sql = ("SELECT doc_id FROM documents "
+           "TABLESAMPLE (25 ROWS ON doc_id)")
+    _fixpoint(sql)
+    p = parse_sql(sql)
+    check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    got = sorted(r.doc_id for r in p.to_df(spark).collect())
+    via_op = sorted(
+        r.doc_id for r in
+        stable_topk_sample(spark.table("documents"), 25)
+        .select("doc_id").collect()
+    )
+    assert got == via_op and len(got) == 25
+    plan = p.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_tablesample_rows_requires_on_and_unit():
+    with pytest.raises(ParseError, match="PERCENT or ROWS"):
+        parse_sql("SELECT * FROM documents TABLESAMPLE (25 ON doc_id)")
+    with pytest.raises(ParseError, match="ON"):
+        parse_sql("SELECT * FROM documents TABLESAMPLE (25 ROWS)")
