@@ -294,3 +294,26 @@ def test_tablesample_rows_requires_on_and_unit():
         parse_sql("SELECT * FROM documents TABLESAMPLE (25 ON doc_id)")
     with pytest.raises(ParseError, match="ON"):
         parse_sql("SELECT * FROM documents TABLESAMPLE (25 ROWS)")
+
+
+@pytest.mark.parametrize("pct,expect", [
+    (0, "none"),     # empty sample
+    (100, "all"),    # the 'g'-sentinel threshold edge: must keep ALL
+])
+def test_tablesample_percent_boundaries(spark, pct, expect):
+    """0 and 100 PERCENT hit sampling._threshold's documented edge: a
+    naive format() of 100% yields '10000', which sorts BELOW most hex
+    prefixes and silently turns keep-all into keep-~6% — the sentinel
+    'g' fix must survive the parser path too."""
+    n_all = spark.table("documents").count()
+    got = parse_sql(
+        f"SELECT doc_id FROM documents TABLESAMPLE ({pct} PERCENT ON doc_id)"
+    ).to_df(spark).count()
+    assert got == (0 if expect == "none" else n_all)
+
+
+def test_tablesample_zero_rows(spark):
+    got = parse_sql(
+        "SELECT doc_id FROM documents TABLESAMPLE (0 ROWS ON doc_id)"
+    ).to_df(spark).count()
+    assert got == 0
