@@ -126,16 +126,195 @@ def test_merge_insert_only(spark, duck):
 
 
 @pytest.mark.parametrize("bad,msg", [
-    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
-     "WHEN MATCHED AND t.c_acctbal > 0 THEN DELETE", "AND"),
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey",
      "WHEN"),
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
      "WHEN MATCHED THEN UPDATE SET *", "INSERT"),
+    # duplicate arm kinds silently last-winning was an ADVICE r8 defect:
+    # 'DELETE then UPDATE SET *' would drop the DELETE arm without error
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET * "
+     "WHEN NOT MATCHED THEN INSERT *", "duplicate WHEN MATCHED"),
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN NOT MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *",
+     "duplicate WHEN NOT MATCHED"),
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+     "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+     "duplicate WHEN NOT MATCHED BY SOURCE"),
+    # truncate-in-disguise: everything matched deletes, everything
+    # unmatched-by-source deletes, nothing inserts
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED THEN DELETE "
+     "WHEN NOT MATCHED BY SOURCE THEN DELETE", "deletes every row"),
+    # mismatched column/value list lengths
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.o_custkey)",
+     "2 columns but 1 values"),
+    # column-list INSERT redefines the layout; SET edits in place —
+    # the combination is ambiguous and rejected
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED THEN UPDATE SET c_acctbal = 0 "
+     "WHEN NOT MATCHED THEN INSERT (c_custkey) VALUES (s.o_custkey)",
+     "column-list INSERT with UPDATE SET"),
 ])
 def test_merge_rejects_unsupported_forms(bad, msg):
     with pytest.raises(ParseError, match=msg):
         parse_sql(bad)
+
+
+# ---- round 9 (VERDICT r8 items 2 and 5): conditional arms, column-list
+# INSERT, and WHEN NOT MATCHED BY SOURCE THEN DELETE --------------------
+
+
+def test_merge_conditional_update_set(spark, duck):
+    """WHEN MATCHED AND <cond>: the condition ANDs into the CASE's
+    match test — matched-but-condition-false rows keep target values."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey % 3 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND s.c_acctbal > 5000 "
+        "THEN UPDATE SET c_acctbal = s.c_acctbal * 2"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CASE WHEN c_custkey % 3 = 0 AND c_acctbal > 5000
+                    THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        """,
+    )
+
+
+def test_merge_conditional_update_star(spark, duck):
+    """Conditional UPDATE SET *: matched rows split into a cond-true arm
+    (source version) and a cond-not-true arm (target version) — NULL
+    conditions must NOT fire the action (three-valued test)."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_name, c_nationkey, "
+        "c_acctbal * 3 AS c_acctbal, c_mktsegment FROM customer "
+        "WHERE c_custkey % 4 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND t.c_acctbal < 0 THEN UPDATE SET *"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 4 = 0 AND c_acctbal < 0
+                    THEN c_acctbal * 3 ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        """,
+    )
+
+
+def test_merge_conditional_delete(spark, duck):
+    """WHEN MATCHED AND <cond> THEN DELETE keeps matched rows whose
+    condition is false or NULL."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey FROM customer WHERE c_custkey % 6 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT * FROM customer
+        WHERE NOT (c_custkey % 6 = 0 AND c_acctbal < 0)
+        """,
+    )
+
+
+def test_merge_not_matched_by_source_delete(spark, duck):
+    """Snapshot full sync: UPDATE SET * + BY SOURCE DELETE = matched
+    source rows only (the survivors union loses its anti-join arm)."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+        "c_mktsegment FROM customer WHERE c_custkey % 2 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        "SELECT * FROM customer WHERE c_custkey % 2 = 0",
+    )
+
+
+def test_merge_by_source_delete_conditional(spark, duck):
+    """BY SOURCE AND <cond>: unmatched target rows the condition spares
+    survive."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 1000 THEN DELETE"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT * FROM customer
+        WHERE c_custkey % 2 = 0
+           OR NOT (c_acctbal < 1000)
+        """,
+    )
+
+
+def test_merge_column_list_insert(spark, duck):
+    """INSERT (cols) VALUES (exprs): the column list defines the merged
+    output layout — every arm projects exactly those columns."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey + 9000000 AS k, c_name AS nm, "
+        "c_acctbal AS bal FROM customer WHERE c_custkey % 5 = 0) AS s "
+        "ON t.c_custkey = s.k "
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal) "
+        "VALUES (s.k, s.nm, s.bal)"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        UNION ALL
+        SELECT c_custkey + 9000000, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 5 = 0
+        """,
+    )
+
+
+def test_merge_conditional_insert(spark, duck):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT * filters the insert arm
+    only."""
+    sql = (
+        "MERGE INTO region AS t USING "
+        "(SELECT r_regionkey + 50 AS r_regionkey, r_name "
+        "FROM region) AS s "
+        "ON t.r_regionkey = s.r_regionkey "
+        "WHEN NOT MATCHED AND s.r_regionkey > 52 THEN INSERT *"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT * FROM region
+        UNION ALL
+        SELECT r_regionkey + 50, r_name FROM region
+        WHERE r_regionkey + 50 > 52
+        """,
+    )
 
 
 def test_tablesample_matches_stable_sample(spark, duck):
@@ -317,3 +496,41 @@ def test_tablesample_zero_rows(spark):
         "SELECT doc_id FROM documents TABLESAMPLE (0 ROWS ON doc_id)"
     ).to_df(spark).count()
     assert got == 0
+
+
+# ---- round 9 ADVICE r8 fixes: TABLESAMPLE validation + aliased ROWS ---
+
+
+def test_tablesample_rejects_fractional_rows():
+    with pytest.raises(ParseError, match="integer count"):
+        parse_sql(
+            "SELECT doc_id FROM documents TABLESAMPLE (40.7 ROWS ON doc_id)"
+        )
+
+
+def test_tablesample_rejects_percent_out_of_range():
+    with pytest.raises(ParseError, match=r"\[0, 100\]"):
+        parse_sql(
+            "SELECT doc_id FROM documents "
+            "TABLESAMPLE (140 PERCENT ON doc_id)"
+        )
+
+
+def test_tablesample_rows_aliased_qualified_refs(spark, duck):
+    """ADVICE r8: 'documents AS d TABLESAMPLE (n ROWS ...)' with
+    d-qualified projections diverged between renders (to_sql nested the
+    limit under a fresh _q alias where 'd.' no longer resolved; to_df
+    resolved it).  The desugar now re-applies the user's alias ABOVE the
+    sort/limit, so both renders resolve the qualifier."""
+    sql = (
+        "SELECT d.doc_id, d.lang FROM documents AS d "
+        "TABLESAMPLE (40 ROWS ON doc_id)"
+    )
+    _fixpoint(sql)
+    p = parse_sql(sql)
+    via_df = sorted(tuple(r) for r in p.to_df(spark).collect())
+    via_sql = sorted(
+        tuple(r) for r in spark.sql(p.to_sql("spark")).collect()
+    )
+    assert via_df == via_sql and len(via_df) == 40
+    check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
