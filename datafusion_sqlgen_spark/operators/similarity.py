@@ -1066,7 +1066,15 @@ def ann_join(
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qn"),
     )
-    sim = cosine_pre(F.col("qvec"), F.col("rvec"), F.col("qn"), F.col("rn"))
+    # snap the ranking key to 1e-6 fixed point BEFORE the window (house
+    # _stable_round rule, VERDICT r8 item 3): ranking raw doubles lets a
+    # k-boundary near-tie order differently across engines when their
+    # folds differ by an ULP; both this side and ann_join_oracle rank
+    # the SAME snapped value, so the boundary class is closed
+    sim = _stable_round(
+        cosine_pre(F.col("qvec"), F.col("rvec"), F.col("qn"), F.col("rn")),
+        6,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1075,8 +1083,12 @@ def ann_join(
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+        # the output round must ALSO be the floor formulation: snapping
+        # to 1e-6 manufactures exact ....x5 values at 4 decimals, where
+        # Spark's round (HALF_UP on the decimal string) and DuckDB's
+        # (binary) disagree — caught by the sf0.01 sweep on this change
         .select("query_id", "neighbor_id",
-                F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+                _stable_round(F.col("cos_sim"), 4).alias("cos_sim"), "rnk")
     )
 
 
@@ -1121,9 +1133,12 @@ def ann_join_oracle(
         ) WHERE rn <= {nprobe}
     ),
     scored AS (
+        -- ranking key snapped to 1e-6 fixed point (the _stable_round
+        -- floor formula) BEFORE the window, mirroring ann_join
         SELECT l.query_id, r.neighbor_id,
-               list_cosine_similarity(
-                   l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cos_sim
+               floor(list_cosine_similarity(
+                   l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                   * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
         FROM l_assigned l JOIN r_assigned r USING (cell_id)
     ),
     ranked AS (
@@ -1133,7 +1148,8 @@ def ann_join_oracle(
                    AS rnk
         FROM scored
     )
-    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rnk
+    SELECT query_id, neighbor_id,
+           floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cos_sim, rnk
     FROM ranked WHERE rnk <= {k}
     """
 

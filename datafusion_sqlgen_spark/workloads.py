@@ -1338,6 +1338,44 @@ def _ir_workloads() -> dict[str, Plan]:
         "c_mktsegment = 'BOOSTED'"
     )
 
+    # round 9 (VERDICT r8 items 2 and 5): the remaining common MERGE
+    # statement forms.  Conditional arm — the condition ANDs into the
+    # CASE's match test, so matched-but-condition-false rows keep their
+    # target values (three-valued: NULL conditions do not fire).
+    w["parsed_merge_conditional"] = parse_sql(
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey % 3 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND s.c_acctbal > 5000 "
+        "THEN UPDATE SET c_acctbal = s.c_acctbal * 2, "
+        "c_mktsegment = 'HIGHROLLER'"
+    )
+    # snapshot full sync (scd2_merge's close-missing as a statement):
+    # UPDATE SET * + BY SOURCE DELETE = the survivors union loses its
+    # anti-join arm, leaving one semi join
+    w["parsed_merge_full_sync"] = parse_sql(
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+        "'SYNCED' AS c_mktsegment FROM customer "
+        "WHERE c_custkey % 2 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    # column-list INSERT with an arm condition: the list defines the
+    # merged output layout (every arm projects exactly those columns),
+    # the condition filters only the insert arm
+    w["parsed_merge_insert_cols"] = parse_sql(
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey + 10000000 AS new_key, c_name, c_acctbal "
+        "FROM customer WHERE c_custkey % 9 = 0) AS s "
+        "ON t.c_custkey = s.new_key "
+        "WHEN NOT MATCHED AND s.c_acctbal > 0 "
+        "THEN INSERT (c_custkey, c_name, c_acctbal) "
+        "VALUES (s.new_key, s.c_name, s.c_acctbal)"
+    )
+
     return w
 
 
@@ -4649,6 +4687,33 @@ SELECT c_custkey, c_name, c_nationkey,
        CASE WHEN c_custkey % 3 = 0 THEN 'BOOSTED'
             ELSE c_mktsegment END AS c_mktsegment
 FROM customer
+""",
+    # ---- round 9: the remaining MERGE statement forms (VERDICT r8
+    # items 2 and 5), each replayed WITHOUT any join or CASE-over-key
+    # machinery the desugar itself uses ----
+    # conditional arm folded into a plain CASE over the whole table
+    "parsed_merge_conditional": """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 3 = 0 AND c_acctbal > 5000
+            THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 3 = 0 AND c_acctbal > 5000
+            THEN 'HIGHROLLER' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+""",
+    # full sync (UPDATE SET * + BY SOURCE DELETE) = the source filter,
+    # applied directly — the oracle never sees the semi join
+    "parsed_merge_full_sync": """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       'SYNCED' AS c_mktsegment
+FROM customer WHERE c_custkey % 2 = 0
+""",
+    # column-list INSERT: target re-projected to the listed layout plus
+    # the shifted, condition-filtered insert arm
+    "parsed_merge_insert_cols": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+UNION ALL
+SELECT c_custkey + 10000000, c_name, c_acctbal
+FROM customer WHERE c_custkey % 9 = 0 AND c_acctbal > 0
 """,
     # ---- round-7 PROACTIVE batch for the projected r8 cohort
     # (VERDICT r6 item 2 "keep growing it with each rotation"):

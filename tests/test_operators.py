@@ -1358,3 +1358,28 @@ def test_embedding_decontaminate_per_source_accounting(spark, duck):
         _df(spark, "documents").select(
             F.col("doc_id").alias("vec_id")), "vec_id").count()
     assert sum(r.n_kept + r.n_dropped for r in rows) == corpus_n
+
+
+def test_ann_join_ranks_on_snapped_similarity(spark):
+    """VERDICT r8 item 3: the top-k window must order by the 1e-6
+    fixed-point similarity, not the raw double — a k-boundary near-tie
+    (here ~2e-8 apart in raw cosine) snaps to the SAME key and breaks
+    to the LOWER neighbor_id on every engine.  Raw-double ranking would
+    put neighbor 9 (the infinitesimally-closer vector) first."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [(3, [1.0, 2e-4]), (9, [1.0, 1e-4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = (
+        similarity.ann_join(left, right, k=2, n_cells=2, nprobe=2)
+        .orderBy("rnk")
+        .collect()
+    )
+    # raw cosines differ (~1e-8) but both snap to 1.0 at 1e-6
+    assert [r.neighbor_id for r in got] == [3, 9]
+    assert [r.cos_sim for r in got] == [1.0, 1.0]
