@@ -270,11 +270,15 @@ def main() -> None:
             tables[name].count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # test hook: comma-separated subset of HEADLINE (contract tests run
+    # one query at sf0.001 to check the stdout protocol end-to-end)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spreads: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         q = queries[name]
 
         def run_once() -> float:
@@ -314,13 +318,33 @@ def main() -> None:
     # can read, and point at it from the tail-surviving end of the line.
     full = dict(payload)
     full["samples"] = all_samples
+    # subset runs (test hook) must not clobber the round artifact
+    full_name = "bench_full.json" if not only else "bench_full_subset.json"
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        os.path.dirname(os.path.abspath(__file__)), full_name
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=False)
-    payload["full_artifact"] = "bench_full.json"
+    payload["full_artifact"] = full_name
     print(json.dumps(payload))
+    # The driver keeps only a ~2,000-char stdout TAIL: the big line above
+    # loses its HEAD (the "metric"/"value" keys) once `queries` exceeds
+    # the tail budget, so BENCH_r{N}.json records "parsed": null (r8/r9
+    # VERDICT item: make the artifact parse). Emit a compact summary as
+    # the FINAL line — small enough to always survive the tail — so the
+    # driver's last-line JSON parse succeeds regardless of catalog size.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "machine_canary_sec": canary,
+        "value_per_canary": payload["value_per_canary"],
+        "n_queries": len(timings),
+        "spread_median": payload["spread_median"],
+        "sf": payload["sf"],
+        "full_artifact": full_name,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

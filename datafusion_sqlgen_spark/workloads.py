@@ -3298,76 +3298,74 @@ R4_ADDITIONS: list[str] = [
 R6_DEFERRED: list[str] = ["agg_tpch_q1"]
 
 _SAMPLE_PRIORITY: list[str] = [
-    # Round-8 rotation (VERDICT r7 "Next round" item 1), generated by
-    # `python scripts/rotation_next.py --through-round 7` — do not
+    # Round-10 rotation (VERDICT r9 "Next round" item 1), generated by
+    # `python scripts/rotation_next.py --through-round 9` — do not
     # hand-edit; tests/test_advice_fixes_r3.py re-runs the tool pinned
     # to the MAX SHIPPED CORRECTNESS round (self-updating since r8) and
     # diffs it against this list.  Ordering is the fixed policy
-    # red -> never-driver-sampled -> stale-oldest: the three round-8
-    # additions (MERGE/TABLESAMPLE statement forms, cross-tier HLL)
-    # have no driver row ever, then the 28 r3-stale rows VERDICT r7
-    # flagged, then the oldest r4 rows that fit.
-    # --- never driver-sampled (round-8 additions) ---
-    "parsed_merge_upsert",
-    "parsed_tablesample",
-    "profile_hll_native_vs_portable",
-    "sim_ann_join",
-    "sim_ann_join_recall",
-    "pipeline_embedding_decontamination",
-    "text_bpe_train",
-    "parsed_tablesample_rows",
-    "parsed_merge_update_set",
-    # --- last driver-sampled in ROUND 3, catalog order ---
-    "tpch_q17",
-    "tpch_q18",
-    "parsed_scan_filter_sort",
-    "parsed_join_agg_having",
-    "parsed_case_in_distinct",
-    "dedup_exact",
-    "dedup_canonical",
-    "dedup_minhash_signatures",
-    "dedup_minhash_buckets",
-    "dedup_minhash_verify",
-    "text_chunk_documents",
-    "sample_stable_hash",
-    "sample_stratified",
-    "ts_gap_fill_hourly",
-    "ts_ohlc_hourly",
-    "dedup_cluster_cc",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "sim_cosine_topk",
-    "sim_cosine_topk_bucketed",
-    "sim_ivf_topk",
-    "dedup_embedding_cosine",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "join_asof_events",
-    # --- last driver-sampled in ROUND 4, catalog order (19 of 65 fit;
-    # the rest queue for r9 — scripts/rotation_next.py overflow) ---
-    "ref_scan_filter",
-    "ref_sort_limit_offset",
-    "ref_null_safe_cmp",
-    "ts_sliding_1h_stats",
-    "expr_string_funcs2",
-    "values_lookup_join",
-    "agg_filter_where",
-    "expr_scalar_funcs5",
-    "lat_posexplode_embedding",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
+    # red -> never-driver-sampled -> stale-oldest: the three round-9
+    # MERGE additions have no driver row ever, then the 33
+    # 5-rounds-stale r4 rows VERDICT r9 flagged, then the oldest r5
+    # rows that fit the 50-slot budget.
+    # --- never driver-sampled (round-9 additions) ---
+    "parsed_merge_conditional",
+    "parsed_merge_full_sync",
+    "parsed_merge_insert_cols",
+    # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "parsed_win_topn",
+    "parsed_cte_agg",
+    "setop_union_by_name",
+    "sink_partitioned_roundtrip",
+    "text_top_terms",
+    "text_pack_sequences",
+    "text_redact",
+    "text_word_positions",
+    "sample_stable_topk",
+    "sample_hash_split",
+    "ts_locf_resample",
+    "text_fingerprint",
+    "text_repetition",
+    "text_decontaminate",
+    "sim_lsh_bucket_stats",
+    "sim_embedding_norms",
+    "sim_quantize_int8",
+    "mm_frame_sample",
+    "udf_bpeish_token_count",
+    "agg_pivot_status",
+    "join_salted_skew",
+    "join_range_bucketed",
+    # --- last driver-sampled in ROUND 5, catalog order (14 of 71 fit;
+    # the rest queue for r11 — scripts/rotation_next.py overflow) ---
+    "ref_nested_slots",
+    "parsed_qualify_using",
+    "parsed_reader_forms",
+    "parsed_pivot_status",
+    "parsed_distinct_on",
+    "profile_orders",
+    "ts_rolling_anomaly",
+    "ts_sessionize",
+    "dedup_materialize",
+    "dedup_quality_rep",
+    "text_tfidf_topk",
+    "mm_feature_extract",
+    "dedup_block_level",
+    "text_c4_filters",
     # ---- 50-entry driver sample boundary ----
-    # tpch_q11/q12/q13/q14/q15/q16/q19-q22, parsed_win_topn, parsed_cte_agg,
-    # setop_union_by_name, sink_partitioned_roundtrip, text_top_terms,
-    # text_pack_sequences, text_redact, text_word_positions,
-    # sample_stable_topk, sample_hash_split (r4) lead the r9 stale
-    # cohort (ALL IR rows carry independent hand oracles)
+    # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
+    # sim_kmeans_fit, profile_key_skew, profile_robust_stats,
+    # profile_correlations (r5) lead the r11 stale cohort
+    # (ALL IR rows carry independent hand oracles)
 ]
 
 

@@ -74,7 +74,11 @@ def main() -> None:
             continue
         ratio = (n / norm) / o
         if ratio > args.threshold or ratio < 1 / args.threshold:
-            if abs(n - o) > band(old, q) + band(new, q):
+            # Gate 2 must operate in OLD-HOST seconds like gate 1: a raw
+            # |n - o| on a 2x-faster host shrinks (or inverts) a real
+            # regression under the band and silently drops it (ADVICE r9
+            # medium).  Normalize the new median AND its band.
+            if abs(n / norm - o) > band(old, q) + band(new, q) / norm:
                 movers.append((ratio, q, o, n))
     if not movers:
         print(f"movers beyond {args.threshold}x normalized AND outside the "
