@@ -91,34 +91,17 @@ def knn_edges_oracle_cte(
     """
 
 
-def pagerank(
+def _pagerank_plan(
     edges: DataFrame,
-    iterations: int = 3,
-    damp_pct: int = 85,
-    scale: int = 10**12,
-) -> DataFrame:
-    """Fixed-iteration PageRank in BIGINT fixed-point (``scale`` units
-    of total rank mass): ``rank' = teleport + damp * sum(contrib)``
-    with every term an integer floor-division, so the result is
-    bit-identical across engines and partitionings (integer sums are
-    order-free).  Requires a graph where every node has out-degree >= 1
-    (symmetrized edges, as :func:`knn_edges` produces) — that removes
-    the dangling-mass term, the one part of PageRank that is not a
-    per-edge map + per-node sum.
-
-    Output: ``(node, rank_fp)`` — BIGINT micro-ranks summing to ~scale
-    (minus bounded floor loss).
-
-    Scale shape: each iteration is one shuffle — contributions map over
-    the (edges ⋈ degree) table partitioned by ``src`` (built once,
-    PERSISTED, and reused every iteration — without the persist each
-    iteration re-derives the join from lineage) and sum by ``dst``;
-    ranks re-join by node against the likewise-persisted ``(node, n)``
-    base.  The node count arrives via a broadcast 1-row aggregate,
-    never a driver collect.  Unrolled-lineage depth grows linearly in
-    ``iterations``; at cluster scale checkpoint every ~5 iterations
-    (the CC operator's localCheckpoint pattern, `dedup.py`
-    connected_components)."""
+    iterations: int,
+    damp_pct: int,
+    scale: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the unrolled-iteration plan; returns ``(ranks, ed, base)``
+    where ``ed``/``base`` are the two persisted loop invariants the
+    caller must unpersist once ranks materialize.  Split from
+    :func:`pagerank` so tests can inspect the pre-checkpoint plan
+    (InMemoryTableScan reuse) without re-introducing the cache leak."""
     from pyspark.storagelevel import StorageLevel
 
     nodes = (
@@ -176,7 +159,47 @@ def pagerank(
                 ).alias("rank_fp"),
             )
         )
-    return ranks.select("node", "rank_fp")
+    return ranks.select("node", "rank_fp"), ed, base
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damp_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank in BIGINT fixed-point (``scale`` units
+    of total rank mass): ``rank' = teleport + damp * sum(contrib)``
+    with every term an integer floor-division, so the result is
+    bit-identical across engines and partitionings (integer sums are
+    order-free).  Requires a graph where every node has out-degree >= 1
+    (symmetrized edges, as :func:`knn_edges` produces) — that removes
+    the dangling-mass term, the one part of PageRank that is not a
+    per-edge map + per-node sum.
+
+    Output: ``(node, rank_fp)`` — BIGINT micro-ranks summing to ~scale
+    (minus bounded floor loss).
+
+    Scale shape: each iteration is one shuffle — contributions map over
+    the (edges ⋈ degree) table partitioned by ``src`` (built once,
+    PERSISTED, and reused every iteration — without the persist each
+    iteration re-derives the join from lineage) and sum by ``dst``;
+    ranks re-join by node against the likewise-persisted ``(node, n)``
+    base.  The node count arrives via a broadcast 1-row aggregate,
+    never a driver collect.  Unrolled-lineage depth grows linearly in
+    ``iterations``; at cluster scale checkpoint every ~5 iterations
+    (the CC operator's localCheckpoint pattern, `dedup.py`
+    connected_components).
+
+    The final ranks are eagerly ``localCheckpoint``-ed and the two
+    persisted loop invariants released before returning (ADVICE r9:
+    persist-without-unpersist leaked two cached tables per call for
+    the session lifetime; `dedup.py:495-517` cleanup pattern)."""
+    ranks, ed, base = _pagerank_plan(edges, iterations, damp_pct, scale)
+    out = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    base.unpersist()
+    return out
 
 
 def pagerank_oracle(

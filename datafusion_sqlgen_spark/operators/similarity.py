@@ -1067,10 +1067,12 @@ def ann_join(
         _norm(F.col(vec_col)).alias("qn"),
     )
     # snap the ranking key to 1e-6 fixed point BEFORE the window (house
-    # _stable_round rule, VERDICT r8 item 3): ranking raw doubles lets a
-    # k-boundary near-tie order differently across engines when their
-    # folds differ by an ULP; both this side and ann_join_oracle rank
-    # the SAME snapped value, so the boundary class is closed
+    # _stable_round rule, VERDICT r8 item 3).  The snap alone does NOT
+    # close the boundary class — a 1-ULP cross-engine difference landing
+    # AT a floor boundary snaps to adjacent cells (ADVICE r9) — so since
+    # round 10 ann_join_oracle replays the identical strict left-fold
+    # cosine (_duck_cos) in every window: raw doubles are bit-identical
+    # first, and the snap is defense-in-depth on top
     sim = _stable_round(
         cosine_pre(F.col("qvec"), F.col("rvec"), F.col("qn"), F.col("rn")),
         6,
@@ -1115,8 +1117,8 @@ def ann_join_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]',
+                                           'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM rt t CROSS JOIN cents c
         ) WHERE rn = 1
@@ -1126,19 +1128,21 @@ def ann_join_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]',
+                                           'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM lt t CROSS JOIN cents c
         ) WHERE rn <= {nprobe}
     ),
     scored AS (
-        -- ranking key snapped to 1e-6 fixed point (the _stable_round
-        -- floor formula) BEFORE the window, mirroring ann_join
+        -- _duck_cos (bit-exact fold twin of cosine_pre, ADVICE r9 —
+        -- every assignment window above too), then the ranking key
+        -- snapped to 1e-6 fixed point (the _stable_round floor
+        -- formula) BEFORE the window, mirroring ann_join
         SELECT l.query_id, r.neighbor_id,
-               floor(list_cosine_similarity(
-                   l.embedding::DOUBLE[], r.embedding::DOUBLE[])
-                   * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+               {_duck_round(_duck_cos('l.embedding::DOUBLE[]',
+                                      'r.embedding::DOUBLE[]'), 6)}
+                   AS cos_sim
         FROM l_assigned l JOIN r_assigned r USING (cell_id)
     ),
     ranked AS (
@@ -1211,8 +1215,8 @@ def ann_join_recall_oracle(
             SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
                    row_number() OVER (
                        PARTITION BY l.vec_id
-                       ORDER BY list_cosine_similarity(
-                           l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                       ORDER BY {_duck_cos('l.embedding::DOUBLE[]',
+                                           'r.embedding::DOUBLE[]')}
                            DESC, r.vec_id ASC) AS rnk
             FROM (SELECT * FROM {table} WHERE {left_pred}) l
             CROSS JOIN (SELECT * FROM {table} WHERE {right_pred}) r
@@ -1530,6 +1534,36 @@ def _duck_round(x: str, decimals: int) -> str:
     same doubles, same result."""
     f = 10 ** decimals
     return f"(floor(({x}) * {f} + 0.5) / {f})"
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB strict left-fold dot product in index order from a 0.0
+    seed — exactly Spark's ``aggregate(zip_with(a, b, x*y))``, so both
+    engines produce the same double."""
+    # args are parenthesized before indexing: a bare `x::DOUBLE[][i]`
+    # parses the two bracket pairs as a nested array TYPE, not an index
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len(({a})) + 1), "
+        f"__ci -> ({a})[__ci] * ({b})[__ci])), "
+        f"(__cacc, __cx) -> __cacc + __cx)"
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB SQL for the bit-exact twin of :func:`cosine_pre`:
+    fold-dot / (fold-norm * fold-norm), every term the same IEEE double
+    sequence as the Spark side.  ``list_cosine_similarity`` is NOT
+    that: its fold order/arithmetic is unspecified, and a 1-ULP
+    difference landing at a 1e-6 floor boundary snaps to the adjacent
+    fixed-point cell and flips rank AND value (ADVICE r9 on
+    ann_join_oracle — same class as the _l2_dist/list_distance
+    divergence the round-6 sweep caught).  Args must already be
+    ``::DOUBLE[]`` expressions."""
+    return (
+        f"({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})))"
+    )
 
 
 def _duck_l2(a: str, b: str) -> str:

@@ -391,12 +391,24 @@ class _Parser:
         MERGE preconditions (standard semantics, documented not
         checked): source keys unique on the join key (a LEFT JOIN would
         otherwise duplicate matched target rows), and for INSERT * /
-        UPDATE SET * the source and target share column layout.  One
-        clause per arm kind — a second WHEN MATCHED (or WHEN NOT
-        MATCHED [BY SOURCE]) raises, mirroring standard engines'
-        rejection of duplicate unconditioned clauses rather than
-        silently last-winning.  Cascaded multi-condition arms stay with
-        the operator API (``joins.scd2_merge``)."""
+        UPDATE SET * the source and target share column layout.
+
+        Round 10 (VERDICT r9 item 6) adds cascaded multi-arm chains:
+
+          WHEN MATCHED AND c1 THEN UPDATE SET ...
+          WHEN MATCHED AND c2 THEN DELETE
+          [WHEN MATCHED THEN UPDATE SET ...]     -- uncond arm last only
+              first-match-wins: one left join, one nested CASE per set
+              column (WHEN order = statement order, every fire test
+              conjoins NOT(earlier cond IS TRUE)), and a DELETE arm
+              becomes a filter on its fire test.  Arms must be
+              ``UPDATE SET col = expr`` or ``DELETE`` (``SET *`` needs
+              the whole row layout per-arm and stays single-arm).
+
+        A WHEN MATCHED arm after an unconditioned one raises
+        (unreachable under first-match-wins), as do duplicate WHEN NOT
+        MATCHED [BY SOURCE] clauses — mirroring standard engines'
+        rejection rather than silently last-winning."""
         self.expect_kw("MERGE")
         self.expect_kw("INTO")
         target, t_name = self._merge_relation("target")
@@ -408,6 +420,9 @@ class _Parser:
         matched = None  # "update" | "update_set" | "delete"
         m_cond = None  # Expr | None — WHEN MATCHED AND <cond>
         assignments: list[tuple] = []  # (col, Expr) for update_set
+        # cascaded matched arms, first-match-wins (round 10, VERDICT r9
+        # item 6): [(cond|None, kind, assignments)] in statement order
+        m_arms: list[tuple] = []
         insert = False
         i_cond = None  # Expr | None — WHEN NOT MATCHED AND <cond>
         i_cols: tuple = ()  # column-list INSERT target layout
@@ -462,29 +477,46 @@ class _Parser:
                     )
                 insert, i_cond = True, cond
             else:
-                if matched is not None:
+                if m_arms and m_arms[-1][0] is None:
                     raise ParseError(
-                        "duplicate WHEN MATCHED clause (standard MERGE "
-                        "rejects a second unconditioned matched arm; "
-                        "cascaded conditional arms use the operator API, "
-                        "operators/joins.py scd2_merge)"
+                        "WHEN MATCHED arm after an unconditioned WHEN "
+                        "MATCHED is unreachable (first-match-wins); put "
+                        "the unconditioned arm last"
                     )
                 if self.eat_kw("DELETE"):
-                    matched = "delete"
+                    m_arms.append((cond, "delete", []))
                 else:
                     self.expect_kw("UPDATE")
                     self.expect_kw("SET")
                     if self.eat_op("*"):
-                        matched = "update"
+                        m_arms.append((cond, "update", []))
                     else:
+                        sets: list[tuple] = []
                         while True:
                             c = self.ident()
                             self.expect_op("=")
-                            assignments.append((c, self.parse_expr()))
+                            sets.append((c, self.parse_expr()))
                             if not self.eat_op(","):
                                 break
-                        matched = "update_set"
-                m_cond = cond
+                        m_arms.append((cond, "update_set", sets))
+        if len(m_arms) == 1:
+            m_cond, matched, assignments = m_arms[0]
+        elif len(m_arms) > 1:
+            # cascaded chain: every arm must be CASE-expressible
+            # (UPDATE SET col = expr) or DELETE; SET * needs the whole
+            # row layout per-arm and stays single-arm-only
+            if any(kind == "update" for _, kind, _ in m_arms):
+                raise ParseError(
+                    "UPDATE SET * is not supported in a cascaded WHEN "
+                    "MATCHED chain (per-column SET arms desugar to one "
+                    "nested CASE; SET * does not); use SET col = expr"
+                )
+            if sum(kind == "delete" for _, kind, _ in m_arms) > 1:
+                raise ParseError(
+                    "at most one DELETE arm in a cascaded WHEN MATCHED "
+                    "chain (a second is unreachable or contradictory)"
+                )
+            matched = "cascade"
         if matched is None and not insert and not bs_delete:
             raise ParseError("MERGE needs at least one WHEN clause")
         if (matched == "update" and not insert and m_cond is None
@@ -493,11 +525,17 @@ class _Parser:
                 "UPDATE SET * without INSERT * drops unmatched source "
                 "rows silently; add WHEN NOT MATCHED THEN INSERT *"
             )
-        if i_cols and matched == "update_set":
+        if i_cols and matched is not None:
+            # ADVICE r9: with ANY matched arm the star arms would project
+            # Col(c, s_name) for the listed target columns — a binder
+            # error when the source uses renamed columns, or a silent
+            # wrong-column bind when target-named columns coexist with
+            # the VALUES sources
             raise ParseError(
-                "column-list INSERT with UPDATE SET col = expr is not "
-                "supported (the list redefines the output layout while "
-                "SET edits the target layout in place); use INSERT *"
+                "column-list INSERT with UPDATE SET/DELETE matched arms "
+                "is not supported (the list redefines the output layout "
+                "while matched arms emit the target/source layout); use "
+                "INSERT *"
             )
 
         # three-valued arm-condition tests: an arm fires only when its
@@ -549,6 +587,75 @@ class _Parser:
                 new_src = new_src.filter(i_cond)
             new_rows = new_src.select(*ins_exprs)
             return SetOp(updated, new_rows, "union_all")
+
+        if matched == "cascade":
+            # first-match-wins chain of UPDATE SET col = expr / DELETE
+            # arms (VERDICT r9 item 6), desugared into the update_set
+            # machinery: ONE left join, one nested CASE per set column
+            # whose WHEN order mirrors the statement order, and (for a
+            # DELETE arm) one filter dropping the rows that arm claims.
+            # Each arm's fire test conjoins "no earlier condition was
+            # TRUE" so a row never takes two arms; cond_true keeps every
+            # fire test two-valued (NULL conditions do not fire and do
+            # not poison the delete filter).
+            skey = _source_equi_col(on, s_name)
+            if skey is None:
+                raise ParseError(
+                    "cascaded WHEN MATCHED arms need an equi-condition "
+                    f"referencing the source alias ({s_name!r}) in ON — "
+                    "the matched test is s.<key> IS NOT NULL after the "
+                    "left join"
+                )
+            match_test = IsNotNull(skey)
+            fires: list = []
+            prev_not = None  # conjunction of not_true(earlier conds)
+            for c, _kind, _sets in m_arms:
+                t = match_test
+                if prev_not is not None:
+                    t = BinOp("AND", t, prev_not)
+                if c is not None:
+                    t = BinOp("AND", t, cond_true(c))
+                    nt = not_true(c)
+                    prev_not = (nt if prev_not is None
+                                else BinOp("AND", prev_not, nt))
+                fires.append(t)
+            joined = target.join(source, on=on, how="left")
+            if bs_delete:
+                keep = IsNotNull(skey)
+                if bs_cond is not None:
+                    keep = BinOp("OR", keep, not_true(bs_cond))
+                joined = joined.filter(keep)
+            for (_, kind, _), fire in zip(m_arms, fires):
+                if kind == "delete":
+                    joined = joined.filter(Not(fire))
+            set_cols: list[str] = []
+            for _, _kind, sets in m_arms:
+                for c0, _ in sets:
+                    if c0 not in set_cols:
+                        set_cols.append(c0)
+            out_exprs = [Star(table=t_name, except_cols=tuple(set_cols))]
+            for c0 in set_cols:
+                whens = []
+                for (_, kind, sets), fire in zip(m_arms, fires):
+                    if kind != "update_set":
+                        continue
+                    e = next((ex for cc, ex in sets if cc == c0), None)
+                    # an arm that fires but does not set c0 keeps t.c0
+                    whens.append((fire, e if e is not None
+                                  else Col(c0, t_name)))
+                out_exprs.append(
+                    Alias(Case(whens=tuple(whens), else_=Col(c0, t_name)),
+                          c0)
+                )
+            updated = joined.select(*out_exprs)
+            if not insert:
+                return updated
+            ins_exprs = [Star(table=s_name, except_cols=tuple(set_cols))]
+            ins_exprs += [Col(c0, s_name) for c0 in set_cols]
+            new_src = source.join(target, on=on, how="left_anti")
+            if i_cond is not None:
+                new_src = new_src.filter(i_cond)
+            return SetOp(updated, new_src.select(*ins_exprs), "union_all")
 
         # ---- star/delete arms ------------------------------------------
         # projections: a column-list INSERT defines the output layout for
@@ -1142,7 +1249,10 @@ class _Parser:
                 )
         elif self.eat_kw("ROWS"):
             kind = "rows"
-            if num != int(num):
+            # validate the TOKEN TEXT, not the float value: '40.0 ROWS'
+            # and '4e1 ROWS' round-trip through float() as integers but
+            # are not integer literals (ADVICE r9)
+            if not t.text.isdigit():
                 raise ParseError(
                     f"TABLESAMPLE ROWS takes an integer count, got {t.text}"
                 )

@@ -1376,6 +1376,22 @@ def _ir_workloads() -> dict[str, Plan]:
         "VALUES (s.new_key, s.c_name, s.c_acctbal)"
     )
 
+    # round 10 (VERDICT r9 item 6): cascaded multi-arm chain, first
+    # match wins — one left join, one filter for the DELETE arm, one
+    # nested CASE per set column; all three arms fire at every SF
+    # (negative / >5000 / remaining balances all exist in customer)
+    w["parsed_merge_multi_arm"] = parse_sql(
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey % 2 = 0) AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE "
+        "WHEN MATCHED AND s.c_acctbal > 5000 "
+        "THEN UPDATE SET c_acctbal = s.c_acctbal * 2, "
+        "c_mktsegment = 'HIGH' "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 100"
+    )
+
     return w
 
 
@@ -3307,10 +3323,12 @@ _SAMPLE_PRIORITY: list[str] = [
     # MERGE additions have no driver row ever, then the 33
     # 5-rounds-stale r4 rows VERDICT r9 flagged, then the oldest r5
     # rows that fit the 50-slot budget.
-    # --- never driver-sampled (round-9 additions) ---
+    # --- never driver-sampled (round-9 additions + the round-10
+    # cascaded-chain row, staged same-commit per VERDICT r9 item 8) ---
     "parsed_merge_conditional",
     "parsed_merge_full_sync",
     "parsed_merge_insert_cols",
+    "parsed_merge_multi_arm",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3360,9 +3378,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_tfidf_topk",
     "mm_feature_extract",
     "dedup_block_level",
-    "text_c4_filters",
     # ---- 50-entry driver sample boundary ----
-    # sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
+    "text_c4_filters",
+    # text_c4_filters (r5, displaced by the round-10 multi-arm row),
+    # then sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, profile_robust_stats,
     # profile_correlations (r5) lead the r11 stale cohort
     # (ALL IR rows carry independent hand oracles)
@@ -4712,6 +4731,24 @@ SELECT c_custkey, c_name, c_acctbal FROM customer
 UNION ALL
 SELECT c_custkey + 10000000, c_name, c_acctbal
 FROM customer WHERE c_custkey % 9 = 0 AND c_acctbal > 0
+""",
+    # ---- round 10: cascaded multi-arm chain (VERDICT r9 item 6) as a
+    # flat CASE over the whole table — first-match-wins replayed by
+    # guarding each arm with the negation of every earlier condition,
+    # the DELETE arm as a plain WHERE; no join, no IS-NOT-NULL test ----
+    "parsed_merge_multi_arm": """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 2 = 0 AND NOT (c_acctbal < 0)
+                 AND c_acctbal > 5000
+            THEN c_acctbal * 2
+            WHEN c_custkey % 2 = 0 AND NOT (c_acctbal < 0)
+            THEN c_acctbal + 100
+            ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 2 = 0 AND NOT (c_acctbal < 0)
+                 AND c_acctbal > 5000
+            THEN 'HIGH' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+WHERE NOT (c_custkey % 2 = 0 AND c_acctbal < 0)
 """,
     # ---- round-7 PROACTIVE batch for the projected r8 cohort
     # (VERDICT r6 item 2 "keep growing it with each rotation"):

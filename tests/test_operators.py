@@ -1209,15 +1209,37 @@ def test_pagerank_iterations_reuse_cached_join(spark):
     executed plan therefore contains InMemoryTableScans — one per
     reference across the unrolled iterations — and, because caching is
     lazy, the cache-build subtree appears exactly once per cached table
-    at runtime."""
+    at runtime.  Inspects the pre-checkpoint plan via _pagerank_plan
+    (the public pagerank checkpoints, which hides the cached subtree)."""
     from datafusion_sqlgen_spark.operators import graph
 
     emb = _df(spark, "embeddings")
-    out = graph.pagerank(graph.knn_edges(emb), iterations=3)
-    out.collect()  # materializes both caches
-    ex = out._jdf.queryExecution().executedPlan().toString()
-    # 3 iterations unroll to >= 2 refs of ed and >= 3 refs of base
-    assert ex.count("InMemoryTableScan") >= 5, ex[:2000]
+    ranks, ed, base = graph._pagerank_plan(
+        graph.knn_edges(emb), iterations=3, damp_pct=85, scale=10**12
+    )
+    try:
+        ranks.collect()  # materializes both caches
+        ex = ranks._jdf.queryExecution().executedPlan().toString()
+        # 3 iterations unroll to >= 2 refs of ed and >= 3 refs of base
+        assert ex.count("InMemoryTableScan") >= 5, ex[:2000]
+    finally:
+        ed.unpersist()
+        base.unpersist()
+
+
+def test_pagerank_releases_loop_invariant_caches(spark):
+    """ADVICE r9 / VERDICT r9 item 5: the public pagerank must not leak
+    its two persisted loop invariants — the session CacheManager holds
+    no DataFrame cache entries after the call returns, and the returned
+    frame (checkpointed) stays collectable after the unpersist."""
+    from datafusion_sqlgen_spark.operators import graph
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()  # isolate from sibling tests' caches
+    emb = _df(spark, "embeddings")
+    out = graph.pagerank(graph.knn_edges(emb), iterations=2)
+    assert cm.isEmpty(), "pagerank leaked persisted loop invariants"
+    assert out.count() > 0  # checkpoint survives the unpersist
 
 
 def test_pagerank_star_graph_ranks_center_highest(spark):

@@ -130,11 +130,32 @@ def test_merge_insert_only(spark, duck):
      "WHEN"),
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
      "WHEN MATCHED THEN UPDATE SET *", "INSERT"),
-    # duplicate arm kinds silently last-winning was an ADVICE r8 defect:
-    # 'DELETE then UPDATE SET *' would drop the DELETE arm without error
+    # a matched arm after an UNCONDITIONED matched arm is dead code
+    # under first-match-wins (was 'duplicate WHEN MATCHED' pre-cascade)
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
      "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET * "
-     "WHEN NOT MATCHED THEN INSERT *", "duplicate WHEN MATCHED"),
+     "WHEN NOT MATCHED THEN INSERT *", "unreachable"),
+    # SET * cannot participate in a cascaded chain (no per-arm layout)
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED AND s.o_totalprice > 0 THEN UPDATE SET * "
+     "WHEN MATCHED THEN DELETE "
+     "WHEN NOT MATCHED THEN INSERT *", "SET [*] is not supported in a cascaded"),
+    # two DELETE arms: the second is unreachable or contradictory
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED AND s.o_totalprice > 0 THEN DELETE "
+     "WHEN MATCHED AND s.o_totalprice < 0 THEN DELETE "
+     "WHEN MATCHED THEN UPDATE SET c_acctbal = 0",
+     "at most one DELETE arm"),
+    # ADVICE r9: column-list INSERT with ANY matched arm (not just SET
+    # col = expr) binds Col(c, s) against renamed source columns
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED THEN UPDATE SET * "
+     "WHEN NOT MATCHED THEN INSERT (c_custkey) VALUES (s.o_custkey)",
+     "column-list INSERT with UPDATE SET"),
+    ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
+     "WHEN MATCHED AND s.o_totalprice > 0 THEN DELETE "
+     "WHEN NOT MATCHED THEN INSERT (c_custkey) VALUES (s.o_custkey)",
+     "column-list INSERT with UPDATE SET"),
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
      "WHEN NOT MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *",
      "duplicate WHEN NOT MATCHED"),
@@ -501,10 +522,14 @@ def test_tablesample_zero_rows(spark):
 # ---- round 9 ADVICE r8 fixes: TABLESAMPLE validation + aliased ROWS ---
 
 
-def test_tablesample_rejects_fractional_rows():
+@pytest.mark.parametrize("count", ["40.7", "40.0", "4e1"])
+def test_tablesample_rejects_non_integer_literal_rows(count):
+    """ADVICE r9: '40.0 ROWS' and '4e1 ROWS' round-trip through float()
+    as integers but are not integer literals — the token TEXT is what
+    must validate."""
     with pytest.raises(ParseError, match="integer count"):
         parse_sql(
-            "SELECT doc_id FROM documents TABLESAMPLE (40.7 ROWS ON doc_id)"
+            f"SELECT doc_id FROM documents TABLESAMPLE ({count} ROWS ON doc_id)"
         )
 
 
@@ -534,3 +559,130 @@ def test_tablesample_rows_aliased_qualified_refs(spark, duck):
     )
     assert via_df == via_sql and len(via_df) == 40
     check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+
+
+# ---- round 10: cascaded multi-arm WHEN MATCHED chains (VERDICT r9 #6) --
+
+MERGE_CASCADE = (
+    "MERGE INTO customer AS t USING ("
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0"
+    ") AS s ON t.c_custkey = s.c_custkey "
+    "WHEN MATCHED AND s.c_acctbal > 5000 "
+    "THEN UPDATE SET c_acctbal = s.c_acctbal * 2, c_mktsegment = 'HIGH' "
+    "WHEN MATCHED AND s.c_acctbal > 0 "
+    "THEN UPDATE SET c_acctbal = s.c_acctbal + 100 "
+    "WHEN MATCHED THEN UPDATE SET c_mktsegment = 'NONPOS'"
+)
+
+
+def test_merge_cascade_first_match_wins(spark, duck):
+    """Three matched arms, first-match-wins: rows taken by arm 1 never
+    reach arm 2 even though arm 2's condition also holds for them; an
+    arm that fires but does not set a column keeps the target value
+    (arm 2 leaves c_mktsegment alone).  Oracle is the no-join nested
+    CASE rewrite."""
+    _fixpoint(MERGE_CASCADE)
+    p = parse_sql(MERGE_CASCADE)
+    check(
+        spark, duck, p.to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 2 = 0 AND c_acctbal > 5000
+                    THEN c_acctbal * 2
+                    WHEN c_custkey % 2 = 0 AND c_acctbal > 0
+                    THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 2 = 0 AND c_acctbal > 5000
+                    THEN 'HIGH'
+                    WHEN c_custkey % 2 = 0 AND c_acctbal > 0
+                    THEN c_mktsegment
+                    WHEN c_custkey % 2 = 0 THEN 'NONPOS'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        """,
+    )
+    # generated Spark SQL must agree with the DataFrame path
+    a = sorted(map(tuple, p.to_df(spark).collect()))
+    b = sorted(map(tuple, spark.sql(p.to_sql("spark")).collect()))
+    assert a == b
+
+
+def test_merge_cascade_delete_arm(spark, duck):
+    """A DELETE arm in the chain removes exactly the rows it claims
+    (matched, earlier arms not fired, own condition TRUE); later arms
+    see only the survivors."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0"
+        ") AS s ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 1"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CASE WHEN c_custkey % 2 = 0 AND NOT (c_acctbal < 0)
+                    THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        WHERE NOT (c_custkey % 2 = 0 AND c_acctbal < 0)
+        """,
+    )
+
+
+def test_merge_cascade_null_condition_falls_through(spark, duck):
+    """Three-valued fire tests: a NULL arm condition does NOT fire that
+    arm AND does not poison the rest of the chain — the row falls to
+    the next arm whose condition is TRUE."""
+    sql = (
+        "MERGE INTO customer AS t USING ("
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0"
+        ") AS s ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND nullif(s.c_acctbal, s.c_acctbal) > 0 "
+        "THEN UPDATE SET c_mktsegment = 'NEVER' "
+        "WHEN MATCHED THEN UPDATE SET c_mktsegment = 'TAKEN'"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               CASE WHEN c_custkey % 2 = 0 THEN 'TAKEN'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        """,
+    )
+
+
+def test_merge_cascade_with_insert(spark, duck):
+    """Cascade + NOT MATCHED INSERT *: the insert arm re-emits the SET
+    columns at the end exactly like the single-arm update_set path, so
+    the positional union stays aligned."""
+    sql = (
+        "MERGE INTO region AS t USING ("
+        "SELECT r_regionkey + 3 AS r_regionkey, r_name FROM region"
+        ") AS s ON t.r_regionkey = s.r_regionkey "
+        "WHEN MATCHED AND s.r_regionkey > 3 THEN UPDATE SET r_name = 'UP' "
+        "WHEN MATCHED THEN UPDATE SET r_name = s.r_name "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT t.r_regionkey,
+               CASE WHEN s.r_regionkey IS NOT NULL AND s.r_regionkey > 3
+                    THEN 'UP'
+                    WHEN s.r_regionkey IS NOT NULL THEN s.r_name
+                    ELSE t.r_name END AS r_name
+        FROM region t LEFT JOIN
+             (SELECT r_regionkey + 3 AS r_regionkey, r_name FROM region) s
+          ON t.r_regionkey = s.r_regionkey
+        UNION ALL
+        SELECT s2.r_regionkey, s2.r_name
+        FROM (SELECT r_regionkey + 3 AS r_regionkey, r_name FROM region) s2
+        WHERE NOT EXISTS (SELECT 1 FROM region t2
+                          WHERE t2.r_regionkey = s2.r_regionkey)
+        """,
+    )
