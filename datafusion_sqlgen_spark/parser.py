@@ -292,6 +292,12 @@ class _Parser:
     def parse_statement(self) -> Plan:
         if self.at_kw("MERGE"):
             plan = self.parse_merge()
+        elif self.at_kw("UPDATE"):
+            plan = self.parse_update()
+        elif self.at_kw("DELETE"):
+            plan = self.parse_delete()
+        elif self.at_kw("INSERT"):
+            plan = self.parse_insert()
         else:
             plan = self.parse_query()
         self.eat_op(";")
@@ -754,28 +760,143 @@ class _Parser:
             out = SetOp(out, p, "union_all")
         return out
 
-    def _merge_relation(self, role: str) -> tuple:
-        """A MERGE operand: table [AS alias] or (query) AS alias.
-        Returns (plan, qualifier) — the name ``t.*``/ON conditions use."""
+    def _merge_relation(
+        self, role: str, stops: tuple = ("USING", "ON", "WHEN")
+    ) -> tuple:
+        """A statement target/source operand: table [AS alias] or
+        (query) AS alias.  Returns (plan, qualifier) — the name
+        ``t.*``/ON conditions use.  ``stops`` are the clause keywords
+        that must NOT be eaten as a bare alias (SET for UPDATE, WHERE
+        for DELETE, the query starters for INSERT)."""
         if self.eat_op("("):
             sub = self.parse_query()
             self.expect_op(")")
             self.eat_kw("AS")
-            if self.at_kw("ON", "USING", "WHEN"):
+            if self.at_kw(*stops):
                 raise ParseError(
-                    f"MERGE {role} subquery needs an alias (its columns "
-                    "are referenced by ON and the star projections)"
+                    f"{role} subquery needs an alias (its columns "
+                    "are referenced by the statement's projections)"
                 )
             name = self.ident()
             return sub.alias(name), name
         table = self.ident()
         if self.eat_kw("AS") or (
             self.peek().kind in ("ident", "qident")
-            and self.peek().upper not in ("USING", "ON", "WHEN")
+            and self.peek().upper not in stops
         ):
             name = self.ident()
             return scan(table).alias(name), name
         return scan(table), table
+
+    def parse_update(self) -> Plan:
+        """``UPDATE t [AS a] SET c = e [, ...] [WHERE p]`` as a batch
+        statement (same contract as :meth:`parse_merge`: immutable
+        parquet relations, so the statement returns the updated table
+        as a query).  Desugars to the MERGE update_set projection with
+        the WHERE predicate as the CASE test — standard three-valued
+        UPDATE: a row updates only when ``p IS TRUE``, NULL/false rows
+        keep their values.  ``UPDATE ... FROM`` (the join-update form)
+        is MERGE's job and is rejected with that pointer."""
+        self.expect_kw("UPDATE")
+        target, t_name = self._merge_relation(
+            "UPDATE target", stops=("SET",)
+        )
+        self.expect_kw("SET")
+        assignments: list[tuple] = []
+        while True:
+            c = self.ident()
+            if any(c == c0 for c0, _ in assignments):
+                raise ParseError(f"duplicate SET column {c!r}")
+            self.expect_op("=")
+            assignments.append((c, self.parse_expr()))
+            if not self.eat_op(","):
+                break
+        if self.at_kw("FROM"):
+            raise ParseError(
+                "UPDATE ... FROM is a join-update; write it as "
+                "MERGE INTO ... USING ... WHEN MATCHED THEN UPDATE SET"
+            )
+        cond = self.parse_expr() if self.eat_kw("WHERE") else None
+        set_cols = tuple(c for c, _ in assignments)
+        exprs = [Star(table=t_name, except_cols=set_cols)]
+        for c, e in assignments:
+            exprs.append(Alias(
+                e if cond is None
+                else Case(whens=((cond, e),), else_=Col(c, t_name)),
+                c,
+            ))
+        return target.select(*exprs)
+
+    def parse_delete(self) -> Plan:
+        """``DELETE FROM t [AS a] WHERE p``: survivors are the rows
+        where ``p`` is NOT TRUE (standard three-valued DELETE — a NULL
+        predicate keeps the row).  WHERE is required: an unconditional
+        DELETE truncates, which is not a query."""
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        target, _t_name = self._merge_relation(
+            "DELETE target", stops=("WHERE",)
+        )
+        if not self.eat_kw("WHERE"):
+            raise ParseError(
+                "DELETE without WHERE deletes every row — that is a "
+                "truncation, not a query; add a predicate"
+            )
+        cond = self.parse_expr()
+        return target.filter(Not(IsNotDistinctFrom(cond, Lit(True))))
+
+    def parse_insert(self) -> Plan:
+        """``INSERT INTO t [(c1, ...)] <query|VALUES ...>`` as a batch
+        append: target UNION ALL source.  With a column list the list
+        DEFINES the output layout (exactly the MERGE column-list rule —
+        NULL-filling unlisted target columns needs a catalog schema
+        this engine does not have at parse time): the target projects
+        the listed columns and the source's outputs are positionally
+        renamed to them.  Positional renaming needs a source whose
+        projection is explicit — VALUES rows or a SELECT list without
+        ``*`` — otherwise the statement is rejected with a pointer to
+        alias the SELECT itself."""
+        from datafusion_sqlgen_spark.plans.core import Values
+
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        target, t_name = self._merge_relation(
+            "INSERT target", stops=("SELECT", "VALUES", "WITH")
+        )
+        cols: list[str] = []
+        if self.eat_op("("):
+            cols.append(self.ident())
+            while self.eat_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+        src = self.parse_query()
+        if not cols:
+            return SetOp(target, src, "union_all")
+        if isinstance(src, Values):
+            if any(len(r) != len(cols) for r in src.rows):
+                raise ParseError(
+                    f"INSERT lists {len(cols)} columns but a VALUES row "
+                    "has a different arity"
+                )
+            renamed: Plan = Values(src.rows, tuple(cols))
+        elif isinstance(src, Project) and len(src.exprs) == len(cols) \
+                and not any(isinstance(e, Star) for e in src.exprs):
+            renamed = Project(
+                src.input,
+                tuple(
+                    Alias(e.operand if isinstance(e, Alias) else e, c)
+                    for e, c in zip(src.exprs, cols)
+                ),
+            )
+        else:
+            raise ParseError(
+                "column-list INSERT needs a positionally renamable "
+                "source (VALUES rows or a plain SELECT list without *) "
+                f"with exactly {len(cols)} output columns; alias the "
+                "columns in the SELECT itself otherwise"
+            )
+        base = target.select(*[Col(c, t_name) for c in cols])
+        return SetOp(base, renamed, "union_all")
 
     def parse_with(self) -> Plan:
         self.expect_kw("WITH")

@@ -1392,6 +1392,23 @@ def _ir_workloads() -> dict[str, Plan]:
         "WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 100"
     )
 
+    # round 10: the remaining single-table DML statement forms, same
+    # batch contract as MERGE (tests/test_parser_dml.py) — UPDATE is
+    # the CASE projection, DELETE the NOT-TRUE filter (three-valued:
+    # NULL predicates neither update nor delete), INSERT the
+    # positional append with the column list renaming the SELECT
+    w["parsed_update_where"] = parse_sql(
+        "UPDATE customer SET c_acctbal = c_acctbal * 2, "
+        "c_mktsegment = 'DOUBLED' WHERE c_acctbal > 5000"
+    )
+    w["parsed_delete_where"] = parse_sql(
+        "DELETE FROM customer WHERE c_acctbal < 0 OR c_custkey % 5 = 0"
+    )
+    w["parsed_insert_select"] = parse_sql(
+        "INSERT INTO region (r_regionkey, r_name) "
+        "SELECT r_regionkey + 50 AS shifted, upper(r_name) FROM region"
+    )
+
     return w
 
 
@@ -3329,6 +3346,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_merge_full_sync",
     "parsed_merge_insert_cols",
     "parsed_merge_multi_arm",
+    "parsed_update_where",
+    "parsed_delete_where",
+    "parsed_insert_select",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3375,12 +3395,13 @@ _SAMPLE_PRIORITY: list[str] = [
     "ts_sessionize",
     "dedup_materialize",
     "dedup_quality_rep",
+    # ---- 50-entry driver sample boundary ----
     "text_tfidf_topk",
     "mm_feature_extract",
     "dedup_block_level",
-    # ---- 50-entry driver sample boundary ----
     "text_c4_filters",
-    # text_c4_filters (r5, displaced by the round-10 multi-arm row),
+    # text_tfidf_topk, mm_feature_extract, dedup_block_level,
+    # text_c4_filters (r5, displaced by the 4 round-10 statement rows),
     # then sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, profile_robust_stats,
     # profile_correlations (r5) lead the r11 stale cohort
@@ -4749,6 +4770,31 @@ SELECT c_custkey, c_name, c_nationkey,
             THEN 'HIGH' ELSE c_mktsegment END AS c_mktsegment
 FROM customer
 WHERE NOT (c_custkey % 2 = 0 AND c_acctbal < 0)
+""",
+    # ---- round 10: single-table DML statement forms, replayed without
+    # the CASE/filter desugar machinery — UPDATE as two filtered
+    # passes unioned, DELETE as an anti-EXISTS over its own keys,
+    # INSERT re-deriving the append arm from scratch ----
+    "parsed_update_where": """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal,
+       'DOUBLED' AS c_mktsegment
+FROM customer WHERE c_acctbal > 5000
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE NOT (c_acctbal > 5000)
+""",
+    "parsed_delete_where": """
+SELECT * FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM customer d
+    WHERE d.c_custkey = c.c_custkey
+      AND (d.c_acctbal < 0 OR d.c_custkey % 5 = 0)
+)
+""",
+    "parsed_insert_select": """
+SELECT r_regionkey, r_name FROM region
+UNION ALL
+SELECT r_regionkey + 50, upper(r_name) FROM region
 """,
     # ---- round-7 PROACTIVE batch for the projected r8 cohort
     # (VERDICT r6 item 2 "keep growing it with each rotation"):
