@@ -223,6 +223,17 @@ HEADLINE = [
     # BPE merge-rule training: 6 iterations of pair-count + argmax +
     # literal replace over the capped word-shape table
     "text_bpe_train",
+    # round 9-10 statement forms: conditional/cascaded MERGE arms (one
+    # left join + CASE / filter), BY SOURCE full sync (one semi join),
+    # column-list insert (anti-join append), and the single-table DML
+    # desugars (zero-shuffle projection / filter / positional union)
+    "parsed_merge_conditional",
+    "parsed_merge_full_sync",
+    "parsed_merge_insert_cols",
+    "parsed_merge_multi_arm",
+    "parsed_update_where",
+    "parsed_delete_where",
+    "parsed_insert_select",
 ]
 
 

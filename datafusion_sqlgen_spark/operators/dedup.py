@@ -345,8 +345,7 @@ def embedding_near_dup_oracle(
     ),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cosine('a.embedding', 'b.embedding')} AS cos_sim
         FROM bucketed a JOIN bucketed b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
@@ -1115,19 +1114,14 @@ def _duck_cosine(a: str, b: str) -> str:
     IEEE double sequence Spark evaluates, so both engines produce the
     same double (``list_cosine_similarity`` is NOT that: like
     ``list_distance`` it carries ULP noise, fine for ranking, fatal for
-    a threshold compare)."""
+    a threshold compare).  Since round 10 this delegates to
+    ``similarity._duck_cos`` (ONE implementation repo-wide), adding the
+    whole-array DOUBLE casts that version expects — per-element
+    ``CAST(x AS DOUBLE)`` and ``(arr::DOUBLE[])[i]`` produce identical
+    doubles."""
+    from datafusion_sqlgen_spark.operators.similarity import _duck_cos
 
-    def fold(expr: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(range(1, len({a}) + 1), {expr})), "
-            f"(__ca, __cx) -> __ca + __cx)"
-        )
-
-    dot = fold(f"__ci -> CAST({a}[__ci] AS DOUBLE) * CAST({b}[__ci] AS DOUBLE)")
-    na = fold(f"__ci -> CAST({a}[__ci] AS DOUBLE) * CAST({a}[__ci] AS DOUBLE)")
-    nb = fold(f"__ci -> CAST({b}[__ci] AS DOUBLE) * CAST({b}[__ci] AS DOUBLE)")
-    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+    return _duck_cos(f"({a})::DOUBLE[]", f"({b})::DOUBLE[]")
 
 
 def semantic_dedup_oracle(
@@ -1150,8 +1144,7 @@ def semantic_dedup_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cosine('t.embedding', 'c.centroid')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1

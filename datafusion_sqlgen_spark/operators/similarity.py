@@ -14,9 +14,11 @@ Two tiers, mirroring how ANN works at 100 TB:
   queries probe only their own bucket — the candidate set shrinks by
   ~2^b — then exact cosine re-ranks.
 
-Everything here is oracle-checkable: DuckDB's ``list_cosine_similarity``
-matches the explicit zip_with dot product to double precision; results
-are rounded before hashing.
+Everything here is oracle-checkable: every DuckDB oracle replays cosine
+as the SAME strict left-fold Spark's zip_with dot product evaluates
+(:func:`_duck_cos` — since round 10, repo-wide; ``list_cosine_similarity``
+only matches to ULP noise, which flips ranks and 1e-6 snaps at floor
+boundaries); results are rounded before hashing.
 """
 
 from __future__ import annotations
@@ -116,7 +118,7 @@ def cosine_topk_oracle(
                WHERE vec_id < {max_query_id}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cos('q.qvec::DOUBLE[]', 'c.embedding::DOUBLE[]')} AS cos_sim
         FROM q JOIN {table} c ON q.query_id <> c.vec_id
     ),
     ranked AS (
@@ -226,7 +228,7 @@ def cosine_topk_bucketed_oracle(
           WHERE vec_id < {max_query_id}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cos('q.qvec::DOUBLE[]', 'c.embedding::DOUBLE[]')} AS cos_sim
         FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
     ),
     ranked AS (
@@ -353,8 +355,7 @@ def ivf_topk_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN cents c
         ) WHERE rn = 1
@@ -363,7 +364,7 @@ def ivf_topk_oracle(
           WHERE vec_id < {max_query_id}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cos('q.qvec::DOUBLE[]', 'c.embedding::DOUBLE[]')} AS cos_sim
         FROM q JOIN assigned c
           ON q.cell_id = c.cell_id AND q.query_id <> c.vec_id
     ),
@@ -606,8 +607,7 @@ def sq8_topk_oracle(
     ),
     rer AS (
         SELECT s.query_id, s.neighbor_id,
-               list_cosine_similarity(q.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cos('q.embedding::DOUBLE[]', 'c.embedding::DOUBLE[]')} AS cos_sim
         FROM shortlist s
         JOIN {table} q ON q.vec_id = s.query_id
         JOIN {table} c ON c.vec_id = s.neighbor_id
@@ -769,8 +769,7 @@ def ivf_sq8_topk_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -791,8 +790,7 @@ def ivf_sq8_topk_oracle(
             SELECT q.vec_id AS query_id, c.cell_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(
-                           q.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('q.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} q CROSS JOIN c{n_iter} c
             WHERE q.vec_id < {max_query_id}
@@ -817,8 +815,7 @@ def ivf_sq8_topk_oracle(
     ),
     rer AS (
         SELECT s.query_id, s.neighbor_id,
-               list_cosine_similarity(q.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cos('q.embedding::DOUBLE[]', 'c.embedding::DOUBLE[]')} AS cos_sim
         FROM shortlist s
         JOIN {table} q ON q.vec_id = s.query_id
         JOIN {table} c ON c.vec_id = s.neighbor_id
@@ -1277,8 +1274,7 @@ def ivf_topk_trained_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -1287,7 +1283,7 @@ def ivf_topk_trained_oracle(
           WHERE vec_id < {max_query_id}),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(q.qvec::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cos('q.qvec::DOUBLE[]', 'c.embedding::DOUBLE[]')} AS cos_sim
         FROM q JOIN assigned c
           ON q.cell_id = c.cell_id AND q.query_id <> c.vec_id
     ),
@@ -1312,8 +1308,7 @@ def _kmeans_ctes(table: str, k: int, n_iter: int, decimals: int) -> str:
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN {cent_cte} c
         ) WHERE rn = 1"""
@@ -1354,8 +1349,7 @@ def kmeans_fit_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -1930,8 +1924,7 @@ def ivf_pq_topk_oracle(
             SELECT t.vec_id, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY list_cosine_similarity(
-                           t.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -1942,8 +1935,7 @@ def ivf_pq_topk_oracle(
         SELECT query_id, cell_id FROM (
             SELECT q.query_id, c.cell_id,
                    row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY list_cosine_similarity(
-                           q.qvec, c.centroid::DOUBLE[]) DESC,
+                       ORDER BY {_duck_cos('q.qvec', 'c.centroid::DOUBLE[]')} DESC,
                            c.cell_id ASC) AS rn
             FROM q CROSS JOIN c{n_iter} c
         ) WHERE rn <= {nprobe}
@@ -1974,7 +1966,7 @@ def ivf_pq_topk_oracle(
     ),
     rer AS (
         SELECT s.query_id, s.neighbor_id,
-               list_cosine_similarity(q.qvec, t.embedding::DOUBLE[]) AS cos_sim
+               {_duck_cos('q.qvec', 't.embedding::DOUBLE[]')} AS cos_sim
         FROM shortlist s
         JOIN q USING (query_id)
         JOIN {table} t ON t.vec_id = s.neighbor_id

@@ -905,3 +905,31 @@ def test_ann_join_multi_probe_bounds_candidates(spark):
     out = similarity.ann_join(left, emb.filter("vec_id % 2 = 0"), k=3)
     worst = out.groupBy("query_id").count().agg(F.max("count")).first()[0]
     assert worst <= 3
+
+
+def test_dml_statements_plan_shapes(spark, queries):
+    """Round-10 DML desugars keep their zero-shuffle shapes: UPDATE is a
+    single scan projection (no exchange, no join), DELETE a pushed-down
+    scan filter, INSERT a positional union of two scans; the cascaded
+    MERGE chain is exactly ONE (broadcast or sort-merge) left join plus
+    a filter — never a cartesian product and never a second join."""
+    upd = plan_text(queries["parsed_update_where"](spark, SF_DIR))
+    assert "Exchange" not in upd and "Join" not in upd
+
+    dele = plan_text(queries["parsed_delete_where"](spark, SF_DIR))
+    assert "Exchange" not in dele and "Join" not in dele
+    # the NOT-(p IS TRUE) survivor predicate is null-safe (<=>), which
+    # parquet cannot push — it must still sit as the codegen filter
+    # DIRECTLY on the scan (one pass, zero shuffle)
+    assert "<=> true" in dele and "Filter" in dele
+
+    ins = plan_text(queries["parsed_insert_select"](spark, SF_DIR))
+    assert "Join" not in ins and "Exchange" not in ins and "Union" in ins
+
+    cas = plan_text(queries["parsed_merge_multi_arm"](spark, SF_DIR))
+    assert "Cartesian" not in cas
+    # formatted explain prints each operator in the tree AND as a
+    # detail block — "Join type:" appears exactly once per join
+    n_joins = cas.count("Join type:")
+    assert n_joins == 1, f"cascade must be ONE left join, saw {n_joins}"
+    assert "Join type: LeftOuter" in cas
