@@ -213,7 +213,7 @@ _CLAUSE_KW = {
     "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "IS", "IN",
     "BETWEEN", "LIKE", "ILIKE", "RLIKE", "ASC", "DESC", "NULLS", "THEN",
     "WHEN", "ELSE", "END", "BY", "DISTINCT", "ALL", "SEMI", "ANTI",
-    "USING", "WINDOW", "QUALIFY",
+    "USING", "WINDOW", "QUALIFY", "FETCH",
 }
 
 _TYPE_MAP = {
@@ -968,6 +968,8 @@ class _Parser:
             body = self.next().text[3:-2].strip()
             hints = tuple(h.strip() for h in body.split(",") if h.strip())
         distinct = self.eat_kw("DISTINCT")
+        if not distinct:
+            self.eat_kw("ALL")  # SELECT ALL — the standard noise word
         distinct_on: Optional[list[Expr]] = None
         if distinct and self.at_kw("ON") and self.peek(1).text == "(":
             # DISTINCT ON (keys): keep the first row per key group in
@@ -1013,9 +1015,11 @@ class _Parser:
                 if not group_keys:
                     raise ParseError("GROUP BY ALL found no grouping keys")
                 if len(group_keys) == len(projs):
-                    raise ParseError(
-                        "GROUP BY ALL found no aggregate expressions"
-                    )
+                    # no aggregate expressions: GROUP BY ALL over the
+                    # whole projection is DISTINCT in both engines
+                    # (DuckDB and Spark >= 3.4) — desugar to it
+                    group_keys = None
+                    distinct = True
             elif self.at_kw("ROLLUP", "CUBE") and self.peek(1).text == "(":
                 group_kind = self.next().upper.lower()
                 self.expect_op("(")
@@ -1972,6 +1976,19 @@ class _Parser:
                 std = self._try_parse_standard_fn(kw)
                 if std is not None:
                     return std
+            if kw == "ARRAY" and self.peek(1).text == "[":
+                # ARRAY[e1, e2, ...] (PG/DuckDB constructor) — the same
+                # expression as the registry's array() call (Spark
+                # array / DuckDB list_value)
+                self.next()
+                self.next()  # [
+                elems: list[Expr] = []
+                if not self.at_op("]"):
+                    elems.append(self.parse_expr())
+                    while self.eat_op(","):
+                        elems.append(self.parse_expr())
+                self.expect_op("]")
+                return Func("array", tuple(elems))
             if kw in ("DATE", "TIMESTAMP") and self.peek(1).kind == "string":
                 import datetime as _dt
                 self.next()

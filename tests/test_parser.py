@@ -369,8 +369,9 @@ def test_group_by_all(pspark, pduck):
     assert sp == du_desugar == du_native
     with pytest.raises(ParseError):
         parse_sql("SELECT count(*) AS n FROM t GROUP BY ALL")
-    with pytest.raises(ParseError):
-        parse_sql("SELECT c1, c2 FROM t GROUP BY ALL")
+    # aggregate-free GROUP BY ALL is DISTINCT since round 10 (both
+    # engines read it that way) — no longer a rejection; pinned in
+    # test_group_by_all_without_aggregates_is_distinct
 
 
 def test_quantified_comparisons_desugar_to_extrema(pspark, pduck):
@@ -445,3 +446,48 @@ def test_map_resolution_from_expression_and_schema(pspark, pduck):
     # DuckDB render would list_extract — assert the resolution differs
     assert "map_extract" in p2.to_sql("duckdb")
     assert "map_extract" not in parse_sql(q2).to_sql("duckdb")
+
+
+# ---- round 10: SQL-standard / DuckDB spellings closed this round ----
+
+def test_group_by_all_without_aggregates_is_distinct(pspark, pduck):
+    """DuckDB and Spark >= 3.4 both read GROUP BY ALL over an
+    aggregate-free projection as DISTINCT; previously rejected."""
+    q = "SELECT c2, c3 FROM aggregate_simple GROUP BY ALL"
+    p = parse_sql(q)
+    assert "DISTINCT" in p.to_sql("spark")
+    sp = sorted(map(tuple, pspark.sql(p.to_sql("spark")).collect()))
+    du = sorted(map(tuple, pduck.execute(p.to_sql("duckdb")).fetchall()))
+    assert sp == du
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+
+
+def test_array_bracket_constructor(pspark, pduck):
+    """ARRAY[e1, ...] is the registry array() call: Spark `array`,
+    DuckDB `list_value` — identical elements both sides."""
+    q = "SELECT ARRAY[1, 2, 3] AS a, ARRAY[c2, c3] AS b FROM aggregate_simple"
+    p = parse_sql(q)
+    sp = sorted(
+        (tuple(r["a"]), tuple(r["b"]))
+        for r in pspark.sql(p.to_sql("spark")).collect()
+    )
+    du = sorted(
+        (tuple(r[0]), tuple(r[1]))
+        for r in pduck.execute(p.to_sql("duckdb")).fetchall()
+    )
+    assert sp == du and sp[0][0] == (1, 2, 3)
+
+
+def test_select_all_noise_word(pspark):
+    p = parse_sql("SELECT ALL c2 FROM aggregate_simple")
+    assert p.to_sql("spark") == "SELECT c2 FROM aggregate_simple"
+
+
+def test_fetch_first_without_order_by(pspark):
+    """FETCH was missing from the clause-keyword set, so a bare
+    `FROM t FETCH FIRST n ROWS ONLY` ate FETCH as the table alias and
+    died on trailing input."""
+    p = parse_sql("SELECT c2 FROM aggregate_simple FETCH FIRST 4 ROWS ONLY")
+    assert p.to_sql("spark").endswith("LIMIT 4")
+    assert len(pspark.sql(p.to_sql("spark")).collect()) == 4
