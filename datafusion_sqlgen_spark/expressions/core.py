@@ -1015,11 +1015,45 @@ class InSubquery(Expr):
 
     def to_sql(self, dialect: str = SPARK) -> str:
         kw = "NOT IN" if self.negated else "IN"
+        if isinstance(self.operand, RowExpr) and dialect == DUCKDB:
+            # DuckDB binds (a, b) as ONE struct and wants the subquery
+            # to return one struct column; Spark takes the bare
+            # multi-column form.  Wrap the subquery's outputs into a
+            # row via a derived column-alias list.
+            cols = ", ".join(
+                f"__rv{i + 1}" for i in range(len(self.operand.exprs))
+            )
+            inner = (
+                f"SELECT ({cols}) FROM "
+                f"({self.subquery.to_sql(dialect)}) AS __rv({cols})"
+            )
+            return f"({self.operand.to_sql(dialect)} {kw} ({inner}))"
         return f"({self.operand.to_sql(dialect)} {kw} ({self.subquery.to_sql(dialect)}))"
 
     def to_column(self) -> Column:
         raise NotImplementedError(
             "IN (subquery) as a Column: use plans.Join(how='left_semi')"
+        )
+
+
+@dataclass(frozen=True, eq=False)
+class RowExpr(Expr):
+    """Row-value constructor ``(e1, e2, ...)`` (round 10).  Kept as a
+    node ONLY as the operand of ``IN (subquery)`` — the one place both
+    dialects accept it natively (multi-key semi-join membership).  Bare
+    row comparisons (``(a, b) = (c, d)``) desugar to pairwise
+    conjunctions at parse time instead: Spark has no standalone
+    row-value type outside IN."""
+
+    exprs: tuple
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        return "(" + ", ".join(e.to_sql(dialect) for e in self.exprs) + ")"
+
+    def to_column(self) -> Column:
+        raise NotImplementedError(
+            "row-value constructor as a Column: use F.struct or the "
+            "SQL rendering path"
         )
 
 

@@ -79,6 +79,7 @@ from datafusion_sqlgen_spark.expressions.core import (
     Neg,
     Not,
     RLike,
+    RowExpr,
     ScalarSubquery,
     SortKey,
     Star,
@@ -912,6 +913,12 @@ class _Parser:
                 self.expect_op(")")
                 columns = tuple(cols)
             self.expect_kw("AS")
+            # DuckDB/PG materialization hints — advisory only (Spark
+            # has no CTE materialization control; Catalyst decides)
+            if not self.eat_kw("MATERIALIZED") and self.at_kw("NOT") \
+                    and self.peek(1).upper == "MATERIALIZED":
+                self.next()
+                self.next()
             self.expect_op("(")
             sub = self.parse_query()
             self.expect_op(")")
@@ -1709,7 +1716,11 @@ class _Parser:
                         else:
                             lhs = self._desugar_quantified(lhs, op, quant, sub)
                         continue
-                    lhs = BinOp(op, lhs, self.parse_expr(6))
+                    rhs = self.parse_expr(6)
+                    if isinstance(lhs, RowExpr) or isinstance(rhs, RowExpr):
+                        lhs = self._row_compare(op, lhs, rhs)
+                    else:
+                        lhs = BinOp(op, lhs, rhs)
                     continue
                 if op == "<=>" and min_bp <= 5:
                     self.next()
@@ -1847,6 +1858,30 @@ class _Parser:
             else_=default,
         )
 
+    def _row_compare(self, op: str, lhs: Expr, rhs: Expr) -> Expr:
+        """Row-value comparison ``(a, b) = (c, d)`` — pairwise
+        conjunction per the standard (identical three-valued logic);
+        ``<>`` is its negation.  Only = and <> are supported: the
+        lexicographic ordered forms are not portable to Spark."""
+        if not (isinstance(lhs, RowExpr) and isinstance(rhs, RowExpr)):
+            raise ParseError(
+                "row-value comparison needs row values on BOTH sides"
+            )
+        if len(lhs.exprs) != len(rhs.exprs):
+            raise ParseError(
+                f"row-value arity mismatch: {len(lhs.exprs)} vs "
+                f"{len(rhs.exprs)}"
+            )
+        if op not in ("=", "<>"):
+            raise ParseError(
+                f"row-value comparison supports = and <> only, got {op!r}"
+            )
+        conj = None
+        for a, b in zip(lhs.exprs, rhs.exprs):
+            eq = BinOp("=", a, b)
+            conj = eq if conj is None else BinOp("AND", conj, eq)
+        return Not(conj) if op == "<>" else conj
+
     def parse_postfix_predicate(self, lhs: Expr, negated: bool) -> Expr:
         if self.eat_kw("BETWEEN"):
             symmetric = self.eat_kw("SYMMETRIC")
@@ -1871,6 +1906,16 @@ class _Parser:
             while self.eat_op(","):
                 vals.append(self.parse_expr())
             self.expect_op(")")
+            if isinstance(lhs, RowExpr):
+                # (a, b) IN ((1, 2), ...) — standard row-value IN-list;
+                # desugar to the OR of pairwise row equalities (exactly
+                # the standard's definition, identical 3VL), since bare
+                # row comparison is not portable outside IN (subquery)
+                ors = None
+                for v in vals:
+                    eq = self._row_compare("=", lhs, v)
+                    ors = eq if ors is None else BinOp("OR", ors, eq)
+                return Not(ors) if negated else ors
             return InList(lhs, tuple(vals), negated=negated)
         ci = False
         if self.eat_kw("ILIKE"):
@@ -1910,6 +1955,14 @@ class _Parser:
                     self.expect_op(")")
                     return ScalarSubquery(sub)
                 e = self.parse_expr()
+                if self.at_op(","):
+                    # row-value constructor (e1, e2, ...) — IN-subquery
+                    # operand or a pairwise-desugared comparison
+                    elems = [e]
+                    while self.eat_op(","):
+                        elems.append(self.parse_expr())
+                    self.expect_op(")")
+                    return RowExpr(tuple(elems))
                 self.expect_op(")")
                 return self.parse_trailing_field(e)
             if t.text == "-":
@@ -2195,17 +2248,30 @@ class _Parser:
                 and isinstance(args[1], Lit) and args[1].value == 256):
             lname, args = "sha256", args[:1]
         if ordered_by is not None:
-            if lname not in ("listagg", "string_agg"):
+            if lname in ("percentile_cont", "percentile_disc"):
+                # SQL-standard inverse distribution: fn(q) WITHIN GROUP
+                # (ORDER BY v) is the canonical fn(v, q) (Spark
+                # percentile / DuckDB quantile_cont via the registry)
+                if len(args) != 1:
+                    raise ParseError(
+                        f"{lname} WITHIN GROUP takes exactly one "
+                        "fraction argument"
+                    )
+                args = [ordered_by, args[0]]
+            elif lname in ("listagg", "string_agg"):
+                # canonical IR form: string_agg(value, sep, order_key);
+                # the 2-arg render orders by the value itself
+                # (registry.py)
+                args = args[:2]
+                if ordered_by.to_sql() != args[0].to_sql():
+                    args = args + [ordered_by]
+                lname = "string_agg"
+            else:
                 raise ParseError(
                     f"ordered aggregation is only supported for "
-                    f"string_agg/listagg, got {lname!r}"
+                    f"string_agg/listagg/percentile_cont/"
+                    f"percentile_disc, got {lname!r}"
                 )
-            # canonical IR form: string_agg(value, sep, order_key); the
-            # 2-arg render orders by the value itself (registry.py)
-            args = args[:2]
-            if ordered_by.to_sql() != args[0].to_sql():
-                args = args + [ordered_by]
-            lname = "string_agg"
         filter_where = None
         # SQL-standard conditional aggregation: fn(args) FILTER (WHERE c)
         if self.at_kw("FILTER") and self.peek(1).text == "(":

@@ -491,3 +491,73 @@ def test_fetch_first_without_order_by(pspark):
     p = parse_sql("SELECT c2 FROM aggregate_simple FETCH FIRST 4 ROWS ONLY")
     assert p.to_sql("spark").endswith("LIMIT 4")
     assert len(pspark.sql(p.to_sql("spark")).collect()) == 4
+
+
+def test_row_value_in_subquery(spark, duck):
+    """(a, b) IN (SELECT x, y ...) — multi-key membership, the one
+    place both dialects take a row value natively; executes as a
+    semi-join in Spark."""
+    from tests.test_operators import check
+
+    q = ("SELECT o_orderkey FROM orders "
+         "WHERE (o_custkey, o_orderstatus) IN "
+         "(SELECT c_custkey, 'O' FROM customer WHERE c_acctbal > 5000) "
+         "ORDER BY o_orderkey ASC NULLS FIRST")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+    rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    assert len(rows) > 0  # the membership actually selects rows
+    via_sql = [tuple(r) for r in spark.sql(s1).collect()]
+    assert via_sql == [tuple(r) for r in p.to_df(spark).collect()]
+
+
+def test_row_value_in_list_desugars_pairwise(spark, duck):
+    """(a, b) IN ((v1, v2), ...) desugars to the OR of pairwise row
+    equalities (the standard's own definition) — portable, identical
+    3VL, and fixpoint-stable."""
+    from tests.test_operators import check
+
+    q = ("SELECT o_orderkey FROM orders "
+         "WHERE (o_orderstatus, o_orderpriority) IN "
+         "(('O', '1-URGENT'), ('F', '2-HIGH')) "
+         "ORDER BY o_orderkey ASC NULLS FIRST")
+    p = parse_sql(q)
+    assert "IN" not in p.to_sql("spark")  # desugared away
+    rows = check(spark, duck, p.to_df(spark), """
+        SELECT o_orderkey FROM orders
+        WHERE (o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')
+           OR (o_orderstatus = 'F' AND o_orderpriority = '2-HIGH')
+        ORDER BY o_orderkey ASC NULLS FIRST
+    """)
+    assert len(rows) > 0
+
+
+def test_row_value_equality_desugars(spark):
+    p = parse_sql("SELECT (1, 2) = (1, 2) AS eq, (1, 2) <> (1, 3) AS ne")
+    r = spark.sql(p.to_sql("spark")).collect()[0]
+    assert (r["eq"], r["ne"]) == (True, True)
+
+
+def test_percentile_within_group(spark, duck):
+    """percentile_cont/disc(q) WITHIN GROUP (ORDER BY v) — the standard
+    inverse-distribution spelling — is the canonical 2-arg form (Spark
+    percentile / DuckDB quantile_cont)."""
+    from tests.test_operators import check
+
+    q = ("SELECT o_orderstatus, "
+         "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)"
+         " AS med FROM orders GROUP BY o_orderstatus "
+         "ORDER BY o_orderstatus ASC NULLS FIRST")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+    check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+
+
+def test_cte_materialized_hint_is_noise(pspark):
+    for q in ("WITH t AS MATERIALIZED (SELECT 1 AS x) SELECT * FROM t",
+              "WITH t AS NOT MATERIALIZED (SELECT 1 AS x) SELECT * FROM t"):
+        p = parse_sql(q)
+        assert "MATERIALIZED" not in p.to_sql("spark")
+        assert pspark.sql(p.to_sql("spark")).collect()[0]["x"] == 1
