@@ -497,14 +497,23 @@ class Like(Expr):
     pattern: str
     negated: bool = False
     case_insensitive: bool = False  # ILIKE (PG-style; both dialects)
+    escape: Optional[str] = None  # LIKE ... ESCAPE 'c' (both dialects)
 
     def to_sql(self, dialect: str = SPARK) -> str:
         kw = "ILIKE" if self.case_insensitive else "LIKE"
         if self.negated:
             kw = "NOT " + kw
-        return f"({self.operand.to_sql(dialect)} {kw} {escape_str(self.pattern)})"
+        tail = f" ESCAPE {escape_str(self.escape)}" if self.escape else ""
+        return (f"({self.operand.to_sql(dialect)} {kw} "
+                f"{escape_str(self.pattern)}{tail})")
 
     def to_column(self) -> Column:
+        if self.escape:
+            # Column.like has no escape parameter — go through the SQL
+            # expression (scalar, no subqueries: F.expr is exact)
+            from pyspark.sql import functions as F
+
+            return F.expr(self.to_sql(SPARK))
         op = self.operand.to_column()
         c = op.ilike(self.pattern) if self.case_insensitive else op.like(self.pattern)
         return ~c if self.negated else c

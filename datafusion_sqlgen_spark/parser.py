@@ -90,6 +90,7 @@ from datafusion_sqlgen_spark.expressions.core import (
 from datafusion_sqlgen_spark.functions.registry import SPARK_NAME_TO_CANONICAL
 from datafusion_sqlgen_spark.plans.core import (
     EmptyRelation,
+    Filter,
     Hint,
     Plan,
     Project,
@@ -315,6 +316,10 @@ class _Parser:
             return self.parse_with()
         if self.at_kw("VALUES"):
             return self.parse_bare_values()
+        if self.at_kw("TABLE"):
+            # `TABLE t` (DuckDB/PG shorthand for SELECT * FROM t)
+            self.next()
+            return scan(self.ident())
         return self.parse_select()
 
     def parse_bare_values(self) -> Plan:
@@ -1143,7 +1148,15 @@ class _Parser:
         else:
             plan = base
             if where is not None:
-                plan = plan.filter(where)
+                if isinstance(plan, Filter):
+                    # TABLESAMPLE desugars to a filter; stacking WHERE
+                    # above it renders `(a) AND (b)` while the re-parse
+                    # reads one BinOp rendering `(a AND b)` — merge at
+                    # construction so the first render IS the fixpoint
+                    plan = Filter(plan.input,
+                                  BinOp("AND", plan.predicate, where))
+                else:
+                    plan = plan.filter(where)
             if group_keys is not None:
                 plan = self._assemble_aggregate(
                     plan, group_keys, projs, group_kind, grouping_sets
@@ -1329,6 +1342,30 @@ class _Parser:
                              and self.peek(1).text == "(")):
                 return sub.alias(self.ident())
             return sub
+        if (self.peek().kind == "ident"
+                and self.peek().upper == "GENERATE_SERIES"
+                and self.peek(1).text == "("):
+            # table function: generate_series(start, stop[, step])
+            from datafusion_sqlgen_spark.plans.core import GenerateSeries
+
+            self.next()
+            self.next()
+            args = [self.parse_expr()]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            if not 2 <= len(args) <= 3:
+                raise ParseError(
+                    "generate_series takes (start, stop[, step])"
+                )
+            alias = None
+            if self.eat_kw("AS"):
+                alias = self.ident()
+            else:
+                t = self.peek()
+                if t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW:
+                    alias = self.ident()
+            return GenerateSeries(tuple(args), table_alias=alias)
         table = self.ident()
         if self.eat_kw("AS"):
             return self._maybe_tablesample(scan(table).alias(self.ident()))
@@ -1930,8 +1967,16 @@ class _Parser:
         pat = self.next()
         if pat.kind != "string":
             raise ParseError("LIKE pattern must be a string literal")
+        esc = None
+        if self.eat_kw("ESCAPE"):
+            et = self.next()
+            if et.kind != "string" or len(_unquote(et.text)) != 1:
+                raise ParseError(
+                    "ESCAPE takes a single-character string literal"
+                )
+            esc = _unquote(et.text)
         return Like(lhs, _unquote(pat.text), negated=negated,
-                    case_insensitive=ci)
+                    case_insensitive=ci, escape=esc)
 
     def parse_prefix(self) -> Expr:
         t = self.peek()

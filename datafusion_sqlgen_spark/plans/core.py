@@ -881,7 +881,9 @@ class Join(Plan):
             or rstate.limit is not None
             or rstate.offset is not None
             or r_sql is None
-            or not isinstance(self.right, (Scan, SubqueryAlias, SetOp, Values))
+            or not isinstance(self.right,
+                              (Scan, SubqueryAlias, SetOp, Values,
+                               GenerateSeries))
         ):
             r_sql = f"({rstate.render()}) AS {_fresh_alias()}"
 
@@ -1080,6 +1082,38 @@ class With(Plan):
         for name, plan in self.ctes:
             plan.to_df(spark).createOrReplaceTempView(name)
         return self.body.to_df(spark)
+
+
+@dataclass(frozen=True)
+class GenerateSeries(Plan):
+    """FROM-clause integer series: ``generate_series(start, stop
+    [, step])`` (DuckDB/PG table function; stop INCLUSIVE), one output
+    column named ``generate_series`` like DuckDB's own.  Spark has no
+    table-function spelling, so that render is the equivalent derived
+    table ``(SELECT explode(sequence(start, stop[, step])) AS
+    generate_series)`` — a zero-input lateral generate, no shuffle.
+
+    Reversed bounds need an explicit negative ``step``: without one
+    DuckDB returns empty while Spark's ``sequence`` auto-descends, so
+    the portable contract is ascending-by-default only."""
+
+    args: tuple  # (start, stop[, step]) Exprs/literals
+    table_alias: Optional[str] = None  # FROM generate_series(...) AS g
+
+    def _fold(self, dialect: str) -> _SelectState:
+        a = ", ".join(_wrap(v).to_sql(dialect) for v in self.args)
+        name = self.table_alias or _fresh_alias()
+        if dialect == DUCKDB:
+            from_sql = f"generate_series({a}) AS {name}(generate_series)"
+        else:
+            from_sql = (
+                f"(SELECT explode(sequence({a})) AS generate_series) "
+                f"AS {name}"
+            )
+        return _SelectState(from_sql=from_sql)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.sql(self.to_sql(SPARK))
 
 
 @dataclass(frozen=True)

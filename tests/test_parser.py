@@ -561,3 +561,70 @@ def test_cte_materialized_hint_is_noise(pspark):
         p = parse_sql(q)
         assert "MATERIALIZED" not in p.to_sql("spark")
         assert pspark.sql(p.to_sql("spark")).collect()[0]["x"] == 1
+
+
+def test_tablesample_then_where_is_fixpoint(pspark):
+    """WHERE over a TABLESAMPLE desugar previously stacked two Filter
+    nodes whose render `(a) AND (b)` re-parsed as one BinOp rendering
+    `(a AND b)` — not a fixpoint.  The parser now merges at
+    construction."""
+    q = ("SELECT id FROM table1 "
+         "TABLESAMPLE (50 PERCENT ON id) WHERE id > 0")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+
+
+def test_like_escape(spark, duck):
+    """LIKE ... ESCAPE: '!%' must match a literal percent, and the
+    un-escaped pattern must still wildcard — proven by constant
+    predicates so the semantics (not the data) decide the row set."""
+    from tests.test_operators import check
+
+    q = ("SELECT o_orderkey FROM orders "
+         "WHERE ('ab%cd' LIKE '%!%%' ESCAPE '!') "
+         "AND NOT ('abXcd' LIKE '%!%%' ESCAPE '!') "
+         "AND o_orderkey < 40 ORDER BY o_orderkey ASC NULLS FIRST")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1 and "ESCAPE" in s1
+    rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    assert len(rows) > 0  # both constant predicates resolved TRUE
+    # DataFrame path == generated SQL (Column.like has no escape —
+    # the node routes through F.expr)
+    a = [tuple(r) for r in p.to_df(spark).collect()]
+    b = [tuple(r) for r in spark.sql(s1).collect()]
+    assert a == b
+
+
+def test_table_shorthand(pspark):
+    p = parse_sql("TABLE table1")
+    assert p.to_sql("spark") == "SELECT * FROM table1"
+    assert len(pspark.sql(p.to_sql("spark")).collect()) == 3
+
+
+def test_generate_series_table_function(spark, duck):
+    """FROM generate_series(start, stop[, step]) — DuckDB/PG table
+    function, stop inclusive, column named generate_series; the Spark
+    render is the explode(sequence(...)) derived table (zero-input
+    generate, no shuffle), joinable and aliasable like any relation."""
+    from tests.test_operators import check
+
+    qs = [
+        "SELECT * FROM generate_series(1, 5)",
+        "SELECT g.generate_series FROM generate_series(0, 10, 2) AS g",
+        "SELECT count(*) AS n FROM generate_series(1, 100) "
+        "WHERE generate_series % 3 = 0",
+        "SELECT c_custkey FROM customer JOIN generate_series(1, 3) AS g "
+        "ON c_custkey = g.generate_series "
+        "ORDER BY c_custkey ASC NULLS FIRST",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        s1 = p.to_sql("spark")
+        assert parse_sql(s1).to_sql("spark") == s1, q
+        rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+        assert len(rows) > 0
+        a = sorted(tuple(r) for r in p.to_df(spark).collect())
+        b = sorted(tuple(r) for r in spark.sql(s1).collect())
+        assert a == b, q
