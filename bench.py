@@ -234,6 +234,11 @@ HEADLINE = [
     "parsed_update_where",
     "parsed_delete_where",
     "parsed_insert_select",
+    # round-10 row-value membership (LeftSemi on two keys) and the
+    # generate_series spine left join
+    "parsed_row_in_subquery",
+    "parsed_series_spine",
+    "parsed_similar_to",
 ]
 
 

@@ -540,6 +540,87 @@ class RLike(Expr):
         return ~c if self.negated else c
 
 
+def similar_to_regex(pat: str) -> str:
+    """Compile a SQL-standard ``SIMILAR TO`` pattern to the equivalent
+    regex, shared verbatim by both renders so the engines cannot
+    diverge: ``%``→``.*``, ``_``→``.``; ``| * + ? {m,n} () […]`` keep
+    their regex meaning (per the standard); a literal ``.`` (NOT a
+    metachar in SIMILAR TO) becomes the class ``[.]`` — classes, not
+    backslash escapes, because Spark SQL string literals consume
+    backslashes while DuckDB keeps them raw, so any backslash in a
+    rendered pattern would mean different regexes on the two engines
+    (and break the render→parse fixpoint). ``\\``/``^``/``$`` are
+    rejected for the same reason: their literal spelling is not
+    portable across the dual render."""
+    out: list[str] = []
+    i, n = 0, len(pat)
+    in_class = False
+    while i < n:
+        c = pat[i]
+        if in_class:
+            if c == "\\":
+                raise ValueError(
+                    "backslash in SIMILAR TO character class is not "
+                    "portable across the dual render"
+                )
+            out.append(c)
+            # first-position ] is literal per the standard ([]x] …)
+            if c == "]" and out[-2] != "[":
+                in_class = False
+            i += 1
+            continue
+        if c in ("\\", "^", "$"):
+            raise ValueError(
+                f"{c!r} in a SIMILAR TO pattern is not portable across "
+                "the dual render; use RLIKE for raw regex"
+            )
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == ".":
+            out.append("[.]")
+        elif c == "[":
+            in_class = True
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    if in_class:
+        raise ValueError("unterminated character class in SIMILAR TO")
+    return "".join(out)
+
+
+@dataclass(frozen=True, eq=False)
+class SimilarTo(Expr):
+    """``e [NOT] SIMILAR TO 'pattern'`` — the SQL-standard LIKE/regex
+    hybrid (DataFusion carries it as ``Expr::SimilarTo``; the reference
+    unparser has no case for it — catch-all expr.rs:103-106). Both
+    renders share ONE compiled regex (:func:`similar_to_regex`), Spark
+    as an anchored RLIKE, DuckDB as ``regexp_full_match`` (its native
+    SIMILAR TO is a raw-regex rewrite, NOT the standard's pattern
+    language — ``.`` would go metachar there, so the desugar is the
+    portable contract)."""
+
+    operand: Expr
+    pattern: str
+    negated: bool = False
+
+    def to_sql(self, dialect: str = SPARK) -> str:
+        rx = similar_to_regex(self.pattern)
+        s = self.operand.to_sql(dialect)
+        if dialect == SPARK:
+            e = f"({s} RLIKE {escape_str('^(?:' + rx + ')$')})"
+        else:
+            e = f"regexp_full_match({s}, {escape_str(rx)})"
+        return f"(NOT {e})" if self.negated else e
+
+    def to_column(self) -> Column:
+        rx = similar_to_regex(self.pattern)
+        c = self.operand.to_column().rlike(f"^(?:{rx})$")
+        return ~c if self.negated else c
+
+
 @dataclass(frozen=True, eq=False)
 class InList(Expr):
     """e [NOT] IN (v1, v2, ...). Absent in reference (catch-all,

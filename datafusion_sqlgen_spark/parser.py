@@ -188,6 +188,35 @@ class _Tok:
         return self.text.upper()
 
 
+def _resugar_series(sub, alias):
+    """Re-sugar the GenerateSeries Spark render — the no-FROM derived
+    table ``(SELECT explode(sequence(start, stop[, step])) AS
+    generate_series)`` — back into the GenerateSeries table-function
+    node, so the render→parse→render fixpoint holds for series spines:
+    the generic reparse would otherwise carry ``explode`` (a Spark
+    generator, absent in DuckDB) into the oracle render."""
+    from datafusion_sqlgen_spark.expressions.core import Alias, Func
+    from datafusion_sqlgen_spark.plans.core import (
+        EmptyRelation,
+        GenerateSeries,
+    )
+
+    if not (isinstance(sub, EmptyRelation) and len(sub.exprs) == 1):
+        return None
+    e = sub.exprs[0]
+    if not (isinstance(e, Alias) and e.name == "generate_series"):
+        return None
+    f = e.operand
+    if not (isinstance(f, Func) and f.name == "explode"
+            and len(f.args) == 1 and not f.distinct):
+        return None
+    seq = f.args[0]
+    if not (isinstance(seq, Func) and seq.name == "sequence"
+            and 2 <= len(seq.args) <= 3 and not seq.distinct):
+        return None
+    return GenerateSeries(tuple(seq.args), table_alias=alias)
+
+
 def _tokenize(sql: str) -> list[_Tok]:
     out: list[_Tok] = []
     i = 0
@@ -213,7 +242,8 @@ _CLAUSE_KW = {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
     "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
     "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "IS", "IN",
-    "BETWEEN", "LIKE", "ILIKE", "RLIKE", "ASC", "DESC", "NULLS", "THEN",
+    "BETWEEN", "LIKE", "ILIKE", "RLIKE", "SIMILAR", "ASC", "DESC",
+    "NULLS", "THEN",
     "WHEN", "ELSE", "END", "BY", "DISTINCT", "ALL", "SEMI", "ANTI",
     "USING", "WINDOW", "QUALIFY", "FETCH",
 }
@@ -228,6 +258,13 @@ _TYPE_MAP = {
 }
 
 _CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+
+# units whose plural spelling normalizes to the singular both engines
+# accept (INTERVAL '30 days' → INTERVAL '30' DAY)
+_INTERVAL_UNITS = {
+    "YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE",
+    "SECOND", "MILLISECOND", "MICROSECOND",
+}
 
 
 class _Parser:
@@ -1335,13 +1372,15 @@ class _Parser:
             sub = self.parse_query()
             self.expect_op(")")
             if self.eat_kw("AS"):
-                return sub.alias(self.ident())
+                name = self.ident()
+                return _resugar_series(sub, name) or sub.alias(name)
             t = self.peek()
             if (t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW
                     and not (t.upper in ("PIVOT", "UNPIVOT")
                              and self.peek(1).text == "(")):
-                return sub.alias(self.ident())
-            return sub
+                name = self.ident()
+                return _resugar_series(sub, name) or sub.alias(name)
+            return _resugar_series(sub, None) or sub
         if (self.peek().kind == "ident"
                 and self.peek().upper == "GENERATE_SERIES"
                 and self.peek(1).text == "("):
@@ -1718,12 +1757,14 @@ class _Parser:
                         lhs = (IsNotDistinctFrom(lhs, rhs) if negated
                                else IsDistinctFrom(lhs, rhs))
                     continue
-                if kw in ("BETWEEN", "IN", "LIKE", "ILIKE", "RLIKE") and min_bp <= 4:
+                if (kw in ("BETWEEN", "IN", "LIKE", "ILIKE", "RLIKE",
+                           "SIMILAR") and min_bp <= 4):
                     lhs = self.parse_postfix_predicate(lhs, negated=False)
                     continue
                 if (kw == "NOT" and min_bp <= 4
                         and self.peek(1).upper in ("BETWEEN", "IN", "LIKE",
-                                                   "ILIKE", "RLIKE")):
+                                                   "ILIKE", "RLIKE",
+                                                   "SIMILAR")):
                     self.next()
                     lhs = self.parse_postfix_predicate(lhs, negated=True)
                     continue
@@ -1962,6 +2003,24 @@ class _Parser:
             if pat.kind != "string":
                 raise ParseError("RLIKE pattern must be a string literal")
             return RLike(lhs, _unquote(pat.text), negated=negated)
+        elif self.eat_kw("SIMILAR"):
+            from datafusion_sqlgen_spark.expressions.core import (
+                SimilarTo,
+                similar_to_regex,
+            )
+
+            self.expect_kw("TO")
+            pat = self.next()
+            if pat.kind != "string":
+                raise ParseError(
+                    "SIMILAR TO pattern must be a string literal"
+                )
+            p = _unquote(pat.text)
+            try:
+                similar_to_regex(p)  # validate portability at parse time
+            except ValueError as e:
+                raise ParseError(str(e)) from None
+            return SimilarTo(lhs, p, negated=negated)
         else:
             self.expect_kw("LIKE")
         pat = self.next()
@@ -1977,6 +2036,42 @@ class _Parser:
             esc = _unquote(et.text)
         return Like(lhs, _unquote(pat.text), negated=negated,
                     case_insensitive=ci, escape=esc)
+
+    def _interval_literal(self) -> Interval:
+        """The token(s) after ``INTERVAL``: ``3 DAY``, ``'3' DAY``, or
+        the PG quantity-in-string spelling ``'30 days'`` (single unit;
+        plural units normalize to the singular both engines accept).
+        Multi-unit strings (``'1 year 2 months'``) are rejected — they
+        would need engine-specific compound interval types rather than
+        the portable single-unit literal."""
+        t2 = self.next()
+        unit = None
+        if t2.kind == "string":
+            body = _unquote(t2.text).strip()
+            parts = body.split()
+            if len(parts) == 2:
+                body, unit = parts
+            elif len(parts) > 2:
+                raise ParseError(
+                    "multi-unit INTERVAL strings are not supported; "
+                    "add single-unit intervals instead"
+                )
+        elif t2.kind == "number":
+            body = t2.text
+        else:
+            raise ParseError(f"INTERVAL takes a quantity, got {t2.text!r}")
+        try:
+            n = int(body)
+        except ValueError:
+            raise ParseError(
+                f"INTERVAL quantity must be an integer, got {body!r}"
+            ) from None
+        if unit is None:
+            unit = self.ident()
+        uu = unit.upper()
+        if uu.endswith("S") and uu[:-1] in _INTERVAL_UNITS:
+            uu = uu[:-1]
+        return Interval(n, uu)
 
     def parse_prefix(self) -> Expr:
         t = self.peek()
@@ -2065,10 +2160,7 @@ class _Parser:
                 return Exists(sub)
             if kw == "INTERVAL":
                 self.next()
-                t2 = self.next()
-                # both INTERVAL 3 DAY and the quoted INTERVAL '3' DAY
-                n = int(_unquote(t2.text) if t2.kind == "string" else t2.text)
-                return Interval(n, self.ident().upper())
+                return self._interval_literal()
             if (kw in ("EXTRACT", "SUBSTRING", "SUBSTR", "POSITION", "TRIM")
                     and self.peek(1).text == "("):
                 std = self._try_parse_standard_fn(kw)
@@ -2437,9 +2529,7 @@ class _Parser:
         if self.eat_kw("INTERVAL"):
             from datafusion_sqlgen_spark.expressions.core import FrameBound
 
-            t2 = self.next()
-            n = int(_unquote(t2.text) if t2.kind == "string" else t2.text)
-            iv = Interval(n, self.ident().upper())
+            iv = self._interval_literal()
             if self.eat_kw("PRECEDING"):
                 return FrameBound(iv, preceding=True)
             self.expect_kw("FOLLOWING")

@@ -1397,6 +1397,35 @@ def _ir_workloads() -> dict[str, Plan]:
     # the CASE projection, DELETE the NOT-TRUE filter (three-valued:
     # NULL predicates neither update nor delete), INSERT the
     # positional append with the column list renaming the SELECT
+    # round 10: row-value membership — the multi-key semi join entered
+    # as standard SQL (Spark takes the bare multi-column IN, the DuckDB
+    # render wraps the subquery outputs into one struct); Catalyst
+    # plans it as a LeftSemi on both keys
+    w["parsed_row_in_subquery"] = parse_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE (o_custkey, o_orderstatus) IN ("
+        "SELECT c_custkey, 'O' FROM customer WHERE c_acctbal > 5000)"
+    )
+    # round 10: generate_series spine joined to data — the gap-proof
+    # per-bucket count idiom (left join FROM the generated axis so
+    # empty buckets surface as zeros)
+    w["parsed_series_spine"] = parse_sql(
+        "SELECT g.generate_series AS bucket, count(o_orderkey) AS n "
+        "FROM generate_series(0, 9) AS g "
+        "LEFT JOIN orders ON o_orderkey % 10 = g.generate_series "
+        "GROUP BY g.generate_series"
+    )
+    # round 10: SIMILAR TO (the standard's LIKE/regex hybrid — both
+    # renders share one compiled regex, Spark anchored RLIKE / DuckDB
+    # regexp_full_match) plus PG quantity-in-string INTERVAL arithmetic
+    w["parsed_similar_to"] = parse_sql(
+        "SELECT o_orderpriority, count(*) AS n "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_name SIMILAR TO 'Customer#%[0-4]' "
+        "AND o_orderdate < DATE '1995-01-01' + INTERVAL '6 months' "
+        "GROUP BY o_orderpriority"
+    )
+
     w["parsed_update_where"] = parse_sql(
         "UPDATE customer SET c_acctbal = c_acctbal * 2, "
         "c_mktsegment = 'DOUBLED' WHERE c_acctbal > 5000"
@@ -3346,6 +3375,9 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_merge_full_sync",
     "parsed_merge_insert_cols",
     "parsed_merge_multi_arm",
+    "parsed_row_in_subquery",
+    "parsed_series_spine",
+    "parsed_similar_to",
     "parsed_update_where",
     "parsed_delete_where",
     "parsed_insert_select",
@@ -3392,16 +3424,18 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_distinct_on",
     "profile_orders",
     "ts_rolling_anomaly",
+    # ---- 50-entry driver sample boundary ----
     "ts_sessionize",
     "dedup_materialize",
     "dedup_quality_rep",
-    # ---- 50-entry driver sample boundary ----
     "text_tfidf_topk",
     "mm_feature_extract",
     "dedup_block_level",
     "text_c4_filters",
+    # ts_sessionize, dedup_materialize, dedup_quality_rep,
     # text_tfidf_topk, mm_feature_extract, dedup_block_level,
-    # text_c4_filters (r5, displaced by the 4 round-10 statement rows),
+    # text_c4_filters (r5, displaced by the 10 round-10
+    # statement/row-value/series/similar-to rows),
     # then sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, profile_robust_stats,
     # profile_correlations (r5) lead the r11 stale cohort
@@ -4775,6 +4809,34 @@ WHERE NOT (c_custkey % 2 = 0 AND c_acctbal < 0)
     # the CASE/filter desugar machinery — UPDATE as two filtered
     # passes unioned, DELETE as an anti-EXISTS over its own keys,
     # INSERT re-deriving the append arm from scratch ----
+    # row-value IN replayed as a correlated EXISTS + literal equality —
+    # no row-value syntax, no struct wrap
+    "parsed_row_in_subquery": """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE o.o_orderstatus = 'O'
+  AND EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+""",
+    # series spine replayed over DuckDB's end-EXCLUSIVE range() —
+    # different generator, different bound convention
+    "parsed_series_spine": """
+SELECT b.bucket, count(o.o_orderkey) AS n
+FROM (SELECT range AS bucket FROM range(0, 10)) b
+LEFT JOIN orders o ON o.o_orderkey % 10 = b.bucket
+GROUP BY b.bucket
+""",
+    # SIMILAR TO replayed with NO pattern language at all: the prefix
+    # as a substring test, the [0-4] class as a last-char IN-list, the
+    # interval arithmetic as the pre-computed literal date
+    "parsed_similar_to": """
+SELECT o_orderpriority, count(*) AS n
+FROM orders o, customer c
+WHERE o.o_custkey = c.c_custkey
+  AND substr(c.c_name, 1, 9) = 'Customer#'
+  AND substr(c.c_name, length(c.c_name), 1) IN ('0','1','2','3','4')
+  AND o.o_orderdate < DATE '1995-07-01'
+GROUP BY o_orderpriority
+""",
     "parsed_update_where": """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal,
        'DOUBLED' AS c_mktsegment

@@ -597,6 +597,74 @@ def test_like_escape(spark, duck):
     assert a == b
 
 
+def test_similar_to(spark, duck):
+    """[NOT] SIMILAR TO — SQL-standard pattern language (% _ wildcards
+    PLUS regex alternation/classes/quantifiers, literal '.'): both
+    renders share ONE compiled regex (Spark anchored RLIKE, DuckDB
+    regexp_full_match — its native SIMILAR TO is a raw-regex rewrite
+    where '.' goes metachar, so the desugar is the portable form)."""
+    from datafusion_sqlgen_spark.expressions.core import similar_to_regex
+    from tests.test_operators import check
+
+    # the translator itself: '.' literal, % and _ wildcards, classes
+    assert similar_to_regex("a.b%") == "a[.]b.*"
+    assert similar_to_regex("a_[0-9]+") == "a.[0-9]+"
+    assert similar_to_regex("(x|y){2}") == "(x|y){2}"
+    for bad in ["a\\%b", "a^b", "a$b", "[abc"]:
+        with pytest.raises(ValueError):
+            similar_to_regex(bad)
+
+    qs = [
+        # entire-string match: LIKE-style % plus a trailing class
+        "SELECT c_name FROM customer WHERE c_name SIMILAR TO "
+        "'Customer#%[0-9]' ORDER BY c_name ASC NULLS FIRST LIMIT 5",
+        # literal '.' must NOT wildcard (constant predicates decide)
+        "SELECT o_orderkey FROM orders "
+        "WHERE ('a.b' SIMILAR TO 'a.b') AND NOT ('axb' SIMILAR TO 'a.b') "
+        "AND o_orderkey < 40 ORDER BY o_orderkey ASC NULLS FIRST",
+        # NOT SIMILAR TO with alternation
+        "SELECT p_name FROM part WHERE p_name NOT SIMILAR TO "
+        "'(a|b|c|d|e|f|g|h|i|j|k|l|m)%' "
+        "ORDER BY p_name ASC NULLS FIRST LIMIT 5",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        s1 = p.to_sql("spark")
+        assert parse_sql(s1).to_sql("spark") == s1, q
+        rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+        assert len(rows) > 0, q
+        a = [tuple(r) for r in p.to_df(spark).collect()]
+        b = [tuple(r) for r in spark.sql(s1).collect()]
+        assert a == b, q
+    with pytest.raises(ParseError):
+        parse_sql("SELECT 1 AS x FROM orders WHERE 'a' SIMILAR TO 'a\\b'")
+
+
+def test_interval_quoted_quantity(spark, duck):
+    """INTERVAL '30 days' (PG quantity-in-string) and plural units
+    normalize to the portable single-unit literal; bad quantities and
+    multi-unit strings are ParseError, not a raw ValueError."""
+    from tests.test_operators import check
+
+    q = ("SELECT o_orderkey, o_orderdate + INTERVAL '30 days' AS d30, "
+         "o_orderdate + INTERVAL '2' MONTHS AS m2, "
+         "o_orderdate - INTERVAL 1 WEEK AS w1 "
+         "FROM orders ORDER BY o_orderkey ASC NULLS FIRST LIMIT 5")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+    assert "INTERVAL 30 DAY" in s1 and "INTERVAL 2 MONTH" in s1
+    rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    assert len(rows) == 5
+    for bad in [
+        "SELECT o_orderdate + INTERVAL '1 year 2 months' AS d FROM orders",
+        "SELECT o_orderdate + INTERVAL '1.5 days' AS d FROM orders",
+        "SELECT o_orderdate + INTERVAL 'x' DAY AS d FROM orders",
+    ]:
+        with pytest.raises(ParseError):
+            parse_sql(bad)
+
+
 def test_table_shorthand(pspark):
     p = parse_sql("TABLE table1")
     assert p.to_sql("spark") == "SELECT * FROM table1"
@@ -628,3 +696,27 @@ def test_generate_series_table_function(spark, duck):
         a = sorted(tuple(r) for r in p.to_df(spark).collect())
         b = sorted(tuple(r) for r in spark.sql(s1).collect())
         assert a == b, q
+
+
+def test_generate_series_reparse_resugars(duck):
+    """Reparsing the Spark render (the explode(sequence(...)) derived
+    table) must re-sugar back to the GenerateSeries node: the generic
+    subquery reading would carry `explode` — a Spark generator DuckDB
+    lacks — into the oracle render, breaking the catalog fixpoint
+    (caught by test_catalog_reparse_preserves_semantics on
+    parsed_series_spine, round 10)."""
+    from datafusion_sqlgen_spark.plans.core import GenerateSeries
+
+    for args in [(0, 9), (1, 100, 3)]:
+        p = GenerateSeries(args, table_alias="g")
+        rp = parse_sql(p.to_sql("spark"))
+        assert isinstance(rp, GenerateSeries)
+        assert "explode" not in rp.to_sql("duckdb")
+        a = duck.execute(p.to_sql("duckdb")).fetchall()
+        b = duck.execute(rp.to_sql("duckdb")).fetchall()
+        assert sorted(a) == sorted(b)
+    # a real derived table that merely *aliases* explode output to the
+    # magic name but has a FROM is NOT re-sugared
+    q = ("SELECT * FROM (SELECT explode(sequence(0, c_custkey)) "
+         "AS generate_series FROM customer) AS g")
+    assert not isinstance(parse_sql(q), GenerateSeries)

@@ -926,6 +926,15 @@ def test_dml_statements_plan_shapes(spark, queries):
     ins = plan_text(queries["parsed_insert_select"](spark, SF_DIR))
     assert "Join" not in ins and "Exchange" not in ins and "Union" in ins
 
+    # row-value membership plans as ONE LeftSemi on both keys; the
+    # series spine is ONE LeftOuter from the generated axis — never a
+    # cartesian in either
+    riq = plan_text(queries["parsed_row_in_subquery"](spark, SF_DIR))
+    assert riq.count("Join type:") == 1 and "Join type: LeftSemi" in riq
+    spn = plan_text(queries["parsed_series_spine"](spark, SF_DIR))
+    assert spn.count("Join type:") == 1 and "Join type: LeftOuter" in spn
+    assert "Cartesian" not in riq and "Cartesian" not in spn
+
     cas = plan_text(queries["parsed_merge_multi_arm"](spark, SF_DIR))
     assert "Cartesian" not in cas
     # formatted explain prints each operator in the tree AND as a
