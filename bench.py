@@ -239,6 +239,7 @@ HEADLINE = [
     "parsed_row_in_subquery",
     "parsed_series_spine",
     "parsed_similar_to",
+    "parsed_unnest_words",
 ]
 
 

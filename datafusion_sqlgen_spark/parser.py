@@ -188,6 +188,21 @@ class _Tok:
         return self.text.upper()
 
 
+def _is_dummy_onerow(sub) -> bool:
+    """True iff ``sub`` is the renderer's dummy one-row relation
+    (``SELECT 1`` — EmptyRelation with no outputs, or the single
+    unaliased literal 1 a reparse reads it back as)."""
+    from datafusion_sqlgen_spark.expressions.core import Lit
+    from datafusion_sqlgen_spark.plans.core import EmptyRelation
+
+    if not isinstance(sub, EmptyRelation):
+        return False
+    if sub.exprs == ():
+        return True
+    return (len(sub.exprs) == 1 and isinstance(sub.exprs[0], Lit)
+            and sub.exprs[0].value == 1)
+
+
 def _resugar_series(sub, alias):
     """Re-sugar the GenerateSeries Spark render — the no-FROM derived
     table ``(SELECT explode(sequence(start, stop[, step])) AS
@@ -245,7 +260,7 @@ _CLAUSE_KW = {
     "BETWEEN", "LIKE", "ILIKE", "RLIKE", "SIMILAR", "ASC", "DESC",
     "NULLS", "THEN",
     "WHEN", "ELSE", "END", "BY", "DISTINCT", "ALL", "SEMI", "ANTI",
-    "USING", "WINDOW", "QUALIFY", "FETCH",
+    "USING", "WINDOW", "QUALIFY", "FETCH", "LATERAL",
 }
 
 _TYPE_MAP = {
@@ -1373,6 +1388,13 @@ class _Parser:
             self.expect_op(")")
             if self.eat_kw("AS"):
                 name = self.ident()
+                if _is_dummy_onerow(sub) and re.match(r"_sq\d+$", name):
+                    # the renderer's generated one-row wrapper
+                    # `(SELECT 1) AS _sqN` (Explode over EmptyRelation):
+                    # the alias is regenerated noise — pinning it as a
+                    # real SubqueryAlias would shift the fresh-alias
+                    # counter and break the render→parse fixpoint
+                    return sub
                 return _resugar_series(sub, name) or sub.alias(name)
             t = self.peek()
             if (t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW
@@ -1405,6 +1427,21 @@ class _Parser:
                 if t.kind in ("ident", "qident") and t.upper not in _CLAUSE_KW:
                     alias = self.ident()
             return GenerateSeries(tuple(args), table_alias=alias)
+        if (self.peek().kind == "ident"
+                and self.peek().upper == "UNNEST"
+                and self.peek(1).text == "("):
+            # standalone table function: FROM UNNEST(arr) AS t(c) — an
+            # Explode over the one-row relation, projected down to the
+            # unnested column so SELECT * sees only it (the correlated
+            # form `FROM t, UNNEST(expr)` lives in parse_from_clause)
+            from datafusion_sqlgen_spark.plans.core import EmptyRelation
+
+            self.next()
+            self.next()
+            arr = self.parse_expr()
+            self.expect_op(")")
+            col = self._unnest_alias()
+            return EmptyRelation().explode(arr, col).select(col)
         table = self.ident()
         if self.eat_kw("AS"):
             return self._maybe_tablesample(scan(table).alias(self.ident()))
@@ -1540,6 +1577,18 @@ class _Parser:
                 self.expect_op(")")
                 self.eat_kw("AS")
                 left = left.lateral(sub, self.ident())
+                continue
+            if (self.at_op(",") and self.peek(1).upper == "UNNEST"
+                    and self.peek(2).text == "("):
+                # correlated UNNEST: FROM t, UNNEST(t.arr) AS a(c) — the
+                # standard spelling of the Explode node (PG/Trino);
+                # narrow per-row generate, no shuffle
+                self.next()
+                self.next()
+                self.next()
+                arr = self.parse_expr()
+                self.expect_op(")")
+                left = left.explode(arr, self._unnest_alias())
                 continue
             if self.at_kw("UNPIVOT"):
                 left = self.parse_unpivot(left)
@@ -2037,6 +2086,23 @@ class _Parser:
         return Like(lhs, _unquote(pat.text), negated=negated,
                     case_insensitive=ci, escape=esc)
 
+    def _unnest_alias(self) -> str:
+        """The column alias for an UNNEST relation: ``AS t(c)``,
+        ``AS c``, ``t(c)`` or ``c``. Required — PG defaults the column
+        to ``unnest`` and Spark to ``col``, so an unaliased UNNEST
+        would name its output differently per engine."""
+        self.eat_kw("AS")
+        t = self.peek()
+        if t.kind not in ("ident", "qident") or t.upper in _CLAUSE_KW:
+            raise ParseError(
+                "UNNEST requires a column alias (AS t(c) or AS c)"
+            )
+        name = self.ident()
+        if self.eat_op("("):
+            name = self.ident()
+            self.expect_op(")")
+        return name
+
     def _interval_literal(self) -> Interval:
         """The token(s) after ``INTERVAL``: ``3 DAY``, ``'3' DAY``, or
         the PG quantity-in-string spelling ``'30 days'`` (single unit;
@@ -2343,17 +2409,18 @@ class _Parser:
             self.next()
             self.expect_kw("BY")
             ordered_by = self.parse_expr()
-        # DuckDB placement: fn(args IGNORE NULLS)
-        if self.at_kw("IGNORE") and self.peek(1).upper == "NULLS":
+        # DuckDB placement: fn(args IGNORE NULLS); RESPECT NULLS is the
+        # default everywhere — parse and drop
+        if (self.at_kw("IGNORE", "RESPECT")
+                and self.peek(1).upper == "NULLS"):
+            ignore_nulls = self.next().upper == "IGNORE"
             self.next()
-            self.next()
-            ignore_nulls = True
         self.expect_op(")")
         # Spark placement: fn(args) IGNORE NULLS [OVER ...]
-        if self.at_kw("IGNORE") and self.peek(1).upper == "NULLS":
+        if (self.at_kw("IGNORE", "RESPECT")
+                and self.peek(1).upper == "NULLS"):
+            ignore_nulls = self.next().upper == "IGNORE" or ignore_nulls
             self.next()
-            self.next()
-            ignore_nulls = True
         # Spark ordered-agg placement: listagg(v, sep) WITHIN GROUP
         # (ORDER BY k) — the registry's render of string_agg
         if self.at_kw("WITHIN") and self.peek(1).upper == "GROUP":

@@ -1425,6 +1425,15 @@ def _ir_workloads() -> dict[str, Plan]:
         "AND o_orderdate < DATE '1995-01-01' + INTERVAL '6 months' "
         "GROUP BY o_orderpriority"
     )
+    # round 10: correlated UNNEST in FROM (the standard spelling of the
+    # Explode node) — the word-frequency idiom over documents; explode
+    # is a narrow per-row generate, so the only shuffle is the count
+    w["parsed_unnest_words"] = parse_sql(
+        "SELECT word, count(*) AS n "
+        "FROM documents, UNNEST(split(text, ' ')) AS t(word) "
+        "WHERE lang = 'en' AND length(word) > 4 "
+        "GROUP BY word ORDER BY n DESC, word ASC NULLS FIRST LIMIT 20"
+    )
 
     w["parsed_update_where"] = parse_sql(
         "UPDATE customer SET c_acctbal = c_acctbal * 2, "
@@ -3378,6 +3387,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_row_in_subquery",
     "parsed_series_spine",
     "parsed_similar_to",
+    "parsed_unnest_words",
     "parsed_update_where",
     "parsed_delete_where",
     "parsed_insert_select",
@@ -3423,8 +3433,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_pivot_status",
     "parsed_distinct_on",
     "profile_orders",
-    "ts_rolling_anomaly",
     # ---- 50-entry driver sample boundary ----
+    "ts_rolling_anomaly",
     "ts_sessionize",
     "dedup_materialize",
     "dedup_quality_rep",
@@ -3432,10 +3442,10 @@ _SAMPLE_PRIORITY: list[str] = [
     "mm_feature_extract",
     "dedup_block_level",
     "text_c4_filters",
-    # ts_sessionize, dedup_materialize, dedup_quality_rep,
-    # text_tfidf_topk, mm_feature_extract, dedup_block_level,
-    # text_c4_filters (r5, displaced by the 10 round-10
-    # statement/row-value/series/similar-to rows),
+    # ts_rolling_anomaly, ts_sessionize, dedup_materialize,
+    # dedup_quality_rep, text_tfidf_topk, mm_feature_extract,
+    # dedup_block_level, text_c4_filters (r5, displaced by the 11
+    # round-10 statement/row-value/series/similar-to/unnest rows),
     # then sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
     # sim_kmeans_fit, profile_key_skew, profile_robust_stats,
     # profile_correlations (r5) lead the r11 stale cohort
@@ -4836,6 +4846,17 @@ WHERE o.o_custkey = c.c_custkey
   AND substr(c.c_name, length(c.c_name), 1) IN ('0','1','2','3','4')
   AND o.o_orderdate < DATE '1995-07-01'
 GROUP BY o_orderpriority
+""",
+    # correlated UNNEST replayed as a SELECT-list unnest over plain
+    # str_split (not the FROM-clause table form, not the regex split)
+    "parsed_unnest_words": """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(str_split(text, ' ')) AS word
+      FROM documents WHERE lang = 'en') u
+WHERE length(word) > 4
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
 """,
     "parsed_update_where": """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal,

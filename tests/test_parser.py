@@ -698,6 +698,55 @@ def test_generate_series_table_function(spark, duck):
         assert a == b, q
 
 
+def test_unnest_in_from(spark, duck):
+    """FROM UNNEST(arr) AS t(c) — standalone (Explode over the one-row
+    relation, projected to just the unnested column) and correlated
+    (`FROM t, UNNEST(expr)` = the Explode node's standard spelling).
+    The column alias is required: the engines' default names differ
+    (PG `unnest`, Spark `col`)."""
+    from tests.test_operators import check
+
+    qs = [
+        "SELECT u FROM UNNEST(ARRAY[1, 2, 3]) AS t(u) "
+        "ORDER BY u ASC NULLS FIRST",
+        # SELECT * must see ONLY the unnested column, not the dummy 1
+        "SELECT * FROM UNNEST(ARRAY['a', 'b']) AS u "
+        "ORDER BY u ASC NULLS FIRST",
+        # correlated: per-document word explode, narrow per-row
+        # generate — no shuffle below the aggregate
+        "SELECT lang, count(*) AS n "
+        "FROM documents, UNNEST(split(text, ' ')) AS w(word) "
+        "WHERE doc_id < 20 GROUP BY lang ORDER BY lang ASC NULLS FIRST",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        s1 = p.to_sql("spark")
+        assert parse_sql(s1).to_sql("spark") == s1, q
+        rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+        assert len(rows) > 0, q
+        a = [tuple(r) for r in p.to_df(spark).collect()]
+        b = [tuple(r) for r in spark.sql(s1).collect()]
+        assert sorted(map(str, a)) == sorted(map(str, b)), q
+    with pytest.raises(ParseError):
+        parse_sql("SELECT * FROM UNNEST(ARRAY[1, 2])")  # alias required
+
+
+def test_respect_nulls_parses_as_default(pspark):
+    """RESPECT NULLS (both placements) is the default everywhere —
+    parse-and-drop, never rendered, fixpoint-stable."""
+    for q in [
+        "SELECT last_value(id) RESPECT NULLS OVER (ORDER BY id) AS v "
+        "FROM table1",
+        "SELECT last_value(id RESPECT NULLS) OVER (ORDER BY id) AS v "
+        "FROM table1",
+    ]:
+        p = parse_sql(q)
+        s1 = p.to_sql("spark")
+        assert "RESPECT" not in s1 and "IGNORE" not in s1
+        assert parse_sql(s1).to_sql("spark") == s1
+        assert len(pspark.sql(s1).collect()) == 3
+
+
 def test_generate_series_reparse_resugars(duck):
     """Reparsing the Spark render (the explode(sequence(...)) derived
     table) must re-sugar back to the GenerateSeries node: the generic
