@@ -65,6 +65,7 @@ HEADLINE = [
     # adapted TPC-H: multi-join agg, 5-way join, left-join distribution,
     # correlated scalar subquery, IN-over-grouped-having
     "tpch_q3",
+    "tpch_q5",
     "tpch_q9",
     "tpch_q13",
     "tpch_q17",

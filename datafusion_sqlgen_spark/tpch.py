@@ -1,4 +1,4 @@
-"""Adapted TPC-H suite (q3-q22) built on the plan/expression IR.
+"""Adapted TPC-H suite (q2-q22) built on the plan/expression IR.
 
 The reference's commented-out test corpus copies DataFusion's aggregate/
 join/subquery tests (/root/reference/datafusion-sqlgen/tests/select.rs:
@@ -144,6 +144,37 @@ def tpch_workloads() -> dict[str, Plan]:
         .group_by(col("o_orderpriority"))
         .agg(agg("count").alias("order_count"))
         .sort(col("o_orderpriority").asc())
+    )
+
+    # q5 — local supplier volume: the full 6-table star (customer →
+    # orders → lineitem → supplier ⋈ nation ⋈ region) with the
+    # c_nationkey = s_nationkey locality constraint, the region gate and
+    # the one-year order-date window (workloads.join_tpch_q5ish keeps
+    # only the topology). At scale: nation/region broadcast; the
+    # customer⋈orders and orders⋈lineitem joins shuffle on their natural
+    # keys; the locality equality rides the supplier join — no extra
+    # exchange.
+    w["tpch_q5"] = (
+        scan("customer")
+        .join(scan("orders"), on=col("c_custkey") == col("o_custkey"))
+        .join(scan("lineitem"), on=col("l_orderkey") == col("o_orderkey"))
+        .join(
+            scan("supplier"),
+            on=(col("l_suppkey") == col("s_suppkey"))
+            & (col("c_nationkey") == col("s_nationkey")),
+        )
+        .join(scan("nation"), on=col("s_nationkey") == col("n_nationkey"),
+              broadcast=True)
+        .join(scan("region"), on=col("n_regionkey") == col("r_regionkey"),
+              broadcast=True)
+        .filter(
+            (col("r_name") == "ASIA")
+            & (col("o_orderdate") >= _ts("1997-01-01"))
+            & (col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .group_by(col("n_name"))
+        .agg(_money_out(agg("sum", _revenue())).alias("revenue"))
+        .sort(col("revenue").desc(), col("n_name").asc())
     )
 
     # q6 — forecasting revenue change: pure scan-side filter + global agg.

@@ -3388,6 +3388,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_series_spine",
     "parsed_similar_to",
     "parsed_unnest_words",
+    "tpch_q5",
     "parsed_update_where",
     "parsed_delete_where",
     "parsed_insert_select",
@@ -3432,8 +3433,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_reader_forms",
     "parsed_pivot_status",
     "parsed_distinct_on",
-    "profile_orders",
     # ---- 50-entry driver sample boundary ----
+    "profile_orders",
     "ts_rolling_anomaly",
     "ts_sessionize",
     "dedup_materialize",
@@ -4834,6 +4835,30 @@ SELECT b.bucket, count(o.o_orderkey) AS n
 FROM (SELECT range AS bucket FROM range(0, 10)) b
 LEFT JOIN orders o ON o.o_orderkey % 10 = b.bucket
 GROUP BY b.bucket
+""",
+    # q5 replayed with lineitem pre-aggregated per (orderkey, suppkey)
+    # BELOW the joins in DECIMAL (the q5ish house pattern), region/date
+    # gates applied on the flattened comma-join
+    "tpch_q5": """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name, CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+FROM li, supplier, orders, customer, nation, region
+WHERE l_suppkey = s_suppkey
+  AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
 """,
     # SIMILAR TO replayed with NO pattern language at all: the prefix
     # as a substring test, the [0-4] class as a last-char IN-list, the
