@@ -232,6 +232,7 @@ HEADLINE = [
     "parsed_merge_full_sync",
     "parsed_merge_insert_cols",
     "parsed_merge_multi_arm",
+    "parsed_merge_insert_arms",
     "parsed_update_where",
     "parsed_delete_where",
     "parsed_insert_select",

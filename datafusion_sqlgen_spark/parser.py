@@ -491,6 +491,10 @@ class _Parser:
         i_cond = None  # Expr | None — WHEN NOT MATCHED AND <cond>
         i_cols: tuple = ()  # column-list INSERT target layout
         i_vals: tuple = ()  # column-list INSERT value exprs
+        # cascaded NOT MATCHED arms, first-match-wins (round 10, the
+        # insert-side twin of m_arms): [(cond|None, cols, vals)];
+        # cols == () means INSERT *
+        i_arms: list[tuple] = []
         bs_delete = False  # WHEN NOT MATCHED BY SOURCE THEN DELETE
         bs_cond = None
         while self.at_kw("WHEN"):
@@ -513,11 +517,15 @@ class _Parser:
                 self.expect_kw("DELETE")
                 bs_delete, bs_cond = True, cond
             elif negated:
-                if insert:
-                    raise ParseError("duplicate WHEN NOT MATCHED clause")
+                if i_arms and i_arms[-1][0] is None:
+                    raise ParseError(
+                        "WHEN NOT MATCHED arm after an unconditioned "
+                        "one is unreachable (first-match-wins); put the "
+                        "unconditioned arm last"
+                    )
                 self.expect_kw("INSERT")
                 if self.eat_op("*"):
-                    pass
+                    i_arms.append((cond, (), ()))
                 elif self.eat_op("("):
                     cols = [self.ident()]
                     while self.eat_op(","):
@@ -534,12 +542,11 @@ class _Parser:
                             f"INSERT lists {len(cols)} columns but "
                             f"{len(vals)} values"
                         )
-                    i_cols, i_vals = tuple(cols), tuple(vals)
+                    i_arms.append((cond, tuple(cols), tuple(vals)))
                 else:
                     raise ParseError(
                         "MERGE INSERT takes * or (cols) VALUES (exprs)"
                     )
-                insert, i_cond = True, cond
             else:
                 if m_arms and m_arms[-1][0] is None:
                     raise ParseError(
@@ -581,6 +588,27 @@ class _Parser:
                     "chain (a second is unreachable or contradictory)"
                 )
             matched = "cascade"
+        if len(i_arms) == 1:
+            insert = True
+            i_cond, i_cols, i_vals = i_arms[0]
+        elif len(i_arms) > 1:
+            # cascaded insert chain: every arm must be column-list with
+            # ONE shared layout (per-arm layouts would need
+            # NULL-defaulted union columns); multiple INSERT * arms
+            # differ only in condition — OR them into one arm
+            insert = True
+            if any(not cols for _, cols, _ in i_arms):
+                raise ParseError(
+                    "cascaded WHEN NOT MATCHED arms must all use "
+                    "column-list INSERT (INSERT * arms differ only in "
+                    "condition; OR the conditions into one arm)"
+                )
+            if len({cols for _, cols, _ in i_arms}) > 1:
+                raise ParseError(
+                    "cascaded WHEN NOT MATCHED arms must share one "
+                    "column list"
+                )
+            i_cols = i_arms[0][1]
         if matched is None and not insert and not bs_delete:
             raise ParseError("MERGE needs at least one WHEN clause")
         if (matched == "update" and not insert and m_cond is None
@@ -804,9 +832,44 @@ class _Parser:
             )
         if insert:
             new_src = source.join(target, on=on, how="left_anti")
-            if i_cond is not None:
-                new_src = new_src.filter(i_cond)
-            parts.append(new_src.select(*p_ins))
+            if len(i_arms) > 1:
+                # first-match-wins value chains: one CASE per target
+                # column whose WHEN order mirrors the statement order;
+                # rows no arm claims are not inserted. Same fire algebra
+                # as the matched cascade — cond_true keeps NULL
+                # conditions from firing or poisoning the claim filter.
+                fires: list = []
+                prev_not = None
+                for c, _cols, _vals in i_arms:
+                    if c is not None:
+                        t = cond_true(c)
+                        if prev_not is not None:
+                            t = BinOp("AND", prev_not, t)
+                        nt = not_true(c)
+                        prev_not = (nt if prev_not is None
+                                    else BinOp("AND", prev_not, nt))
+                    else:
+                        # unconditioned arm is last (parse-enforced) and
+                        # claims everything the earlier arms passed on
+                        t = prev_not
+                    fires.append(t)
+                if i_arms[-1][0] is not None:
+                    claim = fires[0]
+                    for f in fires[1:]:
+                        claim = BinOp("OR", claim, f)
+                    new_src = new_src.filter(claim)
+                ins_exprs = []
+                for idx, c0 in enumerate(i_cols):
+                    whens = tuple(
+                        (f, vals[idx])
+                        for f, (_c, _cols2, vals) in zip(fires, i_arms)
+                    )
+                    ins_exprs.append(Alias(Case(whens=whens), c0))
+                parts.append(new_src.select(*ins_exprs))
+            else:
+                if i_cond is not None:
+                    new_src = new_src.filter(i_cond)
+                parts.append(new_src.select(*p_ins))
         if not parts:
             raise ParseError(
                 "this MERGE deletes every row (unconditional MATCHED "

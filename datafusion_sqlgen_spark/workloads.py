@@ -1391,6 +1391,21 @@ def _ir_workloads() -> dict[str, Plan]:
         "c_mktsegment = 'HIGH' "
         "WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 100"
     )
+    # round 10: the insert-side cascade twin — first-match-wins
+    # WHEN NOT MATCHED value chains over ONE anti join (per-column
+    # CASE; no arm claimed → row not inserted, here via the trailing
+    # unconditioned arm)
+    w["parsed_merge_insert_arms"] = parse_sql(
+        "MERGE INTO region AS t USING ("
+        "SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk "
+        "FROM nation) AS s ON t.r_regionkey = s.k "
+        "WHEN NOT MATCHED AND s.rk = 0 "
+        "THEN INSERT (r_regionkey, r_name) VALUES (s.k, upper(s.nm)) "
+        "WHEN NOT MATCHED AND s.rk = 1 "
+        "THEN INSERT (r_regionkey, r_name) VALUES (s.k + 100, lower(s.nm)) "
+        "WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name) "
+        "VALUES (s.k, 'OTHER')"
+    )
 
     # round 10: the remaining single-table DML statement forms, same
     # batch contract as MERGE (tests/test_parser_dml.py) — UPDATE is
@@ -3384,6 +3399,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_merge_full_sync",
     "parsed_merge_insert_cols",
     "parsed_merge_multi_arm",
+    "parsed_merge_insert_arms",
     "parsed_row_in_subquery",
     "parsed_series_spine",
     "parsed_similar_to",
@@ -3432,8 +3448,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_qualify_using",
     "parsed_reader_forms",
     "parsed_pivot_status",
-    "parsed_distinct_on",
     # ---- 50-entry driver sample boundary ----
+    "parsed_distinct_on",
     "profile_orders",
     "ts_rolling_anomaly",
     "ts_sessionize",
@@ -4835,6 +4851,20 @@ SELECT b.bucket, count(o.o_orderkey) AS n
 FROM (SELECT range AS bucket FROM range(0, 10)) b
 LEFT JOIN orders o ON o.o_orderkey % 10 = b.bucket
 GROUP BY b.bucket
+""",
+    # insert-cascade replayed with NO merge machinery: the appended
+    # rows re-derived from nation with plain CASE arms and an
+    # anti-EXISTS, target passed through untouched
+    "parsed_merge_insert_arms": """
+SELECT r_regionkey, r_name FROM region
+UNION ALL
+SELECT CASE WHEN n_regionkey = 1 THEN n_nationkey + 100
+            ELSE n_nationkey END AS r_regionkey,
+       CASE WHEN n_regionkey = 0 THEN upper(n_name)
+            WHEN n_regionkey = 1 THEN lower(n_name)
+            ELSE 'OTHER' END AS r_name
+FROM nation
+WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_nationkey)
 """,
     # q5 replayed with lineitem pre-aggregated per (orderkey, suppkey)
     # BELOW the joins in DECIMAL (the q5ish house pattern), region/date

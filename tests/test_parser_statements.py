@@ -156,9 +156,10 @@ def test_merge_insert_only(spark, duck):
      "WHEN MATCHED AND s.o_totalprice > 0 THEN DELETE "
      "WHEN NOT MATCHED THEN INSERT (c_custkey) VALUES (s.o_custkey)",
      "column-list INSERT with UPDATE SET"),
+    # a second arm after an unconditioned one can never fire
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
      "WHEN NOT MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *",
-     "duplicate WHEN NOT MATCHED"),
+     "unreachable"),
     ("MERGE INTO customer t USING orders s ON t.c_custkey = s.o_custkey "
      "WHEN NOT MATCHED BY SOURCE THEN DELETE "
      "WHEN NOT MATCHED BY SOURCE THEN DELETE",
@@ -651,6 +652,90 @@ def test_merge_cascade_null_condition_falls_through(spark, duck):
                CASE WHEN c_custkey % 2 = 0 THEN 'TAKEN'
                     ELSE c_mktsegment END AS c_mktsegment
         FROM customer
+        """,
+    )
+
+
+def test_merge_cascade_insert_arms(spark, duck):
+    """Cascaded WHEN NOT MATCHED chains (the insert-side twin of
+    m_arms): first-match-wins per-column CASE over the anti-joined
+    source; a trailing unconditioned arm claims the remainder, and with
+    conditioned arms only, unclaimed source rows are NOT inserted."""
+    sql = (
+        "MERGE INTO region AS t USING ("
+        "SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk "
+        "FROM nation) AS s ON t.r_regionkey = s.k "
+        "WHEN NOT MATCHED AND s.rk = 0 "
+        "THEN INSERT (r_regionkey, r_name) VALUES (s.k, upper(s.nm)) "
+        "WHEN NOT MATCHED AND s.rk = 1 "
+        "THEN INSERT (r_regionkey, r_name) VALUES (s.k + 100, lower(s.nm)) "
+        "WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name) "
+        "VALUES (s.k, 'OTHER')"
+    )
+    _fixpoint(sql)
+    check(
+        spark, duck, parse_sql(sql).to_df(spark),
+        """
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL
+        SELECT CASE WHEN n_regionkey = 1 THEN n_nationkey + 100
+                    ELSE n_nationkey END AS r_regionkey,
+               CASE WHEN n_regionkey = 0 THEN upper(n_name)
+                    WHEN n_regionkey = 1 THEN lower(n_name)
+                    ELSE 'OTHER' END AS r_name
+        FROM nation
+        WHERE NOT EXISTS (SELECT 1 FROM region
+                          WHERE r_regionkey = n_nationkey)
+        """,
+    )
+    # conditioned arms only: the claim filter drops the rest
+    sql2 = (
+        "MERGE INTO region AS t USING ("
+        "SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk "
+        "FROM nation) AS s ON t.r_regionkey = s.k "
+        "WHEN NOT MATCHED AND s.rk = 2 "
+        "THEN INSERT (r_regionkey, r_name) VALUES (s.k, s.nm) "
+        "WHEN NOT MATCHED AND s.rk = 3 "
+        "THEN INSERT (r_regionkey, r_name) VALUES (s.k + 50, s.nm)"
+    )
+    _fixpoint(sql2)
+    check(
+        spark, duck, parse_sql(sql2).to_df(spark),
+        """
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL
+        SELECT CASE WHEN n_regionkey = 3 THEN n_nationkey + 50
+                    ELSE n_nationkey END AS r_regionkey,
+               n_name AS r_name
+        FROM nation
+        WHERE n_regionkey IN (2, 3)
+          AND NOT EXISTS (SELECT 1 FROM region
+                          WHERE r_regionkey = n_nationkey)
+        """,
+    )
+    # a NULL arm condition neither fires nor blocks later arms
+    sql3 = (
+        "MERGE INTO region AS t USING ("
+        "SELECT n_nationkey AS k, n_name AS nm, "
+        "CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS rk "
+        "FROM nation) AS s ON t.r_regionkey = s.k "
+        "WHEN NOT MATCHED AND s.rk < 2 "
+        "THEN INSERT (r_regionkey, r_name) VALUES (s.k, 'LOW') "
+        "WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name) "
+        "VALUES (s.k, 'REST')"
+    )
+    _fixpoint(sql3)
+    check(
+        spark, duck, parse_sql(sql3).to_df(spark),
+        """
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL
+        SELECT n_nationkey AS r_regionkey,
+               CASE WHEN n_regionkey <> 2 AND n_regionkey < 2 THEN 'LOW'
+                    ELSE 'REST' END AS r_name
+        FROM nation
+        WHERE NOT EXISTS (SELECT 1 FROM region
+                          WHERE r_regionkey = n_nationkey)
         """,
     )
 

@@ -937,6 +937,12 @@ def test_dml_statements_plan_shapes(spark, queries):
 
     cas = plan_text(queries["parsed_merge_multi_arm"](spark, SF_DIR))
     assert "Cartesian" not in cas
+
+    # the insert cascade is target-passthrough UNION one anti join
+    # (per-column CASEs are projection-side — no extra join per arm)
+    ica = plan_text(queries["parsed_merge_insert_arms"](spark, SF_DIR))
+    assert ica.count("Join type:") == 1 and "LeftAnti" in ica
+    assert "Cartesian" not in ica and "Union" in ica
     # formatted explain prints each operator in the tree AND as a
     # detail block — "Join type:" appears exactly once per join
     n_joins = cas.count("Join type:")
