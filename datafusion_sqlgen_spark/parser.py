@@ -1257,9 +1257,14 @@ class _Parser:
 
         # ---- assemble ----
         if base is None:
-            if where is not None or group_keys is not None:
-                raise ParseError("WHERE/GROUP BY require a FROM clause")
+            if group_keys is not None:
+                raise ParseError("GROUP BY requires a FROM clause")
             plan: Plan = EmptyRelation(tuple(projs))
+            if where is not None:
+                # SELECT <exprs> WHERE <pred> with no FROM: both engines
+                # filter the one-row relation (0 or 1 rows out) — the
+                # guard-row idiom (`SELECT 'x' WHERE EXISTS (...)`)
+                plan = plan.filter(where)
         else:
             plan = base
             if where is not None:
@@ -1401,6 +1406,15 @@ class _Parser:
     def parse_projection_list(self) -> list[Expr]:
         out = [self.parse_projection()]
         while self.eat_op(","):
+            # trailing comma before FROM / end-of-select (DuckDB
+            # convenience; harmless to accept, never rendered back).
+            # keyword-named functions (left(x, 2), right(x, 2)) stay
+            # projections — only a bare clause keyword terminates
+            t = self.peek()
+            if t.kind == "eof" or (t.kind == "ident"
+                                   and t.upper in _CLAUSE_KW
+                                   and self.peek(1).text != "("):
+                break
             out.append(self.parse_projection())
         return out
 

@@ -665,6 +665,39 @@ def test_interval_quoted_quantity(spark, duck):
             parse_sql(bad)
 
 
+def test_no_from_where(spark, duck):
+    """SELECT <exprs> WHERE <pred> with no FROM — both engines filter
+    the one-row relation (0 or 1 rows out): the guard-row idiom.
+    GROUP BY without FROM stays rejected."""
+    from tests.test_operators import check
+
+    p = parse_sql("SELECT 'seen' AS flag WHERE EXISTS "
+                  "(SELECT 1 FROM orders WHERE o_totalprice > 0)")
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+    rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    assert [tuple(r) for r in rows] == [("seen",)]
+    p2 = parse_sql("SELECT 1 AS x WHERE 1 = 2")
+    assert p2.to_df(spark).count() == 0
+    assert len(duck.execute(p2.to_sql("duckdb")).fetchall()) == 0
+    with pytest.raises(ParseError):
+        parse_sql("SELECT 1 AS x GROUP BY x")
+
+
+def test_trailing_comma_tolerated(pspark):
+    """A trailing comma before FROM / end-of-select parses (DuckDB
+    convenience) and never renders back; keyword-named functions
+    (left, right) still parse as projections after a comma."""
+    p = parse_sql("SELECT id, id * 2 AS d, FROM table1")
+    s1 = p.to_sql("spark")
+    assert s1 == "SELECT id, (id * 2) AS d FROM table1"
+    assert len(pspark.sql(s1).collect()) == 3
+    p2 = parse_sql("SELECT id, left('ab', 1) AS l FROM table1")
+    assert "left('ab', 1)" in p2.to_sql("spark")
+    with pytest.raises(ParseError):
+        parse_sql("SELECT id,, id FROM table1")
+
+
 def test_table_shorthand(pspark):
     p = parse_sql("TABLE table1")
     assert p.to_sql("spark") == "SELECT * FROM table1"
