@@ -242,6 +242,7 @@ HEADLINE = [
     "parsed_series_spine",
     "parsed_similar_to",
     "parsed_unnest_words",
+    "parsed_array_agg_ordered",
 ]
 
 

@@ -362,6 +362,22 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
             f"string_agg({a[0]}, {a[1]} ORDER BY {a[2] if len(a) > 2 else a[0]})"
         ),
     },
+    # ordered array aggregation: array_agg(value[, order_key]) — ALWAYS
+    # sorted (collect_list order is partition-dependent; a deterministic
+    # sort is the only dual-render-safe contract). Ties on the key break
+    # by the value on BOTH engines (Spark struct comparison is
+    # field-by-field; DuckDB gets the explicit second sort key).
+    "array_agg": {
+        "spark": lambda a: (
+            "transform(array_sort(collect_list(named_struct("
+            f"'o', {a[1] if len(a) > 1 else a[0]}, 'v', {a[0]}"
+            "))), s -> s.v)"
+        ),
+        "duckdb": lambda a: (
+            f"array_agg({a[0]} ORDER BY {a[1]}, {a[0]})" if len(a) > 1
+            else f"array_agg({a[0]} ORDER BY {a[0]})"
+        ),
+    },
     # exact interpolated percentile: Spark `percentile`, DuckDB `quantile_cont`
     "percentile_cont": {
         "spark": _plain("percentile"),
@@ -420,7 +436,7 @@ AGGREGATES = {
     "percentile_cont", "percentile_disc",
     "count_if", "mode", "bit_and", "bit_or", "bit_xor",
     "regr_slope", "regr_intercept", "regr_r2", "regr_count",
-    "regr_avgx", "regr_avgy", "string_agg",
+    "regr_avgx", "regr_avgy", "string_agg", "array_agg",
 }
 
 WINDOW_FUNCS = {
@@ -573,6 +589,14 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
             lambda s: s.getField("v"),
         ),
         sep,
+    ),
+    # ordered array_agg(value[, order_key]): the string_agg composition
+    # minus the join
+    "array_agg": lambda v, o=None: F.transform(
+        F.sort_array(
+            F.collect_list(F.struct((v if o is None else o).alias("o"), v.alias("v")))
+        ),
+        lambda s: s.getField("v"),
     ),
 }
 

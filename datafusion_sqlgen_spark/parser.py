@@ -188,6 +188,30 @@ class _Tok:
         return self.text.upper()
 
 
+def _rename_positionally(sub, columns):
+    """Re-alias a plan's top projection to ``columns`` (positional), or
+    None when the output list is not statically recoverable (stars,
+    non-projection tops). Used by non-recursive CTE column lists."""
+    from datafusion_sqlgen_spark.expressions.core import Alias, Star
+    from datafusion_sqlgen_spark.plans.core import EmptyRelation, Project
+
+    if not isinstance(sub, (Project, EmptyRelation)):
+        return None
+    exprs = sub.exprs
+    if len(exprs) != len(columns):
+        return None
+    out = []
+    for e, c in zip(exprs, columns):
+        if isinstance(e, Star):
+            return None
+        if isinstance(e, Alias):
+            e = e.operand
+        out.append(Alias(e, c))
+    if isinstance(sub, EmptyRelation):
+        return EmptyRelation(tuple(out))
+    return Project(sub.input, tuple(out))
+
+
 def _is_dummy_onerow(sub) -> bool:
     """True iff ``sub`` is the renderer's dummy one-row relation
     (``SELECT 1`` — EmptyRelation with no outputs, or the single
@@ -1060,12 +1084,23 @@ class _Parser:
                 name=name, columns=columns, base=sub.left, step=sub.right,
                 body=body,
             )
-        for _name, columns, _sub in ctes:
+        renamed_ctes = []
+        for name, columns, sub in ctes:
             if columns:
-                raise ParseError(
-                    "CTE column lists are only supported with RECURSIVE"
-                )
-        return With(tuple((n, p) for n, _c, p in ctes), body)
+                # non-recursive CTE column list: rename the body's
+                # projection positionally (both engines also accept
+                # t(cols) aliasing, but re-aliasing the projection keeps
+                # the IR closed under the existing nodes)
+                sub2 = _rename_positionally(sub, columns)
+                if sub2 is None:
+                    raise ParseError(
+                        f"CTE {name!r} column list needs a plain "
+                        "SELECT-projection body without * (alias the "
+                        "columns in the SELECT instead)"
+                    )
+                sub = sub2
+            renamed_ctes.append((name, sub))
+        return With(tuple(renamed_ctes), body)
 
     def parse_select(self) -> Plan:
         left = self.parse_select_core()
@@ -2329,6 +2364,13 @@ class _Parser:
                 if kw == "DATE":
                     return Lit(_dt.date.fromisoformat(s))
                 return Lit(_dt.datetime.fromisoformat(s))
+            if (kw in _TYPE_MAP and kw != "CHAR"
+                    and self.peek(1).kind == "string"):
+                # PG typed literal: INT '42', DOUBLE '1.5', BOOLEAN 't'
+                # — plain CAST (DATE/TIMESTAMP above stay real literals)
+                self.next()
+                s = _unquote(self.next().text)
+                return Cast(Lit(s), _TYPE_MAP[kw])
             # single-param lambda: x -> body
             if self.peek(1).kind == "op" and self.peek(1).text == "->":
                 param = self.ident()
@@ -2547,10 +2589,18 @@ class _Parser:
                 if ordered_by.to_sql() != args[0].to_sql():
                     args = args + [ordered_by]
                 lname = "string_agg"
+            elif lname in ("array_agg", "collect_list"):
+                # canonical IR form: array_agg(value, order_key) — the
+                # always-sorted contract (registry.py); ordering by the
+                # value itself stays 1-arg
+                args = args[:1]
+                if ordered_by.to_sql() != args[0].to_sql():
+                    args = args + [ordered_by]
+                lname = "array_agg"
             else:
                 raise ParseError(
                     f"ordered aggregation is only supported for "
-                    f"string_agg/listagg/percentile_cont/"
+                    f"array_agg/string_agg/listagg/percentile_cont/"
                     f"percentile_disc, got {lname!r}"
                 )
         filter_where = None

@@ -1440,6 +1440,18 @@ def _ir_workloads() -> dict[str, Plan]:
         "AND o_orderdate < DATE '1995-01-01' + INTERVAL '6 months' "
         "GROUP BY o_orderpriority"
     )
+    # round 10: ordered array_agg — the always-sorted contract
+    # (collect_list order is partition-dependent; both engines sort by
+    # (key, value) so ties cannot diverge)
+    # (array output stringified — the agg_collect driver-compare
+    # pattern: array cells don't hash in the value compare)
+    w["parsed_array_agg_ordered"] = parse_sql(
+        "SELECT o_orderstatus, "
+        "array_join(array_agg(CAST(o_orderkey AS STRING) "
+        "ORDER BY o_totalprice), ',') AS keys_by_price, "
+        "count(*) AS n "
+        "FROM orders WHERE o_orderkey < 200 GROUP BY o_orderstatus"
+    )
     # round 10: correlated UNNEST in FROM (the standard spelling of the
     # Explode node) — the word-frequency idiom over documents; explode
     # is a narrow per-row generate, so the only shuffle is the count
@@ -3404,6 +3416,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_series_spine",
     "parsed_similar_to",
     "parsed_unnest_words",
+    "parsed_array_agg_ordered",
     "tpch_q5",
     "parsed_update_where",
     "parsed_delete_where",
@@ -3447,8 +3460,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "ref_nested_slots",
     "parsed_qualify_using",
     "parsed_reader_forms",
-    "parsed_pivot_status",
     # ---- 50-entry driver sample boundary ----
+    "parsed_pivot_status",
     "parsed_distinct_on",
     "profile_orders",
     "ts_rolling_anomaly",
@@ -4851,6 +4864,17 @@ SELECT b.bucket, count(o.o_orderkey) AS n
 FROM (SELECT range AS bucket FROM range(0, 10)) b
 LEFT JOIN orders o ON o.o_orderkey % 10 = b.bucket
 GROUP BY b.bucket
+""",
+    # ordered array_agg replayed via DuckDB's list() (a different
+    # aggregate spelling) with the same (key, value) tie-break
+    "parsed_array_agg_ordered": """
+SELECT o_orderstatus,
+       array_to_string(list(CAST(o_orderkey AS VARCHAR)
+           ORDER BY o_totalprice, CAST(o_orderkey AS VARCHAR)), ',')
+           AS keys_by_price,
+       count(*) AS n
+FROM orders WHERE o_orderkey < 200
+GROUP BY o_orderstatus
 """,
     # insert-cascade replayed with NO merge machinery: the appended
     # rows re-derived from nation with plain CASE arms and an

@@ -665,6 +665,62 @@ def test_interval_quoted_quantity(spark, duck):
             parse_sql(bad)
 
 
+def test_array_agg_ordered(spark, duck):
+    """array_agg(v [ORDER BY k]) — ALWAYS sorted (collect_list order is
+    partition-dependent, so the deterministic sort is the only
+    dual-render-safe contract); ties on the key break by the value on
+    both engines. collect_list(v ORDER BY k) canonicalizes to it."""
+    from tests.test_operators import check
+
+    qs = [
+        "SELECT o_orderstatus, array_agg(o_orderkey ORDER BY o_totalprice)"
+        " AS a FROM orders WHERE o_orderkey < 50 GROUP BY o_orderstatus "
+        "ORDER BY o_orderstatus ASC NULLS FIRST",
+        "SELECT n_regionkey, array_agg(n_name) AS names FROM nation "
+        "GROUP BY n_regionkey ORDER BY n_regionkey ASC NULLS FIRST",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        s1 = p.to_sql("spark")
+        assert parse_sql(s1).to_sql("spark") == s1, q
+        rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+        assert len(rows) > 0, q
+    with pytest.raises(ParseError):
+        parse_sql("SELECT sum(o_totalprice ORDER BY o_orderkey) AS s "
+                  "FROM orders")
+
+
+def test_cte_column_list_nonrecursive(spark, duck):
+    """WITH a(x, y) AS (...) — positional rename of the CTE body's
+    projection (previously RECURSIVE-only); star bodies stay rejected
+    with an actionable message."""
+    from tests.test_operators import check
+
+    q = ("WITH a(k, nm) AS (SELECT n_nationkey, n_name FROM nation) "
+         "SELECT k, nm FROM a WHERE k < 3 ORDER BY k ASC NULLS FIRST")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+    rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    assert len(rows) == 3
+    with pytest.raises(ParseError):
+        parse_sql("WITH a(x) AS (SELECT * FROM nation) SELECT x FROM a")
+
+
+def test_typed_literals(spark, duck):
+    """PG typed literals (INT '42', DOUBLE '1.5', BOOLEAN 'true') parse
+    as plain CASTs; DATE/TIMESTAMP keep their real-literal reading."""
+    from tests.test_operators import check
+
+    q = ("SELECT INT '42' AS i, DOUBLE '1.5' AS d, BOOLEAN 'true' AS b, "
+         "BIGINT '9000000000' AS g, DATE '1997-01-01' AS dt")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+    rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    assert len(rows) == 1
+
+
 def test_no_from_where(spark, duck):
     """SELECT <exprs> WHERE <pred> with no FROM — both engines filter
     the one-row relation (0 or 1 rows out): the guard-row idiom.
