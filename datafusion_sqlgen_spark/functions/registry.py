@@ -371,7 +371,7 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": lambda a: (
             "transform(array_sort(collect_list(named_struct("
             f"'o', {a[1] if len(a) > 1 else a[0]}, 'v', {a[0]}"
-            "))), s -> s.v)"
+            "))), _el -> _el.v)"  # param name must not shadow a column
         ),
         "duckdb": lambda a: (
             f"array_agg({a[0]} ORDER BY {a[1]}, {a[0]})" if len(a) > 1

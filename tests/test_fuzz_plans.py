@@ -170,6 +170,70 @@ def _star_except(*cols):
     return Star(None, tuple(cols))
 
 
+def _ops_r10():
+    """Round-10 surface under arbitrary stacking: SIMILAR TO filters,
+    generate_series spine joins, ordered array_agg — each op restores
+    the (a, b, s) schema so chains compose."""
+    from datafusion_sqlgen_spark.expressions import agg, fn
+    from datafusion_sqlgen_spark.expressions.core import SimilarTo
+    from datafusion_sqlgen_spark.plans.core import GenerateSeries
+
+    series = GenerateSeries((0, 3), table_alias="g")
+    return st.one_of(
+        _ops_r3(),
+        # SIMILAR TO filter (shared compiled regex on both renders)
+        st.just(lambda p: p.filter(SimilarTo(col("s"), "s[0-2]"))),
+        st.just(
+            lambda p: p.filter(SimilarTo(col("s"), "s%", negated=True))
+        ),
+        # series spine equi join; schema restored by re-projection
+        st.just(
+            lambda p: p.join(
+                series, on=col("a") % 4 == col("generate_series"),
+                how="left",
+            ).select(col("a"), col("b"), col("s"))
+        ),
+        # ordered array_agg re-spread: group by s, keep one row per
+        # group with a deterministic (key, value)-sorted join string
+        st.just(
+            lambda p: p.group_by(col("s")).agg(
+                agg("min", col("a")).alias("a"),
+                agg("max", col("b")).alias("b"),
+                fn(
+                    "array_join",
+                    agg("array_agg", col("s"), col("a")),
+                    lit("_"),
+                ).alias("s"),
+            ).select(col("a"), col("b"), col("s"))
+        ),
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(chain=st.lists(_ops_r10(), min_size=1, max_size=4))
+def test_stacked_plans_r10_parse_roundtrip(plan_env, chain):
+    """The round-10 surface must survive arbitrary stacking exactly like
+    _ops_r3: render→parse→render fixpoint + identical DuckDB results."""
+    from datafusion_sqlgen_spark.parser import parse_sql
+
+    spark, con = plan_env
+    p = scan("fuzz_p")
+    for op in chain:
+        p = op(p)
+    sql = p.to_sql("spark")
+    rp = parse_sql(sql)
+    s2 = rp.to_sql("spark")
+    assert parse_sql(s2).to_sql("spark") == s2, f"not a fixpoint:\n{s2}"
+    orig = sorted((tuple(r) for r in con.execute(p.to_sql("duckdb")).fetchall()),
+                  key=_key)
+    back = sorted((tuple(r) for r in con.execute(rp.to_sql("duckdb")).fetchall()),
+                  key=_key)
+    assert orig == back, (
+        f"reparse changed results\nspark: {sql}\nduck orig: {p.to_sql('duckdb')}"
+        f"\nduck back: {rp.to_sql('duckdb')}"
+    )
+
+
 @settings(max_examples=60, deadline=None)
 @given(chain=st.lists(_ops_r3(), min_size=1, max_size=4))
 def test_stacked_plans_parse_roundtrip(plan_env, chain):
