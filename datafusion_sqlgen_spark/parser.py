@@ -2378,7 +2378,10 @@ class _Parser:
                 return Lambda((param,), self.parse_expr())
             name = self.ident()
             if self.at_op("("):
-                return self.parse_call(name)
+                # trailing struct-field access on a call result:
+                # named_struct('a', 1).a — same Field postfix the
+                # parenthesized-expression branch accepts
+                return self.parse_trailing_field(self.parse_call(name))
             if self.eat_op("."):
                 return Col(self.ident(), table=name)
             return Col(name)

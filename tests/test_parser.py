@@ -721,6 +721,20 @@ def test_typed_literals(spark, duck):
     assert len(rows) == 1
 
 
+def test_struct_field_on_call_result(spark, duck):
+    """Trailing .field on a function-call result (named_struct(...).a)
+    — the same Field postfix the parenthesized branch already takes."""
+    from tests.test_operators import check
+
+    q = ("SELECT named_struct('a', o_orderkey, 'b', o_totalprice).a AS k "
+         "FROM orders ORDER BY k ASC NULLS FIRST LIMIT 3")
+    p = parse_sql(q)
+    s1 = p.to_sql("spark")
+    assert parse_sql(s1).to_sql("spark") == s1
+    rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+    assert len(rows) == 3
+
+
 def test_no_from_where(spark, duck):
     """SELECT <exprs> WHERE <pred> with no FROM — both engines filter
     the one-row relation (0 or 1 rows out): the guard-row idiom.
