@@ -224,6 +224,7 @@ HEADLINE = [
     # BPE merge-rule training: 6 iterations of pair-count + argmax +
     # literal replace over the capped word-shape table
     "text_bpe_train",
+    "text_bpe_encode",
     # round 9-10 statement forms: conditional/cascaded MERGE arms (one
     # left join + CASE / filter), BY SOURCE full sync (one semi join),
     # column-list insert (anti-join append), and the single-table DML

@@ -2168,6 +2168,111 @@ def bpe_train_merges(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a trained merge table (:func:`bpe_train_merges` output):
+    tokenize every document's alphabetic words with the ranked merges
+    and return ``(doc_id, n_words, n_tokens)`` — the token-budget
+    accounting a packing/mixing stage consumes.
+
+    Scale shape: the merge table is tiny (one row per learned rule) and
+    collects once — the broadcast-rules pattern (k-means centroids,
+    classifier weights).  Tokenization runs over the DISTINCT word
+    vocabulary (zipfian corpora collapse ~100x here), all JVM-side
+    literal replaces — no Python UDF — then one vocab-keyed join back
+    and a doc-keyed aggregate.  Words outside the training cap still
+    tokenize (the rules simply apply less often) — encode never
+    requires the training vocabulary."""
+    rules = [(r["a"], r["b"]) for r in
+             merges.orderBy("rank").select("rank", "a", "b").collect()]
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+")
+        ).alias("w"),
+    ).where(F.col("w").rlike("^[a-z]+$"))
+
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.expr("regexp_extract_all(w, '.', 0)")),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    for a, b in rules:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        vocab = vocab.withColumn(
+            "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
+        )
+    tok = vocab.select(
+        "w", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_tok")
+    )
+    return (
+        words.join(tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_encode_oracle(
+    table: str = "documents",
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_words: int = 2000,
+) -> str:
+    """DuckDB twin: re-derives the merge rules with the train oracle's
+    unrolled chain, then applies them to the FULL distinct vocabulary
+    (not the training cap) with the same two-pass literal replace."""
+    train = bpe_train_merges_oracle(table, n_merges, text_col, top_words)
+    # reuse the train oracle's WITH chain; strip its final SELECT union
+    with_block = train[len("WITH "):train.index("\n    SELECT rank")]
+    parts = [with_block.rstrip().rstrip(",")]
+    parts.append(f"""allw AS (
+        SELECT {id_col}, w FROM (
+            SELECT {id_col}, unnest(string_split_regex(
+                lower(coalesce({text_col}, '')), '\\s+')) AS w
+            FROM {table}
+        ) WHERE regexp_matches(w, '^[a-z]+$')
+    )""")
+    parts.append("""e0 AS (
+        SELECT w,
+               ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+                   || ' ' AS seq
+        FROM (SELECT DISTINCT w FROM allw)
+    )""")
+    for r in range(1, n_merges + 1):
+        parts.append(f"""e{r} AS (
+        SELECT w,
+               replace(replace(seq,
+                   (SELECT ' ' || a || ' ' || b || ' ' FROM m{r}),
+                   (SELECT ' ' || a || b || ' ' FROM m{r})),
+                   (SELECT ' ' || a || ' ' || b || ' ' FROM m{r}),
+                   (SELECT ' ' || a || b || ' ' FROM m{r})) AS seq
+        FROM e{r - 1}
+    )""")
+    parts.append(f"""tok AS (
+        SELECT w, len(string_split(trim(seq), ' ')) AS n_tok
+        FROM e{n_merges}
+    )""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM allw JOIN tok USING (w)
+    GROUP BY {id_col}""")
+
+
 def bpe_train_merges_oracle(
     table: str = "documents",
     n_merges: int = 6,

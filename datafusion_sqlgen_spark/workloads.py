@@ -2988,6 +2988,15 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: text.bpe_train_merges(s.table("documents")),
             text.bpe_train_merges_oracle(),
         ),
+        # the serving half: apply the trained merges to the FULL vocab,
+        # per-doc token budgets (broadcast-rules + distinct-vocab join)
+        "text_bpe_encode": (
+            lambda s: text.bpe_encode(
+                s.table("documents"),
+                text.bpe_train_merges(s.table("documents")),
+            ),
+            text.bpe_encode_oracle(),
+        ),
         # ordered funnel: per-user earliest reach time per step, each
         # step constrained to follow the previous (one user-keyed agg)
         "ts_funnel_steps": (
@@ -3417,6 +3426,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_similar_to",
     "parsed_unnest_words",
     "parsed_array_agg_ordered",
+    "text_bpe_encode",
     "tpch_q5",
     "parsed_update_where",
     "parsed_delete_where",
@@ -3459,8 +3469,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # the rest queue for r11 — scripts/rotation_next.py overflow) ---
     "ref_nested_slots",
     "parsed_qualify_using",
-    "parsed_reader_forms",
     # ---- 50-entry driver sample boundary ----
+    "parsed_reader_forms",
     "parsed_pivot_status",
     "parsed_distinct_on",
     "profile_orders",

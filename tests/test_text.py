@@ -17,6 +17,41 @@ def test_bpe_train_merges_matches_oracle_and_is_deterministic(spark, duck):
     assert again == first
 
 
+def test_bpe_encode_matches_oracle_and_conserves_tokens(spark, duck):
+    """Round-10 serving half: per-doc token budgets match the DuckDB
+    twin (which re-derives the rules), every doc has n_tokens between
+    n_words (fully merged) and total chars (no merges applied), and
+    encoding with ZERO merges degenerates to character counts."""
+    from pyspark.sql import functions as F
+
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    docs = spark.table("documents")
+    merges = tx.bpe_train_merges(docs)
+    out = tx.bpe_encode(docs, merges)
+    rows = check(spark, duck, out, tx.bpe_encode_oracle())
+    assert len(rows) > 0
+    assert all(r[2] >= r[1] for r in rows)  # (doc_id, n_words, n_tokens)
+    # zero merges: every word tokenizes to its characters
+    none = tx.bpe_encode(docs, merges.limit(0))
+    chars = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                              r"\s+")).alias("w"),
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("w")).cast("bigint").alias("n_chars"))
+    )
+    j = none.join(chars, "doc_id").where(
+        F.col("n_tokens") != F.col("n_chars")
+    )
+    assert j.count() == 0
+
+
 def test_bpe_merges_compose(spark):
     """A later merge may build on an earlier one (multi-char symbols
     appear once pairs chain), and pair counts are non-increasing."""
