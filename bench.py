@@ -123,6 +123,7 @@ HEADLINE = [
     "sim_recall_at_k",
     "sink_sharded_write",
     "sim_kmeans_fit",
+    "sim_pca_component",
     "profile_key_skew",
     "sim_ivf_topk_trained",
     "parsed_pivot_status",

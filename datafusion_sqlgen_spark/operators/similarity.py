@@ -1634,6 +1634,135 @@ def pq_encode_oracle(
     return f"WITH {body}\n{union}"
 
 
+def pca_power_component(
+    corpus: DataFrame,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the dimensionality-reduction substrate (projection for
+    whitening/visualization/coarse bucketing) trained on-engine like
+    k-means: a fixed small iteration count, each iteration two keyed
+    aggregates, every intermediate snapped to ``decimals``
+    (:func:`_stable_round`) so float summation order cannot drift the
+    next step.  Output: ``(pos, weight)``, unit-normalized, sign fixed
+    so ``weight[0] >= 0``.
+
+    Scale shape per iteration: the centered (row, pos, value) table is
+    computed once and reused (persist point); ``dot`` is a row-keyed
+    sum of d terms, ``s`` a pos-keyed sum across rows (d groups —
+    map-side combine collapses it), the normalizer a 1-row aggregate
+    over d rows.  Nothing ever materializes d×d: the Gram matrix is
+    never formed.  Deterministic: uniform dyadic start (1/8 for d=64
+    — exactly representable), snapped intermediates, sign convention."""
+    x = corpus.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select("rid", "pos", F.col("val").cast("double").alias("val"))
+    mu = x.groupBy("pos").agg(
+        _stable_round(F.avg("val"), decimals).alias("mu")
+    )
+    cx = (
+        x.join(F.broadcast(mu), "pos")
+        .select("rid", "pos", (F.col("val") - F.col("mu")).alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    spark = corpus.sparkSession
+    max_pos = cx.agg(F.max("pos")).collect()[0][0]
+    if max_pos is None:  # empty corpus: no component to extract
+        return spark.createDataFrame([], "pos int, w double")
+    dim = max_pos + 1
+    v = spark.createDataFrame(
+        [(p, 1.0 / 8.0) for p in range(dim)], "pos int, w double"
+    )
+    for _ in range(n_iter):
+        dots = (
+            cx.join(F.broadcast(v), "pos")
+            .groupBy("rid")
+            .agg(_stable_round(F.sum(F.col("cv") * F.col("w")),
+                               decimals).alias("dot"))
+        )
+        s = (
+            cx.join(dots, "rid")
+            .groupBy("pos")
+            .agg(_stable_round(F.sum(F.col("cv") * F.col("dot")),
+                               decimals).alias("s"))
+        )
+        nrm = s.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
+        )
+        v = (
+            s.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                _stable_round(F.col("s") / F.col("nrm"), decimals)
+                .alias("w"),
+            )
+        )
+        # sign convention: weight at pos 0 is non-negative
+        w0 = v.crossJoin(
+            F.broadcast(v.filter(F.col("pos") == 0)
+                        .select(F.col("w").alias("w0")))
+        )
+        v = w0.select(
+            "pos",
+            F.when(F.col("w0") < 0, -F.col("w")).otherwise(F.col("w"))
+            .alias("w"),
+        ).localCheckpoint(eager=True)
+    return v.select(F.col("pos").cast("int").alias("pos"), "w")
+
+
+def pca_power_component_oracle(
+    table: str = "embeddings",
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> str:
+    """Iteration-unrolled DuckDB twin: identical snapped aggregates,
+    identical dyadic start, identical sign convention per iteration."""
+    r = lambda expr: _duck_round(expr, decimals)  # noqa: E731
+    parts = [f"""x AS (
+        SELECT {id_col} AS rid,
+               CAST(generate_subscripts(e, 1) - 1 AS INT) AS pos,
+               CAST(unnest(e) AS DOUBLE) AS val
+        FROM (SELECT {id_col}, {vec_col} AS e FROM {table})
+    )""",
+             f"""mu AS (SELECT pos, {r('avg(val)')} AS mu
+        FROM x GROUP BY pos)""",
+             """cx AS MATERIALIZED (
+        SELECT rid, x.pos, val - mu AS cv FROM x JOIN mu USING (pos)
+    )""",
+             "v0 AS (SELECT DISTINCT pos, 0.125 AS w FROM cx)"]
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        parts.append(f"""d{t} AS MATERIALIZED (
+        SELECT rid, {r('sum(cv * w)')} AS dot
+        FROM cx JOIN {prev} USING (pos) GROUP BY rid
+    )""")
+        parts.append(f"""s{t} AS MATERIALIZED (
+        SELECT pos, {r('sum(cv * dot)')} AS s
+        FROM cx JOIN d{t} USING (rid) GROUP BY pos
+    )""")
+        parts.append(f"""u{t} AS (
+        SELECT pos,
+               {r('s / (SELECT sqrt(sum(s * s)) FROM s' + str(t) + ')')}
+                   AS w
+        FROM s{t}
+    )""")
+        parts.append(f"""v{t} AS MATERIALIZED (
+        SELECT pos,
+               CASE WHEN (SELECT w FROM u{t} WHERE pos = 0) < 0
+                    THEN -w ELSE w END AS w
+        FROM u{t}
+    )""")
+        prev = f"v{t}"
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT CAST(pos AS INT) AS pos, w FROM v{n_iter}")
+
+
 def component_stats(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -2808,6 +2808,12 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: similarity.kmeans_fit(s.table("embeddings")),
             similarity.kmeans_fit_oracle(),
         ),
+        # top principal component by power iteration (round 10) — the
+        # dimensionality-reduction substrate; Gram matrix never forms
+        "sim_pca_component": (
+            lambda s: similarity.pca_power_component(s.table("embeddings")),
+            similarity.pca_power_component_oracle(),
+        ),
         # join-key skew diagnostic: heavy hitters + global skew ratio
         "profile_key_skew": (
             lambda s: profiling.key_skew(s.table("events"), "user_id"),
@@ -3427,6 +3433,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_unnest_words",
     "parsed_array_agg_ordered",
     "text_bpe_encode",
+    "sim_pca_component",
     "tpch_q5",
     "parsed_update_where",
     "parsed_delete_where",
@@ -3468,8 +3475,8 @@ _SAMPLE_PRIORITY: list[str] = [
     # --- last driver-sampled in ROUND 5, catalog order (14 of 71 fit;
     # the rest queue for r11 — scripts/rotation_next.py overflow) ---
     "ref_nested_slots",
-    "parsed_qualify_using",
     # ---- 50-entry driver sample boundary ----
+    "parsed_qualify_using",
     "parsed_reader_forms",
     "parsed_pivot_status",
     "parsed_distinct_on",

@@ -147,6 +147,10 @@ def test_kmeans_fit_on_empty(spark, empty_emb):
     assert similarity.kmeans_fit(empty_emb).count() == 0
 
 
+def test_pca_component_on_empty(spark, empty_emb):
+    assert similarity.pca_power_component(empty_emb).count() == 0
+
+
 def test_key_skew_on_empty(spark):
     from datafusion_sqlgen_spark.operators import profiling
 

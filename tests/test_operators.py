@@ -1405,3 +1405,38 @@ def test_ann_join_ranks_on_snapped_similarity(spark):
     # raw cosines differ (~1e-8) but both snap to 1.0 at 1e-6
     assert [r.neighbor_id for r in got] == [3, 9]
     assert [r.cos_sim for r in got] == [1.0, 1.0]
+
+
+def test_pca_power_component_properties(spark):
+    """Round-10 PCA power iteration: unit norm after the final snap,
+    sign convention (weight at pos 0 non-negative), bit-identical
+    re-run (no RNG), and variance along the learned direction beats
+    the uniform start direction — the thing power iteration maximizes.
+    Oracle equality is the sim_pca_component sweep row."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datafusion_sqlgen_spark.operators import similarity as sim
+
+    emb = spark.table("embeddings")
+    v = {r["pos"]: r["w"] for r in sim.pca_power_component(emb).collect()}
+    assert len(v) == 64
+    assert abs(math.sqrt(sum(w * w for w in v.values())) - 1.0) < 1e-4
+    assert v[0] >= 0
+    again = {r["pos"]: r["w"]
+             for r in sim.pca_power_component(emb).collect()}
+    assert again == v
+
+    def proj_variance(weights):
+        arr = F.array(*[F.lit(float(weights[i])) for i in range(64)])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), arr,
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return emb.select(dot.alias("p")).agg(
+            F.var_pop("p").alias("v")).collect()[0]["v"]
+
+    uniform = {i: 1.0 / 8.0 for i in range(64)}
+    assert proj_variance(v) > proj_variance(uniform)
