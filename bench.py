@@ -295,7 +295,20 @@ def main() -> None:
     # test hook: comma-separated subset of HEADLINE (contract tests run
     # one query at sf0.001 to check the stdout protocol end-to-end)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    if only:
+        wanted = set(only.split(","))
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            # fail BEFORE Spark warmup: a typo'd name would otherwise
+            # surface minutes later as statistics.median([]) on an
+            # empty run
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in HEADLINE: "
+                f"{sorted(unknown)}"
+            )
+        headline = [n for n in HEADLINE if n in wanted]
+    else:
+        headline = HEADLINE
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spreads: dict[str, float] = {}

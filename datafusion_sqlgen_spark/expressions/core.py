@@ -555,6 +555,7 @@ def similar_to_regex(pat: str) -> str:
     out: list[str] = []
     i, n = 0, len(pat)
     in_class = False
+    class_len = 0  # members seen since '[' (']' first is literal)
     while i < n:
         c = pat[i]
         if in_class:
@@ -564,9 +565,13 @@ def similar_to_regex(pat: str) -> str:
                     "portable across the dual render"
                 )
             out.append(c)
-            # first-position ] is literal per the standard ([]x] …)
-            if c == "]" and out[-2] != "[":
+            # first-position ] is literal per the standard ([]x] …);
+            # track the position, not out[-2] — a class whose first
+            # member is '[' (e.g. '[[]') would fool the lookback
+            if c == "]" and class_len > 0:
                 in_class = False
+            else:
+                class_len += 1
             i += 1
             continue
         if c in ("\\", "^", "$"):
@@ -582,6 +587,7 @@ def similar_to_regex(pat: str) -> str:
             out.append("[.]")
         elif c == "[":
             in_class = True
+            class_len = 0
             out.append(c)
         else:
             out.append(c)
@@ -610,14 +616,22 @@ class SimilarTo(Expr):
         rx = similar_to_regex(self.pattern)
         s = self.operand.to_sql(dialect)
         if dialect == SPARK:
-            e = f"({s} RLIKE {escape_str('^(?:' + rx + ')$')})"
+            # NOT anchored RLIKE: Java's '$' also matches before a
+            # trailing newline, so 'abc\n' RLIKE '^abc$' is TRUE while
+            # DuckDB's regexp_full_match is FALSE — requiring the
+            # extracted match to equal the whole string is a true
+            # entire-string test ('' on no match never equals a
+            # non-empty operand; NULL operand stays NULL)
+            e = (f"(regexp_extract({s}, "
+                 f"{escape_str('^(?:' + rx + ')$')}, 0) = {s})")
         else:
             e = f"regexp_full_match({s}, {escape_str(rx)})"
         return f"(NOT {e})" if self.negated else e
 
     def to_column(self) -> Column:
         rx = similar_to_regex(self.pattern)
-        c = self.operand.to_column().rlike(f"^(?:{rx})$")
+        op = self.operand.to_column()
+        c = F.regexp_extract(op, f"^(?:{rx})$", 0) == op
         return ~c if self.negated else c
 
 
@@ -1099,6 +1113,14 @@ class Exists(Expr):
 
 @dataclass(frozen=True, eq=False)
 class InSubquery(Expr):
+    """``e [NOT] IN (subquery)``.  Row-value operands are
+    predicate-context only by contract: Spark's own PROJECTED
+    multi-column IN degrades to existence semantics (ExistenceJoin is
+    not null-aware — (NULL, 'O') IN (...) projects FALSE where its
+    WHERE form gives UNKNOWN), so the DuckDB desugar follows the
+    standard/WHERE three-valued semantics, which Spark matches in every
+    filter/HAVING context."""
+
     operand: Expr
     subquery: Any  # plans.Plan
     negated: bool = False
@@ -1106,19 +1128,37 @@ class InSubquery(Expr):
     def to_sql(self, dialect: str = SPARK) -> str:
         kw = "NOT IN" if self.negated else "IN"
         if isinstance(self.operand, RowExpr) and dialect == DUCKDB:
-            # DuckDB binds (a, b) as ONE struct and wants the subquery
-            # to return one struct column; Spark takes the bare
-            # multi-column form.  Wrap the subquery's outputs into a
-            # row via a derived column-alias list.
+            # DuckDB has no multi-column IN (subquery), and wrapping
+            # both sides into structs is NOT equivalent: struct
+            # equality treats NULL as a value, while the standard (and
+            # Spark) give three-valued IN — (NULL, 'O') NOT IN (...)
+            # must be UNKNOWN, not TRUE.  Desugar to the standard's
+            # definition as a correlated scalar aggregate:
+            # 2 = some row matches (TRUE), 1 = no match but some
+            # comparison UNKNOWN (NULL), else/empty = FALSE.
             cols = ", ".join(
                 f"__rv{i + 1}" for i in range(len(self.operand.exprs))
             )
-            inner = (
-                f"SELECT ({cols}) FROM "
-                f"({self.subquery.to_sql(dialect)}) AS __rv({cols})"
+            eq = " AND ".join(
+                f"(__rv{i + 1} = {e.to_sql(dialect)})"
+                for i, e in enumerate(self.operand.exprs)
             )
-            return f"({self.operand.to_sql(dialect)} {kw} ({inner}))"
-        return f"({self.operand.to_sql(dialect)} {kw} ({self.subquery.to_sql(dialect)}))"
+            verdict = (
+                f"(SELECT coalesce(max(CASE WHEN ({eq}) THEN 2 "
+                f"WHEN ({eq}) IS NULL THEN 1 ELSE 0 END), 0) "
+                f"FROM ({self.subquery.to_sql(dialect)}) AS __rv({cols}))"
+            )
+            base = (f"(CASE {verdict} WHEN 2 THEN TRUE "
+                    f"WHEN 1 THEN NULL ELSE FALSE END)")
+            return f"(NOT {base})" if self.negated else base
+        if isinstance(self.operand, RowExpr):
+            # render the tuple inline — bare RowExpr.to_sql raises (the
+            # IN operand is its only supported rendering context)
+            op = ("(" + ", ".join(e.to_sql(dialect)
+                                  for e in self.operand.exprs) + ")")
+        else:
+            op = self.operand.to_sql(dialect)
+        return f"({op} {kw} ({self.subquery.to_sql(dialect)}))"
 
     def to_column(self) -> Column:
         raise NotImplementedError(
@@ -1138,7 +1178,16 @@ class RowExpr(Expr):
     exprs: tuple
 
     def to_sql(self, dialect: str = SPARK) -> str:
-        return "(" + ", ".join(e.to_sql(dialect) for e in self.exprs) + ")"
+        # a bare row value in a projection / GROUP BY / ORDER BY would
+        # render verbatim — Spark has no standalone row-value type
+        # (analysis error) and DuckDB would silently build a struct, so
+        # the render is rejected loudly instead (InSubquery renders its
+        # operand tuple inline; comparisons desugar at parse time)
+        raise ValueError(
+            "row-value constructor is only supported as an IN "
+            "(subquery/list) operand or in a row comparison; project "
+            "the columns separately or build a struct() explicitly"
+        )
 
     def to_column(self) -> Column:
         raise NotImplementedError(

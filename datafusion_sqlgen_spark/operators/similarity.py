@@ -1656,7 +1656,15 @@ def pca_power_component(
     map-side combine collapses it), the normalizer a 1-row aggregate
     over d rows.  Nothing ever materializes d×d: the Gram matrix is
     never formed.  Deterministic: uniform dyadic start (1/8 for d=64
-    — exactly representable), snapped intermediates, sign convention."""
+    — exactly representable), snapped intermediates, sign convention.
+
+    Residual risk class, accepted as with k-means: the snap aligns
+    engines unless a cross-row SUM lands within ~1 ULP of a 1e-6 floor
+    boundary (cosine paths were migrated to bit-exact per-ROW folds,
+    but cross-row aggregation order is not foldable).  Magnitudes here
+    leave margin — the summed terms are O(1..10) over ≤1e5 rows, so
+    accumulated error (~1e-8 absolute) is ~1% of a snap cell — and the
+    dual-scale sweeps are the standing detector for this class."""
     x = corpus.select(
         F.col(id_col).alias("rid"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),

@@ -188,6 +188,22 @@ class _Tok:
         return self.text.upper()
 
 
+def _reject_backslash(s: str, what: str) -> None:
+    """Backslashes are unrenderable in pattern literals: Spark's SQL
+    lexer consumes them inside string literals while DuckDB keeps them
+    raw, so a rendered `'\\%'` means different patterns per engine (or
+    an unterminated literal for ESCAPE '\\').  Same rule
+    similar_to_regex enforces — reject loudly with the portable
+    alternative."""
+    if "\\" in s:
+        raise ParseError(
+            f"backslash in {what} is not portable across the dual "
+            "render (Spark literals consume it, DuckDB keeps it raw); "
+            "use a different escape character or a character class "
+            "(e.g. [0-9] for \\d, [.] for \\.)"
+        )
+
+
 def _rename_positionally(sub, columns):
     """Re-alias a plan's top projection to ``columns`` (positional), or
     None when the output list is not statically recoverable (stars,
@@ -1024,22 +1040,16 @@ class _Parser:
                     "has a different arity"
                 )
             renamed: Plan = Values(src.rows, tuple(cols))
-        elif isinstance(src, Project) and len(src.exprs) == len(cols) \
-                and not any(isinstance(e, Star) for e in src.exprs):
-            renamed = Project(
-                src.input,
-                tuple(
-                    Alias(e.operand if isinstance(e, Alias) else e, c)
-                    for e, c in zip(src.exprs, cols)
-                ),
-            )
         else:
-            raise ParseError(
-                "column-list INSERT needs a positionally renamable "
-                "source (VALUES rows or a plain SELECT list without *) "
-                f"with exactly {len(cols)} output columns; alias the "
-                "columns in the SELECT itself otherwise"
-            )
+            # same positional-rename contract as CTE column lists
+            renamed = _rename_positionally(src, tuple(cols))
+            if renamed is None:
+                raise ParseError(
+                    "column-list INSERT needs a positionally renamable "
+                    "source (VALUES rows or a plain SELECT list without "
+                    f"*) with exactly {len(cols)} output columns; alias "
+                    "the columns in the SELECT itself otherwise"
+                )
         base = target.select(*[Col(c, t_name) for c in cols])
         return SetOp(base, renamed, "union_all")
 
@@ -1443,12 +1453,15 @@ class _Parser:
         while self.eat_op(","):
             # trailing comma before FROM / end-of-select (DuckDB
             # convenience; harmless to accept, never rendered back).
-            # keyword-named functions (left(x, 2), right(x, 2)) stay
-            # projections — only a bare clause keyword terminates
+            # ONLY the keyword-named functions (left/right) keep their
+            # call reading before '(' — exempting every clause keyword
+            # would misread `, FROM (subquery)` as a FROM(...) call
             t = self.peek()
-            if t.kind == "eof" or (t.kind == "ident"
-                                   and t.upper in _CLAUSE_KW
-                                   and self.peek(1).text != "("):
+            if t.kind == "eof" or (
+                t.kind == "ident" and t.upper in _CLAUSE_KW
+                and not (t.upper in ("LEFT", "RIGHT")
+                         and self.peek(1).text == "(")
+            ):
                 break
             out.append(self.parse_projection())
         return out
@@ -1531,6 +1544,26 @@ class _Parser:
                 raise ParseError(
                     "generate_series takes (start, stop[, step])"
                 )
+            lits = [a.value if isinstance(a, Lit) else None for a in args]
+            if all(isinstance(v, int) for v in lits[:2]):
+                # literal bounds: enforce the ascending-by-default
+                # contract loudly — Spark's sequence() auto-descends
+                # while DuckDB raises 'start is bigger than end'
+                step = lits[2] if len(lits) > 2 else 1
+                if step == 0:
+                    raise ParseError("generate_series step must not be 0")
+                if isinstance(step, int):
+                    if step > 0 and lits[0] > lits[1]:
+                        raise ParseError(
+                            "generate_series(start > stop) needs an "
+                            "explicit negative step (Spark would "
+                            "auto-descend; DuckDB errors)"
+                        )
+                    if step < 0 and lits[0] < lits[1]:
+                        raise ParseError(
+                            "generate_series with a negative step "
+                            "needs start >= stop"
+                        )
             alias = None
             if self.eat_kw("AS"):
                 alias = self.ident()
@@ -2163,7 +2196,9 @@ class _Parser:
             pat = self.next()
             if pat.kind != "string":
                 raise ParseError("RLIKE pattern must be a string literal")
-            return RLike(lhs, _unquote(pat.text), negated=negated)
+            p = _unquote(pat.text)
+            _reject_backslash(p, "RLIKE pattern")
+            return RLike(lhs, p, negated=negated)
         elif self.eat_kw("SIMILAR"):
             from datafusion_sqlgen_spark.expressions.core import (
                 SimilarTo,
@@ -2187,6 +2222,8 @@ class _Parser:
         pat = self.next()
         if pat.kind != "string":
             raise ParseError("LIKE pattern must be a string literal")
+        p = _unquote(pat.text)
+        _reject_backslash(p, "LIKE pattern")
         esc = None
         if self.eat_kw("ESCAPE"):
             et = self.next()
@@ -2195,7 +2232,8 @@ class _Parser:
                     "ESCAPE takes a single-character string literal"
                 )
             esc = _unquote(et.text)
-        return Like(lhs, _unquote(pat.text), negated=negated,
+            _reject_backslash(esc, "ESCAPE character")
+        return Like(lhs, p, negated=negated,
                     case_insensitive=ci, escape=esc)
 
     def _unnest_alias(self) -> str:

@@ -1094,8 +1094,11 @@ class GenerateSeries(Plan):
     generate_series)`` — a zero-input lateral generate, no shuffle.
 
     Reversed bounds need an explicit negative ``step``: without one
-    DuckDB returns empty while Spark's ``sequence`` auto-descends, so
-    the portable contract is ascending-by-default only."""
+    DuckDB raises ('start is bigger than end') while Spark's
+    ``sequence`` auto-descends, so the portable contract is
+    ascending-by-default only — the parser rejects contradictory
+    LITERAL bounds/steps loudly; runtime-computed bounds stay the
+    caller's contract."""
 
     args: tuple  # (start, stop[, step]) Exprs/literals
     table_alias: Optional[str] = None  # FROM generate_series(...) AS g

@@ -721,6 +721,49 @@ def test_typed_literals(spark, duck):
     assert len(rows) == 1
 
 
+def test_row_value_in_three_valued_on_null_keys(spark, duck):
+    """Row-value [NOT] IN (subquery) with NULL keys: the DuckDB render
+    must NOT be struct equality (NULL-as-value — (NULL,'O') NOT IN ...
+    would keep the row) but the standard's three-valued CASE-aggregate
+    desugar, matching Spark's WHERE-context semantics. Projected
+    multi-column IN is NOT contract-covered: Spark's own ExistenceJoin
+    degrades it to existence semantics (see InSubquery docstring)."""
+    spark.createDataFrame(
+        [(1, "O"), (2, "F"), (None, "O"), (3, None)], "a int, b string"
+    ).createOrReplaceTempView("rv_o")
+    spark.createDataFrame(
+        [(1, "O"), (3, "O"), (None, "F"), (None, "O")], "x int, y string"
+    ).createOrReplaceTempView("rv_t")
+    duck.execute("CREATE OR REPLACE TABLE rv_o(a INT, b VARCHAR)")
+    duck.execute("INSERT INTO rv_o VALUES (1,'O'),(2,'F'),(NULL,'O'),"
+                 "(3,NULL)")
+    duck.execute("CREATE OR REPLACE TABLE rv_t(x INT, y VARCHAR)")
+    duck.execute("INSERT INTO rv_t VALUES (1,'O'),(3,'O'),(NULL,'F'),"
+                 "(NULL,'O')")
+    qs = [
+        "SELECT a, b FROM rv_o WHERE (a, b) IN (SELECT x, y FROM rv_t)",
+        # the struct-wrap bug: this kept (NULL,'O') and (3,NULL) on
+        # DuckDB while Spark dropped them (UNKNOWN)
+        "SELECT a, b FROM rv_o WHERE (a, b) NOT IN "
+        "(SELECT x, y FROM rv_t)",
+        "SELECT a, b FROM rv_o WHERE (a, b) IN "
+        "(SELECT x, y FROM rv_t WHERE 1 = 0)",
+        "SELECT a, b FROM rv_o WHERE (a, b) NOT IN "
+        "(SELECT x, y FROM rv_t WHERE 1 = 0)",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        s = sorted(tuple(map(str, r))
+                   for r in spark.sql(p.to_sql("spark")).collect())
+        d = sorted(tuple(map(str, r))
+                   for r in duck.execute(p.to_sql("duckdb")).fetchall())
+        assert s == d, (q, s, d)
+    assert sorted(
+        tuple(map(str, r)) for r in duck.execute(
+            parse_sql(qs[1]).to_sql("duckdb")).fetchall()
+    ) == []
+
+
 def test_struct_field_on_call_result(spark, duck):
     """Trailing .field on a function-call result (named_struct(...).a)
     — the same Field postfix the parenthesized branch already takes."""
