@@ -46,6 +46,7 @@ HEADLINE = [
     "join_salted_skew",
     "win_rank_topn",
     "win_running_sum",
+    "parsed_win_exclude_current",
     "setop_union_all",
     "events_hourly_rollup",
     "dedup_exact",

@@ -938,6 +938,12 @@ class WindowSpec:
     order_by: tuple = ()
     rows_between: Optional[tuple] = None  # (start, end): int | "unbounded"
     range_between: Optional[tuple] = None
+    # frame exclusion (SQL standard): only CURRENT ROW is supported —
+    # WindowExpr desugars sum/count/avg to frame_agg minus the current
+    # row's contribution ON BOTH DIALECTS (DuckDB's native EXCLUDE
+    # re-sums the surviving frame, which differs at the ULP for
+    # doubles; min/max are not decomposable and are rejected at parse)
+    exclude_current: bool = False
 
     def _frame_sql(self) -> str:
         frame = self.rows_between or self.range_between
@@ -1001,10 +1007,61 @@ class WindowExpr(Expr):
     func: Func
     spec: WindowSpec
 
+    def _exclude_parts(self):
+        """Validate the EXCLUDE CURRENT ROW desugar inputs and return
+        (fn_name, value_expr|None, spec_without_exclude)."""
+        import dataclasses
+
+        name = self.func.name.lower()
+        if name not in ("sum", "count", "avg") or self.func.distinct \
+                or self.func.filter_where is not None:
+            raise ValueError(
+                "EXCLUDE CURRENT ROW is supported for plain sum/count/"
+                f"avg windows only (got {self.func.name!r}) — min/max "
+                "are not decomposable into frame minus current row"
+            )
+        arg = self.func.args[0] if self.func.args else None  # count(*)
+        return name, arg, dataclasses.replace(self.spec,
+                                              exclude_current=False)
+
     def to_sql(self, dialect: str = SPARK) -> str:
+        if self.spec.exclude_current:
+            # desugar on BOTH dialects: DuckDB's native EXCLUDE sums
+            # the surviving frame directly, which differs from
+            # frame_sum - v at the ULP for doubles — identical
+            # arithmetic on both sides is the hash-stable contract
+            # (plain window sums already agree engine-to-engine)
+            name, arg, spec0 = self._exclude_parts()
+            w = spec0.to_sql(dialect)
+            if arg is None:  # count(*)
+                return f"(count(*) OVER {w} - 1)"
+            v = arg.to_sql(dialect)
+            # parenthesized operand: the canonical form reparse emits
+            cnt = (f"(count({v}) OVER {w} - "
+                   f"CAST(({v} IS NOT NULL) AS INT))")
+            if name == "count":
+                return cnt
+            ssum = f"(sum({v}) OVER {w} - coalesce({v}, 0))"
+            if name == "sum":
+                return ssum
+            return f"({ssum} / nullif({cnt}, 0))"
         return f"{self.func.to_sql(dialect)} OVER {self.spec.to_sql(dialect)}"
 
     def to_column(self) -> Column:
+        if self.spec.exclude_current:
+            name, arg, spec0 = self._exclude_parts()
+            w = spec0.to_window()
+            if arg is None:
+                return F.count(F.lit(1)).over(w) - F.lit(1)
+            v = arg.to_column()
+            cnt = (F.count(v).over(w)
+                   - v.isNotNull().cast("int"))
+            if name == "count":
+                return cnt
+            ssum = F.sum(v).over(w) - F.coalesce(v, F.lit(0))
+            if name == "sum":
+                return ssum
+            return ssum / F.nullif(cnt, F.lit(0))
         return self.func.to_column().over(self.spec.to_window())
 
     def default_name(self) -> str:

@@ -2666,9 +2666,21 @@ class _Parser:
                         f"unknown named window {t.text!r} at offset {t.pos}"
                     )
                 self.next()
-                return WindowExpr(fn, spec)
-            return WindowExpr(fn, self.parse_window_spec())
+                return self._window_expr(fn, spec)
+            return self._window_expr(fn, self.parse_window_spec())
         return fn
+
+    def _window_expr(self, fn: Func, spec) -> WindowExpr:
+        if spec.exclude_current:
+            # surface the render-time contract at parse time, where the
+            # function name is known
+            if (fn.name.lower() not in ("sum", "count", "avg")
+                    or fn.distinct or fn.filter_where is not None):
+                raise ParseError(
+                    "EXCLUDE CURRENT ROW is supported for plain "
+                    f"sum/count/avg windows only, got {fn.name!r}"
+                )
+        return WindowExpr(fn, spec)
 
     def _prescan_window_clause(self) -> dict:
         """Token-level lookahead for this core's ``WINDOW name AS (...)``
@@ -2745,9 +2757,26 @@ class _Parser:
                 rows_between = (lo, hi)
             else:
                 range_between = (lo, hi)
+        exclude_current = False
+        if self.eat_kw("EXCLUDE"):
+            # SQL-standard frame exclusion: CURRENT ROW desugars
+            # (sum/count/avg only — validated at render, where the
+            # function is known); NO OTHERS is the default; GROUP and
+            # TIES need peer bookkeeping neither desugar covers
+            if self.eat_kw("CURRENT"):
+                self.expect_kw("ROW")
+                exclude_current = True
+            elif self.eat_kw("NO"):
+                self.expect_kw("OTHERS")
+            else:
+                raise ParseError(
+                    "only EXCLUDE CURRENT ROW / EXCLUDE NO OTHERS are "
+                    "supported (GROUP/TIES need peer bookkeeping)"
+                )
         self.expect_op(")")
         return WindowSpec(
-            tuple(partition_by), tuple(order_by), rows_between, range_between
+            tuple(partition_by), tuple(order_by), rows_between,
+            range_between, exclude_current=exclude_current,
         )
 
     def parse_frame_bound(self):

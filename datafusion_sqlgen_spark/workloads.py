@@ -1452,6 +1452,19 @@ def _ir_workloads() -> dict[str, Plan]:
         "count(*) AS n "
         "FROM orders WHERE o_orderkey < 200 GROUP BY o_orderstatus"
     )
+    # round 10: frame EXCLUDE CURRENT ROW — desugared to frame_agg
+    # minus the current row on BOTH renders (exact integer arithmetic
+    # here, so the hand oracle can use DuckDB's NATIVE exclusion)
+    w["parsed_win_exclude_current"] = parse_sql(
+        "SELECT o_orderkey, "
+        "CAST(sum(o_custkey) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING "
+        "EXCLUDE CURRENT ROW) AS BIGINT) AS s, "
+        "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) "
+        "AS c "
+        "FROM orders WHERE o_orderkey < 3000"
+    )
     # round 10: correlated UNNEST in FROM (the standard spelling of the
     # Explode node) — the word-frequency idiom over documents; explode
     # is a narrow per-row generate, so the only shuffle is the count
@@ -3432,6 +3445,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_similar_to",
     "parsed_unnest_words",
     "parsed_array_agg_ordered",
+    "parsed_win_exclude_current",
     "text_bpe_encode",
     "sim_pca_component",
     "tpch_q5",
@@ -3474,8 +3488,8 @@ _SAMPLE_PRIORITY: list[str] = [
     "join_range_bucketed",
     # --- last driver-sampled in ROUND 5, catalog order (14 of 71 fit;
     # the rest queue for r11 — scripts/rotation_next.py overflow) ---
-    "ref_nested_slots",
     # ---- 50-entry driver sample boundary ----
+    "ref_nested_slots",
     "parsed_qualify_using",
     "parsed_reader_forms",
     "parsed_pivot_status",
@@ -4881,6 +4895,17 @@ SELECT b.bucket, count(o.o_orderkey) AS n
 FROM (SELECT range AS bucket FROM range(0, 10)) b
 LEFT JOIN orders o ON o.o_orderkey % 10 = b.bucket
 GROUP BY b.bucket
+""",
+    # EXCLUDE CURRENT ROW replayed via DuckDB's NATIVE frame exclusion
+    # — exact integer sums, so native-vs-desugar cannot ULP-diverge
+    "parsed_win_exclude_current": """
+SELECT o_orderkey,
+       CAST(sum(o_custkey) OVER w AS BIGINT) AS s,
+       count(*) OVER w AS c
+FROM orders WHERE o_orderkey < 3000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+             EXCLUDE CURRENT ROW)
 """,
     # ordered array_agg replayed via DuckDB's list() (a different
     # aggregate spelling) with the same (key, value) tie-break

@@ -721,6 +721,69 @@ def test_typed_literals(spark, duck):
     assert len(rows) == 1
 
 
+def test_window_exclude_current_row(spark, duck):
+    """Frame EXCLUDE CURRENT ROW for sum/count/avg — desugared to
+    frame_agg minus the current row's contribution on BOTH dialects
+    (DuckDB's native EXCLUDE re-sums the surviving frame, ULP-different
+    for doubles); min/max and GROUP/TIES are rejected at parse."""
+    from tests.test_operators import check
+
+    qs = [
+        "SELECT o_orderkey, sum(o_totalprice) OVER (PARTITION BY "
+        "o_orderstatus ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND "
+        "3 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM orders "
+        "WHERE o_orderkey < 100 ORDER BY o_orderkey ASC NULLS FIRST",
+        "SELECT o_orderkey, avg(o_totalprice) OVER (ORDER BY o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) "
+        "AS a, count(*) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 "
+        "PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS c "
+        "FROM orders WHERE o_orderkey < 50 "
+        "ORDER BY o_orderkey ASC NULLS FIRST",
+        # default frame; EXCLUDE NO OTHERS is the no-op spelling
+        "SELECT o_orderkey, sum(o_totalprice) OVER (ORDER BY o_orderkey "
+        "EXCLUDE CURRENT ROW) AS s FROM orders WHERE o_orderkey < 30 "
+        "ORDER BY o_orderkey ASC NULLS FIRST",
+        "SELECT o_orderkey, sum(o_totalprice) OVER (ORDER BY o_orderkey "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) "
+        "AS s FROM orders WHERE o_orderkey < 30 "
+        "ORDER BY o_orderkey ASC NULLS FIRST",
+    ]
+    for q in qs:
+        p = parse_sql(q)
+        s1 = p.to_sql("spark")
+        assert parse_sql(s1).to_sql("spark") == s1, q
+        rows = check(spark, duck, p.to_df(spark), p.to_sql("duckdb"))
+        assert len(rows) > 0, q
+        a = [tuple(r) for r in p.to_df(spark).collect()]
+        b = [tuple(r) for r in spark.sql(s1).collect()]
+        assert a == b, q
+    # validated against DuckDB's NATIVE exclusion on exact integers
+    p = parse_sql(
+        "SELECT o_orderkey, sum(o_custkey) OVER (ORDER BY o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) "
+        "AS s FROM orders WHERE o_orderkey < 200 "
+        "ORDER BY o_orderkey ASC NULLS FIRST"
+    )
+    native = duck.execute(
+        "SELECT o_orderkey, sum(o_custkey) OVER (ORDER BY o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) "
+        "AS s FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"
+    ).fetchall()
+    ours = duck.execute(p.to_sql("duckdb")).fetchall()
+    assert [tuple(map(str, r)) for r in ours] == \
+        [tuple(map(str, r)) for r in native]
+    for bad in [
+        "SELECT max(o_totalprice) OVER (ORDER BY o_orderkey EXCLUDE "
+        "CURRENT ROW) AS m FROM orders",
+        "SELECT sum(o_totalprice) OVER (ORDER BY o_orderkey EXCLUDE "
+        "TIES) AS m FROM orders",
+        "SELECT sum(DISTINCT o_totalprice) OVER (ORDER BY o_orderkey "
+        "EXCLUDE CURRENT ROW) AS m FROM orders",
+    ]:
+        with pytest.raises(ParseError):
+            parse_sql(bad)
+
+
 def test_row_value_in_three_valued_on_null_keys(spark, duck):
     """Row-value [NOT] IN (subquery) with NULL keys: the DuckDB render
     must NOT be struct equality (NULL-as-value — (NULL,'O') NOT IN ...
