@@ -246,6 +246,22 @@ HEADLINE = [
     "parsed_similar_to",
     "parsed_unnest_words",
     "parsed_array_agg_ordered",
+    # round-10b surface: peer-group frame exclusion (two extra window
+    # passes over the same sort), NATURAL JOIN (equi-join after lazy
+    # shared-column resolution), ASOF desugar (decorrelated max agg +
+    # theta join — the SQL-surface twin of join_asof_events)
+    "parsed_win_exclude_group",
+    "parsed_natural_join",
+    "parsed_asof_join",
+    # window FILTER (CASE-desugared window pass), CREATE TEMP VIEW
+    # script (one With — CTE bindings), try_ scalars (zero-shuffle)
+    "parsed_win_filter",
+    "parsed_script_views",
+    "expr_try_funcs",
+    # triangle counting (3 degree-oriented equi joins + aggregate) and
+    # hard-negative mining (broadcast-query brute with label gate)
+    "graph_triangle_count",
+    "sim_hard_negatives",
 ]
 
 

@@ -938,12 +938,20 @@ class WindowSpec:
     order_by: tuple = ()
     rows_between: Optional[tuple] = None  # (start, end): int | "unbounded"
     range_between: Optional[tuple] = None
-    # frame exclusion (SQL standard): only CURRENT ROW is supported —
-    # WindowExpr desugars sum/count/avg to frame_agg minus the current
-    # row's contribution ON BOTH DIALECTS (DuckDB's native EXCLUDE
-    # re-sums the surviving frame, which differs at the ULP for
-    # doubles; min/max are not decomposable and are rejected at parse)
+    # frame exclusion (SQL standard): CURRENT ROW / GROUP / TIES —
+    # WindowExpr desugars sum/count/avg to frame_agg minus the excluded
+    # contribution ON BOTH DIALECTS (DuckDB's native EXCLUDE re-sums
+    # the surviving frame, which differs at the ULP for doubles;
+    # min/max are not decomposable and are rejected at parse).
+    # GROUP subtracts the whole ORDER-BY peer group (its aggregate is a
+    # second window partitioned by partition+order keys — null-safe
+    # grouping, exactly the standard's "not distinct" peer test); TIES
+    # adds the current row's own contribution back. Both require the
+    # peer group to lie inside the frame, which holds for the default
+    # frame and any RANGE frame spanning the current row (offset-0
+    # peers), and is rejected otherwise at parse.
     exclude_current: bool = False
+    exclude_peers: Optional[str] = None  # "group" | "ties"
 
     def _frame_sql(self) -> str:
         frame = self.rows_between or self.range_between
@@ -1022,9 +1030,84 @@ class WindowExpr(Expr):
             )
         arg = self.func.args[0] if self.func.args else None  # count(*)
         return name, arg, dataclasses.replace(self.spec,
-                                              exclude_current=False)
+                                              exclude_current=False,
+                                              exclude_peers=None)
+
+    def _peer_parts(self):
+        """Validate the EXCLUDE GROUP/TIES desugar inputs and return
+        (fn_name, value_expr|None, frame_spec, peer_spec). The peer
+        aggregate is a second window partitioned by partition+order
+        keys with no frame; that equals the ORDER-BY peer group only
+        when every peer is also in the frame — true for the default
+        frame and RANGE frames spanning the current row, rejected
+        otherwise."""
+        import dataclasses
+
+        name, arg, spec0 = self._exclude_parts()
+        s = spec0
+        if not s.order_by:
+            raise ValueError(
+                "EXCLUDE GROUP/TIES needs ORDER BY (without it every "
+                "partition row is a peer)"
+            )
+        if s.rows_between is not None:
+            raise ValueError(
+                "EXCLUDE GROUP/TIES with a ROWS frame is not "
+                "desugarable (peers can fall outside the frame); use a "
+                "RANGE frame spanning the current row"
+            )
+        if s.range_between is not None:
+            lo, hi = s.range_between
+            def covers(v, is_lo):
+                if v == "unbounded" or v is None:
+                    return True
+                if isinstance(v, FrameBound):
+                    return False  # interval bounds: SQL-path only, skip
+                return v <= 0 if is_lo else v >= 0
+            if not (covers(lo, True) and covers(hi, False)):
+                raise ValueError(
+                    "EXCLUDE GROUP/TIES needs a RANGE frame that spans "
+                    "the current row (start <= CURRENT ROW <= end)"
+                )
+        peer = dataclasses.replace(
+            s,
+            partition_by=s.partition_by
+            + tuple(k.operand for k in s.order_by),
+            order_by=(),
+            rows_between=None,
+            range_between=None,
+        )
+        return name, arg, s, peer
 
     def to_sql(self, dialect: str = SPARK) -> str:
+        if self.spec.exclude_peers:
+            # frame aggregate minus the ORDER-BY peer group's aggregate
+            # (a second window partitioned by partition+order keys);
+            # TIES adds the current row's own contribution back. Same
+            # identical-arithmetic-on-both-dialects contract as EXCLUDE
+            # CURRENT ROW below; the empty-after-exclusion sum is
+            # NULL-guarded by the surviving count (matching the
+            # standard, where DuckDB's native EXCLUDE returns NULL).
+            ties = self.spec.exclude_peers == "ties"
+            name, arg, s, peer = self._peer_parts()
+            w, pw = s.to_sql(dialect), peer.to_sql(dialect)
+            if arg is None:  # count(*)
+                base = f"(count(*) OVER {w} - count(*) OVER {pw})"
+                return f"({base} + 1)" if ties else base
+            v = arg.to_sql(dialect)
+            cnt = f"(count({v}) OVER {w} - count({v}) OVER {pw})"
+            if ties:
+                cnt = f"({cnt} + CAST(({v} IS NOT NULL) AS INT))"
+            if name == "count":
+                return cnt
+            ssum = (f"(sum({v}) OVER {w} - "
+                    f"coalesce(sum({v}) OVER {pw}, 0))")
+            if ties:
+                ssum = f"({ssum} + coalesce({v}, 0))"
+            if name == "sum":
+                return (f"(CASE WHEN ({cnt} = 0) THEN NULL "
+                        f"ELSE {ssum} END)")
+            return f"({ssum} / nullif({cnt}, 0))"
         if self.spec.exclude_current:
             # desugar on BOTH dialects: DuckDB's native EXCLUDE sums
             # the surviving frame directly, which differs from
@@ -1045,9 +1128,51 @@ class WindowExpr(Expr):
             if name == "sum":
                 return ssum
             return f"({ssum} / nullif({cnt}, 0))"
+        if self.func.filter_where is not None and dialect == SPARK:
+            # Spark rejects FILTER on window aggregates ("not supported
+            # yet", AnalysisException) though it accepts the clause on
+            # grouped aggregates — desugar to the exact CASE rewrite the
+            # Column path already uses (aggregates skip NULLs), so the
+            # dual render holds; DuckDB keeps the native clause
+            import dataclasses
+
+            fw = self.func.filter_where
+            name = canonical(self.func.name)
+            if name not in AGGREGATES:
+                raise ValueError(
+                    f"FILTER (WHERE ...) requires an aggregate, got {name!r}"
+                )
+            if self.func.args:
+                args = tuple(Case(((fw, a),)) for a in self.func.args)
+            else:  # count(*) FILTER (WHERE c)
+                args = (Case(((fw, Lit(1)),)),)
+            fn = dataclasses.replace(self.func, name=name, args=args,
+                                     filter_where=None)
+            return f"{fn.to_sql(dialect)} OVER {self.spec.to_sql(dialect)}"
         return f"{self.func.to_sql(dialect)} OVER {self.spec.to_sql(dialect)}"
 
     def to_column(self) -> Column:
+        if self.spec.exclude_peers:
+            ties = self.spec.exclude_peers == "ties"
+            name, arg, s, peer = self._peer_parts()
+            w, pw = s.to_window(), peer.to_window()
+            if arg is None:
+                base = (F.count(F.lit(1)).over(w)
+                        - F.count(F.lit(1)).over(pw))
+                return base + F.lit(1) if ties else base
+            v = arg.to_column()
+            cnt = F.count(v).over(w) - F.count(v).over(pw)
+            if ties:
+                cnt = cnt + v.isNotNull().cast("int")
+            if name == "count":
+                return cnt
+            ssum = (F.sum(v).over(w)
+                    - F.coalesce(F.sum(v).over(pw), F.lit(0)))
+            if ties:
+                ssum = ssum + F.coalesce(v, F.lit(0))
+            if name == "sum":
+                return F.when(cnt == 0, F.lit(None)).otherwise(ssum)
+            return ssum / F.nullif(cnt, F.lit(0))
         if self.spec.exclude_current:
             name, arg, spec0 = self._exclude_parts()
             w = spec0.to_window()

@@ -268,6 +268,20 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
         "spark": _plain("regexp_like"),
         "duckdb": _plain("regexp_matches"),
     },
+    # ANSI-mode error-safe variants (round 10b). Spark natives; DuckDB
+    # lacks the try_ family so the twins spell out the NULL-on-failure
+    # contract: try_divide is NULL exactly when the divisor is 0 (Spark
+    # always float-divides, so the DuckDB twin multiplies by 1.0);
+    # try_element_at is the out-of-range-NULL list index (DuckDB's
+    # subscript already never errors; 0 is NULL on both engines).
+    "try_divide": {
+        "spark": _plain("try_divide"),
+        "duckdb": lambda a: f"(({a[0]}) * 1.0 / nullif({a[1]}, 0))",
+    },
+    "try_element_at": {
+        "spark": _plain("try_element_at"),
+        "duckdb": lambda a: f"({a[0]})[{a[1]}]",
+    },
     # SQL-standard width_bucket; DuckDB 1.0 lacks it — CASE formula
     "width_bucket": {
         "spark": _plain("width_bucket"),
@@ -561,6 +575,8 @@ _COLUMN_OVERRIDES: dict[str, Callable[..., Column]] = {
     "printf": lambda *a: F.call_function("printf", *a),
     "regexp_like": lambda *a: F.call_function("regexp_like", *a),
     "width_bucket": lambda *a: F.call_function("width_bucket", *a),
+    "try_divide": lambda *a: F.try_divide(*a),
+    "try_element_at": lambda *a: F.try_element_at(*a),
     # DF-10 straggler audit (round 4): Column-side forms of the new names
     "trunc": lambda c: c.cast("bigint").cast("double"),
     "random": lambda: F.rand(),

@@ -243,3 +243,99 @@ def pagerank_oracle(
         ",\n".join(parts)
         + f"\nSELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM {prev}"
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected graph given as a
+    directed edge list (either or both directions may appear; loops and
+    duplicate edges are dropped first).
+
+    Clustering/triangle density is the classic near-dup-community
+    signal on a similarity graph: nodes whose neighborhoods close into
+    triangles sit inside tight duplicate clusters, while bridge nodes
+    (template boilerplate linking unrelated docs) do not.
+
+    Scale shape — degree-ordered orientation (the MapReduce triangle
+    algorithm of Cohen, "Graph Twiddling in a MapReduce World", 2009):
+    every undirected edge orients from its (degree, id)-smaller
+    endpoint to the larger, so each wedge center's out-degree is
+    O(sqrt(m)) REGARDLESS of raw-degree skew — a celebrity node of
+    degree 10^6 contributes no wedges at all unless its counterpart is
+    also high-degree.  The wedge join is then globally bounded by
+    m^1.5 and each triangle is generated exactly once (the orientation
+    is a total order, so a triangle's three vertices admit exactly one
+    increasing path u->v->w with a closing edge u->w).  Three equi
+    joins + one aggregate; no per-key quadratic blowup at 100 TB.
+
+    Output: ``(node, triangles)`` for every node in >= 1 triangle
+    (BIGINT counts — integer-exact, any engine).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = oriented.select(F.col("u"), F.col("v"))
+    e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = oriented.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    tris = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("tu")) & (F.col("w") == F.col("tw")))
+        .select("u", "v", "w")
+    )
+    nodes = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+
+
+def triangle_count_oracle(edges_cte: str) -> str:
+    """DuckDB twin with deliberately DIFFERENT machinery: canonical
+    a<b edges and a direct id-ordered triple join a<b<c (no degrees,
+    no orientation) — both formulations count each triangle exactly
+    once, so the per-node counts must agree."""
+    return f"""
+    WITH raw_edges AS ({edges_cte}),
+    e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw_edges WHERE src <> dst
+    ),
+    t AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    n AS (
+        SELECT x AS node FROM t
+        UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM n GROUP BY node
+    """

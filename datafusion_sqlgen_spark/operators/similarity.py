@@ -2115,3 +2115,93 @@ def ivf_pq_topk_oracle(
                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
         FROM rer
     ) WHERE rnk <= {k}"""
+
+
+def hard_negatives(
+    df: DataFrame,
+    every: int = 40,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each query vector, the ``k`` most-similar corpus vectors with a
+    DIFFERENT label.  The negatives that sit closest to the query in
+    embedding space are the ones a contrastive loss learns most from
+    (in-batch random negatives are mostly trivial); every major
+    dense-retriever recipe (DPR, ANCE, GTR) mines them this way.
+
+    This is the exact brute baseline (one broadcast of the
+    ``1/every``-sampled query side over a single corpus scan — the
+    :func:`cosine_topk` shape, plus the label-inequality gate in the
+    join condition so same-class pairs never materialize).  The scale
+    path is :func:`ann_join` + a label filter + per-query re-rank:
+    candidates from probed IVF cells only, with k over-provisioned to
+    survive the filter.
+
+    Determinism: cosine snapped to 1e-6 fixed point (``_stable_round``)
+    BEFORE the ranking window, ties by neighbor id — the ann_join
+    contract, so the DuckDB twin cannot rank-diverge at float
+    boundaries.
+    """
+    q = df.filter((F.col(id_col) % every) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = F.broadcast(q).join(c, F.col("qlabel") != F.col("neg_label"))
+    sim = _stable_round(
+        cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "neg_label", sim.alias("cos_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "neg_label",
+            _stable_round(F.col("cos_sim"), 4).alias("cos_sim"), "rnk",
+        )
+    )
+
+
+def hard_negatives_oracle(
+    table: str = "embeddings", every: int = 40, k: int = 3
+) -> str:
+    """DuckDB twin: the identical snapped-fold arithmetic (bit-exact
+    cosine via :func:`_duck_cos`, 1e-6 snap before the window)."""
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+        FROM {table} WHERE vec_id % {every} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               c.label AS neg_label,
+               floor({_duck_cos('q.qvec::DOUBLE[]', 'c.embedding::DOUBLE[]')}
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM q JOIN {table} c ON c.label <> q.qlabel
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, neg_label, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label,
+           floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {k}
+    """

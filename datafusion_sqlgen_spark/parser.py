@@ -47,6 +47,16 @@ map columns. Without either signal the array reading stands.
 Array indexing follows the REFERENCE's semantics: ``a[1]`` is the first
 element (tests/select.rs:276), parsed to ``Index`` (1-based element_at on
 the Spark side) — NOT Spark SQL's 0-based ``[]``.
+
+Round 10b widens the join/window/statement surface: NATURAL
+[INNER|LEFT|RIGHT|FULL] JOIN (shared columns resolved at execution),
+ASOF JOIN (DuckDB dialect, desugared to inner join + correlated-max —
+see ``_parse_asof_join``), window frame EXCLUDE GROUP / TIES (peer
+aggregate subtraction) alongside EXCLUDE CURRENT ROW, FILTER (WHERE …)
+on window aggregates (Spark render desugars to CASE; Spark rejects the
+clause on windows), multi-statement ``CREATE TEMP VIEW …;`` scripts
+(desugared to ONE ``With``), and the error-safe ``try_divide`` /
+``try_element_at`` scalars.
 """
 
 from __future__ import annotations
@@ -95,6 +105,7 @@ from datafusion_sqlgen_spark.plans.core import (
     Plan,
     Project,
     RecursiveWith,
+    Scan,
     SetOp,
     SubqueryAlias,
     Unpivot,
@@ -300,7 +311,7 @@ _CLAUSE_KW = {
     "BETWEEN", "LIKE", "ILIKE", "RLIKE", "SIMILAR", "ASC", "DESC",
     "NULLS", "THEN",
     "WHEN", "ELSE", "END", "BY", "DISTINCT", "ALL", "SEMI", "ANTI",
-    "USING", "WINDOW", "QUALIFY", "FETCH", "LATERAL",
+    "USING", "WINDOW", "QUALIFY", "FETCH", "LATERAL", "NATURAL", "ASOF",
 }
 
 _TYPE_MAP = {
@@ -332,6 +343,8 @@ class _Parser:
         # named WINDOW clause specs of the SELECT core currently being
         # parsed (a stack entry per nested core; see parse_select_core)
         self._named_windows: dict[str, WindowSpec] = {}
+        # per-statement counter for ASOF JOIN desugar subquery aliases
+        self._asof_n = 0
 
     # ---- token helpers ---------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -384,6 +397,9 @@ class _Parser:
 
     # ---- statement -------------------------------------------------------
     def parse_statement(self) -> Plan:
+        views: list = []
+        while self.at_kw("CREATE"):
+            views.append(self._parse_create_view(views))
         if self.at_kw("MERGE"):
             plan = self.parse_merge()
         elif self.at_kw("UPDATE"):
@@ -400,7 +416,61 @@ class _Parser:
             raise ParseError(
                 f"trailing input at {t.text!r} (offset {t.pos})"
             )
+        if views:
+            plan = self._wrap_script_views(views, plan)
         return plan
+
+    def _parse_create_view(self, earlier: list) -> tuple:
+        """One ``CREATE [OR REPLACE] TEMP[ORARY] VIEW name AS <query>;``
+        statement of a multi-statement script. The whole script
+        desugars to ONE ``With`` over the final statement — a CTE *is*
+        a session-scoped named query, and ``With.to_df`` registers temp
+        views, so the DataFrame execution is literally the statement's
+        semantics. Persistent ``CREATE VIEW``/``CREATE TABLE`` are
+        rejected (this engine has no writable catalog at parse time);
+        re-binding a name mid-script is rejected too (a CTE chain
+        cannot express rebinding — later definitions would capture the
+        new binding, WITH scoping captures the first)."""
+        self.expect_kw("CREATE")
+        if self.eat_kw("OR"):
+            self.expect_kw("REPLACE")
+        if not (self.eat_kw("TEMP") or self.eat_kw("TEMPORARY")):
+            raise ParseError(
+                "only CREATE TEMP/TEMPORARY VIEW is supported in "
+                "scripts (no persistent catalog); for TABLE "
+                "materialization use sources.io sinks"
+            )
+        self.expect_kw("VIEW")
+        name = self.ident()
+        if any(n == name for n, _ in earlier):
+            raise ParseError(
+                f"view {name!r} is defined twice in one script — a CTE "
+                "chain cannot express re-binding; use distinct names"
+            )
+        self.expect_kw("AS")
+        q = self.parse_query()
+        if not self.eat_op(";"):
+            raise ParseError(
+                "CREATE TEMP VIEW must end with ';' (followed by the "
+                "next statement)"
+            )
+        return (name, q)
+
+    def _wrap_script_views(self, views: list, plan: Plan) -> Plan:
+        if isinstance(plan, RecursiveWith):
+            raise ParseError(
+                "script views around a WITH RECURSIVE final query are "
+                "not supported (one WITH clause per query)"
+            )
+        if isinstance(plan, With):
+            dup = {n for n, _ in views} & {n for n, _ in plan.ctes}
+            if dup:
+                raise ParseError(
+                    f"script view name(s) {sorted(dup)} collide with "
+                    "the final query's CTE names"
+                )
+            return With(tuple(views) + plan.ctes, plan.body)
+        return With(tuple(views), plan)
 
     def parse_query(self) -> Plan:
         """[WITH [RECURSIVE] ...] select | VALUES — the query entry."""
@@ -1859,6 +1929,26 @@ class _Parser:
 
     def parse_one_join(self, left: Plan) -> Optional[Plan]:
         how = None
+        if self.at_kw("NATURAL"):
+            # NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN — USING over
+            # every shared column, resolved at execution (no catalog at
+            # parse time); rendered natively by both dialects
+            self.next()
+            if self.eat_kw("INNER"):
+                how = "inner"
+            elif self.at_kw("LEFT", "RIGHT", "FULL"):
+                how = {"LEFT": "left", "RIGHT": "right",
+                       "FULL": "full"}[self.next().upper]
+                self.eat_kw("OUTER")
+            else:
+                how = "inner"
+            self.expect_kw("JOIN")
+            right = self.parse_relation()
+            if self.at_kw("ON") or self.at_kw("USING"):
+                raise ParseError("NATURAL JOIN takes no ON/USING clause")
+            return left.join(right, how=how, natural=True)
+        if self.at_kw("ASOF"):
+            return self._parse_asof_join(left)
         if self.at_kw("JOIN"):
             how = "inner"
             self.next()
@@ -1896,6 +1986,123 @@ class _Parser:
             return left.join(right, how=how, using=tuple(cols))
         on = self.parse_expr() if self.eat_kw("ON") else None
         return left.join(right, on=on, how=how)
+
+    def _parse_asof_join(self, left: Plan) -> Plan:
+        """``l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts`` (DuckDB
+        dialect): each left row pairs with the single most recent right
+        row at or before its timestamp (``>=``; ``<=`` is the forward
+        variant, earliest at or after).
+
+        Desugars at parse time into existing IR — an inner join on the
+        raw conjuncts plus a correlated-max filter pinning the matched
+        row::
+
+            FROM l JOIN r ON l.k = r.k AND l.ts >= r.ts
+            WHERE r.ts = (SELECT max(r2.ts) FROM r AS r2
+                          WHERE r2.k = l.k AND r2.ts <= l.ts)
+
+        so render→parse reaches its fixpoint at the desugared form and
+        both dialects execute it (verified equal to DuckDB's native
+        ASOF JOIN, which the driver oracle uses as the independent
+        formulation). Catalyst decorrelates the max into an aggregate +
+        equi-join; the theta join above it is the correctness surface —
+        the one-shuffle union+window shape for 100-TB event streams is
+        ``operators.joins.asof_join`` (same contract, no SQL text).
+
+        Preconditions (standard ASOF, documented not checked): the right
+        side is unique on (key, time) — duplicate max-timestamp rows
+        would each pair (DuckDB picks one arbitrarily); both comparison
+        operands are table-qualified columns. ``ASOF LEFT JOIN`` is
+        rejected: a post-join filter cannot preserve unmatched left
+        rows — ``operators.joins.asof_join`` keeps them (NULL match).
+        """
+        self.expect_kw("ASOF")
+        if self.at_kw("LEFT"):
+            raise ParseError(
+                "ASOF LEFT JOIN cannot keep unmatched left rows through "
+                "the join+correlated-max desugar; use "
+                "operators.joins.asof_join (left semantics, NULL match)"
+            )
+        self.expect_kw("JOIN")
+        right = self.parse_relation()
+        if isinstance(right, Scan):
+            rname = right.table
+        elif isinstance(right, SubqueryAlias):
+            rname = right.name
+        else:
+            raise ParseError(
+                "ASOF JOIN right side must be a named relation or an "
+                "aliased subquery"
+            )
+        self.expect_kw("ON")
+        cond = self.parse_expr()
+
+        def conjuncts(e):
+            if isinstance(e, BinOp) and e.op == "AND":
+                return conjuncts(e.left) + conjuncts(e.right)
+            return [e]
+
+        def split(c):
+            # returns (r_col, other_expr, op_with_r_on_right) or None
+            if not isinstance(c, BinOp) or c.op not in ("=", ">=", "<="):
+                return None
+            l_is_r = isinstance(c.left, Col) and c.left.table == rname
+            r_is_r = isinstance(c.right, Col) and c.right.table == rname
+            if l_is_r == r_is_r:  # both or neither reference the right
+                return None
+            # normalize to (r_col <op> l_expr): moving the right-side
+            # column across the comparison flips its direction
+            flip = {"=": "=", ">=": "<=", "<=": ">="}
+            if r_is_r:
+                return c.right, c.left, flip[c.op]
+            return c.left, c.right, c.op
+
+        eqs, ineq = [], None
+        for c in conjuncts(cond):
+            parts = split(c)
+            if parts is None:
+                raise ParseError(
+                    "ASOF JOIN ON must be AND-ed comparisons, each "
+                    "between a right-side qualified column and a "
+                    "left-side expression (= keys plus exactly one "
+                    ">=/<= timestamp bound)"
+                )
+            rcol, lexpr, op = parts
+            if op == "=":
+                eqs.append((rcol, lexpr))
+            elif ineq is not None:
+                raise ParseError(
+                    "ASOF JOIN takes exactly one >=/<= timestamp bound"
+                )
+            else:
+                ineq = (rcol, lexpr, op)
+        if ineq is None:
+            raise ParseError(
+                "ASOF JOIN needs a >=/<= timestamp bound in ON"
+            )
+        if not eqs:
+            raise ParseError(
+                "ASOF JOIN needs at least one equality key in ON (a "
+                "keyless asof ranks the whole right side per left row)"
+            )
+        rt, lts, op = ineq  # op: l.ts >= r.ts arrives as ('<=')==backward
+        fresh = f"__asof{self._asof_n}" if self._asof_n else "__asof"
+        self._asof_n += 1
+        sub_rel = (SubqueryAlias(right.input, fresh)
+                   if isinstance(right, SubqueryAlias)
+                   else right.alias(fresh))
+        sub_cond = None
+        for rcol, lexpr in eqs:
+            c = BinOp("=", Col(rcol.name, fresh), lexpr)
+            sub_cond = c if sub_cond is None else BinOp("AND", sub_cond, c)
+        sub_cond = BinOp("AND", sub_cond,
+                         BinOp(op, Col(rt.name, fresh), lts))
+        fn = "max" if op == "<=" else "min"
+        sub = sub_rel.filter(sub_cond).group_by().agg(
+            Alias(Func(fn, (Col(rt.name, fresh),)), "__asof_ts"))
+        joined = left.join(right, on=cond, how="inner")
+        return joined.filter(BinOp("=", Col(rt.name, rname),
+                                   ScalarSubquery(sub)))
 
     def parse_sort_key(self) -> SortKey:
         e = self.parse_expr()
@@ -2671,13 +2878,15 @@ class _Parser:
         return fn
 
     def _window_expr(self, fn: Func, spec) -> WindowExpr:
-        if spec.exclude_current:
+        if spec.exclude_current or spec.exclude_peers:
             # surface the render-time contract at parse time, where the
             # function name is known
             if (fn.name.lower() not in ("sum", "count", "avg")
                     or fn.distinct or fn.filter_where is not None):
+                kind = ("CURRENT ROW" if spec.exclude_current
+                        else spec.exclude_peers.upper())
                 raise ParseError(
-                    "EXCLUDE CURRENT ROW is supported for plain "
+                    f"EXCLUDE {kind} is supported for plain "
                     f"sum/count/avg windows only, got {fn.name!r}"
                 )
         return WindowExpr(fn, spec)
@@ -2747,6 +2956,12 @@ class _Parser:
             while self.eat_op(","):
                 order_by.append(self.parse_sort_key())
         rows_between = range_between = None
+        if self.at_kw("GROUPS"):
+            raise ParseError(
+                "GROUPS frame mode is not supported (Spark has no "
+                "GROUPS frames); a GROUPS frame over ORDER BY k is a "
+                "RANGE frame over a precomputed dense_rank() ordering"
+            )
         if self.at_kw("ROWS", "RANGE"):
             kind = self.next().upper
             self.expect_kw("BETWEEN")
@@ -2758,26 +2973,44 @@ class _Parser:
             else:
                 range_between = (lo, hi)
         exclude_current = False
+        exclude_peers = None
         if self.eat_kw("EXCLUDE"):
-            # SQL-standard frame exclusion: CURRENT ROW desugars
-            # (sum/count/avg only — validated at render, where the
-            # function is known); NO OTHERS is the default; GROUP and
-            # TIES need peer bookkeeping neither desugar covers
+            # SQL-standard frame exclusion, desugared for sum/count/avg
+            # (validated at _window_expr, where the function is known):
+            # CURRENT ROW subtracts the current row's contribution;
+            # GROUP subtracts the ORDER-BY peer group's (via a second
+            # window partitioned by partition+order keys); TIES is
+            # GROUP plus the current row added back; NO OTHERS is the
+            # default no-op
             if self.eat_kw("CURRENT"):
                 self.expect_kw("ROW")
                 exclude_current = True
+            elif self.eat_kw("GROUP"):
+                exclude_peers = "group"
+            elif self.eat_kw("TIES"):
+                exclude_peers = "ties"
             elif self.eat_kw("NO"):
                 self.expect_kw("OTHERS")
             else:
                 raise ParseError(
-                    "only EXCLUDE CURRENT ROW / EXCLUDE NO OTHERS are "
-                    "supported (GROUP/TIES need peer bookkeeping)"
+                    "EXCLUDE takes CURRENT ROW, GROUP, TIES, or "
+                    "NO OTHERS"
                 )
         self.expect_op(")")
-        return WindowSpec(
+        spec = WindowSpec(
             tuple(partition_by), tuple(order_by), rows_between,
             range_between, exclude_current=exclude_current,
+            exclude_peers=exclude_peers,
         )
+        if exclude_peers:
+            # surface the frame-shape contract at parse time (ROWS
+            # frames and frames not spanning the current row reject);
+            # a throwaway count(*) probe reuses the render validation
+            try:
+                WindowExpr(Func("count", ()), spec)._peer_parts()
+            except ValueError as e:
+                raise ParseError(str(e)) from None
+        return spec
 
     def parse_frame_bound(self):
         """UNBOUNDED PRECEDING/FOLLOWING | CURRENT ROW | n PRECEDING |

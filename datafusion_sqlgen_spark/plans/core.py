@@ -190,8 +190,9 @@ class Plan:
         broadcast: bool = False,
         hint: Optional[str] = None,
         using: Optional[tuple] = None,
+        natural: bool = False,
     ) -> "Join":
-        return Join(self, other, on, how, broadcast, hint, using)
+        return Join(self, other, on, how, broadcast, hint, using, natural)
 
     def union(self, other: "Plan") -> "SetOp":
         return SetOp(self, other, "union_all")
@@ -833,6 +834,22 @@ class Join(Plan):
     # columns (one output column per name, exactly
     # ``DataFrame.join(on=[names])``); mutually exclusive with ``on``
     using: Optional[tuple] = None
+    # SQL-standard NATURAL JOIN: USING over every shared column name,
+    # resolved lazily from the two inputs' schemas at execution time
+    # (the IR has no catalog at build time). Both dialects render the
+    # keyword natively. A NATURAL join whose sides share NO columns
+    # degrades to CROSS JOIN in the standard — silently quadratic, so
+    # to_df raises instead (write CROSS JOIN if that is meant).
+    natural: bool = False
+
+    def __post_init__(self):
+        if self.natural:
+            if self.on is not None or self.using:
+                raise ValueError("NATURAL JOIN takes no ON/USING clause")
+            if self.how not in ("inner", "left", "right", "full"):
+                raise ValueError(
+                    f"NATURAL JOIN supports inner/left/right/full, not {self.how!r}"
+                )
 
     _HINT_SQL = {
         "broadcast": "BROADCAST",
@@ -894,6 +911,8 @@ class Join(Plan):
                 kw = "LEFT " + kw
             # DuckDB ≥0.10 supports SEMI/ANTI JOIN natively
             join_sql = f"{lstate.from_sql} {kw} {r_sql}"
+        elif self.natural:
+            join_sql = f"{lstate.from_sql} NATURAL {_JOIN_SQL[how]} {r_sql}"
         else:
             join_sql = f"{lstate.from_sql} {_JOIN_SQL[how]} {r_sql}"
         if self.on is not None:
@@ -922,6 +941,15 @@ class Join(Plan):
             rdf = F.broadcast(rdf)
         elif self.hint is not None:
             rdf = rdf.hint(self.hint)
+        if self.natural:
+            shared = [c for c in ldf.columns if c in set(rdf.columns)]
+            if not shared:
+                raise ValueError(
+                    "NATURAL JOIN sides share no column names — the "
+                    "standard's silent CROSS JOIN degradation is "
+                    "rejected; write CROSS JOIN explicitly"
+                )
+            return ldf.join(rdf, on=shared, how=self.how)
         if self.how == "cross" and self.on is None and self.using is None:
             return ldf.crossJoin(rdf)
         if self.using:

@@ -1487,6 +1487,87 @@ def _ir_workloads() -> dict[str, Plan]:
         "SELECT r_regionkey + 50 AS shifted, upper(r_name) FROM region"
     )
 
+    # round 10b: frame EXCLUDE GROUP / TIES — the remaining standard
+    # exclusion modes, desugared to frame_agg minus the ORDER-BY peer
+    # group's aggregate (a second window partitioned by
+    # partition+order keys; TIES adds the current row back). Integer
+    # sums, and o_orderdate is coarse so peer groups are wide — both
+    # modes differ from EXCLUDE CURRENT ROW on real ties here. The
+    # hand oracle replays DuckDB's NATIVE exclusion.
+    w["parsed_win_exclude_group"] = parse_sql(
+        "SELECT o_orderkey, "
+        "CAST(sum(o_custkey) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderdate EXCLUDE GROUP) AS BIGINT) AS sg, "
+        "count(*) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderdate EXCLUDE TIES) AS ct "
+        "FROM orders WHERE o_orderkey < 3000"
+    )
+    # round 10b: NATURAL JOIN — USING over every shared column name,
+    # resolved from the two schemas at execution (both engines render
+    # the keyword natively); the derived tables rename to a shared key
+    # the way heterogeneous-source pipelines do
+    w["parsed_natural_join"] = parse_sql(
+        "SELECT custkey, c_name, n_orders, total "
+        "FROM (SELECT c_custkey AS custkey, c_name FROM customer "
+        "WHERE c_acctbal > 9000) AS c "
+        "NATURAL JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY o_custkey) AS o"
+    )
+    # round 10b: ASOF JOIN (DuckDB dialect) — each click pairs with the
+    # same user's most recent purchase at or before it. Desugars to the
+    # inner join + correlated-max filter (fixpoint at the desugared
+    # form); the right side is GROUP BY (user_id, ts)-unique, the ASOF
+    # precondition. The hand oracle is DuckDB's NATIVE ASOF JOIN; the
+    # one-shuffle scale path is operators.joins.asof_join
+    # (join_asof_events).
+    w["parsed_asof_join"] = parse_sql(
+        "SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, r.pval "
+        "FROM (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'click' AND event_id % 20 = 0) AS l "
+        "ASOF JOIN (SELECT user_id, ts, max(value) AS pval FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) AS r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+    # round 10b: FILTER (WHERE ...) on a WINDOW aggregate — Spark
+    # rejects the clause there ("not supported yet"), so the Spark
+    # render desugars to the exact CASE rewrite while DuckDB keeps the
+    # native clause; DECIMAL below the window so the conditional sum is
+    # engine-order-proof. The hand oracle replays the native clause.
+    w["parsed_win_filter"] = parse_sql(
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "FILTER (WHERE o_orderstatus = 'O') "
+        "OVER (PARTITION BY o_custkey) AS DOUBLE) AS open_total, "
+        "count(*) FILTER (WHERE o_totalprice > 100000) "
+        "OVER (PARTITION BY o_custkey) AS big_n "
+        "FROM orders WHERE o_orderkey < 4000"
+    )
+    # round 10b: multi-statement script — CREATE TEMP VIEW chain + final
+    # SELECT desugars to ONE With (a CTE IS a session-scoped named
+    # query; With.to_df registers temp views, literally the statement's
+    # semantics). Counts are integer-exact.
+    w["parsed_script_views"] = parse_sql(
+        "CREATE TEMP VIEW big_cust AS "
+        "SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000; "
+        "CREATE OR REPLACE TEMP VIEW cust_orders AS "
+        "SELECT b.c_custkey, b.c_name, count(*) AS n FROM big_cust b "
+        "JOIN orders ON o_custkey = b.c_custkey "
+        "GROUP BY b.c_custkey, b.c_name; "
+        "SELECT c_name, n FROM cust_orders WHERE n > 12"
+    )
+    # round 10b: ANSI-mode error-safe scalars — try_divide (NULL on /0,
+    # always float division) and try_element_at (NULL out of range);
+    # Spark natives, DuckDB twins spell the NULL contract out
+    w["expr_try_funcs"] = parse_sql(
+        "SELECT o_orderkey, "
+        # one FP division is correctly rounded — bit-exact cross-engine
+        "try_divide(o_totalprice, o_custkey % 3) AS d, "
+        "try_element_at(split(o_orderpriority, '-'), 2) AS p2, "
+        "try_element_at(split(o_orderpriority, '-'), 5) AS p5 "
+        "FROM orders WHERE o_orderkey < 2000"
+    )
+
     return w
 
 
@@ -2938,6 +3019,26 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             graph.pagerank_oracle(graph.knn_edges_oracle_cte(), iterations=3),
         ),
+        # per-node triangle counts over the same similarity graph
+        # (round 10b): the duplicate-community density signal, via
+        # degree-ordered orientation (each wedge center O(sqrt(m))
+        # out-degree — skew-proof); oracle replays with NO orientation
+        # at all (id-ordered a<b<c triple join) — both count each
+        # triangle exactly once
+        "graph_triangle_count": (
+            lambda s: graph.triangle_count(
+                graph.knn_edges(s.table("embeddings"))
+            ),
+            graph.triangle_count_oracle(graph.knn_edges_oracle_cte()),
+        ),
+        # contrastive-training hard-negative mining (round 10b): top-k
+        # most-similar DIFFERENT-label vectors per sampled query —
+        # brute baseline (broadcast query side, label gate in the join
+        # condition); scale path = ann_join + label filter + re-rank
+        "sim_hard_negatives": (
+            lambda s: similarity.hard_negatives(s.table("embeddings")),
+            similarity.hard_negatives_oracle(),
+        ),
         # GPT-3/PaLM-style n-gram decontamination through a broadcast
         # Bloom bit array: the training-side membership test is a pure
         # in-row projection (no train-side shuffle at all); exact
@@ -3452,6 +3553,17 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_update_where",
     "parsed_delete_where",
     "parsed_insert_select",
+    # --- round-10b additions (EXCLUDE GROUP/TIES, NATURAL JOIN, ASOF
+    # JOIN, window FILTER, CREATE TEMP VIEW scripts, try_ scalars),
+    # staged same-commit per VERDICT r9 item 8 ---
+    "parsed_win_exclude_group",
+    "parsed_natural_join",
+    "parsed_asof_join",
+    "parsed_win_filter",
+    "parsed_script_views",
+    "expr_try_funcs",
+    "graph_triangle_count",
+    "sim_hard_negatives",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3478,6 +3590,11 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_fingerprint",
     "text_repetition",
     "text_decontaminate",
+    # --- last driver-sampled in ROUND 4/5, catalog order (the eight
+    # round-10b rows displaced sim_lsh_bucket_stats …
+    # join_range_bucketed into the overflow; the rest queue for r11 —
+    # scripts/rotation_next.py overflow) ---
+    # ---- 50-entry driver sample boundary ----
     "sim_lsh_bucket_stats",
     "sim_embedding_norms",
     "sim_quantize_int8",
@@ -3486,9 +3603,6 @@ _SAMPLE_PRIORITY: list[str] = [
     "agg_pivot_status",
     "join_salted_skew",
     "join_range_bucketed",
-    # --- last driver-sampled in ROUND 5, catalog order (14 of 71 fit;
-    # the rest queue for r11 — scripts/rotation_next.py overflow) ---
-    # ---- 50-entry driver sample boundary ----
     "ref_nested_slots",
     "parsed_qualify_using",
     "parsed_reader_forms",
@@ -4999,6 +5113,79 @@ WHERE NOT EXISTS (
 SELECT r_regionkey, r_name FROM region
 UNION ALL
 SELECT r_regionkey + 50, upper(r_name) FROM region
+""",
+    # ---- round 10b: EXCLUDE GROUP/TIES replayed via DuckDB's NATIVE
+    # frame exclusion (the desugar subtracts the peer-group window;
+    # native re-aggregates the surviving frame — exact integer sums,
+    # so the two cannot ULP-diverge), default frame spelled out ----
+    "parsed_win_exclude_group": """
+SELECT o_orderkey,
+       CAST(sum(o_custkey) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_orderdate
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            EXCLUDE GROUP) AS BIGINT) AS sg,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            EXCLUDE TIES) AS ct
+FROM orders WHERE o_orderkey < 3000
+""",
+    # NATURAL JOIN replayed with NO natural/using machinery: the
+    # pre-rename base tables joined on explicit equality
+    "parsed_natural_join": """
+SELECT c.c_custkey AS custkey, c.c_name, o.n_orders, o.total
+FROM customer c
+JOIN (SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+      FROM orders GROUP BY o_custkey) o
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+""",
+    # ASOF replayed via DuckDB's NATIVE ASOF JOIN (the desugar is the
+    # inner join + correlated-max filter — entirely different machinery)
+    "parsed_asof_join": """
+SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, r.pval
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'click' AND event_id % 20 = 0) l
+ASOF JOIN (SELECT user_id, ts, max(value) AS pval FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    # window FILTER replayed via DuckDB's NATIVE FILTER clause on the
+    # window aggregate (the Spark render is the CASE desugar — native
+    # vs desugar cannot both be wrong the same way)
+    "parsed_win_filter": """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O')
+            OVER (PARTITION BY o_custkey) AS DOUBLE) AS open_total,
+       count(*) FILTER (WHERE o_totalprice > 100000)
+            OVER (PARTITION BY o_custkey) AS big_n
+FROM orders WHERE o_orderkey < 4000
+""",
+    # script views replayed with NO WITH clause at all: each view
+    # manually inlined as a nested derived table
+    "parsed_script_views": """
+SELECT c_name, n FROM (
+    SELECT b.c_custkey, b.c_name, count(*) AS n
+    FROM (SELECT c_custkey, c_name FROM customer
+          WHERE c_acctbal > 5000) b
+    JOIN orders ON o_custkey = b.c_custkey
+    GROUP BY b.c_custkey, b.c_name
+) cust_orders
+WHERE n > 12
+""",
+    # try_ scalars replayed with explicit CASE guards (no nullif, no
+    # bare subscript: the out-of-range probe checks len() first)
+    "expr_try_funcs": """
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_custkey % 3) END AS d,
+       CASE WHEN len(string_split(o_orderpriority, '-')) >= 2
+            THEN string_split(o_orderpriority, '-')[2] END AS p2,
+       CASE WHEN len(string_split(o_orderpriority, '-')) >= 5
+            THEN string_split(o_orderpriority, '-')[5] END AS p5
+FROM orders WHERE o_orderkey < 2000
 """,
     # ---- round-7 PROACTIVE batch for the projected r8 cohort
     # (VERDICT r6 item 2 "keep growing it with each rotation"):

@@ -1440,3 +1440,54 @@ def test_pca_power_component_properties(spark):
 
     uniform = {i: 1.0 / 8.0 for i in range(64)}
     assert proj_variance(v) > proj_variance(uniform)
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand-built graph: K4 on {1,2,3,4} (4 triangles, each node in 3)
+    plus a pendant 4-5 (no triangle) and a duplicate + reversed edge
+    (must not double-count)."""
+    from datafusion_sqlgen_spark.operators import graph
+
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(4, 5), (1, 2), (2, 1)]  # dup + reverse + pendant
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in graph.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5: no triangle row
+
+
+def test_triangle_count_matches_unoriented_oracle(spark, duck):
+    """The degree-oriented Spark shape ≡ the orientation-free DuckDB
+    triple join on the real similarity graph."""
+    from datafusion_sqlgen_spark.operators import graph
+
+    got = sorted(
+        (r.node, r.triangles)
+        for r in graph.triangle_count(
+            graph.knn_edges(spark.table("embeddings"))
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.execute(
+            graph.triangle_count_oracle(graph.knn_edges_oracle_cte())
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_hard_negatives_label_gate_and_k(spark):
+    """No returned negative shares the query's label; each query yields
+    at most k rows ranked 1..k by snapped cosine."""
+    from datafusion_sqlgen_spark.operators import similarity
+
+    emb = spark.table("embeddings")
+    out = similarity.hard_negatives(emb, every=40, k=3).collect()
+    assert out, "no queries sampled"
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    per_q: dict = {}
+    for r in out:
+        assert labels[r.query_id] != r.neg_label
+        assert labels[r.neighbor_id] == r.neg_label
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 3

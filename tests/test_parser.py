@@ -775,8 +775,11 @@ def test_window_exclude_current_row(spark, duck):
     for bad in [
         "SELECT max(o_totalprice) OVER (ORDER BY o_orderkey EXCLUDE "
         "CURRENT ROW) AS m FROM orders",
-        "SELECT sum(o_totalprice) OVER (ORDER BY o_orderkey EXCLUDE "
-        "TIES) AS m FROM orders",
+        # TIES/GROUP are supported since round 10b — but not with a
+        # ROWS frame, where peers can fall outside the frame
+        "SELECT sum(o_totalprice) OVER (ORDER BY o_orderkey ROWS "
+        "BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE TIES) AS m "
+        "FROM orders",
         "SELECT sum(DISTINCT o_totalprice) OVER (ORDER BY o_orderkey "
         "EXCLUDE CURRENT ROW) AS m FROM orders",
     ]:

@@ -1,0 +1,396 @@
+"""Round-10b SQL-surface batch: NATURAL JOIN, ASOF JOIN (DuckDB
+dialect, desugared to join + correlated-max), and window frame EXCLUDE
+GROUP / TIES (desugared to frame-minus-peer-group arithmetic).
+
+Verification pattern per the house style: render→parse→render fixpoint,
+loud rejection of the unsupported combinations, DuckDB native-feature
+equivalence (the independent formulation), and Spark dual-render
+(``to_df()`` ≡ ``spark.sql(to_sql())``).
+"""
+
+import duckdb
+import pytest
+
+from datafusion_sqlgen_spark.parser import ParseError, parse_sql
+from tests.conftest import normalize_rows
+
+
+def _fixpoint(sql: str) -> str:
+    s = parse_sql(sql).to_sql("spark")
+    assert parse_sql(s).to_sql("spark") == s, s
+    return s
+
+
+# ---------------------------------------------------------------------------
+# NATURAL JOIN
+# ---------------------------------------------------------------------------
+
+def test_natural_join_fixpoint_and_dialects():
+    for sql, kw in [
+        ("SELECT * FROM a NATURAL JOIN b", "NATURAL JOIN"),
+        ("SELECT * FROM a NATURAL INNER JOIN b", "NATURAL JOIN"),
+        ("SELECT * FROM a NATURAL LEFT JOIN b", "NATURAL LEFT JOIN"),
+        ("SELECT * FROM a NATURAL LEFT OUTER JOIN b", "NATURAL LEFT JOIN"),
+        ("SELECT * FROM a NATURAL RIGHT JOIN b", "NATURAL RIGHT JOIN"),
+        ("SELECT * FROM a NATURAL FULL JOIN b", "NATURAL FULL JOIN"),
+    ]:
+        s = _fixpoint(sql)
+        assert kw in s, (sql, s)
+        assert kw in parse_sql(sql).to_sql("duckdb")
+
+
+def test_natural_join_rejects_on_using():
+    with pytest.raises(ParseError, match="no ON/USING"):
+        parse_sql("SELECT * FROM a NATURAL JOIN b ON a.x = b.x")
+    with pytest.raises(ParseError, match="no ON/USING"):
+        parse_sql("SELECT * FROM a NATURAL JOIN b USING (x)")
+
+
+def test_natural_join_no_shared_columns_raises(spark):
+    plan = parse_sql(
+        "SELECT * FROM (SELECT 1 AS a) AS l NATURAL JOIN "
+        "(SELECT 2 AS b) AS r"
+    )
+    with pytest.raises(ValueError, match="share no column"):
+        plan.to_df(spark).collect()
+
+
+def test_natural_join_dual_render(spark):
+    sql = (
+        "SELECT custkey, c_name, n_orders FROM "
+        "(SELECT c_custkey AS custkey, c_name FROM customer "
+        "WHERE c_acctbal > 9000) AS c NATURAL JOIN "
+        "(SELECT o_custkey AS custkey, count(*) AS n_orders "
+        "FROM orders GROUP BY o_custkey) AS o"
+    )
+    plan = parse_sql(sql)
+    df = normalize_rows(plan.to_df(spark).collect())
+    via_sql = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
+    assert df == via_sql and len(df) > 0
+
+
+def test_natural_left_join_matches_explicit_using(spark):
+    nat = parse_sql(
+        "SELECT custkey, n_orders FROM "
+        "(SELECT c_custkey AS custkey FROM customer "
+        "WHERE c_custkey < 50) AS c NATURAL LEFT JOIN "
+        "(SELECT o_custkey AS custkey, count(*) AS n_orders "
+        "FROM orders GROUP BY o_custkey) AS o"
+    )
+    explicit = parse_sql(
+        "SELECT custkey, n_orders FROM "
+        "(SELECT c_custkey AS custkey FROM customer "
+        "WHERE c_custkey < 50) AS c LEFT JOIN "
+        "(SELECT o_custkey AS custkey, count(*) AS n_orders "
+        "FROM orders GROUP BY o_custkey) AS o USING (custkey)"
+    )
+    assert normalize_rows(nat.to_df(spark).collect()) == normalize_rows(
+        explicit.to_df(spark).collect())
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN
+# ---------------------------------------------------------------------------
+
+_ASOF = ("SELECT l.k, l.ts, l.ev, r.ts AS rts, r.price "
+         "FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts")
+
+
+def _asof_duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l AS SELECT * FROM (VALUES (1,10,'a'),(1,25,'b'),"
+        "(2,5,'c'),(2,99,'d'),(3,7,'e')) t(k,ts,ev)"
+    )
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES (1,8,1.0),(1,20,2.0),"
+        "(1,30,3.0),(2,7,4.0)) t(k,ts,price)"
+    )
+    return con
+
+
+def test_asof_join_desugar_matches_duckdb_native_backward():
+    con = _asof_duck()
+    mine = con.execute(
+        f"SELECT * FROM ({parse_sql(_ASOF).to_sql('duckdb')}) ORDER BY ALL"
+    ).fetchall()
+    native = con.execute(
+        "SELECT l.k, l.ts, l.ev, r.ts, r.price FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts ORDER BY ALL"
+    ).fetchall()
+    assert mine == native and len(mine) == 3  # k=2@5 and k=3 unmatched
+
+
+def test_asof_join_desugar_matches_duckdb_native_forward():
+    con = _asof_duck()
+    q = ("SELECT l.k, l.ts, r.ts AS rts FROM l ASOF JOIN r "
+         "ON l.k = r.k AND l.ts <= r.ts")
+    mine = con.execute(
+        f"SELECT * FROM ({parse_sql(q).to_sql('duckdb')}) ORDER BY ALL"
+    ).fetchall()
+    native = con.execute(
+        "SELECT l.k, l.ts, r.ts FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.ts <= r.ts ORDER BY ALL"
+    ).fetchall()
+    assert mine == native and len(mine) == 3
+
+
+def test_asof_join_fixpoint_at_desugared_form():
+    s = parse_sql(_ASOF).to_sql("spark")
+    assert "JOIN r ON" in s and "SELECT max(" in s
+    assert parse_sql(s).to_sql("spark") == s
+
+
+def test_asof_join_reversed_operands_same_direction():
+    # r.ts <= l.ts is the same backward match as l.ts >= r.ts
+    a = parse_sql(_ASOF).to_sql("spark")
+    b = parse_sql(_ASOF.replace("l.ts >= r.ts", "r.ts <= l.ts")).to_sql(
+        "spark")
+    assert ("max(" in a) == ("max(" in b)
+
+
+def test_asof_join_rejections():
+    for sql, msg in [
+        ("SELECT 1 FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts",
+         "ASOF LEFT JOIN"),
+        ("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k", "timestamp bound"),
+        ("SELECT 1 FROM l ASOF JOIN r ON l.ts >= r.ts", "equality key"),
+        ("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts "
+         "AND l.ts <= r.ts", "exactly one"),
+        ("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k OR l.ts >= r.ts",
+         "AND-ed comparisons"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_sql(sql)
+
+
+def test_asof_join_dual_render(spark):
+    sql = (
+        "SELECT l.event_id, l.ts, r.ts AS purchase_ts, r.pval "
+        "FROM (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'click' AND event_id % 40 = 0) AS l "
+        "ASOF JOIN (SELECT user_id, ts, max(value) AS pval FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) AS r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+    plan = parse_sql(sql)
+    df = normalize_rows(plan.to_df(spark).collect())
+    via_sql = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
+    assert df == via_sql
+
+
+# ---------------------------------------------------------------------------
+# Window frame EXCLUDE GROUP / TIES
+# ---------------------------------------------------------------------------
+
+_EXC_FNS = ("sum(x)", "count(x)", "avg(x)", "count(*)")
+
+
+def _exclude_duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, 10, 5), (1, 10, 7), (1, 10, NULL), (1, 20, 1), (1, 30, NULL), "
+        "(2, 5, 2), (2, 5, 3), (3, 1, NULL), (3, 1, NULL)) v(k, o, x)"
+    )
+    return con
+
+
+@pytest.mark.parametrize("mode", ["GROUP", "TIES"])
+@pytest.mark.parametrize("fn", _EXC_FNS)
+def test_exclude_peers_matches_duckdb_native(mode, fn):
+    """The desugar (frame agg minus peer-group agg, NULL-guarded by the
+    surviving count) equals DuckDB's native EXCLUDE on a fixture with
+    real ties, NULL values, and an all-NULL peer group."""
+    con = _exclude_duck()
+    mine = parse_sql(
+        f"SELECT k, o, x, {fn} OVER (PARTITION BY k ORDER BY o "
+        f"EXCLUDE {mode}) AS v FROM t"
+    ).to_sql("duckdb")
+    native = (
+        f"SELECT k, o, x, {fn} OVER (PARTITION BY k ORDER BY o "
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW "
+        f"EXCLUDE {mode}) AS v FROM t"
+    )
+    order = "ORDER BY k, o, coalesce(x, -1), v NULLS FIRST"
+    a = con.execute(f"SELECT * FROM ({mine}) {order}").fetchall()
+    b = con.execute(f"SELECT * FROM ({native}) {order}").fetchall()
+    if fn.startswith("avg"):
+        a = normalize_rows(a)
+        b = normalize_rows(b)
+    assert a == b
+
+
+def test_exclude_peers_fixpoint():
+    for mode in ("GROUP", "TIES"):
+        _fixpoint(
+            "SELECT sum(o_totalprice) OVER (PARTITION BY o_orderstatus "
+            f"ORDER BY o_orderdate EXCLUDE {mode}) AS s FROM orders"
+        )
+
+
+def test_exclude_peers_range_frame_spanning_current_accepted():
+    _fixpoint(
+        "SELECT sum(o_custkey) OVER (ORDER BY o_orderkey RANGE BETWEEN "
+        "5 PRECEDING AND 5 FOLLOWING EXCLUDE GROUP) AS s FROM orders"
+    )
+
+
+def test_exclude_peers_rejections():
+    for sql, msg in [
+        # ROWS frame: peers can fall outside the frame
+        ("SELECT sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND "
+         "CURRENT ROW EXCLUDE GROUP) FROM t", "ROWS frame"),
+        # RANGE frame not spanning the current row
+        ("SELECT sum(x) OVER (ORDER BY o RANGE BETWEEN 5 PRECEDING AND "
+         "1 PRECEDING EXCLUDE TIES) FROM t", "spans"),
+        # no ORDER BY: every partition row is a peer
+        ("SELECT sum(x) OVER (PARTITION BY k EXCLUDE GROUP) FROM t",
+         "ORDER BY"),
+        # non-decomposable function
+        ("SELECT max(x) OVER (ORDER BY o EXCLUDE TIES) FROM t",
+         "sum/count/avg"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_sql(sql)
+
+
+def test_exclude_group_dual_render(spark):
+    sql = (
+        "SELECT o_orderkey, "
+        "CAST(sum(o_custkey) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderdate EXCLUDE GROUP) AS BIGINT) AS sg, "
+        "count(*) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderdate EXCLUDE TIES) AS ct "
+        "FROM orders WHERE o_orderkey < 500"
+    )
+    plan = parse_sql(sql)
+    df = normalize_rows(plan.to_df(spark).collect())
+    via_sql = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
+    assert df == via_sql and len(df) > 0
+
+
+def test_exclude_group_differs_from_exclude_current_on_ties(duck):
+    """The new modes are not EXCLUDE CURRENT ROW in disguise: on a
+    tied ORDER BY key the peer-group subtraction removes more than the
+    current row."""
+    grp = parse_sql(
+        "SELECT sum(x) OVER (ORDER BY o EXCLUDE GROUP) AS v FROM t"
+    ).to_sql("duckdb")
+    cur = parse_sql(
+        "SELECT sum(x) OVER (ORDER BY o EXCLUDE CURRENT ROW) AS v FROM t"
+    ).to_sql("duckdb")
+    con = _exclude_duck()
+    a = con.execute(f"SELECT * FROM ({grp}) ORDER BY v NULLS FIRST").fetchall()
+    b = con.execute(f"SELECT * FROM ({cur}) ORDER BY v NULLS FIRST").fetchall()
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# FILTER (WHERE ...) on window aggregates (Spark render desugars to CASE)
+# ---------------------------------------------------------------------------
+
+_WFILTER = (
+    "SELECT o_orderkey, sum(o_totalprice) FILTER "
+    "(WHERE o_orderstatus = 'O') OVER (PARTITION BY o_custkey) AS s "
+    "FROM orders WHERE o_orderkey < 200"
+)
+
+
+def test_window_filter_spark_render_desugars_to_case():
+    plan = parse_sql(_WFILTER)
+    s = plan.to_sql("spark")
+    assert "FILTER" not in s and "CASE WHEN" in s, s
+    assert parse_sql(s).to_sql("spark") == s
+    # DuckDB keeps the native clause
+    assert "FILTER (WHERE" in plan.to_sql("duckdb")
+
+
+def test_window_filter_dual_render_and_oracle(spark, duck):
+    plan = parse_sql(_WFILTER)
+    df = normalize_rows(plan.to_df(spark).collect())
+    via_sql = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
+    oracle = normalize_rows(duck.execute(plan.to_sql("duckdb")).fetchall())
+    assert df == via_sql == oracle and len(df) > 0
+
+
+def test_window_filter_requires_aggregate():
+    plan = parse_sql(
+        "SELECT row_number() FILTER (WHERE o_orderkey > 1) "
+        "OVER (ORDER BY o_orderkey) AS r FROM orders"
+    )
+    with pytest.raises(ValueError, match="requires an aggregate"):
+        plan.to_sql("spark")
+
+
+# ---------------------------------------------------------------------------
+# Multi-statement scripts: CREATE TEMP VIEW chain -> one With
+# ---------------------------------------------------------------------------
+
+def test_script_views_desugar_and_fixpoint():
+    s = parse_sql(
+        "CREATE TEMP VIEW a AS SELECT 1 AS x; "
+        "CREATE OR REPLACE TEMPORARY VIEW b AS SELECT x + 1 AS y FROM a; "
+        "SELECT y FROM b"
+    ).to_sql("spark")
+    assert s.startswith("WITH a AS"), s
+    assert parse_sql(s).to_sql("spark") == s
+
+
+def test_script_views_merge_with_final_with():
+    s = parse_sql(
+        "CREATE TEMP VIEW v AS SELECT 1 AS x; "
+        "WITH w AS (SELECT 2 AS y) SELECT x, y FROM v CROSS JOIN w"
+    ).to_sql("spark")
+    assert s == ("WITH v AS (SELECT 1 AS x), w AS (SELECT 2 AS y) "
+                 "SELECT x, y FROM v CROSS JOIN w")
+
+
+def test_script_views_rejections():
+    for bad, msg in [
+        ("CREATE VIEW v AS SELECT 1 AS x; SELECT * FROM v",
+         "TEMP/TEMPORARY VIEW"),
+        ("CREATE TEMP VIEW v AS SELECT 1 AS x; "
+         "CREATE TEMP VIEW v AS SELECT 2 AS x; SELECT * FROM v",
+         "defined twice"),
+        ("CREATE TEMP VIEW w AS SELECT 1 AS x; "
+         "WITH w AS (SELECT 2 AS y) SELECT * FROM w", "collide"),
+        ("CREATE TEMP VIEW v AS SELECT 1 AS x SELECT * FROM v",
+         "end with ';'"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_sql(bad)
+
+
+def test_script_views_execute_on_spark(spark):
+    plan = parse_sql(
+        "CREATE TEMP VIEW hi_bal AS SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 5000; "
+        "SELECT count(*) AS n FROM hi_bal"
+    )
+    rows = plan.to_df(spark).collect()
+    via_sql = spark.sql(plan.to_sql("spark")).collect()
+    assert rows[0].n == via_sql[0].n > 0
+
+
+# ---------------------------------------------------------------------------
+# try_ scalars
+# ---------------------------------------------------------------------------
+
+def test_try_funcs_cross_engine(spark, duck):
+    sql = ("SELECT try_divide(10.0, 0) AS a, try_divide(7.0, 2) AS b, "
+           "try_element_at(split('x-y', '-'), 5) AS c, "
+           "try_element_at(split('x-y', '-'), 2) AS d")
+    plan = parse_sql(sql)
+    s_row = spark.sql(plan.to_sql("spark")).collect()[0]
+    d_row = duck.execute(plan.to_sql("duckdb")).fetchone()
+    assert (s_row.a, s_row.b, s_row.c, s_row.d) == (None, 3.5, None, "y")
+    assert tuple(d_row) == (None, 3.5, None, "y")
+
+
+def test_groups_frame_mode_rejected_with_pointer():
+    with pytest.raises(ParseError, match="GROUPS frame mode"):
+        parse_sql(
+            "SELECT sum(o_totalprice) OVER (ORDER BY o_orderdate GROUPS "
+            "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM orders"
+        )
