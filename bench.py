@@ -193,6 +193,9 @@ HEADLINE = [
     # stateful stream-stream interval join replayed across 4 triggers
     # (the fourth streaming headline)
     "streaming_attribution_result",
+    # LEFT OUTER variant: watermark-evicted NULL emission across
+    # time-ordered triggers with sentinel flush (round 10b)
+    "streaming_attribution_left_result",
     # classifier training: unrolled logistic GD, broadcast weight
     # table per epoch, exact-integer gradients
     "text_lr_train",

@@ -273,6 +273,7 @@ def click_purchase_attribution_stream(
     attribution: str = "30 minutes",
     watermark: str = "2 hours",
     exact: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases attributed to the click
     they followed within ``attribution``. Both sides carry watermarks and
@@ -286,6 +287,16 @@ def click_purchase_attribution_stream(
     enough that the bounded replay's batches cannot be dropped as late
     — inner joins emit matches immediately either way; the watermark
     only governs state eviction and late-drop.
+
+    ``how="leftOuter"`` keeps unattributed clicks (NULL purchase/value)
+    — the funnel-drop side of attribution.  Outer rows are emitted only
+    when the GLOBAL watermark (the min over both sides' watermark
+    nodes) passes ``click_ts + attribution``, so a bounded replay must
+    (a) feed files in event-time order with a REAL watermark delay —
+    not the wide inner-join replay delay, under which nothing ever
+    flushes — and (b) end with sentinel triggers that advance both
+    sides past all real data (watermarks computed in batch N evict and
+    emit in batch N+1).  See ``workloads._streaming_attribution_left_result``.
 
     Returns (user_id, click_ts, purchase_ts, value)."""
     clicks = (
@@ -310,7 +321,7 @@ def click_purchase_attribution_stream(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {attribution}")),
-        "inner",
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_ts",

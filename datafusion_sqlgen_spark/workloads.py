@@ -2033,6 +2033,98 @@ JOIN events p
 """
 
 
+def _streaming_attribution_left_result(s: SparkSession) -> DataFrame:
+    """LEFT OUTER stream-stream interval join through a real streaming
+    query (round 10b): unattributed clicks — the funnel-drop side —
+    surface with NULL purchase/value.  Unlike the inner replay, outer
+    rows only emit when the GLOBAL watermark passes the join window,
+    which forces the production replay discipline end-to-end:
+
+    * the 4 source files are event-TIME quartiles with increasing
+      mtimes (the file source triggers them in order), so a REAL
+      watermark ("1 hour" > the 30-minute window) never drops a batch
+      and never evicts a click before its window closes;
+    * two trailing sentinel files (a far-future click+purchase pair
+      for reserved user_id -1, 10 and 20 days past max ts) advance
+      both sides' watermark nodes past all real data — watermarks
+      computed in batch N evict and emit outer rows in batch N+1, so
+      the LAST sentinel's batch flushes every real unmatched click
+      without relying on no-data micro-batches;
+    * sentinel rows filter out of the result by user_id sign.
+
+    Values pass through unrounded (exact=True); the oracle is the
+    batch LEFT-JOIN twin."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        click_purchase_attribution_stream,
+        read_events_stream,
+        stream_to_memory,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_attr_left_")
+    src = os.path.join(work, "events_files")
+    os.makedirs(src, exist_ok=True)
+    ev = s.table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    q = ev.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row fixture agg
+    parts = [q.filter(F.col("__q") == i).drop("__q") for i in range(1, 5)]
+    for j in (1, 2):  # sentinel click+purchase pair per file
+        sent_ts = max_ts + datetime.timedelta(days=10 * j)
+        parts.append(
+            s.createDataFrame(
+                [
+                    (10**9 + 2 * j, sent_ts, -1, "click", 0.0, ""),
+                    (10**9 + 2 * j + 1, sent_ts, -1, "purchase", 0.0, ""),
+                ],
+                ev.schema,
+            )
+        )
+    for i, frame in enumerate(parts):
+        tmp = os.path.join(work, f"tmp{i}")
+        frame.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(src, f"part{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        ts = 1_000_000_000 + i * 3600
+        os.utime(dst, (ts, ts))
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    with _replay_shuffle(s, 4):
+        stream_to_memory(
+            click_purchase_attribution_stream(
+                stream, watermark="1 hour", exact=True, how="leftOuter"
+            ),
+            "streaming_attribution_left_tbl",
+            output_mode="append",
+        )
+    return s.table("streaming_attribution_left_tbl").filter(
+        F.col("user_id") >= 0
+    )
+
+
+_STREAMING_ATTRIBUTION_LEFT_ORACLE = """
+SELECT c.user_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       p.value AS value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def _streaming_dedup_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the continuous-dedup corpus sink
     (round 6): documents split into 2 parquet files with strictly
@@ -3312,6 +3404,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             _streaming_attribution_result,
             _STREAMING_ATTRIBUTION_ORACLE,
         ),
+        # STREAMING driver-visible workload #9 (round 10b): LEFT OUTER
+        # stream-stream interval join — unattributed clicks emitted as
+        # watermark-evicted NULL rows across time-ordered triggers with
+        # sentinel flush; hash-checked against the batch LEFT-JOIN twin
+        "streaming_attribution_left_result": (
+            _streaming_attribution_left_result,
+            _STREAMING_ATTRIBUTION_LEFT_ORACLE,
+        ),
         # STREAMING driver-visible workload #6 (round 7): sliding
         # event-time windows accumulated across 4 file-triggers,
         # hash-checked against integer epoch-arithmetic window
@@ -3564,6 +3664,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "expr_try_funcs",
     "graph_triangle_count",
     "sim_hard_negatives",
+    "streaming_attribution_left_result",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3589,12 +3690,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "ts_locf_resample",
     "text_fingerprint",
     "text_repetition",
-    "text_decontaminate",
-    # --- last driver-sampled in ROUND 4/5, catalog order (the eight
-    # round-10b rows displaced sim_lsh_bucket_stats …
+    # --- last driver-sampled in ROUND 4/5, catalog order (the nine
+    # round-10b rows displaced text_decontaminate …
     # join_range_bucketed into the overflow; the rest queue for r11 —
     # scripts/rotation_next.py overflow) ---
     # ---- 50-entry driver sample boundary ----
+    "text_decontaminate",
     "sim_lsh_bucket_stats",
     "sim_embedding_norms",
     "sim_quantize_int8",

@@ -861,3 +861,45 @@ def test_running_totals_exact_multi_trigger(spark, stream_dir):
         .collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_stream_attribution_left_outer_flushes_unmatched(spark):
+    """LEFT OUTER stream-stream interval join (round 10b): the bounded
+    replay must emit EVERY unmatched click as a NULL-purchase row (the
+    watermark-eviction path — time-ordered triggers + sentinel flush),
+    matching the batch LEFT-JOIN twin exactly."""
+    from datafusion_sqlgen_spark.workloads import (
+        _streaming_attribution_left_result,
+    )
+
+    res = _streaming_attribution_left_result(spark).collect()
+    assert any(r.purchase_ts is None for r in res), (
+        "no unmatched clicks flushed — outer state never evicted"
+    )
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+            "left",
+        )
+        .select(
+            F.col("c_user").alias("user_id"), "click_ts",
+            "purchase_ts", "value",
+        )
+        .collect()
+    )
+    assert normalize_rows([tuple(r) for r in res], 6) == normalize_rows(
+        [tuple(r) for r in batch], 6
+    )
