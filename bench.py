@@ -265,6 +265,9 @@ HEADLINE = [
     # hard-negative mining (broadcast-query brute with label gate)
     "graph_triangle_count",
     "sim_hard_negatives",
+    # Heaps-law growth curve: one token-keyed min aggregate + bucket
+    # window cumulation
+    "text_vocab_growth",
 ]
 
 

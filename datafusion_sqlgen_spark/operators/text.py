@@ -2323,3 +2323,141 @@ def bpe_train_merges_oracle(
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ",\n    ".join(parts) + f"\n    {union}"
+
+
+def vocab_growth(
+    df: DataFrame,
+    buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve per source: as the corpus
+    grows doc by doc, how fast does the distinct-token vocabulary grow
+    against total tokens?  V ~ K * N^beta with beta ~ 0.4-0.6 for
+    natural text; a source whose curve is too flat (template spam —
+    vocabulary saturates) or too steep (OCR noise / random strings —
+    every token new) is a curation red flag, and beta feeds tokenizer
+    sizing (expected vocab at 100-TB corpus scale is an extrapolation
+    of exactly this curve).
+
+    Shape: docs bucket into ``buckets`` ntiles by id order per source;
+    each token's FIRST-seen doc (one min-aggregate on the exploded
+    token table — the only wide shuffle, map-side combined on the
+    token key) assigns its vocabulary contribution to one bucket;
+    bucket sums then cumulate over a ``buckets``-row-per-source window.
+    All counts are BIGINT-exact; the per-source Heaps slope
+    (``regr_slope(ln V, ln N)`` over the bucket checkpoints) is snapped
+    to 1e-6 — a <= ``buckets``-point regression, far inside the snap.
+
+    Returns (source, bucket, cum_tokens, cum_vocab, heaps_slope).
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    doc_tok = toks.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    wb = Window.partitionBy("source").orderBy("doc_id")
+    doc_b = doc_tok.select(
+        "source", "doc_id", "n_tok",
+        F.ntile(buckets).over(wb).alias("bucket"),
+    )
+    first_seen = toks.groupBy("source", "term").agg(
+        F.min("doc_id").alias("fdoc")
+    )
+    new_vocab = (
+        first_seen.join(
+            doc_b.select("source", F.col("doc_id").alias("fdoc"), "bucket"),
+            ["source", "fdoc"],
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    per_bucket = (
+        doc_b.groupBy("source", "bucket")
+        .agg(F.sum("n_tok").alias("bucket_tokens"))
+        .join(new_vocab, ["source", "bucket"], "left")
+        .na.fill({"new_vocab": 0})
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bucket.select(
+        "source", "bucket",
+        F.sum("bucket_tokens").over(wc).cast("bigint").alias("cum_tokens"),
+        F.sum("new_vocab").over(wc).cast("bigint").alias("cum_vocab"),
+    )
+    ws = Window.partitionBy("source")
+    slope = F.floor(
+        F.expr(
+            "regr_slope(ln(CAST(cum_vocab AS DOUBLE)), "
+            "ln(CAST(cum_tokens AS DOUBLE)))"
+        ).over(ws) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return cum.select(
+        "source", "bucket", "cum_tokens", "cum_vocab",
+        slope.alias("heaps_slope"),
+    )
+
+
+def vocab_growth_oracle(table: str = "documents", buckets: int = 10) -> str:
+    """DuckDB twin: same bucket/first-seen construction spelled as
+    chained CTEs over ``unnest`` (different machinery, same integers;
+    the slope replayed with the identical ln/regr_slope arithmetic and
+    the same 1e-6 floor snap)."""
+    return f"""
+    WITH toks AS (
+        SELECT source, doc_id, t.term
+        FROM {table},
+             unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    doc_tok AS (
+        SELECT source, doc_id, count(*) AS n_tok
+        FROM toks GROUP BY source, doc_id
+    ),
+    doc_b AS (
+        SELECT source, doc_id, n_tok,
+               ntile({buckets}) OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS bucket
+        FROM doc_tok
+    ),
+    first_seen AS (
+        SELECT source, term, min(doc_id) AS fdoc
+        FROM toks GROUP BY source, term
+    ),
+    new_vocab AS (
+        SELECT f.source, d.bucket, count(*) AS new_vocab
+        FROM first_seen f
+        JOIN doc_b d ON d.source = f.source AND d.doc_id = f.fdoc
+        GROUP BY f.source, d.bucket
+    ),
+    per_bucket AS (
+        SELECT d.source, d.bucket,
+               sum(d.n_tok) AS bucket_tokens,
+               coalesce(any_value(v.new_vocab), 0) AS new_vocab
+        FROM doc_b d
+        LEFT JOIN new_vocab v
+          ON v.source = d.source AND v.bucket = d.bucket
+        GROUP BY d.source, d.bucket
+    ),
+    cum AS (
+        SELECT source, bucket,
+               CAST(sum(bucket_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(new_vocab) OVER w AS BIGINT) AS cum_vocab
+        FROM per_bucket
+        WINDOW w AS (PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT source, bucket, cum_tokens, cum_vocab,
+           floor(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_tokens AS DOUBLE)))
+                 OVER (PARTITION BY source) * 1000000.0 + 0.5)
+               / 1000000.0 AS heaps_slope
+    FROM cum
+    """

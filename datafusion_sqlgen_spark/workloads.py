@@ -2534,6 +2534,13 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.top_terms(s.table("documents")),
             text.top_terms_oracle(),
         ),
+        # Heaps-law vocabulary-growth curve per source (round 10b):
+        # template-spam / OCR-noise red flag + tokenizer-sizing input;
+        # BIGINT-exact bucket checkpoints, 1e-6-snapped slope
+        "text_vocab_growth": (
+            lambda s: text.vocab_growth(s.table("documents")),
+            text.vocab_growth_oracle(),
+        ),
         # single-pass column profiling (data-quality gate before a training
         # run); oracle is the k-scan UNION ALL formulation — same numbers,
         # the shape our one-pass stack avoids at scale
@@ -3665,6 +3672,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "graph_triangle_count",
     "sim_hard_negatives",
     "streaming_attribution_left_result",
+    "text_vocab_growth",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3689,12 +3697,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "sample_hash_split",
     "ts_locf_resample",
     "text_fingerprint",
-    "text_repetition",
-    # --- last driver-sampled in ROUND 4/5, catalog order (the nine
-    # round-10b rows displaced text_decontaminate …
+    # --- last driver-sampled in ROUND 4/5, catalog order (the ten
+    # round-10b rows displaced text_repetition …
     # join_range_bucketed into the overflow; the rest queue for r11 —
     # scripts/rotation_next.py overflow) ---
     # ---- 50-entry driver sample boundary ----
+    "text_repetition",
     "text_decontaminate",
     "sim_lsh_bucket_stats",
     "sim_embedding_norms",

@@ -63,3 +63,32 @@ def test_bpe_merges_compose(spark):
     )
     counts = [r[3] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_vocab_growth_curve_properties(spark, duck):
+    """Heaps curve invariants: cumulative counts strictly positive and
+    non-decreasing per source, final cum_vocab <= final cum_tokens,
+    slope in (0, 1] for natural-ish text, and the bucket checkpoints
+    hash-equal to the DuckDB twin."""
+    from datafusion_sqlgen_spark.operators import text as T
+
+    rows = T.vocab_growth(spark.table("documents")).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.bucket)
+        toks = [r.cum_tokens for r in rs]
+        voc = [r.cum_vocab for r in rs]
+        assert toks == sorted(toks) and voc == sorted(voc)
+        assert 0 < voc[-1] <= toks[-1]
+        # synthetic docs share a tiny vocabulary, so saturation
+        # (slope ~ 0) is legitimate at test SF; natural text reads
+        # 0.4-0.6
+        assert 0 <= rs[0].heaps_slope <= 1.0, (src, rs[0].heaps_slope)
+        assert all(r.heaps_slope == rs[0].heaps_slope for r in rs)
+    assert any(rs[0].heaps_slope > 0 for rs in by_src.values())
+    want = sorted(map(tuple, duck.execute(T.vocab_growth_oracle()).fetchall()))
+    got = sorted(map(tuple, (tuple(r) for r in rows)))
+    assert got == want
