@@ -1126,7 +1126,12 @@ class WindowExpr(Expr):
                 return cnt
             ssum = f"(sum({v}) OVER {w} - coalesce({v}, 0))"
             if name == "sum":
-                return ssum
+                # NULL-guard the empty-after-exclusion frame (review
+                # r10b): a lone row's frame minus itself must be NULL
+                # per the standard (DuckDB's native EXCLUDE agrees),
+                # not frame_sum - v = 0
+                return (f"(CASE WHEN ({cnt} = 0) THEN NULL "
+                        f"ELSE {ssum} END)")
             return f"({ssum} / nullif({cnt}, 0))"
         if self.func.filter_where is not None and dialect == SPARK:
             # Spark rejects FILTER on window aggregates ("not supported
@@ -1185,7 +1190,8 @@ class WindowExpr(Expr):
                 return cnt
             ssum = F.sum(v).over(w) - F.coalesce(v, F.lit(0))
             if name == "sum":
-                return ssum
+                # empty-after-exclusion NULL guard — see to_sql
+                return F.when(cnt == 0, F.lit(None)).otherwise(ssum)
             return ssum / F.nullif(cnt, F.lit(0))
         return self.func.to_column().over(self.spec.to_window())
 

@@ -270,10 +270,15 @@ _SPECIAL: dict[str, dict[str, Renderer]] = {
     },
     # ANSI-mode error-safe variants (round 10b). Spark natives; DuckDB
     # lacks the try_ family so the twins spell out the NULL-on-failure
-    # contract: try_divide is NULL exactly when the divisor is 0 (Spark
-    # always float-divides, so the DuckDB twin multiplies by 1.0);
-    # try_element_at is the out-of-range-NULL list index (DuckDB's
-    # subscript already never errors; 0 is NULL on both engines).
+    # contract for the SUPPORTED surface — DOUBLE/integral operands:
+    # try_divide is NULL exactly when the divisor is 0 (Spark
+    # float-divides those, so the DuckDB twin multiplies by 1.0;
+    # DECIMAL dividends are OUT of contract — Spark divides them
+    # decimally with NULL-on-overflow, which the double twin cannot
+    # replay); try_element_at is the out-of-range-NULL list index.
+    # Index 0 is NOT out-of-range to Spark (INVALID_INDEX_OF_ZERO
+    # still raises — try_ suppresses only range misses) while DuckDB's
+    # subscript returns NULL: the parser rejects the literal-0 form.
     "try_divide": {
         "spark": _plain("try_divide"),
         "duckdb": lambda a: f"(({a[0]}) * 1.0 / nullif({a[1]}, 0))",

@@ -442,7 +442,11 @@ class _Parser:
             )
         self.expect_kw("VIEW")
         name = self.ident()
-        if any(n == name for n, _ in earlier):
+        # SQL identifiers are case-insensitive (review r10b: a
+        # case-sensitive check let `VIEW V; VIEW v` through, where the
+        # DuckDB render errors on duplicate CTEs while Spark's
+        # case-insensitive temp views silently rebind)
+        if any(n.lower() == name.lower() for n, _ in earlier):
             raise ParseError(
                 f"view {name!r} is defined twice in one script — a CTE "
                 "chain cannot express re-binding; use distinct names"
@@ -463,7 +467,8 @@ class _Parser:
                 "not supported (one WITH clause per query)"
             )
         if isinstance(plan, With):
-            dup = {n for n, _ in views} & {n for n, _ in plan.ctes}
+            dup = {n.lower() for n, _ in views} & {
+                n.lower() for n, _ in plan.ctes}
             if dup:
                 raise ParseError(
                     f"script view name(s) {sorted(dup)} collide with "
@@ -2010,9 +2015,12 @@ class _Parser:
         ``operators.joins.asof_join`` (same contract, no SQL text).
 
         Preconditions (standard ASOF, documented not checked): the right
-        side is unique on (key, time) — duplicate max-timestamp rows
-        would each pair (DuckDB picks one arbitrarily); both comparison
-        operands are table-qualified columns. ``ASOF LEFT JOIN`` is
+        side is unique on (key, time) — a duplicated pinning timestamp
+        makes the desugar emit EVERY tied right row where native ASOF
+        emits one arbitrary row (2-vs-1 rows, count and hash both
+        diverge), so build the right side with a ``GROUP BY key, ts``
+        the way ``parsed_asof_join`` does; both comparison operands
+        must be table-qualified columns. ``ASOF LEFT JOIN`` is
         rejected: a post-join filter cannot preserve unmatched left
         rows — ``operators.joins.asof_join`` keeps them (NULL match).
         """
@@ -2818,6 +2826,18 @@ class _Parser:
         if (lname == "sha2" and len(args) == 2
                 and isinstance(args[1], Lit) and args[1].value == 256):
             lname, args = "sha256", args[:1]
+        if (lname == "try_element_at" and len(args) == 2
+                and isinstance(args[1], Lit) and args[1].value == 0):
+            # review r10b: Spark's try_ suppresses only OUT-OF-RANGE —
+            # index 0 still raises INVALID_INDEX_OF_ZERO, while the
+            # DuckDB twin's subscript returns NULL: a crash-vs-value
+            # divergence, so reject the literal form loudly (runtime
+            # zeros remain the documented Spark-errors edge)
+            raise ParseError(
+                "try_element_at index 0: Spark raises "
+                "INVALID_INDEX_OF_ZERO (try_ only suppresses "
+                "out-of-range); indexes are 1-based"
+            )
         if ordered_by is not None:
             if lname in ("percentile_cont", "percentile_disc"):
                 # SQL-standard inverse distribution: fn(q) WITHIN GROUP

@@ -394,3 +394,42 @@ def test_groups_frame_mode_rejected_with_pointer():
             "SELECT sum(o_totalprice) OVER (ORDER BY o_orderdate GROUPS "
             "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM orders"
         )
+
+
+# ---------------------------------------------------------------------------
+# Review fixes (round 10b)
+# ---------------------------------------------------------------------------
+
+def test_exclude_current_row_lone_row_is_null():
+    """Review r10b: a lone row's frame minus itself is the EMPTY frame —
+    sum must be NULL (native EXCLUDE agrees), not 0."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, 1, 10), (2, 1, 5), "
+        "(2, 2, 7)) v(k, o, x)"
+    )
+    q = ("SELECT k, o, sum(x) OVER (PARTITION BY k ORDER BY o ROWS "
+         "BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS s "
+         "FROM t")
+    mine = con.execute(
+        f"SELECT * FROM ({parse_sql(q).to_sql('duckdb')}) ORDER BY k, o"
+    ).fetchall()
+    native = con.execute(f"SELECT * FROM ({q}) ORDER BY k, o").fetchall()
+    assert mine == native
+    assert mine[0][2] is None  # the lone row
+
+
+def test_try_element_at_literal_zero_rejected():
+    with pytest.raises(ParseError, match="INVALID_INDEX_OF_ZERO"):
+        parse_sql("SELECT try_element_at(split('a-b', '-'), 0) AS v")
+
+
+def test_script_view_duplicate_names_case_insensitive():
+    for bad in [
+        "CREATE TEMP VIEW V AS SELECT 1 AS x; "
+        "CREATE TEMP VIEW v AS SELECT 2 AS x; SELECT * FROM v",
+        "CREATE TEMP VIEW W AS SELECT 1 AS x; "
+        "WITH w AS (SELECT 2 AS y) SELECT * FROM w",
+    ]:
+        with pytest.raises(ParseError):
+            parse_sql(bad)
