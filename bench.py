@@ -268,6 +268,9 @@ HEADLINE = [
     # Heaps-law growth curve: one token-keyed min aggregate + bucket
     # window cumulation
     "text_vocab_growth",
+    # GROUPS frame desugar: dense_rank pre-pass + RANGE windows over
+    # one shared sort
+    "parsed_win_groups_frame",
 ]
 
 

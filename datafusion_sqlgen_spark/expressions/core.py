@@ -952,8 +952,21 @@ class WindowSpec:
     # peers), and is rejected otherwise at parse.
     exclude_current: bool = False
     exclude_peers: Optional[str] = None  # "group" | "ties"
+    # SQL-standard GROUPS frame mode (peer groups as frame units).
+    # Spark has no GROUPS frames, so the parser desugars at the select
+    # core: a dense_rank() pre-projection turns GROUPS bounds into
+    # RANGE bounds over the rank (peer-group distance IS rank
+    # distance). A spec that still carries groups_between at render
+    # time escaped the desugar — both renders raise.
+    groups_between: Optional[tuple] = None
 
     def _frame_sql(self) -> str:
+        if self.groups_between is not None:
+            raise RuntimeError(
+                "GROUPS frame reached the renderer — it must be "
+                "desugared to RANGE over a dense_rank pre-column "
+                "(parser._desugar_groups)"
+            )
         frame = self.rows_between or self.range_between
         if frame is None:
             return ""
@@ -988,6 +1001,12 @@ class WindowSpec:
     def to_window(self):
         from pyspark.sql import Window
 
+        if self.groups_between is not None:
+            raise RuntimeError(
+                "GROUPS frame reached the Column path — it must be "
+                "desugared to RANGE over a dense_rank pre-column "
+                "(parser._desugar_groups)"
+            )
         w = Window.partitionBy(*[p.to_column() for p in self.partition_by])
         if self.order_by:
             w = w.orderBy(*[k.to_column() for k in self.order_by])
@@ -1056,8 +1075,10 @@ class WindowExpr(Expr):
                 "desugarable (peers can fall outside the frame); use a "
                 "RANGE frame spanning the current row"
             )
-        if s.range_between is not None:
-            lo, hi = s.range_between
+        frame = (s.range_between if s.range_between is not None
+                 else s.groups_between)
+        if frame is not None:
+            lo, hi = frame
             def covers(v, is_lo):
                 if v == "unbounded" or v is None:
                     return True
@@ -1066,8 +1087,8 @@ class WindowExpr(Expr):
                 return v <= 0 if is_lo else v >= 0
             if not (covers(lo, True) and covers(hi, False)):
                 raise ValueError(
-                    "EXCLUDE GROUP/TIES needs a RANGE frame that spans "
-                    "the current row (start <= CURRENT ROW <= end)"
+                    "EXCLUDE GROUP/TIES needs a RANGE/GROUPS frame that "
+                    "spans the current row (start <= CURRENT ROW <= end)"
                 )
         peer = dataclasses.replace(
             s,
@@ -1076,6 +1097,7 @@ class WindowExpr(Expr):
             order_by=(),
             rows_between=None,
             range_between=None,
+            groups_between=None,
         )
         return name, arg, s, peer
 

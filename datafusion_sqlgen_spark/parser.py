@@ -74,6 +74,7 @@ from datafusion_sqlgen_spark.expressions.core import (
     Col,
     Exists,
     Expr,
+    FrameBound,
     Func,
     InList,
     InSubquery,
@@ -1376,6 +1377,33 @@ class _Parser:
             self.expect_kw("ONLY")
 
         # ---- assemble ----
+        has_groups = any(self._find_groups(p) for p in projs)
+        if has_groups:
+            # GROUPS frames desugar through a dense_rank pre-projection
+            # (_desugar_groups); the combinations that would need the
+            # pre-column to survive other rewrites reject loudly
+            if base is None:
+                raise ParseError("GROUPS frame needs a FROM clause")
+            if group_keys is not None:
+                raise ParseError(
+                    "GROUPS frame over aggregated rows is not supported"
+                    " — aggregate in a subquery first"
+                )
+            if distinct_on is not None:
+                raise ParseError(
+                    "GROUPS frame with DISTINCT ON is not supported"
+                )
+            if any(isinstance(p, Star) for p in projs):
+                raise ParseError(
+                    "GROUPS frame with a * projection is not supported "
+                    "(the dense_rank pre-column would leak into *); "
+                    "list the columns"
+                )
+        if qualify is not None and self._find_groups(qualify):
+            raise ParseError(
+                "GROUPS frame inside QUALIFY is not supported; compute "
+                "it in the projection and filter in an outer query"
+            )
         if base is None:
             if group_keys is not None:
                 raise ParseError("GROUP BY requires a FROM clause")
@@ -1403,6 +1431,9 @@ class _Parser:
                 )
             elif distinct_on is not None:
                 pass  # projection applied inside the desugar below
+            elif has_groups:
+                plan, projs = self._desugar_groups(plan, projs)
+                plan = plan.select(*projs)
             elif not (len(projs) == 1 and isinstance(projs[0], Star)
                       and projs[0].table is None
                       and not projs[0].except_cols):
@@ -1431,6 +1462,98 @@ class _Parser:
         if limit is not None:
             plan = plan.limit(limit)
         return plan
+
+    def _find_groups(self, e) -> bool:
+        """True if the expression tree contains a window with a GROUPS
+        frame (subquery plans inside the tree are NOT entered — their
+        own select cores desugared their own GROUPS on the way up)."""
+        import dataclasses
+
+        if isinstance(e, WindowExpr) and e.spec.groups_between is not None:
+            return True
+        if not dataclasses.is_dataclass(e):
+            return False
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            for x in (v if isinstance(v, tuple) else (v,)):
+                if isinstance(x, Expr) and self._find_groups(x):
+                    return True
+        return False
+
+    def _desugar_groups(self, plan: Plan, projs: list) -> tuple:
+        """GROUPS-frame desugar: Spark has no GROUPS mode, but a GROUPS
+        bound counts peer groups and peer-group distance IS dense_rank
+        distance — so one pre-projection ``SELECT *, dense_rank() OVER
+        (partition, order) AS __grp`` turns every GROUPS frame into a
+        RANGE frame over the rank, exactly (ties stay peers: equal
+        order keys share a rank). One pre-column per distinct
+        (partition, order) pair; render→parse fixpoint holds at the
+        desugared two-level form; DuckDB's NATIVE GROUPS mode is the
+        independent oracle formulation.
+
+        Scale shape: the dense_rank pre-pass sorts on the same
+        (partition, order) prefix as the main window, so Catalyst
+        reuses one sort+exchange for both — no extra shuffle."""
+        import dataclasses
+
+        table: dict = {}
+
+        def key_of(spec) -> str:
+            return ("|".join(p.to_sql("spark") for p in spec.partition_by)
+                    + "##"
+                    + "|".join(k.to_sql("spark") for k in spec.order_by))
+
+        def collect(e):
+            if (isinstance(e, WindowExpr)
+                    and e.spec.groups_between is not None):
+                k = key_of(e.spec)
+                if k not in table:
+                    n = "__grp" if not table else f"__grp{len(table) + 1}"
+                    table[k] = (n, e.spec)
+            if dataclasses.is_dataclass(e):
+                for f in dataclasses.fields(e):
+                    v = getattr(e, f.name)
+                    for x in (v if isinstance(v, tuple) else (v,)):
+                        if isinstance(x, Expr):
+                            collect(x)
+
+        for p in projs:
+            collect(p)
+        aliases = [
+            Alias(WindowExpr(Func("dense_rank", ()),
+                             WindowSpec(spec.partition_by, spec.order_by)),
+                  name)
+            for name, spec in table.values()
+        ]
+        pre = plan.select(Star(), *aliases)
+
+        def rewrite(e):
+            if (isinstance(e, WindowExpr)
+                    and e.spec.groups_between is not None):
+                name, _ = table[key_of(e.spec)]
+                spec = dataclasses.replace(
+                    e.spec,
+                    order_by=(SortKey(Col(name)),),
+                    range_between=e.spec.groups_between,
+                    groups_between=None,
+                )
+                return WindowExpr(e.func, spec)
+            if not dataclasses.is_dataclass(e) or not isinstance(e, Expr):
+                return e
+
+            def walk(v):
+                if isinstance(v, Expr):
+                    return rewrite(v)
+                if isinstance(v, tuple):
+                    return tuple(walk(x) for x in v)
+                return v
+
+            return type(e)(**{
+                f.name: walk(getattr(e, f.name))
+                for f in dataclasses.fields(e)
+            })
+
+        return pre, [rewrite(p) for p in projs]
 
     def _assemble_distinct_on(
         self,
@@ -2975,14 +3098,8 @@ class _Parser:
             order_by.append(self.parse_sort_key())
             while self.eat_op(","):
                 order_by.append(self.parse_sort_key())
-        rows_between = range_between = None
-        if self.at_kw("GROUPS"):
-            raise ParseError(
-                "GROUPS frame mode is not supported (Spark has no "
-                "GROUPS frames); a GROUPS frame over ORDER BY k is a "
-                "RANGE frame over a precomputed dense_rank() ordering"
-            )
-        if self.at_kw("ROWS", "RANGE"):
+        rows_between = range_between = groups_between = None
+        if self.at_kw("ROWS", "RANGE", "GROUPS"):
             kind = self.next().upper
             self.expect_kw("BETWEEN")
             lo = self.parse_frame_bound()
@@ -2990,8 +3107,26 @@ class _Parser:
             hi = self.parse_frame_bound()
             if kind == "ROWS":
                 rows_between = (lo, hi)
-            else:
+            elif kind == "RANGE":
                 range_between = (lo, hi)
+            else:
+                # SQL-standard GROUPS mode: bounds count PEER GROUPS.
+                # Spark has no GROUPS frames; the select core desugars
+                # to RANGE over a dense_rank() pre-column (peer-group
+                # distance IS rank distance) — see _desugar_groups.
+                # Bounds must be group counts, not intervals.
+                for b in (lo, hi):
+                    if isinstance(b, FrameBound):
+                        raise ParseError(
+                            "GROUPS frame bounds count peer groups — "
+                            "interval bounds are a RANGE-mode concept"
+                        )
+                if not order_by:
+                    raise ParseError(
+                        "GROUPS frame needs ORDER BY (peer groups are "
+                        "undefined without it)"
+                    )
+                groups_between = (lo, hi)
         exclude_current = False
         exclude_peers = None
         if self.eat_kw("EXCLUDE"):
@@ -3020,7 +3155,7 @@ class _Parser:
         spec = WindowSpec(
             tuple(partition_by), tuple(order_by), rows_between,
             range_between, exclude_current=exclude_current,
-            exclude_peers=exclude_peers,
+            exclude_peers=exclude_peers, groups_between=groups_between,
         )
         if exclude_peers:
             # surface the frame-shape contract at parse time (ROWS

@@ -1529,6 +1529,22 @@ def _ir_workloads() -> dict[str, Plan]:
         "WHERE event_type = 'purchase' GROUP BY user_id, ts) AS r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
     )
+    # round 10b: GROUPS frame mode — Spark has none, so the parser
+    # desugars to RANGE over a dense_rank pre-projection (peer-group
+    # distance IS rank distance; one shared sort for both windows).
+    # DuckDB 1.0 has no GROUPS either ("not implemented yet"), so the
+    # hand oracle replays WINDOW-FRAME-FREE: a rank self-join with
+    # conditional aggregation. Integer sums.
+    w["parsed_win_groups_frame"] = parse_sql(
+        "SELECT o_orderkey, "
+        "CAST(sum(o_custkey) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderdate GROUPS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING) AS BIGINT) AS sg, "
+        "count(*) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderdate GROUPS BETWEEN 2 PRECEDING AND "
+        "CURRENT ROW) AS cg "
+        "FROM orders WHERE o_orderkey < 3000"
+    )
     # round 10b: FILTER (WHERE ...) on a WINDOW aggregate — Spark
     # rejects the clause there ("not supported yet"), so the Spark
     # render desugars to the exact CASE rewrite while DuckDB keeps the
@@ -3673,6 +3689,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "sim_hard_negatives",
     "streaming_attribution_left_result",
     "text_vocab_growth",
+    "parsed_win_groups_frame",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3696,12 +3713,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",
-    "text_fingerprint",
-    # --- last driver-sampled in ROUND 4/5, catalog order (the ten
-    # round-10b rows displaced text_repetition …
+    # --- last driver-sampled in ROUND 4/5, catalog order (the eleven
+    # round-10b rows displaced text_fingerprint …
     # join_range_bucketed into the overflow; the rest queue for r11 —
     # scripts/rotation_next.py overflow) ---
     # ---- 50-entry driver sample boundary ----
+    "text_fingerprint",
     "text_repetition",
     "text_decontaminate",
     "sim_lsh_bucket_stats",
@@ -5259,6 +5276,27 @@ FROM (SELECT event_id, ts, user_id FROM events
 ASOF JOIN (SELECT user_id, ts, max(value) AS pval FROM events
            WHERE event_type = 'purchase' GROUP BY user_id, ts) r
 ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    # GROUPS frame replayed with NO window frame at all: a dense_rank
+    # self-join with conditional aggregation (peer-group distance as an
+    # explicit join band) — the desugar's RANGE-over-rank machinery
+    # never runs
+    "parsed_win_groups_frame": """
+WITH r AS (
+    SELECT o_orderkey, o_orderstatus, o_custkey,
+           dense_rank() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_orderdate) AS dr
+    FROM orders WHERE o_orderkey < 3000
+)
+SELECT a.o_orderkey,
+       CAST(sum(CASE WHEN b.dr BETWEEN a.dr - 1 AND a.dr + 1
+                     THEN b.o_custkey END) AS BIGINT) AS sg,
+       count(CASE WHEN b.dr BETWEEN a.dr - 2 AND a.dr
+                  THEN 1 END) AS cg
+FROM r a JOIN r b
+  ON b.o_orderstatus = a.o_orderstatus
+ AND b.dr BETWEEN a.dr - 2 AND a.dr + 1
+GROUP BY a.o_orderkey
 """,
     # window FILTER replayed via DuckDB's NATIVE FILTER clause on the
     # window aggregate (the Spark render is the CASE desugar — native

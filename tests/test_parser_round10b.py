@@ -388,12 +388,15 @@ def test_try_funcs_cross_engine(spark, duck):
     assert tuple(d_row) == (None, 3.5, None, "y")
 
 
-def test_groups_frame_mode_rejected_with_pointer():
-    with pytest.raises(ParseError, match="GROUPS frame mode"):
-        parse_sql(
-            "SELECT sum(o_totalprice) OVER (ORDER BY o_orderdate GROUPS "
-            "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM orders"
-        )
+def test_groups_frame_mode_now_supported():
+    # GROUPS was initially rejected with a pointer; the same session
+    # implemented the pointer's recipe (RANGE over dense_rank) as the
+    # real desugar — see the GROUPS section below
+    s = parse_sql(
+        "SELECT o_orderkey, sum(o_totalprice) OVER (ORDER BY o_orderdate "
+        "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM orders"
+    ).to_sql("spark")
+    assert "dense_rank() OVER" in s and "RANGE BETWEEN" in s
 
 
 # ---------------------------------------------------------------------------
@@ -433,3 +436,137 @@ def test_script_view_duplicate_names_case_insensitive():
     ]:
         with pytest.raises(ParseError):
             parse_sql(bad)
+
+
+# ---------------------------------------------------------------------------
+# GROUPS frame mode (desugared to RANGE over a dense_rank pre-column)
+# ---------------------------------------------------------------------------
+
+def _groups_reference(rows, lo, hi, fn):
+    """Pure-Python peer-group frame semantics — the independent oracle
+    (DuckDB 1.0 lacks GROUPS mode too: 'not implemented yet')."""
+    from collections import defaultdict
+
+    parts = defaultdict(list)
+    for r in rows:
+        parts[r[0]].append(r)
+    out = []
+    for _k, rs in parts.items():
+        keys = sorted({r[1] for r in rs})
+        rank = {o: i for i, o in enumerate(keys)}
+        for r in rs:
+            g = rank[r[1]]
+            glo = 0 if lo is None else g + lo
+            ghi = len(keys) - 1 if hi is None else g + hi
+            vals = [q[2] for q in rs if glo <= rank[q[1]] <= ghi]
+            nn = [v for v in vals if v is not None]
+            if fn == "sum":
+                v = sum(nn) if nn else None
+            elif fn == "count":
+                v = len(nn)
+            elif fn == "countstar":
+                v = len(vals)
+            elif fn == "min":
+                v = min(nn) if nn else None
+            elif fn == "max":
+                v = max(nn) if nn else None
+            else:
+                v = sum(nn) / len(nn) if nn else None
+            out.append((r[0], r[1], r[2], v))
+    return out
+
+
+_GROUPS_FRAMES = [
+    ("GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING", -1, 1),
+    ("GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", None, 0),
+    ("GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW", -2, 0),
+    ("GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING", 0, 1),
+]
+_GROUPS_FNS = [("sum(x)", "sum"), ("count(x)", "count"),
+               ("count(*)", "countstar"), ("min(x)", "min"),
+               ("max(x)", "max"), ("avg(x)", "avg")]
+
+
+@pytest.mark.parametrize("frame,lo,hi", _GROUPS_FRAMES)
+@pytest.mark.parametrize("fsql,fkey", _GROUPS_FNS)
+def test_groups_frame_matches_reference(frame, lo, hi, fsql, fkey):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, 10, 5), (1, 10, 7), (1, 10, NULL), (1, 20, 1), (1, 30, 4), "
+        "(1, 40, 9), (2, 5, 2), (2, 5, 3), (2, 6, 8), (3, 1, NULL), "
+        "(3, 1, 6)) v(k, o, x)"
+    )
+    rows = con.execute("SELECT k, o, x FROM t").fetchall()
+    q = (f"SELECT k, o, x, {fsql} OVER (PARTITION BY k ORDER BY o "
+         f"{frame}) AS v FROM t")
+    plan = parse_sql(q)
+    s = plan.to_sql("spark")
+    assert parse_sql(s).to_sql("spark") == s
+    mine = con.execute(plan.to_sql("duckdb")).fetchall()
+    want = _groups_reference(rows, lo, hi, fkey)
+    assert normalize_rows(mine, 9) == normalize_rows(want, 9), (frame, fsql)
+
+
+def test_groups_frame_dual_render(spark):
+    q = ("SELECT o_orderkey, "
+         "CAST(sum(o_custkey) OVER (PARTITION BY o_orderstatus "
+         "ORDER BY o_orderdate GROUPS BETWEEN 1 PRECEDING AND "
+         "1 FOLLOWING) AS BIGINT) AS sg "
+         "FROM orders WHERE o_orderkey < 300")
+    plan = parse_sql(q)
+    a = normalize_rows(plan.to_df(spark).collect())
+    b = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
+    assert a == b and len(a) == 300
+
+
+def test_groups_frame_shares_one_sort(spark):
+    """The dense_rank pre-pass and the main window sort on the same
+    (partition, order-prefix) keys — Catalyst must plan ONE exchange,
+    not two."""
+    q = ("SELECT o_orderkey, "
+         "sum(o_custkey) OVER (PARTITION BY o_orderstatus "
+         "ORDER BY o_orderdate GROUPS BETWEEN 1 PRECEDING AND "
+         "1 FOLLOWING) AS sg FROM orders WHERE o_orderkey < 300")
+    plan = parse_sql(q).to_df(spark)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    import re
+    exchanges = len(re.findall(r"Exchange hashpartitioning", phys))
+    assert exchanges == 1, phys
+
+
+def test_groups_frame_rejections():
+    for bad, msg in [
+        ("SELECT sum(x) OVER (PARTITION BY k GROUPS BETWEEN 1 PRECEDING "
+         "AND 1 FOLLOWING) AS v FROM t", "ORDER BY"),
+        ("SELECT k, sum(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING "
+         "AND CURRENT ROW) AS v FROM t GROUP BY k", "aggregated"),
+        ("SELECT *, sum(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING "
+         "AND CURRENT ROW) AS v FROM t", "projection"),
+        ("SELECT sum(x) OVER (ORDER BY o GROUPS BETWEEN INTERVAL '1' DAY "
+         "PRECEDING AND CURRENT ROW) AS v FROM t", "interval"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_sql(bad)
+
+
+def test_groups_frame_composes_with_exclude():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, 10, 5), (1, 10, 7), "
+        "(1, 20, 1), (1, 30, 4), (2, 5, 2), (2, 5, 3), (2, 6, 8)) "
+        "v(k, o, x)"
+    )
+    q = ("SELECT k, o, x, sum(x) OVER (PARTITION BY k ORDER BY o GROUPS "
+         "BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS v FROM t")
+    plan = parse_sql(q)
+    mine = con.execute(
+        f"SELECT * FROM ({plan.to_sql('duckdb')}) ORDER BY k, o, x"
+    ).fetchall()
+    native = con.execute(
+        "WITH r AS (SELECT k, o, x, dense_rank() OVER (PARTITION BY k "
+        "ORDER BY o) AS dr FROM t) SELECT k, o, x, sum(x) OVER ("
+        "PARTITION BY k ORDER BY dr RANGE BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING EXCLUDE GROUP) AS v FROM r ORDER BY k, o, x"
+    ).fetchall()
+    assert mine == native
