@@ -271,6 +271,9 @@ HEADLINE = [
     # GROUPS frame desugar: dense_rank pre-pass + RANGE windows over
     # one shared sort
     "parsed_win_groups_frame",
+    # DISTINCT-over-window desugar: first-occurrence flag + plain
+    # windowed aggregates
+    "parsed_win_distinct_agg",
 ]
 
 

@@ -98,7 +98,10 @@ from datafusion_sqlgen_spark.expressions.core import (
     WindowExpr,
     WindowSpec,
 )
-from datafusion_sqlgen_spark.functions.registry import SPARK_NAME_TO_CANONICAL
+from datafusion_sqlgen_spark.functions.registry import (
+    SPARK_NAME_TO_CANONICAL,
+    canonical as canonical_name,
+)
 from datafusion_sqlgen_spark.plans.core import (
     EmptyRelation,
     Filter,
@@ -1378,6 +1381,34 @@ class _Parser:
 
         # ---- assemble ----
         has_groups = any(self._find_groups(p) for p in projs)
+        has_wdistinct = any(self._find_wdistinct(p) for p in projs)
+        if has_wdistinct:
+            if base is None:
+                raise ParseError(
+                    "DISTINCT window aggregate needs a FROM clause"
+                )
+            if group_keys is not None:
+                raise ParseError(
+                    "DISTINCT window aggregate over aggregated rows is "
+                    "not supported — aggregate in a subquery first"
+                )
+            if distinct_on is not None:
+                raise ParseError(
+                    "DISTINCT window aggregate with DISTINCT ON is not "
+                    "supported"
+                )
+            if any(isinstance(p, Star) for p in projs):
+                raise ParseError(
+                    "DISTINCT window aggregate with a * projection is "
+                    "not supported (the pre-column would leak into *); "
+                    "list the columns"
+                )
+        if qualify is not None and self._find_wdistinct(qualify):
+            raise ParseError(
+                "DISTINCT window aggregate inside QUALIFY is not "
+                "supported; compute it in the projection and filter in "
+                "an outer query"
+            )
         if has_groups:
             # GROUPS frames desugar through a dense_rank pre-projection
             # (_desugar_groups); the combinations that would need the
@@ -1431,8 +1462,12 @@ class _Parser:
                 )
             elif distinct_on is not None:
                 pass  # projection applied inside the desugar below
-            elif has_groups:
-                plan, projs = self._desugar_groups(plan, projs)
+            elif has_groups or has_wdistinct:
+                if has_wdistinct:
+                    plan, projs = self._desugar_window_distinct(
+                        plan, projs)
+                if has_groups:
+                    plan, projs = self._desugar_groups(plan, projs)
                 plan = plan.select(*projs)
             elif not (len(projs) == 1 and isinstance(projs[0], Star)
                       and projs[0].table is None
@@ -1479,6 +1514,129 @@ class _Parser:
                 if isinstance(x, Expr) and self._find_groups(x):
                     return True
         return False
+
+    def _find_wdistinct(self, e) -> bool:
+        """True if the tree holds a DISTINCT aggregate over a window
+        (Spark: 'Distinct window functions are not supported' — we
+        desugar instead; see _desugar_window_distinct)."""
+        import dataclasses
+
+        if isinstance(e, WindowExpr) and e.func.distinct:
+            return True
+        if not dataclasses.is_dataclass(e):
+            return False
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            for x in (v if isinstance(v, tuple) else (v,)):
+                if isinstance(x, Expr) and self._find_wdistinct(x):
+                    return True
+        return False
+
+    def _desugar_window_distinct(self, plan: Plan, projs: list) -> tuple:
+        """``agg(DISTINCT x) OVER (PARTITION BY k)`` desugar — Spark
+        rejects distinct window aggregates outright, but one
+        pre-projection ``row_number() OVER (PARTITION BY k, x ORDER BY
+        x) AS __dst`` marks exactly one row per (k, x) group, and
+        wrapping the argument in ``CASE WHEN __dst = 1 THEN x END``
+        makes the plain windowed aggregate see each distinct value
+        once (aggregates skip the NULLs the CASE leaves elsewhere —
+        the same exactness argument as the FILTER rewrite). count/
+        sum/avg rewrite; min/max just drop DISTINCT (identical
+        semantics); whole-partition windows only — a running distinct
+        aggregate is not expressible this way and rejects. DuckDB
+        executes DISTINCT-over-window natively: the independent oracle.
+        """
+        import dataclasses
+
+        table: dict = {}
+
+        def key_of(spec, arg) -> str:
+            return ("|".join(p.to_sql("spark") for p in spec.partition_by)
+                    + "##" + arg.to_sql("spark"))
+
+        def collect(e):
+            if isinstance(e, WindowExpr) and e.func.distinct:
+                fn = canonical_name(e.func.name)
+                if fn in ("min", "max"):
+                    pass  # DISTINCT is a no-op there; rewrite strips it
+                elif fn not in ("count", "sum", "avg"):
+                    raise ParseError(
+                        f"DISTINCT window aggregate {e.func.name!r} is "
+                        "not desugarable (count/sum/avg/min/max only)"
+                    )
+                elif len(e.func.args) != 1:
+                    raise ParseError(
+                        "DISTINCT window aggregates take exactly one "
+                        "argument"
+                    )
+                if (e.spec.order_by or e.spec.rows_between is not None
+                        or e.spec.range_between is not None
+                        or e.spec.groups_between is not None):
+                    raise ParseError(
+                        "DISTINCT window aggregates support whole-"
+                        "partition windows only (no ORDER BY/frame — a "
+                        "running distinct count is a different "
+                        "operator)"
+                    )
+                if fn not in ("min", "max"):
+                    k = key_of(e.spec, e.func.args[0])
+                    if k not in table:
+                        n = ("__dst" if not table
+                             else f"__dst{len(table) + 1}")
+                        table[k] = (n, e.spec, e.func.args[0])
+            if dataclasses.is_dataclass(e):
+                for f in dataclasses.fields(e):
+                    v = getattr(e, f.name)
+                    for x in (v if isinstance(v, tuple) else (v,)):
+                        if isinstance(x, Expr):
+                            collect(x)
+
+        for p in projs:
+            collect(p)
+        aliases = [
+            Alias(
+                WindowExpr(
+                    Func("row_number", ()),
+                    WindowSpec(spec.partition_by + (arg,),
+                               (SortKey(arg),)),
+                ),
+                name,
+            )
+            for name, spec, arg in table.values()
+        ]
+        pre = plan.select(Star(), *aliases) if aliases else plan
+
+        def rewrite(e):
+            if isinstance(e, WindowExpr) and e.func.distinct:
+                fn = canonical_name(e.func.name)
+                if fn in ("min", "max"):
+                    return WindowExpr(
+                        dataclasses.replace(e.func, distinct=False),
+                        e.spec,
+                    )
+                name, _, arg = table[key_of(e.spec, e.func.args[0])]
+                flagged = Case(((BinOp("=", Col(name), Lit(1)), arg),))
+                return WindowExpr(
+                    dataclasses.replace(e.func, distinct=False,
+                                        args=(flagged,)),
+                    e.spec,
+                )
+            if not dataclasses.is_dataclass(e) or not isinstance(e, Expr):
+                return e
+
+            def walk(v):
+                if isinstance(v, Expr):
+                    return rewrite(v)
+                if isinstance(v, tuple):
+                    return tuple(walk(x) for x in v)
+                return v
+
+            return type(e)(**{
+                f.name: walk(getattr(e, f.name))
+                for f in dataclasses.fields(e)
+            })
+
+        return pre, [rewrite(p) for p in projs]
 
     def _desugar_groups(self, plan: Plan, projs: list) -> tuple:
         """GROUPS-frame desugar: Spark has no GROUPS mode, but a GROUPS

@@ -1545,6 +1545,23 @@ def _ir_workloads() -> dict[str, Plan]:
         "CURRENT ROW) AS cg "
         "FROM orders WHERE o_orderkey < 3000"
     )
+    # round 10b: DISTINCT aggregates over windows — Spark rejects them
+    # outright ("Distinct window functions are not supported"); the
+    # desugar marks one row per (partition, value) group with a
+    # row_number pre-column and wraps the argument in CASE WHEN
+    # __dst = 1, so the plain windowed aggregate sees each distinct
+    # value once. DECIMAL below the sum; the hand oracle replays
+    # DuckDB's NATIVE DISTINCT-over-window.
+    w["parsed_win_distinct_agg"] = parse_sql(
+        "SELECT o_orderkey, "
+        "count(DISTINCT o_orderpriority) OVER "
+        "(PARTITION BY o_custkey) AS n_prio, "
+        "CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "(PARTITION BY o_orderstatus) AS DOUBLE) AS s_price, "
+        "avg(DISTINCT o_custkey % 100) OVER "
+        "(PARTITION BY o_orderstatus) AS a_mod "
+        "FROM orders WHERE o_orderkey < 4000"
+    )
     # round 10b: FILTER (WHERE ...) on a WINDOW aggregate — Spark
     # rejects the clause there ("not supported yet"), so the Spark
     # render desugars to the exact CASE rewrite while DuckDB keeps the
@@ -3690,6 +3707,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "streaming_attribution_left_result",
     "text_vocab_growth",
     "parsed_win_groups_frame",
+    "parsed_win_distinct_agg",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3712,12 +3730,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_word_positions",
     "sample_stable_topk",
     "sample_hash_split",
-    "ts_locf_resample",
-    # --- last driver-sampled in ROUND 4/5, catalog order (the eleven
-    # round-10b rows displaced text_fingerprint …
+    # --- last driver-sampled in ROUND 4/5, catalog order (the twelve
+    # round-10b rows displaced ts_locf_resample …
     # join_range_bucketed into the overflow; the rest queue for r11 —
     # scripts/rotation_next.py overflow) ---
     # ---- 50-entry driver sample boundary ----
+    "ts_locf_resample",
     "text_fingerprint",
     "text_repetition",
     "text_decontaminate",
@@ -5297,6 +5315,19 @@ FROM r a JOIN r b
   ON b.o_orderstatus = a.o_orderstatus
  AND b.dr BETWEEN a.dr - 2 AND a.dr + 1
 GROUP BY a.o_orderkey
+""",
+    # DISTINCT-over-window replayed via DuckDB's NATIVE distinct window
+    # aggregates (the desugar's first-occurrence-flag machinery never
+    # runs)
+    "parsed_win_distinct_agg": """
+SELECT o_orderkey,
+       count(DISTINCT o_orderpriority) OVER
+           (PARTITION BY o_custkey) AS n_prio,
+       CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           (PARTITION BY o_orderstatus) AS DOUBLE) AS s_price,
+       avg(DISTINCT o_custkey % 100) OVER
+           (PARTITION BY o_orderstatus) AS a_mod
+FROM orders WHERE o_orderkey < 4000
 """,
     # window FILTER replayed via DuckDB's NATIVE FILTER clause on the
     # window aggregate (the Spark render is the CASE desugar — native

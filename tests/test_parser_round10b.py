@@ -570,3 +570,53 @@ def test_groups_frame_composes_with_exclude():
         "1 FOLLOWING EXCLUDE GROUP) AS v FROM r ORDER BY k, o, x"
     ).fetchall()
     assert mine == native
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT aggregates over windows
+# ---------------------------------------------------------------------------
+
+def test_win_distinct_matches_duckdb_native():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,5),(1,5),(1,7),"
+        "(1,NULL),(2,3),(2,3),(3,NULL)) v(k,x)"
+    )
+    q = ("SELECT k, x, count(DISTINCT x) OVER (PARTITION BY k) AS c, "
+         "sum(DISTINCT x) OVER (PARTITION BY k) AS s, "
+         "avg(DISTINCT x) OVER (PARTITION BY k) AS a, "
+         "max(DISTINCT x) OVER (PARTITION BY k) AS m FROM t")
+    plan = parse_sql(q)
+    sp = plan.to_sql("spark")
+    assert "DISTINCT" not in sp and "__dst" in sp
+    assert parse_sql(sp).to_sql("spark") == sp
+    order = "ORDER BY k, coalesce(x, -1)"
+    mine = con.execute(
+        f"SELECT * FROM ({plan.to_sql('duckdb')}) {order}").fetchall()
+    native = con.execute(f"SELECT * FROM ({q}) {order}").fetchall()
+    assert normalize_rows(mine, 9) == normalize_rows(native, 9)
+    # all-NULL partition: count 0, sum/avg NULL
+    assert mine[-1][2] == 0 and mine[-1][3] is None
+
+
+def test_win_distinct_dual_render(spark):
+    q = ("SELECT o_orderkey, count(DISTINCT o_orderpriority) OVER "
+         "(PARTITION BY o_custkey) AS n_prio FROM orders "
+         "WHERE o_orderkey < 300")
+    plan = parse_sql(q)
+    a = normalize_rows(plan.to_df(spark).collect())
+    b = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
+    assert a == b and len(a) == 300
+
+
+def test_win_distinct_rejections():
+    for bad, msg in [
+        ("SELECT count(DISTINCT x) OVER (PARTITION BY k ORDER BY x) "
+         "AS c FROM t", "whole-partition"),
+        ("SELECT string_agg(DISTINCT x, ',') OVER (PARTITION BY k) "
+         "AS c FROM t", "not desugarable"),
+        ("SELECT *, count(DISTINCT x) OVER (PARTITION BY k) AS c FROM t",
+         "projection"),
+    ]:
+        with pytest.raises(ParseError, match=msg):
+            parse_sql(bad)
