@@ -272,8 +272,9 @@ HEADLINE = [
     # one shared sort
     "parsed_win_groups_frame",
     # DISTINCT-over-window desugar: first-occurrence flag + plain
-    # windowed aggregates
+    # windowed aggregates; ordered variant = running distinct count
     "parsed_win_distinct_agg",
+    "parsed_win_running_distinct",
 ]
 
 

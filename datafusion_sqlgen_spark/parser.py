@@ -1542,9 +1542,16 @@ class _Parser:
         once (aggregates skip the NULLs the CASE leaves elsewhere —
         the same exactness argument as the FILTER rewrite). count/
         sum/avg rewrite; min/max just drop DISTINCT (identical
-        semantics); whole-partition windows only — a running distinct
-        aggregate is not expressible this way and rejects. DuckDB
-        executes DISTINCT-over-window natively: the independent oracle.
+        semantics). ORDERED windows (no explicit frame — the default
+        RANGE UNBOUNDED PRECEDING..CURRENT ROW) desugar too: the flag
+        column's row_number orders by the WINDOW's order keys, so the
+        flag lands on a minimal-position row of each value, and "value
+        seen at or before this position" ⇔ "its flag row is in the
+        running frame" — the running-distinct-count staple (cumulative
+        unique users). Explicit frames reject: a sliding distinct
+        count (values EXIT the frame) is not expressible by a single
+        first-occurrence flag. DuckDB executes DISTINCT-over-window
+        natively, ordered and not: the independent oracle.
         """
         import dataclasses
 
@@ -1552,7 +1559,8 @@ class _Parser:
 
         def key_of(spec, arg) -> str:
             return ("|".join(p.to_sql("spark") for p in spec.partition_by)
-                    + "##" + arg.to_sql("spark"))
+                    + "##" + arg.to_sql("spark") + "##"
+                    + "|".join(k.to_sql("spark") for k in spec.order_by))
 
         def collect(e):
             if isinstance(e, WindowExpr) and e.func.distinct:
@@ -1569,14 +1577,15 @@ class _Parser:
                         "DISTINCT window aggregates take exactly one "
                         "argument"
                     )
-                if (e.spec.order_by or e.spec.rows_between is not None
+                if (e.spec.rows_between is not None
                         or e.spec.range_between is not None
                         or e.spec.groups_between is not None):
                     raise ParseError(
                         "DISTINCT window aggregates support whole-"
-                        "partition windows only (no ORDER BY/frame — a "
-                        "running distinct count is a different "
-                        "operator)"
+                        "partition or default-frame ordered windows "
+                        "only (a sliding distinct count needs values "
+                        "to EXIT the frame — not expressible by a "
+                        "first-occurrence flag)"
                     )
                 if fn not in ("min", "max"):
                     k = key_of(e.spec, e.func.args[0])
@@ -1598,7 +1607,7 @@ class _Parser:
                 WindowExpr(
                     Func("row_number", ()),
                     WindowSpec(spec.partition_by + (arg,),
-                               (SortKey(arg),)),
+                               spec.order_by or (SortKey(arg),)),
                 ),
                 name,
             )

@@ -1562,6 +1562,17 @@ def _ir_workloads() -> dict[str, Plan]:
         "(PARTITION BY o_orderstatus) AS a_mod "
         "FROM orders WHERE o_orderkey < 4000"
     )
+    # round 10b: RUNNING distinct count (cumulative unique users) — the
+    # ordered extension of the DISTINCT-over-window desugar: the
+    # first-occurrence flag is ordered by the window's keys, so "seen
+    # at or before this position" is exactly "flag row in the running
+    # frame". Hand oracle: DuckDB's native ordered DISTINCT window.
+    w["parsed_win_running_distinct"] = parse_sql(
+        "SELECT event_id, "
+        "count(DISTINCT user_id) OVER (PARTITION BY event_type "
+        "ORDER BY ts, event_id) AS uniq_users "
+        "FROM events WHERE event_id % 5 = 0"
+    )
     # round 10b: FILTER (WHERE ...) on a WINDOW aggregate — Spark
     # rejects the clause there ("not supported yet"), so the Spark
     # render desugars to the exact CASE rewrite while DuckDB keeps the
@@ -3708,6 +3719,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_vocab_growth",
     "parsed_win_groups_frame",
     "parsed_win_distinct_agg",
+    "parsed_win_running_distinct",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3729,12 +3741,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_redact",
     "text_word_positions",
     "sample_stable_topk",
-    "sample_hash_split",
-    # --- last driver-sampled in ROUND 4/5, catalog order (the twelve
-    # round-10b rows displaced ts_locf_resample …
+    # --- last driver-sampled in ROUND 4/5, catalog order (the thirteen
+    # round-10b rows displaced sample_hash_split …
     # join_range_bucketed into the overflow; the rest queue for r11 —
     # scripts/rotation_next.py overflow) ---
     # ---- 50-entry driver sample boundary ----
+    "sample_hash_split",
     "ts_locf_resample",
     "text_fingerprint",
     "text_repetition",
@@ -5315,6 +5327,14 @@ FROM r a JOIN r b
   ON b.o_orderstatus = a.o_orderstatus
  AND b.dr BETWEEN a.dr - 2 AND a.dr + 1
 GROUP BY a.o_orderkey
+""",
+    # running distinct replayed via DuckDB's NATIVE ordered DISTINCT
+    # window (the flag machinery never runs)
+    "parsed_win_running_distinct": """
+SELECT event_id,
+       count(DISTINCT user_id) OVER (PARTITION BY event_type
+           ORDER BY ts, event_id) AS uniq_users
+FROM events WHERE event_id % 5 = 0
 """,
     # DISTINCT-over-window replayed via DuckDB's NATIVE distinct window
     # aggregates (the desugar's first-occurrence-flag machinery never

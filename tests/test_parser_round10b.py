@@ -611,8 +611,11 @@ def test_win_distinct_dual_render(spark):
 
 def test_win_distinct_rejections():
     for bad, msg in [
-        ("SELECT count(DISTINCT x) OVER (PARTITION BY k ORDER BY x) "
-         "AS c FROM t", "whole-partition"),
+        # ordered default-frame windows are supported (running
+        # distinct); explicit sliding frames are not
+        ("SELECT count(DISTINCT x) OVER (PARTITION BY k ORDER BY x "
+         "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c FROM t",
+         "sliding"),
         ("SELECT string_agg(DISTINCT x, ',') OVER (PARTITION BY k) "
          "AS c FROM t", "not desugarable"),
         ("SELECT *, count(DISTINCT x) OVER (PARTITION BY k) AS c FROM t",
@@ -620,3 +623,57 @@ def test_win_distinct_rejections():
     ]:
         with pytest.raises(ParseError, match=msg):
             parse_sql(bad)
+
+
+@pytest.mark.parametrize("fn", ["count(DISTINCT x)", "sum(DISTINCT x)",
+                                "avg(DISTINCT x)"])
+def test_win_running_distinct_matches_native(fn):
+    """Ordered DISTINCT windows (running distinct): the flag-ordered
+    desugar equals DuckDB's native ordered DISTINCT window, including
+    re-seen values, NULLs, and a DESC ordering."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,1,5),(1,2,5),"
+        "(1,2,7),(1,3,NULL),(1,4,5),(1,5,9),(2,1,3),(2,2,3)) v(k,o,x)"
+    )
+    q = (f"SELECT k, o, x, {fn} OVER (PARTITION BY k ORDER BY o) AS v "
+         "FROM t")
+    plan = parse_sql(q)
+    s = plan.to_sql("spark")
+    assert parse_sql(s).to_sql("spark") == s
+    order = "ORDER BY k, o, coalesce(x, -1), v NULLS FIRST"
+    mine = con.execute(
+        f"SELECT * FROM ({plan.to_sql('duckdb')}) {order}").fetchall()
+    native = con.execute(f"SELECT * FROM ({q}) {order}").fetchall()
+    assert normalize_rows(mine, 9) == normalize_rows(native, 9)
+
+
+def test_win_running_distinct_desc_and_sliding_reject():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,1,5),(1,2,5),"
+        "(1,3,7)) v(k,o,x)"
+    )
+    q = ("SELECT k, o, count(DISTINCT x) OVER (PARTITION BY k "
+         "ORDER BY o DESC) AS v FROM t")
+    plan = parse_sql(q)
+    mine = con.execute(
+        f"SELECT * FROM ({plan.to_sql('duckdb')}) ORDER BY k, o"
+    ).fetchall()
+    native = con.execute(f"SELECT * FROM ({q}) ORDER BY k, o").fetchall()
+    assert mine == native
+    with pytest.raises(ParseError, match="sliding"):
+        parse_sql(
+            "SELECT count(DISTINCT x) OVER (PARTITION BY k ORDER BY o "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS v FROM t"
+        )
+
+
+def test_win_running_distinct_dual_render(spark):
+    q = ("SELECT event_id, count(DISTINCT user_id) OVER ("
+         "PARTITION BY event_type ORDER BY ts, event_id) AS u "
+         "FROM events WHERE event_id % 25 = 0")
+    plan = parse_sql(q)
+    a = normalize_rows(plan.to_df(spark).collect())
+    b = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
+    assert a == b and len(a) > 0
