@@ -275,6 +275,8 @@ HEADLINE = [
     # windowed aggregates; ordered variant = running distinct count
     "parsed_win_distinct_agg",
     "parsed_win_running_distinct",
+    # ASOF LEFT via decorrelated LIMIT-1 lateral (rank-window join)
+    "parsed_asof_left_join",
 ]
 
 

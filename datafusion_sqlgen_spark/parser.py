@@ -2271,6 +2271,24 @@ class _Parser:
             self.expect_kw("JOIN")
         else:
             return None
+        if how == "left" and self.at_kw("LATERAL"):
+            # LEFT JOIN LATERAL (sub) AS a [ON TRUE] — the NULL-padding
+            # lateral (empty per-row output keeps the left row); any
+            # real ON condition belongs in the subquery's WHERE
+            self.next()
+            self.expect_op("(")
+            sub = self.parse_query()
+            self.expect_op(")")
+            self.eat_kw("AS")
+            name = self.ident()
+            if self.eat_kw("ON"):
+                cond = self.parse_expr()
+                if not (isinstance(cond, Lit) and cond.value is True):
+                    raise ParseError(
+                        "LEFT JOIN LATERAL takes ON TRUE only — put "
+                        "the correlation in the subquery's WHERE"
+                    )
+            return left.lateral(sub, name, how="left")
         right = self.parse_relation()
         if self.eat_kw("USING"):
             self.expect_op("(")
@@ -2315,12 +2333,14 @@ class _Parser:
         rows — ``operators.joins.asof_join`` keeps them (NULL match).
         """
         self.expect_kw("ASOF")
-        if self.at_kw("LEFT"):
-            raise ParseError(
-                "ASOF LEFT JOIN cannot keep unmatched left rows through "
-                "the join+correlated-max desugar; use "
-                "operators.joins.asof_join (left semantics, NULL match)"
-            )
+        # ASOF LEFT JOIN desugars differently: a post-join filter cannot
+        # keep unmatched left rows, so the LEFT form becomes
+        # ``LEFT JOIN LATERAL (SELECT * FROM r WHERE keys AND bound
+        # ORDER BY ts DESC LIMIT 1) AS r ON TRUE`` — Catalyst
+        # decorrelates the LIMIT-1 lateral to a rank-over-window join
+        # (lat_topn_per_group's proven shape), and empty lateral output
+        # NULL-pads, exactly native ASOF LEFT semantics
+        left_outer = self.eat_kw("LEFT")
         self.expect_kw("JOIN")
         right = self.parse_relation()
         if isinstance(right, Scan):
@@ -2396,6 +2416,12 @@ class _Parser:
         sub_cond = BinOp("AND", sub_cond,
                          BinOp(op, Col(rt.name, fresh), lts))
         fn = "max" if op == "<=" else "min"
+        if left_outer:
+            asc = fn == "min"
+            sk = SortKey(Col(rt.name, fresh), ascending=asc,
+                         nulls_first=asc)
+            sub = sub_rel.filter(sub_cond).sort(sk).limit(1)
+            return left.lateral(sub, rname, how="left")
         sub = sub_rel.filter(sub_cond).group_by().agg(
             Alias(Func(fn, (Col(rt.name, fresh),)), "__asof_ts"))
         joined = left.join(right, on=cond, how="inner")

@@ -236,9 +236,11 @@ class Plan:
         """Wide -> long reshape over the named measure columns."""
         return Unpivot(self, tuple(ids), tuple(value_cols), var_col, value_col)
 
-    def lateral(self, subquery: "Plan", alias: str) -> "Lateral":
-        """Correlated per-row subquery: FROM self, LATERAL (sub) AS alias."""
-        return Lateral(self, subquery, alias)
+    def lateral(self, subquery: "Plan", alias: str,
+                how: str = "cross") -> "Lateral":
+        """Correlated per-row subquery: FROM self, LATERAL (sub) AS alias
+        (``how="left"`` keeps empty-output left rows, NULL-padded)."""
+        return Lateral(self, subquery, alias, how)
 
     def pivot(self, agg, pivot_col: str, values: Sequence) -> "Pivot":
         """Long -> wide: one column per value, grouped by the rest."""
@@ -771,6 +773,13 @@ class Lateral(Plan):
     left: Plan
     subquery: Plan
     alias_name: str
+    # "cross" = the comma form (a row per lateral result row, left rows
+    # with empty lateral output drop); "left" = LEFT JOIN LATERAL ...
+    # ON TRUE (left rows with empty lateral output survive NULL-padded
+    # — the shape the ASOF LEFT JOIN desugar needs). Catalyst
+    # decorrelates both; LIMIT-1 laterals become rank-over-window
+    # joins either way.
+    how: str = "cross"
 
     def _fold(self, dialect: str) -> _SelectState:
         lstate = self.left._fold(dialect)
@@ -786,8 +795,13 @@ class Lateral(Plan):
             lstate = _nest(lstate)
         sub_sql = self.subquery.to_sql(dialect)
         a = quote_ident(self.alias_name, dialect)
+        if self.how == "left":
+            frm = (f"{lstate.from_sql} LEFT JOIN LATERAL ({sub_sql}) "
+                   f"AS {a} ON TRUE")
+        else:
+            frm = f"{lstate.from_sql}, LATERAL ({sub_sql}) AS {a}"
         return _SelectState(
-            from_sql=f"{lstate.from_sql}, LATERAL ({sub_sql}) AS {a}",
+            from_sql=frm,
             ctes=lstate.ctes,
             hints=lstate.hints,
         )

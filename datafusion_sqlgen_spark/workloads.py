@@ -1562,6 +1562,20 @@ def _ir_workloads() -> dict[str, Plan]:
         "(PARTITION BY o_orderstatus) AS a_mod "
         "FROM orders WHERE o_orderkey < 4000"
     )
+    # round 10b: ASOF LEFT JOIN — unmatched clicks survive NULL-padded;
+    # desugars to LEFT JOIN LATERAL (... ORDER BY ts DESC LIMIT 1) ON
+    # TRUE, which Catalyst decorrelates to a rank-over-window join (no
+    # cartesian — plan-gated in tests). Hand oracle: native ASOF LEFT.
+    w["parsed_asof_left_join"] = parse_sql(
+        "SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, "
+        "r.pval "
+        "FROM (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'click' AND event_id % 20 = 0) AS l "
+        "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval "
+        "FROM events WHERE event_type = 'purchase' "
+        "GROUP BY user_id, ts) AS r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
     # round 10b: RUNNING distinct count (cumulative unique users) — the
     # ordered extension of the DISTINCT-over-window desugar: the
     # first-occurrence flag is ordered by the window's keys, so "seen
@@ -3720,6 +3734,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_win_groups_frame",
     "parsed_win_distinct_agg",
     "parsed_win_running_distinct",
+    "parsed_asof_left_join",
     # --- last driver-sampled in ROUND 4, catalog order ---
     "tpch_q10",
     "tpch_q11",
@@ -3740,12 +3755,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "text_pack_sequences",
     "text_redact",
     "text_word_positions",
-    "sample_stable_topk",
-    # --- last driver-sampled in ROUND 4/5, catalog order (the thirteen
-    # round-10b rows displaced sample_hash_split …
+    # --- last driver-sampled in ROUND 4/5, catalog order (the fourteen
+    # round-10b rows displaced sample_stable_topk …
     # join_range_bucketed into the overflow; the rest queue for r11 —
     # scripts/rotation_next.py overflow) ---
     # ---- 50-entry driver sample boundary ----
+    "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",
     "text_fingerprint",
@@ -5327,6 +5342,17 @@ FROM r a JOIN r b
   ON b.o_orderstatus = a.o_orderstatus
  AND b.dr BETWEEN a.dr - 2 AND a.dr + 1
 GROUP BY a.o_orderkey
+""",
+    # ASOF LEFT replayed via DuckDB's NATIVE ASOF LEFT JOIN (the
+    # lateral-LIMIT-1 desugar machinery never runs)
+    "parsed_asof_left_join": """
+SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, r.pval
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'click' AND event_id % 20 = 0) l
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval FROM events
+                WHERE event_type = 'purchase'
+                GROUP BY user_id, ts) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
     # running distinct replayed via DuckDB's NATIVE ordered DISTINCT
     # window (the flag machinery never runs)

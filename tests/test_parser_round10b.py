@@ -151,8 +151,10 @@ def test_asof_join_reversed_operands_same_direction():
 
 def test_asof_join_rejections():
     for sql, msg in [
-        ("SELECT 1 FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts",
-         "ASOF LEFT JOIN"),
+        # ASOF LEFT is now supported (LEFT JOIN LATERAL desugar); its
+        # malformed ON clauses still reject like the inner form
+        ("SELECT 1 FROM l ASOF LEFT JOIN r ON l.k = r.k",
+         "timestamp bound"),
         ("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k", "timestamp bound"),
         ("SELECT 1 FROM l ASOF JOIN r ON l.ts >= r.ts", "equality key"),
         ("SELECT 1 FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts "
@@ -677,3 +679,71 @@ def test_win_running_distinct_dual_render(spark):
     a = normalize_rows(plan.to_df(spark).collect())
     b = normalize_rows(spark.sql(plan.to_sql("spark")).collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# ASOF LEFT JOIN (LEFT JOIN LATERAL LIMIT-1 desugar)
+# ---------------------------------------------------------------------------
+
+def test_asof_left_join_matches_duckdb_native():
+    con = _asof_duck()
+    q = ("SELECT l.k, l.ts, l.ev, r.ts AS rts, r.price "
+         "FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts")
+    plan = parse_sql(q)
+    s = plan.to_sql("spark")
+    assert "LEFT JOIN LATERAL" in s and "LIMIT 1" in s
+    assert parse_sql(s).to_sql("spark") == s
+    mine = con.execute(
+        f"SELECT * FROM ({plan.to_sql('duckdb')}) ORDER BY k, ts"
+    ).fetchall()
+    native = con.execute(
+        "SELECT l.k, l.ts, l.ev, r.ts, r.price FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts"
+    ).fetchall()
+    assert mine == native and len(mine) == 5
+    assert sum(1 for r in mine if r[3] is None) == 2  # k=2@5, k=3
+
+
+def test_asof_left_join_forward_matches_native():
+    con = _asof_duck()
+    q = ("SELECT l.k, l.ts, r.ts AS rts FROM l ASOF LEFT JOIN r "
+         "ON l.k = r.k AND l.ts <= r.ts")
+    mine = con.execute(
+        f"SELECT * FROM ({parse_sql(q).to_sql('duckdb')}) ORDER BY k, ts"
+    ).fetchall()
+    native = con.execute(
+        "SELECT l.k, l.ts, r.ts FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts <= r.ts ORDER BY l.k, l.ts"
+    ).fetchall()
+    assert mine == native
+
+
+def test_asof_left_join_plan_decorrelates_no_cartesian(spark):
+    q = ("SELECT l.event_id, r.pval FROM "
+         "(SELECT event_id, ts, user_id FROM events "
+         "WHERE event_type = 'click' AND event_id % 40 = 0) AS l "
+         "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval "
+         "FROM events WHERE event_type = 'purchase' "
+         "GROUP BY user_id, ts) AS r "
+         "ON l.user_id = r.user_id AND l.ts >= r.ts")
+    df = parse_sql(q).to_df(spark)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "Window" in phys  # the decorrelated rank-over-window shape
+    via_sql = spark.sql(parse_sql(q).to_sql("spark"))
+    assert normalize_rows(df.collect()) == normalize_rows(
+        via_sql.collect())
+
+
+def test_left_join_lateral_parses_and_rejects_real_on():
+    s = parse_sql(
+        "SELECT a.x, b.y FROM (SELECT 1 AS x) AS a LEFT JOIN LATERAL "
+        "(SELECT a.x + 1 AS y) AS b ON TRUE"
+    ).to_sql("spark")
+    assert "LEFT JOIN LATERAL" in s
+    assert parse_sql(s).to_sql("spark") == s
+    with pytest.raises(ParseError, match="ON TRUE only"):
+        parse_sql(
+            "SELECT 1 FROM a LEFT JOIN LATERAL (SELECT 1 AS y) AS b "
+            "ON a.x = b.y"
+        )
