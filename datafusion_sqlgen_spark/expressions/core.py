@@ -1048,6 +1048,32 @@ class WindowExpr(Expr):
                 "are not decomposable into frame minus current row"
             )
         arg = self.func.args[0] if self.func.args else None  # count(*)
+        s = self.spec
+        frame = (s.rows_between if s.rows_between is not None
+                 else s.range_between if s.range_between is not None
+                 else s.groups_between)
+        if frame is not None:
+            lo, hi = frame
+
+            def covers(v, is_lo):
+                if v == "unbounded" or v is None:
+                    return True
+                if isinstance(v, FrameBound):
+                    return v.preceding if is_lo else not v.preceding
+                return v <= 0 if is_lo else v >= 0
+
+            if not (covers(lo, True) and covers(hi, False)):
+                # review r10b: on a frame NOT containing the current
+                # row the standard's EXCLUDE is a no-op, but the
+                # subtraction desugar would remove a value that was
+                # never in the frame (and the empty-frame NULL guard
+                # then fires on the miscomputed count) — reject
+                raise ValueError(
+                    "EXCLUDE needs a frame that spans the current row "
+                    "(start <= CURRENT ROW <= end); outside it the "
+                    "exclusion is a no-op the subtraction desugar "
+                    "cannot express — drop the EXCLUDE clause"
+                )
         return name, arg, dataclasses.replace(self.spec,
                                               exclude_current=False,
                                               exclude_peers=None)

@@ -2414,7 +2414,8 @@ def vocab_growth_oracle(table: str = "documents", buckets: int = 10) -> str:
     WITH toks AS (
         SELECT source, doc_id, t.term
         FROM {table},
-             unnest(string_split_regex(lower(text), '\\s+')) AS t(term)
+             unnest(string_split_regex(lower(text),
+                    '{_WORD_SPLIT_DUCK}')) AS t(term)
         WHERE t.term <> ''
     ),
     doc_tok AS (

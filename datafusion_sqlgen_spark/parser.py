@@ -307,6 +307,57 @@ class ParseError(ValueError):
     pass
 
 
+def _expr_find(e, pred) -> bool:
+    """Depth-first search over an expression tree: True if any Expr
+    node satisfies ``pred``. Recurses into Expr fields and tuples of
+    Exprs only — Plan-valued fields (subqueries) are NOT entered, their
+    own select cores handle their own rewrites on the way up. ``pred``
+    may carry side effects (the desugar collect passes do) since every
+    node is visited exactly once."""
+    import dataclasses
+
+    if not isinstance(e, Expr):
+        return False
+    if pred(e):
+        return True
+    if not dataclasses.is_dataclass(e):
+        return False
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        for x in (v if isinstance(v, tuple) else (v,)):
+            if isinstance(x, Expr) and _expr_find(x, pred):
+                return True
+    return False
+
+
+def _expr_transform(e, fn):
+    """Top-down rebuild of an expression tree: ``fn`` sees each Expr
+    node; returning a DIFFERENT object replaces the node (no recursion
+    into the replacement — the desugars return finished subtrees),
+    returning the node itself recurses into its fields. Same traversal
+    contract as _expr_find."""
+    import dataclasses
+
+    if not isinstance(e, Expr):
+        return e
+    out = fn(e)
+    if out is not e:
+        return out
+    if not dataclasses.is_dataclass(e):
+        return e
+
+    def walk(v):
+        if isinstance(v, Expr):
+            return _expr_transform(v, fn)
+        if isinstance(v, tuple):
+            return tuple(walk(x) for x in v)
+        return v
+
+    return type(e)(**{
+        f.name: walk(getattr(e, f.name)) for f in dataclasses.fields(e)
+    })
+
+
 # keywords that terminate an expression / projection item
 _CLAUSE_KW = {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
@@ -1409,6 +1460,25 @@ class _Parser:
                 "supported; compute it in the projection and filter in "
                 "an outer query"
             )
+        # review r10b: the desugars rewrite PROJECTIONS only — the same
+        # constructs in ORDER BY / HAVING / DISTINCT ON / WHERE would
+        # escape both the rejection and the rewrite (Spark then fails
+        # at execution while DuckDB runs: a crash-vs-value divergence),
+        # so they reject at parse with the alias recipe
+        other_sites = list(sort_keys or ())
+        if having is not None:
+            other_sites.append(having)
+        if distinct_on:
+            other_sites.extend(distinct_on)
+        if where is not None:
+            other_sites.append(where)
+        for site in other_sites:
+            if self._find_groups(site) or self._find_wdistinct(site):
+                raise ParseError(
+                    "GROUPS frames and DISTINCT window aggregates are "
+                    "supported in the projection list only; alias the "
+                    "windowed expression there and reference the alias"
+                )
         if has_groups:
             # GROUPS frames desugar through a dense_rank pre-projection
             # (_desugar_groups); the combinations that would need the
@@ -1502,35 +1572,16 @@ class _Parser:
         """True if the expression tree contains a window with a GROUPS
         frame (subquery plans inside the tree are NOT entered — their
         own select cores desugared their own GROUPS on the way up)."""
-        import dataclasses
-
-        if isinstance(e, WindowExpr) and e.spec.groups_between is not None:
-            return True
-        if not dataclasses.is_dataclass(e):
-            return False
-        for f in dataclasses.fields(e):
-            v = getattr(e, f.name)
-            for x in (v if isinstance(v, tuple) else (v,)):
-                if isinstance(x, Expr) and self._find_groups(x):
-                    return True
-        return False
+        return _expr_find(
+            e, lambda x: (isinstance(x, WindowExpr)
+                          and x.spec.groups_between is not None))
 
     def _find_wdistinct(self, e) -> bool:
         """True if the tree holds a DISTINCT aggregate over a window
         (Spark: 'Distinct window functions are not supported' — we
         desugar instead; see _desugar_window_distinct)."""
-        import dataclasses
-
-        if isinstance(e, WindowExpr) and e.func.distinct:
-            return True
-        if not dataclasses.is_dataclass(e):
-            return False
-        for f in dataclasses.fields(e):
-            v = getattr(e, f.name)
-            for x in (v if isinstance(v, tuple) else (v,)):
-                if isinstance(x, Expr) and self._find_wdistinct(x):
-                    return True
-        return False
+        return _expr_find(
+            e, lambda x: isinstance(x, WindowExpr) and x.func.distinct)
 
     def _desugar_window_distinct(self, plan: Plan, projs: list) -> tuple:
         """``agg(DISTINCT x) OVER (PARTITION BY k)`` desugar — Spark
@@ -1562,17 +1613,20 @@ class _Parser:
                     + "##" + arg.to_sql("spark") + "##"
                     + "|".join(k.to_sql("spark") for k in spec.order_by))
 
-        def collect(e):
+        def visit(e):
             if isinstance(e, WindowExpr) and e.func.distinct:
                 fn = canonical_name(e.func.name)
                 if fn in ("min", "max"):
-                    pass  # DISTINCT is a no-op there; rewrite strips it
-                elif fn not in ("count", "sum", "avg"):
+                    # DISTINCT is a no-op there; rewrite strips it and
+                    # any frame stays legal (review r10b: the frame
+                    # check below is count/sum/avg-only)
+                    return False
+                if fn not in ("count", "sum", "avg"):
                     raise ParseError(
                         f"DISTINCT window aggregate {e.func.name!r} is "
                         "not desugarable (count/sum/avg/min/max only)"
                     )
-                elif len(e.func.args) != 1:
+                if len(e.func.args) != 1:
                     raise ParseError(
                         "DISTINCT window aggregates take exactly one "
                         "argument"
@@ -1587,21 +1641,15 @@ class _Parser:
                         "to EXIT the frame — not expressible by a "
                         "first-occurrence flag)"
                     )
-                if fn not in ("min", "max"):
-                    k = key_of(e.spec, e.func.args[0])
-                    if k not in table:
-                        n = ("__dst" if not table
-                             else f"__dst{len(table) + 1}")
-                        table[k] = (n, e.spec, e.func.args[0])
-            if dataclasses.is_dataclass(e):
-                for f in dataclasses.fields(e):
-                    v = getattr(e, f.name)
-                    for x in (v if isinstance(v, tuple) else (v,)):
-                        if isinstance(x, Expr):
-                            collect(x)
+                k = key_of(e.spec, e.func.args[0])
+                if k not in table:
+                    n = ("__dst" if not table
+                         else f"__dst{len(table) + 1}")
+                    table[k] = (n, e.spec, e.func.args[0])
+            return False  # side-effect visitor: walk everything
 
         for p in projs:
-            collect(p)
+            _expr_find(p, visit)
         aliases = [
             Alias(
                 WindowExpr(
@@ -1630,22 +1678,9 @@ class _Parser:
                                         args=(flagged,)),
                     e.spec,
                 )
-            if not dataclasses.is_dataclass(e) or not isinstance(e, Expr):
-                return e
+            return e
 
-            def walk(v):
-                if isinstance(v, Expr):
-                    return rewrite(v)
-                if isinstance(v, tuple):
-                    return tuple(walk(x) for x in v)
-                return v
-
-            return type(e)(**{
-                f.name: walk(getattr(e, f.name))
-                for f in dataclasses.fields(e)
-            })
-
-        return pre, [rewrite(p) for p in projs]
+        return pre, [_expr_transform(p, rewrite) for p in projs]
 
     def _desugar_groups(self, plan: Plan, projs: list) -> tuple:
         """GROUPS-frame desugar: Spark has no GROUPS mode, but a GROUPS
@@ -1670,22 +1705,17 @@ class _Parser:
                     + "##"
                     + "|".join(k.to_sql("spark") for k in spec.order_by))
 
-        def collect(e):
+        def visit(e):
             if (isinstance(e, WindowExpr)
                     and e.spec.groups_between is not None):
                 k = key_of(e.spec)
                 if k not in table:
                     n = "__grp" if not table else f"__grp{len(table) + 1}"
                     table[k] = (n, e.spec)
-            if dataclasses.is_dataclass(e):
-                for f in dataclasses.fields(e):
-                    v = getattr(e, f.name)
-                    for x in (v if isinstance(v, tuple) else (v,)):
-                        if isinstance(x, Expr):
-                            collect(x)
+            return False  # side-effect visitor: walk everything
 
         for p in projs:
-            collect(p)
+            _expr_find(p, visit)
         aliases = [
             Alias(WindowExpr(Func("dense_rank", ()),
                              WindowSpec(spec.partition_by, spec.order_by)),
@@ -1705,22 +1735,9 @@ class _Parser:
                     groups_between=None,
                 )
                 return WindowExpr(e.func, spec)
-            if not dataclasses.is_dataclass(e) or not isinstance(e, Expr):
-                return e
+            return e
 
-            def walk(v):
-                if isinstance(v, Expr):
-                    return rewrite(v)
-                if isinstance(v, tuple):
-                    return tuple(walk(x) for x in v)
-                return v
-
-            return type(e)(**{
-                f.name: walk(getattr(e, f.name))
-                for f in dataclasses.fields(e)
-            })
-
-        return pre, [rewrite(p) for p in projs]
+        return pre, [_expr_transform(p, rewrite) for p in projs]
 
     def _assemble_distinct_on(
         self,
@@ -3137,7 +3154,12 @@ class _Parser:
         if args and self._is_map_typed(args[0]):
             if lname in ("array_size", "cardinality", "size"):
                 lname = "map_size"
-            elif lname == "element_at":
+            elif lname in ("element_at", "try_element_at"):
+                # review r10b: map-typed try_element_at is a key lookup
+                # (NULL on missing key — map_get's contract on both
+                # engines); resolving it here also keeps the literal-0
+                # rejection below array-only, where Spark's
+                # INVALID_INDEX_OF_ZERO actually applies
                 lname = "map_get"
         if (lname == "sha2" and len(args) == 2
                 and isinstance(args[1], Lit) and args[1].value == 256):
@@ -3356,6 +3378,15 @@ class _Parser:
             # a throwaway count(*) probe reuses the render validation
             try:
                 WindowExpr(Func("count", ()), spec)._peer_parts()
+            except ValueError as e:
+                raise ParseError(str(e)) from None
+        if exclude_current:
+            # review r10b: same parse-time surfacing for CURRENT ROW —
+            # a frame not containing the current row makes the
+            # subtraction desugar silently wrong, so it rejects in
+            # _exclude_parts; probe it here
+            try:
+                WindowExpr(Func("count", ()), spec)._exclude_parts()
             except ValueError as e:
                 raise ParseError(str(e)) from None
         return spec

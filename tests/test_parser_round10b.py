@@ -747,3 +747,61 @@ def test_left_join_lateral_parses_and_rejects_real_on():
             "SELECT 1 FROM a LEFT JOIN LATERAL (SELECT 1 AS y) AS b "
             "ON a.x = b.y"
         )
+
+
+# ---------------------------------------------------------------------------
+# Review fixes, second pass (round 10b)
+# ---------------------------------------------------------------------------
+
+def test_exclude_current_nonspanning_frame_rejected():
+    """Review r10b-2: on a frame not containing the current row the
+    standard's EXCLUDE is a no-op; the subtraction desugar would remove
+    a value that was never in the frame (and NULL-guard on the
+    miscomputed count), so it rejects at parse."""
+    for bad in [
+        "SELECT sum(x) OVER (ORDER BY o ROWS BETWEEN 3 PRECEDING AND "
+        "1 PRECEDING EXCLUDE CURRENT ROW) AS v FROM t",
+        "SELECT sum(x) OVER (ORDER BY o GROUPS BETWEEN 2 PRECEDING AND "
+        "1 PRECEDING EXCLUDE CURRENT ROW) AS v FROM t",
+        "SELECT sum(x) OVER (ORDER BY o RANGE BETWEEN 1 FOLLOWING AND "
+        "5 FOLLOWING EXCLUDE CURRENT ROW) AS v FROM t",
+    ]:
+        with pytest.raises(ParseError, match="spans the current row"):
+            parse_sql(bad)
+    # spanning frames stay legal
+    parse_sql(
+        "SELECT sum(x) OVER (ORDER BY o ROWS BETWEEN 3 PRECEDING AND "
+        "3 FOLLOWING EXCLUDE CURRENT ROW) AS v FROM t"
+    )
+
+
+def test_groups_and_distinct_windows_outside_projections_reject():
+    """Review r10b-2: the desugars rewrite projections only — the same
+    constructs in ORDER BY / HAVING / WHERE must reject at parse, not
+    crash one engine at execution."""
+    for bad in [
+        "SELECT k FROM t ORDER BY count(DISTINCT x) OVER (PARTITION BY k)",
+        "SELECT k FROM t ORDER BY sum(x) OVER (ORDER BY o GROUPS "
+        "BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+    ]:
+        with pytest.raises(ParseError, match="projection list only"):
+            parse_sql(bad)
+
+
+def test_try_element_at_map_key_zero_allowed():
+    """Review r10b-2: INVALID_INDEX_OF_ZERO is array-only — a map-typed
+    try_element_at with key 0 is a legal lookup and resolves to the
+    map_get canonical."""
+    p = parse_sql("SELECT try_element_at(m, 0) AS v FROM t",
+                  schema={"m": "map"})
+    assert "map_extract" in p.to_sql("duckdb")
+
+
+def test_min_max_distinct_with_frame_allowed():
+    """Review r10b-2: DISTINCT is a no-op for min/max, so frames stay
+    legal there (the sliding-frame rejection is count/sum/avg-only)."""
+    s = parse_sql(
+        "SELECT min(DISTINCT x) OVER (PARTITION BY k ORDER BY o ROWS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) AS m FROM t"
+    ).to_sql("spark")
+    assert "DISTINCT" not in s and "min(x)" in s
