@@ -948,3 +948,57 @@ def test_dml_statements_plan_shapes(spark, queries):
     n_joins = cas.count("Join type:")
     assert n_joins == 1, f"cascade must be ONE left join, saw {n_joins}"
     assert "Join type: LeftOuter" in cas
+
+
+def test_triangle_count_no_cartesian_degree_bounded(spark, queries):
+    """Triangle counting is three EQUI joins (wedge + closure) over the
+    degree-oriented edge list plus hash aggregates — never a cartesian
+    or a per-key nested loop, and fully JVM-side. The degree-ordered
+    orientation is what keeps wedge-center out-degree O(sqrt(m)) on
+    skewed graphs; the plan must show only hash-partitioned joins."""
+    txt = plan_text(queries["graph_triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_hard_negatives_broadcasts_query_side_only(spark, queries):
+    """Hard-negative mining: the sampled query side broadcasts (the
+    cosine_topk contract); the corpus must never exchange for the pair
+    scoring — one scan into a broadcast join, ranking via the window.
+    The label-inequality gate lives in the join condition (a
+    BroadcastNestedLoopJoin over the tiny query side), so same-class
+    pairs never materialize as rows."""
+    txt = plan_text(queries["sim_hard_negatives"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastExchange" in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_vocab_growth_single_wide_shuffle_per_stage(spark, queries):
+    """Heaps-curve: the token-keyed first-seen min aggregate is
+    map-side combined (partial + final HashAggregate pairs), buckets
+    cumulate over a window — no cartesian, no Python, no nested
+    loops anywhere."""
+    txt = plan_text(queries["text_vocab_growth"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "partial_min" in txt  # map-side combine on the token key
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_groups_frame_and_running_distinct_one_exchange(spark, queries):
+    """The dense_rank / first-occurrence pre-columns sort on the same
+    partition+order prefix as their main windows, so Catalyst plans
+    ONE hash-partitioning exchange per window family — the desugars
+    must not double the shuffle count."""
+    import re
+
+    txt = plan_text(queries["parsed_win_running_distinct"](spark, SF_DIR))
+    # one exchange for the (event_type[, user_id]) window family; the
+    # flag window partitions on (event_type, user_id) and the outer on
+    # event_type — prefix-compatible, at most two hash exchanges and
+    # no cartesian/python
+    assert len(re.findall(r"Exchange hashpartitioning", txt)) <= 2
+    assert "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
