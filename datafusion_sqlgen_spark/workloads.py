@@ -3690,76 +3690,17 @@ R4_ADDITIONS: list[str] = [
 R6_DEFERRED: list[str] = ["agg_tpch_q1"]
 
 _SAMPLE_PRIORITY: list[str] = [
-    # Round-10 rotation (VERDICT r9 "Next round" item 1), generated by
-    # `python scripts/rotation_next.py --through-round 9` — do not
+    # Round-11 rotation (VERDICT r10 "Next round" item 1), generated by
+    # `python scripts/rotation_next.py --through-round 10` — do not
     # hand-edit; tests/test_advice_fixes_r3.py re-runs the tool pinned
-    # to the MAX SHIPPED CORRECTNESS round (self-updating since r8) and
-    # diffs it against this list.  Ordering is the fixed policy
-    # red -> never-driver-sampled -> stale-oldest: the three round-9
-    # MERGE additions have no driver row ever, then the 33
-    # 5-rounds-stale r4 rows VERDICT r9 flagged, then the oldest r5
-    # rows that fit the 50-slot budget.
-    # --- never driver-sampled (round-9 additions + the round-10
-    # cascaded-chain row, staged same-commit per VERDICT r9 item 8) ---
-    "parsed_merge_conditional",
-    "parsed_merge_full_sync",
-    "parsed_merge_insert_cols",
-    "parsed_merge_multi_arm",
-    "parsed_merge_insert_arms",
-    "parsed_row_in_subquery",
-    "parsed_series_spine",
-    "parsed_similar_to",
-    "parsed_unnest_words",
-    "parsed_array_agg_ordered",
-    "parsed_win_exclude_current",
-    "text_bpe_encode",
-    "sim_pca_component",
-    "tpch_q5",
-    "parsed_update_where",
-    "parsed_delete_where",
-    "parsed_insert_select",
-    # --- round-10b additions (EXCLUDE GROUP/TIES, NATURAL JOIN, ASOF
-    # JOIN, window FILTER, CREATE TEMP VIEW scripts, try_ scalars),
-    # staged same-commit per VERDICT r9 item 8 ---
-    "parsed_win_exclude_group",
-    "parsed_natural_join",
-    "parsed_asof_join",
-    "parsed_win_filter",
-    "parsed_script_views",
-    "expr_try_funcs",
-    "graph_triangle_count",
-    "sim_hard_negatives",
-    "streaming_attribution_left_result",
-    "text_vocab_growth",
-    "parsed_win_groups_frame",
-    "parsed_win_distinct_agg",
-    "parsed_win_running_distinct",
-    "parsed_asof_left_join",
-    # --- last driver-sampled in ROUND 4, catalog order ---
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "parsed_win_topn",
-    "parsed_cte_agg",
-    "setop_union_by_name",
-    "sink_partitioned_roundtrip",
-    "text_top_terms",
-    "text_pack_sequences",
-    "text_redact",
-    "text_word_positions",
-    # --- last driver-sampled in ROUND 4/5, catalog order (the fourteen
-    # round-10b rows displaced sample_stable_topk …
-    # join_range_bucketed into the overflow; the rest queue for r11 —
-    # scripts/rotation_next.py overflow) ---
-    # ---- 50-entry driver sample boundary ----
+    # to the MAX SHIPPED CORRECTNESS round and diffs it against this
+    # list.  Ordering is the fixed policy red -> never-driver-sampled
+    # -> stale-oldest.  As of r10 the catalog is 264/264
+    # ever-driver-green with zero red and zero never-sampled, so this
+    # rotation is pure staleness backlog: the fourteen r4 rows the
+    # round-10b additions displaced, then the r5 cohort oldest-first.
+    # New round-11 workloads are staged at the TOP of this list in the
+    # same commit that adds them (never-sampled outranks stale).
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",
@@ -3788,14 +3729,33 @@ _SAMPLE_PRIORITY: list[str] = [
     "mm_feature_extract",
     "dedup_block_level",
     "text_c4_filters",
-    # ts_rolling_anomaly, ts_sessionize, dedup_materialize,
-    # dedup_quality_rep, text_tfidf_topk, mm_feature_extract,
-    # dedup_block_level, text_c4_filters (r5, displaced by the 11
-    # round-10 statement/row-value/series/similar-to/unnest rows),
-    # then sample_temperature_mix, sim_recall_at_k, sink_sharded_write,
-    # sim_kmeans_fit, profile_key_skew, profile_robust_stats,
-    # profile_correlations (r5) lead the r11 stale cohort
-    # (ALL IR rows carry independent hand oracles)
+    "sample_temperature_mix",
+    "sim_recall_at_k",
+    "sink_sharded_write",
+    "sim_kmeans_fit",
+    "profile_key_skew",
+    "profile_robust_stats",
+    "profile_correlations",
+    "profile_histogram",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "source_schema_evolution",
+    "sink_zorder_roundtrip",
+    "pipeline_curation",
+    "text_unigram_logprob",
+    "ts_funnel_steps",
+    "ts_cohort_retention",
+    "dedup_incremental",
+    "affinity_basket_pairs",
+    "join_scd2_merge",
+    "join_upsert_snapshot",
+    "join_interval_overlap",
+    "join_fuzzy_names",
+    # ---- 50-entry driver sample boundary ----
+    # Overflow queue (r11 positions 51+, from the same tool run):
+    # ts_mergeable_rollup, streaming_rollup_result,
+    # text_language_confidence, text_dsir_resample, text_ngram_counts,
+    # text_dsir_weights, text_bm25_topk, sample_capped_per_group, …
 ]
 
 
