@@ -169,7 +169,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<string>'(?:[^']|'')*')
     | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
-    | (?P<op><=>|<=|>=|<>|!=|\|\||->|::|[=<>+\-*/%(),.;\[\]&|^])
+    | (?P<op><=>|<=|>=|<>|!~\*|!~|!=|~\*|\|\||->|::|[=<>+\-*/%(),.;\[\]&|^~])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -2573,6 +2573,26 @@ class _Parser:
                     self.next()
                     lhs = IsNotDistinctFrom(lhs, self.parse_expr(6))
                     continue
+                if op in ("~", "~*", "!~", "!~*") and min_bp <= 5:
+                    # PG regex-match operator spellings (the reference
+                    # maps all four, datafusion-sqlgen/src/expr.rs:
+                    # 202-205), normalized onto the existing RLike
+                    # node: `~*`/`!~*` fold case with an inline `(?i)`
+                    # flag (Java regex and DuckDB's RE2 both honor
+                    # it), `!` negates — so render→parse fixpoints at
+                    # the RLIKE spelling, same as the keyword form.
+                    self.next()
+                    pat = self.parse_expr(6)
+                    if not (isinstance(pat, Lit)
+                            and isinstance(pat.value, str)):
+                        raise ParseError(
+                            f"{op} pattern must be a string literal")
+                    p = pat.value
+                    _reject_backslash(p, f"{op} pattern")
+                    if op.endswith("*"):
+                        p = "(?i)" + p
+                    lhs = RLike(lhs, p, negated=op.startswith("!"))
+                    continue
                 if op == "||" and min_bp <= 6:
                     self.next()
                     lhs = BinOp("||", lhs, self.parse_expr(7))
@@ -2590,10 +2610,16 @@ class _Parser:
                     lhs = BinOp(op, lhs, self.parse_expr(9))
                     continue
                 if op == "[":
+                    # multi-index access `expr[i, j]` (the reference
+                    # renders comma-joined index lists,
+                    # sqlgenerator/src/expr.rs:179-194) = chained
+                    # single indexes into nested arrays; renders back
+                    # as `expr[i][j]` (fixpoint there)
                     self.next()
-                    idx = self.parse_expr()
+                    lhs = Index(lhs, self.parse_expr())
+                    while self.eat_op(","):
+                        lhs = Index(lhs, self.parse_expr())
                     self.expect_op("]")
-                    lhs = Index(lhs, idx)
                     continue
                 if op == "::":
                     # postgres/DuckDB cast shorthand, tightest binding

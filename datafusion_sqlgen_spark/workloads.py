@@ -1635,6 +1635,22 @@ def _ir_workloads() -> dict[str, Plan]:
     # equi-join, so the plan is identical to the explicit-ON spelling
     # (plan-gated: no CartesianProduct). DECIMAL below the sum; the
     # hand oracle replays with explicit JOIN ... ON.
+    # round 11: PG regex-match operator spellings ~ ~* !~ !~* (VERDICT
+    # r10 missing #2; the reference's DF side maps all four,
+    # datafusion-sqlgen/src/expr.rs:202-205). Parse-time normalization
+    # onto RLike: partial-match PG semantics on both engines (NOTE:
+    # DuckDB's own native `~` is regexp_full_match — a different
+    # operator — so the duckdb render spells regexp_matches, never the
+    # bare operator). Case-folding via inline (?i). Hand oracle counts
+    # matches with regexp_extract_all instead of testing membership.
+    w["parsed_pg_regex_match"] = parse_sql(
+        "SELECT o_orderkey, o_orderpriority, "
+        "(o_orderpriority ~ 'HIGH$') AS is_high, "
+        "(o_orderpriority ~* '^[0-4]-[a-z]+') AS pri_ci, "
+        "(o_orderpriority !~ '[3-5]') AS pri_low, "
+        "(o_orderstatus !~* '[fo]') AS status_p "
+        "FROM orders WHERE o_orderkey < 2000"
+    )
     w["parsed_comma_join"] = parse_sql(
         "SELECT c.c_mktsegment, n.n_name, count(*) AS n_orders, "
         "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
@@ -3722,6 +3738,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # New round-11 workloads are staged at the TOP of this list in the
     # same commit that adds them (never-sampled outranks stale).
     "parsed_comma_join",
+    "parsed_pg_regex_match",
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",
@@ -3838,6 +3855,20 @@ FROM customer
 # instead of a correlated scalar subquery), neutralizing the shared-IR
 # blind spot for the rows that exercise the trickiest semantics.
 _HAND_ORACLES: dict[str, str] = {
+    # PG regex operators replayed via regexp_extract_all match COUNTS
+    # (len(...) > 0 / = 0) with the 'i' options flag for the
+    # case-folded forms — a different mechanism from the engine render
+    # (regexp_matches membership with an inline (?i) flag)
+    "parsed_pg_regex_match": """
+SELECT o_orderkey, o_orderpriority,
+       len(regexp_extract_all(o_orderpriority, 'HIGH$')) > 0 AS is_high,
+       len(regexp_extract_all(o_orderpriority, '^[0-4]-[a-z]+', 0, 'i'))
+           > 0 AS pri_ci,
+       len(regexp_extract_all(o_orderpriority, '[3-5]')) = 0 AS pri_low,
+       len(regexp_extract_all(o_orderstatus, '[fo]', 0, 'i')) = 0
+           AS status_p
+FROM orders WHERE o_orderkey < 2000
+""",
     # comma cross-join replayed with explicit INNER JOIN ... ON — the
     # engine side parses the SQL-92 comma spelling to Join(cross) +
     # Filter, so the oracle's explicit-ON formulation shares none of

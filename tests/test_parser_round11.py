@@ -97,6 +97,84 @@ def test_comma_join_with_equality_plans_as_hash_join(spark):
     assert "HashJoin" in phys
 
 
+# ---------------------------------------------------------------------------
+# PG regex operator spellings ~ ~* !~ !~*
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("op,subject,pattern,expect", [
+    ("~", "'abc'", "a.c", True),
+    ("~", "'xabcx'", "a.c", True),      # PARTIAL match (PG semantics)
+    ("~", "'xyz'", "a.c", False),
+    ("~*", "'ABC'", "a.c", True),
+    ("~*", "'xyz'", "a.c", False),
+    ("!~", "'abc'", "a.c", False),
+    ("!~", "'xyz'", "a.c", True),
+    ("!~*", "'ABC'", "a.c", False),
+    ("!~*", "'xyz'", "a.c", True),
+])
+def test_pg_regex_ops_fixpoint_and_duckdb(op, subject, pattern, expect):
+    q = f"SELECT {subject} {op} '{pattern}' AS m"
+    plan = parse_sql(q)
+    s = plan.to_sql("spark")
+    assert "RLIKE" in s
+    assert parse_sql(s).to_sql("spark") == s
+    got = duckdb.connect().execute(plan.to_sql("duckdb")).fetchone()[0]
+    assert got is expect, (q, got)
+
+
+def test_pg_regex_partial_match_not_duckdb_native_full_match():
+    """PG `~` is a PARTIAL (contains) match; DuckDB's own native `~`
+    operator is regexp_full_match — a different operator.  The duckdb
+    render must therefore spell regexp_matches, never the bare
+    operator, or 'xabcx' ~ 'a.c' silently flips."""
+    d = parse_sql("SELECT 'xabcx' ~ 'a.c' AS m").to_sql("duckdb")
+    assert "regexp_matches" in d and "~" not in d
+    assert duckdb.connect().execute(d).fetchone()[0] is True
+    # DuckDB's native operator on the same inputs disagrees — the trap
+    assert duckdb.connect().execute(
+        "SELECT 'xabcx' ~ 'a.c'").fetchone()[0] is False
+
+
+def test_pg_regex_ops_execute_on_spark(spark):
+    rows = parse_sql(
+        "SELECT ('abc' ~ 'a.c') AS a, ('ABC' ~* 'a.c') AS b, "
+        "('xyz' !~ 'a.c') AS c, ('XYZ' !~* 'a.c') AS d"
+    ).to_df(spark).collect()
+    assert rows == [(True, True, True, True)]
+
+
+def test_pg_regex_rejections():
+    with pytest.raises(ParseError, match="string literal"):
+        parse_sql("SELECT x ~ y FROM t")
+    with pytest.raises(ParseError, match="backslash"):
+        parse_sql(r"SELECT x ~ 'a\d' FROM t")
+
+
+# ---------------------------------------------------------------------------
+# Multi-index array access expr[i, j]
+# ---------------------------------------------------------------------------
+
+def test_multi_index_parses_to_chained_element_at():
+    s = parse_sql("SELECT m[1, 2] AS v FROM t").to_sql("spark")
+    assert s == "SELECT element_at(element_at(m, 1), 2) AS v FROM t"
+    assert parse_sql(s).to_sql("spark") == s
+
+
+def test_multi_index_duckdb_render_and_execution():
+    plan = parse_sql(
+        "SELECT array(array(10, 20), array(30, 40))[2, 1] AS v")
+    assert duckdb.connect().execute(
+        plan.to_sql("duckdb")).fetchone()[0] == 30
+
+
+def test_multi_index_dual_render(spark):
+    plan = parse_sql(
+        "SELECT array(array(10, 20), array(30, 40))[2, 1] AS v")
+    a = plan.to_df(spark).collect()
+    b = spark.sql(plan.to_sql("spark")).collect()
+    assert a == b == [(30,)]
+
+
 def test_comma_join_keyless_is_honest_cartesian(spark):
     """With no predicate the comma join IS a cross product — it must
     execute (tiny dims are legitimate), not error."""
