@@ -1109,7 +1109,15 @@ class WindowExpr(Expr):
                 if v == "unbounded" or v is None:
                     return True
                 if isinstance(v, FrameBound):
-                    return False  # interval bounds: SQL-path only, skip
+                    # interval bounds span the current row exactly when
+                    # the low bound precedes and the high bound follows
+                    # (ADVICE r10 low: this returned False outright, so
+                    # RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND
+                    # CURRENT ROW was rejected with a message claiming
+                    # it does not span the current row); peers sit at
+                    # interval distance 0, inside any spanning frame,
+                    # so the peer-group subtraction stays exact
+                    return v.preceding if is_lo else not v.preceding
                 return v <= 0 if is_lo else v >= 0
             if not (covers(lo, True) and covers(hi, False)):
                 raise ValueError(

@@ -308,13 +308,30 @@ class ParseError(ValueError):
     pass
 
 
+def _expr_children(v):
+    """Yield every Expr reachable through arbitrarily nested tuples —
+    the ONE child iterator _expr_find and _expr_transform.walk share.
+    ADVICE r10 (medium): _expr_find used to unwrap a single tuple
+    level while the transform recursed fully, so WindowExprs inside
+    Case.whens ((cond, value) pairs) were invisible to the desugar
+    collectors (_find_groups/_find_wdistinct) but visible to the
+    rewrite — a CASE-nested DISTINCT window could skip desugar and
+    render SQL Spark rejects at analysis while DuckDB executes."""
+    if isinstance(v, Expr):
+        yield v
+    elif isinstance(v, tuple):
+        for x in v:
+            yield from _expr_children(x)
+
+
 def _expr_find(e, pred) -> bool:
     """Depth-first search over an expression tree: True if any Expr
-    node satisfies ``pred``. Recurses into Expr fields and tuples of
-    Exprs only — Plan-valued fields (subqueries) are NOT entered, their
-    own select cores handle their own rewrites on the way up. ``pred``
-    may carry side effects (the desugar collect passes do) since every
-    node is visited exactly once."""
+    node satisfies ``pred``. Recurses into Expr fields and arbitrarily
+    nested tuples of Exprs (via _expr_children, the same traversal the
+    transform uses) — Plan-valued fields (subqueries) are NOT entered,
+    their own select cores handle their own rewrites on the way up.
+    ``pred`` may carry side effects (the desugar collect passes do)
+    since every node is visited exactly once."""
     import dataclasses
 
     if not isinstance(e, Expr):
@@ -324,9 +341,8 @@ def _expr_find(e, pred) -> bool:
     if not dataclasses.is_dataclass(e):
         return False
     for f in dataclasses.fields(e):
-        v = getattr(e, f.name)
-        for x in (v if isinstance(v, tuple) else (v,)):
-            if isinstance(x, Expr) and _expr_find(x, pred):
+        for x in _expr_children(getattr(e, f.name)):
+            if _expr_find(x, pred):
                 return True
     return False
 
@@ -1609,10 +1625,12 @@ class _Parser:
 
         table: dict = {}
 
-        def key_of(spec, arg) -> str:
+        def key_of(spec, arg, pred) -> str:
             return ("|".join(p.to_sql("spark") for p in spec.partition_by)
                     + "##" + arg.to_sql("spark") + "##"
-                    + "|".join(k.to_sql("spark") for k in spec.order_by))
+                    + "|".join(k.to_sql("spark") for k in spec.order_by)
+                    + "##F##"
+                    + (pred.to_sql("spark") if pred is not None else ""))
 
         def visit(e):
             if isinstance(e, WindowExpr) and e.func.distinct:
@@ -1642,25 +1660,39 @@ class _Parser:
                         "to EXIT the frame — not expressible by a "
                         "first-occurrence flag)"
                     )
-                k = key_of(e.spec, e.func.args[0])
+                k = key_of(e.spec, e.func.args[0], e.func.filter_where)
                 if k not in table:
                     n = ("__dst" if not table
                          else f"__dst{len(table) + 1}")
-                    table[k] = (n, e.spec, e.func.args[0])
+                    table[k] = (n, e.spec, e.func.args[0],
+                                e.func.filter_where)
             return False  # side-effect visitor: walk everything
 
         for p in projs:
             _expr_find(p, visit)
+        # ADVICE r11 (high): with FILTER (WHERE pred) the flag must
+        # mark the first occurrence AMONG FILTERED ROWS — flagging over
+        # all rows and filtering afterwards counts a value only if its
+        # arbitrarily-chosen flag row happens to pass (nondeterministic
+        # undercount, invisible to the dual-engine oracle because both
+        # dialects rendered the same wrong desugar).  Adding pred to
+        # the flag window's PARTITION BY splits each (partition, value)
+        # group into pred-true / pred-false / pred-null subgroups, so
+        # rn=1 ∧ pred is exactly the first passing row (in window order
+        # for the ordered/running form), and the filter folds into the
+        # CASE — the rewritten aggregate carries no FILTER clause.
         aliases = [
             Alias(
                 WindowExpr(
                     Func("row_number", ()),
-                    WindowSpec(spec.partition_by + (arg,),
-                               spec.order_by or (SortKey(arg),)),
+                    WindowSpec(
+                        spec.partition_by + (arg,)
+                        + ((pred,) if pred is not None else ()),
+                        spec.order_by or (SortKey(arg),)),
                 ),
                 name,
             )
-            for name, spec, arg in table.values()
+            for name, spec, arg, pred in table.values()
         ]
         pre = plan.select(Star(), *aliases) if aliases else plan
 
@@ -1672,11 +1704,16 @@ class _Parser:
                         dataclasses.replace(e.func, distinct=False),
                         e.spec,
                     )
-                name, _, arg = table[key_of(e.spec, e.func.args[0])]
-                flagged = Case(((BinOp("=", Col(name), Lit(1)), arg),))
+                name, _, arg, pred = table[
+                    key_of(e.spec, e.func.args[0], e.func.filter_where)]
+                cond = BinOp("=", Col(name), Lit(1))
+                if pred is not None:
+                    cond = BinOp("AND", cond, pred)
+                flagged = Case(((cond, arg),))
                 return WindowExpr(
                     dataclasses.replace(e.func, distinct=False,
-                                        args=(flagged,)),
+                                        args=(flagged,),
+                                        filter_where=None),
                     e.spec,
                 )
             return e
