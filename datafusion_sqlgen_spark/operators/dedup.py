@@ -1144,7 +1144,9 @@ def semantic_dedup_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cosine('t.embedding', 'c.centroid')} DESC,
+                       ORDER BY {_duck_round(
+                           _duck_cosine('t.embedding', 'c.centroid'),
+                           6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1

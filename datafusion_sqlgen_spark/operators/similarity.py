@@ -265,6 +265,11 @@ def ivf_assign(
     # (-sim, cell) structs = highest sim, lowest-cell tie-break — the
     # same comparisons the old per-vector window made), so assignment
     # is a zero-shuffle narrow map instead of a join + window.
+    # The ranking key snaps to 1e-6 fixed point BEFORE the argmax
+    # (VERDICT r10 item 7 — the last raw-double ranking in the oracle
+    # twins): _duck_cos folds bit-exactly, but snapping makes the
+    # assignment robust to any future fold-order divergence, the same
+    # hardening the scored top-k windows got in r8.
     cbook = cents.agg(
         F.collect_list(F.struct("cell_id", "centroid", "__cn")).alias("__cb")
     )
@@ -274,8 +279,12 @@ def ivf_assign(
             F.col("__cb"),
             lambda c: F.struct(
                 (
-                    -cosine_pre(
-                        F.col(vec_col), c["centroid"], F.col("__vn"), c["__cn"]
+                    -_stable_round(
+                        cosine_pre(
+                            F.col(vec_col), c["centroid"],
+                            F.col("__vn"), c["__cn"]
+                        ),
+                        6,
                     )
                 ).alias("negsim"),
                 c["cell_id"].alias("cell"),
@@ -355,7 +364,7 @@ def ivf_topk_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN cents c
         ) WHERE rn = 1
@@ -769,7 +778,7 @@ def ivf_sq8_topk_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -790,7 +799,7 @@ def ivf_sq8_topk_oracle(
             SELECT q.vec_id AS query_id, c.cell_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_duck_cos('q.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('q.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} q CROSS JOIN c{n_iter} c
             WHERE q.vec_id < {max_query_id}
@@ -995,12 +1004,17 @@ def ivf_assign_multi(
     cbook = cents.agg(
         F.collect_list(F.struct("cell_id", "centroid", "__cn")).alias("__cb")
     )
+    # same 1e-6 ranking-key snap as ivf_assign (VERDICT r10 item 7)
     scored = F.transform(
         F.col("__cb"),
         lambda c: F.struct(
             (
-                -cosine_pre(
-                    F.col(vec_col), c["centroid"], F.col("__vn"), c["__cn"]
+                -_stable_round(
+                    cosine_pre(
+                        F.col(vec_col), c["centroid"],
+                        F.col("__vn"), c["__cn"]
+                    ),
+                    6,
                 )
             ).alias("negsim"),
             c["cell_id"].alias("cell"),
@@ -1114,8 +1128,9 @@ def ann_join_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]',
-                                           'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos(
+                               't.embedding::DOUBLE[]',
+                               'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM rt t CROSS JOIN cents c
         ) WHERE rn = 1
@@ -1125,8 +1140,9 @@ def ann_join_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]',
-                                           'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos(
+                               't.embedding::DOUBLE[]',
+                               'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM lt t CROSS JOIN cents c
         ) WHERE rn <= {nprobe}
@@ -1274,7 +1290,7 @@ def ivf_topk_trained_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -1308,7 +1324,7 @@ def _kmeans_ctes(table: str, k: int, n_iter: int, decimals: int) -> str:
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN {cent_cte} c
         ) WHERE rn = 1"""
@@ -1349,7 +1365,7 @@ def kmeans_fit_oracle(
             SELECT t.vec_id, t.embedding, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -2061,7 +2077,7 @@ def ivf_pq_topk_oracle(
             SELECT t.vec_id, c.cell_id,
                    row_number() OVER (
                        PARTITION BY t.vec_id
-                       ORDER BY {_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM {table} t CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
@@ -2072,7 +2088,7 @@ def ivf_pq_topk_oracle(
         SELECT query_id, cell_id FROM (
             SELECT q.query_id, c.cell_id,
                    row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY {_duck_cos('q.qvec', 'c.centroid::DOUBLE[]')} DESC,
+                       ORDER BY {_duck_round(_duck_cos('q.qvec', 'c.centroid::DOUBLE[]'), 6)} DESC,
                            c.cell_id ASC) AS rn
             FROM q CROSS JOIN c{n_iter} c
         ) WHERE rn <= {nprobe}
