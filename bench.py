@@ -275,8 +275,14 @@ HEADLINE = [
     # windowed aggregates; ordered variant = running distinct count
     "parsed_win_distinct_agg",
     "parsed_win_running_distinct",
-    # ASOF LEFT via decorrelated LIMIT-1 lateral (rank-window join)
+    # ASOF LEFT — union+window AsofJoin node since r11 (one exchange,
+    # no join operator; the r10 lateral desugar BNLJ'd at 9.55s)
     "parsed_asof_left_join",
+    # round-11 surface: SQL-92 comma cross-join (Catalyst folds the
+    # WHERE equality into a hash equi-join) and PG regex operators
+    # (JVM RLIKE scans, zero shuffle)
+    "parsed_comma_join",
+    "parsed_pg_regex_match",
 ]
 
 

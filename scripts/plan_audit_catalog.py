@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Catalog-wide physical-plan gate: no CartesianProduct anywhere, and
+BroadcastNestedLoopJoin only where the broadcast build side is bounded
+BY CONSTRUCTION (a 1-row aggregate, a fixed grid, or a capped query
+set) — never a relation that grows with the data.
+
+Motivation (VERDICT r10 "What's wrong" #2): the parsed ASOF LEFT JOIN
+desugar compiled to a BNLJ whose build side was the left key set —
+correct at sf0.1, a scale-killer at 100x — and its plan gate was
+written too narrowly to catch it.  This audit is the wide version: it
+walks EVERY batch workload's executed plan and fails on any BNLJ that
+is not explicitly allowlisted with the reason its build side is
+bounded.  New workloads land on the rotation top, so the per-round
+pytest slice (tests/test_plan_audit_catalog.py) gates them
+automatically; this script runs the full catalog.
+
+Usage: python scripts/plan_audit_catalog.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Workloads whose executed plan may contain BroadcastNestedLoopJoin,
+# each with the reason the broadcast build side is bounded by
+# construction (independently re-verified by VERDICT r10's crossJoin
+# grep: all but two crossJoins are F.broadcast 1-row totals; the two
+# others are a 24-row hour grid and a type-pair grid).
+BNLJ_ALLOWLIST: dict[str, str] = {
+    # --- 1-row broadcast totals (corpus-level normalizers) ---
+    "affinity_basket_pairs": "1-row total-baskets aggregate broadcast",
+    "profile_key_skew": "1-row total-rows aggregate broadcast",
+    "profile_theta_setops": "1-row sketch-state rows broadcast",
+    "sample_token_budget_mix": "1-row total-token aggregate broadcast",
+    "text_bigram_logprob": "1-row total-count aggregate broadcast",
+    "text_bm25_topk": "1-row corpus-stats aggregate broadcast",
+    "text_dsir_resample": "1-row weight-normalizer broadcast",
+    "text_dsir_weights": "1-row weight-normalizer broadcast",
+    "text_lr_train": "1-row gradient/weight state broadcast per step",
+    "text_tfidf_topk": "1-row doc-count aggregate broadcast",
+    "text_unigram_logprob": "1-row total-count aggregate broadcast",
+    "dedup_ngram_jaccard": "1-row total broadcast (Jaccard normalizer)",
+    "dedup_bloom_ngram_decontaminate":
+        "1-row Bloom bit-array broadcast (GPT-3-style decontamination)",
+    # --- fixed small grids ---
+    "ts_gap_fill_hourly": "24-row hour-grid crossJoin (fixed calendar)",
+    "ts_locf_resample": "24-row hour-grid crossJoin (fixed calendar)",
+    # --- broadcast codebooks / centroid tables (k cells, k ~ sqrt(n)
+    #     by design; the codebook rides as ONE collect_list row) ---
+    "dedup_semantic": "1-row centroid codebook broadcast (ivf_assign)",
+    "pipeline_semantic_curation": "1-row centroid codebook broadcast",
+    "pipeline_embedding_decontamination":
+        "1-row centroid codebook broadcast (ann_join shape)",
+    "sim_ann_join": "1-row centroid codebook broadcast, both sides",
+    "sim_ann_join_recall": "codebook broadcast + capped exact reference",
+    "sim_ivf_topk": "1-row centroid codebook broadcast",
+    "sim_ivf_topk_trained": "1-row centroid codebook broadcast",
+    "sim_ivf_pq_topk": "codebook + PQ table broadcast (k*256 entries)",
+    "sim_ivf_sq8_topk": "1-row centroid codebook broadcast",
+    "sim_sq8_topk": "capped query-set broadcast (brute baseline)",
+    "sim_kmeans_fit": "1-row centroid codebook broadcast per iteration",
+    # --- capped query sets (brute-force baselines, documented) ---
+    "sim_cosine_topk": "query side capped (vec_id < 10) and broadcast",
+    "sim_recall_at_k": "capped query set broadcast (exact reference)",
+    "sim_hard_negatives": "sampled query side broadcast (brute baseline)",
+}
+
+# Streaming/sink/source workloads execute side-effecting jobs or need
+# stream fixtures; their plan quality is pinned by their own tests.
+SKIP_PREFIXES = ("streaming_", "sink_", "source_")
+
+
+def audit(sf_dir: str = "/root/testdata/sf0.001"):
+    """Return (bad_bnlj, cartesian, errors) dicts for the catalog."""
+    from datafusion_sqlgen_spark import get_spark
+    from datafusion_sqlgen_spark.workloads import build_queries
+
+    spark = get_spark(app_name="plan-audit-catalog", cpus=8,
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    bad_bnlj: dict[str, str] = {}
+    cartesian: dict[str, str] = {}
+    errors: dict[str, str] = {}
+    for name, fn in build_queries().items():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            phys = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = str(ex)[:200]
+            continue
+        if "CartesianProduct" in phys:
+            cartesian[name] = "CartesianProduct"
+        if ("BroadcastNestedLoopJoin" in phys
+                and name not in BNLJ_ALLOWLIST):
+            lines = [ln.strip()[:120] for ln in phys.split("\n")
+                     if "BroadcastNestedLoopJoin" in ln]
+            bad_bnlj[name] = "; ".join(lines)
+    return bad_bnlj, cartesian, errors
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    bad_bnlj, cartesian, errors = audit(sf_dir)
+    for n, v in sorted(errors.items()):
+        print(f"ERROR      {n}: {v}")
+    for n, v in sorted(cartesian.items()):
+        print(f"CARTESIAN  {n}: {v}")
+    for n, v in sorted(bad_bnlj.items()):
+        print(f"BNLJ       {n}: {v}")
+    if not (bad_bnlj or cartesian or errors):
+        print("clean: no CartesianProduct, all BNLJ sites allowlisted")
+    sys.exit(1 if (bad_bnlj or cartesian or errors) else 0)
+
+
+if __name__ == "__main__":
+    main()
