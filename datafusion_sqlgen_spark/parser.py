@@ -2377,8 +2377,9 @@ class _Parser:
         """``l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts`` (DuckDB
         dialect): each left row pairs with the single most recent right
         row at or before its timestamp (``>=``; ``<=`` is the forward
-        variant, earliest at or after). ``ASOF LEFT JOIN`` keeps
-        unmatched left rows NULL-padded.
+        variant, earliest at or after; strict ``>``/``<`` exclude an
+        exactly-equal timestamp — DuckDB's dialect accepts all four).
+        ``ASOF LEFT JOIN`` keeps unmatched left rows NULL-padded.
 
         Parses into the first-class ``AsofJoin`` node (plans/core.py):
         ``to_df`` executes the one-shuffle union+window shape (the
@@ -2434,7 +2435,8 @@ class _Parser:
 
         def split(c):
             # returns (r_col, other_expr, op_with_r_on_right) or None
-            if not isinstance(c, BinOp) or c.op not in ("=", ">=", "<="):
+            if not isinstance(c, BinOp) or c.op not in ("=", ">=", "<=",
+                                                        ">", "<"):
                 return None
             l_is_r = isinstance(c.left, Col) and c.left.table == rname
             r_is_r = isinstance(c.right, Col) and c.right.table == rname
@@ -2442,7 +2444,7 @@ class _Parser:
                 return None
             # normalize to (r_col <op> l_expr): moving the right-side
             # column across the comparison flips its direction
-            flip = {"=": "=", ">=": "<=", "<=": ">="}
+            flip = {"=": "=", ">=": "<=", "<=": ">=", ">": "<", "<": ">"}
             if r_is_r:
                 return c.right, c.left, flip[c.op]
             return c.left, c.right, c.op
@@ -2455,20 +2457,21 @@ class _Parser:
                     "ASOF JOIN ON must be AND-ed comparisons, each "
                     "between a right-side qualified column and a "
                     "left-side expression (= keys plus exactly one "
-                    ">=/<= timestamp bound)"
+                    ">=/<=/>/< timestamp bound)"
                 )
             rcol, lexpr, op = parts
             if op == "=":
                 eqs.append((rcol, lexpr))
             elif ineq is not None:
                 raise ParseError(
-                    "ASOF JOIN takes exactly one >=/<= timestamp bound"
+                    "ASOF JOIN takes exactly one >=/<=/>/< "
+                    "timestamp bound"
                 )
             else:
                 ineq = (rcol, lexpr, op)
         if ineq is None:
             raise ParseError(
-                "ASOF JOIN needs a >=/<= timestamp bound in ON"
+                "ASOF JOIN needs a >=/<=/>/< timestamp bound in ON"
             )
         if not eqs:
             raise ParseError(
@@ -2476,6 +2479,7 @@ class _Parser:
                 "keyless asof ranks the whole right side per left row)"
             )
         rt, lts, op = ineq  # op: l.ts >= r.ts arrives as ('<=')==backward
+        strict = op in (">", "<")
         fresh = f"__asof{self._asof_n}" if self._asof_n else "__asof"
         self._asof_n += 1
         sub_rel = (SubqueryAlias(right.input, fresh)
@@ -2487,7 +2491,7 @@ class _Parser:
             sub_cond = c if sub_cond is None else BinOp("AND", sub_cond, c)
         sub_cond = BinOp("AND", sub_cond,
                          BinOp(op, Col(rt.name, fresh), lts))
-        fn = "max" if op == "<=" else "min"
+        fn = "max" if op in ("<=", "<") else "min"
         if left_outer:
             asc = fn == "min"
             sk = SortKey(Col(rt.name, fresh), ascending=asc,
@@ -2504,7 +2508,8 @@ class _Parser:
             left=left, right=right, rname=rname,
             eqs=tuple((rcol.name, lexpr) for rcol, lexpr in eqs),
             r_time=rt.name, l_time=lts,
-            direction="backward" if op == "<=" else "forward",
+            direction="backward" if op in ("<=", "<") else "forward",
+            strict=strict,
             how="left" if left_outer else "inner",
             cond=cond, fallback=fallback,
         )

@@ -1026,6 +1026,9 @@ class AsofJoin(Plan):
     how: str  # "inner" | "left"
     cond: Expr  # the original ON conjunction, for the native render
     fallback: Plan  # Spark-dialect executable desugar
+    # strict bound (l.ts > r.ts / l.ts < r.ts): an exactly-equal
+    # timestamp does NOT match (DuckDB's ASOF accepts all four ops)
+    strict: bool = False
 
     def _fold(self, dialect: str) -> _SelectState:
         if dialect != DUCKDB:
@@ -1101,9 +1104,13 @@ class AsofJoin(Plan):
         )
         u = l2.unionByName(r2, allowMissingColumns=True)
         backward = self.direction == "backward"
-        # within equal timestamps right rows order before (backward) /
-        # after (forward) left rows, so an exactly-equal timestamp matches
-        tie = F.col("__is_r").desc() if backward else F.col("__is_r").asc()
+        # Within equal timestamps, the tie order decides whether an
+        # exactly-equal right row is inside the left row's frame:
+        # non-strict puts right rows on the frame side (before for
+        # backward, after for forward) so equality matches; strict
+        # flips them to the other side so it does not.
+        tie_desc = backward != self.strict
+        tie = F.col("__is_r").desc() if tie_desc else F.col("__is_r").asc()
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
             F.col("__ts").asc(), tie)
         if backward:

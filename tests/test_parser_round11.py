@@ -175,6 +175,58 @@ def test_multi_index_dual_render(spark):
     assert a == b == [(30,)]
 
 
+# ---------------------------------------------------------------------------
+# ASOF JOIN strict bounds (> / <) — DuckDB's dialect accepts all four ops
+# ---------------------------------------------------------------------------
+
+def _asof_strict_duck():
+    con = duckdb.connect()
+    # l.ts=10 ties r.ts=10 for k=1: the strict/non-strict boundary row
+    con.execute("CREATE TABLE l AS SELECT * FROM (VALUES (1,10,'a'),"
+                "(1,25,'b'),(2,5,'c'),(2,99,'d'),(3,7,'e')) t(k,ts,ev)")
+    con.execute("CREATE TABLE r AS SELECT * FROM (VALUES (1,10,1.0),"
+                "(1,20,2.0),(1,30,3.0),(2,7,4.0)) t(k,ts,price)")
+    return con
+
+
+@pytest.mark.parametrize("kw", ["ASOF JOIN", "ASOF LEFT JOIN"])
+@pytest.mark.parametrize("op", [">", "<", ">=", "<="])
+def test_asof_strict_bounds_match_duckdb_native(kw, op):
+    """Both the native duckdb render and the desugared spark render
+    (re-run on DuckDB) equal DuckDB's native ASOF for every bound op,
+    including the strict forms at an exactly-equal timestamp."""
+    con = _asof_strict_duck()
+    q = (f"SELECT l.k, l.ts, l.ev, r.ts AS rts FROM l {kw} r "
+         f"ON l.k = r.k AND l.ts {op} r.ts")
+    plan = parse_sql(q)
+    d = plan.to_sql("duckdb")
+    assert parse_sql(d).to_sql("duckdb") == d  # surface-form fixpoint
+    native = sorted(con.execute(q).fetchall())
+    assert sorted(con.execute(d).fetchall()) == native
+    des = parse_sql(plan.to_sql("spark")).to_sql("duckdb")
+    assert "ASOF JOIN" not in des.upper()
+    assert sorted(con.execute(f"SELECT * FROM ({des})").fetchall()) \
+        == native
+
+
+@pytest.mark.parametrize("op,expect_equal_match", [
+    (">=", True), (">", False),
+])
+def test_asof_strict_to_df_equal_timestamp(spark, op, expect_equal_match):
+    """The union+window tie order: a strict bound must exclude the
+    exactly-equal right row, the non-strict form must match it."""
+    spark.sql("CREATE OR REPLACE TEMP VIEW sl AS SELECT * FROM VALUES "
+              "(1, 10) AS t(k, ts)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW sr AS SELECT * FROM VALUES "
+              "(1, 10, 1.0), (1, 5, 2.0) AS t(k, ts, price)")
+    q = (f"SELECT l.k, l.ts, r.ts AS rts, r.price FROM sl AS l "
+         f"ASOF JOIN sr AS r ON l.k = r.k AND l.ts {op} r.ts")
+    rows = parse_sql(q).to_df(spark).collect()
+    assert len(rows) == 1
+    assert (rows[0]["rts"] == 10) is expect_equal_match
+    assert (rows[0]["price"] == (1.0 if expect_equal_match else 2.0))
+
+
 def test_comma_join_keyless_is_honest_cartesian(spark):
     """With no predicate the comma join IS a cross product — it must
     execute (tiny dims are legitimate), not error."""
