@@ -2425,8 +2425,44 @@ class _Parser:
                 "ASOF JOIN right side must be a named relation or an "
                 "aliased subquery"
             )
-        self.expect_kw("ON")
-        cond = self.parse_expr()
+        if self.eat_kw("USING"):
+            # DuckDB's USING shorthand: every column but the LAST is an
+            # equality key; the last is the ordering column with ``>=``
+            # (backward) semantics.  Desugars to the explicit ON
+            # conjunction (qualified both sides), so the render
+            # fixpoints at the ON form and all downstream machinery is
+            # shared.  Needs a NAMED left relation for qualification —
+            # a bare shared column name would be ambiguous in the
+            # rendered ON.
+            if isinstance(left, Scan):
+                lname = left.table
+            elif isinstance(left, SubqueryAlias):
+                lname = left.name
+            else:
+                raise ParseError(
+                    "ASOF JOIN USING needs a named left relation "
+                    "(alias the left side, or spell the ON form)"
+                )
+            self.expect_op("(")
+            cols = [self.ident()]
+            while self.eat_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+            if len(cols) < 2:
+                raise ParseError(
+                    "ASOF JOIN USING takes at least two columns (keys "
+                    "first, the ordering column last)"
+                )
+            cond = None
+            for c in cols[:-1]:
+                eq = BinOp("=", Col(c, lname), Col(c, rname))
+                cond = eq if cond is None else BinOp("AND", cond, eq)
+            cond = BinOp("AND", cond,
+                         BinOp(">=", Col(cols[-1], lname),
+                               Col(cols[-1], rname)))
+        else:
+            self.expect_kw("ON")
+            cond = self.parse_expr()
 
         def conjuncts(e):
             if isinstance(e, BinOp) and e.op == "AND":

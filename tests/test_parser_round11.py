@@ -227,6 +227,32 @@ def test_asof_strict_to_df_equal_timestamp(spark, op, expect_equal_match):
     assert (rows[0]["price"] == (1.0 if expect_equal_match else 2.0))
 
 
+@pytest.mark.parametrize("kw", ["ASOF JOIN", "ASOF LEFT JOIN"])
+def test_asof_using_shorthand_matches_on_form(kw):
+    """DuckDB's USING shorthand (keys first, ordering column last, >=
+    semantics) desugars to the explicit qualified ON conjunction."""
+    con = _asof_strict_duck()
+    q_using = (f"SELECT l.k, l.ts, l.ev, r.price FROM l {kw} r "
+               f"USING (k, ts)")
+    q_on = (f"SELECT l.k, l.ts, l.ev, r.price FROM l {kw} r "
+            f"ON l.k = r.k AND l.ts >= r.ts")
+    pu = parse_sql(q_using)
+    d = pu.to_sql("duckdb")
+    assert "USING" not in d and "l.ts >= r.ts" in d.replace("(", "").replace(")", "")
+    assert parse_sql(d).to_sql("duckdb") == d
+    assert sorted(con.execute(d).fetchall()) \
+        == sorted(con.execute(q_on).fetchall()) \
+        == sorted(con.execute(q_using).fetchall())
+
+
+def test_asof_using_rejections():
+    with pytest.raises(ParseError, match="at least two"):
+        parse_sql("SELECT 1 FROM l ASOF JOIN r USING (ts)")
+    with pytest.raises(ParseError, match="named left relation"):
+        parse_sql("SELECT 1 FROM a JOIN b ON a.x = b.x "
+                  "ASOF JOIN r USING (k, ts)")
+
+
 def test_comma_join_keyless_is_honest_cartesian(spark):
     """With no predicate the comma join IS a cross product — it must
     execute (tiny dims are legitimate), not error."""
