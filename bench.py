@@ -251,8 +251,8 @@ HEADLINE = [
     "parsed_array_agg_ordered",
     # round-10b surface: peer-group frame exclusion (two extra window
     # passes over the same sort), NATURAL JOIN (equi-join after lazy
-    # shared-column resolution), ASOF desugar (decorrelated max agg +
-    # theta join — the SQL-surface twin of join_asof_events)
+    # shared-column resolution), ASOF — union+window AsofJoin node
+    # since r11 (one exchange, the join_asof_events shape)
     "parsed_win_exclude_group",
     "parsed_natural_join",
     "parsed_asof_join",

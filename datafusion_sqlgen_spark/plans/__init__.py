@@ -5,6 +5,7 @@ from datafusion_sqlgen_spark.plans.audit import (
 )
 from datafusion_sqlgen_spark.plans.core import (
     Aggregate,
+    AsofJoin,
     Distinct,
     EmptyRelation,
     Explode,
@@ -30,7 +31,8 @@ from datafusion_sqlgen_spark.plans.core import (
 
 __all__ = [
     "Plan", "Scan", "Project", "Filter", "Distinct", "Sort", "Limit",
-    "Offset", "EmptyRelation", "Explode", "Aggregate", "Join", "SetOp", "With",
+    "Offset", "EmptyRelation", "Explode", "Aggregate", "Join", "AsofJoin",
+    "SetOp", "With",
     "RecursiveWith", "Unpivot", "Pivot", "Lateral",
     "SubqueryAlias", "Values", "scan", "values_relation",
     "PlanAudit", "audit_plan", "assert_scale_clean",
