@@ -1558,7 +1558,11 @@ class _Parser:
                 plan = plan.select(*projs)
             elif not (len(projs) == 1 and isinstance(projs[0], Star)
                       and projs[0].table is None
-                      and not projs[0].except_cols):
+                      and not projs[0].except_cols
+                      # bare * over an ASOF join needs the explicit
+                      # Project so to_df flattens the match struct the
+                      # way both SQL renders flatten the star
+                      and not isinstance(plan, AsofJoin)):
                 plan = plan.select(*projs)
         if having is not None:
             if group_keys is None:

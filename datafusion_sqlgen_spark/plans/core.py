@@ -336,6 +336,24 @@ class Project(Plan):
         cols = []
         try:
             for e in self.exprs:
+                if isinstance(e, Star) and isinstance(self.input, AsofJoin):
+                    # AsofJoin's to_df carries the matched right row as
+                    # ONE struct column named by the right alias; both
+                    # SQL renders (native duckdb ASOF, the spark-dialect
+                    # desugar) flatten `*` to left-cols-then-right-cols,
+                    # so expand the star here the same way or the dual
+                    # paths diverge on shape
+                    rn = self.input.rname
+                    drop = set(e.except_cols or ())
+                    lflat = [c for c in df.columns if c != rn]
+                    rfields = [f.name for f in df.schema[rn].dataType.fields]
+                    if e.table in (None, "") or e.table != rn:
+                        cols.extend(F.col(c) for c in lflat
+                                    if c not in drop)
+                    if e.table in (None, "") or e.table == rn:
+                        cols.extend(F.col(f"{rn}.{f}").alias(f)
+                                    for f in rfields if f not in drop)
+                    continue
                 if isinstance(e, Star):
                     if e.except_cols:
                         # expand star-except against the input schema

@@ -253,6 +253,36 @@ def test_asof_using_rejections():
                   "ASOF JOIN r USING (k, ts)")
 
 
+@pytest.mark.parametrize("proj", ["*", "l.*", "r.*", "l.ts, r.*"])
+def test_asof_select_star_flattens_like_sql(spark, proj):
+    """SELECT * / l.* / r.* above an ASOF join: to_df must flatten the
+    match struct to the same column shape both SQL renders produce
+    (native duckdb ASOF and the spark-dialect desugar flatten stars)."""
+    spark.sql("CREATE OR REPLACE TEMP VIEW fl AS SELECT * FROM VALUES "
+              "(1, 10), (1, 25), (2, 5) AS t(k, ts)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW fr AS SELECT * FROM VALUES "
+              "(1, 8, 1.0), (1, 20, 2.0) AS t(k, ts, price)")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fl AS SELECT * FROM (VALUES (1, 10), "
+                "(1, 25), (2, 5)) t(k, ts)")
+    con.execute("CREATE TABLE fr AS SELECT * FROM (VALUES (1, 8, 1.0), "
+                "(1, 20, 2.0)) t(k, ts, price)")
+    q = (f"SELECT {proj} FROM fl AS l ASOF LEFT JOIN fr AS r "
+         "ON l.k = r.k AND l.ts >= r.ts")
+    plan = parse_sql(q)
+    mine = plan.to_df(spark)
+    via_sql = spark.sql(plan.to_sql("spark"))
+    assert mine.columns == via_sql.columns, (proj, mine.columns,
+                                             via_sql.columns)
+    native = con.execute(q)
+    assert mine.columns == [d[0] for d in native.description]
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    a = sorted(map(tuple, normalize_rows(mine.collect())), key=key)
+    b = sorted(map(tuple, normalize_rows(native.fetchall())), key=key)
+    c = sorted(map(tuple, normalize_rows(via_sql.collect())), key=key)
+    assert a == b == c
+
+
 def test_comma_join_keyless_is_honest_cartesian(spark):
     """With no predicate the comma join IS a cross product — it must
     execute (tiny dims are legitimate), not error."""
