@@ -283,6 +283,9 @@ HEADLINE = [
     # (JVM RLIKE scans, zero shuffle)
     "parsed_comma_join",
     "parsed_pg_regex_match",
+    # streaming point-in-time enrichment: two chained stateful ops
+    # (interval join -> max_by aggregate) across ordered triggers
+    "streaming_pit_enrich_result",
 ]
 
 

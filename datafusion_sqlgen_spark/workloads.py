@@ -2205,6 +2205,101 @@ def _streaming_attribution_left_result(s: SparkSession) -> DataFrame:
     )
 
 
+def _streaming_pit_enrich_result(s: SparkSession) -> DataFrame:
+    """Streaming point-in-time (ASOF) enrichment (round 11): TWO
+    chained stateful operators — a LEFT OUTER interval join feeding a
+    per-click max_by aggregation — through a real streaming query, so
+    each click surfaces with the single most recent same-user purchase
+    in its 30-minute lookback window (NULL-enriched otherwise).  The
+    replay discipline is the LEFT-attribution one (event-time-quartile
+    files in mtime order, two far-future sentinel pairs so both
+    watermark nodes advance past all real data and the aggregate
+    groups close); sentinel rows filter out by user_id sign.  Values
+    pass through unrounded; the hand oracle is a batch window twin
+    (rank over the lookback join), a formulation that shares no
+    streaming machinery."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        point_in_time_enrich_stream,
+        read_events_stream,
+        stream_to_memory,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_pit_")
+    src = os.path.join(work, "events_files")
+    os.makedirs(src, exist_ok=True)
+    ev = s.table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    q = ev.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row fixture agg
+    parts = [q.filter(F.col("__q") == i).drop("__q") for i in range(1, 5)]
+    for j in (1, 2):  # sentinel click+purchase pair per file
+        sent_ts = max_ts + datetime.timedelta(days=10 * j)
+        parts.append(
+            s.createDataFrame(
+                [
+                    (10**9 + 2 * j, sent_ts, -1, "click", 0.0, ""),
+                    (10**9 + 2 * j + 1, sent_ts, -1, "purchase", 0.0, ""),
+                ],
+                ev.schema,
+            )
+        )
+    for i, frame in enumerate(parts):
+        tmp = os.path.join(work, f"tmp{i}")
+        frame.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(src, f"part{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        ts = 1_000_000_000 + i * 3600
+        os.utime(dst, (ts, ts))
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    with _replay_shuffle(s, 4):
+        stream_to_memory(
+            point_in_time_enrich_stream(
+                stream, tolerance="30 minutes", watermark="1 hour"
+            ),
+            "streaming_pit_enrich_tbl",
+            output_mode="append",
+        )
+    return s.table("streaming_pit_enrich_tbl").filter(
+        F.col("user_id") >= 0
+    )
+
+
+# Batch window twin: rank the lookback join per click (ties on a
+# duplicated (user, ts) purchase resolve by value DESC, mirroring the
+# stream aggregate's whole-struct max_by ordering), keep rank 1 — the
+# NULL row of an unmatched click ranks 1 by construction.
+_STREAMING_PIT_ENRICH_ORACLE = """
+SELECT event_id, user_id, click_ts, purchase_ts, value FROM (
+    SELECT c.event_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS value,
+           row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts DESC NULLS LAST, p.value DESC NULLS LAST
+           ) AS rn
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts <= c.ts
+     AND p.ts >= c.ts - INTERVAL 30 MINUTE
+) WHERE rn = 1
+"""
+
+
 _STREAMING_ATTRIBUTION_LEFT_ORACLE = """
 SELECT c.user_id,
        CAST(c.ts AS TIMESTAMP) AS click_ts,
@@ -3513,6 +3608,15 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             _streaming_attribution_left_result,
             _STREAMING_ATTRIBUTION_LEFT_ORACLE,
         ),
+        # STREAMING driver-visible workload #10 (round 11): point-in-
+        # time (ASOF) enrichment — TWO chained stateful operators
+        # (LEFT OUTER interval join -> per-click max_by aggregate), the
+        # feature-store primitive; hash-checked against a batch window
+        # twin (deterministic whole-struct tie order on both sides)
+        "streaming_pit_enrich_result": (
+            _streaming_pit_enrich_result,
+            _STREAMING_PIT_ENRICH_ORACLE,
+        ),
         # STREAMING driver-visible workload #6 (round 7): sliding
         # event-time windows accumulated across 4 file-triggers,
         # hash-checked against integer epoch-arithmetic window
@@ -3739,6 +3843,7 @@ _SAMPLE_PRIORITY: list[str] = [
     # same commit that adds them (never-sampled outranks stale).
     "parsed_comma_join",
     "parsed_pg_regex_match",
+    "streaming_pit_enrich_result",
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",

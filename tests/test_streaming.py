@@ -903,3 +903,54 @@ def test_stream_attribution_left_outer_flushes_unmatched(spark):
     assert normalize_rows([tuple(r) for r in res], 6) == normalize_rows(
         [tuple(r) for r in batch], 6
     )
+
+
+def test_stream_point_in_time_enrich_matches_batch_twin(spark):
+    """Round 11: streaming point-in-time (ASOF) enrichment — TWO
+    chained stateful operators (LEFT OUTER interval join feeding a
+    per-click max_by aggregate; watermark propagation across them is
+    the SPARK-42376 machinery).  The bounded replay must equal the
+    batch twin exactly: one row per click, the latest same-user
+    purchase within the 30-minute lookback, NULL-enriched clicks kept."""
+    from datafusion_sqlgen_spark.workloads import (
+        _streaming_pit_enrich_result,
+    )
+
+    res = _streaming_pit_enrich_result(spark)
+    rows = res.collect()
+    n_clicks = (
+        spark.table("events").filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert len(rows) == n_clicks  # exactly one output row per click
+    assert any(r.purchase_ts is None for r in rows), (
+        "no NULL-enriched clicks — aggregate state never evicted"
+    )
+    ev = spark.table("events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "value",
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") <= F.col("click_ts"))
+            & (F.col("pts")
+               >= F.col("click_ts") - F.expr("INTERVAL 30 minutes")),
+            "left",
+        )
+        .groupBy("event_id", "cu", "click_ts")
+        .agg(F.max_by(F.struct(F.col("pts").alias("purchase_ts"),
+                               "value"),
+                      F.struct("pts", "value")).alias("__m"))
+        .select("event_id", F.col("cu").alias("user_id"), "click_ts",
+                F.col("__m.purchase_ts").alias("purchase_ts"),
+                F.col("__m.value").alias("value"))
+    )
+    key = lambda r: (r[0],)  # noqa: E731 — event_id is unique
+    assert sorted(map(tuple, rows), key=key) \
+        == sorted(map(tuple, batch.collect()), key=key)
