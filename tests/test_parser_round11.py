@@ -283,6 +283,42 @@ def test_asof_select_star_flattens_like_sql(spark, proj):
     assert a == b == c
 
 
+def test_asof_composes_in_cte_subquery_and_join_chain(spark):
+    """AsofJoin as a CTE body, as a derived table joined onward, and
+    chained with a further join at the same FROM level — all three
+    render-fixpoint, execute on DuckDB equal to the native form, and
+    the chain resolves struct-qualified right columns through the
+    downstream join on the DataFrame path too."""
+    con = _asof_strict_duck()
+    cte = ("WITH m AS (SELECT l.k, l.ts, r.price FROM l ASOF LEFT JOIN "
+           "r ON l.k = r.k AND l.ts >= r.ts) "
+           "SELECT k, count(*) AS n, sum(price) AS sp FROM m GROUP BY k")
+    chain = ("SELECT l.k, r.price, x.ev FROM l ASOF JOIN r "
+             "ON l.k = r.k AND l.ts >= r.ts "
+             "JOIN l AS x ON x.k = l.k AND x.ts = l.ts")
+    for q in (cte, chain):
+        d = parse_sql(q).to_sql("duckdb")
+        assert parse_sql(d).to_sql("duckdb") == d
+        assert sorted(con.execute(d).fetchall()) \
+            == sorted(con.execute(q).fetchall())
+    # Spark DataFrame path for the chain: the match struct survives the
+    # downstream join and keeps resolving r.price
+    spark.sql("CREATE OR REPLACE TEMP VIEW cl AS SELECT * FROM VALUES "
+              "(1, 10, 'a'), (1, 25, 'b'), (2, 5, 'c') AS t(k, ts, ev)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW cr AS SELECT * FROM VALUES "
+              "(1, 8, 1.0), (1, 20, 2.0) AS t(k, ts, price)")
+    qs = ("SELECT l.k, r.price, x.ev FROM cl AS l ASOF JOIN cr AS r "
+          "ON l.k = r.k AND l.ts >= r.ts "
+          "JOIN cl AS x ON x.k = l.k AND x.ts = l.ts")
+    rows = sorted(map(tuple, parse_sql(qs).to_df(spark).collect()))
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE cl AS SELECT * FROM (VALUES "
+                 "(1, 10, 'a'), (1, 25, 'b'), (2, 5, 'c')) t(k, ts, ev)")
+    con2.execute("CREATE TABLE cr AS SELECT * FROM (VALUES "
+                 "(1, 8, 1.0), (1, 20, 2.0)) t(k, ts, price)")
+    assert rows == sorted(con2.execute(qs).fetchall())
+
+
 def test_comma_join_keyless_is_honest_cartesian(spark):
     """With no predicate the comma join IS a cross product — it must
     execute (tiny dims are legitimate), not error."""
