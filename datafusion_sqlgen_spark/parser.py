@@ -104,6 +104,7 @@ from datafusion_sqlgen_spark.functions.registry import (
 )
 from datafusion_sqlgen_spark.plans.core import (
     AsofJoin,
+    _asof_below,
     EmptyRelation,
     Filter,
     Hint,
@@ -1561,8 +1562,9 @@ class _Parser:
                       and not projs[0].except_cols
                       # bare * over an ASOF join needs the explicit
                       # Project so to_df flattens the match struct the
-                      # way both SQL renders flatten the star
-                      and not isinstance(plan, AsofJoin)):
+                      # way both SQL renders flatten the star — also
+                      # through WHERE/ORDER/LIMIT wrappers (r11 review)
+                      and _asof_below(plan) is None):
                 plan = plan.select(*projs)
         if having is not None:
             if group_keys is None:
@@ -2134,7 +2136,16 @@ class _Parser:
         """Joins, LATERAL VIEW generators, comma-LATERAL subqueries and
         UNPIVOT, in any interleaving — everything this repo's renderer
         can splice into a FROM clause."""
+        saw_comma = False
         while True:
+            if (saw_comma and self.at_kw("RIGHT", "FULL")
+                    and self.peek(1).upper in ("OUTER", "JOIN")):
+                raise ParseError(
+                    "RIGHT/FULL JOIN after an implicit comma cross-join "
+                    "regroups under the standard's precedence (comma "
+                    "binds loosest) — parenthesize the right-joined "
+                    "tables as a subquery, or reorder the FROM list"
+                )
             if self.at_kw("LATERAL") and self.peek(1).upper == "VIEW":
                 left = self.parse_lateral_view(left)
                 continue
@@ -2170,12 +2181,19 @@ class _Parser:
                 # ExtractFiltersAndInnerJoins folds equality conjuncts
                 # into the join condition, so `FROM a, b WHERE a.x=b.y`
                 # still plans as a hash equi-join, not a cartesian
-                # (plan-gated in tests). Comma binds looser than JOIN
+                # (plan-gated in tests). Comma binds LOOSER than JOIN
                 # in the standard; left-folding is result-equivalent
-                # because an ON clause only sees the joined pair.
+                # for inner/left/semi/anti/cross chains (their ON sees
+                # only the joined pair and left rows are preserved),
+                # but NOT for RIGHT/FULL — `a, b RIGHT JOIN c` is
+                # a × (b RIGHT c) per the standard, while the left fold
+                # NULL-pads the a side of unmatched c rows instead of
+                # crossing them (review r11 #2, verified vs DuckDB).
+                # Those reject below rather than silently regroup.
                 self.next()
                 right = self.parse_relation()
                 left = left.join(right, how="cross")
+                saw_comma = True
                 continue
             if self.at_kw("UNPIVOT"):
                 left = self.parse_unpivot(left)

@@ -333,17 +333,27 @@ class Project(Plan):
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         df = self.input.to_df(spark)
+        asof = _asof_below(self.input)
         cols = []
         try:
             for e in self.exprs:
-                if isinstance(e, Star) and isinstance(self.input, AsofJoin):
+                if (isinstance(e, Star) and asof is not None
+                        and e.table in (None, "", asof.rname,
+                                        asof._left_name())):
                     # AsofJoin's to_df carries the matched right row as
                     # ONE struct column named by the right alias; both
                     # SQL renders (native duckdb ASOF, the spark-dialect
                     # desugar) flatten `*` to left-cols-then-right-cols,
                     # so expand the star here the same way or the dual
-                    # paths diverge on shape
-                    rn = self.input.rname
+                    # paths diverge on shape.  _asof_below sees through
+                    # row-preserving wrappers (WHERE/ORDER/LIMIT between
+                    # the Project and the join — review r11 #1).  A
+                    # star qualified by an UNKNOWN alias falls through
+                    # to the generic path so it raises the same
+                    # analysis error the SQL renders raise (review r11
+                    # #3 — silently resolving it to the left columns
+                    # was a crash-vs-value divergence).
+                    rn = asof.rname
                     drop = set(e.except_cols or ())
                     lflat = [c for c in df.columns if c != rn]
                     rfields = [f.name for f in df.schema[rn].dataType.fields]
@@ -1086,6 +1096,15 @@ class AsofJoin(Plan):
             hints=list(lstate.hints),
         )
 
+    def _left_name(self) -> Optional[str]:
+        """The left relation's referencable alias (None when the left
+        side is not a named relation)."""
+        if isinstance(self.left, Scan):
+            return self.left.table
+        if isinstance(self.left, SubqueryAlias):
+            return self.left.name
+        return None
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.window import Window
 
@@ -1146,11 +1165,20 @@ class AsofJoin(Plan):
             out = out.filter(F.col("__m").isNotNull())
         res = out.select(*[F.col(c) for c in lcols],
                          F.col("__m").alias(self.rname))
-        if isinstance(self.left, Scan):
-            return res.alias(self.left.table)
-        if isinstance(self.left, SubqueryAlias):
-            return res.alias(self.left.name)
-        return res
+        lname = self._left_name()
+        return res.alias(lname) if lname else res
+
+
+def _asof_below(p: "Plan") -> Optional["AsofJoin"]:
+    """The AsofJoin under ``p`` seen through row-preserving,
+    column-preserving wrappers (WHERE/ORDER/LIMIT/OFFSET between a
+    projection and the join), or None.  Star expansion over an asof
+    join must fire through those wrappers too (review r11 #1: a WHERE
+    interposed a Filter and the bare star silently surfaced the match
+    struct while both SQL renders flattened it)."""
+    while isinstance(p, (Filter, Sort, Limit, Offset)):
+        p = p.input
+    return p if isinstance(p, AsofJoin) else None
 
 
 @dataclass(frozen=True)

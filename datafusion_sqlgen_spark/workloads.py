@@ -2127,6 +2127,58 @@ JOIN events p
 """
 
 
+def _quartile_sentinel_replay(s: SparkSession, prefix: str) -> str:
+    """Build the watermark-eviction replay source shared by the LEFT
+    OUTER attribution and point-in-time enrichment workloads (review
+    r11 #5 — the two copies must not drift): the events table split
+    into four event-TIME quartile files with strictly increasing
+    mtimes (the file source triggers them in order), plus two trailing
+    sentinel click+purchase pairs for reserved ``user_id -1`` (10 and
+    20 days past max ts) that advance BOTH sides' watermark nodes past
+    all real data — watermarks computed in batch N evict and emit in
+    batch N+1, so the last sentinel's batch flushes every real
+    unmatched row.  Returns the source directory; callers filter
+    sentinel rows out by user_id sign."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(work, "events_files")
+    os.makedirs(src, exist_ok=True)
+    ev = s.table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    q = ev.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row fixture agg
+    parts = [q.filter(F.col("__q") == i).drop("__q") for i in range(1, 5)]
+    for j in (1, 2):  # sentinel click+purchase pair per file
+        sent_ts = max_ts + datetime.timedelta(days=10 * j)
+        parts.append(
+            s.createDataFrame(
+                [
+                    (10**9 + 2 * j, sent_ts, -1, "click", 0.0, ""),
+                    (10**9 + 2 * j + 1, sent_ts, -1, "purchase", 0.0, ""),
+                ],
+                ev.schema,
+            )
+        )
+    for i, frame in enumerate(parts):
+        tmp = os.path.join(work, f"tmp{i}")
+        frame.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(src, f"part{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        ts = 1_000_000_000 + i * 3600
+        os.utime(dst, (ts, ts))
+    return src
+
+
 def _streaming_attribution_left_result(s: SparkSession) -> DataFrame:
     """LEFT OUTER stream-stream interval join through a real streaming
     query (round 10b): unattributed clicks — the funnel-drop side —
@@ -2148,49 +2200,13 @@ def _streaming_attribution_left_result(s: SparkSession) -> DataFrame:
 
     Values pass through unrounded (exact=True); the oracle is the
     batch LEFT-JOIN twin."""
-    import datetime
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql import Window
-
     from datafusion_sqlgen_spark.streaming.ops import (
         click_purchase_attribution_stream,
         read_events_stream,
         stream_to_memory,
     )
 
-    work = tempfile.mkdtemp(prefix="stream_attr_left_")
-    src = os.path.join(work, "events_files")
-    os.makedirs(src, exist_ok=True)
-    ev = s.table("events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    q = ev.withColumn(
-        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    )
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row fixture agg
-    parts = [q.filter(F.col("__q") == i).drop("__q") for i in range(1, 5)]
-    for j in (1, 2):  # sentinel click+purchase pair per file
-        sent_ts = max_ts + datetime.timedelta(days=10 * j)
-        parts.append(
-            s.createDataFrame(
-                [
-                    (10**9 + 2 * j, sent_ts, -1, "click", 0.0, ""),
-                    (10**9 + 2 * j + 1, sent_ts, -1, "purchase", 0.0, ""),
-                ],
-                ev.schema,
-            )
-        )
-    for i, frame in enumerate(parts):
-        tmp = os.path.join(work, f"tmp{i}")
-        frame.coalesce(1).write.parquet(tmp)
-        dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
-        ts = 1_000_000_000 + i * 3600
-        os.utime(dst, (ts, ts))
+    src = _quartile_sentinel_replay(s, "stream_attr_left_")
     stream = read_events_stream(s, src, max_files_per_trigger=1)
     with _replay_shuffle(s, 4):
         stream_to_memory(
@@ -2211,56 +2227,20 @@ def _streaming_pit_enrich_result(s: SparkSession) -> DataFrame:
     per-click max_by aggregation — through a real streaming query, so
     each click surfaces with the single most recent same-user purchase
     in its 30-minute lookback window (NULL-enriched otherwise).  The
-    replay discipline is the LEFT-attribution one (event-time-quartile
-    files in mtime order, two far-future sentinel pairs so both
-    watermark nodes advance past all real data and the aggregate
-    groups close); sentinel rows filter out by user_id sign.  Values
-    pass through unrounded; the hand oracle is a batch window twin
-    (rank over the lookback join), a formulation that shares no
+    replay discipline is the shared `_quartile_sentinel_replay`
+    (event-time-quartile files in mtime order, two far-future sentinel
+    pairs so both watermark nodes advance past all real data and the
+    aggregate groups close); sentinel rows filter out by user_id sign.
+    Values pass through unrounded; the hand oracle is a batch window
+    twin (rank over the lookback join), a formulation that shares no
     streaming machinery."""
-    import datetime
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql import Window
-
     from datafusion_sqlgen_spark.streaming.ops import (
         point_in_time_enrich_stream,
         read_events_stream,
         stream_to_memory,
     )
 
-    work = tempfile.mkdtemp(prefix="stream_pit_")
-    src = os.path.join(work, "events_files")
-    os.makedirs(src, exist_ok=True)
-    ev = s.table("events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    q = ev.withColumn(
-        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    )
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row fixture agg
-    parts = [q.filter(F.col("__q") == i).drop("__q") for i in range(1, 5)]
-    for j in (1, 2):  # sentinel click+purchase pair per file
-        sent_ts = max_ts + datetime.timedelta(days=10 * j)
-        parts.append(
-            s.createDataFrame(
-                [
-                    (10**9 + 2 * j, sent_ts, -1, "click", 0.0, ""),
-                    (10**9 + 2 * j + 1, sent_ts, -1, "purchase", 0.0, ""),
-                ],
-                ev.schema,
-            )
-        )
-    for i, frame in enumerate(parts):
-        tmp = os.path.join(work, f"tmp{i}")
-        frame.coalesce(1).write.parquet(tmp)
-        dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
-        ts = 1_000_000_000 + i * 3600
-        os.utime(dst, (ts, ts))
+    src = _quartile_sentinel_replay(s, "stream_pit_")
     stream = read_events_stream(s, src, max_files_per_trigger=1)
     with _replay_shuffle(s, 4):
         stream_to_memory(
@@ -3891,14 +3871,12 @@ _SAMPLE_PRIORITY: list[str] = [
     "dedup_incremental",
     "affinity_basket_pairs",
     "join_scd2_merge",
+    # ---- 50-entry driver sample boundary ----
+    # Overflow (r11 positions 51+): join_upsert_snapshot, join_interval_overlap, join_fuzzy_names,
+    # then the rotation tool's r5 queue (ts_mergeable_rollup, ...).
     "join_upsert_snapshot",
     "join_interval_overlap",
     "join_fuzzy_names",
-    # ---- 50-entry driver sample boundary ----
-    # Overflow queue (r11 positions 51+, from the same tool run):
-    # ts_mergeable_rollup, streaming_rollup_result,
-    # text_language_confidence, text_dsir_resample, text_ngram_counts,
-    # text_dsir_weights, text_bm25_topk, sample_capped_per_group, …
 ]
 
 

@@ -319,6 +319,76 @@ def test_asof_composes_in_cte_subquery_and_join_chain(spark):
     assert rows == sorted(con2.execute(qs).fetchall())
 
 
+def test_asof_select_star_flattens_through_where(spark):
+    """Review r11 #1: a WHERE between the star and the ASOF join
+    interposes a Filter; the star expansion must see through it (and
+    ORDER/LIMIT) or to_df surfaces the match struct while both SQL
+    renders flatten — a dual-path column-shape divergence."""
+    spark.sql("CREATE OR REPLACE TEMP VIEW wl AS SELECT * FROM VALUES "
+              "(1, 10), (1, 25), (2, 5) AS t(k, ts)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW wr AS SELECT * FROM VALUES "
+              "(1, 8, 1.0), (1, 20, 2.0) AS t(k, ts, price)")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wl AS SELECT * FROM (VALUES (1, 10), "
+                "(1, 25), (2, 5)) t(k, ts)")
+    con.execute("CREATE TABLE wr AS SELECT * FROM (VALUES (1, 8, 1.0), "
+                "(1, 20, 2.0)) t(k, ts, price)")
+    for q in (
+        "SELECT * FROM wl AS l ASOF LEFT JOIN wr AS r "
+        "ON l.k = r.k AND l.ts >= r.ts WHERE l.ts > 5",
+        "SELECT l.* FROM wl AS l ASOF LEFT JOIN wr AS r "
+        "ON l.k = r.k AND l.ts >= r.ts WHERE l.ts > 5 "
+        "ORDER BY l.ts LIMIT 2",
+    ):
+        plan = parse_sql(q)
+        mine = plan.to_df(spark)
+        native = con.execute(q)
+        assert mine.columns == [d[0] for d in native.description], (
+            q, mine.columns)
+        key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+        assert sorted(map(tuple, normalize_rows(mine.collect())),
+                      key=key) \
+            == sorted(map(tuple, normalize_rows(native.fetchall())),
+                      key=key)
+
+
+def test_asof_star_with_unknown_alias_errors_like_sql(spark):
+    """Review r11 #3: a star qualified by an alias that is neither
+    side must raise (like both SQL renders do), never silently resolve
+    to the left columns."""
+    spark.sql("CREATE OR REPLACE TEMP VIEW wl AS SELECT * FROM VALUES "
+              "(1, 10) AS t(k, ts)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW wr AS SELECT * FROM VALUES "
+              "(1, 8, 1.0) AS t(k, ts, price)")
+    plan = parse_sql(
+        "SELECT q.* FROM wl AS l ASOF JOIN wr AS r "
+        "ON l.k = r.k AND l.ts >= r.ts")
+    with pytest.raises(Exception, match="q|resolve|found"):
+        plan.to_df(spark).collect()
+
+
+def test_comma_join_right_full_suffix_rejected():
+    """Review r11 #2 (verified vs DuckDB): comma binds loosest, so
+    left-folding a following RIGHT/FULL JOIN regroups — unmatched
+    right rows would NULL-pad the crossed side instead of being
+    crossed with every row.  Reject loudly instead of silently
+    diverging; inner/left/semi/anti suffixes stay accepted (their
+    left fold is result-equivalent)."""
+    for bad in (
+        "SELECT 1 FROM a, b RIGHT JOIN c ON b.y = c.z",
+        "SELECT 1 FROM a, b FULL JOIN c ON b.y = c.z",
+        "SELECT 1 FROM a, b JOIN c ON b.y = c.z "
+        "RIGHT JOIN d ON c.z = d.w",
+    ):
+        with pytest.raises(ParseError, match="comma binds loosest"):
+            parse_sql(bad)
+    # without a comma, RIGHT/FULL parse as before
+    s = parse_sql(
+        "SELECT 1 AS one FROM a RIGHT JOIN b ON a.x = b.y").to_sql(
+        "spark")
+    assert "RIGHT JOIN" in s
+
+
 def test_comma_join_keyless_is_honest_cartesian(spark):
     """With no predicate the comma join IS a cross product — it must
     execute (tiny dims are legitimate), not error."""
