@@ -286,6 +286,8 @@ HEADLINE = [
     # streaming point-in-time enrichment: two chained stateful ops
     # (interval join -> max_by aggregate) across ordered triggers
     "streaming_pit_enrich_result",
+    # Zipf head fit: one combined count shuffle + TakeOrdered + k-row fit
+    "text_zipf_slope",
 ]
 
 

@@ -88,6 +88,84 @@ def top_terms_oracle(table: str = "documents", k: int = 50, min_len: int = 3) ->
     """
 
 
+def zipf_slope(
+    df: DataFrame, k: int = 100, text_col: str = "text", min_len: int = 2
+) -> DataFrame:
+    """Zipf-law fit over the top-``k`` corpus terms: the slope of
+    ``ln(freq)`` against ``ln(rank)`` — natural text sits near -1;
+    a much flatter slope flags template/boilerplate spam (the head is
+    artificially even), much steeper flags a degenerate head (a few
+    tokens dominating, e.g. markup soup).  With the Heaps curve
+    (:func:`vocab_growth`) this is the second classic corpus-health
+    diagnostic a curation pipeline runs per source/snapshot.
+
+    Shape: one map-side-combined token count shuffle, a TakeOrdered
+    top-k (never a full sort), then ranking and the regression over
+    the k surviving rows — a single bounded partition regardless of
+    corpus size, so the operator costs one aggregation pass at 100 TB.
+    The slope comes from ``regr_slope`` and snaps to 1e-6 (a <= k-point
+    regression over ln values — far inside the snap, the vocab_growth
+    precedent); ranks tie-break lexicographically so the fit is
+    deterministic.
+
+    Returns (rank, term, n, zipf_slope) — k rows, slope constant.
+    """
+    top = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    slope = F.expr("regr_slope(ln(n), ln(rank))").over(wall)
+    return ranked.select(
+        "rank", "term", "n",
+        (F.floor(slope * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("zipf_slope"),
+    )
+
+
+def zipf_slope_oracle(
+    table: str = "documents", k: int = 100, min_len: int = 2
+) -> str:
+    """DuckDB twin with the regression spelled as the explicit
+    closed-form sums (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²) — a different
+    mechanism from Spark's ``regr_slope`` accumulator, so a slope bug
+    cannot pass both sides; the 1e-6 snap absorbs the two formulas'
+    ULP-level difference (same argument as vocab_growth's fit)."""
+    return f"""
+    WITH top AS (
+        SELECT term, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(lower(text),
+                  '{_WORD_SPLIT_DUCK}')) AS term FROM {table})
+        WHERE length(term) >= {min_len}
+        GROUP BY term
+        ORDER BY n DESC, term ASC
+        LIMIT {k}
+    ),
+    ranked AS (
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+        FROM top
+    ),
+    fit AS (
+        SELECT (count(*) * sum(ln(n) * ln(rank))
+                - sum(ln(rank)) * sum(ln(n)))
+               / (count(*) * sum(ln(rank) * ln(rank))
+                  - sum(ln(rank)) * sum(ln(rank))) AS slope
+        FROM ranked
+    )
+    SELECT r.rank, r.term, r.n,
+           floor(f.slope * 1000000 + 0.5) / 1000000 AS zipf_slope
+    FROM ranked r CROSS JOIN fit f
+    """
+
+
 def word_positions(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Tokenize with 1-based positions (``posexplode``) — the substrate
     for positional n-grams, context windows, and span labeling. One

@@ -2710,6 +2710,16 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.vocab_growth(s.table("documents")),
             text.vocab_growth_oracle(),
         ),
+        # Zipf-law head fit (round 11): slope of ln(freq) vs ln(rank)
+        # over the top-k terms — the second classic corpus-health
+        # diagnostic next to the Heaps curve; one combined count
+        # shuffle + TakeOrdered, regression over a bounded k-row set;
+        # the oracle spells the regression as closed-form sums, a
+        # different mechanism from Spark's regr_slope accumulator
+        "text_zipf_slope": (
+            lambda s: text.zipf_slope(s.table("documents")),
+            text.zipf_slope_oracle(),
+        ),
         # single-pass column profiling (data-quality gate before a training
         # run); oracle is the k-scan UNION ALL formulation — same numbers,
         # the shape our one-pass stack avoids at scale
@@ -3824,6 +3834,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_comma_join",
     "parsed_pg_regex_match",
     "streaming_pit_enrich_result",
+    "text_zipf_slope",
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",
