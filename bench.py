@@ -288,6 +288,8 @@ HEADLINE = [
     "streaming_pit_enrich_result",
     # Zipf head fit: one combined count shuffle + TakeOrdered + k-row fit
     "text_zipf_slope",
+    # k-means cluster quality: zero-corpus-shuffle assign + k x k grid
+    "sim_kmeans_quality",
 ]
 
 

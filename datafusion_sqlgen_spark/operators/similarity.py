@@ -951,6 +951,125 @@ def kmeans_fit(
     )
 
 
+def kmeans_quality(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality diagnostic over a trained k-means fit —
+    the signal that tunes SemDeDup's cell granularity and the IVF
+    nprobe/recall trade: for each cell, its COHESION (mean member
+    cosine to its own centroid) and SEPARATION (the highest cosine
+    between its centroid and any OTHER centroid).  A cell whose
+    cohesion is not comfortably above its separation bleeds neighbors
+    across the boundary — semantic dedup misses pairs there and IVF
+    needs more probes.
+
+    Scale shape: training and assignment reuse the zero-corpus-shuffle
+    ``_kmeans_centroids``/``ivf_assign`` machinery (broadcast k x d
+    codebook); cohesion is one map-side-combined aggregate keyed on
+    cell_id; separation is a k x k centroid cross — bounded by the
+    codebook, never the corpus.  Determinism: each member cosine snaps
+    to 1e-6 FIXED-POINT BIGINT before the per-cell SUM (integer sums
+    are order-free, so Spark's partial aggregation and any other
+    engine agree bit-for-bit), and the mean is one integer division
+    materialized as DOUBLE at the end; separations snap the same way.
+
+    Returns (cell_id, n_members, cohesion, separation).
+    """
+    cents = _kmeans_centroids(corpus, k, n_iter, id_col, vec_col, 6)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    cb = cents.select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("centroid"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    scaled = F.floor(
+        cosine_pre(F.col(vec_col), F.col("centroid"),
+                   _norm(F.col(vec_col)), F.col("__cn"))
+        * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    cohesion = (
+        assigned.join(F.broadcast(cb), "cell_id")
+        .select("cell_id", scaled.alias("__c"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("__c").alias("__s"),
+        )
+        .select(
+            "cell_id", "n_members",
+            (F.col("__s").cast("double")
+             / F.col("n_members") / F.lit(1e6)).alias("cohesion"),
+        )
+    )
+    a = cb.select(F.col("cell_id").alias("ca"),
+                  F.col("centroid").alias("va"), F.col("__cn").alias("na"))
+    b = cb.select(F.col("cell_id").alias("cb"),
+                  F.col("centroid").alias("vb"), F.col("__cn").alias("nb"))
+    pair_sim = F.floor(
+        cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    separation = (
+        a.crossJoin(F.broadcast(b))  # k x k centroid grid, codebook-bounded
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("cell_id"), pair_sim.alias("__p"))
+        .groupBy("cell_id")
+        .agg((F.max("__p").cast("double") / F.lit(1e6))
+             .alias("separation"))
+    )
+    return (
+        cohesion.join(separation, "cell_id")
+        .select("cell_id", "n_members", "cohesion", "separation")
+    )
+
+
+def kmeans_quality_oracle(
+    table: str = "embeddings", k: int = 8, n_iter: int = 2
+) -> str:
+    """DuckDB twin over the shared Lloyd CTE chain: same snapped
+    assignment, cohesion as the identical fixed-point integer sum
+    (order-free), separation as the explicit k x k pair max."""
+    kmeans = _kmeans_ctes(table, k, n_iter, 6)
+    mem_cos = _duck_cos("a.embedding::DOUBLE[]", "c.centroid::DOUBLE[]")
+    pair_cos = _duck_cos("x.centroid", "y.centroid")
+    return f"""
+    WITH {kmeans},
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    ),
+    coh AS (
+        SELECT a.cell_id,
+               count(*) AS n_members,
+               sum(CAST(floor({mem_cos} * 1000000 + 0.5) AS BIGINT))
+                   AS s
+        FROM assigned a JOIN c{n_iter} c USING (cell_id)
+        GROUP BY a.cell_id
+    ),
+    sep AS (
+        SELECT x.cell_id,
+               max(CAST(floor({pair_cos} * 1000000 + 0.5) AS BIGINT))
+                   AS p
+        FROM c{n_iter} x JOIN c{n_iter} y ON x.cell_id <> y.cell_id
+        GROUP BY x.cell_id
+    )
+    SELECT coh.cell_id, coh.n_members,
+           (CAST(s AS DOUBLE) / n_members) / 1000000 AS cohesion,
+           CAST(p AS DOUBLE) / 1000000 AS separation
+    FROM coh JOIN sep USING (cell_id)
+    """
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     k: int,

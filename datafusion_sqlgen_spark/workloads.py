@@ -2720,6 +2720,15 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             lambda s: text.zipf_slope(s.table("documents")),
             text.zipf_slope_oracle(),
         ),
+        # per-cluster quality over the trained k-means fit (round 11):
+        # cohesion (fixed-point mean member-to-centroid cosine) vs
+        # separation (max other-centroid cosine) — the SemDeDup cell
+        # granularity / IVF nprobe tuning signal; corpus never
+        # shuffles, separation is a codebook-bounded k x k grid
+        "sim_kmeans_quality": (
+            lambda s: similarity.kmeans_quality(s.table("embeddings")),
+            similarity.kmeans_quality_oracle(),
+        ),
         # single-pass column profiling (data-quality gate before a training
         # run); oracle is the k-scan UNION ALL formulation — same numbers,
         # the shape our one-pass stack avoids at scale
@@ -3835,6 +3844,7 @@ _SAMPLE_PRIORITY: list[str] = [
     "parsed_pg_regex_match",
     "streaming_pit_enrich_result",
     "text_zipf_slope",
+    "sim_kmeans_quality",
     "sample_stable_topk",
     "sample_hash_split",
     "ts_locf_resample",

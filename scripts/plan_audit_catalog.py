@@ -60,6 +60,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "sim_ivf_sq8_topk": "1-row centroid codebook broadcast",
     "sim_sq8_topk": "capped query-set broadcast (brute baseline)",
     "sim_kmeans_fit": "1-row centroid codebook broadcast per iteration",
+    "sim_kmeans_quality":
+        "codebook broadcast assign + k x k centroid grid (both "
+        "codebook-bounded, never the corpus)",
     # --- capped query sets (brute-force baselines, documented) ---
     "sim_cosine_topk": "query side capped (vec_id < 10) and broadcast",
     "sim_recall_at_k": "capped query set broadcast (exact reference)",
