@@ -44,6 +44,10 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "dedup_bloom_ngram_decontaminate":
         "1-row Bloom bit-array broadcast (GPT-3-style decontamination)",
     # --- fixed small grids ---
+    "join_cross_small":
+        "explicit CROSS JOIN of region (5 rows, fixed TPC-H dimension) "
+        "x nation filtered to n_nationkey < 3 (3 rows) — bounded by "
+        "construction; the catalog's intentional cross-join coverage row",
     "ts_gap_fill_hourly": "24-row hour-grid crossJoin (fixed calendar)",
     "ts_locf_resample": "24-row hour-grid crossJoin (fixed calendar)",
     # --- broadcast codebooks / centroid tables (k cells, k ~ sqrt(n)
