@@ -974,6 +974,15 @@ class WindowSpec:
 
         def bound(v, side):
             if isinstance(v, FrameBound):
+                if v.interval.n == 0:
+                    # a zero interval IS the current row (standard:
+                    # offset bounds are inclusive, so +/-0 covers every
+                    # peer — exactly RANGE's CURRENT ROW). Normalizing
+                    # here also dodges a real engine divergence: DuckDB
+                    # evaluates INTERVAL '0' x PRECEDING as a HIGH
+                    # bound strictly (current row excluded) while Spark
+                    # follows the standard (included) — probed r12
+                    return "CURRENT ROW"
                 return v.to_sql()
             if v == "unbounded" or v is None:
                 return f"UNBOUNDED {side}"
@@ -1059,6 +1068,11 @@ class WindowExpr(Expr):
                 if v == "unbounded" or v is None:
                     return True
                 if isinstance(v, FrameBound):
+                    # a zero interval bound IS the current row, so it
+                    # spans on either side (ADVICE r11: INTERVAL '0'
+                    # DAY FOLLOWING as a low bound was over-rejected)
+                    if v.interval.n == 0:
+                        return True
                     return v.preceding if is_lo else not v.preceding
                 return v <= 0 if is_lo else v >= 0
 
@@ -1116,7 +1130,11 @@ class WindowExpr(Expr):
                     # CURRENT ROW was rejected with a message claiming
                     # it does not span the current row); peers sit at
                     # interval distance 0, inside any spanning frame,
-                    # so the peer-group subtraction stays exact
+                    # so the peer-group subtraction stays exact; a zero
+                    # interval IS the current row — spans either side
+                    # (ADVICE r11)
+                    if v.interval.n == 0:
+                        return True
                     return v.preceding if is_lo else not v.preceding
                 return v <= 0 if is_lo else v >= 0
             if not (covers(lo, True) and covers(hi, False)):

@@ -2138,8 +2138,17 @@ class _Parser:
         can splice into a FROM clause."""
         saw_comma = False
         while True:
-            if (saw_comma and self.at_kw("RIGHT", "FULL")
-                    and self.peek(1).upper in ("OUTER", "JOIN")):
+            if saw_comma and (
+                (self.at_kw("RIGHT", "FULL")
+                 and self.peek(1).upper in ("OUTER", "JOIN", "SEMI", "ANTI"))
+                or (self.at_kw("NATURAL")
+                    and self.peek(1).upper in ("RIGHT", "FULL"))
+            ):
+                # ADVICE r11: the original guard only peeked for
+                # OUTER/JOIN, so NATURAL RIGHT/FULL and RIGHT/FULL
+                # SEMI|ANTI spellings slipped past and silently
+                # left-folded as (a CROSS b) RIGHT c — the exact
+                # regrouping divergence this guard exists to reject
                 raise ParseError(
                     "RIGHT/FULL JOIN after an implicit comma cross-join "
                     "regroups under the standard's precedence (comma "
@@ -2356,6 +2365,15 @@ class _Parser:
               and self.peek(1).upper in ("OUTER", "SEMI", "ANTI", "JOIN")):
             d = self.next().upper
             base_how = {"LEFT": "left", "RIGHT": "right", "FULL": "full"}[d]
+            if self.at_kw("SEMI", "ANTI") and d != "LEFT":
+                # neither Spark nor DuckDB has RIGHT/FULL SEMI|ANTI;
+                # silently parsing it as left_semi/left_anti (the
+                # pre-r12 behavior) inverted which side survives
+                raise ParseError(
+                    f"{d} {self.peek().upper} JOIN is not a supported "
+                    "join type — swap the relations and use LEFT "
+                    f"{self.peek().upper} JOIN"
+                )
             if self.eat_kw("SEMI"):
                 how = "left_semi"
             elif self.eat_kw("ANTI"):

@@ -1086,7 +1086,12 @@ class AsofJoin(Plan):
             or r_sql is None
             or not isinstance(self.right, (Scan, SubqueryAlias))
         ):
-            r_sql = f"({rstate.render()}) AS {_fresh_alias()}"
+            # self.cond addresses the right side as self.rname by
+            # contract, so the wrapper must carry THAT alias — a fresh
+            # alias here left cond's qualifier dangling (ADVICE r11;
+            # unreachable via the parser, which enforces a named right
+            # relation, but a trap for directly constructed nodes)
+            r_sql = f"({rstate.render()}) AS {self.rname}"
         kw = "ASOF LEFT JOIN" if self.how == "left" else "ASOF JOIN"
         join_sql = (f"{lstate.from_sql} {kw} {r_sql} "
                     f"ON {self.cond.to_sql(dialect)}")
