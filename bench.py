@@ -309,6 +309,36 @@ def _machine_canary() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _canary_proc(_i: int) -> None:
+    """One single-thread canary workload (process-pool target — md5 on
+    1 KiB buffers holds the GIL, so threads would serialize and hide
+    exactly the contention this probe exists to see)."""
+    import hashlib
+
+    b = b"y" * 1024
+    for _ in range(200_000):
+        b = (hashlib.md5(b).digest() * 64)[:1024]
+
+
+def _parallel_canary(procs: int = 8) -> float:
+    """The single-thread canary run in `procs` concurrent PROCESSES —
+    wall time for all of them together. On an idle many-core host this
+    reads ~= the single-thread canary (each process gets its own core);
+    under co-tenant load it degrades in proportion to contention. The
+    r11 driver bench read 1.4x slower on byte-identical code while its
+    single-thread canary said the host was FASTER — a single-thread
+    probe provably cannot see co-tenant load on a 32-core box, which is
+    exactly what a 32-thread Spark query does see. Read the
+    parallel/single ratio: ~1.0 = idle, >>1 = contended; treat the
+    bench as unusable for round-over-round comparison when > ~1.5."""
+    import concurrent.futures
+
+    t0 = time.perf_counter()
+    with concurrent.futures.ProcessPoolExecutor(procs) as ex:
+        list(ex.map(_canary_proc, range(procs)))
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from datafusion_sqlgen_spark import get_spark, register_tables
     from datafusion_sqlgen_spark.workloads import build_queries
@@ -386,6 +416,13 @@ def main() -> None:
         "spread_median": round(statistics.median(spreads.values()), 3),
         "runs_per_query": n_runs,
         "machine_canary_sec": (canary := _machine_canary()),
+        # 8-process canary + contention ratio: a single-thread canary
+        # cannot see co-tenant load on a many-core box (the r11 driver
+        # artifact was poisoned exactly that way) — ratio ~1.0 = idle,
+        # > ~1.5 = contended, don't compare round-over-round
+        "machine_canary_par8_sec": (par8 := _parallel_canary()),
+        "canary_contention_ratio": (
+            round(par8 / canary, 2) if canary else None),
         # hardware-normalized total: compare THIS across rounds (the
         # round-6 A/B showed hosts differing 2.5-3x in raw speed)
         "value_per_canary": round(total / canary, 1) if canary else None,
@@ -418,6 +455,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "machine_canary_sec": canary,
+        "machine_canary_par8_sec": par8,
+        "canary_contention_ratio": payload["canary_contention_ratio"],
         "value_per_canary": payload["value_per_canary"],
         "n_queries": len(timings),
         "spread_median": payload["spread_median"],

@@ -839,6 +839,16 @@ class Func(Expr):
                 f"list_transform(range(1, greatest(len({a_sql}), len({b_sql})) + 1), "
                 f"__zw_i -> {body.to_sql(dialect)})"
             )
+        if (canonical(self.name) == "struct" and len(self.args) == 1
+                and isinstance(self.args[0], Star) and self.args[0].table
+                and not self.args[0].except_cols):
+            # struct(t.*): pack every column of relation t into one
+            # named struct. Spark expands the star inside CreateStruct;
+            # DuckDB's equivalent is the bare relation alias (row
+            # struct with field names) — `SELECT t FROM tbl t`
+            if dialect == DUCKDB:
+                return quote_ident(self.args[0].table, dialect)
+            return f"struct({self.args[0].to_sql(dialect)})"
         args = [a.to_sql(dialect) for a in self.args]
         if self.distinct:
             inner = ", ".join(args)

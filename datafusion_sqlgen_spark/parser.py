@@ -417,7 +417,6 @@ class _Parser:
         # parsed (a stack entry per nested core; see parse_select_core)
         self._named_windows: dict[str, WindowSpec] = {}
         # per-statement counter for ASOF JOIN desugar subquery aliases
-        self._asof_n = 0
 
     # ---- token helpers ---------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -2525,7 +2524,7 @@ class _Parser:
                 return c.right, c.left, flip[c.op]
             return c.left, c.right, c.op
 
-        eqs, ineq = [], None
+        eqs, ineqs = [], []
         for c in conjuncts(cond):
             parts = split(c)
             if parts is None:
@@ -2533,19 +2532,16 @@ class _Parser:
                     "ASOF JOIN ON must be AND-ed comparisons, each "
                     "between a right-side qualified column and a "
                     "left-side expression (= keys plus exactly one "
-                    ">=/<=/>/< timestamp bound)"
+                    ">=/<=/>/< timestamp bound, optionally a second, "
+                    "opposite-direction bound on the same column as a "
+                    "merge_asof-style tolerance)"
                 )
             rcol, lexpr, op = parts
             if op == "=":
                 eqs.append((rcol, lexpr))
-            elif ineq is not None:
-                raise ParseError(
-                    "ASOF JOIN takes exactly one >=/<=/>/< "
-                    "timestamp bound"
-                )
             else:
-                ineq = (rcol, lexpr, op)
-        if ineq is None:
+                ineqs.append((rcol, lexpr, op, c))
+        if not ineqs:
             raise ParseError(
                 "ASOF JOIN needs a >=/<=/>/< timestamp bound in ON"
             )
@@ -2554,41 +2550,78 @@ class _Parser:
                 "ASOF JOIN needs at least one equality key in ON (a "
                 "keyless asof ranks the whole right side per left row)"
             )
+        tol = None
+        if len(ineqs) == 2:
+            # merge_asof-style tolerance window: the MATCH bound's left
+            # expression reappears inside the other bound shifted by an
+            # offset — backward `r.ts <= l.ts AND r.ts >= l.ts - I`,
+            # forward `r.ts >= l.ts AND r.ts <= l.ts + I`. The pair
+            # (<=, >=) alone is ambiguous (same window, opposite pick
+            # ends), so the offset SHAPE disambiguates: exactly one
+            # bound must be `<match lexpr> -|+ <offset>` with the sign
+            # matching the other bound's direction.
+            def as_tol(match, cand):
+                mrc, mle, mop, _mc = match
+                crc, cle, cop, cc = cand
+                if crc.name != mrc.name:
+                    return None
+                backward = mop in ("<=", "<")
+                if (cop in ("<=", "<")) == backward:
+                    return None  # same direction: not a window
+                want = "-" if backward else "+"
+                if (isinstance(cle, BinOp) and cle.op == want
+                        and cle.left.to_sql() == mle.to_sql()):
+                    return cop, cle, cc
+                return None
+
+            a, b = ineqs
+            picks = [(m, as_tol(m, c)) for m, c in ((a, b), (b, a))]
+            picks = [(m, t) for m, t in picks if t is not None]
+            if len(picks) != 1:
+                raise ParseError(
+                    "ASOF JOIN with two timestamp bounds needs exactly "
+                    "one readable as a tolerance: the match bound's "
+                    "left expression shifted by an offset in the "
+                    "match direction (e.g. backward: r.ts <= l.ts AND "
+                    "r.ts >= l.ts - INTERVAL '1' HOUR)"
+                )
+            (rt_, lts_, op_, _), (tol_op, tol_rhs, tol_conjunct) = picks[0]
+            ineq = (rt_, lts_, op_)
+            tol = (tol_op, tol_rhs)
+            base_cond = None
+            for c in conjuncts(cond):
+                if c is tol_conjunct:
+                    continue
+                base_cond = (c if base_cond is None
+                             else BinOp("AND", base_cond, c))
+        elif len(ineqs) > 2:
+            raise ParseError(
+                "ASOF JOIN takes at most two >=/<=/>/< bounds (the "
+                "match bound plus one tolerance bound)"
+            )
+        else:
+            ineq = ineqs[0][:3]
         rt, lts, op = ineq  # op: l.ts >= r.ts arrives as ('<=')==backward
         strict = op in (">", "<")
-        fresh = f"__asof{self._asof_n}" if self._asof_n else "__asof"
-        self._asof_n += 1
-        sub_rel = (SubqueryAlias(right.input, fresh)
-                   if isinstance(right, SubqueryAlias)
-                   else right.alias(fresh))
-        sub_cond = None
-        for rcol, lexpr in eqs:
-            c = BinOp("=", Col(rcol.name, fresh), lexpr)
-            sub_cond = c if sub_cond is None else BinOp("AND", sub_cond, c)
-        sub_cond = BinOp("AND", sub_cond,
-                         BinOp(op, Col(rt.name, fresh), lts))
-        fn = "max" if op in ("<=", "<") else "min"
-        if left_outer:
-            asc = fn == "min"
-            sk = SortKey(Col(rt.name, fresh), ascending=asc,
-                         nulls_first=asc)
-            sub = sub_rel.filter(sub_cond).sort(sk).limit(1)
-            fallback = left.lateral(sub, rname, how="left")
-        else:
-            sub = sub_rel.filter(sub_cond).group_by().agg(
-                Alias(Func(fn, (Col(rt.name, fresh),)), "__asof_ts"))
-            joined = left.join(right, on=cond, how="inner")
-            fallback = joined.filter(BinOp("=", Col(rt.name, rname),
-                                           ScalarSubquery(sub)))
-        return AsofJoin(
+        how = "left" if left_outer else "inner"
+        node = AsofJoin(
             left=left, right=right, rname=rname,
             eqs=tuple((rcol.name, lexpr) for rcol, lexpr in eqs),
             r_time=rt.name, l_time=lts,
             direction="backward" if op in ("<=", "<") else "forward",
             strict=strict,
-            how="left" if left_outer else "inner",
-            cond=cond, fallback=fallback,
+            how=how,
+            # the native DuckDB render carries only the match
+            # conjunction — DuckDB rejects a second ASOF inequality
+            # even when the tolerance arrives via WHERE (its optimizer
+            # pushes the filter into the join first; probed r12), so
+            # the tolerance lives on the node for BOTH hows and the
+            # DuckDB render fails closed
+            cond=cond if tol is None else base_cond,
+            tol_op=tol[0] if tol else None,
+            tol_rhs=tol[1] if tol else None,
         )
+        return node
 
     def parse_sort_key(self) -> SortKey:
         e = self.parse_expr()
@@ -3279,9 +3312,28 @@ class _Parser:
             if self.at_op("*"):
                 self.next()  # count(*) -> zero-arg count
             else:
-                args.append(self.parse_expr())
+                def arg():
+                    # struct(t.*) — pack a whole relation into one
+                    # struct column (the AsofJoin spark-dialect
+                    # desugar's payload form, r12); Spark expands the
+                    # qualified star inside CreateStruct natively,
+                    # DuckDB renders it as the bare relation alias
+                    if (self.peek().kind == "ident"
+                            and self.peek(1).kind == "op"
+                            and self.peek(1).text == "."
+                            and self.peek(2).kind == "op"
+                            and self.peek(2).text == "*"):
+                        t = self.ident()
+                        self.next(); self.next()
+                        from datafusion_sqlgen_spark.expressions.core import (
+                            Star,
+                        )
+                        return Star(table=t)
+                    return self.parse_expr()
+
+                args.append(arg())
                 while self.eat_op(","):
-                    args.append(self.parse_expr())
+                    args.append(arg())
         ordered_by: Optional[Expr] = None
         # DuckDB ordered-agg placement: string_agg(v, sep ORDER BY k)
         if self.at_kw("ORDER"):

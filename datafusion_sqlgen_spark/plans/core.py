@@ -35,9 +35,13 @@ from pyspark.sql import functions as F
 
 from datafusion_sqlgen_spark.expressions.core import (
     Alias,
+    BinOp,
+    Case,
     Col,
     Expr,
     Func,
+    IsNotNull,
+    Lit,
     SortKey,
     Star,
     _wrap,
@@ -290,6 +294,17 @@ class SubqueryAlias(Plan):
     name: str
 
     def _fold(self, dialect: str) -> _SelectState:
+        if isinstance(self.input, SetOp):
+            # alias the set-op directly: the generic path would emit
+            # (SELECT * FROM (setop) AS _sqN) AS name, whose reparse
+            # yields a DIFFERENT text than the first render (the
+            # AsofJoin spark desugar tripped this, r12) — with the
+            # direct form `FROM ((A) UNION ALL (B)) AS name` parse and
+            # render are mutual fixpoints
+            return _SelectState(
+                from_sql=f"({self.input._setop_sql(dialect)}) "
+                         f"AS {quote_ident(self.name, dialect)}"
+            )
         inner = self.input._fold(dialect)
         return _SelectState(from_sql=f"({inner.render()}) AS {quote_ident(self.name, dialect)}")
 
@@ -328,7 +343,37 @@ class Project(Plan):
         state = self.input._fold(dialect)
         if state.projection is not None or state.distinct or state.group_by:
             state = _nest(state)
-        state.projection = [e.to_sql(dialect) for e in self.exprs]
+        exprs = self.exprs
+        if dialect != DUCKDB:
+            asof = _asof_below(self.input)
+            if asof is not None and any(
+                isinstance(e, Star)
+                and e.table in (None, "", asof.rname, asof._left_name())
+                for e in exprs
+            ):
+                # the spark desugar carries the matched right row as ONE
+                # struct column named rname, so a bare star would
+                # surface the struct while to_df and the native DuckDB
+                # render flatten it — rewrite the star to
+                # `* EXCEPT (rname), rname.*` (left cols then right
+                # fields, same shape as the other two paths)
+                rn = asof.rname
+                out = []
+                for e in exprs:
+                    if not (isinstance(e, Star)
+                            and e.table in (None, "", rn,
+                                            asof._left_name())):
+                        out.append(e)
+                    elif e.table == rn:
+                        out.append(e)  # rname.* expands the struct
+                    else:
+                        out.append(replace(
+                            e, except_cols=(rn,) + tuple(e.except_cols)))
+                        if e.table in (None, ""):
+                            out.append(Star(table=rn,
+                                            except_cols=e.except_cols))
+                exprs = tuple(out)
+        state.projection = [e.to_sql(dialect) for e in exprs]
         return state
 
     def to_df(self, spark: SparkSession) -> DataFrame:
@@ -1025,11 +1070,15 @@ class AsofJoin(Plan):
       original ON conjunction (DuckDB executes it directly; re-parsing
       it reconstructs this node, so the DuckDB render is a fixpoint at
       the surface form).
-    * ``to_sql("spark")`` — delegates to ``fallback``, the executable
-      ANSI desugar (inner: join + correlated-max filter; left: LEFT
-      JOIN LATERAL … LIMIT 1), because Spark SQL has no ASOF keyword.
-      The dual-render invariant holds — both paths compute the same
-      backward/forward match — but the scale path is ``to_df``.
+    * ``to_sql("spark")`` — renders the SAME union + window desugar as
+      TEXT (``_spark_desugar`` builds it from ordinary plan/expr IR and
+      the machinery renders it), so ``spark.sql(plan.to_sql("spark"))``
+      plans join-free exactly like ``to_df`` — closing the r11
+      render/plan parity gap (the old render delegated to a
+      lateral-LIMIT-1 fallback whose physical plan was a
+      BroadcastNestedLoopJoin). The left row travels the union as
+      ``struct(l.*)`` so the desugar needs no column list at render
+      time; the final projection re-expands it with ``__l.*``.
 
     Output resolution: left columns keep their names (plus the left
     relation's alias when it has one); the matched right row travels as
@@ -1053,14 +1102,40 @@ class AsofJoin(Plan):
     direction: str  # "backward" (l.ts >= r.ts) | "forward" (l.ts <= r.ts)
     how: str  # "inner" | "left"
     cond: Expr  # the original ON conjunction, for the native render
-    fallback: Plan  # Spark-dialect executable desugar
     # strict bound (l.ts > r.ts / l.ts < r.ts): an exactly-equal
     # timestamp does NOT match (DuckDB's ASOF accepts all four ops)
     strict: bool = False
+    # merge_asof-style tolerance (parsed from a second, opposite-
+    # direction range conjunct in ON): the nearest match is additionally
+    # required to satisfy ``r_time <tol_op> tol_rhs`` (tol_rhs an
+    # expression over LEFT columns, e.g. l.ts - INTERVAL '1' HOUR) or
+    # the payload is NULLed; the inner form then drops the row, the
+    # left form keeps it. Nulling the nearest match is exact, not
+    # approximate: any farther match is farther outside the window too
+    # (joins.py:22 has the operator twin). DuckDB's native ASOF rejects
+    # a second inequality even when it arrives via WHERE (the optimizer
+    # pushes the filter into the join — "Multiple ASOF JOIN
+    # inequalities", probed r12), so the DuckDB render of a
+    # tolerance-carrying node fails closed with a pointer at the
+    # windowed-twin oracle.
+    tol_op: Optional[str] = None
+    tol_rhs: Optional[Expr] = None
 
     def _fold(self, dialect: str) -> _SelectState:
         if dialect != DUCKDB:
-            return self.fallback._fold(dialect)
+            return self._spark_desugar()._fold(dialect)
+        if self.tol_op is not None:
+            raise ValueError(
+                "ASOF JOIN with a tolerance bound has no native DuckDB "
+                "render: DuckDB rejects a second ASOF inequality even "
+                "via WHERE (its optimizer pushes the filter into the "
+                "join — 'Multiple ASOF JOIN inequalities', probed "
+                "r12), and for the LEFT form a WHERE would drop the "
+                "left row instead of nulling the payload — execute via "
+                "to_df/to_sql('spark'), or hand-write the windowed "
+                "twin (see the parsed_asof_tolerance workloads' "
+                "oracles)"
+            )
         lstate = self.left._fold(dialect)
         if (
             lstate.projection is not None
@@ -1110,6 +1185,88 @@ class AsofJoin(Plan):
             return self.left.name
         return None
 
+    def _spark_desugar(self) -> "Plan":
+        """The union + last-non-null-window desugar as plan IR — the
+        TEXT twin of ``to_df``, rendered by the ordinary machinery so
+        the parse→render fixpoint and the join-free physical plan both
+        come for free. Shape (backward, non-strict)::
+
+            WITH both sides unioned on aligned columns:
+              left : struct(l.*) AS __l, keys, l_time AS __ts,
+                     NULL AS __p, 0 AS __is_r
+              right: NULL AS __l, keys, r_time AS __ts,
+                     struct(r.*) AS __p, 1 AS __is_r
+            match = last(__p) IGNORE NULLS OVER (PARTITION BY keys
+                      ORDER BY __ts, __is_r DESC
+                      ROWS UNBOUNDED PRECEDING..CURRENT ROW)
+            keep left rows, guard NULL left timestamps (and the
+            tolerance bound when present), re-expand __l.*
+
+        One exchange on the equality keys, no join operator anywhere —
+        identical physical shape to ``to_df``.
+        """
+        lname = self._left_name()
+        sname = lname or "__asl"
+        lsrc = self.left if lname else self.left.alias(sname)
+        keys = [f"__k{i}" for i in range(len(self.eqs))]
+        lcols = [
+            Alias(Func("struct", (Star(table=sname),)), "__l"),
+            *[Alias(lexpr, k) for (_, lexpr), k in zip(self.eqs, keys)],
+            Alias(self.l_time, "__ts"),
+            Alias(Lit(None), "__p"),
+            Alias(Lit(0), "__is_r"),
+        ]
+        if self.tol_op is not None:
+            # the tolerance threshold is an expression over LEFT
+            # columns — compute it while they are still in scope
+            lcols.append(Alias(self.tol_rhs, "__tol"))
+        lproj = lsrc.select(*lcols)
+        rkeep: Expr = IsNotNull(Col(self.r_time, self.rname))
+        for rc, _ in self.eqs:
+            rkeep = BinOp("AND", rkeep, IsNotNull(Col(rc, self.rname)))
+        rcols = [
+            Alias(Lit(None), "__l"),
+            *[Alias(Col(rc, self.rname), k)
+              for (rc, _), k in zip(self.eqs, keys)],
+            Alias(Col(self.r_time, self.rname), "__ts"),
+            Alias(Func("struct", (Star(table=self.rname),)), "__p"),
+            Alias(Lit(1), "__is_r"),
+        ]
+        if self.tol_op is not None:
+            rcols.append(Alias(Lit(None), "__tol"))
+        rproj = self.right.filter(rkeep).select(*rcols)
+        u = lproj.union(rproj).alias("__u")
+        backward = self.direction == "backward"
+        tie_desc = backward != self.strict
+        nav = Func("last" if backward else "first", (Col("__p"),),
+                   ignore_nulls=True)
+        win = nav.over(
+            partition_by=[Col(k) for k in keys],
+            order_by=(
+                SortKey(Col("__ts"), ascending=True, nulls_first=True),
+                SortKey(Col("__is_r"), ascending=not tie_desc,
+                        nulls_first=not tie_desc),
+            ),
+            rows_between=("unbounded", 0) if backward else (0, "unbounded"),
+        )
+        stage1 = [Col("__l"), Col("__ts"), Alias(win, "__m0"),
+                  Col("__is_r")]
+        if self.tol_op is not None:
+            stage1.append(Col("__tol"))
+        s1 = u.select(*stage1).filter(BinOp("=", Col("__is_r"), Lit(0)))
+        guard: Expr = IsNotNull(Col("__ts"))
+        if self.tol_op is not None:
+            from datafusion_sqlgen_spark.expressions.core import Field
+            guard = BinOp("AND", guard,
+                          BinOp(self.tol_op, Field(Col("__m0"), self.r_time),
+                                Col("__tol")))
+        s2 = s1.select(Col("__l"),
+                       Alias(Case(((guard, Col("__m0")),)), self.rname))
+        if self.how == "inner":
+            s2 = s2.filter(IsNotNull(Col(self.rname)))
+        out = s2.select(Star(table="__l"), Col(self.rname))
+        return out.alias(lname) if lname else out
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.window import Window
 
@@ -1117,20 +1274,26 @@ class AsofJoin(Plan):
         rdf = self.right.to_df(spark)
         lcols, rcols = ldf.columns, rdf.columns
         keys = [f"__k{i}" for i in range(len(self.eqs))]
-        reserved = set(keys) | {"__ts", "__p", "__is_r", "__m", self.rname}
+        reserved = set(keys) | {"__ts", "__p", "__is_r", "__m", "__tol",
+                                self.rname}
         clash = reserved & set(lcols)
         if clash:
             raise ValueError(
                 f"ASOF JOIN left columns collide with the match "
                 f"machinery / right alias: {sorted(clash)}"
             )
-        l2 = ldf.select(
+        lsel = [
             *[F.col(c) for c in lcols],
             *[lexpr.to_column().alias(k)
               for (_, lexpr), k in zip(self.eqs, keys)],
             self.l_time.to_column().alias("__ts"),
             F.lit(0).alias("__is_r"),
-        )
+        ]
+        if self.tol_op is not None:
+            # the tolerance threshold is an expression over LEFT columns
+            # — compute it while the left alias is still in scope
+            lsel.append(self.tol_rhs.to_column().alias("__tol"))
+        l2 = ldf.select(*lsel)
         # null keys / null times never match in join semantics; drop them
         # right-side so the null-key window partition can't pair them
         rkeep = F.col(self.r_time).isNotNull()
@@ -1164,8 +1327,18 @@ class AsofJoin(Plan):
         out = u.withColumn("__m", match).filter(F.col("__is_r") == 0)
         # a NULL left timestamp matches nothing (comparison semantics);
         # NULL left keys need no guard — their partition holds no right rows
-        out = out.withColumn(
-            "__m", F.when(F.col("__ts").isNotNull(), F.col("__m")))
+        keep = F.col("__ts").isNotNull()
+        if self.tol_op is not None:
+            # merge_asof tolerance: NULL the nearest match when it falls
+            # outside the window (exact — any farther match is farther
+            # outside too). The threshold is an expression over left
+            # columns, still top-level in `out`.
+            ops = {">=": "__ge__", ">": "__gt__",
+                   "<=": "__le__", "<": "__lt__"}
+            keep = keep & getattr(
+                F.col(f"__m.{self.r_time}"), ops[self.tol_op])(
+                    F.col("__tol"))
+        out = out.withColumn("__m", F.when(keep, F.col("__m")))
         if self.how == "inner":
             out = out.filter(F.col("__m").isNotNull())
         res = out.select(*[F.col(c) for c in lcols],

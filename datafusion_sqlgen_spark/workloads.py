@@ -1577,6 +1577,39 @@ def _ir_workloads() -> dict[str, Plan]:
         "GROUP BY user_id, ts) AS r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
     )
+    # round 12 (VERDICT r11 item 5): ASOF with a merge_asof-style
+    # TOLERANCE bound — a second, opposite-direction range conjunct on
+    # the right time column bounds the match window (the feature-store
+    # shape: a click only joins a purchase from the last day; the
+    # streaming twin is point_in_time_enrich_stream, streaming/ops.py).
+    # Inner drops out-of-window clicks; LEFT keeps them with a NULLed
+    # payload. DuckDB's native ASOF rejects a second inequality even
+    # via WHERE (optimizer pushes the filter into the join), so the
+    # node's duckdb render fails closed and both rows carry HAND
+    # oracles: native ASOF inside a MATERIALIZED CTE (a pushdown
+    # barrier), tolerance applied outside.
+    w["parsed_asof_tolerance"] = parse_sql(
+        "SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, "
+        "r.pval "
+        "FROM (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'click' AND event_id % 20 = 0) AS l "
+        "ASOF JOIN (SELECT user_id, ts, max(value) AS pval "
+        "FROM events WHERE event_type = 'purchase' "
+        "GROUP BY user_id, ts) AS r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts "
+        "AND r.ts >= l.ts - INTERVAL '1' DAY"
+    )
+    w["parsed_asof_tolerance_left"] = parse_sql(
+        "SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, "
+        "r.pval "
+        "FROM (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'click' AND event_id % 20 = 0) AS l "
+        "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval "
+        "FROM events WHERE event_type = 'purchase' "
+        "GROUP BY user_id, ts) AS r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts "
+        "AND r.ts >= l.ts - INTERVAL '1' DAY"
+    )
     # round 10b: RUNNING distinct count (cumulative unique users) — the
     # ordered extension of the DISTINCT-over-window desugar: the
     # first-occurrence flag is ordered by the window's keys, so "seen
@@ -5472,6 +5505,39 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval FROM events
                 WHERE event_type = 'purchase'
                 GROUP BY user_id, ts) r
 ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    # ASOF + tolerance replayed via DuckDB's NATIVE ASOF inside a
+    # MATERIALIZED CTE (pushdown barrier — DuckDB would otherwise push
+    # the tolerance WHERE into the join and reject it as a second ASOF
+    # inequality), tolerance applied OUTSIDE: inner filters the row
+    # out, LEFT nulls the payload and keeps the row. The repo-side
+    # union+window desugar machinery never runs here.
+    "parsed_asof_tolerance": """
+WITH m AS MATERIALIZED (
+    SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, r.pval
+    FROM (SELECT event_id, ts, user_id FROM events
+          WHERE event_type = 'click' AND event_id % 20 = 0) l
+    ASOF JOIN (SELECT user_id, ts, max(value) AS pval FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+    ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT event_id, ts, user_id, purchase_ts, pval
+FROM m WHERE purchase_ts >= ts - INTERVAL 1 DAY
+""",
+    "parsed_asof_tolerance_left": """
+WITH m AS MATERIALIZED (
+    SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, r.pval
+    FROM (SELECT event_id, ts, user_id FROM events
+          WHERE event_type = 'click' AND event_id % 20 = 0) l
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval FROM events
+                    WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) r
+    ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT event_id, ts, user_id,
+       CASE WHEN purchase_ts >= ts - INTERVAL 1 DAY
+            THEN purchase_ts END AS purchase_ts,
+       CASE WHEN purchase_ts >= ts - INTERVAL 1 DAY
+            THEN pval END AS pval
+FROM m
 """,
     # running distinct replayed via DuckDB's NATIVE ordered DISTINCT
     # window (the flag machinery never runs)

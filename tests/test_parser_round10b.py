@@ -156,8 +156,11 @@ def test_asof_join_desugar_matches_duckdb_native_forward():
 
 
 def test_asof_join_fixpoint_at_desugared_form():
+    # r12: the spark render is the union+window desugar (join-free, the
+    # same shape to_df executes), not the old join+correlated-max
     s = parse_sql(_ASOF).to_sql("spark")
-    assert "JOIN r ON" in s and "SELECT max(" in s
+    assert "UNION ALL" in s and "IGNORE NULLS OVER" in s
+    assert "JOIN" not in s.replace("UNION ALL", "")
     assert parse_sql(s).to_sql("spark") == s
 
 
@@ -711,10 +714,11 @@ def test_asof_left_join_matches_duckdb_native():
          "FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts")
     plan = parse_sql(q)
     s = plan.to_sql("spark")
-    assert "LEFT JOIN LATERAL" in s and "LIMIT 1" in s
+    # r12: the spark render is the union+window desugar — join-free
+    assert "UNION ALL" in s and "IGNORE NULLS OVER" in s
     assert parse_sql(s).to_sql("spark") == s
-    # the duckdb render is native ASOF LEFT; the lateral desugar is the
-    # independent formulation, reached through the spark render
+    # the duckdb render is native ASOF LEFT; the union+window desugar is
+    # the independent formulation, reached through the spark render
     assert "ASOF LEFT JOIN" in plan.to_sql("duckdb")
     desugared = parse_sql(s).to_sql("duckdb")
     assert "ASOF JOIN" not in desugared.upper()
