@@ -1076,3 +1076,111 @@ SELECT type_a, type_b,
        END AS est_union
 FROM calc
 """
+
+
+def drift_psi(
+    df: DataFrame,
+    value_col: str,
+    cohort_col: str,
+    ref: str,
+    cur: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of one column —
+    the standard drift gate between a reference corpus snapshot and a
+    fresh crawl/ingest (PSI > 0.2 is the conventional "investigate"
+    threshold; each bucket's term shows WHERE the distribution moved).
+
+    Shape for 100 TB: one 1-row min/max aggregate broadcast back
+    (bucket edges — never a quantile shuffle), fixed-width bucket
+    assignment map-side, then ONE partial-aggregated count shuffle of
+    at most ``n_buckets`` groups; the PSI arithmetic runs on those
+    n_buckets rows against a second 1-row broadcast of the cohort
+    totals. Nothing after the scan is proportional to the data.
+    Smoothing: proportions are floored at ``eps`` so empty-on-one-side
+    buckets contribute a finite term (the textbook Laplace-free PSI
+    convention). Terms snap to 1e-6 fixed point (engine-identical
+    rounding, see _stable_round).
+
+    No reference-repo counterpart (the reference is a SQL unparser,
+    sqlgenerator/src/lib.rs); this is LLM-pipeline surface beyond it.
+    """
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    two = df.filter(
+        F.col(cohort_col).isin(ref, cur) & F.col(value_col).isNotNull()
+    ).select(F.col(value_col).alias("v"), F.col(cohort_col).alias("c"))
+    mm = two.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    counts = (
+        two.crossJoin(F.broadcast(mm))  # 1-row edge broadcast, bounded
+        .select(bucket.alias("bucket"), F.col("c"))
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("c") == ref).cast("long")).alias("n_ref"),
+            F.sum((F.col("c") == cur).cast("long")).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = F.greatest(F.col("n_ref").cast("double") / F.col("tr"), F.lit(eps))
+    q = F.greatest(F.col("n_cur").cast("double") / F.col("tc"), F.lit(eps))
+    return (
+        counts.crossJoin(F.broadcast(tot))  # 1-row totals, bounded
+        .select(
+            F.col("bucket"),
+            F.col("n_ref"),
+            F.col("n_cur"),
+            _stable_round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
+def drift_psi_oracle(
+    table: str,
+    value_col: str,
+    cohort_col: str,
+    ref: str,
+    cur: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    p = f"greatest(CAST(n_ref AS DOUBLE) / tr, {eps!r})"
+    q = f"greatest(CAST(n_cur AS DOUBLE) / tc, {eps!r})"
+    return f"""
+WITH two AS (
+    SELECT {value_col} AS v, {cohort_col} AS c FROM {table}
+    WHERE {cohort_col} IN ('{ref}', '{cur}') AND {value_col} IS NOT NULL
+),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM two),
+b AS (
+    SELECT CASE WHEN hi <= lo THEN 0
+                ELSE least(CAST(floor((v - lo) /
+                         ((hi - lo) / {float(n_buckets)!r})) AS INT),
+                           {n_buckets - 1}) END AS bucket,
+           c
+    FROM two, mm
+),
+counts AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN c = '{ref}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ref,
+           CAST(sum(CASE WHEN c = '{cur}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cur
+    FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+SELECT bucket, n_ref, n_cur,
+       {_duck_round(f"(({p}) - ({q})) * ln(({p}) / ({q}))", 6)} AS psi_term
+FROM counts, tot
+"""

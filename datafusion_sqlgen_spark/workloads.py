@@ -3233,6 +3233,16 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: profiling.key_skew(s.table("events"), "user_id"),
             profiling.key_skew_oracle("events", "user_id"),
         ),
+        # round 12: PSI drift gate between two cohort distributions —
+        # 1-row edge/total broadcasts + one n_buckets-group count
+        # shuffle; nothing after the scan scales with the data
+        "profile_drift_psi": (
+            lambda s: profiling.drift_psi(
+                s.table("events"), "value", "event_type",
+                "click", "purchase"),
+            profiling.drift_psi_oracle(
+                "events", "value", "event_type", "click", "purchase"),
+        ),
         # winsorized per-group stats: exact percentiles broadcast back,
         # clipped re-aggregation (outlier-robust metric gate)
         "profile_robust_stats": (

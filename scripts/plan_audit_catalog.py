@@ -31,6 +31,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     # --- 1-row broadcast totals (corpus-level normalizers) ---
     "affinity_basket_pairs": "1-row total-baskets aggregate broadcast",
     "profile_key_skew": "1-row total-rows aggregate broadcast",
+    "profile_drift_psi":
+        "two 1-row broadcasts (bucket edges, cohort totals) over an "
+        "n_buckets-row count table — bounded by construction",
     "profile_theta_setops": "1-row sketch-state rows broadcast",
     "sample_token_budget_mix": "1-row total-token aggregate broadcast",
     "text_bigram_logprob": "1-row total-count aggregate broadcast",
@@ -77,9 +80,61 @@ BNLJ_ALLOWLIST: dict[str, str] = {
 # stream fixtures; their plan quality is pinned by their own tests.
 SKIP_PREFIXES = ("streaming_", "sink_", "source_")
 
+# Shuffle budgets (VERDICT r11 item 7): max allowed `Exchange` operator
+# COUNT in the executed plan for the heaviest / most regression-prone
+# workloads, measured from the round-12 clean tree. A refactor that
+# silently adds an exchange to one of these trips the audit the same
+# way an unallowlisted BNLJ does. Counts are DISTINCT Exchange nodes in
+# the physical plan text (reused exchanges print once per reference —
+# counted once here via plan-line dedup); budgets are set AT the
+# measured value, not above it, so any growth is a finding.
+EXCHANGE_BUDGET: dict[str, int] = {
+    # measured 2026-08-16 (r12 clean tree, sf0.001, --exchanges):
+    # the ~20 heaviest catalog rows plus the asof regression pair
+    "pipeline_semantic_curation": 121,
+    "text_lr_train": 46,
+    "sim_kmeans_quality": 38,
+    "text_dsir_resample": 36,
+    "dedup_semantic": 33,
+    "sim_ivf_pq_topk": 31,
+    "parsed_quantified_forms": 24,
+    "dedup_incremental": 24,
+    "sim_ivf_topk_trained": 22,
+    "sim_kmeans_fit": 20,
+    "affinity_basket_pairs": 18,
+    "sim_ivf_sq8_topk": 18,
+    "text_dsir_weights": 17,
+    "dedup_minhash_verify": 17,
+    "text_bigram_logprob": 14,
+    "tpch_q2": 13,
+    "sim_recall_at_k": 13,
+    "tpch_q8": 11,
+    "tpch_q18": 11,
+    "sim_ann_join_recall": 11,
+    "tpch_q21": 10,
+    "graph_pagerank_sim": 9,
+    "sim_ann_join": 4,
+    # the r10 regression pair: ONE hash exchange on the equality keys
+    # (+ the window sort's reuse prints once); any join reappearing
+    # here would also add its exchanges
+    "parsed_asof_join": 2,
+    "parsed_asof_left_join": 2,
+    "parsed_asof_tolerance": 2,
+    "parsed_asof_tolerance_left": 2,
+}
+
+
+def _exchange_count(phys: str) -> int:
+    """Distinct Exchange operators in an executedPlan string (dedup by
+    line text so a reused exchange subtree counts once)."""
+    lines = {ln.strip() for ln in phys.split("\n") if "Exchange" in ln
+             and "AQEShuffleRead" not in ln}
+    return len(lines)
+
 
 def audit(sf_dir: str = "/root/testdata/sf0.001"):
-    """Return (bad_bnlj, cartesian, errors) dicts for the catalog."""
+    """Return (bad_bnlj, cartesian, errors, exchanges, over_budget)
+    for the catalog."""
     from datafusion_sqlgen_spark import get_spark
     from datafusion_sqlgen_spark.workloads import build_queries
 
@@ -89,6 +144,8 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
     bad_bnlj: dict[str, str] = {}
     cartesian: dict[str, str] = {}
     errors: dict[str, str] = {}
+    exchanges: dict[str, int] = {}
+    over_budget: dict[str, str] = {}
     for name, fn in build_queries().items():
         if name.startswith(SKIP_PREFIXES):
             continue
@@ -98,6 +155,12 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
         except Exception as ex:  # noqa: BLE001
             errors[name] = str(ex)[:200]
             continue
+        exchanges[name] = _exchange_count(phys)
+        if (name in EXCHANGE_BUDGET
+                and exchanges[name] > EXCHANGE_BUDGET[name]):
+            over_budget[name] = (
+                f"{exchanges[name]} exchanges > budget "
+                f"{EXCHANGE_BUDGET[name]}")
         if "CartesianProduct" in phys:
             cartesian[name] = "CartesianProduct"
         if ("BroadcastNestedLoopJoin" in phys
@@ -105,21 +168,29 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
             lines = [ln.strip()[:120] for ln in phys.split("\n")
                      if "BroadcastNestedLoopJoin" in ln]
             bad_bnlj[name] = "; ".join(lines)
-    return bad_bnlj, cartesian, errors
+    return bad_bnlj, cartesian, errors, exchanges, over_budget
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    bad_bnlj, cartesian, errors = audit(sf_dir)
+    show_exchanges = "--exchanges" in sys.argv
+    bad_bnlj, cartesian, errors, exchanges, over_budget = audit(sf_dir)
     for n, v in sorted(errors.items()):
         print(f"ERROR      {n}: {v}")
     for n, v in sorted(cartesian.items()):
         print(f"CARTESIAN  {n}: {v}")
     for n, v in sorted(bad_bnlj.items()):
         print(f"BNLJ       {n}: {v}")
-    if not (bad_bnlj or cartesian or errors):
-        print("clean: no CartesianProduct, all BNLJ sites allowlisted")
-    sys.exit(1 if (bad_bnlj or cartesian or errors) else 0)
+    for n, v in sorted(over_budget.items()):
+        print(f"EXCHANGES  {n}: {v}")
+    if show_exchanges:
+        for n, c in sorted(exchanges.items(), key=lambda kv: -kv[1]):
+            print(f"xch {c:3d}  {n}")
+    bad = bool(bad_bnlj or cartesian or errors or over_budget)
+    if not bad:
+        print("clean: no CartesianProduct, all BNLJ sites allowlisted, "
+              "all exchange budgets met")
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,12 @@ in its first round — plus the asof regression pair explicitly.
 import pytest
 
 from datafusion_sqlgen_spark.workloads import build_queries
-from scripts.plan_audit_catalog import BNLJ_ALLOWLIST, SKIP_PREFIXES
+from scripts.plan_audit_catalog import (
+    BNLJ_ALLOWLIST,
+    EXCHANGE_BUDGET,
+    SKIP_PREFIXES,
+    _exchange_count,
+)
 
 
 def _phys(spark, fn):
@@ -48,3 +53,17 @@ def test_allowlist_names_are_real_workloads():
     qs = build_queries()
     phantoms = [n for n in BNLJ_ALLOWLIST if n not in qs]
     assert phantoms == [], f"allowlist phantoms: {phantoms}"
+    phantoms = [n for n in EXCHANGE_BUDGET if n not in qs]
+    assert phantoms == [], f"exchange-budget phantoms: {phantoms}"
+
+
+def test_asof_family_exchange_budget(spark):
+    """Shuffle budget slice (VERDICT r11 item 7): the asof family's
+    executed plans carry exactly ONE hash exchange on the equality keys
+    (plus nothing else that counts) — a refactor that adds a shuffle or
+    a join here trips this before the full-catalog script runs."""
+    qs = build_queries()
+    for name in ("parsed_asof_join", "parsed_asof_left_join",
+                 "parsed_asof_tolerance", "parsed_asof_tolerance_left"):
+        n = _exchange_count(_phys(spark, qs[name]))
+        assert n <= EXCHANGE_BUDGET[name], (name, n)
