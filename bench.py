@@ -35,6 +35,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Representative slice of the catalog: scan/filter, the two canonical agg
 # shapes, multi-join, window, set-op, and the LLM-pipeline operators.
 HEADLINE = [
+    # round-12 additions
+    "parsed_asof_tolerance",
+    "parsed_asof_tolerance_left",
+    "profile_drift_psi",
+    "sim_mmr_diversify",
     "ref_scan_filter",
     "ref_project_cast_arith",
     "agg_tpch_q1",

@@ -2340,3 +2340,195 @@ def hard_negatives_oracle(
            floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cos_sim, rnk
     FROM ranked WHERE rnk <= {k}
     """
+
+
+def _py_snap(x: float, decimals: int = 6) -> float:
+    """Python twin of :func:`_stable_round` / :func:`_duck_round` —
+    the same floor(x * 10^n + 0.5) / 10^n on IEEE doubles."""
+    import math
+
+    f = 10.0 ** decimals
+    return math.floor(x * f + 0.5) / f
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of the top-``n_candidates`` neighbors,
+    each step maximizing ``lam*relevance - (1-lam)*max_sim_to_selected``
+    — the standard diversity-aware selection for retrieval results,
+    few-shot example pools, and dedup-at-selection-time.
+
+    Shape for 100 TB: stage 1 is the exact top-n candidate search
+    (broadcast queries, one corpus pass, per-query window top-n — the
+    same plan as :func:`cosine_topk`); stage 2 is ``applyInPandas``
+    over query_id groups, each group the BOUNDED n-candidate re-rank
+    set (here n*dim doubles), so millions of queries re-rank in
+    parallel with no shuffle beyond the stage-1 window's. The greedy is
+    O(k*n) per query by keeping a running max-sim-to-selected column.
+
+    Engine determinism: relevances and candidate-pair similarities are
+    computed as strict left-fold dots in index order (the _duck_dot
+    contract) and snapped to 1e-6 fixed point BEFORE the greedy; ties
+    break by ascending id — so the DuckDB oracle (the same greedy
+    unrolled into k chained CTEs, see :func:`mmr_diversify_oracle`)
+    picks identical rows. No reference-repo counterpart (the reference
+    is a 999-LoC SQL unparser); LLM-pipeline surface beyond it.
+    """
+    import pandas as pd
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
+    rel = _stable_round(
+        cosine_pre(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id").asc()
+    )
+    cands = (
+        scored.select("query_id", "cand_id", rel.alias("rel"), "cvec")
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= n_candidates)
+        .drop("__rnk")
+    )
+
+    def _fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        rows = pdf.sort_values(["rel", "cand_id"],
+                               ascending=[False, True]).reset_index()
+        ids = rows["cand_id"].tolist()
+        rels = rows["rel"].tolist()
+        vecs = [list(v) for v in rows["cvec"]]
+        norms = [math.sqrt(_fold_dot(v, v)) for v in vecs]
+        n = len(ids)
+        # candidate-pair cosines, snapped — same fixed point the oracle
+        # computes before ITS greedy
+        sim = [[0.0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = _py_snap(
+                    _fold_dot(vecs[i], vecs[j]) / (norms[i] * norms[j]))
+                sim[i][j] = sim[j][i] = s
+        selected: list[int] = []
+        # running max sim to the selected set — starts at -inf, NOT 0:
+        # cosines can be negative and a 0 floor would understate the
+        # diversity penalty's absence (caught by the oracle diff, r12)
+        maxsim = [float("-inf")] * n
+        out = []
+        qid = pdf["query_id"].iloc[0]
+        for step in range(1, min(k, n) + 1):
+            best, best_score = None, None
+            for i in range(n):
+                if i in selected:
+                    continue
+                score = (_py_snap(lam * rels[i]) if step == 1 else
+                         _py_snap(lam * rels[i] - (1.0 - lam) * maxsim[i]))
+                if (best is None or score > best_score
+                        or (score == best_score and ids[i] < ids[best])):
+                    best, best_score = i, score
+            selected.append(best)
+            for i in range(n):
+                if sim[i][best] > maxsim[i]:
+                    maxsim[i] = sim[i][best]
+            out.append((qid, step, ids[best], best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "step", "vec_id", "mmr_score"])
+
+    return cands.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id bigint, step int, vec_id bigint, mmr_score double",
+    )
+
+
+def mmr_diversify_oracle(
+    table: str = "embeddings",
+    max_query_id: int = 3,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+) -> str:
+    """The same greedy UNROLLED into k chained CTEs (step N's argmax
+    sees steps 1..N-1's picks) — recursion-free portable SQL, every
+    score snapped to the same 1e-6 fixed point as the Spark side."""
+    one_minus = 1.0 - lam
+    cos = _duck_cos("a.v", "b.v")
+    parts = [f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM {table} WHERE vec_id < {max_query_id}),
+cand AS (
+    SELECT query_id, cand_id, rel, v FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               {_duck_round(_duck_cos("q.qv", "c.embedding::DOUBLE[]"), 6)} AS rel,
+               c.embedding::DOUBLE[] AS v,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_duck_round(_duck_cos("q.qv", "c.embedding::DOUBLE[]"), 6)} DESC,
+                            c.vec_id ASC) AS rnk
+        FROM q JOIN {table} c ON q.query_id <> c.vec_id
+    ) WHERE rnk <= {n_candidates}
+),
+pairs AS (
+    SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+           {_duck_round(cos, 6)} AS s
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+),
+s1 AS (
+    SELECT query_id, 1 AS step, cand_id AS vec_id,
+           {_duck_round(f"{lam!r} * rel", 6)} AS mmr_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, cand_id ASC) AS rn FROM cand)
+    WHERE rn = 1
+)"""]
+    for step in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{i}" for i in range(1, step))
+        parts.append(f""",
+sel{step} AS ({prev}),
+r{step} AS (
+    SELECT c.query_id, c.cand_id,
+           {_duck_round(
+               f"{lam!r} * c.rel - {one_minus!r} * "
+               f"(SELECT max(p.s) FROM pairs p JOIN sel{step} s "
+               f"ON s.query_id = p.query_id AND s.vec_id = p.ib "
+               f"WHERE p.query_id = c.query_id AND p.ia = c.cand_id)",
+               6)} AS score
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM sel{step} s
+                      WHERE s.query_id = c.query_id
+                        AND s.vec_id = c.cand_id)
+),
+s{step} AS (
+    SELECT query_id, {step} AS step, cand_id AS vec_id, score AS mmr_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, cand_id ASC) AS rn FROM r{step})
+    WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(f"\n{union}")
+    return "".join(parts)

@@ -2941,6 +2941,17 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             similarity.cosine_topk_oracle(max_query_id=10),
         ),
+        # round 12: MMR diversity re-ranking (Carbonell-Goldstein) —
+        # top-n candidate search then a bounded per-query greedy via
+        # applyInPandas; oracle is the same greedy unrolled into k
+        # chained CTEs, every score snapped to 1e-6 before each argmax
+        "sim_mmr_diversify": (
+            lambda s: similarity.mmr_diversify(
+                s.table("embeddings"),
+                s.table("embeddings").filter("vec_id < 3"),
+            ),
+            similarity.mmr_diversify_oracle(max_query_id=3),
+        ),
         "sim_lsh_bucket_stats": (
             lambda s: similarity.lsh_bucket_stats(s.table("embeddings")),
             similarity.lsh_bucket_stats_oracle(),

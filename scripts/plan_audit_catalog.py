@@ -72,6 +72,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
         "codebook-bounded, never the corpus)",
     # --- capped query sets (brute-force baselines, documented) ---
     "sim_cosine_topk": "query side capped (vec_id < 10) and broadcast",
+    "sim_mmr_diversify":
+        "query side capped (vec_id < 3) and broadcast; the greedy "
+        "re-ranks bounded n-candidate groups via applyInPandas",
     "sim_recall_at_k": "capped query set broadcast (exact reference)",
     "sim_hard_negatives": "sampled query side broadcast (brute baseline)",
 }

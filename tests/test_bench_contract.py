@@ -23,8 +23,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 COMPACT_KEYS = {
-    "metric", "value", "unit", "machine_canary_sec", "value_per_canary",
-    "n_queries", "spread_median", "sf", "full_artifact",
+    "metric", "value", "unit", "machine_canary_sec",
+    "machine_canary_par8_sec", "canary_contention_ratio",
+    "value_per_canary", "n_queries", "spread_median", "sf",
+    "full_artifact",
 }
 
 
