@@ -2540,3 +2540,77 @@ def vocab_growth_oracle(table: str = "documents", buckets: int = 10) -> str:
                / 1000000.0 AS heaps_slope
     FROM cum
     """
+
+
+def calibration_bins(
+    df: DataFrame,
+    weights: DataFrame,
+    n_bins: int = 10,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: Column | None = None,
+) -> DataFrame:
+    """Reliability-diagram bins for the hashed-ngram quality classifier
+    — the standard calibration check before a score threshold gates a
+    corpus (a classifier that says 0.9 should be right ~90% of the
+    time; the bin where mean score and empirical positive rate diverge
+    is where the threshold misbehaves). ``label_col`` is the evaluation
+    label expressed over the DOCUMENT row (default: ``lang = 'en'``,
+    the fixture's stand-in for a held-out judgment).
+
+    Shape for 100 TB: :func:`classifier_score`'s plan (broadcast
+    weights, one doc-keyed re-aggregation) plus one doc-keyed equi-join
+    back to the corpus for the label (same key as the aggregation —
+    co-partitioned under AQE) and a final ``n_bins``-group map-side-
+    combined count/mean reduce. Output is ``n_bins`` rows.
+    """
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    if label_col is None:
+        label_col = (F.col("lang") == F.lit("en"))
+    scored = classifier_score(
+        df, weights, vocab_size=vocab_size,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col, "score")
+    labeled = df.select(
+        F.col(id_col), label_col.cast("int").alias("__y")
+    ).join(scored, id_col)
+    bin_ = F.least(
+        F.floor(F.col("score") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        labeled.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _stable_round(F.avg("score"), 6).alias("mean_score"),
+            _stable_round(F.avg(F.col("__y").cast("double")), 6)
+                .alias("frac_pos"),
+        )
+    )
+
+
+def calibration_bins_oracle(
+    table: str = "documents",
+    n_bins: int = 10,
+    vocab_size: int = 4096,
+    salt: str = "ft",
+    label_sql: str = "lang = 'en'",
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    inner = classifier_score_oracle(table, vocab_size, salt)
+    return f"""
+WITH scored AS ({inner}),
+lab AS (
+    SELECT s.doc_id, s.score,
+           CASE WHEN d.{label_sql} THEN 1 ELSE 0 END AS y
+    FROM scored s JOIN {table} d USING (doc_id)
+)
+SELECT least(CAST(floor(score * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       {_duck_round("avg(score)", 6)} AS mean_score,
+       {_duck_round("avg(CAST(y AS DOUBLE))", 6)} AS frac_pos
+FROM lab
+GROUP BY 1
+"""

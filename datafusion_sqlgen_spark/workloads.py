@@ -1599,6 +1599,20 @@ def _ir_workloads() -> dict[str, Plan]:
         "ON l.user_id = r.user_id AND l.ts >= r.ts "
         "AND r.ts >= l.ts - INTERVAL '1' DAY"
     )
+    # round 12: MULTI-KEY asof with an EXPRESSION-valued left key —
+    # the union+window desugar generalizes to N equality keys
+    # (plans/core.py AsofJoin.eqs); DuckDB's native ASOF takes the same
+    # multi-equality ON, so the IR-generated oracle is native ASOF
+    w["parsed_asof_multikey"] = parse_sql(
+        "SELECT l.event_id, l.ts, r.ts AS obs_ts, r.v AS obs_v "
+        "FROM (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'click' AND event_id % 10 = 0) AS l "
+        "ASOF JOIN (SELECT user_id, event_id % 4 AS grp, ts, "
+        "max(value) AS v FROM events WHERE event_type = 'purchase' "
+        "GROUP BY user_id, event_id % 4, ts) AS r "
+        "ON l.user_id = r.user_id AND r.grp = l.event_id % 4 "
+        "AND l.ts >= r.ts"
+    )
     w["parsed_asof_tolerance_left"] = parse_sql(
         "SELECT l.event_id, l.ts, l.user_id, r.ts AS purchase_ts, "
         "r.pval "
@@ -3288,6 +3302,15 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
                 s.table("documents"), text.make_hash_weights(s)
             ),
             text.classifier_score_oracle(),
+        ),
+        # round 12: reliability-diagram bins for the classifier —
+        # where mean score and empirical positive rate diverge is
+        # where a score threshold misbehaves; n_bins-row output
+        "text_calibration_bins": (
+            lambda s: text.calibration_bins(
+                s.table("documents"), text.make_hash_weights(s)
+            ),
+            text.calibration_bins_oracle(),
         ),
         # deterministic portable HLL: the md5-derived register table is
         # itself the driver-checked artifact (unlike the opaque native
@@ -5526,6 +5549,27 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval FROM events
                 WHERE event_type = 'purchase'
                 GROUP BY user_id, ts) r
 ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    # multi-key asof replayed WITHOUT the ASOF keyword at all:
+    # correlated max / max_by scalar subqueries over both equality keys
+    # (the union+window desugar machinery and DuckDB's native ASOF
+    # executor both never run)
+    "parsed_asof_multikey": """
+WITH l AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'click' AND event_id % 10 = 0),
+r AS (SELECT user_id, event_id % 4 AS grp, ts, max(value) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, event_id % 4, ts)
+SELECT event_id, ts, obs_ts, obs_v FROM (
+    SELECT l.event_id, l.ts,
+           (SELECT max(r.ts) FROM r
+             WHERE r.user_id = l.user_id AND r.grp = l.event_id % 4
+               AND r.ts <= l.ts) AS obs_ts,
+           (SELECT max_by(r.v, r.ts) FROM r
+             WHERE r.user_id = l.user_id AND r.grp = l.event_id % 4
+               AND r.ts <= l.ts) AS obs_v
+    FROM l
+) WHERE obs_ts IS NOT NULL
 """,
     # ASOF + tolerance replayed via DuckDB's NATIVE ASOF inside a
     # MATERIALIZED CTE (pushdown barrier — DuckDB would otherwise push

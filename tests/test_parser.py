@@ -224,8 +224,19 @@ def test_catalog_reparse_preserves_semantics():
     def norm(rows):
         return sorted(tuple(str(v) for v in r) for r in rows)
 
+    from datafusion_sqlgen_spark.workloads import _HAND_ORACLES
+
     for name, plan in _catalog_plans().items():
-        orig = norm(con.execute(plan.to_sql("duckdb")).fetchall())
+        try:
+            orig_sql = plan.to_sql("duckdb")
+        except ValueError:
+            # documented fail-closed render (ASOF + tolerance: DuckDB
+            # rejects a second ASOF inequality even via WHERE, r12) —
+            # the registered hand-written windowed twin stands in as
+            # the original semantics; the REPARSED spark desugar still
+            # must execute on DuckDB and agree with it
+            orig_sql = _HAND_ORACLES[name]
+        orig = norm(con.execute(orig_sql).fetchall())
         reparsed = parse_sql(plan.to_sql("spark")).to_sql("duckdb")
         back = norm(con.execute(reparsed).fetchall())
         assert orig == back, f"{name}: reparse changed DuckDB results"
