@@ -37,6 +37,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     # round-12 additions
     "parsed_asof_tolerance",
+    "streaming_drift_psi_result",
     "parsed_asof_tolerance_left",
     "profile_drift_psi",
     "sim_mmr_diversify",

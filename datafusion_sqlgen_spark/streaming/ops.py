@@ -108,6 +108,109 @@ def sliding_window_stream(
     )
 
 
+def drift_psi_stream(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    cohort: str = "purchase",
+    window: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window bucketed value counts for streaming drift monitoring —
+    the streaming half of :func:`operators.profiling.drift_psi`: the
+    ingest stream is bucketed against FIXED reference edges (``lo`` /
+    ``hi`` computed once from the reference snapshot — never a
+    quantile over the stream) and counted per (event-time window,
+    bucket), so state is O(open windows x n_buckets). The PSI
+    arithmetic itself runs batch-side on the finalized counts
+    (:func:`drift_psi_finalize`) — the sink table is tiny by
+    construction.
+
+    ``watermark=None`` follows session_window_stream's bounded-replay
+    contract (complete-mode memory sink over id-split batches);
+    production append-mode streams pass one — it finalizes and evicts
+    window state.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    width = (hi - lo) / float(n_buckets)
+    bucket = (
+        F.lit(0) if hi <= lo
+        else F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width))
+            .cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    return (
+        src.filter(
+            (F.col("event_type") == cohort) & F.col("value").isNotNull()
+        )
+        .groupBy(F.window("ts", window).alias("win"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cur"))
+        .select(F.col("win.start").alias("day"), "bucket", "n_cur")
+    )
+
+
+def drift_psi_finalize(
+    cur: DataFrame,
+    ref: DataFrame,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Batch-side PSI terms from the streamed per-window bucket counts
+    vs a static reference distribution ``ref`` (bucket, n_ref).
+
+    Emits the FULL (window x 0..n_buckets-1) grid — a bucket empty on
+    either side still contributes its term (proportions floored at
+    ``eps``), exactly the textbook PSI sum. Grid = distinct windows x a
+    literal bucket sequence, joined back to the two count tables —
+    every relation here is bounded by construction (windows x buckets
+    rows). Terms snap to 1e-6 fixed point.
+    """
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    # alias-qualify the three cur-derived relations: grid, counts and
+    # per-day totals all descend from the same (memory-sink) plan, and
+    # unqualified self-joins trip Catalyst's conflicting-reference check
+    grid = (
+        cur.select("day").distinct()
+        .select(
+            F.col("day").alias("g_day"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+            .alias("g_bucket"),
+        )
+    )
+    c = cur.select(
+        F.col("day").alias("c_day"), F.col("bucket").alias("c_bucket"),
+        F.col("n_cur"),
+    )
+    tot_ref = ref.agg(F.sum("n_ref").alias("tr"))
+    tot_day = cur.groupBy(F.col("day").alias("t_day")).agg(
+        F.sum("n_cur").alias("td"))
+    joined = (
+        grid.join(c, (F.col("g_day") == F.col("c_day"))
+                  & (F.col("g_bucket") == F.col("c_bucket")), "left")
+        .join(F.broadcast(ref), F.col("g_bucket") == F.col("bucket"),
+              "left")
+        .join(tot_day, F.col("g_day") == F.col("t_day"))
+        .crossJoin(F.broadcast(tot_ref))
+        .select(
+            F.col("g_day").alias("day"),
+            F.col("g_bucket").alias("bucket"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.col("td"), F.col("tr"),
+        )
+    )
+    p = F.greatest(F.col("n_cur").cast("double") / F.col("td"), F.lit(eps))
+    q = F.greatest(F.col("n_ref").cast("double") / F.col("tr"), F.lit(eps))
+    return joined.select(
+        "day", "bucket", "n_cur",
+        _stable_round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -1883,6 +1883,109 @@ def _streaming_rollup_result(s: SparkSession) -> DataFrame:
         return run_bounded_rollup(s, src, work, max_files_per_trigger=1)
 
 
+def _streaming_drift_psi_result(s: SparkSession) -> DataFrame:
+    """STREAMING drift monitoring (round 12): the purchase value stream
+    is bucketed against FIXED reference edges (min/max of the batch
+    click cohort — the reference snapshot) and counted per (event-time
+    day, bucket) through a real streaming query replayed over 4 file
+    triggers into a complete-mode memory sink; the PSI terms are then
+    finalized batch-side against the click distribution
+    (streaming/ops.py drift_psi_stream + drift_psi_finalize — the
+    streaming twin of operators.profiling.drift_psi). The edge lookup
+    is a 1-row aggregate collect at plan-build time (setup, not
+    per-row compute)."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        drift_psi_finalize,
+        drift_psi_stream,
+        read_events_stream,
+        stream_to_memory,
+    )
+
+    n = 10
+    ref_src = s.table("events").where(
+        "event_type = 'click' AND value IS NOT NULL")
+    lo, hi = ref_src.agg(
+        F.min("value"), F.max("value")).first()  # 1-row edge collect
+    width = (hi - lo) / float(n)
+    if hi <= lo:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width))
+            .cast("int"),
+            F.lit(n - 1),
+        )
+    ref = ref_src.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ref"))
+
+    work = tempfile.mkdtemp(prefix="stream_psi_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    with _replay_shuffle(s):
+        stream_to_memory(
+            drift_psi_stream(stream, lo, hi, n),
+            "streaming_drift_psi_tbl",
+        )
+        return drift_psi_finalize(
+            s.table("streaming_drift_psi_tbl"), ref, n)
+
+
+# Batch SQL twin of the streamed per-day PSI: same fixed click-cohort
+# edges, same full day x bucket grid, same eps-floored proportions and
+# 1e-6 term snap — the stream replay must land on exactly this table.
+_STREAMING_DRIFT_PSI_ORACLE = """
+WITH ref_src AS (
+    SELECT value AS v FROM events
+    WHERE event_type = 'click' AND value IS NOT NULL
+),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM ref_src),
+ref AS (
+    SELECT CASE WHEN hi <= lo THEN 0
+                ELSE least(CAST(floor((v - lo) / ((hi - lo) / 10.0))
+                                AS INT), 9) END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_ref
+    FROM ref_src, mm GROUP BY 1
+),
+cur AS (
+    SELECT date_trunc('day', ts) AS day,
+           CASE WHEN hi <= lo THEN 0
+                ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10.0))
+                                AS INT), 9) END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_cur
+    FROM events, mm
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+tot_ref AS (SELECT sum(n_ref) AS tr FROM ref),
+tot_day AS (SELECT day, sum(n_cur) AS td FROM cur GROUP BY day),
+grid AS (
+    SELECT d.day, CAST(r.range AS INT) AS bucket
+    FROM (SELECT DISTINCT day FROM cur) d, range(0, 10) r
+),
+j AS (
+    SELECT g.day, g.bucket,
+           coalesce(c.n_cur, 0) AS n_cur,
+           coalesce(rf.n_ref, 0) AS n_ref,
+           td.td, tr.tr
+    FROM grid g
+    LEFT JOIN cur c ON c.day = g.day AND c.bucket = g.bucket
+    LEFT JOIN ref rf ON rf.bucket = g.bucket
+    JOIN tot_day td ON td.day = g.day
+    CROSS JOIN tot_ref tr
+)
+SELECT day, bucket, CAST(n_cur AS BIGINT) AS n_cur,
+       (floor(((greatest(CAST(n_cur AS DOUBLE) / td, 1e-06)
+                - greatest(CAST(n_ref AS DOUBLE) / tr, 1e-06))
+               * ln(greatest(CAST(n_cur AS DOUBLE) / td, 1e-06)
+                    / greatest(CAST(n_ref AS DOUBLE) / tr, 1e-06)))
+              * 1000000 + 0.5) / 1000000) AS psi_term
+FROM j
+"""
+
+
 def _mm_binary_ingest(s: SparkSession) -> DataFrame:
     """Write the first 40 documents' bytes as individual .bin files
     (setup), then ingest the directory through the binaryFile source
@@ -3641,6 +3744,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
         "streaming_rollup_result": (
             _streaming_rollup_result,
             timeseries.mergeable_rollup_oracle(),
+        ),
+        # STREAMING drift monitoring (round 12): per-day PSI of the
+        # purchase value stream vs the batch click reference — bucketed
+        # windowed counts through a real 4-trigger streaming replay,
+        # PSI finalized batch-side; STRONG oracle (the batch SQL twin)
+        "streaming_drift_psi_result": (
+            _streaming_drift_psi_result,
+            _STREAMING_DRIFT_PSI_ORACLE,
         ),
         # STREAMING driver-visible workload #2 (round 6): the
         # continuous-dedup corpus sink replayed over a bounded 2-file
