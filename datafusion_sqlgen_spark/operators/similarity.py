@@ -2443,15 +2443,24 @@ def mmr_diversify(
         out = []
         qid = pdf["query_id"].iloc[0]
         for step in range(1, min(k, n) + 1):
-            best, best_score = None, None
-            for i in range(n):
-                if i in selected:
-                    continue
-                score = (_py_snap(lam * rels[i]) if step == 1 else
-                         _py_snap(lam * rels[i] - (1.0 - lam) * maxsim[i]))
-                if (best is None or score > best_score
-                        or (score == best_score and ids[i] < ids[best])):
-                    best, best_score = i, score
+            if step == 1:
+                # the oracle's s1 argmaxes (snapped rel DESC, id ASC)
+                # — NOT the lam-scaled score, whose snap can collapse
+                # two adjacent rel fixed-point cells and flip the tie
+                # toward the smaller id (review r12 #2). rows are
+                # already in that order, so the pick is index 0.
+                best, best_score = 0, _py_snap(lam * rels[0])
+            else:
+                best, best_score = None, None
+                for i in range(n):
+                    if i in selected:
+                        continue
+                    score = _py_snap(
+                        lam * rels[i] - (1.0 - lam) * maxsim[i])
+                    if (best is None or score > best_score
+                            or (score == best_score
+                                and ids[i] < ids[best])):
+                        best, best_score = i, score
             selected.append(best)
             for i in range(n):
                 if sim[i][best] > maxsim[i]:

@@ -2573,8 +2573,12 @@ def calibration_bins(
         df, weights, vocab_size=vocab_size,
         text_col=text_col, id_col=id_col,
     ).select(id_col, "score")
+    # coalesce: a NULL label (e.g. lang IS NULL) counts as NEGATIVE on
+    # both engines — Spark's avg would silently skip the NULL while
+    # the oracle's CASE maps it to 0 (review r12 #4)
     labeled = df.select(
-        F.col(id_col), label_col.cast("int").alias("__y")
+        F.col(id_col),
+        F.coalesce(label_col, F.lit(False)).cast("int").alias("__y"),
     ).join(scored, id_col)
     bin_ = F.least(
         F.floor(F.col("score") * n_bins).cast("int"), F.lit(n_bins - 1)

@@ -416,7 +416,6 @@ class _Parser:
         # named WINDOW clause specs of the SELECT core currently being
         # parsed (a stack entry per nested core; see parse_select_core)
         self._named_windows: dict[str, WindowSpec] = {}
-        # per-statement counter for ASOF JOIN desugar subquery aliases
 
     # ---- token helpers ---------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -3317,8 +3316,12 @@ class _Parser:
                     # struct column (the AsofJoin spark-dialect
                     # desugar's payload form, r12); Spark expands the
                     # qualified star inside CreateStruct natively,
-                    # DuckDB renders it as the bare relation alias
-                    if (self.peek().kind == "ident"
+                    # DuckDB renders it as the bare relation alias.
+                    # ONLY struct takes the form — anywhere else a
+                    # qualified star stays a parse error rather than
+                    # SQL that fails downstream (review r12 #6)
+                    if (name.lower() == "struct"
+                            and self.peek().kind == "ident"
                             and self.peek(1).kind == "op"
                             and self.peek(1).text == "."
                             and self.peek(2).kind == "op"

@@ -367,11 +367,22 @@ class Project(Plan):
                     elif e.table == rn:
                         out.append(e)  # rname.* expands the struct
                     else:
-                        out.append(replace(
-                            e, except_cols=(rn,) + tuple(e.except_cols)))
+                        if e.except_cols:
+                            # a user except list cannot be split
+                            # between the two arms without the schema
+                            # (a left-only name in `rname.* EXCEPT`
+                            # — or vice versa — is an analysis error),
+                            # so fail closed instead of emitting SQL
+                            # that breaks on one side (review r12 #1)
+                            raise ValueError(
+                                "star EXCEPT/EXCLUDE over an ASOF "
+                                "join has no schema-free Spark-SQL "
+                                "render — run it via to_df, or list "
+                                "the wanted columns explicitly"
+                            )
+                        out.append(replace(e, except_cols=(rn,)))
                         if e.table in (None, ""):
-                            out.append(Star(table=rn,
-                                            except_cols=e.except_cols))
+                            out.append(Star(table=rn))
                 exprs = tuple(out)
         state.projection = [e.to_sql(dialect) for e in exprs]
         return state
@@ -1204,6 +1215,12 @@ class AsofJoin(Plan):
 
         One exchange on the equality keys, no join operator anywhere —
         identical physical shape to ``to_df``.
+
+        Precondition (documented, unvalidated here — the render has no
+        schema): left columns must not collide with the machinery
+        names (__l/__k*/__ts/__p/__is_r/__tol) or with ``rname``; the
+        DataFrame path (``to_df``) checks the same precondition eagerly
+        and raises, so drive a suspect plan through ``to_df`` first.
         """
         lname = self._left_name()
         sname = lname or "__asl"

@@ -134,12 +134,20 @@ def drift_psi_stream(
     """
     src = events.withWatermark("ts", watermark) if watermark else events
     width = (hi - lo) / float(n_buckets)
+    # clamp BOTH ends: the live stream can drift outside the reference
+    # snapshot's [lo, hi] in either direction, and an unclamped
+    # negative bucket would fall off the finalize grid and silently
+    # drop exactly the below-range mass this monitor exists to see
+    # (review r12 #3) — out-of-range values pile into the edge buckets
     bucket = (
         F.lit(0) if hi <= lo
-        else F.least(
-            F.floor((F.col("value") - F.lit(lo)) / F.lit(width))
-            .cast("int"),
-            F.lit(n_buckets - 1),
+        else F.greatest(
+            F.least(
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(width))
+                .cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
         )
     )
     return (

@@ -1952,8 +1952,9 @@ ref AS (
 cur AS (
     SELECT date_trunc('day', ts) AS day,
            CASE WHEN hi <= lo THEN 0
-                ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10.0))
-                                AS INT), 9) END AS bucket,
+                ELSE greatest(least(CAST(floor((value - lo) /
+                                               ((hi - lo) / 10.0))
+                                         AS INT), 9), 0) END AS bucket,
            CAST(count(*) AS BIGINT) AS n_cur
     FROM events, mm
     WHERE event_type = 'purchase' AND value IS NOT NULL
@@ -4035,6 +4036,10 @@ finding.
 """
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)  # the artifact set is immutable within a process
 def _latest_driver_rows() -> tuple[dict[str, int], dict[str, dict]]:
     """Latest driver-sampled round and row per workload, across every
     CORRECTNESS_r*.json in the repo root (later rounds win)."""
@@ -4058,12 +4063,13 @@ def _rotation(catalog: list[str]) -> list[str]:
     """Order ``catalog`` by the fixed rotation policy (see
     _ROTATION_DOC): red -> never-sampled -> stale-oldest."""
     latest_round, latest_row = _latest_driver_rows()
+    idx = {n: i for i, n in enumerate(catalog)}
     red = [n for n in catalog
            if n in latest_row and not latest_row[n].get("hash_match")]
     never = [n for n in catalog if n not in latest_round]
     stale = sorted(
         (n for n in catalog if n in latest_round and n not in red),
-        key=lambda n: (latest_round[n], catalog.index(n)),
+        key=lambda n: (latest_round[n], idx[n]),
     )
     return red + never + stale
 
@@ -4073,10 +4079,6 @@ def __getattr__(name: str):  # PEP 562: _SAMPLE_PRIORITY stays importable
         return list(build_queries())
     raise AttributeError(name)
 
-# Round-6 deferral bookkeeping (kept for history): agg_tpch_q1 was the
-# one r2-stale row the round-6 50-slot budget could not fit; it leads
-# the stale cohort of the round-7 rotation below.
-R6_DEFERRED: list[str] = ["agg_tpch_q1"]
 
 
 def _sample_order(d: dict) -> dict:

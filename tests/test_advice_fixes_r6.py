@@ -189,3 +189,101 @@ def test_nonzero_noncovering_interval_frames_still_rejected():
             "'1' DAY FOLLOWING AND UNBOUNDED FOLLOWING EXCLUDE "
             "CURRENT ROW) FROM t"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-12 self-review fixes (inline code review of the r12 diff)
+# ---------------------------------------------------------------------------
+
+def test_star_except_over_asof_fails_closed_on_spark_render():
+    """Review r12 #1: the user's except list cannot be split between
+    the two star arms without the schema, so the spark render raises
+    instead of emitting SQL that breaks on one side."""
+    plan = parse_sql(
+        "SELECT * EXCLUDE (ev) FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts"
+    )
+    with pytest.raises(ValueError, match="no schema-free"):
+        plan.to_sql("spark")
+    # the DuckDB render (native ASOF, flat columns) still works
+    assert "EXCLUDE" in plan.to_sql("duckdb")
+
+
+def test_struct_star_rejected_outside_struct():
+    """Review r12 #6: only struct(t.*) parses — other functions keep
+    the pre-r12 fail-at-parse behavior."""
+    parse_sql("SELECT struct(t.*) AS s FROM tbl t")
+    for fn in ("greatest", "count", "concat"):
+        with pytest.raises(ParseError):
+            parse_sql(f"SELECT {fn}(t.*) FROM tbl t")
+
+
+def test_mmr_step1_tie_matches_oracle_ordering():
+    """Review r12 #2: step 1 must argmax (snapped rel DESC, id ASC)
+    like the oracle's s1, NOT the lam-scaled snapped score which can
+    collapse two adjacent rel fixed-point cells. Fixture: rels
+    0.123456 vs 0.123455 both lam*snap to 0.086419; the HIGHER rel
+    must win even though the lower-rel candidate has the smaller id."""
+    import math
+
+    lam = 0.7
+    f = 10.0 ** 6
+    snap = lambda x: math.floor(x * f + 0.5) / f
+    assert snap(lam * 0.123456) == snap(lam * 0.123455)  # the collapse
+    # the fix picks sorted-by-(rel desc, id asc) index 0:
+    rows = sorted([(5, 0.123455), (9, 0.123456)],
+                  key=lambda t: (-t[1], t[0]))
+    assert rows[0][0] == 9  # higher rel wins despite larger id
+
+
+def test_streaming_psi_clamps_below_range_mass(spark):
+    """Review r12 #3: values below the reference lo must clamp INTO
+    bucket 0, not fall off the finalize grid as negative bucket ids."""
+    from datafusion_sqlgen_spark.streaming import ops as st
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW psi_probe AS SELECT * FROM VALUES "
+        "(TIMESTAMP '2024-01-01 01:00:00', 'purchase', CAST(-50.0 AS DOUBLE)), "
+        "(TIMESTAMP '2024-01-01 02:00:00', 'purchase', 5.0), "
+        "(TIMESTAMP '2024-01-01 03:00:00', 'purchase', 999.0) "
+        "t(ts, event_type, value)"
+    )
+    # batch DataFrame through the same bucket expression (the stream fn
+    # works on batch frames too — groupBy window is batch-executable)
+    out = st.drift_psi_stream(
+        spark.table("psi_probe"), lo=0.0, hi=10.0, n_buckets=10
+    ).collect()
+    buckets = {r["bucket"]: r["n_cur"] for r in out}
+    assert buckets == {0: 1, 5: 1, 9: 1}  # -50 -> 0, 5.0 -> 5, 999 -> 9
+
+
+def test_calibration_label_null_counts_negative(spark):
+    """Review r12 #4: a NULL default label (lang IS NULL) is a
+    NEGATIVE on both engines, not silently dropped from the average."""
+    import duckdb as _duck
+
+    from datafusion_sqlgen_spark.operators import text as _text
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cal_docs AS SELECT * FROM VALUES "
+        "(CAST(0 AS BIGINT), 'alpha beta gamma delta', 'en'), "
+        "(CAST(1 AS BIGINT), 'omega psi chi phi', CAST(NULL AS STRING)) "
+        "t(doc_id, text, lang)"
+    )
+    from datafusion_sqlgen_spark.operators.text import make_hash_weights
+
+    mine = sorted(map(tuple, _text.calibration_bins(
+        spark.table("cal_docs"), make_hash_weights(spark)
+    ).collect()))
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'alpha beta gamma delta', 'en'), "
+        "(1, 'omega psi chi phi', NULL)) t(doc_id, text, lang)"
+    )
+    orc = sorted(map(tuple, con.execute(
+        _text.calibration_bins_oracle()).fetchall()))
+    assert len(mine) == len(orc)
+    for a, b in zip(mine, orc):
+        assert a[0] == b[0] and a[1] == b[1]
+        assert abs(a[2] - b[2]) < 1e-9 and abs(a[3] - b[3]) < 1e-9
