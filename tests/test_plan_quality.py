@@ -1002,3 +1002,43 @@ def test_groups_frame_and_running_distinct_one_exchange(spark, queries):
     assert len(re.findall(r"Exchange hashpartitioning", txt)) <= 2
     assert "CartesianProduct" not in txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_drift_psi_bounded_broadcasts_one_count_shuffle(spark, queries):
+    """PSI drift gate (r12): the bucket edges and cohort totals ride as
+    1-row broadcasts (BNLJ with a bounded build side — allowlisted);
+    the only hash shuffle proportional to the data is the n_buckets-
+    group count aggregate, map-side combined."""
+    txt = plan_text(queries["profile_drift_psi"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "partial_sum" in txt or "partial_count" in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_mmr_diversify_one_topn_window_then_arrow_greedy(spark, queries):
+    """MMR (r12): stage 1 is the broadcast-query top-n window (one
+    corpus pass, RunningWindowFunction/WindowGroupLimit-eligible);
+    stage 2 is the per-query bounded greedy as ONE Arrow-batched
+    FlatMapGroupsInPandas — never a row-at-a-time BatchEvalPython, and
+    never a corpus-side cartesian."""
+    txt = plan_text(queries["sim_mmr_diversify"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in txt
+    assert "BatchEvalPython" not in txt
+    assert "CartesianProduct" not in txt
+    # the candidate search broadcasts the CAPPED query side only (the
+    # formatted explain puts the build side in the Arguments block)
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "BuildLeft" in txt or "BuildRight" in txt
+    # top-n never materializes full rankings: group-limit pushdown
+    assert "WindowGroupLimit" in txt
+
+
+def test_calibration_bins_copartitioned_label_join(spark, queries):
+    """Calibration (r12): the label join re-uses the classifier's
+    doc-key partitioning (equi-join, no nested loop), the weight table
+    broadcasts, and the final reduce is the n_bins-group aggregate."""
+    txt = plan_text(queries["text_calibration_bins"](spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BroadcastHashJoin" in txt  # the broadcast weight table
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
