@@ -1950,7 +1950,10 @@ ref AS (
     FROM ref_src, mm GROUP BY 1
 ),
 cur AS (
-    SELECT date_trunc('day', ts) AS day,
+    -- CAST: DuckDB's date_trunc('day', ...) returns DATE while Spark's
+    -- window start is a TIMESTAMP — the driver's value hash formats
+    -- the two differently (caught by the test_entry driver mimic)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CASE WHEN hi <= lo THEN 0
                 ELSE greatest(least(CAST(floor((value - lo) /
                                                ((hi - lo) / 10.0))
