@@ -39,8 +39,10 @@ HEADLINE = [
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",
     "parsed_asof_tolerance_left",
+    "parsed_asof_multikey",
     "profile_drift_psi",
     "sim_mmr_diversify",
+    "text_calibration_bins",
     "ref_scan_filter",
     "ref_project_cast_arith",
     "agg_tpch_q1",
