@@ -41,6 +41,7 @@ HEADLINE = [
     "parsed_asof_tolerance_left",
     "parsed_asof_multikey",
     "profile_drift_psi",
+    "profile_drift_ks",
     "sim_mmr_diversify",
     "text_calibration_bins",
     "ref_scan_filter",

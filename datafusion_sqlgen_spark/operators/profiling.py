@@ -1184,3 +1184,126 @@ SELECT bucket, n_ref, n_cur,
        {_duck_round(f"(({p}) - ({q})) * ln(({p}) / ({q}))", 6)} AS psi_term
 FROM counts, tot
 """
+
+
+def drift_ks(
+    df: DataFrame,
+    value_col: str,
+    cohort_col: str,
+    ref: str,
+    cur: str,
+    n_buckets: int = 50,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on bucketed CDFs — the
+    drift gate PSI cannot replace: PSI sees per-bucket mass movement,
+    KS sees the worst cumulative displacement (a small shift smeared
+    across every bucket maxes KS while each PSI term stays tiny).
+    Computed on the same fixed-width buckets as :func:`drift_psi`
+    (``n_buckets`` finer by default — KS converges to the exact
+    statistic as buckets shrink), which keeps it a bounded-state
+    operator instead of the textbook full-sort formulation (at 100 TB
+    a global sort per cohort is the wrong plan; the bucketed CDF needs
+    ONE n_buckets-group count shuffle).
+
+    Output: one row per bucket with both CDFs and the running |diff|,
+    plus the gate reads ``max(ks_term)``. Fixed-point 1e-6 snapping.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    two = df.filter(
+        F.col(cohort_col).isin(ref, cur) & F.col(value_col).isNotNull()
+    ).select(F.col(value_col).alias("v"), F.col(cohort_col).alias("c"))
+    mm = two.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") <= F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    counts = (
+        two.crossJoin(F.broadcast(mm))  # 1-row edge broadcast, bounded
+        .select(bucket.alias("bucket"), F.col("c"))
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("c") == ref).cast("long")).alias("n_ref"),
+            F.sum((F.col("c") == cur).cast("long")).alias("n_cur"),
+        )
+    )
+    # running CDFs over the <= n_buckets count rows: a single-partition
+    # window over a bounded relation (never the corpus)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tot = counts.agg(F.sum("n_ref").alias("tr"),
+                     F.sum("n_cur").alias("tc"))
+    cum = (
+        counts.crossJoin(F.broadcast(tot))  # 1-row totals, bounded
+        .select(
+            "bucket", "n_ref", "n_cur",
+            (F.sum("n_ref").over(w).cast("double")
+             / F.col("tr")).alias("cdf_ref_raw"),
+            (F.sum("n_cur").over(w).cast("double")
+             / F.col("tc")).alias("cdf_cur_raw"),
+        )
+    )
+    return cum.select(
+        "bucket", "n_ref", "n_cur",
+        _stable_round(F.col("cdf_ref_raw"), 6).alias("cdf_ref"),
+        _stable_round(F.col("cdf_cur_raw"), 6).alias("cdf_cur"),
+        _stable_round(
+            F.abs(F.col("cdf_ref_raw") - F.col("cdf_cur_raw")), 6
+        ).alias("ks_term"),
+    )
+
+
+def drift_ks_oracle(
+    table: str,
+    value_col: str,
+    cohort_col: str,
+    ref: str,
+    cur: str,
+    n_buckets: int = 50,
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    return f"""
+WITH two AS (
+    SELECT {value_col} AS v, {cohort_col} AS c FROM {table}
+    WHERE {cohort_col} IN ('{ref}', '{cur}') AND {value_col} IS NOT NULL
+),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM two),
+b AS (
+    SELECT CASE WHEN hi <= lo THEN 0
+                ELSE least(CAST(floor((v - lo) /
+                         ((hi - lo) / {float(n_buckets)!r})) AS INT),
+                           {n_buckets - 1}) END AS bucket,
+           c
+    FROM two, mm
+),
+counts AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN c = '{ref}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ref,
+           CAST(sum(CASE WHEN c = '{cur}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cur
+    FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
+cum AS (
+    SELECT bucket, n_ref, n_cur,
+           CAST(sum(n_ref) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / tr AS cdf_ref_raw,
+           CAST(sum(n_cur) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / tc AS cdf_cur_raw
+    FROM counts, tot
+)
+SELECT bucket, n_ref, n_cur,
+       {_duck_round("cdf_ref_raw", 6)} AS cdf_ref,
+       {_duck_round("cdf_cur_raw", 6)} AS cdf_cur,
+       {_duck_round("abs(cdf_ref_raw - cdf_cur_raw)", 6)} AS ks_term
+FROM cum
+"""

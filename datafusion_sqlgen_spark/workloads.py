@@ -3375,6 +3375,17 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             profiling.drift_psi_oracle(
                 "events", "value", "event_type", "click", "purchase"),
         ),
+        # round 12: KS drift twin — worst cumulative displacement of
+        # the bucketed CDFs (PSI sees per-bucket mass, KS sees a shift
+        # smeared across every bucket); same one-count-shuffle shape,
+        # the CDF window runs over the bounded n_buckets count rows
+        "profile_drift_ks": (
+            lambda s: profiling.drift_ks(
+                s.table("events"), "value", "event_type",
+                "click", "purchase"),
+            profiling.drift_ks_oracle(
+                "events", "value", "event_type", "click", "purchase"),
+        ),
         # winsorized per-group stats: exact percentiles broadcast back,
         # clipped re-aggregation (outlier-robust metric gate)
         "profile_robust_stats": (

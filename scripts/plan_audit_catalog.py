@@ -34,6 +34,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "profile_drift_psi":
         "two 1-row broadcasts (bucket edges, cohort totals) over an "
         "n_buckets-row count table — bounded by construction",
+    "profile_drift_ks":
+        "two 1-row broadcasts (bucket edges, cohort totals); the CDF "
+        "window runs over the bounded n_buckets count rows",
     "profile_theta_setops": "1-row sketch-state rows broadcast",
     "sample_token_budget_mix": "1-row total-token aggregate broadcast",
     "text_bigram_logprob": "1-row total-count aggregate broadcast",
