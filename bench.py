@@ -38,6 +38,7 @@ HEADLINE = [
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",
+    "streaming_kmeans_result",
     "parsed_asof_tolerance_left",
     "parsed_asof_multikey",
     "profile_drift_psi",

@@ -1117,3 +1117,192 @@ def run_bounded_sketch(
             spark.createDataFrame([], EVENTS_SCHEMA), key_col, group_col
         )
     return state.select(group_col, "register", "rho")
+
+
+# ---------------------------------------------------------------------------
+# Streaming k-means maintenance: a standing centroid model kept current
+# by per-trigger accumulation — the third state-algebra class after the
+# rollup sink (additive counters) and the sketch sink (idempotent
+# max-merge): MODEL state, where each batch's contribution depends on
+# the state it observed (assignment against the current centroids).
+# Replays are therefore guarded by batch id exactly like the rollup
+# sink, and determinism comes from (a) deterministic batch membership
+# (the workload hash-splits by id, not repartition), (b) order-free
+# fixed-point integer state (per-dim micro-unit sums — never a float
+# accumulation), and (c) snapped-integer assignment distances with id
+# tie-breaks. The oracle replays the SAME batch sequence as unrolled
+# SQL stages.
+# ---------------------------------------------------------------------------
+
+_KM_FP = 1_000_000  # micro-units for coordinate sums
+_KM_DFP = 1_000_000_000_000  # fixed point for squared distances
+
+
+def _km_fp(c: Column) -> Column:
+    return F.floor(c * F.lit(float(_KM_FP)) + F.lit(0.5)).cast("bigint")
+
+
+def _km_long(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dim, val) long form with val as double."""
+    return df.select(
+        F.col(id_col).alias("pid"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "val"),
+    )
+
+
+def kmeans_update_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the streaming k-means sink: assign the
+    batch's vectors to the CURRENT centroids (cumulative-mean model:
+    centroid_d = s_d / n over everything assigned so far), accumulate
+    per-(cell, dim) fixed-point sums, and commit a new state
+    generation. Batch 0 seeds the centroids with its ``k`` lowest-id
+    vectors (deterministic given deterministic batch membership).
+
+    Scale shape per batch: the centroid table is k x dims rows,
+    broadcast; the long-form point x centroid join is a k-fold
+    expansion of the batch only (the IVF cell-probe path is the scale
+    alternative when k grows); the state is k x dims BIGINT rows.
+    Assignment distances are order-free fixed-point integers
+    (per-dim squared diffs snapped to 1e-12 BEFORE the sum), ties
+    break on the lower cell id — bit-identical across engines and
+    partitionings."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    latest = _latest_generation(spark, state_path)
+    if latest is not None and batch_id <= latest:
+        return  # replayed batch already committed — idempotent
+    pts = _km_long(batch_df, id_col, vec_col)
+    if latest is None:
+        from pyspark.sql import Window
+
+        seed = (batch_df.orderBy(F.col(id_col).asc()).limit(k)
+                .select(F.col(id_col).alias("sid")))
+        w = Window.orderBy(F.col("sid").asc())
+        cells = seed.select(
+            (F.row_number().over(w) - 1).alias("cell"), "sid")
+        cent = (
+            F.broadcast(cells).join(pts, F.col("sid") == F.col("pid"))
+            .select("cell", "dim", F.col("val").alias("c"))
+        )
+    else:
+        state = spark.read.parquet(f"{state_path}/gen-{latest}")
+        cent = state.select(
+            "cell", "dim",
+            (F.col("s").cast("double") / F.lit(float(_KM_FP))
+             / F.col("n").cast("double")).alias("c"),
+        )
+    d2 = (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+    dfp = F.floor(d2 * F.lit(float(_KM_DFP)) + F.lit(0.5)).cast("bigint")
+    dists = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("pid", "cell")
+        .agg(F.sum(dfp).alias("dist"))
+    )
+    assign = (
+        dists.groupBy("pid")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cell"))).alias("m"))
+        .select("pid", F.col("m.cell").alias("cell"))
+    )
+    batch_state = (
+        pts.join(assign, "pid")
+        .groupBy("cell", "dim")
+        .agg(
+            F.sum(_km_fp(F.col("val"))).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    if latest is not None:
+        old = spark.read.parquet(f"{state_path}/gen-{latest}").select(
+            F.col("cell").alias("o_cell"), F.col("dim").alias("o_dim"),
+            F.col("s").alias("o_s"), F.col("n").alias("o_n"),
+        )
+        batch_state = (
+            batch_state.join(
+                old,
+                (F.col("cell") == F.col("o_cell"))
+                & (F.col("dim") == F.col("o_dim")),
+                "full",
+            )
+            .select(
+                F.coalesce(F.col("cell"), F.col("o_cell")).alias("cell"),
+                F.coalesce(F.col("dim"), F.col("o_dim")).alias("dim"),
+                (F.coalesce(F.col("s"), F.lit(0))
+                 + F.coalesce(F.col("o_s"), F.lit(0))).alias("s"),
+                (F.coalesce(F.col("n"), F.lit(0))
+                 + F.coalesce(F.col("o_n"), F.lit(0))).alias("n"),
+            )
+        )
+    _atomic_commit_dir(
+        spark,
+        batch_state,
+        f"{state_path}/.staging-gen-{batch_id}",
+        f"{state_path}/gen-{batch_id}",
+    )
+    _retire_generations(spark, state_path, keep=2)
+
+
+def streaming_kmeans_sink(
+    vec_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    k: int = 8,
+) -> "object":
+    """foreachBatch sink maintaining the streaming k-means model (see
+    :func:`kmeans_update_batch` for the algebra and determinism
+    contract)."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kmeans_update_batch(batch_df, batch_id, state_path, k=k)
+
+    return (
+        vec_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def run_bounded_kmeans(
+    spark: SparkSession,
+    vectors_path: str,
+    work_dir: str,
+    k: int = 8,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drive :func:`streaming_kmeans_sink` over a bounded file stream
+    and return the finalized model as (cell, dim, n, centroid) — the
+    driver-checkable face of incremental model maintenance."""
+    import os
+
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, "
+                                "label INT")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(vectors_path)
+    )
+    state_path = os.path.join(work_dir, "kmeans_state")
+    q = streaming_kmeans_sink(
+        stream, state_path=state_path,
+        checkpoint=os.path.join(work_dir, "checkpoint"), k=k,
+    )
+    q.processAllAvailable()
+    q.stop()
+    latest = _latest_generation(spark, state_path)
+    state = spark.read.parquet(f"{state_path}/gen-{latest}")
+    return state.select(
+        "cell", "dim", "n",
+        _stable_round(
+            F.col("s").cast("double") / F.lit(float(_KM_FP))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("centroid"),
+    )

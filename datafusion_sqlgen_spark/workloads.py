@@ -1990,6 +1990,121 @@ FROM j
 """
 
 
+def _streaming_kmeans_result(s: SparkSession) -> DataFrame:
+    """STREAMING k-means model maintenance (round 12): embeddings are
+    hash-split into 4 files (vec_id % 4 — deterministic batch
+    membership, unlike repartition) with strictly increasing mtimes,
+    streamed one file per trigger through ``streaming_kmeans_sink``:
+    each trigger assigns its vectors to the CURRENT centroids and
+    accumulates order-free fixed-point per-(cell, dim) sums into a new
+    state generation (the MODEL state-algebra class — a batch's
+    contribution depends on the state it observed, so batch order is
+    load-bearing and the replay guard is mandatory). The finalized
+    model (cell, dim, n, centroid) is hash-checked against the same 4
+    batches replayed as unrolled SQL stages."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import run_bounded_kmeans
+
+    work = tempfile.mkdtemp(prefix="stream_km_")
+    src = os.path.join(work, "emb_files")
+    os.makedirs(src, exist_ok=True)
+    emb = s.table("embeddings")
+    for i in range(4):
+        tmp = os.path.join(work, f"tmp{i}")
+        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        dst = os.path.join(src, f"part{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        ts = 1_000_000_000 + i * 3600
+        os.utime(dst, (ts, ts))
+    with _replay_shuffle(s):
+        return run_bounded_kmeans(s, src, work, k=8)
+
+
+def _streaming_kmeans_oracle(k: int = 8, n_batches: int = 4) -> str:
+    """The SAME batch sequence replayed as unrolled SQL stages: stage i
+    assigns batch i (vec_id % n_batches = i) against the centroids of
+    the state AFTER batch i-1 (cumulative fixed-point means), merges
+    its per-(cell, dim) sums, and the final state is emitted with the
+    same 1e-6 centroid snap. Distances are order-free fixed-point
+    BIGINT sums of per-dim snapped squared diffs, ties break on the
+    lower cell id — bit-identical to the Spark sink's algebra."""
+    fp, dfp = "1000000.0", "1000000000000.0"
+    parts = [f"""
+WITH pts AS (
+    SELECT b, pid, CAST(i AS INT) - 1 AS dim,
+           CAST(embedding[i] AS DOUBLE) AS val
+    FROM (
+        SELECT vec_id % {n_batches} AS b, vec_id AS pid, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+),
+seed AS (
+    SELECT vec_id AS sid,
+           CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
+    FROM embeddings WHERE vec_id % {n_batches} = 0
+    ORDER BY vec_id LIMIT {k}
+),
+cent0 AS (
+    SELECT s.cell, p.dim, p.val AS c FROM seed s
+    JOIN pts p ON p.pid = s.sid
+)"""]
+    for i in range(n_batches):
+        parts.append(f""",
+d{i} AS (
+    SELECT p.pid, c.cell,
+           SUM(CAST(floor((p.val - c.c) * (p.val - c.c) * {dfp} + 0.5)
+                    AS BIGINT)) AS dist
+    FROM pts p JOIN cent{i} c USING (dim)
+    WHERE p.b = {i}
+    GROUP BY p.pid, c.cell
+),
+a{i} AS (
+    SELECT pid, cell FROM (
+        SELECT pid, cell, row_number() OVER (PARTITION BY pid
+            ORDER BY dist ASC, cell ASC) AS rn FROM d{i}
+    ) WHERE rn = 1
+),
+bs{i} AS (
+    SELECT a.cell, p.dim,
+           SUM(CAST(floor(p.val * {fp} + 0.5) AS BIGINT)) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a{i} a JOIN pts p ON p.pid = a.pid AND p.b = {i}
+    GROUP BY 1, 2
+)""")
+        if i == 0:
+            parts.append(f""",
+st{i + 1} AS (SELECT cell, dim, s, n FROM bs0)""")
+        else:
+            parts.append(f""",
+st{i + 1} AS (
+    SELECT coalesce(b.cell, o.cell) AS cell,
+           coalesce(b.dim, o.dim) AS dim,
+           coalesce(b.s, 0) + coalesce(o.s, 0) AS s,
+           coalesce(b.n, 0) + coalesce(o.n, 0) AS n
+    FROM bs{i} b FULL JOIN st{i} o
+      ON b.cell = o.cell AND b.dim = o.dim
+)""")
+        if i < n_batches - 1:
+            parts.append(f""",
+cent{i + 1} AS (
+    SELECT cell, dim,
+           CAST(s AS DOUBLE) / {fp} / CAST(n AS DOUBLE) AS c
+    FROM st{i + 1}
+)""")
+    parts.append(f"""
+SELECT cell, dim, CAST(n AS BIGINT) AS n,
+       (floor((CAST(s AS DOUBLE) / {fp} / CAST(n AS DOUBLE))
+              * 1000000 + 0.5) / 1000000) AS centroid
+FROM st{n_batches}
+""")
+    return "".join(parts)
+
+
 def _mm_binary_ingest(s: SparkSession) -> DataFrame:
     """Write the first 40 documents' bytes as individual .bin files
     (setup), then ingest the directory through the binaryFile source
@@ -3767,6 +3882,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
         "streaming_drift_psi_result": (
             _streaming_drift_psi_result,
             _STREAMING_DRIFT_PSI_ORACLE,
+        ),
+        # STREAMING k-means model maintenance (round 12): the MODEL
+        # state-algebra class (batch contribution depends on observed
+        # state) — 4-trigger replay over hash-split batches, finalized
+        # centroids hash-checked vs the unrolled-stage SQL twin
+        "streaming_kmeans_result": (
+            _streaming_kmeans_result,
+            _streaming_kmeans_oracle(),
         ),
         # STREAMING driver-visible workload #2 (round 6): the
         # continuous-dedup corpus sink replayed over a bounded 2-file
