@@ -1297,6 +1297,12 @@ def run_bounded_kmeans(
     q.processAllAvailable()
     q.stop()
     latest = _latest_generation(spark, state_path)
+    if latest is None:
+        # empty source -> zero triggers wrote state; return an empty
+        # frame with the output schema instead of a read error (same
+        # contract as run_bounded_rollup)
+        return spark.createDataFrame(
+            [], "cell INT, dim INT, n BIGINT, centroid DOUBLE")
     state = spark.read.parquet(f"{state_path}/gen-{latest}")
     return state.select(
         "cell", "dim", "n",

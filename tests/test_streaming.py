@@ -954,3 +954,44 @@ def test_stream_point_in_time_enrich_matches_batch_twin(spark):
     key = lambda r: (r[0],)  # noqa: E731 — event_id is unique
     assert sorted(map(tuple, rows), key=key) \
         == sorted(map(tuple, batch.collect()), key=key)
+
+
+def test_bounded_kmeans_empty_source_returns_empty_schema(spark, tmp_path):
+    """Empty stream -> zero triggers wrote model state; the finalize
+    returns an empty frame with the output schema instead of a
+    gen-None read error (same contract as run_bounded_rollup)."""
+    import os
+
+    from datafusion_sqlgen_spark.streaming.ops import run_bounded_kmeans
+
+    src = os.path.join(str(tmp_path), "empty_src")
+    os.makedirs(src, exist_ok=True)
+    out = run_bounded_kmeans(spark, src, str(tmp_path), k=4)
+    assert out.columns == ["cell", "dim", "n", "centroid"]
+    assert out.count() == 0
+
+
+def test_kmeans_sink_replay_is_idempotent(spark, tmp_path):
+    """Replaying an already-committed batch id is a no-op: MODEL state
+    would re-observe a different model on replay, so the batch-id guard
+    is mandatory (not just wasted-work protection like the sketch
+    sink's)."""
+    import os
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        _latest_generation,
+        kmeans_update_batch,
+    )
+
+    emb = spark.table("embeddings").limit(40)
+    state = os.path.join(str(tmp_path), "km_state")
+    kmeans_update_batch(emb, 0, state, k=4)
+    g1 = _latest_generation(spark, state)
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{state}/gen-{g1}").collect()))
+    kmeans_update_batch(emb, 0, state, k=4)  # replay: must be a no-op
+    g2 = _latest_generation(spark, state)
+    assert g2 == g1
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{state}/gen-{g2}").collect()))
+    assert again == first
