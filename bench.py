@@ -39,6 +39,7 @@ HEADLINE = [
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",
     "streaming_kmeans_result",
+    "streaming_topk_result",
     "parsed_asof_tolerance_left",
     "parsed_asof_multikey",
     "profile_drift_psi",

@@ -219,6 +219,50 @@ def drift_psi_finalize(
     )
 
 
+def windowed_topk_stream(
+    events: DataFrame,
+    window: str = "1 day",
+    key: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window per-key counts for streaming top-k (trending keys per
+    window — the leaderboard/alerting staple). Unlike the drift
+    monitor's bounded bucket state, state here is O(open windows x
+    DISTINCT KEYS in them) — the honest cost of exact windowed top-k;
+    the watermark bounds the windows axis, and when the key axis is
+    unbounded the production fallback is the CMS sketch sink
+    (profiling.cms_heavy_hitters has the batch shape). The rank cut
+    itself runs batch-side (:func:`topk_finalize`) so the streaming
+    state stays a plain additive count.
+
+    ``watermark=None`` follows session_window_stream's bounded-replay
+    contract (complete-mode memory sink over id-split batches)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("win.start").alias("day"), key, "n")
+    )
+
+
+def topk_finalize(counts: DataFrame, key: str = "user_id",
+                  k: int = 5) -> DataFrame:
+    """Batch-side rank cut over the streamed per-window counts: the
+    top-k keys per window, rank ties broken by key id. The window
+    ranking runs over the finalized count table (windows x keys rows),
+    and Spark's WindowGroupLimit pushdown keeps per-partition state at
+    k rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col(key).asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("day", key, "n", "rnk")
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     gap: str = "30 minutes",

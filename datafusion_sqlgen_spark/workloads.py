@@ -2105,6 +2105,51 @@ FROM st{n_batches}
     return "".join(parts)
 
 
+def _streaming_topk_result(s: SparkSession) -> DataFrame:
+    """STREAMING windowed top-k (round 12): per-day per-user event
+    counts aggregated through a real streaming query replayed over 4
+    file-triggers (state O(open windows x distinct users) — the honest
+    exact-top-k cost; the CMS sketch sink is the unbounded-key
+    fallback), then the top-5 users per day cut batch-side with id
+    tie-breaks (streaming/ops.py windowed_topk_stream +
+    topk_finalize)."""
+    import tempfile
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        read_events_stream,
+        stream_to_memory,
+        topk_finalize,
+        windowed_topk_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_topk_")
+    src = work + "/events_files"
+    s.table("events").repartition(4).write.parquet(src)
+    stream = read_events_stream(s, src, max_files_per_trigger=1)
+    with _replay_shuffle(s):
+        stream_to_memory(
+            windowed_topk_stream(stream), "streaming_topk_tbl")
+        return topk_finalize(s.table("streaming_topk_tbl"))
+
+
+# Batch SQL twin of the streamed windowed top-k: same day truncation
+# (CAST — DuckDB's date_trunc returns DATE), same count, same rank cut
+# with user_id tie-breaks.
+_STREAMING_TOPK_ORACLE = """
+WITH counts AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT day, user_id, n, rnk FROM (
+    SELECT day, user_id, n,
+           CAST(row_number() OVER (PARTITION BY day
+               ORDER BY n DESC, user_id ASC) AS INT) AS rnk
+    FROM counts
+) WHERE rnk <= 5
+"""
+
+
 def _mm_binary_ingest(s: SparkSession) -> DataFrame:
     """Write the first 40 documents' bytes as individual .bin files
     (setup), then ingest the directory through the binaryFile source
@@ -3890,6 +3935,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
         "streaming_kmeans_result": (
             _streaming_kmeans_result,
             _streaming_kmeans_oracle(),
+        ),
+        # STREAMING windowed top-k (round 12): trending keys per
+        # event-time day through a real 4-trigger replay; state is
+        # O(open windows x distinct keys) — the honest exact-top-k
+        # cost (CMS is the sketch fallback); rank cut batch-side
+        "streaming_topk_result": (
+            _streaming_topk_result,
+            _STREAMING_TOPK_ORACLE,
         ),
         # STREAMING driver-visible workload #2 (round 6): the
         # continuous-dedup corpus sink replayed over a bounded 2-file
