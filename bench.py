@@ -32,6 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Contention gate: runs whose 8-process/1-process canary ratio exceeds
+# this never overwrite bench_full.json (idle floor ~1.10 on this box —
+# see SCALE.md contention-protocol ledger). Overridable for tests.
+CONTENTION_MAX = float(os.environ.get("SPARK_GRAFT_CONTENTION_MAX", "1.12"))
+
 # Representative slice of the catalog: scan/filter, the two canonical agg
 # shapes, multi-join, window, set-op, and the LLM-pipeline operators.
 HEADLINE = [
@@ -448,6 +453,18 @@ def main() -> None:
     full["samples"] = all_samples
     # subset runs (test hook) must not clobber the round artifact
     full_name = "bench_full.json" if not only else "bench_full_subset.json"
+    # Fail-closed contention gate (VERDICT r12 item 1): a contended run
+    # must never overwrite the committed clean baseline. The idle floor
+    # for the 8-process/1-process canary ratio is ~1.10 on this box
+    # (SCALE.md ledger); anything above CONTENTION_MAX means a co-tenant
+    # was stealing cores mid-run and the numbers are not comparable
+    # round-over-round. Such runs are diverted to a `.contended.json`
+    # sibling so the committed artifact stays idle-floor-only.
+    ratio = payload["canary_contention_ratio"]
+    contended = ratio is not None and ratio > CONTENTION_MAX
+    if contended:
+        full_name = full_name.replace(".json", ".contended.json")
+        payload["contended"] = True
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), full_name
     )
@@ -474,6 +491,8 @@ def main() -> None:
         "sf": payload["sf"],
         "full_artifact": full_name,
     }
+    if contended:
+        compact["contended"] = True
     print(json.dumps(compact))
 
 

@@ -2604,12 +2604,21 @@ def calibration_bins_oracle(
     from datafusion_sqlgen_spark.operators.similarity import _duck_round
 
     inner = classifier_score_oracle(table, vocab_size, salt)
+    # label_sql is evaluated in a subselect whose ONLY scope is the docs
+    # table, so a multi-column predicate ("lang = 'en' AND score > 0"
+    # where score is a docs column) resolves against docs exactly like
+    # the Spark side's label_col — never against the scored CTE
+    # (ADVICE r12: the old "d.{label_sql}" qualified only the first
+    # identifier).
     return f"""
 WITH scored AS ({inner}),
+labels AS (
+    SELECT doc_id, CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
+    FROM {table}
+),
 lab AS (
-    SELECT s.doc_id, s.score,
-           CASE WHEN d.{label_sql} THEN 1 ELSE 0 END AS y
-    FROM scored s JOIN {table} d USING (doc_id)
+    SELECT s.doc_id, s.score, l.y
+    FROM scored s JOIN labels l USING (doc_id)
 )
 SELECT least(CAST(floor(score * {n_bins}) AS INT), {n_bins - 1}) AS bin,
        CAST(count(*) AS BIGINT) AS n,

@@ -254,8 +254,12 @@ def topk_finalize(counts: DataFrame, key: str = "user_id",
     k rows."""
     from pyspark.sql import Window
 
+    # asc_nulls_last pins the tie-break: Spark defaults ASC to NULLS
+    # FIRST while DuckDB defaults to NULLS LAST, so a NULL key tying at
+    # the rank-k boundary would otherwise flip the top-k set (ADVICE
+    # r12; the oracle says NULLS LAST explicitly too)
     w = Window.partitionBy("day").orderBy(
-        F.col("n").desc(), F.col(key).asc())
+        F.col("n").desc(), F.col(key).asc_nulls_last())
     return (
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

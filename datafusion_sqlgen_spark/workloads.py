@@ -2144,7 +2144,7 @@ WITH counts AS (
 SELECT day, user_id, n, rnk FROM (
     SELECT day, user_id, n,
            CAST(row_number() OVER (PARTITION BY day
-               ORDER BY n DESC, user_id ASC) AS INT) AS rnk
+               ORDER BY n DESC, user_id ASC NULLS LAST) AS INT) AS rnk
     FROM counts
 ) WHERE rnk <= 5
 """
@@ -4229,19 +4229,32 @@ finding.
 from functools import lru_cache
 
 
-@lru_cache(maxsize=1)  # the artifact set is immutable within a process
-def _latest_driver_rows() -> tuple[dict[str, int], dict[str, dict]]:
+@lru_cache(maxsize=4)  # the artifact set is immutable within a process
+def _latest_driver_rows(
+    repo: str | None = None,
+) -> tuple[dict[str, int], dict[str, dict]]:
     """Latest driver-sampled round and row per workload, across every
-    CORRECTNESS_r*.json in the repo root (later rounds win)."""
+    CORRECTNESS_r*.json in ``repo`` (default: the repo root; later
+    rounds win)."""
     import glob as _glob
     import json as _json
     import os as _os
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    if repo is None:
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     latest_round: dict[str, int] = {}
     latest_row: dict[str, dict] = {}
-    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = int("".join(c for c in _os.path.basename(path) if c.isdigit()))
+    # sort by the PARSED round number, not lexically: a 3-digit round
+    # (CORRECTNESS_r100.json) sorts lexically BEFORE r12, which would
+    # let an older round silently overwrite a newer one (ADVICE r12)
+    def _round_of(p: str) -> int:
+        return int("".join(c for c in _os.path.basename(p) if c.isdigit()))
+
+    for path in sorted(
+        _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=_round_of,
+    ):
+        rnd = _round_of(path)
         with open(path) as f:
             for name, row in _json.load(f).items():
                 latest_round[name] = rnd

@@ -36,6 +36,10 @@ def test_bench_stdout_last_line_is_compact_and_parsable():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_BENCH_QUERIES="ref_scan_filter",
+        # pin the CLEAN path: disable the contention diversion so a
+        # loaded CI host can't flip full_artifact mid-test (the gate
+        # itself is pinned by test_contended_run_diverts_artifact)
+        SPARK_GRAFT_CONTENTION_MAX="1e9",
     )
     proc = subprocess.run(
         [sys.executable, BENCH], capture_output=True, text=True,
@@ -68,6 +72,38 @@ def test_bench_stdout_last_line_is_compact_and_parsable():
     sub = os.path.join(REPO, "bench_full_subset.json")
     assert os.path.exists(sub)
     os.remove(sub)
+
+
+def test_contended_run_diverts_artifact():
+    """Fail-closed contention gate (VERDICT r12 item 1): when the
+    parallel/single canary ratio exceeds SPARK_GRAFT_CONTENTION_MAX the
+    run must be written to `*.contended.json` and NEVER overwrite the
+    clean artifact.  MAX=0 forces every run to read as contended."""
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_QUERIES="ref_scan_filter",
+        SPARK_GRAFT_CONTENTION_MAX="0",
+    )
+    clean = os.path.join(REPO, "bench_full_subset.json")
+    contended = os.path.join(REPO, "bench_full_subset.contended.json")
+    for p in (clean, contended):
+        if os.path.exists(p):
+            os.remove(p)
+    proc = subprocess.run(
+        [sys.executable, BENCH], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    compact = json.loads(lines[-1])
+    assert compact["contended"] is True
+    assert compact["full_artifact"] == "bench_full_subset.contended.json"
+    # the committed-baseline path is untouched; the diverted file exists
+    assert not os.path.exists(clean)
+    assert os.path.exists(contended)
+    os.remove(contended)
 
 
 def test_compact_line_source_has_no_queries_dict():
