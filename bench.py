@@ -40,6 +40,8 @@ CONTENTION_MAX = float(os.environ.get("SPARK_GRAFT_CONTENTION_MAX", "1.12"))
 # Representative slice of the catalog: scan/filter, the two canonical agg
 # shapes, multi-join, window, set-op, and the LLM-pipeline operators.
 HEADLINE = [
+    # round-13 additions
+    "text_rrf_hybrid_topk",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -2627,3 +2627,156 @@ SELECT least(CAST(floor(score * {n_bins}) AS INT), {n_bins - 1}) AS bin,
 FROM lab
 GROUP BY 1
 """
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 15,
+    depth: int = 50,
+    c: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): fuse the lexical BM25 top-``depth`` list with the
+    vector cosine top-``depth`` list into one ranking, ``score(d) =
+    sum over lists of 1/(c + rank_list(d))`` — the standard first
+    composition every RAG / data-curation retrieval stack reaches for
+    (robust to the two scorers' incomparable score scales because only
+    RANKS enter the sum).
+
+    The sum is kept integer-exact as a fixed-point ``rrf_fp =
+    floor(1e12 / (c + rank))`` per contribution (ranks are small
+    integers, so 1e12/(c+rank) is never within 1e-3 of an integer
+    crossing except when it IS one — double floor is exact on both
+    engines), making the fused ordering ULP-proof across engines.
+
+    Scale shape for 100 TB: each half keeps its own documented plan
+    (:func:`bm25_topk`: one narrow corpus pass + 1-row broadcast stats
+    + TakeOrdered; ``similarity.cosine_topk``: broadcast query row,
+    one corpus pass + WindowGroupLimit). The fusion itself touches only
+    the two ≤ ``depth``-row lists — a unionByName plus one tiny
+    groupBy; nothing after the retrieval stages scales with the corpus.
+    The many-query generalization is the identical union + groupBy
+    keyed on (query_id, doc_id), both lists already carrying query_id.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.similarity import cosine_topk
+
+    if k > depth:
+        raise ValueError("k must be <= depth (fusion cannot rank past "
+                         "the per-list retrieval depth)")
+    fp = float(10**12)
+
+    lex = bm25_topk(
+        docs, query_terms, k=depth, text_col=text_col, id_col=doc_id_col
+    ).withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col).asc())
+        ).cast("int"),
+    )
+    vec = cosine_topk(
+        embeddings,
+        embeddings.filter(F.col(vec_id_col) == query_vec_id),
+        k=depth, id_col=vec_id_col, vec_col=vec_col,
+    ).select(
+        F.col("neighbor_id").alias(doc_id_col),
+        F.col("rnk").cast("int").alias("vec_rank"),
+    )
+
+    contrib = lex.select(
+        F.col(doc_id_col),
+        F.col("lex_rank"),
+        F.lit(None).cast("int").alias("vec_rank"),
+        F.floor(F.lit(fp) / (F.lit(c) + F.col("lex_rank")))
+            .cast("bigint").alias("__fp"),
+    ).unionByName(vec.select(
+        F.col(doc_id_col),
+        F.lit(None).cast("int").alias("lex_rank"),
+        F.col("vec_rank"),
+        F.floor(F.lit(fp) / (F.lit(c) + F.col("vec_rank")))
+            .cast("bigint").alias("__fp"),
+    ))
+    fused = contrib.groupBy(doc_id_col).agg(
+        F.max("lex_rank").alias("lex_rank"),
+        F.max("vec_rank").alias("vec_rank"),
+        F.sum("__fp").cast("bigint").alias("rrf_fp"),
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("rrf_fp").desc(), F.col(doc_id_col).asc())
+            ).cast("int"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), F.col(doc_id_col).asc())
+        .limit(k)
+    )
+
+
+def rrf_hybrid_topk_oracle(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 15,
+    depth: int = 50,
+    c: int = 60,
+    doc_table: str = "documents",
+    vec_table: str = "embeddings",
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_cos
+
+    lex_inner = bm25_topk_oracle(query_terms, k=depth, table=doc_table)
+    return f"""
+WITH lex AS ({lex_inner}),
+lexr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                AS INT) AS lex_rank
+    FROM lex
+),
+q AS (SELECT embedding AS qvec FROM {vec_table}
+      WHERE vec_id = {query_vec_id}),
+vecscored AS (
+    SELECT cv.vec_id AS doc_id,
+           {_duck_cos('q.qvec::DOUBLE[]', 'cv.embedding::DOUBLE[]')}
+               AS cos_sim
+    FROM q CROSS JOIN {vec_table} cv
+    WHERE cv.vec_id <> {query_vec_id}
+),
+vecr AS (
+    SELECT doc_id, r AS vec_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+                    AS INT) AS r
+        FROM vecscored
+    ) WHERE r <= {depth}
+),
+contrib AS (
+    SELECT doc_id, lex_rank, CAST(NULL AS INT) AS vec_rank,
+           CAST(floor(1000000000000.0 / ({c} + lex_rank)) AS BIGINT) AS fp
+    FROM lexr
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INT) AS lex_rank, vec_rank,
+           CAST(floor(1000000000000.0 / ({c} + vec_rank)) AS BIGINT) AS fp
+    FROM vecr
+),
+fused AS (
+    SELECT doc_id, max(lex_rank) AS lex_rank, max(vec_rank) AS vec_rank,
+           CAST(sum(fp) AS BIGINT) AS rrf_fp
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_fp,
+       CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC)
+            AS INT) AS rnk
+FROM fused
+ORDER BY rrf_fp DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -4060,6 +4060,20 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             text.bm25_topk_oracle(["hash", "join", "vector"], k=25),
         ),
+        # round 13: hybrid retrieval fusion — BM25 top-depth + cosine
+        # top-depth fused by reciprocal-rank (Cormack et al. 2009),
+        # fixed-point 1e12/(60+rank) contributions so the fused order
+        # is integer-exact on both engines; fusion is a union + tiny
+        # groupBy over the two <=depth-row lists, zero corpus shuffle
+        "text_rrf_hybrid_topk": (
+            lambda s: text.rrf_hybrid_topk(
+                s.table("documents"), s.table("embeddings"),
+                ["hash", "join", "vector"], query_vec_id=0,
+            ),
+            text.rrf_hybrid_topk_oracle(
+                ["hash", "join", "vector"], query_vec_id=0,
+            ),
+        ),
         # deterministic per-group cap (class balancing; WindowGroupLimit)
         "sample_capped_per_group": (
             lambda s: sampling.capped_per_group(

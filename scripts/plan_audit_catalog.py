@@ -41,6 +41,10 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "sample_token_budget_mix": "1-row total-token aggregate broadcast",
     "text_bigram_logprob": "1-row total-count aggregate broadcast",
     "text_bm25_topk": "1-row corpus-stats aggregate broadcast",
+    "text_rrf_hybrid_topk":
+        "both halves' allowlisted shapes: bm25's 1-row corpus-stats "
+        "broadcast + cosine_topk's single broadcast query row; the "
+        "fusion itself is a union of two <=depth-row lists",
     "text_dsir_resample": "1-row weight-normalizer broadcast",
     "text_dsir_weights": "1-row weight-normalizer broadcast",
     "text_lr_train": "1-row gradient/weight state broadcast per step",

@@ -92,3 +92,50 @@ def test_vocab_growth_curve_properties(spark, duck):
     want = sorted(map(tuple, duck.execute(T.vocab_growth_oracle()).fetchall()))
     got = sorted(map(tuple, (tuple(r) for r in rows)))
     assert got == want
+
+
+def test_rrf_hybrid_topk_fuses_both_lists(spark, duck):
+    """Round-13 RRF fusion: matches the composed DuckDB oracle on the
+    driver fixture; docs in BOTH lists carry both rank columns and the
+    exact fixed-point sum floor(1e12/(60+lex)) + floor(1e12/(60+vec));
+    single-list docs carry a NULL for the missing rank; k > depth is
+    rejected."""
+    import pytest as _pytest
+
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    terms = ["hash", "join", "vector"]
+    out = tx.rrf_hybrid_topk(
+        spark.table("documents"), spark.table("embeddings"), terms,
+        query_vec_id=0, k=15, depth=50,
+    )
+    rows = check(spark, duck, out, tx.rrf_hybrid_topk_oracle(
+        terms, query_vec_id=0, k=15, depth=50))
+    assert 0 < len(rows) <= 15
+    by_id = {r[0]: r for r in ((t["doc_id"], t["lex_rank"], t["vec_rank"],
+                                t["rrf_fp"], t["rnk"])
+                               for t in out.collect())}
+    fp = 10**12
+    both = single = 0
+    for doc_id, lex_r, vec_r, rrf_fp, _ in by_id.values():
+        expect = sum(fp // (60 + r) for r in (lex_r, vec_r)
+                     if r is not None)
+        assert rrf_fp == expect, (doc_id, lex_r, vec_r, rrf_fp)
+        if lex_r is not None and vec_r is not None:
+            both += 1
+        else:
+            single += 1
+    # the fixture query produces a genuine hybrid: some overlap, some
+    # list-exclusive docs (guards against a fusion that drops a side)
+    assert both >= 1 and single >= 1, (both, single)
+    # final ranks are dense 1..n in fused order
+    ranks = sorted(r[4] for r in by_id.values())
+    assert ranks == list(range(1, len(ranks) + 1))
+
+    with _pytest.raises(ValueError):
+        tx.rrf_hybrid_topk(
+            spark.table("documents"), spark.table("embeddings"), terms,
+            k=20, depth=10,
+        )
