@@ -42,6 +42,7 @@ CONTENTION_MAX = float(os.environ.get("SPARK_GRAFT_CONTENTION_MAX", "1.12"))
 HEADLINE = [
     # round-13 additions
     "text_rrf_hybrid_topk",
+    "streaming_scd2_result",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -424,8 +424,9 @@ def scd2_merge(
     snapshot: DataFrame,
     key: str,
     attrs: list[str],
-    effective: str,
+    effective: str | None = None,
     close_missing: bool = False,
+    effective_from_col: str | None = None,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension merge: apply a new full
     ``snapshot`` (key + attrs) to a versioned ``history`` table
@@ -436,6 +437,14 @@ def scd2_merge(
     keys absent from the snapshot are closed (full-snapshot semantics).
     History rows already closed always pass through untouched.
 
+    ``effective_from_col`` (round 13, the CDC-apply form): instead of
+    one literal ``effective`` for the whole snapshot, take each key's
+    effective time from that SNAPSHOT column (e.g. the CDC row's event
+    time) — changed keys close at and re-open from their own row's
+    timestamp. Exactly one of ``effective`` / ``effective_from_col``
+    must be given; ``close_missing`` requires the literal form (a key
+    absent from the snapshot has no snapshot row to take a time from).
+
     Scale shape: ONE full-outer hash join of the OPEN slice against the
     snapshot on the key (closed history never joins — it is
     filter-unioned around the join), attribute comparison via null-safe
@@ -445,9 +454,18 @@ def scd2_merge(
     three times (3 scans of each side; a real cost when the open slice
     is billions of keys). At 100 TB the open slice is one row per live
     key — dimension-sized, not history-sized."""
+    if (effective is None) == (effective_from_col is None):
+        raise ValueError(
+            "exactly one of effective / effective_from_col is required")
+    if close_missing and effective_from_col is not None:
+        raise ValueError(
+            "close_missing needs a literal effective time (keys absent "
+            "from the snapshot carry no snapshot timestamp)")
     cur = history.filter(F.col("is_current"))
     past = history.filter(~F.col("is_current"))
-    snap = snapshot.select(key, *attrs)
+    snap_cols = [key, *attrs] + (
+        [effective_from_col] if effective_from_col else [])
+    snap = snapshot.select(*snap_cols)
 
     c, s = cur.alias("c"), snap.alias("s")
     j = c.join(s, F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer")
@@ -457,7 +475,10 @@ def scd2_merge(
         same = eq if same is None else same & eq
     in_cur = F.col(f"c.{key}").isNotNull()
     in_snap = F.col(f"s.{key}").isNotNull()
-    eff = F.lit(effective).cast("timestamp")
+    if effective_from_col is not None:
+        eff = F.col(f"s.{effective_from_col}").cast("timestamp")
+    else:
+        eff = F.lit(effective).cast("timestamp")
     null_ts = F.lit(None).cast("timestamp")
 
     def version(side: str, valid_from, valid_to, is_current):

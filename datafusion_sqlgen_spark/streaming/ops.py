@@ -1360,3 +1360,150 @@ def run_bounded_kmeans(
             6,
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC-apply (SCD2) sink: a versioned dimension-history table
+# kept current by applying each micro-batch as a type-2 slowly-changing
+# merge. This is the fourth sink state-algebra class (round 13): the
+# rollup sink is ADDITIVE (replay double-counts), the sketch sink is
+# IDEMPOTENT (max-merge), the k-means sink is an ORDER-DEPENDENT MODEL,
+# and this one is ORDER-DEPENDENT HISTORY — a batch's merge result
+# depends on the open-row slice it observed, and a replay would close
+# and re-open versions a second time, so the batch-id guard is
+# mandatory, not advisory.
+# ---------------------------------------------------------------------------
+
+
+def scd2_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key: str = "user_id",
+    attrs: tuple = ("event_type",),
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+) -> None:
+    """One micro-batch of the streaming CDC-apply sink, module-level so
+    the replay and crash-promote contracts are directly testable.
+
+    The batch is first CDC-COMPACTED — one row per key, the latest by
+    (``ts_col``, ``order_cols``) descending (a key changing twice
+    within one micro-batch applies only its final state; the
+    intermediate version belongs to a finer trigger, not to history) —
+    then applied to the standing history via
+    ``operators.joins.scd2_merge`` with each key's effective time taken
+    from ITS OWN row (``effective_from_col``): changed keys close at
+    and re-open from their event time, new keys open at theirs.
+
+    Scale shape per batch: one key-partitioned WindowGroupLimit over
+    the BATCH (compaction), then scd2_merge's single full-outer hash
+    join of the open history slice against the compacted batch —
+    dimension-sized, never history-sized (closed rows filter-union
+    around the join). State commits are whole-generation atomic
+    renames, same as the other sinks; on Delta/Iceberg the body
+    becomes a MERGE and the stream graph is unchanged."""
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.joins import scd2_merge
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    latest = _latest_generation(spark, state_path)
+    if latest is not None and batch_id <= latest:
+        return  # replayed batch already committed — idempotent
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(),
+        *[F.col(c).desc() for c in order_cols],
+    )
+    snap = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, *attrs, ts_col)
+    )
+    if latest is not None:
+        history = spark.read.parquet(f"{state_path}/gen-{latest}")
+    else:
+        # empty history with the output schema, typed off the batch
+        history = (
+            snap.select(
+                key, *attrs,
+                F.col(ts_col).cast("timestamp").alias("valid_from"),
+            )
+            .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("is_current", F.lit(True))
+            .limit(0)
+        )
+    merged = scd2_merge(
+        history, snap, key, list(attrs), effective_from_col=ts_col
+    )
+    _atomic_commit_dir(
+        spark,
+        merged,
+        f"{state_path}/.staging-gen-{batch_id}",
+        f"{state_path}/gen-{batch_id}",
+    )
+    _retire_generations(spark, state_path, keep=2)
+
+
+def streaming_scd2_sink(
+    cdc_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key: str = "user_id",
+    attrs: tuple = ("event_type",),
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+) -> "object":
+    """foreachBatch sink maintaining a versioned SCD2 dimension history
+    from a CDC/event stream (see :func:`scd2_apply_batch` for the
+    algebra and determinism contract)."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_apply_batch(
+            batch_df, batch_id, state_path,
+            key=key, attrs=attrs, ts_col=ts_col, order_cols=order_cols,
+        )
+
+    return (
+        cdc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def run_bounded_scd2(
+    spark: SparkSession,
+    events_path: str,
+    work_dir: str,
+    key: str = "user_id",
+    attrs: tuple = ("event_type",),
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drive :func:`streaming_scd2_sink` over a BOUNDED file stream to
+    completion and return the standing history table — the
+    driver-checkable face of streaming CDC-apply (hash-checked against
+    the same batch sequence replayed as unrolled SQL merges)."""
+    import os
+
+    stream = read_events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    state_path = os.path.join(work_dir, "scd2_state")
+    q = streaming_scd2_sink(
+        stream,
+        state_path=state_path,
+        checkpoint=os.path.join(work_dir, "checkpoint"),
+        key=key, attrs=attrs,
+    )
+    q.processAllAvailable()
+    q.stop()
+    latest = _latest_generation(spark, state_path)
+    if latest is None:
+        # empty source -> zero triggers committed; empty history with
+        # the output schema (same contract as the other sinks)
+        attr_sql = ", ".join(f"{a} STRING" for a in attrs)
+        return spark.createDataFrame(
+            [], f"{key} BIGINT, {attr_sql}, valid_from TIMESTAMP, "
+                "valid_to TIMESTAMP, is_current BOOLEAN")
+    return spark.read.parquet(f"{state_path}/gen-{latest}")

@@ -2150,6 +2150,108 @@ SELECT day, user_id, n, rnk FROM (
 """
 
 
+def _streaming_scd2_result(s: SparkSession) -> DataFrame:
+    """STREAMING CDC-apply / SCD2 sink (round 13): events are split
+    into 4 TIME-ORDERED files (ntile(4) over event_id — deterministic
+    batch membership AND chronological batch order, so the versioned
+    history reads like a real CDC feed) with strictly increasing
+    mtimes, streamed one file per trigger through
+    ``streaming_scd2_sink``: each trigger CDC-compacts its batch (last
+    row per user by ts) and applies it as a type-2 merge to the
+    standing history — changed users close their open version at their
+    event time and re-open from it (the HISTORY state-algebra class:
+    a batch's merge depends on the open slice it observed, so the
+    batch-id replay guard is mandatory). The final history table is
+    hash-checked against the same 4 merges unrolled as MATERIALIZED
+    CTE stages."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.streaming.ops import run_bounded_scd2
+
+    work = tempfile.mkdtemp(prefix="stream_scd2_")
+    src = os.path.join(work, "events_files")
+    os.makedirs(src, exist_ok=True)
+    ev = s.table("events").withColumn(
+        "__b", F.ntile(4).over(Window.orderBy(F.col("event_id").asc()))
+    )
+    for i in range(1, 5):
+        tmp = os.path.join(work, f"tmp{i}")
+        ev.filter(F.col("__b") == i).drop("__b").coalesce(1) \
+            .write.parquet(tmp)
+        dst = os.path.join(src, f"part{i}.parquet")
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        ts = 1_000_000_000 + i * 3600
+        os.utime(dst, (ts, ts))
+    with _replay_shuffle(s):
+        return run_bounded_scd2(s, src, work)
+
+
+def _streaming_scd2_oracle(n_batches: int = 4) -> str:
+    """The SAME batch sequence replayed as unrolled SQL merges: stage i
+    CDC-compacts batch i (ntile bucket i, last row per user by ts then
+    event_id) and applies the scd2 arms — closed-history passthrough,
+    unchanged-open passthrough, close-at-event-time, open-from-event-
+    time — against the history AFTER stage i-1.  MATERIALIZED pins each
+    stage: h(i) references h(i-1) four times, so an inlined plan would
+    re-derive the whole prefix exponentially."""
+    parts = ["""src AS (
+    SELECT user_id, event_type, ts, event_id,
+           ntile({n}) OVER (ORDER BY event_id ASC) AS b
+    FROM events
+)""".format(n=n_batches)]
+    for i in range(1, n_batches + 1):
+        parts.append(f"""snap{i} AS MATERIALIZED (
+    SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM src WHERE b = {i}
+    ) WHERE rn = 1
+)""")
+        if i == 1:
+            parts.append("""h1 AS MATERIALIZED (
+    SELECT user_id, event_type, ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM snap1
+)""")
+        else:
+            p = i - 1
+            parts.append(f"""h{i} AS MATERIALIZED (
+    SELECT user_id, event_type, valid_from, valid_to, is_current
+    FROM h{p} WHERE NOT is_current
+    UNION ALL
+    SELECT c.user_id, c.event_type, c.valid_from, c.valid_to,
+           c.is_current
+    FROM (SELECT * FROM h{p} WHERE is_current) c
+    LEFT JOIN snap{i} s ON c.user_id = s.user_id
+    WHERE s.user_id IS NULL
+       OR c.event_type IS NOT DISTINCT FROM s.event_type
+    UNION ALL
+    SELECT c.user_id, c.event_type, c.valid_from, s.ts, FALSE
+    FROM (SELECT * FROM h{p} WHERE is_current) c
+    JOIN snap{i} s ON c.user_id = s.user_id
+    WHERE c.event_type IS DISTINCT FROM s.event_type
+    UNION ALL
+    SELECT s.user_id, s.event_type, s.ts,
+           CAST(NULL AS TIMESTAMP), TRUE
+    FROM snap{i} s
+    LEFT JOIN (SELECT * FROM h{p} WHERE is_current) c
+      ON c.user_id = s.user_id
+    WHERE c.user_id IS NULL
+       OR c.event_type IS DISTINCT FROM s.event_type
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT user_id, event_type, valid_from, valid_to, "
+          f"is_current FROM h{n_batches}"
+    )
+
+
 def _mm_binary_ingest(s: SparkSession) -> DataFrame:
     """Write the first 40 documents' bytes as individual .bin files
     (setup), then ingest the directory through the binaryFile source
@@ -3943,6 +4045,15 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
         "streaming_topk_result": (
             _streaming_topk_result,
             _STREAMING_TOPK_ORACLE,
+        ),
+        # STREAMING CDC-apply / SCD2 sink (round 13): the fourth sink
+        # state-algebra class (history-versioned — order-dependent,
+        # replay-guarded); 4 time-ordered triggers, each CDC-compacted
+        # and type-2-merged; history hash-checked vs the unrolled
+        # MATERIALIZED-CTE batch twin
+        "streaming_scd2_result": (
+            _streaming_scd2_result,
+            _streaming_scd2_oracle(),
         ),
         # STREAMING driver-visible workload #2 (round 6): the
         # continuous-dedup corpus sink replayed over a bounded 2-file

@@ -995,3 +995,106 @@ def test_kmeans_sink_replay_is_idempotent(spark, tmp_path):
     again = sorted(
         map(tuple, spark.read.parquet(f"{state}/gen-{g2}").collect()))
     assert again == first
+
+
+def test_bounded_scd2_empty_source_returns_empty_schema(spark, tmp_path):
+    """Empty stream -> zero triggers committed history; the finalize
+    returns an empty frame with the history schema instead of a
+    gen-None read error (same contract as the other sinks)."""
+    import os
+
+    from datafusion_sqlgen_spark.streaming.ops import run_bounded_scd2
+
+    src = os.path.join(str(tmp_path), "empty_src")
+    os.makedirs(src, exist_ok=True)
+    out = run_bounded_scd2(spark, src, str(tmp_path))
+    assert out.columns == [
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"]
+    assert out.count() == 0
+
+
+def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
+    """Replaying an already-committed batch id is a no-op: HISTORY
+    state is order-dependent — a replayed merge would close and re-open
+    versions a second time — so the batch-id guard is mandatory."""
+    import os
+
+    from datafusion_sqlgen_spark.streaming.ops import (
+        _latest_generation,
+        scd2_apply_batch,
+    )
+
+    ev = spark.table("events").limit(200)
+    state = os.path.join(str(tmp_path), "scd2_state")
+    scd2_apply_batch(ev, 0, state)
+    g1 = _latest_generation(spark, state)
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{state}/gen-{g1}").collect()))
+    scd2_apply_batch(ev, 0, state)  # replay: must be a no-op
+    g2 = _latest_generation(spark, state)
+    assert g2 == g1
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{state}/gen-{g2}").collect()))
+    assert again == first
+
+
+def test_scd2_sink_versions_close_and_reopen_at_event_time(spark, tmp_path):
+    """Two sequential batches where a key changes: the open version
+    closes AT the change row's event time and the new version opens
+    FROM it; an unchanged key keeps one open version; within-batch
+    churn compacts to the LAST row per key."""
+    import datetime as dt
+    import os
+
+    from datafusion_sqlgen_spark.streaming.ops import scd2_apply_batch
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                  "event_type STRING, value DOUBLE, props STRING")
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    state = os.path.join(str(tmp_path), "scd2_state")
+    # batch 0: user 1 churns within the batch (view then click — only
+    # click may enter history), user 2 appears once
+    scd2_apply_batch(ev_df([
+        (0, t(1), 1, "view", 1.0, "{}"),
+        (1, t(2), 1, "click", 1.0, "{}"),
+        (2, t(3), 2, "view", 1.0, "{}"),
+    ]), 0, state)
+    # batch 1: user 1 changes to purchase at t(5); user 2 unchanged
+    scd2_apply_batch(ev_df([
+        (3, t(5), 1, "purchase", 1.0, "{}"),
+        (4, t(6), 2, "view", 1.0, "{}"),
+    ]), 1, state)
+    rows = {
+        (r["user_id"], r["event_type"]):
+            (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(f"{state}/gen-1").collect()
+    }
+    assert len(rows) == 3
+    assert rows[(1, "click")] == (t(2), t(5), False)     # closed at change
+    assert rows[(1, "purchase")] == (t(5), None, True)   # reopened from it
+    assert rows[(2, "view")] == (t(3), None, True)       # untouched
+    assert (1, "view") not in rows                       # compacted away
+
+
+def test_scd2_merge_effective_param_validation(spark):
+    """Exactly one of effective / effective_from_col; close_missing
+    needs the literal form."""
+    import pytest as _pytest
+
+    from datafusion_sqlgen_spark.operators.joins import scd2_merge
+
+    h = spark.createDataFrame(
+        [], "k BIGINT, a STRING, valid_from TIMESTAMP, "
+            "valid_to TIMESTAMP, is_current BOOLEAN")
+    s = spark.createDataFrame([], "k BIGINT, a STRING, ts TIMESTAMP")
+    with _pytest.raises(ValueError):
+        scd2_merge(h, s, "k", ["a"])  # neither
+    with _pytest.raises(ValueError):
+        scd2_merge(h, s, "k", ["a"], effective="2024-01-01",
+                   effective_from_col="ts")  # both
+    with _pytest.raises(ValueError):
+        scd2_merge(h, s, "k", ["a"], effective_from_col="ts",
+                   close_missing=True)  # no time for missing keys
