@@ -43,6 +43,7 @@ HEADLINE = [
     # round-13 additions
     "text_rrf_hybrid_topk",
     "streaming_scd2_result",
+    "text_unigram_train",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -11,6 +11,7 @@ the same deterministic math, so the driver can hash-compare results.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve here
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2780,3 +2781,291 @@ FROM fused
 ORDER BY rrf_fp DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+_UNIGRAM_INF = 10**15  # unreachable-segmentation sentinel (fits BIGINT
+#                        even after summing a full max_word_len path)
+
+
+def _make_viterbi_udf(costs: dict, max_piece_len: int):
+    """Arrow-batched Viterbi segmenter over a BROADCAST piece-cost
+    dict (closure capture — the vocab is bounded at alphabet +
+    seed_multi rows by construction). Integer costs make the DP exact,
+    so the argmin path is bit-identical to the oracle's unrolled SQL
+    DP; ties at a backtrack step break to the SMALLEST start (the
+    longest piece), scanning starts ascending."""
+    import pandas as pd
+
+    @F.pandas_udf("array<string>")
+    def seg(ws: pd.Series) -> pd.Series:
+        def one(w: str) -> list:
+            L = len(w)
+            best = [0] + [_UNIGRAM_INF] * L
+            for j in range(1, L + 1):
+                for i in range(max(0, j - max_piece_len), j):
+                    c = costs.get(w[i:j])
+                    if c is not None and best[i] + c < best[j]:
+                        best[j] = best[i] + c
+            out = []
+            pos = L
+            while pos > 0:
+                for i in range(max(0, pos - max_piece_len), pos):
+                    c = costs.get(w[i:pos])
+                    if c is not None and best[i] + c == best[pos]:
+                        out.append(w[i:pos])
+                        pos = i
+                        break
+            out.reverse()
+            return out
+
+        return ws.map(one)
+
+    return seg
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_multi: int = 48,
+    text_col: str = "text",
+    top_words: int = 2000,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+    simplified to deterministic HARD EM: seed a substring vocabulary,
+    then iterate (E) Viterbi-segment every word shape under the current
+    piece log-probs and (M) re-estimate probs from the optimal-path
+    usage counts, PRUNING multi-char pieces that won every zero Viterbi
+    competitions (the count-threshold simplification of the published
+    likelihood-loss prune; single chars are never pruned — coverage).
+    Returns the serialized tokenizer table ``(piece, n_uses,
+    logprob)`` after ``n_rounds`` EM rounds — the other mainstream
+    tokenizer family beside :func:`bpe_train_merges`.
+
+    Determinism contract (drives the oracle): costs are fixed-point
+    ``floor(-ln(p) * 1e6 + 0.5)`` BIGINTs, the DP is integer-exact,
+    and backtrack ties choose the longest piece; seed caps order by
+    (freq DESC, piece ASC).
+
+    Scale shape for 100 TB: training runs over the DISTINCT word-shape
+    table (zipfian corpora collapse ~100x, same cap as BPE), the vocab
+    is bounded (alphabet + ``seed_multi``) and rides into the E-step as
+    an Arrow-batched pandas-UDF closure (the broadcast-rules pattern);
+    each round is one shape-table pass + one piece-keyed aggregate.
+    The per-round vocab collect is bounded rows, never corpus data."""
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]+$")
+               & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(top_words)
+        .localCheckpoint(eager=True)  # re-read every EM round
+    )
+
+    # seed: every substring occurrence of length 1..max_piece_len,
+    # weighted by word count (overlaps counted — the standard seed)
+    subs = None
+    for ln_ in range(1, max_piece_len + 1):
+        s = (
+            words.where(F.length("w") >= ln_)
+            .select(
+                F.col("n"),
+                F.explode(F.expr(
+                    f"transform(sequence(1, length(w) - {ln_} + 1), "
+                    f"p -> substring(w, p, {ln_}))"
+                )).alias("piece"),
+            )
+        )
+        subs = s if subs is None else subs.unionByName(s)
+    freqs = subs.groupBy("piece").agg(
+        F.sum("n").cast("bigint").alias("freq"))
+    singles = freqs.where(F.length("piece") == 1)
+    multis = (
+        freqs.where(F.length("piece") > 1)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(seed_multi)
+    )
+    seed = singles.unionByName(multis)
+    tot = seed.agg(F.sum("freq").cast("double").alias("tot"))
+    vocab = (
+        seed.crossJoin(F.broadcast(tot))
+        .select(
+            "piece", F.col("freq").alias("n_uses"),
+            F.floor(
+                -F.log(F.col("freq").cast("double") / F.col("tot"))
+                * 1e6 + 0.5
+            ).cast("bigint").alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(n_rounds):
+        costs = {
+            r["piece"]: int(r["cost"])
+            for r in vocab.select("piece", "cost").collect()
+        }  # bounded: <= alphabet + seed_multi rows (model, not data)
+        seg = _make_viterbi_udf(costs, max_piece_len)
+        segmented = words.select(
+            "n", F.explode(seg(F.col("w"))).alias("piece"))
+        usage = segmented.groupBy("piece").agg(
+            F.sum("n").cast("bigint").alias("u"))
+        u0 = F.coalesce(F.col("u"), F.lit(0)).cast("bigint")
+        pruned = (
+            vocab.select("piece").join(usage, "piece", "left")
+            .select(
+                "piece", u0.alias("n_uses"),
+                F.when(u0 > 0, u0)
+                 .when(F.length("piece") == 1, F.lit(1))
+                 .alias("adj"),
+            )
+            .where(F.col("adj").isNotNull())
+        )
+        tot2 = pruned.agg(F.sum("adj").cast("double").alias("tot"))
+        vocab = (
+            pruned.crossJoin(F.broadcast(tot2))
+            .select(
+                "piece", "n_uses",
+                F.floor(
+                    -F.log(F.col("adj").cast("double") / F.col("tot"))
+                    * 1e6 + 0.5
+                ).cast("bigint").alias("cost"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return vocab.select(
+        "piece", "n_uses",
+        (-(F.col("cost").cast("double")) / F.lit(1000000.0))
+        .alias("logprob"),
+    )
+
+
+def unigram_lm_train_oracle(
+    table: str = "documents",
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_multi: int = 48,
+    text_col: str = "text",
+    top_words: int = 2000,
+) -> str:
+    """Iteration-unrolled DuckDB twin of :func:`unigram_lm_train`:
+    each EM round's E-step is the SAME Viterbi DP unrolled column-wise
+    — per-word cost array (one flat W*W list, positions i*W+j), then
+    forward best[0..W] and a W-step backtrack as lateral column
+    aliases, ties to the longest piece via CASE arm order — and the
+    M-step the same prune + fixed-point rescore. MATERIALIZED pins
+    every stage (the DP columns reference each other heavily)."""
+    inf = _UNIGRAM_INF
+    w_, p_ = max_word_len, max_piece_len
+    parts = [f"""shapes AS MATERIALIZED (
+    SELECT w, CAST(count(*) AS BIGINT) AS n, length(w) AS len FROM (
+        SELECT unnest(string_split_regex(
+            lower(coalesce({text_col}, '')), '\\s+')) AS w
+        FROM {table}
+    ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {w_}
+    GROUP BY w ORDER BY n DESC, w LIMIT {top_words}
+)""", f"""grid AS (
+    SELECT i.range AS i, j.range AS j
+    FROM range(0, {w_}) i, range(1, {w_} + 1) j
+)""", f"""subs AS (
+    SELECT substr(s.w, g.i + 1, g.j - g.i) AS piece,
+           CAST(sum(s.n) AS BIGINT) AS freq
+    FROM shapes s JOIN grid g
+      ON g.j > g.i AND g.j - g.i <= {p_} AND g.j <= s.len
+    GROUP BY 1
+)""", f"""seed AS MATERIALIZED (
+    SELECT piece, freq FROM subs WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, freq FROM (
+        SELECT piece, freq FROM subs WHERE length(piece) > 1
+        ORDER BY freq DESC, piece ASC LIMIT {seed_multi})
+)""", """v0 AS MATERIALIZED (
+    SELECT piece, freq AS n_uses,
+           CAST(floor(-ln(CAST(freq AS DOUBLE) / t.tot) * 1000000.0
+                      + 0.5) AS BIGINT) AS cost
+    FROM seed, (SELECT CAST(sum(freq) AS DOUBLE) AS tot FROM seed) t
+)"""]
+
+    for r in range(1, n_rounds + 1):
+        v_prev = f"v{r - 1}"
+        parts.append(f"""e{r} AS (
+    SELECT s.w, g.i, g.j,
+           CASE WHEN g.j > g.i AND g.j - g.i <= {p_} AND g.j <= s.len
+                THEN coalesce(v.cost, {inf}) ELSE {inf} END AS cost
+    FROM shapes s CROSS JOIN grid g
+    LEFT JOIN {v_prev} v
+      ON g.j > g.i AND g.j - g.i <= {p_} AND g.j <= s.len
+     AND v.piece = substr(s.w, g.i + 1, g.j - g.i)
+)""")
+        parts.append(f"""a{r} AS MATERIALIZED (
+    SELECT w, list(cost ORDER BY i, j) AS carr FROM e{r} GROUP BY w
+)""")
+        # forward DP + backtrack as NESTED SUBQUERY LAYERS — one added
+        # column per layer. Lateral column aliases would inline each
+        # referenced alias textually, and the b/p chains reference
+        # their predecessors up to max_piece_len times each, so the
+        # expression tree blows up ~4^W and planning never returns
+        # (measured: hang at sf0.001); subquery layers keep it a DAG.
+        inner = (f"SELECT s.w, s.n, s.len, a.carr, "
+                 f"CAST(0 AS BIGINT) AS b0 "
+                 f"FROM shapes s JOIN a{r} a USING (w)")
+        for j in range(1, w_ + 1):
+            terms = ", ".join(
+                f"b{i} + carr[{i * w_ + j}]"
+                for i in range(max(0, j - p_), j)
+            )
+            inner = (f"SELECT *, CASE WHEN {j} > len THEN {inf} "
+                     f"ELSE least({terms}) END AS b{j} FROM ({inner})")
+        barr = "[" + ", ".join(f"b{j}" for j in range(w_ + 1)) + "]"
+        inner = f"SELECT *, {barr} AS barr, len AS p0 FROM ({inner})"
+        for k in range(1, w_ + 1):
+            pk = f"p{k - 1}"
+            arms = []
+            for d in range(p_, 1, -1):
+                arms.append(
+                    f"WHEN {pk} >= {d} AND barr[{pk} - {d - 1}] "
+                    f"+ carr[({pk} - {d}) * {w_} + {pk}] "
+                    f"= barr[{pk} + 1] THEN {pk} - {d}")
+            i_expr = (f"CASE WHEN {pk} <= 0 THEN 0 "
+                      + " ".join(arms)
+                      + f" ELSE {pk} - 1 END")
+            inner = f"SELECT *, {i_expr} AS i{k} FROM ({inner})"
+            inner = (f"SELECT *, "
+                     f"CASE WHEN {pk} <= 0 THEN NULL "
+                     f"ELSE substr(w, i{k} + 1, {pk} - i{k}) END AS pc{k}, "
+                     f"CASE WHEN {pk} <= 0 THEN 0 ELSE i{k} END AS p{k} "
+                     f"FROM ({inner})")
+        parts.append(f"d{r} AS MATERIALIZED (\n    {inner}\n)")
+        pcs = ", ".join(f"pc{k}" for k in range(1, w_ + 1))
+        parts.append(f"""u{r} AS MATERIALIZED (
+    SELECT piece, CAST(sum(n) AS BIGINT) AS n_uses FROM (
+        SELECT n, unnest([{pcs}]) AS piece FROM d{r}
+    ) WHERE piece IS NOT NULL GROUP BY piece
+)""")
+        parts.append(f"""pr{r} AS MATERIALIZED (
+    SELECT v.piece, coalesce(u.n_uses, 0) AS n_uses,
+           CASE WHEN coalesce(u.n_uses, 0) > 0
+                THEN coalesce(u.n_uses, 0)
+                WHEN length(v.piece) = 1 THEN 1 END AS adj
+    FROM {v_prev} v LEFT JOIN u{r} u USING (piece)
+    WHERE coalesce(u.n_uses, 0) > 0 OR length(v.piece) = 1
+)""")
+        parts.append(f"""v{r} AS MATERIALIZED (
+    SELECT piece, CAST(n_uses AS BIGINT) AS n_uses,
+           CAST(floor(-ln(CAST(adj AS DOUBLE) / t.tot) * 1000000.0
+                      + 0.5) AS BIGINT) AS cost
+    FROM pr{r}, (SELECT CAST(sum(adj) AS DOUBLE) AS tot FROM pr{r}) t
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT piece, n_uses, "
+          f"-(CAST(cost AS DOUBLE) / 1000000.0) AS logprob FROM v{n_rounds}"
+    )

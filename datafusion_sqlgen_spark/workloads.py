@@ -4171,6 +4171,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             text.bm25_topk_oracle(["hash", "join", "vector"], k=25),
         ),
+        # round 13: SentencePiece-style unigram-LM tokenizer training
+        # (hard-EM Viterbi prune loop over a substring seed vocab;
+        # integer fixed-point costs make the DP and its unrolled
+        # array-DP DuckDB twin bit-identical)
+        "text_unigram_train": (
+            lambda s: text.unigram_lm_train(s.table("documents")),
+            text.unigram_lm_train_oracle(),
+        ),
         # round 13: hybrid retrieval fusion — BM25 top-depth + cosine
         # top-depth fused by reciprocal-rank (Cormack et al. 2009),
         # fixed-point 1e12/(60+rank) contributions so the fused order

@@ -139,3 +139,42 @@ def test_rrf_hybrid_topk_fuses_both_lists(spark, duck):
             spark.table("documents"), spark.table("embeddings"), terms,
             k=20, depth=10,
         )
+
+
+def test_unigram_lm_train_properties(spark, duck):
+    """Round-13 unigram-LM trainer: matches the unrolled array-DP
+    DuckDB twin; pieces are 1..4 chars; every corpus character
+    survives as a single (coverage — singles are never pruned);
+    multi-char pieces all carry Viterbi usage (zero-usage multis are
+    pruned); logprobs are negative and probs sum to ~1; re-running is
+    bit-identical (no RNG anywhere)."""
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    out = tx.unigram_lm_train(spark.table("documents"))
+    rows = check(spark, duck, out, tx.unigram_lm_train_oracle())
+    got = list(map(tuple, out.collect()))
+    assert len(got) > 0
+    by_piece = {p: (n, lp) for p, n, lp in got}
+    assert all(1 <= len(p) <= 4 for p in by_piece)
+    corpus_chars = {
+        c
+        for (w,) in spark.sql(
+            "SELECT DISTINCT w FROM (SELECT explode(split(lower("
+            "coalesce(text, '')), '\\\\s+')) w FROM documents) "
+            "WHERE w RLIKE '^[a-z]+$' AND length(w) <= 12"
+        ).collect()
+        for c in w
+    }
+    assert corpus_chars <= {p for p in by_piece if len(p) == 1}
+    assert all(n > 0 for p, (n, lp) in by_piece.items() if len(p) > 1)
+    assert all(lp < 0 for _, lp in by_piece.values())
+    import math
+
+    total_p = sum(math.exp(lp) for _, lp in by_piece.values())
+    assert 0.98 < total_p < 1.02, total_p
+
+    again = sorted(map(tuple, tx.unigram_lm_train(
+        spark.table("documents")).collect()))
+    assert again == sorted(got)
