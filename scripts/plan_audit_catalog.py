@@ -131,6 +131,38 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "parsed_asof_left_join": 2,
     "parsed_asof_tolerance": 2,
     "parsed_asof_tolerance_left": 2,
+    "parsed_asof_multikey": 2,
+    # round-13 widening (VERDICT r12 item 7): the dedup family leads
+    # and the streaming rows' batch twins — the workloads a refactor
+    # is most likely to silently re-shuffle. Measured 2026-08-16 from
+    # the round-13 tree at sf0.001; budgets AT the measured value.
+    "dedup_exact": 1,
+    "dedup_canonical": 1,
+    "dedup_quality_rep": 4,
+    "dedup_minhash_signatures": 0,
+    "dedup_minhash_buckets": 1,
+    "dedup_cluster_cc": 0,
+    "dedup_embedding_cosine": 4,
+    "dedup_block_level": 3,
+    "dedup_segments_ccnet": 4,
+    "dedup_substring_spans": 4,
+    "dedup_bloom_ngram_decontaminate": 8,
+    "dedup_ngram_jaccard": 1,
+    "dedup_simhash": 0,
+    "dedup_materialize": 1,
+    # batch twins of the streaming sinks (shared compute bodies:
+    # mergeable_rollup / sessionize / hourly window / running totals)
+    "events_hourly_rollup": 1,
+    "events_sessionize_gap": 1,
+    "ts_mergeable_rollup": 2,
+    "ts_sessionize": 1,
+    "ts_rolling_anomaly": 2,
+    "ts_funnel_steps": 1,
+    "ts_cohort_retention": 4,
+    # round-13 additions, pinned at birth
+    "text_rrf_hybrid_topk": 6,
+    "text_unigram_train": 0,
+    "text_calibration_bins": 4,
 }
 
 
