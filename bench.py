@@ -44,6 +44,7 @@ HEADLINE = [
     "text_rrf_hybrid_topk",
     "streaming_scd2_result",
     "text_unigram_train",
+    "text_unigram_encode",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -2947,7 +2947,7 @@ def unigram_lm_train(
     )
 
 
-def unigram_lm_train_oracle(
+def _unigram_train_parts(
     table: str = "documents",
     n_rounds: int = 2,
     max_piece_len: int = 4,
@@ -2955,12 +2955,16 @@ def unigram_lm_train_oracle(
     seed_multi: int = 48,
     text_col: str = "text",
     top_words: int = 2000,
-) -> str:
-    """Iteration-unrolled DuckDB twin of :func:`unigram_lm_train`:
-    each EM round's E-step is the SAME Viterbi DP unrolled column-wise
+) -> list:
+    """WITH-clause parts of the unrolled unigram trainer, ending at the
+    final vocab CTE ``v{n_rounds}`` — shared by the train oracle and
+    the encode oracle (which re-derives the vocab the same way
+    bpe_encode_oracle re-derives the merge rules).
+
+    Each EM round's E-step is the SAME Viterbi DP unrolled column-wise
     — per-word cost array (one flat W*W list, positions i*W+j), then
-    forward best[0..W] and a W-step backtrack as lateral column
-    aliases, ties to the longest piece via CASE arm order — and the
+    forward best[0..W] and a W-step backtrack as nested subquery
+    layers, ties to the longest piece via CASE arm order — and the
     M-step the same prune + fixed-point rescore. MATERIALIZED pins
     every stage (the DP columns reference each other heavily)."""
     inf = _UNIGRAM_INF
@@ -3064,8 +3068,223 @@ def unigram_lm_train_oracle(
                       + 0.5) AS BIGINT) AS cost
     FROM pr{r}, (SELECT CAST(sum(adj) AS DOUBLE) AS tot FROM pr{r}) t
 )""")
+    return parts
+
+
+def unigram_lm_train_oracle(
+    table: str = "documents",
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_multi: int = 48,
+    text_col: str = "text",
+    top_words: int = 2000,
+) -> str:
+    """Iteration-unrolled DuckDB twin of :func:`unigram_lm_train`
+    (see :func:`_unigram_train_parts` for the DP construction)."""
+    parts = _unigram_train_parts(
+        table, n_rounds, max_piece_len, max_word_len, seed_multi,
+        text_col, top_words)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT piece, n_uses, "
           f"-(CAST(cost AS DOUBLE) / 1000000.0) AS logprob FROM v{n_rounds}"
+    )
+
+
+_UNIGRAM_UNK = 40 * 10**6  # cost of a vocab-missing single char at
+#                            encode time (logprob -40: finite so every
+#                            word still segments, huge so it never wins
+#                            a competition a known piece could)
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    max_word_len: int = 30,
+) -> DataFrame:
+    """Serve a trained unigram-LM vocabulary (:func:`unigram_lm_train`
+    output): Viterbi-tokenize every document's alphabetic words and
+    return ``(doc_id, n_words, n_tokens, logprob)`` — token-budget
+    accounting plus the document's total piece log-likelihood (the
+    LM-quality signal a perplexity gate consumes). The serving twin of
+    :func:`bpe_encode` for the unigram family.
+
+    Words longer than ``max_word_len`` (30 — beyond any alphabetic
+    fixture word) are excluded from both counts on both engines; a
+    single char missing from the vocabulary segments at the finite
+    ``_UNIGRAM_UNK`` cost, so encode never requires the training
+    vocabulary to cover the serving corpus.
+
+    Scale shape: the vocab collects once (bounded: alphabet +
+    seed_multi rows) and rides into an Arrow-batched pandas UDF over
+    the DISTINCT word vocabulary (zipfian ~100x collapse, the
+    bpe_encode pattern), then one vocab-keyed join back and a
+    doc-keyed aggregate."""
+    rows = vocab.select("piece", "logprob").collect()  # model-sized
+    costs = {
+        r["piece"]: int(round(-r["logprob"] * 1e6)) for r in rows
+    }
+
+    @F.pandas_udf("n_tok int, cost bigint")
+    def segstats(ws: pd.Series) -> pd.DataFrame:
+        def one(w: str):
+            L = len(w)
+
+            def c_of(sub):
+                c = costs.get(sub)
+                if c is None and len(sub) == 1:
+                    return _UNIGRAM_UNK
+                return c
+
+            best = [0] + [_UNIGRAM_INF] * L
+            for j in range(1, L + 1):
+                for i in range(max(0, j - max_piece_len), j):
+                    c = c_of(w[i:j])
+                    if c is not None and best[i] + c < best[j]:
+                        best[j] = best[i] + c
+            n_tok = 0
+            pos = L
+            while pos > 0:
+                for i in range(max(0, pos - max_piece_len), pos):
+                    c = c_of(w[i:pos])
+                    if c is not None and best[i] + c == best[pos]:
+                        n_tok += 1
+                        pos = i
+                        break
+            return n_tok, best[L]
+
+        stats = ws.map(one)
+        return pd.DataFrame({
+            "n_tok": stats.map(lambda t: t[0]).astype("int32"),
+            "cost": stats.map(lambda t: t[1]).astype("int64"),
+        })
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+")
+        ).alias("w"),
+    ).where(F.col("w").rlike("^[a-z]+$")
+            & (F.length("w") <= max_word_len))
+    wstats = (
+        words.select("w").distinct()
+        .withColumn("st", segstats(F.col("w")))
+        .select("w", F.col("st.n_tok").alias("n_tok"),
+                F.col("st.cost").alias("wcost"))
+    )
+    return (
+        words.join(wstats, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            (-(F.sum("wcost").cast("double")) / F.lit(1000000.0))
+            .alias("logprob"),
+        )
+    )
+
+
+def unigram_encode_oracle(
+    table: str = "documents",
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_multi: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_words: int = 2000,
+    max_enc_word_len: int = 30,
+) -> str:
+    """DuckDB twin of :func:`unigram_encode`: re-derives the trained
+    vocab via :func:`_unigram_train_parts` (the bpe_encode_oracle
+    pattern), then runs the SAME Viterbi DP — unrolled to
+    ``max_enc_word_len`` — over the distinct serving words, counting
+    backtrack steps and reading the path cost off the forward table
+    (no piece strings needed at encode time).  Missing single chars
+    cost ``_UNIGRAM_UNK``, exactly like the Spark UDF."""
+    inf, unk = _UNIGRAM_INF, _UNIGRAM_UNK
+    p_, we = max_piece_len, max_enc_word_len
+    parts = _unigram_train_parts(
+        table, n_rounds, max_piece_len, max_word_len, seed_multi,
+        text_col, top_words)
+    vfinal = f"v{n_rounds}"
+    parts.append(f"""encw AS MATERIALIZED (
+    SELECT w, length(w) AS len FROM (
+        SELECT DISTINCT unnest(string_split_regex(
+            lower(coalesce({text_col}, '')), '\\s+')) AS w
+        FROM {table}
+    ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {we}
+)""")
+    parts.append(f"""egrid AS (
+    SELECT i.range AS i, j.range AS j
+    FROM range(0, {we}) i, range(1, {we} + 1) j
+)""")
+    parts.append(f"""ee AS (
+    SELECT s.w, g.i, g.j,
+           CASE WHEN g.j > g.i AND g.j - g.i <= {p_} AND g.j <= s.len
+                THEN coalesce(v.cost,
+                              CASE WHEN g.j - g.i = 1 THEN {unk}
+                                   ELSE {inf} END)
+                ELSE {inf} END AS cost
+    FROM encw s CROSS JOIN egrid g
+    LEFT JOIN {vfinal} v
+      ON g.j > g.i AND g.j - g.i <= {p_} AND g.j <= s.len
+     AND v.piece = substr(s.w, g.i + 1, g.j - g.i)
+)""")
+    parts.append(
+        "ea AS MATERIALIZED (\n"
+        "    SELECT w, list(cost ORDER BY i, j) AS carr "
+        "FROM ee GROUP BY w\n)")
+    inner = ("SELECT s.w, s.len, a.carr, CAST(0 AS BIGINT) AS b0 "
+             "FROM encw s JOIN ea a USING (w)")
+    for j in range(1, we + 1):
+        terms = ", ".join(
+            f"b{i} + carr[{i * we + j}]"
+            for i in range(max(0, j - p_), j)
+        )
+        inner = (f"SELECT *, CASE WHEN {j} > len THEN {inf} "
+                 f"ELSE least({terms}) END AS b{j} FROM ({inner})")
+    barr = "[" + ", ".join(f"b{j}" for j in range(we + 1)) + "]"
+    inner = f"SELECT *, {barr} AS barr, len AS p0 FROM ({inner})"
+    for k in range(1, we + 1):
+        pk = f"p{k - 1}"
+        arms = []
+        for d in range(p_, 1, -1):
+            arms.append(
+                f"WHEN {pk} >= {d} AND barr[{pk} - {d - 1}] "
+                f"+ carr[({pk} - {d}) * {we} + {pk}] "
+                f"= barr[{pk} + 1] THEN {pk} - {d}")
+        i_expr = (f"CASE WHEN {pk} <= 0 THEN 0 "
+                  + " ".join(arms)
+                  + f" ELSE {pk} - 1 END")
+        inner = (f"SELECT *, CASE WHEN {pk} <= 0 THEN 0 "
+                 f"ELSE ({i_expr}) END AS p{k} FROM ({inner})")
+    steps = " + ".join(
+        f"CASE WHEN p{k - 1} > 0 THEN 1 ELSE 0 END"
+        for k in range(1, we + 1)
+    )
+    parts.append(
+        f"ed AS MATERIALIZED (\n"
+        f"    SELECT w, CAST({steps} AS INT) AS n_tok, "
+        f"barr[p0 + 1] AS wcost FROM ({inner})\n)")
+    parts.append(f"""docw AS (
+    SELECT {id_col}, w FROM (
+        SELECT {id_col}, unnest(string_split_regex(
+            lower(coalesce({text_col}, '')), '\\s+')) AS w
+        FROM {table}
+    ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {we}
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       -(CAST(sum(wcost) AS DOUBLE) / 1000000.0) AS logprob
+FROM docw JOIN ed USING (w)
+GROUP BY {id_col}"""
     )

@@ -4179,6 +4179,17 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: text.unigram_lm_train(s.table("documents")),
             text.unigram_lm_train_oracle(),
         ),
+        # round 13: the unigram family's serving half — Viterbi
+        # tokenization under the trained vocab over the distinct-word
+        # table (Arrow-batched UDF, broadcast model), emitting per-doc
+        # token budgets + total piece log-likelihood
+        "text_unigram_encode": (
+            lambda s: text.unigram_encode(
+                s.table("documents"),
+                text.unigram_lm_train(s.table("documents")),
+            ),
+            text.unigram_encode_oracle(),
+        ),
         # round 13: hybrid retrieval fusion — BM25 top-depth + cosine
         # top-depth fused by reciprocal-rank (Cormack et al. 2009),
         # fixed-point 1e12/(60+rank) contributions so the fused order

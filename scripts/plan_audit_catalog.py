@@ -162,6 +162,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # round-13 additions, pinned at birth
     "text_rrf_hybrid_topk": 6,
     "text_unigram_train": 0,
+    "text_unigram_encode": 3,
     "text_calibration_bins": 4,
 }
 

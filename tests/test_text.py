@@ -178,3 +178,38 @@ def test_unigram_lm_train_properties(spark, duck):
     again = sorted(map(tuple, tx.unigram_lm_train(
         spark.table("documents")).collect()))
     assert again == sorted(got)
+
+
+def test_unigram_encode_matches_oracle_and_bounds(spark, duck):
+    """Round-13 serving half: per-doc budgets match the re-derived
+    DuckDB twin; n_tokens sits between n_words (fully merged) and the
+    total alpha chars (char-level fallback); logprob is negative; a
+    chars-only vocab degenerates to character counts."""
+    from pyspark.sql import functions as F
+
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    vocab = tx.unigram_lm_train(spark.table("documents"))
+    out = tx.unigram_encode(spark.table("documents"), vocab)
+    rows = check(spark, duck, out, tx.unigram_encode_oracle())
+    assert len(rows) > 0
+    for r in out.collect():
+        assert r["n_words"] <= r["n_tokens"]
+        assert r["logprob"] < 0
+
+    # chars-only vocab (prune every multi): n_tokens == total chars
+    chars_only = vocab.filter(F.length("piece") == 1)
+    degen = tx.unigram_encode(spark.table("documents"), chars_only)
+    chars = (
+        spark.sql(
+            "SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS n_chars "
+            "FROM (SELECT doc_id, explode(split(lower(coalesce(text, "
+            "'')), '\\\\s+')) w FROM documents) "
+            "WHERE w RLIKE '^[a-z]+$' AND length(w) <= 30 "
+            "GROUP BY doc_id")
+    )
+    j = degen.join(chars, "doc_id").collect()
+    assert len(j) > 0
+    assert all(r["n_tokens"] == r["n_chars"] for r in j)
