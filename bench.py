@@ -45,6 +45,8 @@ HEADLINE = [
     "streaming_scd2_result",
     "text_unigram_train",
     "text_unigram_encode",
+    "text_pii_scrub",
+    "text_tokenizer_fertility",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -3288,3 +3288,126 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_words,
 FROM docw JOIN ed USING (w)
 GROUP BY {id_col}"""
     )
+
+
+# PII patterns (the BigCode/StarCoder-style curation pass, simplified
+# to the three regex-detectable classes). Java regex and DuckDB's RE2
+# agree on this subset: char classes, bounded repeats, \b, no
+# backrefs. Applied IN ORDER to the progressively-scrubbed text (an
+# email is scrubbed before the IP pass can eat its dotted digits).
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3,4}-\d{3,4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex PII redaction — the standard pre-training curation pass:
+    emails, dotted-quad IPs and international phone numbers are counted
+    then masked, in that order, each pattern evaluated against the text
+    AFTER the previous pattern's replacement (well-defined overlap
+    semantics; documented in _PII_PATTERNS). Returns ``(doc_id,
+    n_email, n_ip, n_phone, scrubbed)``.
+
+    Scale shape: a pure narrow map — regexp_count + regexp_replace are
+    JVM-side whole-stage-codegen expressions, zero shuffle, zero UDF;
+    at 100 TB this runs at scan speed and composes with any downstream
+    filter in the same stage."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, rep in _PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("bigint")
+            .alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(F.col(id_col), *counts, cur.alias("scrubbed"))
+
+
+def pii_scrub_oracle(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    cur = f"coalesce({text_col}, '')"
+    cols = []
+    for name, pat, rep in _PII_PATTERNS:
+        # DuckDB single-quoted strings are escape-free: pass the regex
+        # verbatim (only quote-double), never backslash-double
+        pat_sql = pat.replace("'", "''")
+        cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat_sql}')) AS BIGINT)"
+            f" AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat_sql}', '{rep}', 'g')"
+    col_sql = ",\n       ".join(cols)
+    return (
+        f"SELECT {id_col},\n       {col_sql},\n"
+        f"       {cur} AS scrubbed\nFROM {table}"
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility audit: tokens-per-word by ``group_col``
+    (usually language) under a trained BPE merge table — the standard
+    multilingual health check before committing to a tokenizer (a
+    language whose fertility is 2x another's pays 2x the context
+    budget for the same content; the classic under-trained-script
+    signal). Returns ``(group, n_docs, n_words, n_tokens, fertility)``
+    with fertility 1e-6-snapped.
+
+    Scale shape: :func:`bpe_encode`'s plan (broadcast rules, distinct-
+    vocab tokenize, doc-keyed aggregate) plus one doc-keyed equi-join
+    to the group label (same key — co-partitioned under AQE) and a
+    final tiny group reduce."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    enc = bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    labeled = enc.join(
+        docs.select(F.col(id_col), F.col(group_col).alias("grp")), id_col)
+    return (
+        labeled.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            _stable_round(
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_words").cast("double"), 6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def tokenizer_fertility_oracle(
+    table: str = "documents",
+    group_col: str = "lang",
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_words: int = 2000,
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    enc = bpe_encode_oracle(table, n_merges, text_col, id_col, top_words)
+    return f"""
+WITH enc AS ({enc})
+SELECT d.{group_col} AS {group_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       {_duck_round('CAST(sum(e.n_tokens) AS DOUBLE) / sum(e.n_words)', 6)}
+           AS fertility
+FROM enc e JOIN {table} d USING ({id_col})
+GROUP BY 1
+"""

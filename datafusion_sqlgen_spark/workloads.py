@@ -4190,6 +4190,56 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             text.unigram_encode_oracle(),
         ),
+        # round 13: tokenizer fertility audit — tokens/word per lang
+        # under the trained BPE rules (bpe_encode's plan + one
+        # co-partitioned label join + tiny group reduce)
+        "text_tokenizer_fertility": (
+            lambda s: text.tokenizer_fertility(
+                s.table("documents"),
+                text.bpe_train_merges(s.table("documents")),
+            ),
+            text.tokenizer_fertility_oracle(),
+        ),
+        # round 13: regex PII scrub (emails/IPs/phones counted then
+        # masked, zero-shuffle narrow map). The fixture text carries no
+        # PII, so the workload derives a deterministic PII-bearing
+        # column IN-QUERY from doc_id (2/3 of docs get one of each
+        # class, 1/3 stay clean) — the scrub itself is what's under
+        # test, against the same derivation in the oracle
+        "text_pii_scrub": (
+            lambda s: text.pii_scrub(
+                s.table("documents").select(
+                    "doc_id",
+                    F.concat(
+                        F.substring(
+                            F.coalesce(F.col("text"), F.lit("")), 1, 80),
+                        F.when(
+                            F.col("doc_id") % 3 != 2,
+                            F.concat(
+                                F.lit(" contact user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com at 10.0."),
+                                (F.col("doc_id") % 256).cast("string"),
+                                F.lit(".7 or +1-555-0"),
+                                F.lpad((F.col("doc_id") % 1000)
+                                       .cast("string"), 3, "0"),
+                            ),
+                        ).otherwise(F.lit("")),
+                    ).alias("text"),
+                )
+            ),
+            "WITH src AS (\n"
+            "    SELECT doc_id,\n"
+            "           substr(coalesce(text, ''), 1, 80) ||\n"
+            "           CASE WHEN doc_id % 3 <> 2 THEN\n"
+            "                ' contact user' || doc_id ||\n"
+            "                '@example.com at 10.0.' || (doc_id % 256)\n"
+            "                || '.7 or +1-555-0' ||\n"
+            "                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')\n"
+            "           ELSE '' END AS text\n"
+            "    FROM documents\n"
+            ")\n" + text.pii_scrub_oracle(table="src"),
+        ),
         # round 13: hybrid retrieval fusion — BM25 top-depth + cosine
         # top-depth fused by reciprocal-rank (Cormack et al. 2009),
         # fixed-point 1e12/(60+rank) contributions so the fused order

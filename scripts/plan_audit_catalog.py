@@ -163,6 +163,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "text_rrf_hybrid_topk": 6,
     "text_unigram_train": 0,
     "text_unigram_encode": 3,
+    "text_pii_scrub": 0,
+    "text_tokenizer_fertility": 5,
     "text_calibration_bins": 4,
 }
 

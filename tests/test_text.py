@@ -213,3 +213,69 @@ def test_unigram_encode_matches_oracle_and_bounds(spark, duck):
     j = degen.join(chars, "doc_id").collect()
     assert len(j) > 0
     assert all(r["n_tokens"] == r["n_chars"] for r in j)
+
+
+def test_pii_scrub_masks_and_counts(spark, duck):
+    """Round-13 PII scrub: crafted rows — all three classes masked in
+    order, clean text untouched, NULL text scrubs to empty; matches
+    the DuckDB twin on the same fixture."""
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pii_docs AS SELECT * FROM VALUES "
+        "(CAST(0 AS BIGINT), "
+        " 'mail a.b-c@ex-ample.co.uk or 10.1.2.3 call +44-555-0100 x'), "
+        "(CAST(1 AS BIGINT), 'two mails p@q.io r@s.ai one 1.2.3.4'), "
+        "(CAST(2 AS BIGINT), 'nothing to see 1234 here'), "
+        "(CAST(3 AS BIGINT), CAST(NULL AS STRING)) "
+        "t(doc_id, text)"
+    )
+    out = tx.pii_scrub(spark.table("pii_docs"))
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'mail a.b-c@ex-ample.co.uk or 10.1.2.3 call +44-555-0100 x'), "
+        "(1, 'two mails p@q.io r@s.ai one 1.2.3.4'), "
+        "(2, 'nothing to see 1234 here'), "
+        "(3, NULL)) t(doc_id, text)"
+    )
+    mine = {r["doc_id"]: r for r in out.collect()}
+    orc = {r[0]: r for r in con.execute(tx.pii_scrub_oracle()).fetchall()}
+    assert len(mine) == len(orc) == 4
+    for k in mine:
+        assert (mine[k]["n_email"], mine[k]["n_ip"], mine[k]["n_phone"],
+                mine[k]["scrubbed"]) == orc[k][1:], k
+    assert mine[0]["scrubbed"] == "mail <EMAIL> or <IP> call <PHONE> x"
+    assert (mine[1]["n_email"], mine[1]["n_ip"]) == (2, 1)
+    assert mine[2]["scrubbed"] == "nothing to see 1234 here"
+    assert mine[3]["scrubbed"] == ""
+
+    # and the driver-fixture workload agrees cross-engine (check()
+    # needs the real documents view on the session duck fixture)
+    from datafusion_sqlgen_spark.workloads import build_oracles, build_queries
+
+    import tests.conftest as cf
+
+    q = build_queries()["text_pii_scrub"](spark, cf.SF_DIR)
+    check(spark, duck, q, build_oracles()["text_pii_scrub"])
+
+
+def test_tokenizer_fertility_per_lang(spark, duck):
+    """Round-13 fertility audit: matches the composed DuckDB twin;
+    every language's fertility is >= 1 (a word is at least one token)
+    and doc counts sum to the alpha-word-bearing corpus."""
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    merges = tx.bpe_train_merges(spark.table("documents"))
+    out = tx.tokenizer_fertility(spark.table("documents"), merges)
+    rows = check(spark, duck, out, tx.tokenizer_fertility_oracle())
+    assert len(rows) > 0
+    for r in out.collect():
+        assert r["fertility"] >= 1.0
+        assert r["n_tokens"] >= r["n_words"] >= r["n_docs"]
