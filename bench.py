@@ -43,6 +43,7 @@ HEADLINE = [
     # round-13 additions
     "text_rrf_hybrid_topk",
     "streaming_scd2_result",
+    "streaming_scd2_tombstones_result",
     "text_unigram_train",
     "text_unigram_encode",
     "text_pii_scrub",

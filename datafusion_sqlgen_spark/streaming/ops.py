@@ -1383,9 +1383,19 @@ def scd2_apply_batch(
     attrs: tuple = ("event_type",),
     ts_col: str = "ts",
     order_cols: tuple = ("event_id",),
+    tombstone_where: str | None = None,
 ) -> None:
     """One micro-batch of the streaming CDC-apply sink, module-level so
     the replay and crash-promote contracts are directly testable.
+
+    ``tombstone_where`` (round 13, CDC deletes): a SQL predicate over
+    the batch row marking it a DELETE. A key whose compacted latest
+    row is a tombstone closes its open version at the tombstone's
+    event time and does NOT re-open (full CDC semantics: the key can
+    re-appear in a later batch as a fresh open version); a tombstone
+    for a never-seen key is a no-op. An out-of-order tombstone
+    (earlier than the open row's valid_from) still closes at its own
+    time — deterministic, matching the sequential oracle.
 
     The batch is first CDC-COMPACTED — one row per key, the latest by
     (``ts_col``, ``order_cols``) descending (a key changing twice
@@ -1417,11 +1427,21 @@ def scd2_apply_batch(
         F.col(ts_col).desc(),
         *[F.col(c).desc() for c in order_cols],
     )
-    snap = (
+    compacted = (
         batch_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(key, *attrs, ts_col)
     )
+    if tombstone_where is not None:
+        compacted = compacted.withColumn(
+            "__tomb", F.coalesce(F.expr(tombstone_where), F.lit(False)))
+        snap = (compacted.filter(~F.col("__tomb"))
+                .select(key, *attrs, ts_col))
+        tombs = (compacted.filter(F.col("__tomb"))
+                 .select(F.col(key).alias("__t_key"),
+                         F.col(ts_col).alias("__del_ts")))
+    else:
+        snap = compacted.select(key, *attrs, ts_col)
+        tombs = None
     if latest is not None:
         history = spark.read.parquet(f"{state_path}/gen-{latest}")
     else:
@@ -1435,6 +1455,23 @@ def scd2_apply_batch(
             .withColumn("is_current", F.lit(True))
             .limit(0)
         )
+    if tombs is not None:
+        # close tombstoned open rows BEFORE the live merge (the key
+        # sets are disjoint after compaction: one row per key). One
+        # extra left join over the dimension-sized open slice only.
+        cur = history.filter(F.col("is_current"))
+        past = history.filter(~F.col("is_current"))
+        j = cur.join(tombs, F.col(key) == F.col("__t_key"), "left")
+        closed_now = j.filter(F.col("__t_key").isNotNull()).select(
+            key, *attrs, "valid_from",
+            F.col("__del_ts").cast("timestamp").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        kept = j.filter(F.col("__t_key").isNull()).select(
+            key, *attrs, "valid_from", "valid_to", "is_current")
+        history = past.select(
+            key, *attrs, "valid_from", "valid_to", "is_current"
+        ).unionByName(kept).unionByName(closed_now)
     merged = scd2_merge(
         history, snap, key, list(attrs), effective_from_col=ts_col
     )
@@ -1455,14 +1492,16 @@ def streaming_scd2_sink(
     attrs: tuple = ("event_type",),
     ts_col: str = "ts",
     order_cols: tuple = ("event_id",),
+    tombstone_where: str | None = None,
 ) -> "object":
     """foreachBatch sink maintaining a versioned SCD2 dimension history
     from a CDC/event stream (see :func:`scd2_apply_batch` for the
-    algebra and determinism contract)."""
+    algebra, tombstone, and determinism contracts)."""
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         scd2_apply_batch(
             batch_df, batch_id, state_path,
             key=key, attrs=attrs, ts_col=ts_col, order_cols=order_cols,
+            tombstone_where=tombstone_where,
         )
 
     return (
@@ -1479,6 +1518,7 @@ def run_bounded_scd2(
     key: str = "user_id",
     attrs: tuple = ("event_type",),
     max_files_per_trigger: int = 1,
+    tombstone_where: str | None = None,
 ) -> DataFrame:
     """Drive :func:`streaming_scd2_sink` over a BOUNDED file stream to
     completion and return the standing history table — the
@@ -1494,7 +1534,7 @@ def run_bounded_scd2(
         stream,
         state_path=state_path,
         checkpoint=os.path.join(work_dir, "checkpoint"),
-        key=key, attrs=attrs,
+        key=key, attrs=attrs, tombstone_where=tombstone_where,
     )
     q.processAllAvailable()
     q.stop()

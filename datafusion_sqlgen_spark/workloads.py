@@ -2164,6 +2164,22 @@ def _streaming_scd2_result(s: SparkSession) -> DataFrame:
     batch-id replay guard is mandatory). The final history table is
     hash-checked against the same 4 merges unrolled as MATERIALIZED
     CTE stages."""
+    return _run_scd2_replay(s)
+
+
+def _streaming_scd2_tombstones_result(s: SparkSession) -> DataFrame:
+    """The CDC-DELETE variant (round 13): same 4 time-ordered file
+    triggers, but a compacted row matching ``event_type = 'error'`` is
+    a TOMBSTONE — it closes the key's open version at its event time
+    without re-opening (the key may re-appear later as a fresh
+    version). Hash-checked against the tombstone-armed unrolled batch
+    twin."""
+    return _run_scd2_replay(s, tombstone_where="event_type = 'error'")
+
+
+def _run_scd2_replay(
+    s: SparkSession, tombstone_where: str | None = None
+) -> DataFrame:
     import glob
     import os
     import shutil
@@ -2188,58 +2204,84 @@ def _streaming_scd2_result(s: SparkSession) -> DataFrame:
         ts = 1_000_000_000 + i * 3600
         os.utime(dst, (ts, ts))
     with _replay_shuffle(s):
-        return run_bounded_scd2(s, src, work)
+        return run_bounded_scd2(
+            s, src, work, tombstone_where=tombstone_where)
 
 
-def _streaming_scd2_oracle(n_batches: int = 4) -> str:
+def _streaming_scd2_oracle(
+    n_batches: int = 4, tombstone_where: str | None = None
+) -> str:
     """The SAME batch sequence replayed as unrolled SQL merges: stage i
     CDC-compacts batch i (ntile bucket i, last row per user by ts then
     event_id) and applies the scd2 arms — closed-history passthrough,
-    unchanged-open passthrough, close-at-event-time, open-from-event-
-    time — against the history AFTER stage i-1.  MATERIALIZED pins each
-    stage: h(i) references h(i-1) four times, so an inlined plan would
-    re-derive the whole prefix exponentially."""
-    parts = ["""src AS (
+    tombstone-close (when ``tombstone_where`` marks the compacted row a
+    CDC delete), unchanged-open passthrough, close-at-event-time,
+    open-from-event-time — against the history AFTER stage i-1.
+    MATERIALIZED pins each stage: h(i) references h(i-1) four-plus
+    times, so an inlined plan would re-derive the whole prefix
+    exponentially."""
+    tomb = tombstone_where
+    tomb_sel = (
+        f",\n           coalesce({tomb}, FALSE) AS tomb" if tomb else "")
+    parts = [f"""src AS (
     SELECT user_id, event_type, ts, event_id,
-           ntile({n}) OVER (ORDER BY event_id ASC) AS b
+           ntile({n_batches}) OVER (ORDER BY event_id ASC) AS b
     FROM events
-)""".format(n=n_batches)]
+)"""]
     for i in range(1, n_batches + 1):
         parts.append(f"""snap{i} AS MATERIALIZED (
-    SELECT user_id, event_type, ts FROM (
-        SELECT user_id, event_type, ts,
+    SELECT user_id, event_type, ts{", tomb" if tomb else ""} FROM (
+        SELECT user_id, event_type, ts{tomb_sel},
                row_number() OVER (PARTITION BY user_id
                    ORDER BY ts DESC, event_id DESC) AS rn
         FROM src WHERE b = {i}
     ) WHERE rn = 1
 )""")
+        live = f"(SELECT * FROM snap{i} WHERE NOT tomb)" if tomb \
+            else f"snap{i}"
         if i == 1:
-            parts.append("""h1 AS MATERIALIZED (
+            parts.append(f"""h1 AS MATERIALIZED (
     SELECT user_id, event_type, ts AS valid_from,
            CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
-    FROM snap1
+    FROM {live}
 )""")
-        else:
-            p = i - 1
-            parts.append(f"""h{i} AS MATERIALIZED (
+            continue
+        p = i - 1
+        tomb_arm = ""
+        tomb_guard = ""
+        if tomb:
+            tomb_arm = f"""
+    UNION ALL
+    SELECT c.user_id, c.event_type, c.valid_from, t.ts, FALSE
+    FROM (SELECT * FROM h{p} WHERE is_current) c
+    JOIN (SELECT * FROM snap{i} WHERE tomb) t
+      ON c.user_id = t.user_id"""
+            tomb_guard = f"""
+    LEFT JOIN (SELECT * FROM snap{i} WHERE tomb) t
+      ON c.user_id = t.user_id"""
+        unchanged_where = (
+            "WHERE (s.user_id IS NULL\n"
+            "       OR c.event_type IS NOT DISTINCT FROM s.event_type)")
+        if tomb:
+            unchanged_where += "\n      AND t.user_id IS NULL"
+        parts.append(f"""h{i} AS MATERIALIZED (
     SELECT user_id, event_type, valid_from, valid_to, is_current
-    FROM h{p} WHERE NOT is_current
+    FROM h{p} WHERE NOT is_current{tomb_arm}
     UNION ALL
     SELECT c.user_id, c.event_type, c.valid_from, c.valid_to,
            c.is_current
     FROM (SELECT * FROM h{p} WHERE is_current) c
-    LEFT JOIN snap{i} s ON c.user_id = s.user_id
-    WHERE s.user_id IS NULL
-       OR c.event_type IS NOT DISTINCT FROM s.event_type
+    LEFT JOIN {live} s ON c.user_id = s.user_id{tomb_guard}
+    {unchanged_where}
     UNION ALL
     SELECT c.user_id, c.event_type, c.valid_from, s.ts, FALSE
     FROM (SELECT * FROM h{p} WHERE is_current) c
-    JOIN snap{i} s ON c.user_id = s.user_id
+    JOIN {live} s ON c.user_id = s.user_id
     WHERE c.event_type IS DISTINCT FROM s.event_type
     UNION ALL
     SELECT s.user_id, s.event_type, s.ts,
            CAST(NULL AS TIMESTAMP), TRUE
-    FROM snap{i} s
+    FROM {live} s
     LEFT JOIN (SELECT * FROM h{p} WHERE is_current) c
       ON c.user_id = s.user_id
     WHERE c.user_id IS NULL
@@ -4054,6 +4096,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
         "streaming_scd2_result": (
             _streaming_scd2_result,
             _streaming_scd2_oracle(),
+        ),
+        # STREAMING CDC deletes (round 13): 'error' rows are
+        # tombstones — close-at-event-time without re-open; keys may
+        # re-appear later as fresh versions
+        "streaming_scd2_tombstones_result": (
+            _streaming_scd2_tombstones_result,
+            _streaming_scd2_oracle(
+                tombstone_where="event_type = 'error'"),
         ),
         # STREAMING driver-visible workload #2 (round 6): the
         # continuous-dedup corpus sink replayed over a bounded 2-file

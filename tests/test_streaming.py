@@ -1098,3 +1098,52 @@ def test_scd2_merge_effective_param_validation(spark):
     with _pytest.raises(ValueError):
         scd2_merge(h, s, "k", ["a"], effective_from_col="ts",
                    close_missing=True)  # no time for missing keys
+
+
+def test_scd2_tombstone_closes_without_reopen_and_key_returns(spark, tmp_path):
+    """CDC deletes: a tombstone closes the open version at its event
+    time with NO new open row; the key re-appearing in a later batch
+    opens a fresh version; a tombstone for a never-seen key is a
+    no-op; a tombstone for an already-closed key is a no-op."""
+    import datetime as dt
+    import os
+
+    from datafusion_sqlgen_spark.streaming.ops import scd2_apply_batch
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                  "event_type STRING, value DOUBLE, props STRING")
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    tomb = "event_type = 'error'"
+    state = os.path.join(str(tmp_path), "scd2_state")
+    # batch 0: users 1, 2 open
+    scd2_apply_batch(ev_df([
+        (0, t(1), 1, "view", 1.0, "{}"),
+        (1, t(1), 2, "click", 1.0, "{}"),
+    ]), 0, state, tombstone_where=tomb)
+    # batch 1: user 1 deleted at t3; user 9 tombstone (never seen)
+    scd2_apply_batch(ev_df([
+        (2, t(3), 1, "error", 1.0, "{}"),
+        (3, t(3), 9, "error", 1.0, "{}"),
+    ]), 1, state, tombstone_where=tomb)
+    rows = {(r["user_id"], r["event_type"]):
+            (r["valid_from"], r["valid_to"], r["is_current"])
+            for r in spark.read.parquet(f"{state}/gen-1").collect()}
+    assert rows == {
+        (1, "view"): (t(1), t(3), False),   # closed by tombstone
+        (2, "click"): (t(1), None, True),   # untouched
+    }
+    # batch 2: user 1 returns as purchase; stray tombstone for user 1's
+    # CLOSED history is impossible (compaction), but a tombstone for
+    # the re-opened row in the SAME batch would have compacted over it
+    scd2_apply_batch(ev_df([
+        (4, t(5), 1, "purchase", 1.0, "{}"),
+    ]), 2, state, tombstone_where=tomb)
+    rows = {(r["user_id"], r["event_type"], r["is_current"]):
+            (r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(f"{state}/gen-2").collect()}
+    assert rows[(1, "purchase", True)] == (t(5), None)   # fresh version
+    assert rows[(1, "view", False)] == (t(1), t(3))      # history kept
+    assert len(rows) == 3
