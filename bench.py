@@ -48,6 +48,7 @@ HEADLINE = [
     "text_unigram_encode",
     "text_pii_scrub",
     "text_tokenizer_fertility",
+    "join_scd2_pointlookup",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -514,3 +514,92 @@ def scd2_merge(
     return past.select(
         key, *attrs, "valid_from", "valid_to", "is_current"
     ).unionByName(merged)
+
+
+def scd2_history_from_cdc(
+    cdc: DataFrame,
+    n_batches: int = 4,
+    key: str = "user_id",
+    attrs: tuple = ("event_type",),
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """Batch twin of the streaming CDC-apply sink: split a CDC/event
+    table into ``n_batches`` chronological batches (ntile over
+    ``order_cols`` — deterministic membership and order) and fold them
+    through sequential :func:`scd2_merge` applications, each batch
+    CDC-compacted to its last row per key first. Produces exactly the
+    history the streaming sink would after the same replay — the
+    dimension input for :func:`scd2_point_in_time`.
+
+    Scale shape: each fold is scd2_merge's single full-outer join of
+    the dimension-sized open slice; localCheckpoint between folds
+    bounds plan depth (the k-means/BPE iteration pattern — a reliable
+    checkpoint dir on a real cluster)."""
+    from pyspark.sql import Window
+
+    staged = cdc.withColumn(
+        "__b",
+        F.ntile(n_batches).over(
+            Window.orderBy(*[F.col(c).asc() for c in order_cols])),
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in order_cols])
+    history = None
+    for i in range(1, n_batches + 1):
+        snap = (
+            staged.filter(F.col("__b") == i)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(key, *attrs, ts_col)
+        )
+        if history is None:
+            history = snap.select(
+                key, *attrs,
+                F.col(ts_col).cast("timestamp").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        else:
+            history = scd2_merge(
+                history, snap, key, list(attrs),
+                effective_from_col=ts_col,
+            )
+        history = history.localCheckpoint(eager=True)
+    return history
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attrs: tuple = ("event_type",),
+) -> DataFrame:
+    """Temporal join against an SCD2 dimension — THE consumption
+    pattern for versioned history: each fact row picks the dimension
+    version current AT its timestamp (``valid_from <= ts < valid_to``,
+    open versions unbounded above); facts before the key's first
+    version keep NULL attributes (LEFT join). Version intervals are
+    disjoint per key by scd2_merge construction, so each fact matches
+    at most one row.
+
+    Scale shape: the history is dimension-sized (one row per key x
+    version), broadcast; the join is a BroadcastHashJoin on the key
+    with the interval test as residual — the fact table never
+    shuffles."""
+    h = history.select(
+        F.col(key).alias("__h_key"),
+        *[F.col(a).alias(f"dim_{a}") for a in attrs],
+        "valid_from", "valid_to",
+    )
+    cond = (
+        (F.col(key) == F.col("__h_key"))
+        & (F.col(ts_col) >= F.col("valid_from"))
+        & (F.col("valid_to").isNull()
+           | (F.col(ts_col) < F.col("valid_to")))
+    )
+    return (
+        facts.join(F.broadcast(h), cond, "left")
+        .drop("__h_key", "valid_from", "valid_to")
+    )

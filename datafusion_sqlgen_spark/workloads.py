@@ -2294,6 +2294,25 @@ def _streaming_scd2_oracle(
     )
 
 
+def _scd2_pointlookup_oracle(n_batches: int = 4) -> str:
+    """Temporal-lookup twin: build the same unrolled history, then each
+    event picks the version current at its timestamp (LEFT join — the
+    batch-side mirror of joins.scd2_point_in_time)."""
+    hist = _streaming_scd2_oracle(n_batches)
+    with_block = hist[: hist.rindex("\nSELECT user_id")]
+    return (
+        with_block
+        + f"""
+SELECT e.event_id, e.user_id, e.ts,
+       h.event_type AS dim_event_type
+FROM events e
+LEFT JOIN h{n_batches} h
+  ON e.user_id = h.user_id
+ AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)"""
+    )
+
+
 def _mm_binary_ingest(s: SparkSession) -> DataFrame:
     """Write the first 40 documents' bytes as individual .bin files
     (setup), then ingest the directory through the binaryFile source
@@ -3964,6 +3983,20 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
                    TIMESTAMP '2024-06-01', NULL::TIMESTAMP, true
             FROM customer WHERE c_custkey % 10 = 0
             """,
+        ),
+        # round 13: SCD2 point-in-time lookup — THE consumption pattern
+        # for versioned history: fold the events CDC feed into an SCD2
+        # history batch-side (the streaming sink's batch twin), then
+        # each event picks the version current AT its timestamp via a
+        # broadcast equi-join with the interval test as residual (the
+        # fact side never shuffles)
+        "join_scd2_pointlookup": (
+            lambda s: joins.scd2_point_in_time(
+                s.table("events").select("event_id", "user_id", "ts"),
+                joins.scd2_history_from_cdc(s.table("events")),
+            ).select("event_id", "user_id", "ts",
+                     F.col("dim_event_type")),
+            _scd2_pointlookup_oracle(),
         ),
         # type-1 upsert (batch MERGE): updated customer rows replace
         # same-key rows, the standing table never shuffles

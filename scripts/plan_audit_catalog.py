@@ -165,6 +165,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "text_unigram_encode": 3,
     "text_pii_scrub": 0,
     "text_tokenizer_fertility": 5,
+    "join_scd2_pointlookup": 1,
     "text_calibration_bins": 4,
 }
 

