@@ -49,6 +49,8 @@ HEADLINE = [
     "text_pii_scrub",
     "text_tokenizer_fertility",
     "join_scd2_pointlookup",
+    "text_label_agreement",
+    "profile_embedding_dims",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -1307,3 +1307,86 @@ SELECT bucket, n_ref, n_cur,
        {_duck_round("abs(cdf_ref_raw - cdf_cur_raw)", 6)} AS ks_term
 FROM cum
 """
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding statistics — the standard collapse /
+    staleness audit before trusting an index (a dimension whose std is
+    ~0 carries no information; a mean far from 0 breaks cosine
+    assumptions; min==max flags a dead dimension). Returns ``(dim, n,
+    mean_v, std_v, min_v, max_v)``.
+
+    Determinism: values enter the mean/std as 1e-6 fixed-point BIGINTs
+    (floor(v*1e6+0.5)), so the sums are order-free integers and the
+    derived moments are identical doubles on both engines; min/max are
+    exact. Sample variance via the sum-of-squares identity over the
+    fixed-point sums.
+
+    Scale shape: one posexplode (dims-fold of the corpus, a narrow
+    map) and ONE dims-group aggregate with map-side partials — output
+    is `dims` rows."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    vals = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "v"))
+    vfp = F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+    agg = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vfp).alias("sfp"),
+        F.sum(vfp * vfp).alias("qfp"),
+        F.min("v").alias("min_raw"),
+        F.max("v").alias("max_raw"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sfp").cast("double") / (F.lit(1e6) * n)
+    var = (
+        (F.col("qfp").cast("double") / F.lit(1e12)
+         - (F.col("sfp").cast("double") / F.lit(1e6))
+         * (F.col("sfp").cast("double") / F.lit(1e6)) / n)
+        / (n - F.lit(1.0))
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"), "n",
+        _stable_round(mean, 6).alias("mean_v"),
+        _stable_round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+        .alias("std_v"),
+        _stable_round(F.col("min_raw"), 6).alias("min_v"),
+        _stable_round(F.col("max_raw"), 6).alias("max_v"),
+    )
+
+
+def embedding_dim_stats_oracle(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    mean = "CAST(sfp AS DOUBLE) / (1000000.0 * n)"
+    var = ("(CAST(qfp AS DOUBLE) / 1000000000000.0 "
+           "- (CAST(sfp AS DOUBLE) / 1000000.0) "
+           "* (CAST(sfp AS DOUBLE) / 1000000.0) / n) / (n - 1.0)")
+    return f"""
+WITH vals AS (
+    SELECT CAST(generate_subscripts({vec_col}, 1) - 1 AS INT) AS dim,
+           CAST(unnest({vec_col}) AS DOUBLE) AS v
+    FROM {table}
+),
+agg AS (
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS sfp,
+           sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)
+               * CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS qfp,
+           min(v) AS min_raw, max(v) AS max_raw
+    FROM vals GROUP BY dim
+)
+SELECT dim, n,
+       {_duck_round(mean, 6)} AS mean_v,
+       {_duck_round(f"sqrt(greatest({var}, 0.0))", 6)} AS std_v,
+       {_duck_round("min_raw", 6)} AS min_v,
+       {_duck_round("max_raw", 6)} AS max_v
+FROM agg
+"""

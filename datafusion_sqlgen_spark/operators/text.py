@@ -3411,3 +3411,106 @@ SELECT d.{group_col} AS {group_col},
 FROM enc e JOIN {table} d USING ({id_col})
 GROUP BY 1
 """
+
+
+def label_agreement(
+    df: DataFrame,
+    weights: DataFrame,
+    threshold: float = 0.5,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: Column | None = None,
+) -> DataFrame:
+    """Inter-labeler agreement (Cohen's kappa, 1960) between the hashed
+    n-gram quality classifier thresholded at ``threshold`` and a second
+    label over the document row (default ``lang = 'en'``) — the label
+    QA check before trusting either signal as training-data ground
+    truth (raw accuracy flatters imbalanced labels; kappa discounts
+    chance agreement). Returns ONE row: the 2x2 confusion counts,
+    observed/expected agreement, and kappa (1e-6-snapped; NULL when
+    expected agreement is 1 — degenerate marginals).
+
+    Scale shape: :func:`classifier_score`'s plan + one co-partitioned
+    doc-keyed label join + a single 1-row aggregate (map-side
+    partials); the arithmetic runs on the 1-row result."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    if label_col is None:
+        label_col = (F.col("lang") == F.lit("en"))
+    scored = classifier_score(
+        df, weights, vocab_size=vocab_size,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col, "score")
+    labeled = df.select(
+        F.col(id_col),
+        F.coalesce(label_col, F.lit(False)).cast("int").alias("b"),
+    ).join(scored, id_col).select(
+        (F.col("score") >= F.lit(threshold)).cast("int").alias("a"),
+        "b",
+    )
+    agg = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("a") * F.col("b"))).cast("bigint").alias("n11"),
+        F.sum((F.col("a") * (1 - F.col("b")))).cast("bigint").alias("n10"),
+        F.sum(((1 - F.col("a")) * F.col("b"))).cast("bigint").alias("n01"),
+        F.sum(((1 - F.col("a")) * (1 - F.col("b")))).cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") / n
+        * (F.col("n11") + F.col("n01")).cast("double") / n
+        + (F.col("n01") + F.col("n00")).cast("double") / n
+        * (F.col("n10") + F.col("n00")).cast("double") / n
+    )
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    return agg.select(
+        "n", "n11", "n10", "n01", "n00",
+        _stable_round(po, 6).alias("po"),
+        _stable_round(pe, 6).alias("pe"),
+        _stable_round(kappa, 6).alias("kappa"),
+    )
+
+
+def label_agreement_oracle(
+    table: str = "documents",
+    threshold: float = 0.5,
+    vocab_size: int = 4096,
+    salt: str = "ft",
+    label_sql: str = "lang = 'en'",
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    inner = classifier_score_oracle(table, vocab_size, salt)
+    po = "CAST(n11 + n00 AS DOUBLE) / n"
+    pe = ("CAST(n11 + n10 AS DOUBLE) / n * (CAST(n11 + n01 AS DOUBLE) / n)"
+          " + CAST(n01 + n00 AS DOUBLE) / n"
+          " * (CAST(n10 + n00 AS DOUBLE) / n)")
+    kappa = f"(({po}) - ({pe})) / nullif(1.0 - ({pe}), 0.0)"
+    return f"""
+WITH scored AS ({inner}),
+labels AS (
+    SELECT doc_id,
+           CASE WHEN coalesce({label_sql}, FALSE) THEN 1 ELSE 0 END AS b
+    FROM {table}
+),
+pairs AS (
+    SELECT CASE WHEN s.score >= {threshold} THEN 1 ELSE 0 END AS a, l.b
+    FROM scored s JOIN labels l USING (doc_id)
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a * b) AS BIGINT) AS n11,
+           CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+           CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+    FROM pairs
+)
+SELECT n, n11, n10, n01, n00,
+       {_duck_round(po, 6)} AS po,
+       {_duck_round(pe, 6)} AS pe,
+       {_duck_round(kappa, 6)} AS kappa
+FROM agg
+"""

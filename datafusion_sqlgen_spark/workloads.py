@@ -4273,6 +4273,21 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             text.unigram_encode_oracle(),
         ),
+        # round 13: inter-labeler agreement (Cohen's kappa) between the
+        # thresholded hashed-ngram classifier and the lang label —
+        # classifier plan + co-partitioned label join + 1-row aggregate
+        "text_label_agreement": (
+            lambda s: text.label_agreement(
+                s.table("documents"), text.make_hash_weights(s)),
+            text.label_agreement_oracle(),
+        ),
+        # round 13: per-dimension embedding stats (collapse/staleness
+        # audit) — fixed-point moment sums, one dims-group aggregate
+        "profile_embedding_dims": (
+            lambda s: profiling.embedding_dim_stats(
+                s.table("embeddings")),
+            profiling.embedding_dim_stats_oracle(),
+        ),
         # round 13: tokenizer fertility audit — tokens/word per lang
         # under the trained BPE rules (bpe_encode's plan + one
         # co-partitioned label join + tiny group reduce)

