@@ -51,6 +51,9 @@ HEADLINE = [
     "join_scd2_pointlookup",
     "text_label_agreement",
     "profile_embedding_dims",
+    "sample_curriculum_buckets",
+    "profile_winsorize",
+    "dedup_cross_source_matrix",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -1784,3 +1784,83 @@ SELECT {id_col},
 FROM h JOIN c USING (sh)
 GROUP BY {id_col}
 """
+
+
+def cross_source_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source duplication matrix: run the full MinHash→LSH→
+    verify pipeline (:func:`minhash_dedup_pairs`) and account the
+    verified near-dup pairs by UNORDERED source pair — "which crawls
+    duplicate each other, and how hard" (the provenance view that
+    decides which source to drop or down-weight). Returns ``(src_a,
+    src_b, n_pairs, mean_jaccard)`` with src_a <= src_b and the mean
+    over the 1e-4-snapped verified scores kept fixed-point-exact.
+
+    Scale shape: the pair pipeline's documented banded/bucketed plan,
+    plus two doc-keyed label joins over the PAIR table (candidate-
+    bounded, never the corpus) and a sources² group reduce."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, k=k, bands=bands, shingle=shingle,
+        threshold=threshold,
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    j = (
+        pairs
+        .join(src.select(F.col(id_col).alias("id_a"),
+                         F.col(source_col).alias("s_a")), "id_a")
+        .join(src.select(F.col(id_col).alias("id_b"),
+                         F.col(source_col).alias("s_b")), "id_b")
+    )
+    jfp = F.floor(F.col("jaccard") * 1e4 + F.lit(0.5)).cast("bigint")
+    return (
+        j.select(
+            F.least("s_a", "s_b").alias("src_a"),
+            F.greatest("s_a", "s_b").alias("src_b"),
+            jfp.alias("jfp"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            _stable_round(
+                F.sum("jfp").cast("double") / F.lit(1e4)
+                / F.count(F.lit(1)).cast("double"), 6,
+            ).alias("mean_jaccard"),
+        )
+    )
+
+
+def cross_source_matrix_oracle(
+    table: str = "documents",
+    source_col: str = "source",
+    k: int = 4,
+    bands: int = 2,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    pairs = minhash_dedup_pairs_oracle(
+        table, k=k, bands=bands, shingle=shingle, threshold=threshold)
+    return f"""
+WITH pairs AS ({pairs})
+SELECT least(da.{source_col}, db.{source_col}) AS src_a,
+       greatest(da.{source_col}, db.{source_col}) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {_duck_round(
+           "sum(CAST(floor(p.jaccard * 10000.0 + 0.5) AS BIGINT)) "
+           "/ 10000.0 / count(*)", 6)} AS mean_jaccard
+FROM pairs p
+JOIN {table} da ON p.id_a = da.doc_id
+JOIN {table} db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+"""

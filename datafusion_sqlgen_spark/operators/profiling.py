@@ -1390,3 +1390,87 @@ SELECT dim, n,
        {_duck_round("max_raw", 6)} AS max_v
 FROM agg
 """
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization audit: clip ``value_col`` to its
+    group's [lo, hi] interpolated percentiles (both snapped to 1e-6
+    before clipping so the clip boundary is the same double on both
+    engines) and report ``(group, lo_b, hi_b, n, n_lo, n_hi,
+    mean_w)`` — the outlier-trimming pass a score/length column gets
+    before feeding mixing weights or a regression.
+
+    Scale shape: one group aggregate for the bounds (exact percentile
+    — swap for the quantile sketch when groups are huge), a broadcast
+    join of the bounds table back, and one group reduce with
+    fixed-point sums of the clipped values."""
+    from datafusion_sqlgen_spark.operators.similarity import _stable_round
+
+    src = df.filter(F.col(value_col).isNotNull())
+    bounds = src.groupBy(group_col).agg(
+        _stable_round(F.percentile(F.col(value_col), F.lit(lo)), 6)
+        .alias("lo_b"),
+        _stable_round(F.percentile(F.col(value_col), F.lit(hi)), 6)
+        .alias("hi_b"),
+    )
+    v = F.col(value_col)
+    j = src.join(F.broadcast(bounds), group_col)
+    clipped = F.least(F.greatest(v, F.col("lo_b")), F.col("hi_b"))
+    cfp = F.floor(clipped * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        j.groupBy(group_col, "lo_b", "hi_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((v < F.col("lo_b")).cast("bigint")).alias("n_lo"),
+            F.sum((v > F.col("hi_b")).cast("bigint")).alias("n_hi"),
+            F.sum(cfp).alias("sfp"),
+        )
+        .select(
+            group_col, "lo_b", "hi_b", "n", "n_lo", "n_hi",
+            _stable_round(
+                F.col("sfp").cast("double") / F.lit(1e6)
+                / F.col("n").cast("double"), 6,
+            ).alias("mean_w"),
+        )
+    )
+
+
+def winsorize_stats_oracle(
+    table: str = "events",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import _duck_round
+
+    return f"""
+WITH src AS (
+    SELECT {group_col}, {value_col} AS v FROM {table}
+    WHERE {value_col} IS NOT NULL
+),
+bounds AS (
+    SELECT {group_col},
+           {_duck_round(f"quantile_cont(v, {lo})", 6)} AS lo_b,
+           {_duck_round(f"quantile_cont(v, {hi})", 6)} AS hi_b
+    FROM src GROUP BY {group_col}
+)
+SELECT s.{group_col}, b.lo_b, b.hi_b,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN s.v < b.lo_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lo,
+       CAST(sum(CASE WHEN s.v > b.hi_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi,
+       {_duck_round(
+           "sum(CAST(floor(least(greatest(s.v, b.lo_b), b.hi_b) "
+           "* 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 / count(*)", 6)}
+           AS mean_w
+FROM src s JOIN bounds b USING ({group_col})
+GROUP BY s.{group_col}, b.lo_b, b.hi_b
+"""

@@ -676,3 +676,57 @@ FROM cum
 WHERE (c * {n_per_group}) // total
       > ((c - w) * {n_per_group}) // total
 """
+
+
+def curriculum_buckets(
+    scored: DataFrame,
+    n_buckets: int = 10,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum binning: rank documents by a quality score and cut
+    them into ``n_buckets`` equal-count tiers (easy→hard scheduling, or
+    quality-tiered mixing weights). Assignment is ``ntile`` over the
+    (score, id) order — the id tie-break makes equal scores land
+    deterministically, and ntile's equal-count split is identical on
+    both engines. Returns per-bucket ``(bucket, n_docs, min_score,
+    max_score)``.
+
+    Scale shape: a global sort for the ntile (one range exchange —
+    inherent to exact equal-count tiers; the approximate alternative is
+    bucketing on quantile-sketch edges) and one tiny bucket aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return (
+        scored.select(
+            F.col(score_col),
+            F.ntile(n_buckets).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(score_col).alias("min_score"),
+            F.max(score_col).alias("max_score"),
+        )
+    )
+
+
+def curriculum_buckets_oracle(
+    scored_sql: str,
+    n_buckets: int = 10,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+WITH scored AS ({scored_sql}),
+tiers AS (
+    SELECT {score_col},
+           ntile({n_buckets}) OVER (ORDER BY {score_col} ASC,
+                                    {id_col} ASC) AS bucket
+    FROM scored
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min({score_col}) AS min_score, max({score_col}) AS max_score
+FROM tiers GROUP BY bucket
+"""

@@ -4273,6 +4273,29 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             ),
             text.unigram_encode_oracle(),
         ),
+        # round 13: curriculum binning — quality-ranked equal-count
+        # tiers via ntile (one range exchange, deterministic id
+        # tie-break) + tiny bucket aggregate
+        "sample_curriculum_buckets": (
+            lambda s: sampling.curriculum_buckets(
+                text.quality_score(s.table("documents"))),
+            sampling.curriculum_buckets_oracle(
+                text.quality_score_oracle()),
+        ),
+        # round 13: per-group winsorization audit — exact percentile
+        # bounds (1e-6-snapped before clipping), broadcast bounds join,
+        # fixed-point clipped means
+        "profile_winsorize": (
+            lambda s: profiling.winsorize_stats(s.table("events")),
+            profiling.winsorize_stats_oracle(),
+        ),
+        # round 13: cross-source duplication matrix — the provenance
+        # view over the verified MinHash near-dup pairs (pair-bounded
+        # label joins + sources^2 reduce)
+        "dedup_cross_source_matrix": (
+            lambda s: dedup.cross_source_matrix(s.table("documents")),
+            dedup.cross_source_matrix_oracle(),
+        ),
         # round 13: inter-labeler agreement (Cohen's kappa) between the
         # thresholded hashed-ngram classifier and the lang label —
         # classifier plan + co-partitioned label join + 1-row aggregate

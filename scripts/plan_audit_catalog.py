@@ -168,6 +168,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "join_scd2_pointlookup": 1,
     "text_label_agreement": 4,
     "profile_embedding_dims": 1,
+    "sample_curriculum_buckets": 1,
+    "profile_winsorize": 3,
+    "dedup_cross_source_matrix": 19,
     "text_calibration_bins": 4,
 }
 

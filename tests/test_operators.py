@@ -1495,3 +1495,51 @@ def test_hard_negatives_label_gate_and_k(spark):
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= 3
+
+
+def test_curriculum_buckets_equal_count_and_ordered(spark, duck):
+    """Round-13 curriculum tiers: equal-count split (sizes differ by at
+    most 1, larger tiers first), score ranges are non-overlapping and
+    ascending with the bucket id."""
+    from datafusion_sqlgen_spark.operators import sampling
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    out = sampling.curriculum_buckets(
+        tx.quality_score(spark.table("documents")))
+    rows = sorted(map(tuple, out.collect()))
+    sizes = [r[1] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # ntile: remainder first
+    for (b1, _, _, max1), (b2, _, min2, _) in zip(rows, rows[1:]):
+        assert b2 == b1 + 1
+        assert min2 >= max1  # ascending, non-overlapping score ranges
+
+
+def test_winsorize_clip_fractions(spark, duck):
+    """Round-13 winsorize: at most ~lo/~hi tail fractions are clipped
+    per group, bounds are ordered, and the winsorized mean sits inside
+    [lo_b, hi_b]."""
+    from datafusion_sqlgen_spark.operators import profiling as pf
+
+    out = pf.winsorize_stats(spark.table("events"))
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["lo_b"] <= r["hi_b"]
+        assert r["n_lo"] <= r["n"] * 0.05 + 1
+        assert r["n_hi"] <= r["n"] * 0.05 + 1
+        assert r["lo_b"] <= r["mean_w"] <= r["hi_b"]
+
+
+def test_cross_source_matrix_accounts_all_pairs(spark, duck):
+    """Round-13 provenance matrix: pair counts sum to the verified
+    near-dup pair count, source pairs are unordered (src_a <= src_b),
+    and mean_jaccard stays within the verify threshold..1 band."""
+    from datafusion_sqlgen_spark.operators import dedup as dd
+
+    pairs_n = dd.minhash_dedup_pairs(spark.table("documents")).count()
+    out = dd.cross_source_matrix(spark.table("documents")).collect()
+    assert sum(r["n_pairs"] for r in out) == pairs_n
+    for r in out:
+        assert r["src_a"] <= r["src_b"]
+        assert 0.5 <= r["mean_jaccard"] <= 1.0
