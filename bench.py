@@ -54,6 +54,8 @@ HEADLINE = [
     "sample_curriculum_buckets",
     "profile_winsorize",
     "dedup_cross_source_matrix",
+    "join_snapshot_diff",
+    "ts_lateness_audit",
     # round-12 additions
     "parsed_asof_tolerance",
     "streaming_drift_psi_result",

@@ -603,3 +603,59 @@ def scd2_point_in_time(
         facts.join(F.broadcast(h), cond, "left")
         .drop("__h_key", "valid_from", "valid_to")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Table-diff audit between two snapshots of a keyed table: one
+    full-outer hash join on the key, each row classified added /
+    removed / changed / unchanged (attribute comparison null-safe),
+    reduced to ``(status, n_keys)`` — the pre-publish sanity gate for
+    any snapshot-producing pipeline (a diff whose `removed` suddenly
+    spikes is a broken upstream, not a release).
+
+    Scale shape: ONE key-partitioned full-outer join + a 4-group
+    map-side-combined count; nothing is ever collected."""
+    o = old.select(key, *attrs).alias("o")
+    n = new.select(key, *attrs).alias("n")
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    same = None
+    for a in attrs:
+        eq = F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}"))
+        same = eq if same is None else same & eq
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    )
+
+
+def snapshot_diff_oracle(
+    old_sql: str,
+    new_sql: str,
+    key: str,
+    attrs: list[str],
+) -> str:
+    same = " AND ".join(
+        f"o.{a} IS NOT DISTINCT FROM n.{a}" for a in attrs)
+    return f"""
+WITH o AS ({old_sql}),
+n AS ({new_sql})
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys FROM (
+    SELECT CASE WHEN o.{key} IS NULL THEN 'added'
+                WHEN n.{key} IS NULL THEN 'removed'
+                WHEN {same} THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL JOIN n ON o.{key} = n.{key}
+) GROUP BY status
+"""

@@ -590,3 +590,91 @@ def mergeable_rollup_oracle(
     FROM {table}
     GROUP BY 1, 2
     """
+
+
+def lateness_audit(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    bucket_minutes: int = 1,
+    max_bucket: int = 29,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Event-time lateness distribution — the measurement that SIZES a
+    watermark delay: per key, an event's lateness is how far its event
+    time sits behind the maximum event time already ARRIVED on that
+    key's stream (arrival order = ``arrival_col``); the histogram's
+    tail tells you what `withWatermark` delay loses what fraction of
+    events. Returns ``(bucket, n_events, max_late_s)`` with bucket =
+    floor(lateness/bucket_minutes·60) clamped to ``max_bucket`` (the
+    overflow bucket catches everything later).
+
+    Lateness is computed in exact integer MICROSECONDS (unix_micros /
+    epoch_us on the two engines) so bucket edges can't drift.
+
+    Scale shape: one key-partitioned running-max window (per-key
+    watermarks — never a global arrival sort) + one bounded-bucket
+    count reduce."""
+    from pyspark.sql import Window
+
+    # tie_col pins the processing order of arrival-order TIES (a ROWS
+    # running max is order-sensitive within ties, and engines disagree
+    # on tie order otherwise)
+    order = [F.col(arrival_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the driver parquet registers as TIMESTAMP_NTZ; the session pins
+    # timeZone=UTC so the cast is value-preserving and unix_micros
+    # equals DuckDB's epoch_us over the same naive value
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    late_us = F.max(us).over(w) - us
+    bucket = F.least(
+        F.floor(late_us / F.lit(bucket_minutes * 60_000_000))
+        .cast("int"),
+        F.lit(max_bucket),
+    )
+    return (
+        events.filter(F.col(ts_col).isNotNull()
+                      & F.col(key).isNotNull())
+        .select(bucket.alias("bucket"),
+                (late_us / F.lit(1_000_000.0)).alias("late_s"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.max("late_s"), 6).alias("max_late_s"),
+        )
+    )
+
+
+def lateness_audit_oracle(
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    bucket_minutes: int = 1,
+    max_bucket: int = 29,
+    tie_col: str | None = None,
+) -> str:
+    width = bucket_minutes * 60_000_000
+    tie = f", {tie_col} ASC" if tie_col else ""
+    return f"""
+WITH late AS (
+    SELECT max(epoch_us({ts_col})) OVER (
+               PARTITION BY {key} ORDER BY {arrival_col} ASC{tie}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - epoch_us({ts_col}) AS late_us
+    FROM {table}
+    WHERE {ts_col} IS NOT NULL AND {key} IS NOT NULL
+)
+SELECT CAST(least(floor(late_us / {width}), {max_bucket}) AS INT)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(late_us / 1000000.0), 6) AS max_late_s
+FROM late GROUP BY 1
+"""

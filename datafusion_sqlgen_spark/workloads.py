@@ -3984,6 +3984,58 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             FROM customer WHERE c_custkey % 10 = 0
             """,
         ),
+        # round 13: snapshot diff audit — one full-outer key join
+        # classifying added/removed/changed/unchanged + 4-group count
+        # (old/new snapshots derived in-query from customer)
+        "join_snapshot_diff": (
+            lambda s: joins.snapshot_diff(
+                s.table("customer")
+                .filter(F.col("c_custkey") % 89 != 0)
+                .select("c_custkey", "c_name", "c_acctbal"),
+                s.table("customer")
+                .filter(F.col("c_custkey") % 97 != 0)
+                .select(
+                    "c_custkey", "c_name",
+                    F.when(F.col("c_custkey") % 10 == 0,
+                           F.col("c_acctbal") + 100)
+                    .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+                ),
+                "c_custkey", ["c_name", "c_acctbal"],
+            ),
+            joins.snapshot_diff_oracle(
+                "SELECT c_custkey, c_name, c_acctbal FROM customer "
+                "WHERE c_custkey % 89 <> 0",
+                "SELECT c_custkey, c_name, CASE WHEN c_custkey % 10 = 0 "
+                "THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal "
+                "FROM customer WHERE c_custkey % 97 <> 0",
+                "c_custkey", ["c_name", "c_acctbal"],
+            ),
+        ),
+        # round 13: event-time lateness histogram — per-key running-max
+        # window in exact integer microseconds + bounded-bucket reduce;
+        # the measurement that sizes a watermark delay
+        # the fixture stream is perfectly ordered (every lateness would
+        # be 0), so the workload derives a jittered arrival order
+        # in-query — a deterministic multiplicative shuffle of the low
+        # bits simulating network reordering; the audit is what's
+        # under test, against the same derivation in the oracle
+        "ts_lateness_audit": (
+            lambda s: timeseries.lateness_audit(
+                s.table("events").withColumn(
+                    "arrival",
+                    F.col("event_id")
+                    + (F.col("event_id") * F.lit(2654435761)) % 16,
+                ),
+                arrival_col="arrival", bucket_minutes=1,
+                tie_col="event_id",
+            ),
+            timeseries.lateness_audit_oracle(
+                table="(SELECT *, event_id + (event_id * 2654435761) "
+                      "% 16 AS arrival FROM events)",
+                arrival_col="arrival", bucket_minutes=1,
+                tie_col="event_id",
+            ),
+        ),
         # round 13: SCD2 point-in-time lookup — THE consumption pattern
         # for versioned history: fold the events CDC feed into an SCD2
         # history batch-side (the streaming sink's batch twin), then

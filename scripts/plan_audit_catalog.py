@@ -171,6 +171,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "sample_curriculum_buckets": 1,
     "profile_winsorize": 3,
     "dedup_cross_source_matrix": 19,
+    "join_snapshot_diff": 3,
+    "ts_lateness_audit": 2,
     "text_calibration_bins": 4,
 }
 

@@ -1543,3 +1543,54 @@ def test_cross_source_matrix_accounts_all_pairs(spark, duck):
     for r in out:
         assert r["src_a"] <= r["src_b"]
         assert 0.5 <= r["mean_jaccard"] <= 1.0
+
+
+def test_snapshot_diff_statuses(spark):
+    """Round-13 snapshot diff: crafted old/new classify exactly."""
+    from datafusion_sqlgen_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k BIGINT, v STRING")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, None), (5, "e")], "k BIGINT, v STRING")
+    got = {r["status"]: r["n_keys"]
+           for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    # 1 removed; 2 unchanged; 3 changed; 4 unchanged (NULL==NULL
+    # null-safe); 5 added
+    assert got == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+
+
+def test_lateness_audit_buckets(spark):
+    """Round-13 lateness audit: an ordered stream is all bucket 0; a
+    crafted out-of-order arrival puts the late event in the right
+    minute bucket; arrival ties resolve by the tie column."""
+    import datetime as dt
+
+    from datafusion_sqlgen_spark.operators.timeseries import lateness_audit
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, uid, arr):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, "view",
+                1.0, "{}", arr)
+
+    schema = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+              "event_type STRING, value DOUBLE, props STRING, "
+              "arrival BIGINT")
+    # user 1: event at t+300s arrives FIRST (arr 0), then an event at
+    # t+0 arrives (arr 1) -> 300s late = bucket 5; then t+400 on time
+    df = spark.createDataFrame([
+        ev(0, 300, 1, 0), ev(1, 0, 1, 1), ev(2, 400, 1, 2),
+        # user 2: perfectly ordered
+        ev(3, 0, 2, 3), ev(4, 60, 2, 4),
+    ], schema)
+    got = {r["bucket"]: (r["n_events"], r["max_late_s"])
+           for r in lateness_audit(
+               df, arrival_col="arrival", tie_col="event_id").collect()}
+    assert got == {0: (4, 0.0), 5: (1, 300.0)}
+
+    # a perfectly ordered stream (user 2) -> everything bucket 0
+    got2 = lateness_audit(
+        df.filter("user_id = 2"), arrival_col="event_id").collect()
+    assert len(got2) == 1 and got2[0]["bucket"] == 0
+    assert got2[0]["max_late_s"] == 0.0
