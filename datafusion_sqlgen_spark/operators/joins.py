@@ -620,6 +620,10 @@ def snapshot_diff(
 
     Scale shape: ONE key-partitioned full-outer join + a 4-group
     map-side-combined count; nothing is ever collected."""
+    if not attrs:
+        raise ValueError(
+            "snapshot_diff needs at least one attribute to compare "
+            "(with none, changed vs unchanged is undefined)")
     o = old.select(key, *attrs).alias("o")
     n = new.select(key, *attrs).alias("n")
     j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")

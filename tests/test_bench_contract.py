@@ -113,3 +113,18 @@ def test_compact_line_source_has_no_queries_dict():
     src = open(BENCH).read()
     tail = src[src.index("compact = {"):]
     assert '"queries"' not in tail.split("print(json.dumps(compact))")[0]
+
+
+def test_headline_names_all_exist_in_catalog():
+    """Every bench HEADLINE name must be a live catalog workload — a
+    typo'd or renamed row would otherwise only surface minutes into
+    the round-close bench as a KeyError."""
+    import bench
+
+    from datafusion_sqlgen_spark.workloads import build_queries
+
+    catalog = set(build_queries())
+    missing = [n for n in bench.HEADLINE if n not in catalog]
+    assert missing == [], missing
+    # and no duplicates (a dup would double-count the headline total)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))

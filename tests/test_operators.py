@@ -1594,3 +1594,13 @@ def test_lateness_audit_buckets(spark):
         df.filter("user_id = 2"), arrival_col="event_id").collect()
     assert len(got2) == 1 and got2[0]["bucket"] == 0
     assert got2[0]["max_late_s"] == 0.0
+
+
+def test_snapshot_diff_rejects_empty_attrs(spark):
+    import pytest as _pytest
+
+    from datafusion_sqlgen_spark.operators.joins import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "k BIGINT, v STRING")
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df, "k", [])
