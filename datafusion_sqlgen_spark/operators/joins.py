@@ -130,6 +130,143 @@ def asof_join_oracle(
     """
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """``merge_asof(direction='nearest')``: for each left row, the
+    same-key right row whose timestamp is CLOSEST in absolute distance —
+    before or after. The third merge_asof direction beside the
+    ``backward``/``forward`` pair in :func:`asof_join` (the reference's
+    aspirational ASOF surface stops at backward,
+    tests/select.rs:817-837).
+
+    Tie-break: an exactly-equidistant pair resolves BACKWARD (the
+    at-or-before row wins), deterministic and documented — pandas leaves
+    the tie unspecified. ``tolerance_s`` bounds EACH direction before
+    the comparison, so an out-of-window nearer candidate correctly
+    loses to an in-window farther one on the other side.
+
+    Scale shape: ONE union + ONE hash exchange on the key (the
+    :func:`asof_join` desugar), then BOTH direction candidates from the
+    same sorted partition — ``last(payload, ignoreNulls)`` looking back
+    and ``first(payload, ignoreNulls)`` looking strictly forward over
+    one sort order (rights sort before lefts at equal timestamps, so the
+    equal-ts match arrives via the backward window at distance 0, which
+    beats any forward candidate). No join intermediate ever exists; a
+    partition's cost is its own size, and the distance compare is exact
+    integer-microsecond INTERVAL arithmetic, never float seconds."""
+    payload = F.struct(
+        F.col(right_time).alias("__t"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r2 = (
+        right
+        .filter(F.col(on).isNotNull() & F.col(right_time).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_time).alias("__ts"),
+            payload.alias("__p"),
+            F.lit(1).alias("__is_r"),
+        )
+    )
+    l2 = left.withColumn("__ts", F.col(left_time)).withColumn(
+        "__is_r", F.lit(0)
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    # one sort order serves both windows: rights before lefts at equal
+    # __ts, so [unbounded, current] sees the at-or-before match and
+    # [current, unbounded] sees only strictly-after rights
+    w = Window.partitionBy(on).orderBy(F.col("__ts").asc(), F.col("__is_r").desc())
+    back = F.last("__p", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("__p", ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        u.withColumn("__b", back)
+        .withColumn("__f", fwd)
+        .filter(F.col("__is_r") == 0)
+    )
+    # timestamp subtraction yields an exact day-time INTERVAL (integer
+    # microseconds) on both engines — works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike, where unix_micros() would reject NTZ
+    lt = F.col(left_time)
+    b, f = F.col("__b"), F.col("__f")
+    if tolerance_s is not None:
+        tol = F.expr(f"INTERVAL {int(tolerance_s)} SECOND")
+        b = F.when(lt - b.getField("__t") <= tol, b)
+        f = F.when(f.getField("__t") - lt <= tol, f)
+    bt, ft = b.getField("__t"), f.getField("__t")
+    pick_back = lt.isNotNull() & (
+        ft.isNull() | (bt.isNotNull() & (lt - bt <= ft - lt))
+    )
+    chosen = F.when(pick_back, b).otherwise(
+        F.when(F.col(left_time).isNotNull(), f)
+    )
+    out = out.withColumn("__m", chosen)
+    cols = [F.col(c) for c in left.columns]
+    cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols]
+    cols.append(F.col("__m.__t").alias(f"{right_time}{suffix}"))
+    return out.select(*cols)
+
+
+def asof_join_nearest_oracle(
+    left_table: str,
+    right_table: str,
+    on: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+    left_cols: list[str],
+    value_cols: list[str],
+    suffix: str = "_asof",
+    tolerance_s: int | None = None,
+) -> str:
+    """DuckDB twin: deliberately the OTHER formulation — the backward
+    and forward halves as join+``max_by``/``min_by`` aggregation CTEs
+    (never native ASOF, which cannot carry the tolerance inequality —
+    see the parsed_asof_tolerance MATERIALIZED-CTE note), re-joined on
+    the unique ``left_id`` and resolved by the same exact
+    integer-microsecond distance compare with the backward tie-break."""
+    bsql = asof_join_oracle(
+        left_table, right_table, on, left_time, right_time,
+        left_cols, value_cols, suffix="_b", direction="backward",
+        tolerance_s=tolerance_s,
+    )
+    fsql = asof_join_oracle(
+        left_table, right_table, on, left_time, right_time,
+        left_cols, value_cols, suffix="_f", direction="forward",
+        tolerance_s=tolerance_s,
+    )
+    lcols = ", ".join(f"b.{c}" for c in left_cols)
+    lt, bt, ft = f"b.{left_time}", f"b.{right_time}_b", f"f.{right_time}_f"
+    pick = (
+        f"({lt} IS NOT NULL AND ({ft} IS NULL OR "
+        f"({bt} IS NOT NULL AND {lt} - {bt} <= {ft} - {lt})))"
+    )
+    vals = ", ".join(
+        f"CASE WHEN {pick} THEN b.{c}_b "
+        f"WHEN b.{left_time} IS NOT NULL THEN f.{c}_f END AS {c}{suffix}"
+        for c in value_cols
+    )
+    return f"""
+    WITH bck AS ({bsql}), fwd AS ({fsql})
+    SELECT {lcols}, {vals},
+           CASE WHEN {pick} THEN b.{right_time}_b
+                WHEN b.{left_time} IS NOT NULL THEN f.{right_time}_f
+           END AS {right_time}{suffix}
+    FROM bck b JOIN fwd f ON b.{left_id} = f.{left_id}
+    """
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -4036,6 +4036,31 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
                 tie_col="event_id",
             ),
         ),
+        # round 13: nearest-direction as-of join — the third merge_asof
+        # direction (backward/forward exist above); both candidates
+        # from ONE keyed exchange + one sorted pass, exact
+        # integer-microsecond distance compare, backward tie-break,
+        # tolerance bounding each direction BEFORE the compare
+        "join_asof_nearest": (
+            lambda s: joins.asof_join_nearest(
+                s.table("events").filter("event_type = 'error'")
+                .select("event_id", "user_id", "ts"),
+                s.table("events").filter("event_type = 'click'")
+                .select("user_id", "ts", "value"),
+                on="user_id", left_time="ts", right_time="ts",
+                value_cols=["value"], tolerance_s=86400,
+            ),
+            joins.asof_join_nearest_oracle(
+                "(SELECT event_id, user_id, ts FROM events "
+                "WHERE event_type = 'error')",
+                "(SELECT user_id, ts, value FROM events "
+                "WHERE event_type = 'click')",
+                on="user_id", left_time="ts", right_time="ts",
+                left_id="event_id",
+                left_cols=["event_id", "user_id", "ts"],
+                value_cols=["value"], tolerance_s=86400,
+            ),
+        ),
         # round 13: SCD2 point-in-time lookup — THE consumption pattern
         # for versioned history: fold the events CDC feed into an SCD2
         # history batch-side (the streaming sink's batch twin), then

@@ -174,6 +174,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "join_snapshot_diff": 3,
     "ts_lateness_audit": 2,
     "text_calibration_bins": 4,
+    # nearest-direction asof (round 13): ONE keyed exchange, both
+    # direction windows from the same sorted partition, no join op
+    "join_asof_nearest": 1,
 }
 
 

@@ -115,6 +115,53 @@ def test_asof_join(spark, duck):
     check(spark, duck, out, oracle)
 
 
+def test_asof_join_nearest(spark, duck):
+    """Nearest click (either direction, 1-day tolerance) per error."""
+    ev = _df(spark, "events")
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    out = joins.asof_join_nearest(
+        errors, clicks, on="user_id", left_time="ts", right_time="ts",
+        value_cols=["value"], tolerance_s=86400,
+    )
+    oracle = joins.asof_join_nearest_oracle(
+        "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')",
+        "(SELECT user_id, ts, value FROM events WHERE event_type = 'click')",
+        on="user_id", left_time="ts", right_time="ts", left_id="event_id",
+        left_cols=["event_id", "user_id", "ts"], value_cols=["value"],
+        tolerance_s=86400,
+    )
+    check(spark, duck, out, oracle)
+
+
+def test_asof_join_nearest_edges(spark):
+    """Hand-built edges: equidistant tie -> backward; a nearer
+    out-of-tolerance candidate loses to a farther in-window one on the
+    other side; equal timestamps match at distance 0; null left time
+    matches nothing."""
+    from datetime import datetime
+
+    t = lambda s: datetime(2024, 1, 1, 12, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(30)),    # tie: rights at 27s and 33s -> backward (27s)
+         (2, 11, t(10)),    # backward 9s away but out of 5s tol; fwd 4s in
+         (3, 12, t(15)),    # exact-equal right at 15s -> distance 0
+         (4, 13, None),     # null left ts -> no match
+         (5, 99, t(0))],    # no right rows for key 99
+        "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t(27), 1.0), (10, t(33), 2.0),
+         (11, t(1), 3.0), (11, t(14), 4.0),
+         (12, t(15), 5.0), (12, t(16), 6.0)],
+        "k long, ts timestamp, v double")
+    out = joins.asof_join_nearest(
+        left, right, on="k", left_time="ts", right_time="ts",
+        value_cols=["v"], tolerance_s=5,
+    )
+    got = {r["id"]: r["v_asof"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 4.0, 3: 5.0, 4: None, 5: None}
+
+
 def test_salted_join_matches_plain(spark, duck):
     """Salting must be semantically invisible (inner and left modes)."""
     import pytest
