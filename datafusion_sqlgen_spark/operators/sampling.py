@@ -678,6 +678,246 @@ WHERE (c * {n_per_group}) // total
 """
 
 
+def mixture_waterfill(
+    docs: DataFrame,
+    epoch_cap: int = 2,
+    budget_pct: int = 180,
+    source_col: str = "source",
+    text_col: str = "text",
+    weight_sql: str | None = None,
+) -> DataFrame:
+    """Domain-mixture SOLVER with repeat caps — the planning half of
+    data mixing (the sampling half is :func:`token_budget_mix`). Given
+    per-domain target weights, a token budget (``budget_pct`` % of the
+    available corpus), and a max-epochs cap (no domain may be drawn
+    more than ``epoch_cap``× its available tokens — the published
+    guidance that repeating data much beyond a few epochs stops
+    helping, Muennighoff et al. 2023), compute each domain's token
+    draw by WATER-FILLING: domains whose proportional share exceeds
+    their capacity are capped, and their unmet demand is redistributed
+    proportionally across the uncapped rest, cascading until stable.
+
+    Closed form, not iteration: sort domains by capacity ratio
+    ``c_i/w_i`` ascending; the capped set is a PREFIX of that order,
+    and the first row k where ``c_k·(P−W_before) ≥ w_k·(B−A_before)``
+    (all-BIGINT cross-multiplication — no float water level anywhere)
+    marks the cascade's fixpoint: every row before it is capped, and
+    the remaining budget ``B−A_before`` spreads over the remaining
+    weight ``P−W_before``. If no row passes, the budget exceeds total
+    capacity and every domain caps. Draws, epochs and mixture shares
+    come out in exact integer arithmetic (floor division), so the
+    result is bit-identical on every engine.
+
+    ``weight_sql`` is a SQL expression over the stats row yielding the
+    integer target weight per domain (default: a deterministic 1..5
+    spread from the source suffix); weight ≤ 0 excludes the domain.
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to a ≤|domains| stats table; everything after — the sort, prefix
+    windows, fixpoint pick (a 1-row ``min_by`` broadcast) and final
+    flags — runs over domain-count rows, so nothing downstream of the
+    scan grows with data. The reference has no mixing surface;
+    beyond-reference LLM-pipeline mandate."""
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.text import words_col
+
+    wsql = weight_sql or _MIX_WEIGHT_SQL.format(source_col=source_col)
+    stats = (
+        docs.groupBy(source_col)
+        .agg(
+            F.sum(F.size(words_col(F.col(text_col))).cast("bigint"))
+            .cast("bigint").alias("avail_tokens")
+        )
+        .withColumn("weight", F.expr(wsql).cast("bigint"))
+        .filter(F.col("weight") > 0)
+        .withColumn(
+            "capacity",
+            (F.lit(int(epoch_cap)) * F.col("avail_tokens")).cast("bigint"),
+        )
+    )
+    # prefix state in capacity-ratio order (double division is exactly
+    # rounded IEEE on both engines, so the order is deterministic;
+    # source name breaks exact-ratio ties, which never split a capped
+    # boundary because the capped test depends only on the ratio)
+    order = [
+        (F.col("capacity").cast("double") / F.col("weight")).asc(),
+        F.col(source_col).asc(),
+    ]
+    wall = Window.partitionBy()
+    wpre = (
+        Window.partitionBy().orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = (
+        stats
+        .withColumn("__p", F.sum("weight").over(wall).cast("bigint"))
+        .withColumn(
+            "__b",
+            F.expr(
+                f"CAST(sum(avail_tokens) OVER () * {int(budget_pct)}"
+                " DIV 100 AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__a_before",
+            F.coalesce(F.sum("capacity").over(wpre), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "__w_before",
+            F.coalesce(F.sum("weight").over(wpre), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("__idx", F.row_number().over(Window.orderBy(*order)))
+        # both the fixpoint pick and the final flags read this
+        # ≤|domains|-row table; materialize it once so the corpus
+        # aggregate underneath runs ONE scan, not one per consumer
+        # (on a cluster: a reliable checkpoint dir, same call)
+        .localCheckpoint(eager=True)
+    )
+    # fixpoint: FIRST row in ratio order whose own cap survives the
+    # water level implied by capping everything before it
+    level = (
+        scanned
+        .filter(
+            F.col("capacity") * (F.col("__p") - F.col("__w_before"))
+            >= F.col("weight") * (F.col("__b") - F.col("__a_before"))
+        )
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("__a_before").alias("a_sel"),
+                    F.col("__w_before").alias("w_sel"),
+                ),
+                F.col("__idx"),
+            ).alias("__sel")
+        )
+        .select(
+            # no survivor = budget exceeds total capacity: rem_w 0 and
+            # a positive rem_b flag every domain as capped below
+            F.coalesce(F.col("__sel.a_sel"), F.lit(-1)).alias("a_sel"),
+            F.coalesce(F.col("__sel.w_sel"), F.lit(-1)).alias("w_sel"),
+        )
+    )
+    out = (
+        scanned.crossJoin(F.broadcast(level))
+        .withColumn(
+            "__rem_b",
+            F.when(F.col("a_sel") >= 0, F.col("__b") - F.col("a_sel"))
+            .otherwise(F.lit(1)).cast("bigint"),
+        )
+        .withColumn(
+            "__rem_w",
+            F.when(F.col("w_sel") >= 0, F.col("__p") - F.col("w_sel"))
+            .otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "capped",
+            F.col("capacity") * F.col("__rem_w")
+            < F.col("weight") * F.col("__rem_b"),
+        )
+        .withColumn(
+            "draw_tokens",
+            F.when(F.col("capped"), F.col("capacity"))
+            .otherwise(
+                F.expr("weight * __rem_b DIV __rem_w")
+            ).cast("bigint"),
+        )
+    )
+    return out.select(
+        F.col(source_col),
+        F.col("weight"),
+        F.col("avail_tokens"),
+        F.col("capacity"),
+        F.col("capped"),
+        F.col("draw_tokens"),
+        F.expr("draw_tokens * 1000 DIV avail_tokens").cast("bigint")
+        .alias("epochs_milli"),
+        F.expr("weight * 10000 DIV __p").cast("bigint").alias("target_bp"),
+        F.expr("draw_tokens * 10000 DIV (sum(draw_tokens) OVER ())")
+        .cast("bigint").alias("realized_bp"),
+    )
+
+
+# deterministic 1..5 target-weight spread from the numeric source
+# suffix — same formula on both engines
+_MIX_WEIGHT_SQL = (
+    "CAST(substr({source_col}, 4) AS BIGINT) % 5 + 1"
+)
+
+
+def mixture_waterfill_oracle(
+    table: str = "documents",
+    epoch_cap: int = 2,
+    budget_pct: int = 180,
+    source_col: str = "source",
+    weight_sql: str | None = None,
+) -> str:
+    wsql = weight_sql or _MIX_WEIGHT_SQL.format(source_col=source_col)
+    return f"""
+    WITH stats AS (
+        SELECT {source_col},
+               CAST(sum(len(string_split_regex(lower(text), '\\s+')))
+                   AS BIGINT) AS avail_tokens,
+               CAST({wsql} AS BIGINT) AS weight
+        FROM {table}
+        GROUP BY {source_col}
+        HAVING CAST({wsql} AS BIGINT) > 0
+    ),
+    scanned AS (
+        SELECT *,
+               CAST({int(epoch_cap)} * avail_tokens AS BIGINT) AS capacity,
+               CAST(sum(weight) OVER () AS BIGINT) AS p,
+               CAST(sum(avail_tokens) OVER () * {int(budget_pct)} // 100
+                   AS BIGINT) AS b,
+               CAST(coalesce(sum({int(epoch_cap)} * avail_tokens) OVER (
+                   ORDER BY CAST({int(epoch_cap)} * avail_tokens AS DOUBLE)
+                            / weight, {source_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS a_before,
+               CAST(coalesce(sum(weight) OVER (
+                   ORDER BY CAST({int(epoch_cap)} * avail_tokens AS DOUBLE)
+                            / weight, {source_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS w_before,
+               row_number() OVER (
+                   ORDER BY CAST({int(epoch_cap)} * avail_tokens AS DOUBLE)
+                            / weight, {source_col}) AS idx
+        FROM stats
+    ),
+    level AS (
+        SELECT coalesce(min_by(a_before, idx), -1) AS a_sel,
+               coalesce(min_by(w_before, idx), -1) AS w_sel
+        FROM scanned
+        WHERE capacity * (p - w_before) >= weight * (b - a_before)
+    ),
+    flagged AS (
+        SELECT s.*,
+               CASE WHEN l.a_sel >= 0 THEN s.b - l.a_sel
+                    ELSE 1 END AS rem_b,
+               CASE WHEN l.w_sel >= 0 THEN s.p - l.w_sel
+                    ELSE 0 END AS rem_w
+        FROM scanned s, level l
+    ),
+    drawn AS (
+        SELECT *,
+               capacity * rem_w < weight * rem_b AS capped,
+               CAST(CASE WHEN capacity * rem_w < weight * rem_b
+                         THEN capacity
+                         ELSE weight * rem_b // rem_w END AS BIGINT)
+                   AS draw_tokens
+        FROM flagged
+    )
+    SELECT {source_col}, weight, avail_tokens, capacity, capped,
+           draw_tokens,
+           CAST(draw_tokens * 1000 // avail_tokens AS BIGINT)
+               AS epochs_milli,
+           CAST(weight * 10000 // p AS BIGINT) AS target_bp,
+           CAST(draw_tokens * 10000 // (sum(draw_tokens) OVER ())
+               AS BIGINT) AS realized_bp
+    FROM drawn
+    """
+
+
 def curriculum_buckets(
     scored: DataFrame,
     n_buckets: int = 10,

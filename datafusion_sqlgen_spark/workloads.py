@@ -3647,6 +3647,15 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             lambda s: sampling.token_budget_mix(s.table("documents")),
             sampling.token_budget_mix_oracle(),
         ),
+        # round 13: domain-mixture water-filling solver — target
+        # weights + token budget + max-epochs repeat cap -> per-domain
+        # draws via the closed-form capacity-ratio prefix scan;
+        # all-BIGINT cross-multiplication, corpus collapses to a
+        # |domains|-row stats table after ONE aggregate
+        "sample_mixture_waterfill": (
+            lambda s: sampling.mixture_waterfill(s.table("documents")),
+            sampling.mixture_waterfill_oracle(),
+        ),
         # deterministic PPS systematic sampling (round 7): exactly n
         # picks per source, probability proportional to integer weight;
         # two-phase bucket prefix sums on the Spark side vs a single

@@ -39,6 +39,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
         "window runs over the bounded n_buckets count rows",
     "profile_theta_setops": "1-row sketch-state rows broadcast",
     "sample_token_budget_mix": "1-row total-token aggregate broadcast",
+    "sample_mixture_waterfill":
+        "1-row water-level fixpoint broadcast over the checkpointed "
+        "|domains|-row stats table — bounded by construction",
     "text_bigram_logprob": "1-row total-count aggregate broadcast",
     "text_bm25_topk": "1-row corpus-stats aggregate broadcast",
     "text_rrf_hybrid_topk":
@@ -177,6 +180,10 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # nearest-direction asof (round 13): ONE keyed exchange, both
     # direction windows from the same sorted partition, no join op
     "join_asof_nearest": 1,
+    # waterfill solver: 2 SinglePartition hops + 1 broadcast, all over
+    # the eagerly checkpointed |domains|-row stats table (the corpus
+    # agg ran once at checkpoint time, outside this plan)
+    "sample_mixture_waterfill": 3,
 }
 
 

@@ -115,6 +115,25 @@ def test_asof_join(spark, duck):
     check(spark, duck, out, oracle)
 
 
+def test_mixture_waterfill(spark, duck):
+    """Water-filling mixture solver vs its DuckDB oracle; sanity: every
+    capped domain sits exactly at the epoch cap, uncapped draws are
+    weight-proportional."""
+    out = check(
+        spark, duck, sampling.mixture_waterfill(_df(spark, "documents")),
+        sampling.mixture_waterfill_oracle(),
+    )
+    rows = sampling.mixture_waterfill(_df(spark, "documents")).collect()
+    assert any(r["capped"] for r in rows)
+    assert any(not r["capped"] for r in rows)
+    for r in rows:
+        if r["capped"]:
+            assert r["epochs_milli"] == 2000
+            assert r["draw_tokens"] == r["capacity"]
+        else:
+            assert r["draw_tokens"] < r["capacity"]
+
+
 def test_asof_join_nearest(spark, duck):
     """Nearest click (either direction, 1-day tolerance) per error."""
     ev = _df(spark, "events")
