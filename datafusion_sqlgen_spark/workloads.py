@@ -4045,6 +4045,30 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
                 tie_col="event_id",
             ),
         ),
+        # round 13: per-COLUMN snapshot drift audit — null-rate bp,
+        # exact distinct counts, 1e-3 fixed-point means per column
+        # across a baseline/current time split; the schema-level
+        # companion to the value-level PSI/KS gates (the fixture has
+        # no nulls, so a nullable column is derived in-query — the
+        # audit is what's under test, same derivation in the oracle)
+        "profile_snapshot_drift": (
+            lambda s: profiling.snapshot_drift(
+                s.table("events").withColumn(
+                    "value_n",
+                    F.expr("CASE WHEN value < 20 THEN NULL ELSE value END"),
+                ),
+                cohort_sql="ts >= TIMESTAMP '2024-01-16'",
+                columns=["event_type", "props", "value_n", "user_id"],
+                numeric_cols=["value_n", "user_id"],
+            ),
+            profiling.snapshot_drift_oracle(
+                table="(SELECT *, CASE WHEN value < 20 THEN NULL "
+                      "ELSE value END AS value_n FROM events)",
+                cohort_sql="ts >= TIMESTAMP '2024-01-16'",
+                columns=["event_type", "props", "value_n", "user_id"],
+                numeric_cols=["value_n", "user_id"],
+            ),
+        ),
         # round 13: nearest-direction as-of join — the third merge_asof
         # direction (backward/forward exist above); both candidates
         # from ONE keyed exchange + one sorted pass, exact

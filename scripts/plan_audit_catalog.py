@@ -42,6 +42,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "sample_mixture_waterfill":
         "1-row water-level fixpoint broadcast over the checkpointed "
         "|domains|-row stats table — bounded by construction",
+    "profile_snapshot_drift":
+        "1-row baseline x 1-row current aggregate cross — bounded by "
+        "construction (the corpus collapsed in the 2-group agg above)",
     "text_bigram_logprob": "1-row total-count aggregate broadcast",
     "text_bm25_topk": "1-row corpus-stats aggregate broadcast",
     "text_rrf_hybrid_topk":
@@ -184,6 +187,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # the eagerly checkpointed |domains|-row stats table (the corpus
     # agg ran once at checkpoint time, outside this plan)
     "sample_mixture_waterfill": 3,
+    # snapshot drift audit: the multi-count-distinct Expand agg's
+    # exchanges + the 1-row x 1-row broadcast cross
+    "profile_snapshot_drift": 5,
 }
 
 

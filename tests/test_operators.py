@@ -1670,3 +1670,41 @@ def test_snapshot_diff_rejects_empty_attrs(spark):
     df = spark.createDataFrame([(1, "a")], "k BIGINT, v STRING")
     with _pytest.raises(ValueError):
         snapshot_diff(df, df, "k", [])
+
+
+def test_snapshot_drift_audit(spark, duck):
+    """Round-13 snapshot drift: oracle parity plus invariants — the
+    derived nullable column shows a nonzero null rate, never-null
+    columns report 0 bp on both sides, distinct counts are positive,
+    and means exist exactly for the numeric columns."""
+    from pyspark.sql import functions as F
+
+    from datafusion_sqlgen_spark.operators import profiling as pf
+
+    src = spark.table("events").withColumn(
+        "value_n", F.expr("CASE WHEN value < 20 THEN NULL ELSE value END")
+    )
+    out = pf.snapshot_drift(
+        src, cohort_sql="ts >= TIMESTAMP '2024-01-16'",
+        columns=["event_type", "props", "value_n", "user_id"],
+        numeric_cols=["value_n", "user_id"],
+    )
+    oracle = pf.snapshot_drift_oracle(
+        table="(SELECT *, CASE WHEN value < 20 THEN NULL "
+              "ELSE value END AS value_n FROM events)",
+        cohort_sql="ts >= TIMESTAMP '2024-01-16'",
+        columns=["event_type", "props", "value_n", "user_id"],
+        numeric_cols=["value_n", "user_id"],
+    )
+    rows = {r[0]: r for r in check(spark, duck, out, oracle)}
+    assert set(rows) == {"event_type", "props", "value_n", "user_id"}
+    r = rows["value_n"]
+    assert r[3] > 0 and r[4] > 0          # base/curr null bp
+    for c in ("event_type", "props", "user_id"):
+        assert rows[c][3] == 0 and rows[c][4] == 0
+    for c in ("value_n", "user_id"):
+        assert rows[c][8] is not None     # base_mean_milli
+    for c in ("event_type", "props"):
+        assert rows[c][8] is None
+    for c in rows:
+        assert rows[c][5] > 0 and rows[c][6] > 0  # distinct counts
