@@ -3514,3 +3514,153 @@ SELECT n, n11, n10, n01, n00,
        {_duck_round(kappa, 6)} AS kappa
 FROM agg
 """
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over a
+    sliding token window — the word2vec-style pair-generation /
+    PMI-ranking primitive of corpus analytics (Church & Hanks 1990).
+    Every token pairs with the next ``window`` tokens in its document
+    (forward-only, so each co-occurrence is generated exactly once);
+    pairs normalize unordered (``least``/``greatest``), and
+    ``pmi = ln(p(a,b) / (p(a)·p(b)))`` ranks the top-``top_n`` pairs
+    seen at least ``min_count`` times.
+
+    Exactness: the PMI argument is built as ONE double division of two
+    exact BIGINT products (``c_ab·N²  /  T·c_a·c_b``) — both engines
+    round that division identically, so a single ``ln`` + the 1e-6
+    snap is engine-stable (sub-ulp libm differences vanish in the
+    snap, the tfidf precedent). N² bounds the exact range to ~3e15
+    tokens; beyond that flip the argument to log-difference form and
+    widen the snap.
+
+    Scale shape: ONE doc-keyed exchange for the ``lead`` windows (the
+    per-doc sort is the tokenizer's own partition), ONE pair-group
+    count shuffle (map-side partials; the inherent cost of exact
+    co-occurrence counts), then vocab-sized broadcast joins for the
+    unigram marginals, a 1-row totals broadcast, and a global
+    TakeOrderedAndProject for the top-n — nothing else touches the
+    corpus. Beyond-reference LLM-pipeline surface."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = toks.select(
+        F.col("term"),
+        F.array(
+            *[F.lead("term", j).over(w) for j in range(1, window + 1)]
+        ).alias("__nbrs"),
+    )
+    pairs = (
+        leads.select(
+            F.col("term"), F.explode("__nbrs").alias("other")
+        )
+        .filter(F.col("other").isNotNull() & (F.col("other") != ""))
+        .select(
+            F.least("term", "other").alias("a"),
+            F.greatest("term", "other").alias("b"),
+        )
+    )
+    # both aggregates are consumed more than once (marginals + totals);
+    # materialize each so its corpus pass runs exactly once — pc is the
+    # co-occurrence matrix (bounded by pair-vocab, the intermediate a
+    # real pipeline persists anyway), uni is vocab-sized
+    pc = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_count")
+    ).localCheckpoint(eager=True)
+    uni = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    # marginals' totals come from the already-aggregated pair/unigram
+    # tables (pre-min_count), so the corpus subtree is never re-scanned
+    totals = pc.agg(
+        F.sum("pair_count").cast("bigint").alias("t_pairs")
+    ).crossJoin(
+        F.broadcast(
+            uni.agg(F.sum("c").cast("bigint").alias("n_toks"))
+        )
+    )
+    num = F.col("pair_count") * F.col("n_toks") * F.col("n_toks")
+    den = F.col("t_pairs") * F.col("ca") * F.col("cb")
+    return (
+        pc.filter(F.col("pair_count") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("term", "a")
+                          .withColumnRenamed("c", "ca")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("term", "b")
+                          .withColumnRenamed("c", "cb")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("a"), F.col("b"), F.col("pair_count"),
+            F.floor(
+                F.log(num.cast("double") / den.cast("double"))
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint").alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), F.col("a").asc(),
+                 F.col("b").asc())
+        .limit(top_n)
+    )
+
+
+def pmi_collocations_oracle(
+    table: str = "documents",
+    window: int = 3,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> str:
+    words = f"string_split_regex(lower(text), '{_WORD_SPLIT_DUCK}')"
+    shifts = ", ".join(
+        f"lead(term, {j}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for j in range(1, window + 1)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({words}) AS term,
+               generate_subscripts({words}, 1) AS pos
+        FROM {table}
+    ),
+    tok AS (SELECT * FROM toks WHERE term <> ''),
+    leads AS (
+        SELECT term, [{shifts}] AS nbrs
+        FROM tok
+    ),
+    pairs AS (
+        SELECT least(term, other) AS a, greatest(term, other) AS b
+        FROM (SELECT term, unnest(nbrs) AS other FROM leads)
+        WHERE other IS NOT NULL AND other <> ''
+    ),
+    pc AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY a, b
+    ),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term
+    ),
+    totals AS (
+        SELECT (SELECT CAST(sum(pair_count) AS BIGINT) FROM pc) AS t_pairs,
+               (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_toks
+    )
+    SELECT p.a, p.b, p.pair_count,
+           CAST(floor(ln(
+               CAST(p.pair_count * t.n_toks * t.n_toks AS DOUBLE)
+               / CAST(t.t_pairs * ua.c * ub.c AS DOUBLE)
+           ) * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+    FROM pc p
+    JOIN uni ua ON ua.term = p.a
+    JOIN uni ub ON ub.term = p.b
+    CROSS JOIN totals t
+    WHERE p.pair_count >= {min_count}
+    ORDER BY pmi_micro DESC, p.a ASC, p.b ASC
+    LIMIT {top_n}
+    """

@@ -4045,6 +4045,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
                 tie_col="event_id",
             ),
         ),
+        # round 13: PMI collocation mining — sliding-window
+        # co-occurrence pairs ranked by pointwise mutual information;
+        # the PMI argument is ONE double division of exact BIGINT
+        # products so a single ln + 1e-6 snap is engine-stable
+        "text_pmi_collocations": (
+            lambda s: text.pmi_collocations(s.table("documents")),
+            text.pmi_collocations_oracle(),
+        ),
         # round 13: per-COLUMN snapshot drift audit — null-rate bp,
         # exact distinct counts, 1e-3 fixed-point means per column
         # across a baseline/current time split; the schema-level

@@ -45,6 +45,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "profile_snapshot_drift":
         "1-row baseline x 1-row current aggregate cross — bounded by "
         "construction (the corpus collapsed in the 2-group agg above)",
+    "text_pmi_collocations":
+        "1-row pair/token-totals broadcast over the checkpointed "
+        "co-occurrence counts — bounded by construction",
     "text_bigram_logprob": "1-row total-count aggregate broadcast",
     "text_bm25_topk": "1-row corpus-stats aggregate broadcast",
     "text_rrf_hybrid_topk":
@@ -190,6 +193,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # snapshot drift audit: the multi-count-distinct Expand agg's
     # exchanges + the 1-row x 1-row broadcast cross
     "profile_snapshot_drift": 5,
+    # PMI collocations: totals hops + vocab broadcasts + TakeOrdered,
+    # all over the checkpointed pair/unigram count tables
+    "text_pmi_collocations": 6,
 }
 
 

@@ -1708,3 +1708,22 @@ def test_snapshot_drift_audit(spark, duck):
         assert rows[c][8] is None
     for c in rows:
         assert rows[c][5] > 0 and rows[c][6] > 0  # distinct counts
+
+
+def test_pmi_collocations(spark, duck):
+    """Round-13 PMI collocations: oracle parity plus invariants —
+    results ordered by snapped PMI desc, every pair meets min_count,
+    pairs are unordered-normalized (a <= b)."""
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    rows = check(
+        spark, duck, tx.pmi_collocations(_df(spark, "documents")),
+        tx.pmi_collocations_oracle(),
+    )
+    got = tx.pmi_collocations(_df(spark, "documents")).collect()
+    assert 0 < len(got) <= 50
+    pmis = [r["pmi_micro"] for r in got]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in got:
+        assert r["pair_count"] >= 5
+        assert r["a"] <= r["b"]
