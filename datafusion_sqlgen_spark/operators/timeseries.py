@@ -678,3 +678,98 @@ SELECT CAST(least(floor(late_us / {width}), {max_bucket}) AS INT)
        round(max(late_us / 1000000.0), 6) AS max_late_s
 FROM late GROUP BY 1
 """
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average under LOCF interpolation — the
+    irregular-sampling mean (TimescaleDB's ``time_weight('LOCF')``
+    shape): each observation holds until the next one, so its weight
+    is the duration it was current, not 1. Reported beside the naive
+    row mean: the two diverging flags sampling-rate bias (bursts of
+    readings at one level would otherwise swamp the average).
+
+    Exactness: durations are exact integer MICROSECONDS (timestamps
+    cast to UTC-pinned ``timestamp`` then ``unix_micros`` — matches
+    DuckDB ``epoch_us``); values snap to 1e-3 fixed point BEFORE the
+    multiply, so every per-key sum is a BIGINT sum of exact products —
+    order-free and engine-identical, never a float accumulation.
+    Headroom: value_milli·span_us per key must fit BIGINT (~9e18 —
+    e.g. 1e6-scale values current for up to ~3 months); coarsen to
+    milliseconds beyond that.
+
+    Scale shape: ONE hash exchange on the key serves BOTH the ``lead``
+    window and the final group-by (same partitioning, Catalyst reuses
+    it); per-key cost is the partition's own size. Keys with a single
+    observation have zero span and are reported with NULL twa (no
+    interval to integrate)."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # equal timestamps within a key: lead() is order-sensitive inside
+    # the tie and engines disagree on tie order — pin it explicitly
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    seg = events.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col),
+        F.expr(f"CAST(round({value_col} * 1000) AS BIGINT)")
+        .alias("__vm"),
+        (F.lead(us, 1).over(w) - us).alias("__dur_us"),
+    )
+    return (
+        seg.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("__dur_us").cast("bigint").alias("span_us"),
+            F.sum(F.col("__vm") * F.col("__dur_us")).cast("bigint")
+            .alias("__wsum"),
+            F.sum("__vm").cast("bigint").alias("__vsum"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("n_obs"),
+            F.col("span_us"),
+            F.expr("CAST(__wsum DIV span_us AS BIGINT)")
+            .alias("twa_milli"),
+            F.expr("CAST(__vsum DIV n_obs AS BIGINT)")
+            .alias("mean_milli"),
+        )
+    )
+
+
+def time_weighted_avg_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> str:
+    return f"""
+    WITH seg AS (
+        SELECT {key_col},
+               CAST(round({value_col} * 1000) AS BIGINT) AS vm,
+               epoch_us(lead({ts_col}) OVER (
+                   PARTITION BY {key_col}
+                   ORDER BY {ts_col} ASC, {tie_col} ASC))
+                   - epoch_us({ts_col}) AS dur_us
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+              AND {value_col} IS NOT NULL
+    )
+    SELECT {key_col},
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           CAST(sum(vm * dur_us) // sum(dur_us) AS BIGINT) AS twa_milli,
+           CAST(sum(vm) // count(*) AS BIGINT) AS mean_milli
+    FROM seg
+    GROUP BY {key_col}
+    """

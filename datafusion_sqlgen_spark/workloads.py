@@ -4045,6 +4045,14 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
                 tie_col="event_id",
             ),
         ),
+        # round 13: time-weighted average under LOCF — the
+        # irregular-sampling mean (TimescaleDB time_weight shape);
+        # exact integer-microsecond durations x 1e-3 fixed-point
+        # values, ONE key exchange serving both window and group-by
+        "ts_time_weighted_avg": (
+            lambda s: timeseries.time_weighted_avg(s.table("events")),
+            timeseries.time_weighted_avg_oracle(),
+        ),
         # round 13: PMI collocation mining — sliding-window
         # co-occurrence pairs ranked by pointwise mutual information;
         # the PMI argument is ONE double division of exact BIGINT

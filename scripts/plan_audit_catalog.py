@@ -196,6 +196,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # PMI collocations: totals hops + vocab broadcasts + TakeOrdered,
     # all over the checkpointed pair/unigram count tables
     "text_pmi_collocations": 6,
+    # time-weighted average: ONE key exchange serves both the lead
+    # window and the final group-by (same partitioning, reused)
+    "ts_time_weighted_avg": 1,
 }
 
 

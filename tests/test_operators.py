@@ -1727,3 +1727,30 @@ def test_pmi_collocations(spark, duck):
     for r in got:
         assert r["pair_count"] >= 5
         assert r["a"] <= r["b"]
+
+
+def test_time_weighted_avg(spark, duck):
+    """Round-13 TWAP: oracle parity plus a hand-check — a key holding
+    value 10 for 3/4 of its span and 90 for 1/4 has twa 30000 milli
+    while the naive row mean reads 50000 (the terminal 50 carries no
+    time weight but a full row weight); a single-obs key reports NULL
+    twa."""
+    from datetime import datetime
+
+    out = timeseries.time_weighted_avg(_df(spark, "events"))
+    check(spark, duck, out, timeseries.time_weighted_avg_oracle())
+
+    t = lambda m: datetime(2024, 1, 1, 12, m, 0)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 7, t(0), 10.0),   # held 30 min of a 40-min span
+         (2, 7, t(30), 90.0),  # held 10 min
+         (3, 7, t(40), 50.0),  # terminal: zero weight
+         (4, 8, t(0), 42.0)],  # single obs: no interval
+        "event_id long, user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r for r in
+           timeseries.time_weighted_avg(ev).collect()}
+    assert got[7]["twa_milli"] == 30000   # (10*30 + 90*10) / 40
+    assert got[7]["mean_milli"] == 50000  # (10+90+50)/3
+    assert got[7]["n_obs"] == 3
+    assert got[8]["twa_milli"] is None
+    assert got[8]["span_us"] is None
