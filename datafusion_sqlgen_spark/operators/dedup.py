@@ -579,6 +579,78 @@ def ngram_jaccard_pairs_oracle(
     """
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.1,
+    max_left_id: int | None = None,
+) -> DataFrame:
+    """Pairwise n-gram CONTAINMENT — the asymmetric companion to
+    :func:`ngram_jaccard_pairs`: ``|A∩B| / min(|A|, |B|)``. Jaccard
+    misses sub-document duplication by construction (a short doc fully
+    quoted inside a long one has Jaccard ≈ |short|/|long| → 0 but
+    containment 1), and quote-inclusion is the dominant residual dup
+    class after symmetric near-dup removal (Broder 1997's resemblance
+    vs containment distinction). Output keeps Jaccard beside
+    containment so the asymmetric pairs are visible as the gap between
+    the two; ``smaller`` names the contained side's id.
+
+    Scale: same contract as the Jaccard stage — this is the
+    VERIFICATION step, run over LSH candidate pairs (bucket-keyed,
+    never all-pairs); ``max_left_id`` bounds the broadcast left side
+    for tests/benchmarks."""
+    sh = F.array_distinct(_shingles(F.col(text_col), shingle))
+    left = df.select(F.col(id_col).alias("id_a"), sh.alias("sh_a"))
+    if max_left_id is not None:
+        left = left.filter(F.col("id_a") < max_left_id)
+    right = df.select(F.col(id_col).alias("id_b"), sh.alias("sh_b"))
+    pairs = F.broadcast(left).join(right, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    na, nb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))
+    cont = inter / F.least(na, nb)
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(cont, 4).alias("containment"),
+            F.round(inter / union, 4).alias("jaccard"),
+            F.when(na <= nb, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("smaller"),
+        )
+        .filter(F.col("containment") > threshold)
+    )
+
+
+def ngram_containment_pairs_oracle(
+    table: str = "documents", shingle: int = 3, threshold: float = 0.1,
+    max_left_id: int | None = None,
+) -> str:
+    sh = f"list_distinct({_DUCK_SHINGLES.format(sm1=shingle - 1)})"
+    left_filter = (
+        f"WHERE doc_id < {max_left_id}" if max_left_id is not None else ""
+    )
+    cont = (
+        "round(len(list_intersect(sh_a, sh_b))::DOUBLE"
+        " / least(len(sh_a), len(sh_b)), 4)"
+    )
+    return f"""
+    WITH sh_tab AS (SELECT doc_id, {sh} AS sh FROM {table}),
+    lhs AS (SELECT doc_id AS id_a, sh AS sh_a FROM sh_tab {left_filter}),
+    rhs AS (SELECT doc_id AS id_b, sh AS sh_b FROM sh_tab)
+    SELECT id_a, id_b,
+           {cont} AS containment,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                 / len(list_distinct(list_concat(sh_a, sh_b))), 4)
+               AS jaccard,
+           CASE WHEN len(sh_a) <= len(sh_b) THEN id_a ELSE id_b END
+               AS smaller
+    FROM lhs JOIN rhs ON id_a < id_b
+    WHERE {cont} > {threshold}
+    """
+
+
 def canonical_text(text_col: Column) -> Column:
     """Canonical form for near-exact dedup: lowercase, collapse runs of
     whitespace, strip. Catches the trivial-variant duplicates (case /

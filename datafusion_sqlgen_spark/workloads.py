@@ -3340,6 +3340,17 @@ def _operator_workloads() -> dict[str, tuple[Callable[[SparkSession], DataFrame]
             ),
             dedup.ngram_jaccard_pairs_oracle(max_left_id=20, threshold=0.05),
         ),
+        # round 13: asymmetric containment (|A∩B| / min(|A|,|B|)) —
+        # the sub-document/quote-inclusion dup class symmetric Jaccard
+        # misses by construction (Broder resemblance vs containment)
+        "dedup_ngram_containment": (
+            lambda s: dedup.ngram_containment_pairs(
+                s.table("documents"), max_left_id=60, threshold=0.1
+            ),
+            dedup.ngram_containment_pairs_oracle(
+                max_left_id=60, threshold=0.1
+            ),
+        ),
         "text_token_stats": (
             lambda s: text.token_stats(s.table("documents")),
             text.token_stats_oracle(),

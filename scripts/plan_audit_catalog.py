@@ -60,6 +60,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "text_tfidf_topk": "1-row doc-count aggregate broadcast",
     "text_unigram_logprob": "1-row total-count aggregate broadcast",
     "dedup_ngram_jaccard": "1-row total broadcast (Jaccard normalizer)",
+    "dedup_ngram_containment":
+        "bounded broadcast left side (max_left_id) x corpus — the "
+        "verification-stage contract, runs over LSH candidates at scale",
     "dedup_bloom_ngram_decontaminate":
         "1-row Bloom bit-array broadcast (GPT-3-style decontamination)",
     # --- fixed small grids ---
@@ -199,6 +202,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # time-weighted average: ONE key exchange serves both the lead
     # window and the final group-by (same partitioning, reused)
     "ts_time_weighted_avg": 1,
+    # containment verify stage: one bounded broadcast, zero shuffles
+    # beyond the single exchange under the broadcast
+    "dedup_ngram_containment": 1,
 }
 
 

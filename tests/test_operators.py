@@ -1754,3 +1754,22 @@ def test_time_weighted_avg(spark, duck):
     assert got[7]["n_obs"] == 3
     assert got[8]["twa_milli"] is None
     assert got[8]["span_us"] is None
+
+
+def test_ngram_containment(spark, duck):
+    """Round-13 containment: oracle parity plus the asymmetry
+    invariants — containment >= jaccard on every pair, and the fixture
+    exhibits at least one genuinely asymmetric pair (high containment,
+    low jaccard: the quote-inclusion class Jaccard misses)."""
+    out = dedup.ngram_containment_pairs(
+        _df(spark, "documents"), max_left_id=60, threshold=0.1
+    )
+    check(spark, duck, out,
+          dedup.ngram_containment_pairs_oracle(max_left_id=60,
+                                               threshold=0.1))
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["containment"] >= r["jaccard"]
+        assert r["smaller"] in (r["id_a"], r["id_b"])
+    assert any(r["containment"] > 2 * r["jaccard"] for r in rows)
