@@ -40,6 +40,13 @@ CONTENTION_MAX = float(os.environ.get("SPARK_GRAFT_CONTENTION_MAX", "1.12"))
 # Representative slice of the catalog: scan/filter, the two canonical agg
 # shapes, multi-join, window, set-op, and the LLM-pipeline operators.
 HEADLINE = [
+    # round-13 additions (second wave)
+    "join_asof_nearest",
+    "sample_mixture_waterfill",
+    "profile_snapshot_drift",
+    "text_pmi_collocations",
+    "ts_time_weighted_avg",
+    "dedup_ngram_containment",
     # round-13 additions
     "text_rrf_hybrid_topk",
     "streaming_scd2_result",

@@ -2541,3 +2541,174 @@ s{step} AS (
     union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
     parts.append(f"\n{union}")
     return "".join(parts)
+
+
+def ivf_recall_frontier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The nprobe TUNING CURVE: recall@k versus scored-candidate cost
+    at each probe width — the number every IVF deployment actually has
+    to pick, measured instead of guessed (FAISS's nprobe sweep as a
+    query plan). One row per nprobe: query count, total ground-truth
+    hits, mean recall (exact integer milli: ``hits·1000 / (n_q·k)``),
+    and the scored-pair count (the serving-cost proxy that recall is
+    traded against).
+
+    Composition of existing stages — :func:`ivf_assign` builds the
+    index once (checkpointed: the persisted-index story at scale),
+    :func:`cosine_topk` computes ground truth once, and each nprobe
+    branch reuses both via :func:`ivf_assign_multi`'s broadcast-
+    codebook probe; the union output is |nprobes| rows. Every branch
+    is the ivf_topk cell-equi probe shape — the frontier costs
+    |nprobes| probe joins over the SAME materialized index, not
+    |nprobes| index builds."""
+    from pyspark.sql import Window
+
+    cents = corpus.filter(F.col(id_col) < n_cells)
+    c_assigned = (
+        ivf_assign(corpus, cents, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cell_id").alias("c_cell"),
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("cn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        cosine_topk(corpus, queries, k, id_col, vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    nq = exact.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    out = None
+    for p in nprobes:
+        qm = ivf_assign_multi(queries, cents, p, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col("cell_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+        scored = F.broadcast(qm).join(
+            c_assigned,
+            (F.col("cell_id") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        ).select(
+            "query_id", "neighbor_id",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits = topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            hits.agg(F.count(F.lit(1)).cast("bigint").alias("total_hits"))
+            .crossJoin(F.broadcast(scored.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_scored")
+            )))
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                F.col("n_queries"),
+                F.col("total_hits"),
+                F.expr(f"CAST(total_hits * 1000 DIV (n_queries * {k}) "
+                       "AS BIGINT)").alias("recall_milli"),
+                F.col("n_scored"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def ivf_recall_frontier_oracle(
+    table: str = "embeddings",
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+    n_cells: int = 8,
+    max_query_id: int = 10,
+) -> str:
+    arms = []
+    for p in nprobes:
+        arms.append(f"""
+    SELECT CAST({p} AS BIGINT) AS nprobe,
+           (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM exact_tk)
+               AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT) FROM topk_{p} t
+            WHERE EXISTS (SELECT 1 FROM exact_tk e
+                          WHERE e.query_id = t.query_id
+                            AND e.neighbor_id = t.neighbor_id))
+               AS total_hits,
+           (SELECT CAST(count(*) * 1000 // (
+                (SELECT count(DISTINCT query_id) FROM exact_tk) * {k})
+                AS BIGINT) FROM topk_{p} t
+            WHERE EXISTS (SELECT 1 FROM exact_tk e
+                          WHERE e.query_id = t.query_id
+                            AND e.neighbor_id = t.neighbor_id))
+               AS recall_milli,
+           (SELECT CAST(count(*) AS BIGINT) FROM scored_{p})
+               AS n_scored""")
+    probe_ctes = []
+    for p in nprobes:
+        probe_ctes.append(f"""
+    multiq_{p} AS (
+        SELECT query_id, cell_id, qvec FROM (
+            SELECT q.vec_id AS query_id, c.cell_id, q.embedding AS qvec,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_duck_round(_duck_cos('q.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
+                           c.cell_id ASC) AS rn
+            FROM (SELECT * FROM {table} WHERE vec_id < {max_query_id}) q
+            CROSS JOIN cents c
+        ) WHERE rn <= {p}
+    ),
+    scored_{p} AS (
+        SELECT m.query_id, a.vec_id AS neighbor_id,
+               {_duck_cos('m.qvec::DOUBLE[]', 'a.embedding::DOUBLE[]')}
+                   AS cos_sim
+        FROM multiq_{p} m JOIN assigned a
+          ON m.cell_id = a.cell_id AND m.query_id <> a.vec_id
+    ),
+    topk_{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored_{p}
+        ) WHERE rnk <= {k}
+    )""")
+    exact = cosine_topk_oracle(table, k, max_query_id)
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding AS centroid FROM {table}
+        WHERE vec_id < {n_cells}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT t.vec_id, t.embedding, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY {_duck_round(_duck_cos('t.embedding::DOUBLE[]', 'c.centroid::DOUBLE[]'), 6)} DESC,
+                           c.cell_id ASC) AS rn
+            FROM {table} t CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    exact_tk AS (
+        SELECT query_id, neighbor_id FROM ({exact})
+    ),{",".join(probe_ctes)}
+    {" UNION ALL ".join(arms)}
+    """

@@ -3681,6 +3681,16 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             .select("doc_id", "source"),
             sampling.temperature_mix_oracle(cols="t.doc_id, t.source"),
         ),
+        # round 13: the nprobe TUNING CURVE — recall@k vs scored-pair
+        # cost at each probe width over ONE checkpointed index build;
+        # |nprobes| probe joins, never |nprobes| index builds
+        "sim_recall_frontier": (
+            lambda s: similarity.ivf_recall_frontier(
+                s.table("embeddings"),
+                s.table("embeddings").filter(F.col("vec_id") < 10),
+            ),
+            similarity.ivf_recall_frontier_oracle(),
+        ),
         # ANN acceptance gate: IVF recall@k vs exact brute force
         "sim_recall_at_k": (
             lambda s: similarity.recall_at_k(

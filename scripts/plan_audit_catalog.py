@@ -95,6 +95,10 @@ BNLJ_ALLOWLIST: dict[str, str] = {
         "query side capped (vec_id < 3) and broadcast; the greedy "
         "re-ranks bounded n-candidate groups via applyInPandas",
     "sim_recall_at_k": "capped query set broadcast (exact reference)",
+    "sim_recall_frontier":
+        "capped query set + codebook broadcasts per nprobe branch, "
+        "plus 1-row stat crosses — every build side bounded; the index "
+        "itself is checkpointed and probed, never broadcast",
     "sim_hard_negatives": "sampled query side broadcast (brute baseline)",
 }
 
@@ -205,6 +209,10 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # containment verify stage: one bounded broadcast, zero shuffles
     # beyond the single exchange under the broadcast
     "dedup_ngram_containment": 1,
+    # nprobe frontier: |nprobes|=3 probe-join branches over the ONE
+    # checkpointed index, each with its own top-k window + three 1-row
+    # stat aggregates — an audit/tuning run, not a serving path
+    "sim_recall_frontier": 45,
 }
 
 

@@ -1773,3 +1773,22 @@ def test_ngram_containment(spark, duck):
         assert r["containment"] >= r["jaccard"]
         assert r["smaller"] in (r["id_a"], r["id_b"])
     assert any(r["containment"] > 2 * r["jaccard"] for r in rows)
+
+
+def test_ivf_recall_frontier(spark, duck):
+    """Round-13 nprobe frontier: oracle parity plus monotonicity — both
+    recall and scored-pair cost are non-decreasing in nprobe, and
+    nprobe=n_cells would be exhaustive (recall ceiling sanity via the
+    widest probe being the best)."""
+    out = similarity.ivf_recall_frontier(
+        _df(spark, "embeddings"),
+        _df(spark, "embeddings").filter("vec_id < 10"),
+    )
+    check(spark, duck, out, similarity.ivf_recall_frontier_oracle())
+    rows = sorted(map(tuple, out.collect()))
+    assert [r[0] for r in rows] == [1, 2, 4]
+    recalls = [r[3] for r in rows]
+    costs = [r[4] for r in rows]
+    assert recalls == sorted(recalls)
+    assert costs == sorted(costs)
+    assert all(r[1] == rows[0][1] for r in rows)  # same query count
