@@ -41,6 +41,7 @@ CONTENTION_MAX = float(os.environ.get("SPARK_GRAFT_CONTENTION_MAX", "1.12"))
 # shapes, multi-join, window, set-op, and the LLM-pipeline operators.
 HEADLINE = [
     # round-13 additions (second wave)
+    "text_weighted_hybrid_topk",
     "join_asof_nearest",
     "sample_mixture_waterfill",
     "profile_snapshot_drift",

@@ -3664,3 +3664,163 @@ def pmi_collocations_oracle(
     ORDER BY pmi_micro DESC, p.a ASC, p.b ASC
     LIMIT {top_n}
     """
+
+
+def weighted_hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 15,
+    depth: int = 50,
+    w_lex: int = 60,
+    w_vec: int = 40,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via WEIGHTED min-max score fusion — the other
+    standard composition beside :func:`rrf_hybrid_topk` (the one every
+    hybrid-search deployment A/Bs against RRF): each list's scores
+    min-max-normalize to [0,1] WITHIN its own top-``depth`` list, and
+    the fused score is ``(w_lex·norm_lex + w_vec·norm_vec)/100`` —
+    rank-insensitive, so a dominant-score hit keeps its margin where
+    RRF would flatten it to 1/(c+rank).
+
+    Engine stability: both input scores are already 4-decimal-snapped
+    by their stages, min/max over the ≤depth-row lists are exact
+    selections of those snapped doubles, and every normalization step
+    is IEEE-exact (+,−,×,÷ round identically everywhere) — the fused
+    score then snaps to 1e-6 before ranking, so ordering is ULP-proof.
+    A degenerate list (max = min) normalizes to 1.0 for every member —
+    documented, matching the oracle. A doc absent from one list
+    contributes 0 from it (the standard convex-combination convention).
+
+    Scale shape: identical to RRF — each half keeps its own documented
+    retrieval plan; the fusion is a unionByName + one tiny groupBy over
+    the two ≤depth-row lists, with the per-list min/max as windows over
+    those same tiny lists. Nothing after retrieval scales with the
+    corpus."""
+    from pyspark.sql import Window
+
+    from datafusion_sqlgen_spark.operators.similarity import cosine_topk
+
+    if k > depth:
+        raise ValueError("k must be <= depth (fusion cannot rank past "
+                         "the per-list retrieval depth)")
+    wall = Window.partitionBy()
+
+    def _norm(score):
+        lo, hi = F.min(score).over(wall), F.max(score).over(wall)
+        return F.when(hi > lo, (score - lo) / (hi - lo)).otherwise(
+            F.lit(1.0)
+        )
+
+    lex = bm25_topk(
+        docs, query_terms, k=depth, text_col=text_col, id_col=doc_id_col
+    ).select(
+        F.col(doc_id_col),
+        _norm(F.col("bm25")).alias("lex_norm"),
+        F.lit(None).cast("double").alias("vec_norm"),
+    )
+    vec = cosine_topk(
+        embeddings,
+        embeddings.filter(F.col(vec_id_col) == query_vec_id),
+        k=depth, id_col=vec_id_col, vec_col=vec_col,
+    ).select(
+        F.col("neighbor_id").alias(doc_id_col),
+        F.lit(None).cast("double").alias("lex_norm"),
+        _norm(F.col("cos_sim")).alias("vec_norm"),
+    )
+    fused = (
+        lex.unionByName(vec)
+        .groupBy(doc_id_col)
+        .agg(
+            F.max("lex_norm").alias("lex_norm"),
+            F.max("vec_norm").alias("vec_norm"),
+        )
+        .select(
+            F.col(doc_id_col),
+            F.round(F.coalesce(F.col("lex_norm"), F.lit(0.0)), 6)
+            .alias("lex_norm"),
+            F.round(F.coalesce(F.col("vec_norm"), F.lit(0.0)), 6)
+            .alias("vec_norm"),
+            F.floor(
+                (F.lit(float(w_lex))
+                 * F.coalesce(F.col("lex_norm"), F.lit(0.0))
+                 + F.lit(float(w_vec))
+                 * F.coalesce(F.col("vec_norm"), F.lit(0.0)))
+                / F.lit(100.0) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint").alias("fused_micro"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("fused_micro").desc(), F.col(doc_id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def weighted_hybrid_topk_oracle(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 15,
+    depth: int = 50,
+    w_lex: int = 60,
+    w_vec: int = 40,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+) -> str:
+    from datafusion_sqlgen_spark.operators.similarity import (
+        cosine_topk_oracle,
+    )
+
+    lex = bm25_topk_oracle(query_terms, k=depth, table=table)
+    vec = cosine_topk_oracle(vec_table, k=depth,
+                             max_query_id=query_vec_id + 1)
+    return f"""
+    WITH lex_list AS ({lex}),
+    vec_list AS (
+        SELECT * FROM ({vec}) WHERE query_id = {query_vec_id}
+    ),
+    lex_n AS (
+        SELECT doc_id,
+               CASE WHEN max(bm25) OVER () > min(bm25) OVER ()
+                    THEN (bm25 - min(bm25) OVER ())
+                         / (max(bm25) OVER () - min(bm25) OVER ())
+                    ELSE 1.0 END AS lex_norm,
+               CAST(NULL AS DOUBLE) AS vec_norm
+        FROM lex_list
+    ),
+    vec_n AS (
+        SELECT neighbor_id AS doc_id,
+               CAST(NULL AS DOUBLE) AS lex_norm,
+               CASE WHEN max(cos_sim) OVER () > min(cos_sim) OVER ()
+                    THEN (cos_sim - min(cos_sim) OVER ())
+                         / (max(cos_sim) OVER () - min(cos_sim) OVER ())
+                    ELSE 1.0 END AS vec_norm
+        FROM vec_list
+    ),
+    fused AS (
+        SELECT doc_id,
+               round(coalesce(max(lex_norm), 0.0), 6) AS lex_norm,
+               round(coalesce(max(vec_norm), 0.0), 6) AS vec_norm,
+               CAST(floor(({w_lex}.0 * coalesce(max(lex_norm), 0.0)
+                           + {w_vec}.0 * coalesce(max(vec_norm), 0.0))
+                          / 100.0 * 1e6 + 0.5) AS BIGINT) AS fused_micro
+        FROM (SELECT * FROM lex_n UNION ALL SELECT * FROM vec_n)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, lex_norm, vec_norm, fused_micro,
+           row_number() OVER (ORDER BY fused_micro DESC, doc_id ASC)
+               AS rnk
+    FROM fused
+    QUALIFY rnk <= {k}
+    """

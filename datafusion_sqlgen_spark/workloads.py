@@ -4508,6 +4508,19 @@ FROM documents WHERE doc_id < 40 AND text IS NOT NULL
             "    FROM documents\n"
             ")\n" + text.pii_scrub_oracle(table="src"),
         ),
+        # round 13: the OTHER standard hybrid fusion — weighted min-max
+        # score fusion (rank-insensitive, keeps score margins where RRF
+        # flattens to 1/(c+rank)); IEEE-exact normalization over the
+        # two snapped top-depth lists, fused score snapped to 1e-6
+        "text_weighted_hybrid_topk": (
+            lambda s: text.weighted_hybrid_topk(
+                s.table("documents"), s.table("embeddings"),
+                ["hash", "join", "vector"], query_vec_id=0,
+            ),
+            text.weighted_hybrid_topk_oracle(
+                ["hash", "join", "vector"], query_vec_id=0,
+            ),
+        ),
         # round 13: hybrid retrieval fusion — BM25 top-depth + cosine
         # top-depth fused by reciprocal-rank (Cormack et al. 2009),
         # fixed-point 1e12/(60+rank) contributions so the fused order

@@ -50,6 +50,10 @@ BNLJ_ALLOWLIST: dict[str, str] = {
         "co-occurrence counts — bounded by construction",
     "text_bigram_logprob": "1-row total-count aggregate broadcast",
     "text_bm25_topk": "1-row corpus-stats aggregate broadcast",
+    "text_weighted_hybrid_topk":
+        "same bounded shapes as the RRF row: bm25's 1-row corpus-stats "
+        "broadcast + cosine_topk's single broadcast query row; fusion "
+        "windows run over the two <=depth-row lists",
     "text_rrf_hybrid_topk":
         "both halves' allowlisted shapes: bm25's 1-row corpus-stats "
         "broadcast + cosine_topk's single broadcast query row; the "
@@ -176,6 +180,10 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "ts_funnel_steps": 1,
     "ts_cohort_retention": 4,
     # round-13 additions, pinned at birth
+    "text_weighted_hybrid_topk":
+        "same bounded shapes as the RRF row: bm25's 1-row corpus-stats "
+        "broadcast + cosine_topk's single broadcast query row; fusion "
+        "windows run over the two <=depth-row lists",
     "text_rrf_hybrid_topk": 6,
     "text_unigram_train": 0,
     "text_unigram_encode": 3,
@@ -209,6 +217,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # containment verify stage: one bounded broadcast, zero shuffles
     # beyond the single exchange under the broadcast
     "dedup_ngram_containment": 1,
+    # weighted fusion: the two halves' own exchanges + tiny-list hops
+    "text_weighted_hybrid_topk": 5,
     # nprobe frontier: |nprobes|=3 probe-join branches over the ONE
     # checkpointed index, each with its own top-k window + three 1-row
     # stat aggregates — an audit/tuning run, not a serving path

