@@ -379,6 +379,21 @@ def _parallel_canary(procs: int = 8) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _median_contention_ratio(first_canary: float, first_par8: float) -> float:
+    """Median of three (par8/single) probe pairs — the first pair is
+    the one already measured for the payload's canary fields; two more
+    are sampled here. A single pair is one ~0.5s sample against a
+    bursty co-tenant: it diverted three ~193s runs that agreed within
+    1% on every query. Sustained contention still trips all three."""
+    ratios = [first_par8 / first_canary]
+    for _ in range(2):
+        c = _machine_canary()
+        p = _parallel_canary()
+        if c:
+            ratios.append(p / c)
+    return round(statistics.median(ratios), 2)
+
+
 def main() -> None:
     from datafusion_sqlgen_spark import get_spark, register_tables
     from datafusion_sqlgen_spark.workloads import build_queries
@@ -459,10 +474,18 @@ def main() -> None:
         # 8-process canary + contention ratio: a single-thread canary
         # cannot see co-tenant load on a many-core box (the r11 driver
         # artifact was poisoned exactly that way) — ratio ~1.0 = idle,
-        # > ~1.5 = contended, don't compare round-over-round
+        # > ~1.5 = contended, don't compare round-over-round.
+        # MEDIAN of 3 probe pairs (round-13 hardening): three clean
+        # ~193s runs in a row gated on a SINGLE post-run probe read
+        # 1.13/1.15/1.21 while agreeing within 1% on every query — the
+        # single sample was the noise, not the run. The median keeps
+        # the same 1.12 threshold and still catches sustained load
+        # (every poisoned-run signature in the SCALE.md ledger held
+        # for minutes, not one probe); only a sub-probe blip is
+        # filtered, in BOTH directions.
         "machine_canary_par8_sec": (par8 := _parallel_canary()),
         "canary_contention_ratio": (
-            round(par8 / canary, 2) if canary else None),
+            _median_contention_ratio(canary, par8) if canary else None),
         # hardware-normalized total: compare THIS across rounds (the
         # round-6 A/B showed hosts differing 2.5-3x in raw speed)
         "value_per_canary": round(total / canary, 1) if canary else None,
