@@ -1799,7 +1799,22 @@ def pca_power_component(
     but cross-row aggregation order is not foldable).  Magnitudes here
     leave margin — the summed terms are O(1..10) over ≤1e5 rows, so
     accumulated error (~1e-8 absolute) is ~1% of a snap cell — and the
-    dual-scale sweeps are the standing detector for this class."""
+    dual-scale sweeps are the standing detector for this class.
+
+    Round-13 optimization (guide 2.4 "remove shuffles outright" +
+    guide 5 driver): the centered table is hash-partitioned by row id
+    ONCE, so every iteration's row-keyed aggregate and row-keyed join
+    reuse that partitioning with ZERO further wide exchanges — the
+    previous plan re-shuffled ``cx`` by rid inside every iteration's
+    ``join(dots)`` (n*d rows moved per iteration at scale) and paid a
+    broadcast build for ``v``, which is now a d-element array LITERAL
+    (a narrow map). The d-row normalize/sign step runs driver-side on
+    the collected s vector (dimension-bounded, never data-scaled) with
+    the identical floor-snap arithmetic — same accepted risk class as
+    before: cross-row SUM order was never pinned on either engine, the
+    1e-6 snap absorbs it, and the dual-scale sweeps stand as detector."""
+    import math
+
     x = corpus.select(
         F.col(id_col).alias("rid"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
@@ -1810,6 +1825,7 @@ def pca_power_component(
     cx = (
         x.join(F.broadcast(mu), "pos")
         .select("rid", "pos", (F.col("val") - F.col("mu")).alias("cv"))
+        .repartition("rid")  # the ONE wide exchange; the loop reuses it
         .localCheckpoint(eager=True)
     )
     spark = corpus.sparkSession
@@ -1817,44 +1833,36 @@ def pca_power_component(
     if max_pos is None:  # empty corpus: no component to extract
         return spark.createDataFrame([], "pos int, w double")
     dim = max_pos + 1
-    v = spark.createDataFrame(
-        [(p, 1.0 / 8.0) for p in range(dim)], "pos int, w double"
-    )
+    snap = float(10 ** decimals)
+    w = [1.0 / 8.0] * dim
     for _ in range(n_iter):
+        varr = F.array(*[F.lit(x_) for x_ in w])
         dots = (
-            cx.join(F.broadcast(v), "pos")
-            .groupBy("rid")
-            .agg(_stable_round(F.sum(F.col("cv") * F.col("w")),
-                               decimals).alias("dot"))
+            cx.groupBy("rid")  # reuses cx's rid partitioning
+            .agg(_stable_round(
+                F.sum(F.col("cv")
+                      * F.element_at(varr, F.col("pos") + 1)),
+                decimals).alias("dot"))
         )
         s = (
-            cx.join(dots, "rid")
+            cx.join(dots, "rid")  # co-partitioned: no new exchange
             .groupBy("pos")
             .agg(_stable_round(F.sum(F.col("cv") * F.col("dot")),
                                decimals).alias("s"))
         )
-        nrm = s.agg(
-            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm")
-        )
-        v = (
-            s.crossJoin(F.broadcast(nrm))
-            .select(
-                "pos",
-                _stable_round(F.col("s") / F.col("nrm"), decimals)
-                .alias("w"),
-            )
-        )
-        # sign convention: weight at pos 0 is non-negative
-        w0 = v.crossJoin(
-            F.broadcast(v.filter(F.col("pos") == 0)
-                        .select(F.col("w").alias("w0")))
-        )
-        v = w0.select(
-            "pos",
-            F.when(F.col("w0") < 0, -F.col("w")).otherwise(F.col("w"))
-            .alias("w"),
-        ).localCheckpoint(eager=True)
-    return v.select(F.col("pos").cast("int").alias("pos"), "w")
+        sv = [0.0] * dim
+        for r in s.collect():  # d rows — dimension-bounded
+            sv[r["pos"]] = float("nan") if r["s"] is None else r["s"]
+        nrm = math.sqrt(sum(si * si for si in sv))
+        if not nrm > 0.0:  # degenerate corpus — NaN like the old
+            w = [float("nan")] * dim  # plan's IEEE 0/0 path
+            break
+        w = [math.floor(si / nrm * snap + 0.5) / snap for si in sv]
+        if w[0] < 0:  # sign convention: weight at pos 0 non-negative
+            w = [-wi for wi in w]
+    return spark.createDataFrame(
+        [(p, wi) for p, wi in enumerate(w)], "pos int, w double"
+    )
 
 
 def pca_power_component_oracle(

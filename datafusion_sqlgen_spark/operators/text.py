@@ -2192,7 +2192,23 @@ def bpe_train_merges(
     top_words: int = 2000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns ``(rank, a, b,
-    pair_count)`` — the merge table a tokenizer would serialize."""
+    pair_count)`` — the merge table a tokenizer would serialize.
+
+    Scale shape (round-13 optimization, guide §1.2/§5): the ONLY
+    data-scaled pass is the distributed word histogram (explode +
+    map-side-combined count, capped at ``top_words``); the merge loop
+    then runs driver-side over the collected <=top_words-row histogram
+    — the model-sized table every real tokenizer trainer holds in one
+    process. The previous formulation shipped each of the ``n_merges``
+    iterations back to the cluster as a pair-count aggregate + 1-row
+    argmax collect + localCheckpoint over that same 2000-row table:
+    2 job barriers per merge (~13 jobs total) to move at most 2000
+    tiny rows — pure fixed cost at every scale, since the histogram
+    cap (not the corpus) bounds the loop's input. Results are
+    bit-identical: pair counts are exact BIGINT sums, the argmax tie
+    order (cnt DESC, a, b) is codepoint order on both sides, and
+    Python ``str.replace`` applies non-overlapping left-to-right
+    exactly like ``F.replace``."""
     spark = docs.sparkSession
     words = (
         docs.select(
@@ -2207,41 +2223,25 @@ def bpe_train_merges(
         .orderBy(F.desc("n"), "w")
         .limit(top_words)
     )
-    state = words.select(
-        "w", "n",
-        F.concat(
-            F.lit(" "),
-            F.concat_ws(" ", F.expr("regexp_extract_all(w, '.', 0)")),
-            F.lit(" "),
-        ).alias("seq"),
-    ).localCheckpoint(eager=True)
+    # model-sized collect: <= top_words rows by construction
+    shapes = [(r["w"], int(r["n"])) for r in words.collect()]
+    seqs = [(" " + " ".join(w) + " ", n) for w, n in shapes]
 
     merges = []
     for rank in range(1, n_merges + 1):
-        syms = F.split(F.trim(F.col("seq")), " ")
-        top = (
-            state.select(
-                "n",
-                F.explode(F.arrays_zip(
-                    F.slice(syms, 1, F.size(syms) - 1),
-                    F.slice(syms, 2, F.size(syms) - 1),
-                )).alias("p"),
-            )
-            .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
-            .groupBy("a", "b")
-            .agg(F.sum("n").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .collect()  # 1-row argmax per iteration (k-means/CC pattern)
-        )
-        if not top:
+        counts: dict = {}
+        for seq, n in seqs:
+            syms = seq.strip().split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append((rank, a, b, int(cnt)))
-        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-        state = state.withColumn(
-            "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
-        ).localCheckpoint(eager=True)
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        seqs = [(s.replace(pat, rep).replace(pat, rep), n) for s, n in seqs]
     return spark.createDataFrame(
         merges, "rank int, a string, b string, pair_count bigint"
     )
@@ -2787,40 +2787,30 @@ _UNIGRAM_INF = 10**15  # unreachable-segmentation sentinel (fits BIGINT
 #                        even after summing a full max_word_len path)
 
 
-def _make_viterbi_udf(costs: dict, max_piece_len: int):
-    """Arrow-batched Viterbi segmenter over a BROADCAST piece-cost
-    dict (closure capture — the vocab is bounded at alphabet +
-    seed_multi rows by construction). Integer costs make the DP exact,
-    so the argmin path is bit-identical to the oracle's unrolled SQL
-    DP; ties at a backtrack step break to the SMALLEST start (the
-    longest piece), scanning starts ascending."""
-    import pandas as pd
-
-    @F.pandas_udf("array<string>")
-    def seg(ws: pd.Series) -> pd.Series:
-        def one(w: str) -> list:
-            L = len(w)
-            best = [0] + [_UNIGRAM_INF] * L
-            for j in range(1, L + 1):
-                for i in range(max(0, j - max_piece_len), j):
-                    c = costs.get(w[i:j])
-                    if c is not None and best[i] + c < best[j]:
-                        best[j] = best[i] + c
-            out = []
-            pos = L
-            while pos > 0:
-                for i in range(max(0, pos - max_piece_len), pos):
-                    c = costs.get(w[i:pos])
-                    if c is not None and best[i] + c == best[pos]:
-                        out.append(w[i:pos])
-                        pos = i
-                        break
-            out.reverse()
-            return out
-
-        return ws.map(one)
-
-    return seg
+def _viterbi_pieces(w: str, costs: dict, max_piece_len: int) -> list:
+    """Viterbi-segment one word under an integer piece-cost dict.
+    Integer costs make the DP exact, so the argmin path is
+    bit-identical to the oracle's unrolled SQL DP; ties at a backtrack
+    step break to the SMALLEST start (the longest piece), scanning
+    starts ascending."""
+    L = len(w)
+    best = [0] + [_UNIGRAM_INF] * L
+    for j in range(1, L + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            c = costs.get(w[i:j])
+            if c is not None and best[i] + c < best[j]:
+                best[j] = best[i] + c
+    out = []
+    pos = L
+    while pos > 0:
+        for i in range(max(0, pos - max_piece_len), pos):
+            c = costs.get(w[i:pos])
+            if c is not None and best[i] + c == best[pos]:
+                out.append(w[i:pos])
+                pos = i
+                break
+    out.reverse()
+    return out
 
 
 def unigram_lm_train(
@@ -2848,12 +2838,23 @@ def unigram_lm_train(
     and backtrack ties choose the longest piece; seed caps order by
     (freq DESC, piece ASC).
 
-    Scale shape for 100 TB: training runs over the DISTINCT word-shape
-    table (zipfian corpora collapse ~100x, same cap as BPE), the vocab
-    is bounded (alphabet + ``seed_multi``) and rides into the E-step as
-    an Arrow-batched pandas-UDF closure (the broadcast-rules pattern);
-    each round is one shape-table pass + one piece-keyed aggregate.
-    The per-round vocab collect is bounded rows, never corpus data."""
+    Scale shape for 100 TB (round-13 optimization, guide §1.2/§5):
+    the ONLY data-scaled pass is the distributed word-shape histogram
+    (explode + map-side-combined count, capped at ``top_words``); the
+    seed/EM loop then runs driver-side over the collected
+    <=top_words-row histogram — model-sized work every real tokenizer
+    trainer does in one process (the E-step Viterbi was ALREADY plain
+    Python inside a pandas UDF; the previous formulation paid ~10 job
+    barriers, two collects and three localCheckpoints per training
+    run just to ship those same <=2000 rows back and forth). Exact
+    integer seed/usage counts, ``math.log`` on the same IEEE doubles
+    (C libm — the same library DuckDB's ``ln`` binds, where the
+    retired plan used JVM ``Math.log``; the 1e6-fixed-point +0.5
+    floor snap absorbs sub-ULP differences either way, sweep-verified
+    at all three SFs), and codepoint tie order keep the result
+    bit-identical to the unrolled oracle."""
+    import math
+
     words = (
         docs.select(
             F.explode(
@@ -2867,83 +2868,55 @@ def unigram_lm_train(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.desc("n"), "w")
         .limit(top_words)
-        .localCheckpoint(eager=True)  # re-read every EM round
     )
+    spark = docs.sparkSession
+    # model-sized collect: <= top_words rows by construction
+    shapes = [(r["w"], int(r["n"])) for r in words.collect()]
+    out_schema = "piece string, n_uses bigint, logprob double"
+    if not shapes:
+        return spark.createDataFrame([], out_schema)
 
     # seed: every substring occurrence of length 1..max_piece_len,
     # weighted by word count (overlaps counted — the standard seed)
-    subs = None
-    for ln_ in range(1, max_piece_len + 1):
-        s = (
-            words.where(F.length("w") >= ln_)
-            .select(
-                F.col("n"),
-                F.explode(F.expr(
-                    f"transform(sequence(1, length(w) - {ln_} + 1), "
-                    f"p -> substring(w, p, {ln_}))"
-                )).alias("piece"),
-            )
-        )
-        subs = s if subs is None else subs.unionByName(s)
-    freqs = subs.groupBy("piece").agg(
-        F.sum("n").cast("bigint").alias("freq"))
-    singles = freqs.where(F.length("piece") == 1)
-    multis = (
-        freqs.where(F.length("piece") > 1)
-        .orderBy(F.desc("freq"), F.asc("piece"))
-        .limit(seed_multi)
-    )
-    seed = singles.unionByName(multis)
-    tot = seed.agg(F.sum("freq").cast("double").alias("tot"))
-    vocab = (
-        seed.crossJoin(F.broadcast(tot))
-        .select(
-            "piece", F.col("freq").alias("n_uses"),
-            F.floor(
-                -F.log(F.col("freq").cast("double") / F.col("tot"))
-                * 1e6 + 0.5
-            ).cast("bigint").alias("cost"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    freq: dict = {}
+    for w, n in shapes:
+        L = len(w)
+        for ln_ in range(1, max_piece_len + 1):
+            for p in range(L - ln_ + 1):
+                piece = w[p:p + ln_]
+                freq[piece] = freq.get(piece, 0) + n
+    multis = sorted(
+        ((p, f) for p, f in freq.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_multi]
+    seed = [(p, f) for p, f in freq.items() if len(p) == 1] + multis
+    tot = float(sum(f for _, f in seed))
+    # vocab: piece -> (n_uses, cost); cost = floor(-ln(p)*1e6 + 0.5)
+    vocab = {
+        p: (f, int(math.floor(-math.log(f / tot) * 1e6 + 0.5)))
+        for p, f in seed
+    }
 
     for _ in range(n_rounds):
-        costs = {
-            r["piece"]: int(r["cost"])
-            for r in vocab.select("piece", "cost").collect()
-        }  # bounded: <= alphabet + seed_multi rows (model, not data)
-        seg = _make_viterbi_udf(costs, max_piece_len)
-        segmented = words.select(
-            "n", F.explode(seg(F.col("w"))).alias("piece"))
-        usage = segmented.groupBy("piece").agg(
-            F.sum("n").cast("bigint").alias("u"))
-        u0 = F.coalesce(F.col("u"), F.lit(0)).cast("bigint")
-        pruned = (
-            vocab.select("piece").join(usage, "piece", "left")
-            .select(
-                "piece", u0.alias("n_uses"),
-                F.when(u0 > 0, u0)
-                 .when(F.length("piece") == 1, F.lit(1))
-                 .alias("adj"),
-            )
-            .where(F.col("adj").isNotNull())
-        )
-        tot2 = pruned.agg(F.sum("adj").cast("double").alias("tot"))
-        vocab = (
-            pruned.crossJoin(F.broadcast(tot2))
-            .select(
-                "piece", "n_uses",
-                F.floor(
-                    -F.log(F.col("adj").cast("double") / F.col("tot"))
-                    * 1e6 + 0.5
-                ).cast("bigint").alias("cost"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return vocab.select(
-        "piece", "n_uses",
-        (-(F.col("cost").cast("double")) / F.lit(1000000.0))
-        .alias("logprob"),
+        costs = {p: c for p, (_, c) in vocab.items()}
+        usage: dict = {}
+        for w, n in shapes:
+            for piece in _viterbi_pieces(w, costs, max_piece_len):
+                usage[piece] = usage.get(piece, 0) + n
+        pruned = []  # (piece, n_uses, adj) — drop unused multis
+        for p in vocab:
+            u = usage.get(p, 0)
+            adj = u if u > 0 else (1 if len(p) == 1 else None)
+            if adj is not None:
+                pruned.append((p, u, adj))
+        tot2 = float(sum(adj for _, _, adj in pruned))
+        vocab = {
+            p: (u, int(math.floor(-math.log(adj / tot2) * 1e6 + 0.5)))
+            for p, u, adj in pruned
+        }
+    return spark.createDataFrame(
+        [(p, u, (-float(c)) / 1000000.0) for p, (u, c) in vocab.items()],
+        out_schema,
     )
 
 

@@ -2012,12 +2012,16 @@ def _streaming_kmeans_result(s: SparkSession) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_km_")
     src = os.path.join(work, "emb_files")
     os.makedirs(src, exist_ok=True)
-    emb = s.table("embeddings")
+    # one pass + one partitioned write for all 4 replay files
+    # (round-13 optimization, guide 1.2 — was 4 filter+write jobs)
+    emb = s.table("embeddings").withColumn(
+        "__b", F.col("vec_id") % 4)
+    tmp = os.path.join(work, "tmpb")
+    emb.repartition("__b").write.partitionBy("__b").parquet(tmp)
     for i in range(4):
-        tmp = os.path.join(work, f"tmp{i}")
-        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        f = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))
         dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        shutil.move(f[0], dst)
         ts = 1_000_000_000 + i * 3600
         os.utime(dst, (ts, ts))
     with _replay_shuffle(s):
@@ -2192,15 +2196,19 @@ def _run_scd2_replay(
     work = tempfile.mkdtemp(prefix="stream_scd2_")
     src = os.path.join(work, "events_files")
     os.makedirs(src, exist_ok=True)
+    # one ntile pass + one partitioned write for all 4 replay files
+    # (round-13 optimization, guide 1.2 — the per-file filter loop
+    # re-sorted events 4 times); partitionBy drops __b from the data
+    # files and the stream source reads with an explicit schema
     ev = s.table("events").withColumn(
         "__b", F.ntile(4).over(Window.orderBy(F.col("event_id").asc()))
     )
+    tmp = os.path.join(work, "tmpb")
+    ev.repartition("__b").write.partitionBy("__b").parquet(tmp)
     for i in range(1, 5):
-        tmp = os.path.join(work, f"tmp{i}")
-        ev.filter(F.col("__b") == i).drop("__b").coalesce(1) \
-            .write.parquet(tmp)
+        f = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))
         dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        shutil.move(f[0], dst)
         ts = 1_000_000_000 + i * 3600
         os.utime(dst, (ts, ts))
     with _replay_shuffle(s):
@@ -2630,27 +2638,38 @@ def _quartile_sentinel_replay(s: SparkSession, prefix: str) -> str:
     ev = s.table("events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    # Round-13 optimization (guide 1.2 "don't compute things twice" /
+    # 2.4): the previous builder wrote each quartile with its own
+    # `q.filter(__q == i).coalesce(1)` job — FOUR full re-sorts of the
+    # events table for one ntile window — plus two more tiny jobs for
+    # the sentinel files. Now the window runs ONCE and a single
+    # partitioned write emits all six replay files (sentinels ride
+    # along as __q partitions 5 and 6); the mover renames them into
+    # mtime order exactly as before. File contents are byte-equal in
+    # meaning: partitionBy drops __q from the data files and the
+    # stream source reads with an explicit schema.
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row fixture agg
     q = ev.withColumn(
         "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
     )
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row fixture agg
-    parts = [q.filter(F.col("__q") == i).drop("__q") for i in range(1, 5)]
+    sent_rows = []
     for j in (1, 2):  # sentinel click+purchase pair per file
         sent_ts = max_ts + datetime.timedelta(days=10 * j)
-        parts.append(
-            s.createDataFrame(
-                [
-                    (10**9 + 2 * j, sent_ts, -1, "click", 0.0, ""),
-                    (10**9 + 2 * j + 1, sent_ts, -1, "purchase", 0.0, ""),
-                ],
-                ev.schema,
-            )
-        )
-    for i, frame in enumerate(parts):
-        tmp = os.path.join(work, f"tmp{i}")
-        frame.coalesce(1).write.parquet(tmp)
+        sent_rows += [
+            (10**9 + 2 * j, sent_ts, -1, "click", 0.0, "", 4 + j),
+            (10**9 + 2 * j + 1, sent_ts, -1, "purchase", 0.0, "", 4 + j),
+        ]
+    tmp = os.path.join(work, "tmpq")
+    (
+        q.unionByName(s.createDataFrame(sent_rows, q.schema))
+        .repartition("__q")
+        .write.partitionBy("__q")
+        .parquet(tmp)
+    )
+    for i in range(6):
+        f = glob.glob(os.path.join(tmp, f"__q={i + 1}", "part-*.parquet"))
         dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        shutil.move(f[0], dst)
         ts = 1_000_000_000 + i * 3600
         os.utime(dst, (ts, ts))
     return src
@@ -2790,18 +2809,17 @@ def _streaming_dedup_result(s: SparkSession) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_dedup_")
     src = os.path.join(work, "docs_files")
     os.makedirs(src, exist_ok=True)
+    # one pass + one partitioned write for both replay halves
+    # (round-13 optimization, guide 1.2 — was 2 filter+write jobs)
     docs = s.table("documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
-    )
-    halves = (
-        docs.filter(F.col("doc_id") < 250),
-        docs.filter(F.col("doc_id") >= 250),
-    )
-    for i, frame in enumerate(halves):
-        tmp = os.path.join(work, f"tmp{i}")
-        frame.coalesce(1).write.parquet(tmp)
+    ).withColumn("__b", (F.col("doc_id") >= 250).cast("int"))
+    tmp = os.path.join(work, "tmpb")
+    docs.repartition("__b").write.partitionBy("__b").parquet(tmp)
+    for i in range(2):
+        f = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))
         dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        shutil.move(f[0], dst)
         ts = 1_000_000_000 + i * 3600
         os.utime(dst, (ts, ts))
     with _replay_shuffle(s):
