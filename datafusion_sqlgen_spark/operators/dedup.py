@@ -1138,7 +1138,14 @@ def semantic_dedup(
     )
 
     cents = _kmeans_centroids(df, n_cells, n_iter, id_col, vec_col, 6)
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    # Round-13 optimization (guide 2.4): materialize the assignment
+    # ONCE — it feeds both pair-join sides AND the final anti-join, so
+    # the lazy form re-ran the corpus argmax pass (and re-inlined the
+    # k-means lineage) three times. Identical row set; at 100 TB this
+    # is the persisted/bucketed index-build step the docstring names.
+    assigned = ivf_assign(df, cents, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     # norm once per vector before the pair join (pair count is quadratic
     # in cell size; per-pair array passes dominate otherwise)
     sides = assigned.select(

@@ -99,6 +99,12 @@ def _pagerank_plan(
 ) -> DataFrame:
     """Build the unrolled-iteration plan over eagerly checkpointed loop
     invariants; returns the (lazy) ranks frame."""
+    # Round-13 optimization (guide 2.4): materialize the edge list
+    # ONCE — nodes (2 union arms), outdeg, and ed each inlined the
+    # caller's edge-build subtree (for the catalog row: the whole LSH
+    # kNN-graph build) into their own lineage, so the invariants'
+    # checkpoint jobs re-derived it up to 6x. Identical row set.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -277,6 +283,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Output: ``(node, triangles)`` for every node in >= 1 triangle
     (BIGINT counts — integer-exact, any engine).
     """
+    # Round-13 optimization (guide 2.4/3.3): materialize the canonical
+    # edge set and the oriented edge list ONCE. The lazy formulation
+    # inlined the `edges` subtree (here: the whole LSH kNN-graph
+    # build) into every branch that references it — deg's two union
+    # arms, the orientation join, and the three wedge-join aliases —
+    # compiling to a 244-exchange plan (~9 copies of the edge build).
+    # Cohen's MapReduce formulation materializes these between rounds
+    # for the same reason; results are identical row sets.
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -284,6 +298,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -302,6 +317,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        .localCheckpoint(eager=True)  # read 3x by the wedge join
     )
     e1 = oriented.select(F.col("u"), F.col("v"))
     e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))

@@ -456,7 +456,14 @@ def phash_near_dup_pairs(
     then the exact popcount-hamming verify runs on candidates only.
     Same candidates-not-cross-product shape as MinHash-LSH; all
     JVM-side after the hash (shiftright / bitwise AND / bit_count)."""
-    hashed = perceptual_hash(mm)
+    # Round-13 optimization (guide 2.4): materialize the 64-bit hashes
+    # ONCE — the two self-join sides canonicalize to DIFFERENT
+    # exchanges (verified: executedPlan shows 0 ReusedExchange, 2
+    # distinct chunk exchanges), so the lazy form ran the payload
+    # fabrication + aHash pass twice. (id, phash) is 16 bytes/row —
+    # exactly the fingerprint table §8 of the guide says to
+    # materialize instead of re-deriving from payload bytes.
+    hashed = perceptual_hash(mm).localCheckpoint(eager=True)
     chunks = hashed.select(
         "doc_id", "phash",
         F.explode(

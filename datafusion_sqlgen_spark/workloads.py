@@ -2891,10 +2891,13 @@ def _pipeline_semantic_curation(s: SparkSession) -> DataFrame:
     repo; the oracle below replays the identical chain in one DuckDB
     WITH pipeline, k-means CTEs included."""
     docs = text.prepare_documents(s.table("documents"))
+    # round-13: materialize the C4-kept slice once (guide 2.4) — it
+    # feeds the embedding semi-join AND the post-dedup survivor join,
+    # and the filter chain re-ran per reference otherwise
     kept = docs.join(
         text.c4_filters(docs).filter("keep").select("doc_id"),
         "doc_id", "left_semi",
-    )
+    ).localCheckpoint(eager=True)
     emb_kept = s.table("embeddings").join(
         kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
