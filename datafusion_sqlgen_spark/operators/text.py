@@ -1953,29 +1953,15 @@ def lr_train_hashed(
     +-0.5, so iteration 1 needs no weight join at all.
 
     Scale shape: the gram explosion runs ONCE into persisted
-    (doc, bucket, cnt) features (the "index build"); each epoch is one
-    doc-keyed integer aggregation (the margins) and one bucket-keyed
-    integer aggregation (<=V rows out).  Caveat at extreme scale: a
+    (doc, bucket, cnt) features (the "index build"); each epoch is a
+    broadcast join against the <=V-row weight table, one doc-keyed
+    integer aggregation, one bucket-keyed integer aggregation (<=V
+    rows out).  Doc count and bias arrive as broadcast 1-row
+    aggregates — no driver collect.  Caveat at extreme scale: a
     per-bucket gradient sum is |err_fx| <= 1e6 times the bucket's
     occurrence count, so past ~10^9 occurrences per bucket the BIGINT
     sum should shed the 1e6 error scale (or move to DECIMAL) to stay
-    within double-exact range for the update's float step.
-
-    Round-13 optimization (guide 1.2/5): the weight table and bias are
-    MODEL state (<=V+1 rows by construction), so the per-epoch update
-    now runs driver-side on the collected <=V-row gradient — the
-    retired formulation threaded weights/bias/doc-count through
-    broadcast-join chains, compiling a 46-exchange DAG whose every
-    epoch re-derived the previous epoch's whole lineage. The corpus
-    math is unchanged and stays distributed: margins, sigmoid and the
-    1e6-snapped errors are the same column expressions (weights now
-    arrive as a dense V-element array literal — element absent from a
-    doc contributes 0 to the integer dot product exactly as the old
-    inner join's dropped row did), and gradients are the same exact
-    BIGINT sums. The driver replays ``delta``'s float step with the
-    identical IEEE op sequence, so weights are bit-identical."""
-    import math
-
+    within double-exact range for the update's float step."""
     feats = _pin_weights(
         _hashed_gram_features(df, vocab_size, text_col, id_col)
     )
@@ -1984,45 +1970,38 @@ def lr_train_hashed(
         F.when(F.col(label_col) == positive, F.lit(1))
         .otherwise(F.lit(0)).cast("bigint").alias("y"),
     )
-    spark = df.sparkSession
-    nd = labs.count()  # 1-row scalar (doc count)
-    if nd == 0:
-        return spark.createDataFrame([], "bucket int, w_fp bigint")
+    nd = labs.agg(F.count(F.lit(1)).alias("__n"))
 
-    def delta(g_fx: int) -> int:
-        # same IEEE sequence as the retired column expression:
-        # ((lr * g) * 65536.0) / (1e6 * n) + 0.5, floored
-        return int(math.floor(
-            lr * float(g_fx) * 65536.0 / (1e6 * float(nd)) + 0.5
-        ))
+    def delta(g_col: Column) -> Column:
+        return F.floor(
+            F.lit(lr) * g_col.cast("double") * F.lit(65536.0)
+            / (F.lit(1e6) * F.col("__n").cast("double"))
+            + F.lit(0.5)
+        ).cast("bigint")
 
-    w: dict = {}
-    b_fp = 0
-    for it in range(n_iter):
-        if it == 0:
+    w_df = None
+    b_df = None
+    for _ in range(n_iter):
+        if w_df is None:
             err = labs.select(
                 F.col(id_col),
                 (F.lit(500000) - F.lit(1000000) * F.col("y"))
                 .cast("bigint").alias("err_fx"),
             )
         else:
-            warr = [0] * vocab_size
-            for bk, wv in w.items():
-                warr[bk] = wv
             s = (
-                feats.groupBy(id_col)
-                .agg(F.sum(
-                    F.col("cnt")
-                    * F.element_at(F.lit(warr), F.col("bucket") + 1)
-                ).alias("s_fp"))
+                feats.join(F.broadcast(w_df), "bucket")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("cnt") * F.col("w_fp")).alias("s_fp"))
             )
             logit = (
                 F.coalesce(F.col("s_fp"), F.lit(0)).cast("double")
-                + F.lit(b_fp).cast("double")
+                + F.col("b_fp").cast("double")
             ) / F.lit(65536.0)
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
             err = (
                 labs.join(s, id_col, "left")
+                .crossJoin(F.broadcast(b_df))
                 .select(
                     F.col(id_col),
                     F.floor(
@@ -2030,24 +2009,47 @@ def lr_train_hashed(
                         + F.lit(0.5)
                     ).cast("bigint").alias("err_fx"),
                 )
-                # materialize the residuals once: both gradient
-                # aggregates below read them, and the margin pass
-                # (feats groupBy id) is the epoch's heavy stage
-                .localCheckpoint(eager=True)
             )
-        g_rows = (
+        g = (
             feats.join(err, id_col)
             .groupBy("bucket")
             .agg(F.sum(F.col("cnt") * F.col("err_fx")).alias("g_fx"))
-            .collect()  # <=V rows — model-sized
+            .crossJoin(F.broadcast(nd))
         )
-        gb = err.agg(F.sum("err_fx")).collect()[0][0]  # 1-row
-        for r in g_rows:
-            w[r["bucket"]] = w.get(r["bucket"], 0) - delta(r["g_fx"])
-        b_fp -= delta(gb)
-    rows = [(int(bk), wv) for bk, wv in w.items() if wv != 0]
-    rows.append((-1, b_fp))
-    return spark.createDataFrame(rows, "bucket int, w_fp bigint")
+        if w_df is None:
+            w_df = g.select("bucket", (-delta(F.col("g_fx"))).alias("w_fp"))
+        else:
+            # both sides are <=V rows; broadcast the fresh gradient so
+            # the weight update never sort-merges
+            w_df = (
+                w_df.join(F.broadcast(g), "bucket")
+                .select(
+                    "bucket",
+                    (F.col("w_fp") - delta(F.col("g_fx"))).alias("w_fp"),
+                )
+            )
+        gb = err.agg(F.sum("err_fx").alias("g_fx")).crossJoin(
+            F.broadcast(nd)
+        )
+        if b_df is None:
+            b_df = gb.select((-delta(F.col("g_fx"))).alias("b_fp"))
+        else:
+            b_df = b_df.crossJoin(F.broadcast(gb)).select(
+                (F.col("b_fp") - delta(F.col("g_fx"))).alias("b_fp")
+            )
+    bias_row = (
+        b_df.crossJoin(F.broadcast(nd))
+        .where(F.col("__n") > 0)
+        .select(
+            F.lit(-1).cast("int").alias("bucket"),
+            F.col("b_fp").cast("bigint").alias("w_fp"),
+        )
+    )
+    return (
+        w_df.where(F.col("w_fp") != 0)
+        .select(F.col("bucket").cast("int").alias("bucket"), "w_fp")
+        .unionAll(bias_row)
+    )
 
 
 def lr_train_hashed_oracle(
