@@ -33,9 +33,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Contention gate: runs whose 8-process/1-process canary ratio exceeds
-# this never overwrite bench_full.json (idle floor ~1.10 on this box —
-# see SCALE.md contention-protocol ledger). Overridable for tests.
-CONTENTION_MAX = float(os.environ.get("SPARK_GRAFT_CONTENTION_MAX", "1.12"))
+# the effective threshold never overwrite bench_full.json. The absolute
+# base (1.12) was calibrated on a host with a 1.10 idle floor; the r13
+# host measured an IDLE floor of 1.15-1.22 (single-core vs all-core
+# turbo — a hardware property, see SCALE.md), branding every clean run
+# "contended". Round-14 fix (VERDICT r13 item 2): measure the idle
+# floor at startup (3 probe pairs, before Spark exists) and gate on
+# ratio vs max(base, floor * margin), capped at 1.5 (the documented
+# "unusable" level) so a genuinely loaded box can never calibrate the
+# gate open. An explicit SPARK_GRAFT_CONTENTION_MAX pins the threshold
+# EXACTLY (no calibration) — the contract tests force the gate open
+# (1e9) and closed (0) through it.
+_CM_ENV = os.environ.get("SPARK_GRAFT_CONTENTION_MAX")
+CONTENTION_MAX = float(_CM_ENV) if _CM_ENV is not None else 1.12
+CONTENTION_PINNED = _CM_ENV is not None
+CONTENTION_FLOOR_MARGIN = 1.08
+CONTENTION_HARD_MAX = 1.5
+
+# The driver keeps only the last ~2000 chars of stdout and parses the
+# final JSON line from that tail; the compact summary line (incl. its
+# top-N per-query dict) must stay under this budget to survive intact.
+TAIL_LINE_BUDGET = 1900
 
 # Representative slice of the catalog: scan/filter, the two canonical agg
 # shapes, multi-join, window, set-op, and the LLM-pipeline operators.
@@ -394,7 +412,59 @@ def _median_contention_ratio(first_canary: float, first_par8: float) -> float:
     return round(statistics.median(ratios), 2)
 
 
+def _pack_top_queries(compact: dict, timings: dict[str, float],
+                      budget: int = TAIL_LINE_BUDGET) -> dict:
+    """Fill ``compact['queries']`` with as many per-query medians as fit
+    the tail budget, most expensive first (VERDICT r13 item 1: the
+    driver's per-query round-over-round machinery reads the final
+    stdout line, which survives only if the whole line stays under the
+    ~2,000-char tail the driver keeps). Deterministic: ties break on
+    name. Returns a new dict; ``n_queries_reported`` records how many
+    of ``timings`` made the cut."""
+    out = dict(compact)
+    out["queries"] = {}
+    # placeholder at max width so the budget check already pays for it
+    out["n_queries_reported"] = len(timings)
+    top: dict[str, float] = {}
+    for k, v in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        trial = dict(top)
+        trial[k] = v
+        out["queries"] = trial
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            continue  # a shorter-named entry further down may still fit
+        top = trial
+    out["queries"] = top
+    out["n_queries_reported"] = len(top)
+    return out
+
+
+def _calibrate_idle_floor() -> float:
+    """Median of 3 (par8/single) probe pairs taken BEFORE Spark starts.
+
+    On this host the ratio reads 1.15-1.22 on a provably idle box
+    (single-core turbo vs all-core turbo); on the original calibration
+    host it read ~1.10. Measuring the floor per run makes the gate a
+    host property instead of a constant baked for one machine."""
+    ratios = []
+    for _ in range(3):
+        c = _machine_canary()
+        p = _parallel_canary()
+        if c:
+            ratios.append(p / c)
+    return round(statistics.median(ratios), 2) if ratios else 1.0
+
+
 def main() -> None:
+    # Idle-floor calibration runs first: before the Spark JVM exists,
+    # the only loads the probes can see are co-tenants and the
+    # hardware's own turbo behaviour.
+    idle_floor = _calibrate_idle_floor()
+    contention_threshold = (
+        CONTENTION_MAX if CONTENTION_PINNED else round(
+            min(CONTENTION_HARD_MAX,
+                max(CONTENTION_MAX, idle_floor * CONTENTION_FLOOR_MARGIN)),
+            2))
+
     from datafusion_sqlgen_spark import get_spark, register_tables
     from datafusion_sqlgen_spark.workloads import build_queries
 
@@ -490,6 +560,9 @@ def main() -> None:
         # round-6 A/B showed hosts differing 2.5-3x in raw speed)
         "value_per_canary": round(total / canary, 1) if canary else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-calibrated gate inputs (VERDICT r13 item 2)
+        "idle_floor_ratio": idle_floor,
+        "contention_threshold": contention_threshold,
     }
     # The driver keeps only a ~2,000-char TAIL of stdout, which truncates
     # the per-query dicts (r5 VERDICT "What's wrong" §2: spread evidence
@@ -498,25 +571,33 @@ def main() -> None:
     # can read, and point at it from the tail-surviving end of the line.
     full = dict(payload)
     full["samples"] = all_samples
-    # subset runs (test hook) must not clobber the round artifact
-    full_name = "bench_full.json" if not only else "bench_full_subset.json"
-    # Fail-closed contention gate (VERDICT r12 item 1): a contended run
-    # must never overwrite the committed clean baseline. The idle floor
-    # for the 8-process/1-process canary ratio is ~1.10 on this box
-    # (SCALE.md ledger); anything above CONTENTION_MAX means a co-tenant
-    # was stealing cores mid-run and the numbers are not comparable
-    # round-over-round. Such runs are diverted to a `.contended.json`
-    # sibling so the committed artifact stays idle-floor-only.
+    # Fail-closed contention gate (VERDICT r12 item 1, recalibrated per
+    # VERDICT r13 item 2): a contended run must never overwrite the
+    # committed clean baseline. The threshold is the startup-measured
+    # idle floor x margin (bounded to [CONTENTION_MAX, 1.5]); anything
+    # above it means cores were being stolen mid-run and the numbers
+    # are not comparable round-over-round. Such runs are diverted to a
+    # `.contended.json` sibling so the committed artifact stays clean.
     ratio = payload["canary_contention_ratio"]
-    contended = ratio is not None and ratio > CONTENTION_MAX
+    contended = ratio is not None and ratio > contention_threshold
     if contended:
-        full_name = full_name.replace(".json", ".contended.json")
         payload["contended"] = True
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), full_name
-    )
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=False)
+    # Artifact naming (VERDICT r13 items 1/8): full artifacts are keyed
+    # by core count so a low-core scaling run can never overwrite the
+    # full-core record (the driver's 8-core r13 run destroyed the only
+    # 32-core r13 artifact). A clean full-core, full-headline run is
+    # ADDITIONALLY copied to the canonical bench_full.json name.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+    subset_part = "_subset" if only else ""
+    contended_part = ".contended" if contended else ""
+    full_name = f"bench_full{subset_part}.c{cpus}{contended_part}.json"
+    names = [full_name]
+    if not only and cpus >= (os.cpu_count() or cpus):
+        names.append(f"bench_full{contended_part}.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    for name in names:
+        with open(os.path.join(repo_dir, name), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=False)
     payload["full_artifact"] = full_name
     print(json.dumps(payload))
     # The driver keeps only a ~2,000-char stdout TAIL: the big line above
@@ -525,6 +606,13 @@ def main() -> None:
     # VERDICT item: make the artifact parse). Emit a compact summary as
     # the FINAL line — small enough to always survive the tail — so the
     # driver's last-line JSON parse succeeds regardless of catalog size.
+    # Round-14 (VERDICT r13 item 1): the compact line now carries a
+    # per-query dict with as many entries as fit the tail budget, most
+    # expensive queries first, so the driver's round-over-round per-query
+    # machinery (n_common / geomean / scaling.per_query) sees the rows
+    # that matter. The FULL 180-entry dict is ~5 KB and mathematically
+    # cannot survive a 2,000-char tail; the complete record stays in the
+    # full artifact(s) written above.
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -540,7 +628,8 @@ def main() -> None:
     }
     if contended:
         compact["contended"] = True
-    print(json.dumps(compact))
+    compact = _pack_top_queries(compact, timings)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
