@@ -1854,8 +1854,18 @@ def pca_power_component(
         for r in s.collect():  # d rows — dimension-bounded
             sv[r["pos"]] = float("nan") if r["s"] is None else r["s"]
         nrm = math.sqrt(sum(si * si for si in sv))
-        if not nrm > 0.0:  # degenerate corpus — NaN like the old
-            w = [float("nan")] * dim  # plan's IEEE 0/0 path
+        if not nrm > 0.0:
+            # Degenerate (constant-vector) corpus: every centered value
+            # is 0, so s is all-zero and there is no direction. Emit
+            # all-NaN weights — matching the DuckDB oracle's IEEE 0/0.
+            # NOTE (ADVICE r13): this is a deliberate divergence from
+            # the retired distributed plan, which pushed the 0/0 NaN
+            # through _stable_round's F.floor (BIGINT cast maps NaN to
+            # 0) and emitted all-ZERO weights that did NOT match the
+            # oracle; the driver never sampled that corpus shape, so
+            # the r13 rewrite both sped the loop up and fixed the
+            # degenerate case. Pinned by test_pca_degenerate_corpus.
+            w = [float("nan")] * dim
             break
         w = [math.floor(si / nrm * snap + 0.5) / snap for si in sv]
         if w[0] < 0:  # sign convention: weight at pos 0 non-negative

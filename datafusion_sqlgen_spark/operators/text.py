@@ -2208,7 +2208,12 @@ def bpe_train_merges(
     bit-identical: pair counts are exact BIGINT sums, the argmax tie
     order (cnt DESC, a, b) is codepoint order on both sides, and
     Python ``str.replace`` applies non-overlapping left-to-right
-    exactly like ``F.replace``."""
+    exactly like ``F.replace``.
+
+    Driver-memory contract (ADVICE r13): ``top_words`` bounds what is
+    collected — the driver holds one (word, count) row per entry, so
+    keep it model-sized (10^3..10^6). The corpus-scaled histogram pass
+    stays distributed regardless."""
     spark = docs.sparkSession
     words = (
         docs.select(
@@ -2852,7 +2857,12 @@ def unigram_lm_train(
     retired plan used JVM ``Math.log``; the 1e6-fixed-point +0.5
     floor snap absorbs sub-ULP differences either way, sweep-verified
     at all three SFs), and codepoint tie order keep the result
-    bit-identical to the unrolled oracle."""
+    bit-identical to the unrolled oracle.
+
+    Driver-memory contract (ADVICE r13): ``top_words`` bounds what is
+    collected — the driver holds one word-shape row per entry (plus
+    the derived piece dict), so keep it model-sized (10^3..10^6). The
+    corpus-scaled histogram pass stays distributed regardless."""
     import math
 
     words = (

@@ -1863,6 +1863,29 @@ def _replay_shuffle(s: SparkSession, n: int = 8):
         s.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _move_replay_part(tmp: str, part_dir: str, dst: str, mtime: int) -> None:
+    """Move the single parquet file of one partitionBy bucket into its
+    replay slot and stamp its mtime. Fails with the bucket name when
+    the bucket produced no directory (ADVICE r13: an empty bucket —
+    e.g. fewer rows than ntile buckets — would otherwise surface as a
+    bare IndexError on ``glob(...)[0]``; the old per-bucket
+    ``coalesce(1)`` writes emitted an empty file instead, but a replay
+    with a silently-empty trigger would diverge from its unrolled-SQL
+    oracle anyway, so fail loudly)."""
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(tmp, part_dir, "part-*.parquet"))
+    if not files:
+        raise RuntimeError(
+            f"replay bucket {part_dir!r} under {tmp} is empty — the "
+            f"input has too few rows to fill every replay trigger"
+        )
+    shutil.move(files[0], dst)
+    os.utime(dst, (mtime, mtime))
+
+
 def _streaming_rollup_result(s: SparkSession) -> DataFrame:
     """Bounded-stream replay of the materialized-rollup sink: events are
     split into 4 parquet files, streamed one file per trigger through
@@ -2002,9 +2025,7 @@ def _streaming_kmeans_result(s: SparkSession) -> DataFrame:
     load-bearing and the replay guard is mandatory). The finalized
     model (cell, dim, n, centroid) is hash-checked against the same 4
     batches replayed as unrolled SQL stages."""
-    import glob
     import os
-    import shutil
     import tempfile
 
     from datafusion_sqlgen_spark.streaming.ops import run_bounded_kmeans
@@ -2019,11 +2040,9 @@ def _streaming_kmeans_result(s: SparkSession) -> DataFrame:
     tmp = os.path.join(work, "tmpb")
     emb.repartition("__b").write.partitionBy("__b").parquet(tmp)
     for i in range(4):
-        f = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))
-        dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(f[0], dst)
-        ts = 1_000_000_000 + i * 3600
-        os.utime(dst, (ts, ts))
+        _move_replay_part(tmp, f"__b={i}",
+                          os.path.join(src, f"part{i}.parquet"),
+                          1_000_000_000 + i * 3600)
     with _replay_shuffle(s):
         return run_bounded_kmeans(s, src, work, k=8)
 
@@ -2184,9 +2203,7 @@ def _streaming_scd2_tombstones_result(s: SparkSession) -> DataFrame:
 def _run_scd2_replay(
     s: SparkSession, tombstone_where: str | None = None
 ) -> DataFrame:
-    import glob
     import os
-    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -2206,11 +2223,9 @@ def _run_scd2_replay(
     tmp = os.path.join(work, "tmpb")
     ev.repartition("__b").write.partitionBy("__b").parquet(tmp)
     for i in range(1, 5):
-        f = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))
-        dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(f[0], dst)
-        ts = 1_000_000_000 + i * 3600
-        os.utime(dst, (ts, ts))
+        _move_replay_part(tmp, f"__b={i}",
+                          os.path.join(src, f"part{i}.parquet"),
+                          1_000_000_000 + i * 3600)
     with _replay_shuffle(s):
         return run_bounded_scd2(
             s, src, work, tombstone_where=tombstone_where)
@@ -2625,9 +2640,7 @@ def _quartile_sentinel_replay(s: SparkSession, prefix: str) -> str:
     unmatched row.  Returns the source directory; callers filter
     sentinel rows out by user_id sign."""
     import datetime
-    import glob
     import os
-    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -2667,11 +2680,9 @@ def _quartile_sentinel_replay(s: SparkSession, prefix: str) -> str:
         .parquet(tmp)
     )
     for i in range(6):
-        f = glob.glob(os.path.join(tmp, f"__q={i + 1}", "part-*.parquet"))
-        dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(f[0], dst)
-        ts = 1_000_000_000 + i * 3600
-        os.utime(dst, (ts, ts))
+        _move_replay_part(tmp, f"__q={i + 1}",
+                          os.path.join(src, f"part{i}.parquet"),
+                          1_000_000_000 + i * 3600)
     return src
 
 
@@ -2799,9 +2810,7 @@ def _streaming_dedup_result(s: SparkSession) -> DataFrame:
     the corpus is built by successive atomic ``batch=<id>`` commits,
     then the final corpus (doc_id, text_md5) is returned for the
     driver's hash check against the sequential two-stage batch twin."""
-    import glob
     import os
-    import shutil
     import tempfile
 
     from datafusion_sqlgen_spark.streaming.ops import run_bounded_dedup
@@ -2817,11 +2826,9 @@ def _streaming_dedup_result(s: SparkSession) -> DataFrame:
     tmp = os.path.join(work, "tmpb")
     docs.repartition("__b").write.partitionBy("__b").parquet(tmp)
     for i in range(2):
-        f = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))
-        dst = os.path.join(src, f"part{i}.parquet")
-        shutil.move(f[0], dst)
-        ts = 1_000_000_000 + i * 3600
-        os.utime(dst, (ts, ts))
+        _move_replay_part(tmp, f"__b={i}",
+                          os.path.join(src, f"part{i}.parquet"),
+                          1_000_000_000 + i * 3600)
     with _replay_shuffle(s):
         return run_bounded_dedup(s, src, work, max_files_per_trigger=1)
 

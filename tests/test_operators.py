@@ -1512,6 +1512,25 @@ def test_pca_power_component_properties(spark):
     assert proj_variance(v) > proj_variance(uniform)
 
 
+def test_pca_degenerate_corpus(spark):
+    """Constant-vector corpus: every centered value is 0, the power
+    step has no direction, and the weights must be all-NaN — the
+    DuckDB oracle's IEEE 0/0 behavior (ADVICE r13: the retired
+    distributed plan emitted all-ZERO weights via F.floor's NaN->0
+    BIGINT cast, silently diverging from the oracle)."""
+    import math
+
+    from datafusion_sqlgen_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sim.pca_power_component(emb).collect()
+    assert len(rows) == 3
+    assert all(math.isnan(r["w"]) for r in rows)
+
+
 def test_triangle_count_known_graph(spark):
     """Hand-built graph: K4 on {1,2,3,4} (4 triangles, each node in 3)
     plus a pendant 4-5 (no triangle) and a duplicate + reversed edge
