@@ -1,0 +1,69 @@
+"""Bounded persist registries with fresh-build eviction.
+
+Several operators pin an intermediate that feeds multiple branches of
+one composed plan (trained centroids, DSIR weight tables, banded
+corpora, deduplicated basket relations). Two disciplines apply, both
+load-bearing:
+
+* **Bounded**: an unbounded session would accumulate one pinned frame
+  per call (round-6 ADVICE) — the registry evicts oldest beyond a cap.
+* **Fresh-build eviction** (round 14): Spark's CacheManager matches
+  ``persist`` entries by CANONICALIZED logical plan, so a *fresh* build
+  of the same query silently read the *previous* build's cached blocks
+  instead of recomputing — repeated bench invocations were timing cache
+  reads, not computation (measured: an IVF train read 6.1s on the first
+  build and 0.63s on every "fresh" rebuild, all four sharing ONE
+  storage entry). Pinning now first unpersists any registered entry
+  whose analyzed plan is ``sameResult`` with the new one, so every new
+  build starts cold while *within*-build sharing (the reason the pins
+  exist) is untouched. At 100 TB the same property keeps a long-lived
+  session from serving day-old index builds to a re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+class PinRegistry:
+    """List-like registry of pinned DataFrames (len/iter supported,
+    oldest first)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self._entries: list[DataFrame] = []
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def __iter__(self):
+        return iter(self._entries)
+
+    def pin(
+        self,
+        df: DataFrame,
+        level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ) -> DataFrame:
+        # Fresh-build eviction: a canonically-identical plan already in
+        # the registry is a PREVIOUS build of the same query — release
+        # it so this build recomputes from source instead of reading
+        # the old entry through CacheManager's canonical-plan match.
+        new_plan = df._jdf.queryExecution().analyzed()
+        for old in list(self._entries):
+            try:
+                same = old._jdf.queryExecution().analyzed().sameResult(new_plan)
+            except Exception:
+                same = False
+            if same:
+                old.unpersist()
+                self._entries.remove(old)
+        while len(self._entries) >= self.cap:
+            self._entries.pop(0).unpersist()
+        df = df.persist(level)
+        self._entries.append(df)
+        return df
+
+    def release_all(self) -> None:
+        while self._entries:
+            self._entries.pop().unpersist()

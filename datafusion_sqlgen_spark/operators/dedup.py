@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_sqlgen_spark.operators._pincache import PinRegistry
 from datafusion_sqlgen_spark.operators.text import words_col
 
 
@@ -175,6 +176,25 @@ def minhash_buckets_oracle(table: str = "documents", k: int = 4, bands: int = 2,
     """
 
 
+# Pinned minhash-pipeline intermediates (banded corpus, candidate
+# pairs, candidate shingles). Before round 14 the two persists inside
+# minhash_dedup_pairs had NO registry — beyond the session-lifetime
+# leak (three catalog rows build through here, the bench runs each
+# 6x), Spark's CacheManager matches persists by CANONICALIZED plan, so
+# a repeated identical query silently read the first build's cached
+# intermediates instead of recomputing: the leak doubled as an
+# unintended cross-run memo that flattered bench medians. The registry
+# bounds the footprint (one call pins three frames; cap keeps two
+# calls' worth) and its fresh-build eviction (see _pincache) makes
+# every rebuilt query recompute from source while keeping the
+# within-build sharing the pins exist for.
+_PAIRS_CACHE = PinRegistry(6)
+
+
+def _pin_pairs(df: DataFrame) -> DataFrame:
+    return _PAIRS_CACHE.pin(df)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -197,9 +217,16 @@ def minhash_dedup_pairs(
     is persisted (narrow: id, band, bucket) so the candidate self-join
     does NOT re-shingle the corpus per side — at production scale you
     would write it out instead; and verification shingles only docs that
-    appear in a candidate pair (semi-join first), never the corpus."""
-    from pyspark.storagelevel import StorageLevel
+    appear in a candidate pair (semi-join first), never the corpus.
 
+    Round-14 (guide §2.4, VERDICT r13 item 4): the candidate-pair table
+    is pinned too — it feeds three lineages (the union's two arms that
+    prune the shingle semi-join, and the final verify join), each of
+    which re-ran the band self-join + pair DISTINCT from the cached
+    band table (a candidate-scale shuffle per reference at 100 TB);
+    and all pins now go through the bounded _PAIRS_CACHE registry
+    (fresh-build eviction) instead of leaking two cached frames per
+    call."""
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle=shingle)
     rows_per_band = k // bands
     band_structs = []
@@ -211,14 +238,13 @@ def minhash_dedup_pairs(
                 F.md5(F.concat_ws("|", *members)).alias("bucket"),
             )
         )
-    exploded = (
+    exploded = _pin_pairs(
         sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = exploded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_side = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (
+    cand = _pin_pairs(
         a.join(b_side, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -229,12 +255,14 @@ def minhash_dedup_pairs(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # persisted: the pair join reads `sh` twice (id_a and id_b sides) —
+    # pinned: the pair join reads `sh` twice (id_a and id_b sides) —
     # without the cut, candidate docs are re-shingled per side
-    sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col),
-        F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _pin_pairs(
+        df.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col),
+            F.array_distinct(_shingles(F.col(text_col), shingle)).alias("sh"),
+        )
+    )
     pairs = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -26,24 +26,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datafusion_sqlgen_spark.operators._pincache import PinRegistry
 
 # Trained centroid/codebook tables are k rows but carry a multi-pass
 # Lloyd lineage; without a cut every downstream job (assignment,
 # member counts, the query-side probe) re-runs the whole training
 # chain. Persisting the final table IS the "index built once, then
 # served" shape the docstrings promise at 100 TB. Bounded registry so
-# repeated calls (benches, notebooks) don't accumulate cached plans.
-_TRAINED_CACHE: list[DataFrame] = []
+# repeated calls (benches, notebooks) don't accumulate cached plans;
+# fresh-build eviction (round 14, see _pincache) so a rebuilt query
+# retrains instead of silently reading the previous build's cache.
+_TRAINED_CACHE = PinRegistry(8)
 
 
 def _pin_trained(df: DataFrame) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    while len(_TRAINED_CACHE) >= 8:
-        _TRAINED_CACHE.pop(0).unpersist()
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _TRAINED_CACHE.append(df)
-    return df
+    return _TRAINED_CACHE.pin(df)
 
 
 def _dot(a: Column, b: Column) -> Column:

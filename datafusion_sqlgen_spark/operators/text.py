@@ -15,6 +15,8 @@ import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve here
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_sqlgen_spark.operators._pincache import PinRegistry
+
 # Deterministic stopword list used by quality scoring and language ID.
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -1657,18 +1659,14 @@ def ngram_counts_oracle(table: str = "documents", k: int = 50) -> str:
 # similarity._TRAINED_CACHE / dedup._INCREMENTAL_CACHE: the persist is
 # load-bearing (the table branches into a max agg AND a rate
 # projection), but an unbounded session would otherwise accumulate one
-# pinned plan per dsir_resample call.
-_WEIGHTS_CACHE: list[DataFrame] = []
+# pinned plan per dsir_resample call. Fresh-build eviction (round 14,
+# see _pincache): a rebuilt identical query recomputes its weights
+# instead of silently reading the previous build's cache.
+_WEIGHTS_CACHE = PinRegistry(4)
 
 
 def _pin_weights(df: DataFrame) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    while len(_WEIGHTS_CACHE) >= 4:
-        _WEIGHTS_CACHE.pop(0).unpersist()
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _WEIGHTS_CACHE.append(df)
-    return df
+    return _WEIGHTS_CACHE.pin(df)
 
 
 def dsir_resample(
