@@ -823,6 +823,45 @@ def test_dsir_resample_weight_cache_bounded(spark):
         assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
 
 
+def test_pin_registry_evicts_same_plan_rebuilds(spark):
+    """Round-14: CacheManager matches persists by CANONICALIZED plan, so
+    without fresh-build eviction a rebuilt identical query silently read
+    the previous build's cached blocks (bench medians timed cache reads,
+    not computation). Pinning a canonically-identical plan must unpersist
+    the old entry and register exactly one live pin."""
+    from datafusion_sqlgen_spark.operators._pincache import PinRegistry
+
+    import time
+
+    def cached_bytes() -> int:
+        # DataFrame.storageLevel cannot observe the eviction (it looks
+        # up by canonical plan and finds the NEW entry), so assert on
+        # the materialized blocks themselves.
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+
+    reg = PinRegistry(4)
+    base = _df(spark, "documents").limit(20).select("doc_id")
+    first = reg.pin(base.groupBy("doc_id").count())
+    first.count()
+    assert cached_bytes() > 0  # first build materialized
+    # identical plan, fresh build: evicts the old entry's blocks; the
+    # new pin is unmaterialized until its own action runs -> a rebuilt
+    # query recomputes instead of reading the previous build's cache
+    second = reg.pin(base.groupBy("doc_id").count())
+    assert len(reg) == 1
+    for _ in range(50):  # unpersist is async
+        if cached_bytes() == 0:
+            break
+        time.sleep(0.1)
+    assert cached_bytes() == 0
+    # a DIFFERENT plan coexists (bounded-cap discipline unchanged)
+    other = reg.pin(base.distinct())
+    assert len(reg) == 2
+    reg.release_all()
+    assert len(reg) == 0
+
+
 def test_leakage_safe_split_groups_never_straddle_folds(spark, duck):
     """Round-6 operator: every near-dup cluster lands in exactly one
     fold (the leakage guarantee), singletons keep their own id as
