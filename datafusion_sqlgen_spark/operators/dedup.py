@@ -492,10 +492,14 @@ def connected_components(
     shrinking-information) label table against the symmetrized edge list
     plus a min-aggregation — O(diameter) rounds, and near-dup graphs are
     shallow (dominated by tiny cliques), so 3-5 rounds converge in
-    practice. ``localCheckpoint`` truncates the lineage each round so the
-    plan doesn't grow exponentially; on a real cluster use a reliable
-    checkpoint dir instead. There is no recursive SQL here by design —
-    iteration is driver-coordinated, exactly like GraphX/GraphFrames.
+    practice. ``reliable_cut`` truncates the lineage each round so the
+    plan doesn't grow exponentially — localCheckpoint in local mode, a
+    reliable checkpoint when ``SPARK_GRAFT_CHECKPOINT_DIR`` (or a
+    session checkpoint dir) is configured, as a cluster must (r14,
+    VERDICT r13 item 5: label tables are node-scale; an executor lost
+    mid-iteration would otherwise kill the query). There is no
+    recursive SQL here by design — iteration is driver-coordinated,
+    exactly like GraphX/GraphFrames.
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datafusion_sqlgen_spark.operators._pincache import reliable_cut
 from datafusion_sqlgen_spark.operators.similarity import lsh_buckets
 
 
@@ -104,7 +105,9 @@ def _pagerank_plan(
     # caller's edge-build subtree (for the catalog row: the whole LSH
     # kNN-graph build) into their own lineage, so the invariants'
     # checkpoint jobs re-derived it up to 6x. Identical row set.
-    edges = edges.localCheckpoint(eager=True)
+    # Reliable cut, not localCheckpoint (r14, VERDICT r13 item 5):
+    # the edge list is corpus-scale and read by every iteration.
+    edges = reliable_cut(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -129,15 +132,15 @@ def _pagerank_plan(
     # blocks when the frame's references drop, so nothing needs manual
     # release; the two invariants are small (m edge rows / n node
     # rows), so their eager jobs cost what the lazy cache fill did.
-    ed = (
+    # (r14: both invariants go through reliable_cut — ed is edge-scale,
+    # base node-scale; partitioning survives the cut either way.)
+    ed = reliable_cut(
         edges.join(outdeg, "src")
         .repartition(F.col("src"))
-        .localCheckpoint(eager=True)
     )
-    base = (
+    base = reliable_cut(
         nodes.crossJoin(F.broadcast(n1))  # (node, __n)
         .repartition(F.col("node"))
-        .localCheckpoint(eager=True)
     )
     ranks = base.select(
         "node", "__n", F.expr(f"CAST({scale} AS BIGINT) DIV __n").alias("rank_fp")
@@ -290,15 +293,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # arms, the orientation join, and the three wedge-join aliases —
     # compiling to a 244-exchange plan (~9 copies of the edge build).
     # Cohen's MapReduce formulation materializes these between rounds
-    # for the same reason; results are identical row sets.
-    und = (
+    # for the same reason; results are identical row sets. Edge lists
+    # are corpus-scale, so the cut is a RELIABLE checkpoint (r14,
+    # VERDICT r13 item 5): localCheckpoint blocks die with their
+    # executor and the truncated lineage cannot recompute them.
+    und = reliable_cut(
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -311,14 +316,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    oriented = reliable_cut(
         und.join(da, "a").join(db, "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .localCheckpoint(eager=True)  # read 3x by the wedge join
-    )
+    )  # read 3x by the wedge join
     e1 = oriented.select(F.col("u"), F.col("v"))
     e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
     e3 = oriented.select(F.col("u").alias("tu"), F.col("v").alias("tw"))

@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datafusion_sqlgen_spark.operators._pincache import PinRegistry
+from datafusion_sqlgen_spark.operators._pincache import (
+    PinRegistry,
+    reliable_cut,
+)
 
 # Trained centroid/codebook tables are k rows but carry a multi-pass
 # Lloyd lineage; without a cut every downstream job (assignment,
@@ -1819,11 +1822,13 @@ def pca_power_component(
     mu = x.groupBy("pos").agg(
         _stable_round(F.avg("val"), decimals).alias("mu")
     )
-    cx = (
+    # reliable_cut, not localCheckpoint (r14, VERDICT r13 item 5): cx is
+    # n x d rows — corpus-scale — and every iteration reads it; an
+    # executor lost mid-loop must not kill the query at 100 TB.
+    cx = reliable_cut(
         x.join(F.broadcast(mu), "pos")
         .select("rid", "pos", (F.col("val") - F.col("mu")).alias("cv"))
         .repartition("rid")  # the ONE wide exchange; the loop reuses it
-        .localCheckpoint(eager=True)
     )
     spark = corpus.sparkSession
     max_pos = cx.agg(F.max("pos")).collect()[0][0]
